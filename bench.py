@@ -1,0 +1,71 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with a noop sink (full pipeline runs, nothing
+collected to the driver) — measures engine throughput, not driver IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from nonconsumptive_spark.queries import all_queries  # noqa: E402
+from nonconsumptive_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_star_join_revenue",
+    "q_window_rank",
+    "q_topk_customers",
+    "q_encoded_unigrams",
+    "q_bigram_counts",
+    "q_chunked_wordcounts",
+    "q_vocabulary",
+    "q_dedup_exact",
+    "q_minhash_dedup_pairs",
+    "q_simhash",
+    "q_lang_id",
+    "q_quality_score",
+    "q_knn_cosine_bruteforce",
+    "q_events_session",
+    "q_events_tumbling",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("nc-spark-bench")
+    registry = all_queries()
+
+    # Warm the JVM/session on a trivial job so q1 doesn't pay startup cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.time()
+        df = q.spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Tokenization and n-gram column functions.
+
+Parity target: the reference's regex tokenizer, which splits text on runs of
+non-letter characters (reference ``nonconsumptive/transformations.py:32-33``,
+the no-blingfire path).  Everything here is built-in column expressions —
+JVM-side, whole-stage-codegen'd, zero Python in the hot path.
+
+Scale notes: tokenization is a narrow map (no shuffle).  N-grams are built
+*inside the token array* with ``transform(sequence(...))`` rather than with
+``lead() OVER (PARTITION BY doc)`` — the window formulation would shuffle
+every exploded token on doc_id; the array formulation shuffles nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Split on runs of non-letters; identical semantics in Java regex (Spark)
+# and RE2 (DuckDB oracle: '[^\pL]+').  Reference: transformations.py:32-33.
+TOKEN_REGEX = r"[^\p{L}]+"
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize(text: Column | str) -> Column:
+    """text -> array<string> of tokens (empty strings dropped).
+
+    Leading/trailing separators produce empty split elements in both Spark
+    and DuckDB; the filter removes them so positions agree engine-to-engine.
+    """
+    return F.filter(F.split(_as_col(text), TOKEN_REGEX), lambda x: x != F.lit(""))
+
+
+def tokens_with_pos(df, id_col: str, text_col: str, pos_col: str = "pos", token_col: str = "token"):
+    """Explode a text column into (id, pos, token) rows; pos is 1-based to
+    match DuckDB's ``generate_subscripts``."""
+    return (
+        df.select(id_col, F.posexplode(tokenize(text_col)).alias("__p0", token_col))
+        .withColumn(pos_col, (F.col("__p0") + 1).cast("int"))
+        .drop("__p0")
+    )
+
+
+def ngram_structs(tokens: Column | str, n: int) -> Column:
+    """array<string> tokens -> array<struct<w0..w{n-1}:string>> of adjacent
+    n-grams, computed entirely inside the array (no shuffle, no window).
+
+    Equivalent to the reference's polars shift(-i).over(doc) construction
+    (reference transformations.py:229-240) but expressed as a Catalyst
+    higher-order function so it stays in whole-stage codegen.
+    """
+    col = _as_col(tokens)
+    # sequence(1, 0) would yield a DESCENDING [1,0] in Spark, so docs shorter
+    # than n must short-circuit to an empty array instead.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(col) - (n - 1)),
+        lambda i: F.struct(*[F.element_at(col, i + j).alias(f"w{j}") for j in range(n)]),
+    )
+    return F.when(F.size(col) >= n, grams).otherwise(F.array())

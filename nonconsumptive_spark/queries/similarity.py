@@ -1,0 +1,99 @@
+"""Similarity-search queries over the `embeddings` table.
+
+The brute-force top-k is the oracle-checked exact baseline; the LSH variant
+is the approximate scale path (registered without an oracle — the driver
+records a rows-only check, and tests measure its recall against the exact
+result instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators import similarity as sim
+from nonconsumptive_spark.queries import load, register
+
+_N_QUERIES = 10  # first N vec_ids serve as the query set
+_K = 5
+
+# DuckDB: exact cosine in doubles with identical rank tie-break.
+_DUCK_KNN = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_dot_product(q.qvec, c.cvec) /
+                   (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))), 4) AS cosine_sim
+      FROM q CROSS JOIN c
+      WHERE q.query_id <> c.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "q_knn_cosine_bruteforce",
+    oracle=_DUCK_KNN,
+    doc="Exact brute-force cosine top-5 for 10 query vectors; broadcast "
+        "query side, deterministic (rounded-sim, id) ranking.",
+)
+def q_knn_cosine_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return sim.knn_bruteforce(emb, queries, k=_K)
+
+
+@register(
+    "q_embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    doc="Per-vector L2 norm in doubles.",
+)
+def q_embedding_norms(spark, sf_dir):
+    return sim.embedding_norms(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_norms_by_label",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Aggregate over an array-typed column: mean L2 norm per label.",
+)
+def q_norms_by_label(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(sim._norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+@register(
+    "q_knn_cosine_lsh",
+    oracle=None,  # approximate: driver rows-only; tests measure recall vs exact
+    doc="Approximate top-k via random-hyperplane LSH bucketing — the 100 TB "
+        "scale path; recall vs the exact baseline is asserted in tests.",
+)
+def q_knn_cosine_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return sim.knn_lsh(emb, queries, k=_K, n_planes=4, n_tables=12)

@@ -1,0 +1,193 @@
+"""Text-pipeline queries over `documents` — the reference's core capability
+(tokenize → counts → vocabulary → encode; SURVEY §2 rows A1-A4, A8, A10,
+J1, W1, O1/O2, F1).
+
+Oracle note: DuckDB tokenizes with RE2 ``[^\\pL]+`` which matches Spark's
+Java-regex ``[^\\p{L}]+`` exactly (both drop empty strings after split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators import wordcount as wc
+from nonconsumptive_spark.queries import load, register
+
+# DuckDB-side tokenization fragments shared by the oracles.
+_DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\pL]+'), x -> x <> '')"
+_DUCK_TOKEN_ROWS = f"""
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token
+  FROM documents
+"""
+_DUCK_TOKEN_POS_ROWS = f"""
+  SELECT doc_id,
+         len({_DUCK_TOKS}) AS nwords,
+         generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+         unnest({_DUCK_TOKS}) AS token
+  FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_doc_token_counts",
+    oracle=f"""
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS count
+    FROM ({_DUCK_TOKEN_ROWS})
+    GROUP BY doc_id, token
+    """,
+    doc="A1: per-document wordcount (explode + partial/final hash agg).",
+)
+def q_doc_token_counts(spark, sf_dir):
+    return wc.doc_token_counts(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_document_lengths",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS nwords
+    FROM documents
+    """,
+    doc="A8: doc length via array size — no explode, no shuffle.",
+)
+def q_document_lengths(spark, sf_dir):
+    return wc.document_lengths(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_global_wordcount",
+    oracle=f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS count
+    FROM ({_DUCK_TOKEN_ROWS})
+    GROUP BY token
+    """,
+    doc="A3 exact form: corpus-wide token counts (replaces the reference's "
+        "count-min sketch with Spark's spillable exact agg).",
+)
+def q_global_wordcount(spark, sf_dir):
+    return wc.global_wordcount(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_vocabulary",
+    oracle=f"""
+    SELECT CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1 AS BIGINT) AS wordid,
+           token, count
+    FROM (
+      SELECT token, CAST(count(*) AS BIGINT) AS count
+      FROM ({_DUCK_TOKEN_ROWS})
+      GROUP BY token)
+    ORDER BY wordid
+    LIMIT 1000000
+    """,
+    doc="A4: top-1M vocabulary with dense wordid, count-desc + token tie-break.",
+)
+def q_vocabulary(spark, sf_dir):
+    return wc.vocabulary(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_encoded_unigrams",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS count
+      FROM ({_DUCK_TOKEN_ROWS})
+      GROUP BY doc_id, token),
+    vocab AS (
+      SELECT CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1 AS BIGINT) AS wordid,
+             token
+      FROM (SELECT token, count(*) AS count FROM ({_DUCK_TOKEN_ROWS}) GROUP BY token)
+      LIMIT 1000000)
+    SELECT c.doc_id, v.wordid, c.count
+    FROM counts c JOIN vocab v ON c.token = v.token
+    """,
+    doc="J1 flagship: vocabulary-encode join (broadcast ≤1M-row vocab; no "
+        "shuffle of the counts side).",
+)
+def q_encoded_unigrams(spark, sf_dir):
+    return wc.encode_unigrams(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_bigram_counts",
+    oracle=f"""
+    SELECT doc_id, w0, w1, CAST(count(*) AS BIGINT) AS count
+    FROM (
+      SELECT doc_id, token AS w0,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM ({_DUCK_TOKEN_POS_ROWS}))
+    WHERE w1 IS NOT NULL
+    GROUP BY doc_id, w0, w1
+    """,
+    doc="A2/W1: per-doc bigram counts. Spark builds n-grams inside the token "
+        "array (no window shuffle); oracle uses the equivalent lead() form.",
+)
+def q_bigram_counts(spark, sf_dir):
+    return wc.ngram_counts(load(spark, sf_dir, "documents"), 2)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_trigram_counts",
+    oracle=f"""
+    SELECT doc_id, w0, w1, w2, CAST(count(*) AS BIGINT) AS count
+    FROM (
+      SELECT doc_id, token AS w0,
+             lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM ({_DUCK_TOKEN_POS_ROWS}))
+    WHERE w2 IS NOT NULL
+    GROUP BY doc_id, w0, w1, w2
+    """,
+    doc="A2 at n=3 (the reference's Trigrams class; its Quadgrams is a "
+        "known copy-paste bug we do not replicate — SURVEY §2.11).",
+)
+def q_trigram_counts(spark, sf_dir):
+    return wc.ngram_counts(load(spark, sf_dir, "documents"), 3)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_chunked_wordcounts",
+    oracle=f"""
+    SELECT doc_id, CAST(((pos - 1) * nchunks) // nwords AS BIGINT) AS chunk,
+           token, CAST(count(*) AS BIGINT) AS count
+    FROM (
+      SELECT doc_id, nwords, pos, token,
+             greatest(CAST(ceil(nwords / 50.0) AS BIGINT), 1) AS nchunks
+      FROM ({_DUCK_TOKEN_POS_ROWS}))
+    GROUP BY 1, 2, 3
+    """,
+    doc="A10: balanced chunked wordcounts (chunk_size=50), integer-exact "
+        "chunk assignment on both engines.",
+)
+def q_chunked_wordcounts(spark, sf_dir):
+    return wc.chunked_wordcounts(load(spark, sf_dir, "documents"), chunk_size=50)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_count_sum_preservation",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, token, count(*) AS count
+      FROM ({_DUCK_TOKEN_ROWS}) GROUP BY doc_id, token)
+    SELECT CAST(sum(count) AS BIGINT) AS total_encoded,
+           CAST((SELECT count(*) FROM ({_DUCK_TOKEN_ROWS})) AS BIGINT) AS total_tokens
+    FROM counts
+    """,
+    doc="The reference's strongest invariant: encoding preserves count sums "
+        "(tests/test_throughput.py:100-108).",
+)
+def q_count_sum_preservation(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    enc = wc.encode_unigrams(docs)
+    total_tokens = wc.document_lengths(docs).agg(F.sum("nwords").alias("t"))
+    return enc.agg(F.sum("count").alias("total_encoded")).crossJoin(
+        total_tokens.select(F.col("t").alias("total_tokens"))
+    )

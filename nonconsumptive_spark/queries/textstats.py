@@ -1,0 +1,135 @@
+"""Text-analysis queries (language ID, quality, token counts, fingerprints)
+— the training-data-pipeline extension surface, oracle-checked.
+"""
+
+from __future__ import annotations
+
+from nonconsumptive_spark.operators import textstats as ts
+from nonconsumptive_spark.queries import load, register
+
+
+def _stoplist_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in ts.LANG_STOPWORDS[lang]) + "]"
+
+
+_DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\pL]+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_token_count_ws",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+    doc="Whitespace token counting (training-data pipeline op).",
+)
+def q_token_count_ws(spark, sf_dir):
+    return ts.token_count_ws(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_obs,
+           CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len({_DUCK_TOKS}) > 0
+                 THEN length(regexp_replace(text, '[^\\pL]', '', 'g')) * 1.0 / len({_DUCK_TOKS})
+                 ELSE 0.0 END, 4) AS mean_word_len,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^\\pL]', '', 'g')) * 1.0 / length(text)
+                 ELSE 0.0 END, 4) AS alpha_ratio,
+           round(CASE WHEN len({_DUCK_TOKS}) > 0
+                 THEN len(list_filter({_DUCK_TOKS}, t -> list_contains({_stoplist_sql("en")}, lower(t)))) * 1.0
+                      / len({_DUCK_TOKS})
+                 ELSE 0.0 END, 4) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Quality-scoring features: length, alpha ratio, stopword ratio.",
+)
+def q_quality_score(spark, sf_dir):
+    return ts.quality_score(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+_LANGS = sorted(ts.LANG_STOPWORDS)
+_HIT_EXPRS = ",\n".join(
+    f"           len(list_filter({_DUCK_TOKS}, t -> list_contains({_stoplist_sql(lg)}, lower(t)))) AS hits_{lg}"
+    for lg in _LANGS
+)
+_CASE_PRED = "CASE WHEN m = 0 THEN 'und' " + " ".join(
+    f"WHEN hits_{lg} = m THEN '{lg}'" for lg in _LANGS
+) + " END"
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           {_CASE_PRED} AS pred_lang,
+           CAST(m AS BIGINT) AS stopword_hits
+    FROM (
+      SELECT doc_id, greatest({", ".join("hits_" + lg for lg in _LANGS)}) AS m,
+             {", ".join("hits_" + lg for lg in _LANGS)}
+      FROM (
+        SELECT doc_id,
+{_HIT_EXPRS}
+        FROM documents))
+    """,
+    doc="Stopword-vote language ID with alphabetical tie-break; 'und' when "
+        "no stopwords hit.",
+)
+def q_lang_id(spark, sf_dir):
+    return ts.lang_id(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^\\pL]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="Normalized-text md5 fingerprint (exact-dup key), bit-identical "
+        "across engines.",
+)
+def q_fingerprint(spark, sf_dir):
+    return ts.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_langid_vs_labels",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang,
+             {_CASE_PRED} AS pred_lang
+      FROM (
+        SELECT doc_id, lang, greatest({", ".join("hits_" + lg for lg in _LANGS)}) AS m,
+               {", ".join("hits_" + lg for lg in _LANGS)}
+        FROM (
+          SELECT doc_id, lang,
+{_HIT_EXPRS}
+          FROM documents)))
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY lang, pred_lang
+    """,
+    doc="Language-ID confusion matrix against the labeled lang column.",
+)
+def q_langid_vs_labels(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    pred = ts.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )

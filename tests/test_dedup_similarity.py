@@ -1,0 +1,76 @@
+"""Dedup + similarity operator semantics beyond the oracle checks:
+LSH recall vs exact ground truth, keeper selection, ANN recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators import dedup as dd
+from nonconsumptive_spark.operators import similarity as sim
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_exact_dedup_keeper(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, world!"), (2, "hello   WORLD"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dd.exact_dedup(docs).collect()}
+    # 1 and 2 normalize to the same fingerprint; min id wins
+    assert rows[1]["keep_id"] == 1 and rows[1]["is_keeper"]
+    assert rows[2]["keep_id"] == 1 and not rows[2]["is_keeper"]
+    assert rows[3]["is_keeper"]
+
+
+def test_lsh_recall_vs_exact(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "test corpus should contain planted near-dups"
+    # LSH survivors are a subset of exact pairs (verification step is exact)
+    assert lsh <= exact
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_determinism(spark):
+    docs = _docs(spark).limit(50)
+    a = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert a == b
+    assert all(v >= 0 for v in a.values())
+
+
+def test_knn_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_lsh(emb, queries, k=5, n_planes=4, n_tables=12).collect()
+    }
+    # Uniform-random embeddings are LSH's worst case; expected recall with
+    # (4 planes, 12 tables) at neighbor sims ~0.3 is ≈0.8.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall collapsed: {recall}"
+
+
+def test_cosine_self_similarity(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(5)
+    df = emb.select(
+        F.round(sim.cosine(F.col("embedding"), F.col("embedding")), 4).alias("c")
+    )
+    assert all(abs(r["c"] - 1.0) < 1e-6 for r in df.collect())

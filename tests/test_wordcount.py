@@ -1,0 +1,83 @@
+"""Golden invariants ported from the reference's test strategy
+(SURVEY §5): count-sum preservation, Unicode tokens, re-runnability,
+edge-case documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators import wordcount as wc
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_count_sum_preservation(spark):
+    # Reference tests/test_throughput.py:100-108: encoding preserves sums.
+    docs = _docs(spark, [(1, "a b a c"), (2, "b b b"), (3, "")])
+    enc = wc.encode_unigrams(docs)
+    total = enc.agg(F.sum("count")).first()[0]
+    assert total == 7
+
+
+def test_unicode_tokens(spark):
+    # Reference test: Cyrillic token 'каждая' must survive tokenization.
+    docs = _docs(spark, [(1, "каждая счастливая семья, каждая!")])
+    counts = {r["token"]: r["count"] for r in wc.doc_token_counts(docs).collect()}
+    assert counts["каждая"] == 2
+    assert counts["семья"] == 1
+
+
+def test_vocabulary_dense_ids_and_tiebreak(spark):
+    docs = _docs(spark, [(1, "b a b c a b")])
+    vocab = wc.vocabulary(docs).collect()
+    ids = sorted(r["wordid"] for r in vocab)
+    assert ids == [0, 1, 2]
+    by_token = {r["token"]: r for r in vocab}
+    assert by_token["b"]["wordid"] == 0  # count 3
+    # a and c tie at count... a=2, c=1; check order
+    assert by_token["a"]["wordid"] == 1
+    assert by_token["c"]["wordid"] == 2
+
+
+def test_vocab_cap_and_oov_drop(spark):
+    docs = _docs(spark, [(1, "x x y z w")])
+    vocab = wc.vocabulary(docs, cap=2)
+    enc = wc.encode_unigrams(docs, vocab).collect()
+    # only top-2 tokens (x, then tie w/y/z by token asc -> w) survive encode
+    assert {r["wordid"] for r in enc} <= {0, 1}
+    assert sum(r["count"] for r in enc) == 3  # x:2 + w:1
+
+
+def test_ngrams_edges(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a"), (3, "")])
+    bi = wc.ngram_counts(docs, 2).collect()
+    assert {(r["doc_id"], r["w0"], r["w1"]) for r in bi} == {(1, "a", "b"), (1, "b", "c")}
+    tri = wc.ngram_counts(docs, 3).collect()
+    assert {(r["w0"], r["w1"], r["w2"]) for r in tri} == {("a", "b", "c")}
+
+
+def test_document_lengths_empty_doc(spark):
+    docs = _docs(spark, [(1, "one two"), (2, ""), (3, "...!!!")])
+    lens = {r["doc_id"]: r["nwords"] for r in wc.document_lengths(docs).collect()}
+    assert lens == {1: 2, 2: 0, 3: 0}
+
+
+def test_chunked_wordcounts_balanced(spark):
+    # 5 tokens, chunk_size 2 -> 3 chunks of sizes 2/2/1 (balanced split)
+    docs = _docs(spark, [(1, "a b c d e")])
+    rows = wc.chunked_wordcounts(docs, chunk_size=2).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["chunk"]] = sizes.get(r["chunk"], 0) + r["count"]
+    assert sum(sizes.values()) == 5
+    assert len(sizes) == 3
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_rerunnable(spark):
+    # Reference iterator-refresh tests: plans are re-executable.
+    docs = _docs(spark, [(1, "a b a")])
+    q = wc.doc_token_counts(docs)
+    assert q.count() == q.count() == 2
