@@ -25,6 +25,21 @@ def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def let(col: Column, fn) -> Column:
+    """Bind ``col`` to a lambda variable and evaluate ``fn`` on it — a
+    poor-man's `let` expression.
+
+    Why: Catalyst's CollapseProject inlines a projected column into every
+    downstream reference, and *interpreted* higher-order-function lambdas
+    re-evaluate that inlined subtree on every element access.  An n-gram
+    built as ``element_at(tokenize(text), i)`` inside ``transform`` would
+    therefore re-run the regex split once per token — O(n²) per document
+    (measured: 16× slowdown on the shingle pipeline).  Wrapping the value
+    in a 1-element array and accessing it through a lambda variable forces
+    exactly one evaluation per row."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def tokenize(text: Column | str) -> Column:
     """text -> array<string> of tokens (empty strings dropped).
 
@@ -53,10 +68,16 @@ def ngram_structs(tokens: Column | str, n: int) -> Column:
     higher-order function so it stays in whole-stage codegen.
     """
     col = _as_col(tokens)
-    # sequence(1, 0) would yield a DESCENDING [1,0] in Spark, so docs shorter
-    # than n must short-circuit to an empty array instead.
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(col) - (n - 1)),
-        lambda i: F.struct(*[F.element_at(col, i + j).alias(f"w{j}") for j in range(n)]),
-    )
-    return F.when(F.size(col) >= n, grams).otherwise(F.array())
+
+    # `let` binds the token array once per row; referencing `col` directly
+    # inside the lambdas would re-evaluate the tokenizer per element (O(n²)).
+    def build(t: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.struct(*[F.element_at(t, i + j).alias(f"w{j}") for j in range(n)]),
+        )
+        # sequence(1, 0) would yield a DESCENDING [1,0] in Spark, so docs
+        # shorter than n must short-circuit to an empty array instead.
+        return F.when(F.size(t) >= n, grams).otherwise(F.array())
+
+    return let(col, build)

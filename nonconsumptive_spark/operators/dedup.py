@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nonconsumptive_spark.functions.text import tokenize
+from nonconsumptive_spark.functions.text import let, tokenize
 from nonconsumptive_spark.operators.textstats import fingerprint
 
 # MinHash parameters — shared verbatim with the DuckDB oracle SQL.
@@ -46,13 +46,20 @@ SHINGLE_N = 3
 
 def shingle_array(tokens_col, n: int = SHINGLE_N):
     """array<string> tokens -> array<string> distinct n-token shingles
-    (space-joined), built inside the array: no explode, no shuffle."""
-    col = tokens_col
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(col) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(col, i + j) for j in range(n)]),
-    )
-    return F.array_distinct(F.when(F.size(col) >= n, grams).otherwise(F.array()))
+    (space-joined), built inside the array: no explode, no shuffle.
+
+    Uses ``let`` to bind the token array once — direct references inside
+    the transform lambda would re-run the tokenizer per element (O(n²),
+    see functions.text.let)."""
+
+    def build(t):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        )
+        return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(F.array()))
+
+    return let(tokens_col, build)
 
 
 def _md5_long(c):
@@ -81,23 +88,39 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _minhash_wide(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, s0..s{k-1}): one column per minhash, computed with array
-    higher-order functions — one narrow pass, no shuffle."""
+    """(doc, s0..s{k-1}): one column per minhash — one narrow pass, no
+    shuffle, and critically ONE evaluation of the tokenize->shingle->md5
+    chain per row.
+
+    Naive formulation (k separate ``array_min(transform(hs, ...))``
+    projections) lets Catalyst's CollapseProject inline the upstream hash
+    chain into every one of the k expressions — a k-times recompute
+    measured at ~10s for 5k docs.  Instead, a single ``aggregate`` folds
+    the shingle-hash array once, carrying all k running minima in one
+    accumulator array: the md5 chain appears exactly once in the plan."""
     sh = doc_shingles(docs, id_col, text_col)
     hashed = sh.select(
         id_col,
         F.transform(F.col("shingles"), lambda s: _md5_long(s) % MINHASH_P).alias("hs"),
     )
-    def affine(a: int, b: int):
-        # closure factory: PySpark introspects lambda arity, so default-arg
-        # binding (lambda h, a=a: ...) would read as a 3-arg lambda
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
-
-    sigs = [
-        F.array_min(F.transform(F.col("hs"), affine(a, b))).alias(f"s{i}")
-        for i, (a, b) in enumerate(zip(HASH_AS, HASH_BS))
-    ]
-    return hashed.select(id_col, *sigs)
+    params = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in zip(HASH_AS, HASH_BS)
+        ]
+    )
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), N_HASHES)
+    sig_arr = F.aggregate(
+        F.col("hs"),
+        init,
+        lambda acc, h: F.zip_with(
+            acc, params, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % MINHASH_P)
+        ),
+    )
+    wide = hashed.select(id_col, sig_arr.alias("sig"))
+    return wide.select(
+        id_col, *[F.element_at("sig", i + 1).alias(f"s{i}") for i in range(N_HASHES)]
+    )
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -53,7 +53,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if table in ("documents", "embeddings"):
+        # These tables feed CPU-heavy per-row operators (tokenize, md5
+        # minhash, cosine).  The test files are a single row group, i.e. a
+        # single input split — without a fan-out the whole pipeline runs on
+        # one core.  At production scale inputs arrive as many splits and
+        # this is a no-op (guarded on the actual split count).
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < min(target, 8):
+            df = df.repartition(target)
+    return df
 
 
 def all_queries() -> dict[str, Query]:
