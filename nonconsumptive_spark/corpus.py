@@ -1,0 +1,178 @@
+"""CorpusSession: the user-facing object binding a text source, a metadata
+catalog, and a checkpoint cache — the Spark rendering of the reference's
+``Corpus`` (``corpus.py:34-120``) with its three source combinations:
+
+    texts-folder + catalog file | texts-folder only (synthesized catalog) |
+    pre-partitioned parquet bookstacks
+
+The transform registry mirrors the reference's named-reservoir DAG
+(``transformations.py:385-399``): each transform is a ``DataFrame →
+DataFrame`` function; ``run(name)`` resolves the chain, applies the
+checkpoint policy per node, and returns a lazy DataFrame.  Where the
+reference walks stacks sequentially (corpus.py:282-295), Spark's task
+scheduler fans every stage across the cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.embeddings import srp_bits, srp_embed
+from nonconsumptive_spark.functions.text import tokenize
+from nonconsumptive_spark.operators import wordcount as wc
+from nonconsumptive_spark.plans.checkpoint import CheckpointCache
+from nonconsumptive_spark.sources import readers
+from nonconsumptive_spark.sources.inference import (
+    apply_plans,
+    check_unique_ids,
+    infer_column_plans,
+)
+
+DEFAULT_STACK_SIZE = 2 ** 16  # docs per bookstack, reference corpus.py:40
+
+
+class CorpusSession:
+    def __init__(
+        self,
+        spark: SparkSession,
+        texts: str | None = None,
+        metadata: str | None = None,
+        bookstacks: str | None = None,
+        cache_dir: str | Path | None = None,
+        cache_set: set[str] | None = None,
+        text_format: str = "txt",
+        stack_size: int = DEFAULT_STACK_SIZE,
+        id_field: str | None = None,
+    ):
+        if not (texts or bookstacks):
+            raise ValueError("need texts folder or bookstacks dir")
+        self.spark = spark
+        self.stack_size = stack_size
+        self.cache = CheckpointCache(
+            cache_dir or Path(texts or bookstacks).parent / "nc_cache",
+            cache_set or set(),
+        )
+        self._fingerprint = self._source_fingerprint(texts or bookstacks, metadata)
+
+        if bookstacks:
+            docs = readers.read_parquet_bookstacks(spark, bookstacks)
+        else:
+            docs = readers.read_text_folder(spark, texts, fmt=text_format)
+            docs = docs.withColumn(
+                "stack", F.expr(f"`nc:id` div {stack_size}").cast("int")
+            )
+        self._docs = docs
+
+        if metadata:
+            raw = readers.read_catalog(spark, metadata)
+            plans = infer_column_plans(raw, id_field=id_field)
+            cat = apply_plans(raw, plans)
+            check_unique_ids(cat)
+            self._catalog = cat.join(
+                docs.select("@id", "nc:id", "stack"), "@id", "left"
+            )
+            self.column_plans = plans
+        else:
+            # no metadata ⇒ @id-only catalog from the source (reference
+            # corpus.py:91-96, metadata.py:33-35)
+            self._catalog = docs.select("@id", "nc:id", "stack")
+            self.column_plans = []
+
+    @staticmethod
+    def _source_fingerprint(*paths: str | None) -> str:
+        h = hashlib.md5()
+        for p in paths:
+            if not p:
+                continue
+            pp = Path(p)
+            entries = sorted(pp.rglob("*")) if pp.is_dir() else [pp]
+            for e in entries:
+                if e.is_file():
+                    st = e.stat()
+                    h.update(f"{e.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        return h.hexdigest()
+
+    # -- the named-transform DAG ------------------------------------------
+    # Every node consumes its upstream THROUGH self.run(), so a cached
+    # upstream materializes exactly once and is replayed by all consumers —
+    # the reference's Reservoir tee semantics (data_storage.py:154-161).
+    def _transforms(self) -> dict[str, Callable[[], DataFrame]]:
+        docs = self._docs
+        tcol = readers.TEXT_COL
+
+        def ngrams(n):
+            return lambda: wc.ngram_counts_from_tokens(self.run("tokenization"), n)
+
+        return {
+            "documents": lambda: docs,
+            "catalog": lambda: self._catalog,
+            "tokenization": lambda: docs.select(
+                "@id", "nc:id", tokenize(tcol).alias("tokenization")
+            ),
+            "document_lengths": lambda: self.run("tokenization").select(
+                "nc:id", F.size("tokenization").cast("long").alias("nwords")
+            ),
+            "unigrams": lambda: wc.token_counts_from_tokens(self.run("tokenization")),
+            "bigrams": ngrams(2),
+            "trigrams": ngrams(3),
+            "quadgrams": ngrams(4),
+            "total_wordcounts": lambda: self._rank_vocab(self.run("unigrams")),
+            "encoded_unigrams": lambda: self.run("unigrams").join(
+                F.broadcast(self.run("total_wordcounts").select("token", "wordid")),
+                "token", "inner",
+            ).select("nc:id", "wordid", "count"),
+            "srp": lambda: srp_embed(docs, id_col="nc:id", text_col=tcol),
+            "srp_bits": lambda: srp_bits(
+                srp_embed(docs, id_col="nc:id", text_col=tcol), id_col="nc:id"
+            ),
+        }
+
+    @staticmethod
+    def _rank_vocab(unigrams: DataFrame, cap: int = wc.VOCAB_CAP) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        counts = unigrams.groupBy("token").agg(F.sum("count").alias("count"))
+        top = counts.orderBy(F.desc("count"), F.asc("token")).limit(cap)
+        w = Window.orderBy(F.desc("count"), F.asc("token"))
+        return top.select(
+            (F.row_number().over(w) - 1).cast("long").alias("wordid"),
+            "token",
+            "count",
+        )
+
+    def transforms(self) -> list[str]:
+        return sorted(self._transforms())
+
+    def run(self, name: str) -> DataFrame:
+        """Resolve a named transform under the cache policy (the
+        reference's Reservoir.__iter__ decision tree)."""
+        builders = self._transforms()
+        if name not in builders:
+            raise KeyError(f"unknown transform {name!r}; have {sorted(builders)}")
+        df = builders[name]()
+        return self.cache.materialize(
+            self.spark, name, df, fingerprint=self._fingerprint
+        )
+
+    def build(self, targets: list[str]) -> None:
+        """CLI-parity batch build (reference commander.py): force-materialize
+        each target through the cache."""
+        for t in targets:
+            self.cache.cache_set.add(t)
+            self.run(t)
+
+    # -- document accessor (reference document.py:39-77) ------------------
+    def document(self, doc_id: str) -> dict:
+        row = self._docs.filter(F.col("@id") == doc_id).first()
+        if row is None:
+            raise KeyError(doc_id)
+        d = row.asDict()
+        meta = self._catalog.filter(F.col("@id") == doc_id).first()
+        if meta is not None:
+            d.update({k: v for k, v in meta.asDict().items() if k not in d})
+        return d

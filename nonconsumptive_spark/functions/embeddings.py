@@ -1,0 +1,99 @@
+"""SRP (stable random projection) embeddings — the reference's feature
+F15/F16 (``transformations.py:134-189``, ``extensions.py:12-66``),
+re-implemented deterministically and library-free.
+
+Semantics: each distinct token hashes to a stable ±1 vector of ``dim``
+entries; a document's embedding is the count-weighted sum over its tokens
+(log1p-weighted variant available).  The sign bit-pack (F16) crushes the
+float vector 64× into ``dim/8`` bytes for Hamming-distance search.
+
+Execution: a Pandas UDF over Arrow batches (the sanctioned slow path —
+per-token RNG work cannot be expressed with built-ins).  The per-executor
+token→vector cache makes cost proportional to *distinct* tokens per batch,
+mirroring the reference's SRP cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, FloatType
+
+from nonconsumptive_spark.functions.text import tokenize
+
+SRP_DIM = 1280  # reference transformations.py:147
+
+
+def _token_signs(token: str, dim: int) -> np.ndarray:
+    """Stable ±1 vector for a token: md5-seeded Philox stream — identical
+    on every executor, every run, every machine."""
+    seed = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.integers(0, 2, size=dim, dtype=np.int8) * 2 - 1
+
+
+def srp_embed(docs: DataFrame, dim: int = SRP_DIM, log_weight: bool = True,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, srp: array<float>[dim]) per document.
+
+    Empty documents produce the zero vector (the reference emits a
+    sqrt(dim) constant vector for empty text, transformations.py:163-165 —
+    an artifact of its hash pipeline we do not replicate; documented
+    deviation)."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def srp_udf(tokens: pd.Series) -> pd.Series:
+        cache: dict[str, np.ndarray] = {}
+        out = []
+        for toks in tokens:
+            acc = np.zeros(dim, dtype=np.float64)
+            if toks is not None and len(toks):
+                vals, counts = np.unique(np.asarray(toks, dtype=object),
+                                         return_counts=True)
+                w = np.log1p(counts) if log_weight else counts.astype(np.float64)
+                for t, c in zip(vals, w):
+                    v = cache.get(t)
+                    if v is None:
+                        v = _token_signs(t, dim)
+                        cache[t] = v
+                    acc += c * v
+            out.append(acc.astype(np.float32))
+        return pd.Series(out)
+
+    return docs.select(id_col, srp_udf(tokenize(text_col)).alias("srp"))
+
+
+def srp_bits(df: DataFrame, vec_col: str = "srp", id_col: str = "doc_id") -> DataFrame:
+    """F16: sign bit-pack — array<float>[dim] → binary[dim/8]
+    (reference transformations.py:176-189: 1280 floats → 160 bytes)."""
+
+    @F.pandas_udf(BinaryType())
+    def pack_udf(vecs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                bytes(np.packbits((np.asarray(v, dtype=np.float32) > 0).astype(np.uint8)))
+                if v is not None else None
+                for v in vecs
+            ]
+        )
+
+    return df.select(id_col, pack_udf(F.col(vec_col)).alias("srp_bits"))
+
+
+def hamming_binary(a, b):
+    """F17 over BinaryType columns: XOR + popcount, fully JVM-side — unpack
+    bytes to an int array and fold bit_count over the pair."""
+    def hex_bytes(c):
+        parts = F.filter(F.split(F.hex(c), "(?<=\\G..)"), lambda h: h != F.lit(""))
+        return F.transform(parts, lambda h: F.conv(h, 16, 10).cast("int"))
+
+    ai, bi = hex_bytes(a), hex_bytes(b)
+    return F.aggregate(
+        F.zip_with(ai, bi, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )

@@ -41,6 +41,27 @@ def doc_token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return toks.groupBy(id_col, "token").agg(F.count("*").alias("count"))
 
 
+def token_counts_from_tokens(tokens_df: DataFrame, id_col: str = "nc:id",
+                             tokens_col: str = "tokenization") -> DataFrame:
+    """A1 over a pre-tokenized frame (the cached `tokenization` transform)."""
+    toks = tokens_df.select(id_col, F.explode(tokens_col).alias("token"))
+    return toks.groupBy(id_col, "token").agg(F.count("*").alias("count"))
+
+
+def ngram_counts_from_tokens(tokens_df: DataFrame, n: int, id_col: str = "nc:id",
+                             tokens_col: str = "tokenization") -> DataFrame:
+    """A2 over a pre-tokenized frame."""
+    grams = tokens_df.select(
+        id_col, F.explode(ngram_structs(F.col(tokens_col), n)).alias("g")
+    )
+    wcols = [f"w{j}" for j in range(n)]
+    return (
+        grams.select(id_col, *[F.col(f"g.w{j}").alias(f"w{j}") for j in range(n)])
+        .groupBy(id_col, *wcols)
+        .agg(F.count("*").alias("count"))
+    )
+
+
 def document_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """A8: token count per document, read off the array length — no explode,
     no shuffle (reference transformations.py:113-132 reads Arrow offsets)."""

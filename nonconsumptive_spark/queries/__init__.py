@@ -72,6 +72,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         events,
         relational,
+        scalar,
         similarity,
         text,
         textstats,

@@ -1,0 +1,207 @@
+"""Scalar-function and provenance queries (SURVEY §2.8 F6-F13, §2.5 W2/W4,
+plus the approximate-aggregation and SRP surfaces as rows-only entries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nonconsumptive_spark.queries import load, register
+
+_DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\pL]+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_regex_extract_cast",
+    oracle="""
+    SELECT CAST(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS SMALLINT) AS prio_num,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="F6/F9: regex capture-group extraction + narrow integer cast (the "
+        "reference's year-extraction idiom, catalog.py:495-504).",
+)
+def q_regex_extract_cast(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.regexp_extract("o_orderpriority", r"([0-9]+)", 1)
+            .cast("smallint")
+            .alias("prio_num")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_cast_ladder_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_match,
+           CAST(count(CASE WHEN parsed IS NULL THEN 1 END) AS BIGINT) AS n_null
+    FROM (
+      SELECT c_custkey,
+             TRY_CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS parsed
+      FROM customer)
+    WHERE parsed = c_custkey OR parsed IS NULL
+    """,
+    doc="F9/F10: try_cast ladder — numeric id recovered from its string form "
+        "must round-trip; non-numeric suffixes null out (never error).",
+)
+def q_cast_ladder_roundtrip(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    parsed = F.expr("try_cast(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)")
+    return (
+        c.select("c_custkey", parsed.alias("parsed"))
+        .filter((F.col("parsed") == F.col("c_custkey")) | F.col("parsed").isNull())
+        .agg(
+            F.count("*").alias("n_match"),
+            F.count(F.when(F.col("parsed").isNull(), 1)).alias("n_null"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_id_resolution",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS nc_id
+      FROM documents)
+    SELECT d.doc_id, i.nc_id, d.n_chars
+    FROM documents d JOIN ids i ON d.doc_id = i.doc_id
+    """,
+    doc="J2/W2: @id → dense nc:id resolution via deterministic row_number "
+        "then equi-join (reference data_storage.py:64, catalog.py:286-288).",
+)
+def q_id_resolution(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    ids = docs.select(
+        "doc_id", (F.row_number().over(w) - 1).cast("long").alias("nc_id")
+    )
+    return docs.join(ids, "doc_id").select("doc_id", "nc_id", "n_chars")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_posexplode_provenance",
+    oracle=f"""
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
+    FROM (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents)
+    WHERE doc_id < 5
+    """,
+    doc="F11/F12: posexplode keeps row provenance — parity with the "
+        "reference's value_parent_indices reconstruction "
+        "(transformations.py:360).",
+)
+def q_posexplode_provenance(spark, sf_dir):
+    from nonconsumptive_spark.functions.text import tokens_with_pos
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return tokens_with_pos(docs, "doc_id", "text").select("doc_id", "pos", "token")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_struct_roundtrip",
+    oracle=f"""
+    SELECT doc_id, n_tokens, first_token
+    FROM (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+             {_DUCK_TOKS}[1] AS first_token
+      FROM documents)
+    """,
+    doc="F13: struct assembly + disassembly (struct(...) then s.*) — output "
+        "equals computing the fields directly.",
+)
+def q_struct_roundtrip(spark, sf_dir):
+    from nonconsumptive_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    s = F.struct(
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        F.element_at(tokenize("text"), 1).alias("first_token"),
+    )
+    return docs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_markov_transitions",
+    oracle=f"""
+    WITH tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    bigrams AS (
+      SELECT w0, w1, count(*) AS count FROM (
+        SELECT doc_id, token AS w0,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM tokpos) z
+      WHERE w1 IS NOT NULL
+      GROUP BY w0, w1)
+    SELECT w0, w1, CAST(count AS BIGINT) AS count,
+           round(count * 1.0 / sum(count) OVER (PARTITION BY w0), 4) AS prob
+    FROM bigrams
+    """,
+    doc="W4 substrate: Markov transition table (conditional next-token "
+        "distribution) — the sampling draw itself is seeded and rows-only.",
+)
+def q_markov_transitions(spark, sf_dir):
+    from nonconsumptive_spark.operators.markov import transition_table
+    from nonconsumptive_spark.operators.wordcount import ngram_counts
+
+    docs = load(spark, sf_dir, "documents")
+    tt = transition_table(ngram_counts(docs, 2))
+    return tt.select("w0", "w1", "count", F.round("prob", 4).alias("prob"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; driver rows-only
+    doc="A3/A5 approximate mode: approx_count_distinct (HLL) — the opt-in "
+        "scale path replacing the reference's count-min sketch; exact "
+        "counterpart is q_distinct_cardinality.",
+)
+def q_approx_distinct(spark, sf_dir):
+    return load(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_srp_stats",
+    oracle=None,  # Python-side seeded RNG; not SQL-expressible
+    doc="F15/F16 surface: SRP random-projection embedding (pandas_udf) — "
+        "per-doc L2 norm and sign-bit population over 128 dims.",
+)
+def q_srp_stats(spark, sf_dir):
+    from nonconsumptive_spark.functions.embeddings import srp_embed
+
+    docs = load(spark, sf_dir, "documents")
+    emb = srp_embed(docs, dim=128)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("srp", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    pos_bits = F.size(F.filter("srp", lambda x: x > 0))
+    return emb.select(
+        "doc_id",
+        F.round(norm, 3).alias("l2_norm"),
+        pos_bits.alias("n_positive"),
+    )

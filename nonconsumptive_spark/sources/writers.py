@@ -1,0 +1,95 @@
+"""Export sinks (SURVEY §2.1 S9-S13).
+
+S10  per-stack parquet export: metadata ⋈ transform columns, one file tree
+     partitioned by ``stack`` (reference bookstack.py:71-80, writers.py:5-30)
+S11  flat/normalized catalog: 1NF split into `catalog` (strings),
+     `fastcat` (ints/dates/dict codes), per-list-column child tables keyed
+     by nc:id, and `{name}Lookup` dimension tables
+     (reference metadata.py:112-182)
+S12  @id → nc:id index export (obsolete as an index; kept as a 2-column
+     parquet for interop, reference data_storage.py:20-78)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_STRINGY = ("string",)
+_FAST = ("tinyint", "smallint", "int", "bigint", "float", "double", "date",
+         "timestamp", "boolean")
+
+
+def export_stacked(df: DataFrame, out_dir: str | Path,
+                   compression: str = "zstd") -> None:
+    """S10: write partitioned by ``stack`` (files co-located per bookstack;
+    downstream readers prune on the partition column)."""
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("stack")
+        .parquet(str(out_dir))
+    )
+
+
+def flat_catalog(catalog: DataFrame) -> dict[str, DataFrame]:
+    """S11: split one wide catalog into the reference's normalized family.
+
+    Returns {"catalog": strings+ids, "fastcat": numerics/dates/codes,
+    "<col>": exploded child table per array column,
+    "<col>Lookup": dimension table per dictionary column}.
+    All tables key on nc:id; lookups key on code."""
+    dtypes = dict(catalog.dtypes)
+    id_cols = [c for c in ("nc:id", "@id") if c in dtypes]
+    out: dict[str, DataFrame] = {}
+
+    code_cols = [c for c in dtypes if c.endswith("__code")]
+    str_cols = [
+        c for c in dtypes
+        if dtypes[c] in _STRINGY and c not in id_cols and not c.endswith("__code")
+        and c.replace("__code", "") not in ()
+    ]
+    # dictionary-encoded source columns live in lookups, not in `catalog`
+    dict_sources = {c[: -len("__code")] for c in code_cols}
+    str_cols = [c for c in str_cols if c not in dict_sources]
+    fast_cols = [
+        c for c in dtypes
+        if (dtypes[c] in _FAST and c not in id_cols) or c in code_cols
+    ]
+    list_cols = [c for c in dtypes if dtypes[c].startswith("array<")]
+
+    nc_id = [c for c in ("nc:id",) if c in dtypes]
+    out["catalog"] = catalog.select(*id_cols, *sorted(set(str_cols) - set(fast_cols)))
+    out["fastcat"] = catalog.select(*nc_id, *sorted(set(fast_cols) - set(list_cols)))
+    for c in list_cols:
+        out[c] = catalog.select(*nc_id, F.explode(c).alias(c.rstrip("s") or c))
+    for src in sorted(dict_sources):
+        w = Window.orderBy(F.asc(f"{src}__code"))
+        out[f"{src}Lookup"] = (
+            catalog.select(F.col(f"{src}__code").alias("code"), F.col(src).alias(src))
+            .distinct()
+            .orderBy("code")
+        )
+        _ = w  # ordering is by code; window kept out of the final plan
+    return out
+
+
+def export_flat_catalog(catalog: DataFrame, out_dir: str | Path,
+                        compression: str = "zstd") -> list[str]:
+    """Write the whole normalized family; returns table names written."""
+    out = flat_catalog(catalog)
+    for name, df in out.items():
+        (
+            df.write.mode("overwrite")
+            .option("compression", compression)
+            .parquet(str(Path(out_dir) / name))
+        )
+    return sorted(out)
+
+
+def export_id_index(catalog: DataFrame, out_dir: str | Path) -> None:
+    """S12: the @id → nc:id mapping as plain parquet."""
+    catalog.select("@id", "nc:id").write.mode("overwrite").parquet(str(out_dir))

@@ -1,0 +1,71 @@
+"""SRP embedding tests (F15/F16/F17): determinism, shape, bit-pack,
+binary Hamming distance."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.embeddings import (
+    SRP_DIM,
+    hamming_binary,
+    srp_bits,
+    srp_embed,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world hello"), (2, "totally different text"), (3, "")],
+        ["doc_id", "text"],
+    )
+
+
+def test_srp_shape_and_determinism(spark):
+    a = {r["doc_id"]: r["srp"] for r in srp_embed(_docs(spark), dim=64).collect()}
+    b = {r["doc_id"]: r["srp"] for r in srp_embed(_docs(spark), dim=64).collect()}
+    assert all(len(v) == 64 for v in a.values())
+    for k in a:
+        assert np.allclose(a[k], b[k])
+    # empty doc -> zero vector (documented deviation from reference)
+    assert np.allclose(a[3], np.zeros(64))
+    # same token multiset -> same embedding; different text -> different
+    assert not np.allclose(a[1], a[2])
+
+
+def test_srp_default_dim(spark):
+    one = srp_embed(_docs(spark).limit(1)).first()
+    assert len(one["srp"]) == SRP_DIM  # 1280, reference transformations.py:147
+
+
+def test_srp_bits_packing(spark):
+    emb = srp_embed(_docs(spark), dim=64)
+    bits = {r["doc_id"]: r["srp_bits"] for r in srp_bits(emb).collect()}
+    assert all(len(v) == 8 for v in bits.values())  # 64 bits -> 8 bytes
+    # recompute expected packing for doc 1
+    vec = {r["doc_id"]: r["srp"] for r in emb.collect()}[1]
+    expected = bytes(np.packbits((np.asarray(vec) > 0).astype(np.uint8)))
+    assert bits[1] == expected
+
+
+def test_hamming_binary(spark):
+    df = spark.createDataFrame(
+        [(bytearray(b"\x00\xff"), bytearray(b"\x0f\xff")),
+         (bytearray(b"\x00\x00"), bytearray(b"\x00\x00"))],
+        ["a", "b"],
+    )
+    got = [r["h"] for r in df.select(hamming_binary("a", "b").alias("h")).collect()]
+    assert got == [4, 0]
+
+
+def test_hamming_on_srp_bits(spark):
+    emb = srp_bits(srp_embed(_docs(spark), dim=128))
+    a = emb.select(F.col("doc_id").alias("ia"), F.col("srp_bits").alias("ba"))
+    b = emb.select(F.col("doc_id").alias("ib"), F.col("srp_bits").alias("bb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib")).select(
+        "ia", "ib", hamming_binary("ba", "bb").alias("h")
+    )
+    rows = {(r["ia"], r["ib"]): r["h"] for r in pairs.collect()}
+    assert all(0 <= v <= 128 for v in rows.values())
+    # doc1 vs doc2 share no tokens: expect ~half the bits to differ
+    assert 20 <= rows[(1, 2)] <= 108

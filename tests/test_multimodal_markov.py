@@ -1,0 +1,59 @@
+"""Multimodal plumbing + Markov sampler tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+from nonconsumptive_spark.operators import markov, multimodal as mm
+from nonconsumptive_spark.operators.wordcount import ngram_counts
+
+
+def _media(spark):
+    rows = [
+        (1, "image", "image/x-nc", bytearray(b"NCIM|640|480|" + b"x" * 100)),
+        (2, "image", "image/x-nc", bytearray(b"NCIM|1920|1080|" + b"y" * 50)),
+        (3, "video", "video/x-nc", bytearray(b"NCVID|25|" + b"z" * 200)),
+        (4, "audio", "audio/x-nc", bytearray(b"RAWPCM" + b"a" * 30)),
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+
+def test_media_feature_extraction(spark):
+    feats = {r["media_id"]: r for r in mm.extract_media_features(_media(spark)).collect()}
+    assert feats[1]["width"] == 640 and feats[1]["height"] == 480
+    assert feats[2]["width"] == 1920
+    assert feats[3]["n_frames"] == 25 and feats[3]["width"] is None
+    # undecodable audio falls back to metadata-only (stub documented)
+    assert feats[4]["width"] is None
+    assert feats[4]["n_bytes"] == 36
+    assert feats[1]["sha1"] == hashlib.sha1(b"NCIM|640|480|" + b"x" * 100).hexdigest()
+
+
+def test_binary_column_pruned_for_metadata_query(spark, tmp_path):
+    # metadata-only projection must not read the binary column from parquet
+    p = str(tmp_path / "media")
+    _media(spark).write.parquet(p)
+    df = spark.read.parquet(p).select("media_id", "kind")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan  # column pruned at scan
+    assert df.count() == 4
+
+
+def test_frame_sample_plan(spark):
+    frames = mm.frame_sample_plan(_media(spark), every_n=10).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in frames} == {(3, 0), (3, 10), (3, 20)}
+
+
+def test_markov_chain_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran"), (2, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    bi = ngram_counts(docs, 2)
+    c1 = markov.generate_chain(bi, "the", length=5, seed=7)
+    c2 = markov.generate_chain(bi, "the", length=5, seed=7)
+    assert c1 == c2
+    assert c1[0] == "the" and len(c1) >= 2
+    # every adjacent pair must be an observed bigram
+    observed = {(r["w0"], r["w1"]) for r in bi.collect()}
+    assert all((a, b) in observed for a, b in zip(c1, c1[1:]))
