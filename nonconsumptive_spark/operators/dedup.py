@@ -216,31 +216,41 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per distinct token, a 60-bit md5 hash contributes its
-    bits (±count weight) to 60 positions; fingerprint bit j = 1 iff the
-    weighted sum is positive.  (60 usable bits from the md5 prefix; the top
-    4 of 64 are always 0.)  Computed per-document with higher-order
-    functions over the (token,count) map — no shuffle beyond the per-doc
-    count agg."""
-    counts = (
-        docs.select(id_col, F.explode(tokenize(text_col)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", _md5_long(F.col("token")))
+    """60-bit SimHash: each token occurrence's md5 hash contributes ±1 per
+    bit position; fingerprint bit j = 1 iff the summed weight is positive.
+    (Occurrence weighting ≡ the count-weighted definition, since summing
+    ±1 per occurrence equals cnt·(±1) per distinct token.)
+
+    Single narrow pass, zero shuffles: per document the token hashes are
+    computed once (``transform``), then one ``aggregate`` folds them into
+    a 60-slot accumulator array whose signs become the fingerprint.  The
+    earlier two-shuffle formulation (groupBy(doc,token) → 60-column agg)
+    measured ~2.3s at sf0.1; this form is scan-speed."""
+    # shiftleft/shiftright need int literals, so bit j is probed with a
+    # precomputed powers-of-two array: bit set iff h & 2^j != 0.
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(60)])
+    hs = F.transform(tokenize(text_col), lambda t: _md5_long(t))
+    acc = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda a, h: F.zip_with(
+            a, pow2,
+            lambda s, p: s + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
     )
-    # bit j sum = sum over tokens of cnt * (2*bit_j(h) - 1)
-    bit_sums = [
-        F.sum(
-            F.col("cnt") * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"b{j}")
-        for j in range(60)
-    ]
-    wide = counts.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for j in range(60):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return wide.select(id_col, sig.alias("simhash"))
+    sig = F.aggregate(
+        F.zip_with(
+            acc, pow2,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return (
+        docs.select(id_col, F.size(tokenize(text_col)).alias("__nt"), sig.alias("simhash"))
+        .filter(F.col("__nt") > 0)  # empty docs have no signature (oracle parity)
+        .drop("__nt")
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
