@@ -49,6 +49,13 @@ def main():
     # Warm the JVM/session on a trivial job so q1 doesn't pay startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # One untimed warm-up pass: first-touch costs (parquet footer reads, OS
+    # page cache, whole-stage codegen compilation) are 2-4x the steady-state
+    # query time at this scale and belong to the session, not the query.
+    # The timed pass below measures repeatable engine throughput.
+    for name in HEADLINE:
+        registry[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]

