@@ -78,7 +78,7 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized-text fingerprint: every doc mapped to the
     minimum doc_id of its duplicate group (keep_id == doc_id => keeper)."""
-    fp = fingerprint(docs, id_col, text_col)
+    fp = fingerprint(docs, id_col, text_col).localCheckpoint(eager=False)
     groups = fp.groupBy("fingerprint").agg(F.min(id_col).alias("keep_id"))
     return (
         fp.join(groups, "fingerprint")
@@ -87,20 +87,31 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def _minhash_wide(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, s0..s{k-1}): one column per minhash — one narrow pass, no
-    shuffle, and critically ONE evaluation of the tokenize->shingle->md5
-    chain per row.
+def _sig_base(docs: DataFrame, id_col: str, text_col: str,
+              keep_shingles: bool = False, materialize: bool = False) -> DataFrame:
+    """(doc, [shingles,] sig: array<long>) — the minhash signature table in
+    ONE narrow pass, no shuffle, and critically ONE evaluation of the
+    tokenize->shingle->md5 chain per row.
 
     Naive formulation (k separate ``array_min(transform(hs, ...))``
     projections) lets Catalyst's CollapseProject inline the upstream hash
     chain into every one of the k expressions — a k-times recompute
     measured at ~10s for 5k docs.  Instead, a single ``aggregate`` folds
     the shingle-hash array once, carrying all k running minima in one
-    accumulator array: the md5 chain appears exactly once in the plan."""
+    accumulator array: the md5 chain appears exactly once in the plan.
+
+    ``materialize=True`` lazily localCheckpoints the frame: consumers that
+    reference it several times (LSH band self-join + per-side verification
+    joins) then read the materialized partitions instead of re-running the
+    hash chain per reference — measured 3-4 plan subtrees collapsing to one
+    computation.  This is the reference's reservoir-materialization policy
+    (data_storage.py:154-161) in Spark form; on a real cluster a reliable
+    checkpoint dir / parquet checkpoint (plans.checkpoint) replaces the
+    executor-local one."""
     sh = doc_shingles(docs, id_col, text_col)
+    keep = ["shingles"] if keep_shingles else []
     hashed = sh.select(
-        id_col,
+        id_col, *keep,
         F.transform(F.col("shingles"), lambda s: _md5_long(s) % MINHASH_P).alias("hs"),
     )
     params = F.array(
@@ -117,9 +128,36 @@ def _minhash_wide(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             acc, params, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % MINHASH_P)
         ),
     )
-    wide = hashed.select(id_col, sig_arr.alias("sig"))
+    base = hashed.select(id_col, *keep, sig_arr.alias("sig"))
+    return base.localCheckpoint(eager=False) if materialize else base
+
+
+def _minhash_wide(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, s0..s{k-1}): one column per minhash (see _sig_base)."""
+    wide = _sig_base(docs, id_col, text_col)
     return wide.select(
         id_col, *[F.element_at("sig", i + 1).alias(f"s{i}") for i in range(N_HASHES)]
+    )
+
+
+def _band_rows(base: DataFrame, id_col: str) -> DataFrame:
+    """(doc, band, band_key) from a signature frame: LSH_BANDS bands of
+    LSH_ROWS consecutive signature values, key = joined string."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.element_at("sig", b * LSH_ROWS + r + 1).cast("string")
+                    for r in range(LSH_ROWS)
+                ],
+            ).alias("band_key"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return base.select(id_col, F.explode(F.array(*bands)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
 
@@ -138,26 +176,16 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 def lsh_band_keys(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc, band, band_key): signature split into LSH_BANDS bands of
     LSH_ROWS values; band_key joins the band's rows in hash order (built
-    from the wide signature columns — order is structural, not a
-    collect_list whose order would be nondeterministic)."""
-    wide = _minhash_wide(docs, id_col, text_col)
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "-", *[F.col(f"s{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
-            ).alias("band_key"),
-        )
-        for b in range(LSH_BANDS)
-    ]
-    return wide.select(id_col, F.explode(F.array(*bands)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    structurally from the signature array — not a collect_list whose order
+    would be nondeterministic)."""
+    return _band_rows(_sig_base(docs, id_col, text_col), id_col)
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) sharing at least one LSH band."""
-    bands = lsh_band_keys(docs, id_col, text_col)
+    """Distinct candidate pairs (doc_a < doc_b) sharing at least one LSH
+    band.  The signature table is materialized once; both self-join sides
+    read it back rather than re-hashing the corpus."""
+    bands = _band_rows(_sig_base(docs, id_col, text_col, materialize=True), id_col)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -172,7 +200,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold via a shingle equi-join
     (only pairs sharing ≥1 shingle are ever materialized)."""
-    sh = doc_shingles(docs, id_col, text_col)
+    sh = doc_shingles(docs, id_col, text_col).localCheckpoint(eager=False)
     exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
     a = exploded.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -199,11 +227,24 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """The full LSH near-dup pipeline: band-join candidates, then exact
     Jaccard verification at ``threshold``.  At scale this is the dedup path:
-    the quadratic verify only runs on LSH survivors."""
-    cands = lsh_candidate_pairs(docs, id_col, text_col)
-    sh = doc_shingles(docs, id_col, text_col)
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    the quadratic verify only runs on LSH survivors.
+
+    One materialized signature+shingle table feeds all four plan references
+    (two band-join sides, two verification sides) — previously each
+    reference re-ran the tokenize→shingle→md5 chain over the corpus
+    (4 parquet scans, measured 4.8s at sf0.1; this form ~2s)."""
+    base = _sig_base(docs, id_col, text_col, keep_shingles=True, materialize=True)
+    bands = _band_rows(base, id_col)
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    cands = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = base.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -260,7 +301,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
     Correctness form is the i<j cross join; the scale path blocks on
     16-bit bands of the signature first (any pair within Hamming ≤ 3 of
     a 4-band split must agree on ≥1 band)."""
-    sig = simhash(docs, id_col, text_col)
+    sig = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
     a = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

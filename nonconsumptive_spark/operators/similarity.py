@@ -44,6 +44,35 @@ def embedding_norms(emb: DataFrame, id_col: str = "vec_id",
     return emb.select(id_col, F.round(_norm(F.col(vec_col)), 4).alias("l2_norm"))
 
 
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.3,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          block_col: str | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    The reference's all-pairs similarity is a notebook i<j loop over SRP
+    bit-vectors (examples/Ngrams.ipynb; SURVEY §2.3-J6).  Here the general
+    theta-join form: with ``block_col`` set, the quadratic comparison is
+    confined to equal-key blocks (an equi-join Catalyst shuffles on the
+    block key — the 100 TB pattern: block on a cluster/LSH-bucket column);
+    without it, a true cross join (correctness oracle only).
+
+    Norms are precomputed per side *before* the join so each row's norm is
+    evaluated n_rows times, not n_pairs times."""
+    on = [block_col] if block_col else []
+    a = emb.select(*on, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   _norm(F.col(vec_col)).alias("norm_a"))
+    b = emb.select(*on, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   _norm(F.col(vec_col)).alias("norm_b"))
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    sim_col = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b")), 4)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", sim_col)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def knn_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.

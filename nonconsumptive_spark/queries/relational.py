@@ -458,3 +458,51 @@ def q_dict_encode(spark, sf_dir):
         .groupBy("value", "code")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# A11: duplicate-id guard (reference hard-errors on duplicate catalog ids,
+# catalog.py:248-250 — here as the count == countDistinct assertion query).
+@register(
+    "q_dup_id_guard",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_ids,
+           count(*) = count(DISTINCT o_orderkey) AS ids_unique
+    FROM orders
+    """,
+    doc="A11: duplicate-primary-key audit — row count vs distinct-id count "
+        "plus the uniqueness verdict, one aggregation pass.",
+)
+def q_dup_id_guard(spark, sf_dir):
+    return load(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_ids"),
+        (F.count("*") == F.countDistinct("o_orderkey")).alias("ids_unique"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O4/W2: multi-key total order made observable as a dense row number (the
+# reference sorts ngram output by (row_nr, word cols), transformations.py:238).
+@register(
+    "q_multikey_sort",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS rn
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    doc="O4: multi-key sort (orderkey, linenumber) verified by materializing "
+        "the rank — the hash compare then proves the total order, not just "
+        "the row set.",
+)
+def q_multikey_sort(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.row_number().over(w).cast("long").alias("rn"),
+    )

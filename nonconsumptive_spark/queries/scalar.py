@@ -98,9 +98,10 @@ def q_id_resolution(spark, sf_dir):
       FROM documents)
     WHERE doc_id < 5
     """,
-    doc="F11/F12: posexplode keeps row provenance — parity with the "
-        "reference's value_parent_indices reconstruction "
-        "(transformations.py:360).",
+    doc="F11/F12/J4: posexplode keeps row provenance — the positional zip "
+        "join (J4) and the reference's value_parent_indices reconstruction "
+        "(transformations.py:360, data_storage.py:276-296) collapse into "
+        "carrying the id through the explode.",
 )
 def q_posexplode_provenance(spark, sf_dir):
     from nonconsumptive_spark.functions.text import tokens_with_pos

@@ -88,6 +88,34 @@ def q_norms_by_label(spark, sf_dir):
 
 
 @register(
+    "q_cosine_near_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 4) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) /
+                (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[]))) *
+                 sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])))), 4) >= 0.3
+    """,
+    doc="J6 theta-join form + embedding-cosine near-dup: all same-label "
+        "pairs (id_a < id_b) with cosine ≥ 0.3.  Label-blocked so the "
+        "quadratic stage shuffles on the block key, not a full cross join.",
+)
+def q_cosine_near_pairs(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(emb, threshold=0.3, block_col="label")
+
+
+@register(
     "q_knn_cosine_lsh",
     oracle=None,  # approximate: driver rows-only; tests measure recall vs exact
     doc="Approximate top-k via random-hyperplane LSH bucketing — the 100 TB "

@@ -124,8 +124,9 @@ def q_encoded_unigrams(spark, sf_dir):
     WHERE w1 IS NOT NULL
     GROUP BY doc_id, w0, w1
     """,
-    doc="A2/W1: per-doc bigram counts. Spark builds n-grams inside the token "
-        "array (no window shuffle); oracle uses the equivalent lead() form.",
+    doc="A2/W1/P3: per-doc bigram counts. Spark builds n-grams inside the "
+        "token array (no window shuffle; the trailing incomplete gram is the "
+        "P3 null-tail drop); oracle uses the equivalent lead() form.",
 )
 def q_bigram_counts(spark, sf_dir):
     return wc.ngram_counts(load(spark, sf_dir, "documents"), 2)

@@ -4,10 +4,12 @@ from nonconsumptive_spark.streaming.events import (
     stream_events,
     tumbling_stream,
 )
+from nonconsumptive_spark.streaming.stateful import running_user_profile
 
 __all__ = [
     "stream_events",
     "tumbling_stream",
     "sessionized_stream",
     "run_available_now",
+    "running_user_profile",
 ]

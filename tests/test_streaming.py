@@ -62,3 +62,42 @@ def test_watermark_drops_nothing_on_backlog(spark, events_dir):
     n_stream = got.collect()[0]["n"]
     n_batch = spark.read.parquet(events_dir).count()
     assert n_stream == n_batch
+
+
+def test_stateful_profile_equals_batch(spark, events_dir):
+    # Force multiple triggers (1 file each) so per-user state must survive
+    # across micro-batches; the LAST update per user is the final profile.
+    from nonconsumptive_spark.streaming.events import EVENTS_SCHEMA
+    from nonconsumptive_spark.streaming.stateful import running_user_profile
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+    )
+    got = st.run_available_now(running_user_profile(src), "t_state", mode="update")
+    # update-mode memory sink appends every emission; keep the final one
+    # (running n_events is monotonic, so max identifies it).
+    final = {
+        r["user_id"]: r
+        for r in got.orderBy("user_id", "n_events").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    rows = batch.collect()
+    assert len(final) == len(rows) > 0
+    for r in rows:
+        g = final[r["user_id"]]
+        assert g["n_events"] == r["n_events"]
+        assert g["n_types"] == r["n_types"]
+        assert abs(g["total_value"] - r["total_value"]) < 1e-6
+        assert g["last_ts_micros"] == int(r["last_ts"].timestamp() * 1_000_000)
