@@ -294,21 +294,72 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def _simhash_band_structs(sig_col, n_bands: int, total_bits: int = 60):
+    """array<struct<band,band_val>>: the signature split into n_bands
+    disjoint contiguous bit ranges (sizes differing by ≤1)."""
+    base, rem = divmod(total_bits, n_bands)
+    out, start = [], 0
+    for b in range(n_bands):
+        size = base + (1 if b < rem else 0)
+        mask = (1 << size) - 1
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(sig_col, start)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+        )
+        start += size
+    return F.array(*out)
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       banded: bool = True) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Correctness form is the i<j cross join; the scale path blocks on
-    16-bit bands of the signature first (any pair within Hamming ≤ 3 of
-    a 4-band split must agree on ≥1 band)."""
+    ``banded=True`` (default) is the scale path AND is exact: split the
+    60-bit signature into ``max_hamming + 1`` disjoint bands — any pair
+    within the Hamming budget differs in at most max_hamming bit
+    positions, so by pigeonhole at least one band is untouched and the
+    pair meets in that band's equi-join.  Candidate generation is a
+    shuffle keyed on (band, band_val) instead of an O(n²) cross join;
+    every candidate is then verified with the full XOR+popcount, so no
+    false positives either.  ``banded=False`` keeps the cross-join form
+    (used by tests as an independent cross-check; the DuckDB oracle is
+    also the cross-join formulation).
+
+    Crossover note (measured): at sf0.1 (5k docs) the cross join is
+    actually faster (0.8s vs 1.4s — 12.5M vectorized long comparisons
+    beat an explode+shuffle+distinct); banded wins as soon as n² stops
+    fitting, which is the only regime that matters at corpus scale."""
     sig = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
-    a = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    if not banded:
+        a = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))
+        b = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+        )
+    n_bands = max_hamming + 1
+    bands = sig.select(
+        id_col, "simhash",
+        F.explode(_simhash_band_structs(F.col("simhash"), n_bands)).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    a = bands.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+                     "band", "band_val")
+    b = bands.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+                     "band", "band_val")
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham.cast("long"))
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

@@ -34,6 +34,10 @@ class CheckpointCache:
     def _dir(self, name: str) -> Path:
         return self.root / name
 
+    def path_for(self, name: str) -> Path:
+        """Public location of a named checkpoint (exists iff materialized)."""
+        return self._dir(name)
+
     def is_cached(self, name: str, fingerprint: str | None = None) -> bool:
         d = self._dir(name)
         mf = d / MANIFEST

@@ -209,3 +209,21 @@ def test_export_stacked_layout(spark, corpus_dir, tmp_path):
     assert stacks == ["stack=0", "stack=1"]  # 3 docs, stack_size 2
     back = spark.read.parquet(str(out))
     assert back.count() == 3
+
+
+def test_cli_build_and_query(tmp_path):
+    """python -m nonconsumptive_spark: build materializes targets; query
+    list prints the registry (reference commander.py CLI parity)."""
+    from nonconsumptive_spark.__main__ import main
+
+    cache = tmp_path / "cli_cache"
+    rc = main([
+        "build",
+        "--texts", "/root/reference/tests/corpora/test1/texts",
+        "--cache-dir", str(cache),
+        "--targets", "document_lengths",
+    ])
+    assert rc == 0
+    assert (cache / "document_lengths" / "_nc_manifest.json").exists()
+    assert main(["query", "list"]) == 0
+    assert main(["query", "nope_not_a_query"]) == 2

@@ -74,3 +74,13 @@ def test_cosine_self_similarity(spark):
         F.round(sim.cosine(F.col("embedding"), F.col("embedding")), 4).alias("c")
     )
     assert all(abs(r["c"] - 1.0) < 1e-6 for r in df.collect())
+
+
+def test_simhash_banded_equals_crossjoin(spark):
+    # Pigeonhole exactness: max_hamming+1 disjoint bands must reproduce the
+    # cross-join result exactly (no false negatives; verify kills false
+    # positives).
+    docs = _docs(spark)
+    banded = {tuple(r) for r in dd.simhash_near_pairs(docs, max_hamming=8, banded=True).collect()}
+    cross = {tuple(r) for r in dd.simhash_near_pairs(docs, max_hamming=8, banded=False).collect()}
+    assert banded == cross and len(banded) > 0
