@@ -1,0 +1,128 @@
+"""Property-based invariants (hypothesis) — beyond the reference's test
+strategy (SURVEY §5: golden values only, no property testing).
+
+Each property batches all generated documents into ONE DataFrame so a
+whole example costs one Spark job, and caps examples to keep the suite
+fast.  The invariants are the engine's load-bearing algebra:
+
+  * tokenization: no empty tokens; rejoining tokens loses only
+    non-letter characters (F1 regex semantics)
+  * n-grams: per-doc gram count == max(0, nwords - n + 1) (W1/P3)
+  * chunked wordcounts: chunk counts re-sum to document lengths (A10/A8)
+  * encode join: count sums preserved through vocabulary encoding —
+    the reference's strongest invariant (J1/A3/A4)
+  * minhash: signatures land in [0, P) and equal docs get equal
+    signatures (dedup determinism)
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators import dedup as dd
+from nonconsumptive_spark.operators import wordcount as wc
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Text with letters (several scripts), digits, punctuation, whitespace.
+doc_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("Lu", "Ll", "Lo", "Nd", "Po", "Zs"),
+        include_characters=" \t\n",
+    ),
+    max_size=200,
+)
+corpus = st.lists(doc_text, min_size=1, max_size=20)
+
+TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)  # python mirror of [^\p{L}]+ split
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def _py_tokens(t):
+    return TOKEN_RE.findall(t)
+
+
+@SET
+@given(corpus)
+def test_tokenize_matches_python_reference(spark, texts):
+    from nonconsumptive_spark.functions.text import tokenize
+
+    got = {
+        r["doc_id"]: list(r["toks"])
+        for r in _df(spark, texts).select("doc_id", tokenize("text").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_tokens(t), (t, got[i])
+        assert all(tok for tok in got[i])  # never an empty token
+
+
+@SET
+@given(corpus)
+def test_ngram_count_arithmetic(spark, texts):
+    n = 2
+    counts = (
+        wc.ngram_counts(_df(spark, texts), n)
+        .groupBy("doc_id").agg(F.sum("count").alias("total"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["total"] for r in counts}
+    for i, t in enumerate(texts):
+        expect = max(0, len(_py_tokens(t)) - n + 1)
+        assert got.get(i, 0) == expect
+
+
+@SET
+@given(corpus)
+def test_chunked_counts_resum_to_lengths(spark, texts):
+    df = _df(spark, texts)
+    resummed = {
+        r["doc_id"]: r["total"]
+        for r in wc.chunked_wordcounts(df, chunk_size=7)
+        .groupBy("doc_id").agg(F.sum("count").alias("total")).collect()
+    }
+    lengths = {r["doc_id"]: r["nwords"] for r in wc.document_lengths(df).collect()}
+    for i in range(len(texts)):
+        assert resummed.get(i, 0) == lengths[i]
+
+
+@SET
+@given(corpus)
+def test_encoding_preserves_count_sums(spark, texts):
+    df = _df(spark, texts)
+    total_tokens = sum(len(_py_tokens(t)) for t in texts)
+    encoded_sum = (
+        wc.encode_unigrams(df).agg(F.sum("count").alias("s")).collect()[0]["s"] or 0
+    )
+    assert encoded_sum == total_tokens
+
+
+@SET
+@given(st.lists(doc_text.filter(lambda t: len(_py_tokens(t)) >= 3), min_size=1, max_size=10))
+def test_minhash_range_and_determinism(spark, texts):
+    # duplicate every doc: equal text must yield equal signatures
+    doubled = texts + texts
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doubled)], ["doc_id", "text"]
+    )
+    rows = dd.minhash_signatures(df).collect()
+    sig = {}
+    for r in rows:
+        assert 0 <= r["minhash"] < dd.MINHASH_P
+        sig.setdefault(r["doc_id"], {})[r["hash_idx"]] = r["minhash"]
+    for i, t in enumerate(texts):
+        if sig.get(i):
+            assert sig[i] == sig[i + len(texts)]
