@@ -231,3 +231,91 @@ def knn_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 4,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantization by deterministic pseudo-random
+# centroids (k-means-free), multi-probe search.
+
+
+def _centroid_literal(n_centroids: int, dim: int, seed: int = 42):
+    """Constant-folded array<array<double>> of L2-normalized pseudo-random
+    centroids (same one-literal trick as _bits_col)."""
+    import json
+    import math
+
+    cents = []
+    for i in range(n_centroids):
+        v = _srp_plane(dim, i, seed)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return F.from_json(F.lit(json.dumps(cents)), "array<array<double>>")
+
+
+def _centroid_ranks(vec_col: str, n_centroids: int, dim: int, seed: int = 42):
+    """array<int> of centroid indices (0-based) ordered by descending dot
+    product with the vector — element 0 is the assigned cell, elements
+    1..p-1 are the multi-probe order."""
+    cents = _centroid_literal(n_centroids, dim, seed)
+    scored = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, v: a + v,
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
+    pairs = F.zip_with(scored, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    return F.transform(F.reverse(F.array_sort(pairs)), lambda p: p["i"])
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 42) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment — the IVF build side.
+    Narrow map with a constant-folded centroid table; at scale the output
+    is written partitioned by cell so probes prune whole partitions."""
+    return emb.select(
+        id_col, vec_col,
+        F.element_at(_centroid_ranks(vec_col, n_centroids, dim, seed), 1).alias("cell"),
+    )
+
+
+def knn_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
+            n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42) -> DataFrame:
+    """Approximate top-k, IVF flavor: corpus vectors live in their nearest
+    centroid's cell; each query probes its ``n_probe`` closest cells and
+    scores only those vectors.  Candidate volume ≈ |corpus| · n_probe /
+    n_centroids per query vs |corpus| for brute force.
+
+    Unlike the LSH tables (independent random cuts), the probe order
+    adapts to the query's actual position relative to the centroids, so
+    recall degrades gracefully as n_probe shrinks.  Centroids here are
+    pseudo-random unit vectors — a k-means refinement would only change
+    the literal, not the plan shape."""
+    c = ivf_assign(emb, n_centroids, dim, id_col, vec_col, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.slice(_centroid_ranks(vec_col, n_centroids, dim, seed), 1, n_probe)
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

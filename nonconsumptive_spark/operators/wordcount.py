@@ -84,7 +84,14 @@ def vocabulary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ties, corpus.py:236; we add the tie-break for determinism — SURVEY §7
     hard-point 2)."""
     counts = global_wordcount(docs, id_col, text_col)
-    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(cap)
+    return rank_vocab(counts, cap)
+
+
+def rank_vocab(global_counts: DataFrame, cap: int = VOCAB_CAP) -> DataFrame:
+    """A4 ranking step over a (token, count) frame: top-``cap`` by count
+    desc, dense wordid 0..N-1.  The single-partition window is bounded by
+    ``cap`` (≤1M rows), never by corpus size."""
+    top = global_counts.orderBy(F.desc("count"), F.asc("token")).limit(cap)
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     return top.select(
         (F.row_number().over(w) - 1).cast("long").alias("wordid"),
@@ -97,10 +104,21 @@ def encode_unigrams(docs: DataFrame, vocab: DataFrame | None = None,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """J1: per-doc counts with tokens replaced by dense wordids via a
     broadcast join; out-of-vocabulary tokens are dropped (the reference's
-    index_in misses encode as null and are filtered on write)."""
-    if vocab is None:
-        vocab = vocabulary(docs, id_col, text_col)
+    index_in misses encode as null and are filtered on write).
+
+    When no vocabulary is supplied, it is derived FROM the per-doc counts
+    (summed per token) rather than from a second pass over the raw text:
+    the counts table is materialized once and feeds both the vocabulary
+    aggregation and the encode join — one tokenize of the corpus instead
+    of two.  This is exactly the reference's two-phase structure
+    (total_wordcounts barrier then per-stack encode, corpus.py:250-253)
+    with the barrier realized as a broadcast."""
     counts = doc_token_counts(docs, id_col, text_col)
+    if vocab is None:
+        counts = counts.localCheckpoint(eager=False)
+        vocab = rank_vocab(
+            counts.groupBy("token").agg(F.sum("count").alias("count"))
+        )
     return counts.join(
         F.broadcast(vocab.select("token", "wordid")), "token", "inner"
     ).select(id_col, "wordid", "count")

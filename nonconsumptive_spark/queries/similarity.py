@@ -125,3 +125,17 @@ def q_knn_cosine_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return sim.knn_lsh(emb, queries, k=_K, n_planes=4, n_tables=12)
+
+
+@register(
+    "q_knn_cosine_ivf",
+    oracle=None,  # approximate: driver rows-only; tests measure recall vs exact
+    doc="Approximate top-k via IVF coarse quantization (nearest-centroid "
+        "cells, multi-probe) — the partition-pruning ANN path: at scale the "
+        "corpus is written partitioned by cell and probes prune whole "
+        "partitions; recall vs exact asserted in tests.",
+)
+def q_knn_cosine_ivf(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return sim.knn_ivf(emb, queries, k=_K, n_centroids=16, n_probe=8)

@@ -84,3 +84,20 @@ def test_simhash_banded_equals_crossjoin(spark):
     banded = {tuple(r) for r in dd.simhash_near_pairs(docs, max_hamming=8, banded=True).collect()}
     cross = {tuple(r) for r in dd.simhash_near_pairs(docs, max_hamming=8, banded=False).collect()}
     assert banded == cross and len(banded) > 0
+
+
+def test_knn_ivf_recall(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_ivf(emb, queries, k=5, n_centroids=16, n_probe=8).collect()
+    }
+    # deterministic seeds => deterministic recall (0.78 on this fixture);
+    # uniform-random vectors are ANN's worst case, so the bar is modest.
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.7, f"IVF recall dropped: {recall}"
