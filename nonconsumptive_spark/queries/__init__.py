@@ -71,6 +71,7 @@ def all_queries() -> dict[str, Query]:
     from nonconsumptive_spark.queries import (  # noqa: F401
         dedup,
         events,
+        multimodal,
         relational,
         scalar,
         similarity,

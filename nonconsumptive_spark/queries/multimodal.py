@@ -1,0 +1,59 @@
+"""Multimodal plumbing under the oracle gate.
+
+There is no binary media in the driver's test tables, so the query
+synthesizes a deterministic media payload per document (the operators'
+own NCIM header format), pushes it through the REAL Arrow-batched
+``mapInPandas`` feature extractor (operators/multimodal.py), and the
+DuckDB oracle recomputes the expected features from the same
+construction — i.e. the Python decode path is checked against SQL, not
+against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators import multimodal as mm
+from nonconsumptive_spark.queries import load, register
+
+
+def _synthetic_media(docs):
+    """One fake image per document: content = 'NCIM|<w>|<h>|x...x'
+    (w,h,payload all derived from catalog columns — no randomness)."""
+    payload = F.repeat(F.lit("x"), (F.col("doc_id") % 50).cast("int"))
+    header = F.concat_ws(
+        "|",
+        F.lit("NCIM"),
+        (F.col("n_chars") % 1920).cast("string"),
+        (F.col("n_chars") % 1080).cast("string"),
+        payload,
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/x-nc").alias("mime"),
+        F.encode(header, "UTF-8").alias("content"),
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(strlen('NCIM|' || (n_chars % 1920) || '|' || (n_chars % 1080)
+                       || '|' || repeat('x', CAST(doc_id % 50 AS INTEGER))) AS BIGINT) AS n_bytes,
+           CAST(n_chars % 1920 AS INTEGER) AS width,
+           CAST(n_chars % 1080 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="Multimodal plumbing end-to-end: binary media column through the "
+        "Arrow-batched mapInPandas extractor (stub decode, real schema/"
+        "batching/partitioning); oracle recomputes the features from the "
+        "deterministic construction.",
+)
+def q_multimodal_features(spark, sf_dir):
+    media = _synthetic_media(load(spark, sf_dir, "documents"))
+    return mm.extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "width", "height"
+    )

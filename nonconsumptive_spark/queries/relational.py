@@ -506,3 +506,37 @@ def q_multikey_sort(spark, sf_dir):
         "l_orderkey", "l_linenumber",
         F.row_number().over(w).cast("long").alias("rn"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-robust join (extension): salted equi-join must be result-identical
+# to the plain join — the oracle IS the plain join.
+@register(
+    "q_salted_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="Skew-robust salted join (operators/skew.py): lineitem salted on "
+        "deterministic row hash, orders replicated per salt; joined on "
+        "(orderkey, salt) so a hot orderkey spreads over n_salt partitions. "
+        "Result-identical to the plain join, which is the oracle.",
+)
+def q_salted_join_revenue(spark, sf_dir):
+    from nonconsumptive_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
+        key="o_orderkey", n_salt=8, salt_cols=["l_linenumber"],
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )

@@ -1,0 +1,54 @@
+"""Salted-join/agg equivalence on an intentionally skewed key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators.skew import salted_agg, salted_join
+
+
+def _skewed(spark):
+    # 90% of rows share key=1 (the hot key), remainder spread over 2..10.
+    return spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise((F.col("id") % 9) + 2).alias("k"),
+        F.col("id").alias("row_id"),
+        (F.col("id") * 3 % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_join_equals_plain(spark):
+    big = _skewed(spark)
+    dim = spark.range(1, 11).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+    plain = {tuple(r) for r in big.join(dim, "k").select("k", "row_id", "name").collect()}
+    salted = {
+        tuple(r)
+        for r in salted_join(big, dim, key="k", n_salt=4, salt_cols=["row_id"])
+        .select("k", "row_id", "name")
+        .collect()
+    }
+    assert salted == plain and len(plain) == 2000
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = _skewed(spark)
+    salts = (
+        big.withColumn("s", F.pmod(F.xxhash64("row_id"), F.lit(4)))
+        .filter(F.col("k") == 1)
+        .select("s").distinct().count()
+    )
+    assert salts == 4  # the hot key occupies every salt bucket
+
+
+def test_salted_agg_equals_plain(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["k"], r["n"], round(r["s"], 6))
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        (r["k"], r["n_rows"], round(r["sum_v"], 6))
+        for r in salted_agg(df, keys=["k"], sum_cols=["v"], n_salt=4).collect()
+    }
+    assert salted == plain
