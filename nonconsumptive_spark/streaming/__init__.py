@@ -1,4 +1,5 @@
 from nonconsumptive_spark.streaming.events import (
+    dedup_stream,
     run_available_now,
     sessionized_stream,
     stream_events,
@@ -7,6 +8,7 @@ from nonconsumptive_spark.streaming.events import (
 from nonconsumptive_spark.streaming.stateful import running_user_profile
 
 __all__ = [
+    "dedup_stream",
     "stream_events",
     "tumbling_stream",
     "sessionized_stream",

@@ -79,6 +79,20 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication: first occurrence per key wins;
+    duplicate arrivals inside the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state store by event
+    time — the streaming rendering of the reference's seen-set duplicate
+    suppression on ingest (inputs.py:86-94, SURVEY §2.3-J7), which kept an
+    unbounded in-memory set.  State is partitioned by key across executors;
+    no global structure."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(agg: DataFrame, query_name: str,
                       mode: str = "complete", timeout_sec: int = 120) -> DataFrame:
     """Drain all currently-available input through the streaming plan into

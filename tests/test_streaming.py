@@ -101,3 +101,33 @@ def test_stateful_profile_equals_batch(spark, events_dir):
         assert g["n_types"] == r["n_types"]
         assert abs(g["total_value"] - r["total_value"]) < 1e-6
         assert g["last_ts_micros"] == int(r["last_ts"].timestamp() * 1_000_000)
+
+
+def test_dedup_stream_drops_replayed_files(spark, events_dir, tmp_path):
+    # Stage the same file content twice (a replayed micro-batch): the
+    # streaming dedup must emit each event_id exactly once.
+    import shutil, glob, os
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    files = sorted(glob.glob(f"{events_dir}/part-*"))
+    for i, f in enumerate(files):
+        shutil.copy(f, d / f"a{i}.parquet")
+        shutil.copy(f, d / f"b{i}.parquet")  # exact duplicate arrival
+    from nonconsumptive_spark.streaming.events import EVENTS_SCHEMA
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .load(str(d))
+    )
+    # watermark must exceed the backlog's event-time span: later triggers
+    # replay files whose events are "late" vs the advanced watermark and
+    # would be discarded as late data, not deduplicated.
+    got = st.run_available_now(
+        st.dedup_stream(src, watermark="3650 days"), "t_dedup", mode="append"
+    )
+    n_batch_distinct = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert got.count() == n_batch_distinct
+    assert got.select("event_id").distinct().count() == n_batch_distinct
