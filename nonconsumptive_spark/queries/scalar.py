@@ -206,3 +206,33 @@ def q_srp_stats(spark, sf_dir):
         F.round(norm, 3).alias("l2_norm"),
         pos_bits.alias("n_positive"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_srp_hamming",
+    oracle=None,  # SRP bits come from a Python-side seeded RNG; rows-only
+    doc="F15→F16→F17 chain (the reference's flagship notebook workflow, "
+        "examples/Ngrams.ipynb): SRP embed → sign-bit pack to binary → "
+        "pairwise Hamming distance over the packed bytes, XOR+popcount "
+        "fully JVM-side; pairs blocked to first-20 docs (i<j).",
+)
+def q_srp_hamming(spark, sf_dir):
+    from nonconsumptive_spark.functions.embeddings import (
+        hamming_binary,
+        srp_bits,
+        srp_embed,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    bits = srp_bits(srp_embed(docs, dim=128), id_col="doc_id").localCheckpoint(eager=False)
+    a = bits.select(F.col("doc_id").alias("doc_a"), F.col("srp_bits").alias("bits_a"))
+    b = bits.select(F.col("doc_id").alias("doc_b"), F.col("srp_bits").alias("bits_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            hamming_binary(F.col("bits_a"), F.col("bits_b")).cast("long").alias("hamming"),
+        )
+    )
