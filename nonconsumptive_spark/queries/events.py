@@ -160,3 +160,37 @@ def q_events_user_running(spark, sf_dir):
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("running_value"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_click_attribution",
+    oracle="""
+    SELECT p.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           round(p.value, 2) AS amount
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND p.ts <= c.ts + INTERVAL '1 hour'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc="Event-time-bounded self-join (attribution: purchase to same-user "
+        "click within 1 hour) — the batch oracle for the stream-stream join "
+        "in streaming/joins.py, which runs the SAME function under "
+        "watermarked readStream (equivalence asserted in tests).",
+)
+def q_click_attribution(spark, sf_dir):
+    from nonconsumptive_spark.streaming.joins import click_purchase_attribution
+
+    joined = click_purchase_attribution(load(spark, sf_dir, "events"), within="1 hour")
+    return joined.select(
+        "user_id", "click_id", "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("amount", 2).alias("amount"),
+    )

@@ -5,6 +5,7 @@ from nonconsumptive_spark.streaming.events import (
     stream_events,
     tumbling_stream,
 )
+from nonconsumptive_spark.streaming.joins import click_purchase_attribution
 from nonconsumptive_spark.streaming.stateful import running_user_profile
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "sessionized_stream",
     "run_available_now",
     "running_user_profile",
+    "click_purchase_attribution",
 ]

@@ -131,3 +131,29 @@ def test_dedup_stream_drops_replayed_files(spark, events_dir, tmp_path):
     n_batch_distinct = spark.read.parquet(events_dir).select("event_id").distinct().count()
     assert got.count() == n_batch_distinct
     assert got.select("event_id").distinct().count() == n_batch_distinct
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    from nonconsumptive_spark.streaming.events import EVENTS_SCHEMA
+    from nonconsumptive_spark.streaming.joins import click_purchase_attribution
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+    )
+    # generous watermark: the static backlog spans months, and a
+    # stream-stream inner join drops matches whose other side falls behind
+    # the advanced watermark — same pitfall as the dedup test above.
+    got = st.run_available_now(
+        click_purchase_attribution(src, within="1 hour", watermark="3650 days"),
+        "t_ssjoin",
+        mode="append",
+    )
+    batch = click_purchase_attribution(
+        spark.read.parquet(events_dir), within="1 hour", watermark="3650 days"
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(b) > 0
