@@ -127,9 +127,9 @@ class CorpusSession:
                 "token", "inner",
             ).select("nc:id", "wordid", "count"),
             "srp": lambda: srp_embed(docs, id_col="nc:id", text_col=tcol),
-            "srp_bits": lambda: srp_bits(
-                srp_embed(docs, id_col="nc:id", text_col=tcol), id_col="nc:id"
-            ),
+            # consume srp THROUGH run() so a cached embedding replays from
+            # its checkpoint instead of re-running the pandas UDF
+            "srp_bits": lambda: srp_bits(self.run("srp"), id_col="nc:id"),
         }
 
     @staticmethod
