@@ -1,0 +1,62 @@
+"""As-of join — an operator Spark lacks natively.
+
+For each left row, attach the most recent right row with
+``right.ts <= left.ts`` within the same key group (the classic
+point-in-time lookup: latest quote before a trade, last click before a
+purchase).
+
+Formulation: tag both sides, union, and run ONE window pass per key
+ordered by (ts, side) taking ``last(right attrs, ignoreNulls=True)`` —
+right rows at the same timestamp sort before left rows, so ties match
+(inclusive as-of).  Cost is a single shuffle on (key) + a sort within
+partitions; no cross product, no per-group Python (`pd.merge_asof` via
+``applyInPandas`` is the fallback only when the window form can't express
+the variant, e.g. nearest-in-either-direction with tolerance).
+
+At scale: the shuffle is keyed on the join key, so skew tooling
+(operators/skew.py) applies; state is one running value per window —
+nothing buffered beyond the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              right_cols: list[str], how: str = "inner") -> DataFrame:
+    """Columns: all of ``left`` plus ``right_cols`` from the as-of match
+    (null if no right row precedes and ``how='left'``; such rows dropped
+    for ``how='inner'``)."""
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r).select(
+        "__side",
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    out = matched.filter(F.col("__side") == 1).drop("__side")
+    if how == "inner":
+        out = out.filter(F.col(right_cols[0]).isNotNull())
+    return out

@@ -194,3 +194,83 @@ def q_click_attribution(spark, sf_dir):
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.round("amount", 2).alias("amount"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT user_id, ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.purchase_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM purchases p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (operator Spark lacks natively, operators/asof.py): "
+        "each purchase matched to the user's most recent click at-or-before "
+        "it — tagged-union + one window pass, single shuffle on the key; "
+        "oracle is DuckDB's native ASOF JOIN.  Right side deduped per "
+        "(user, ts) so the match is deterministic on both engines.",
+)
+def q_asof_join(spark, sf_dir):
+    from nonconsumptive_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+        .select("user_id", "ts", "click_id", "click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_id", "click_ts"], how="inner",
+    )
+    return joined.select(
+        "user_id", "purchase_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_pivot_event_values",
+    oracle="""
+    SELECT user_id,
+           round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2) AS click_v,
+           round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2) AS view_v,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase_v,
+           round(coalesce(sum(value) FILTER (event_type = 'signup'), 0), 2) AS signup_v,
+           round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 2) AS error_v
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pivot (extension; long→wide): per-user value totals, one column "
+        "per event type — Spark .pivot() with an explicit value list (no "
+        "distinct-discovery job); oracle uses filtered aggregates.",
+)
+def q_pivot_event_values(spark, sf_dir):
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .sum("value")
+    )
+    return wide.select(
+        "user_id",
+        *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(f"{t}_v") for t in types],
+    )

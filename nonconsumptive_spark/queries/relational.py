@@ -117,7 +117,7 @@ def q_point_lookup(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, round(l_extendedprice, 2) AS price
     FROM lineitem
-    WHERE l_shipdate < TIMESTAMP '1993-01-01 00:00:00' AND l_quantity < 5
+    WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 5
     """,
     doc="2-column projection + conjunctive predicate; scan must prune columns "
         "and push both filters (SURVEY P1).",
@@ -126,7 +126,7 @@ def q_filter_projection(spark, sf_dir):
     return (
         load(spark, sf_dir, "lineitem")
         .filter(
-            (F.col("l_shipdate") < F.lit("1993-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_quantity") < 5)
         )
         .select("l_orderkey", F.round("l_extendedprice", 2).alias("price"))
