@@ -6,6 +6,7 @@ from nonconsumptive_spark.streaming.events import (
     tumbling_stream,
 )
 from nonconsumptive_spark.streaming.joins import click_purchase_attribution
+from nonconsumptive_spark.streaming.sinks import start_upsert_sink, upsert_parquet
 from nonconsumptive_spark.streaming.stateful import running_user_profile
 
 __all__ = [
@@ -16,4 +17,6 @@ __all__ = [
     "run_available_now",
     "running_user_profile",
     "click_purchase_attribution",
+    "start_upsert_sink",
+    "upsert_parquet",
 ]

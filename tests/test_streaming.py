@@ -157,3 +157,34 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(b) > 0
+
+
+def test_foreach_batch_upsert_converges(spark, events_dir, tmp_path):
+    from nonconsumptive_spark.streaming.events import EVENTS_SCHEMA
+    from nonconsumptive_spark.streaming.sinks import start_upsert_sink
+
+    table = str(tmp_path / "profiles")
+
+    def run(cp):
+        src = (
+            spark.readStream.format("parquet")
+            .schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(events_dir)
+        )
+        q = start_upsert_sink(
+            src.select("event_id", "user_id", "event_type", "value"),
+            table, keys=["event_id"], checkpoint_dir=str(tmp_path / cp),
+        )
+        q.awaitTermination(120)
+
+    run("cp1")
+    first = {tuple(r) for r in spark.read.parquet(table).collect()}
+    n_src = spark.read.parquet(events_dir).count()
+    assert len(first) == n_src  # every event upserted exactly once
+
+    # full replay with a fresh checkpoint: reprocessing the same input
+    # must converge to the identical table (idempotent upsert)
+    run("cp2")
+    second = {tuple(r) for r in spark.read.parquet(table).collect()}
+    assert second == first
