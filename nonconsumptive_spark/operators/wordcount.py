@@ -35,17 +35,34 @@ from nonconsumptive_spark.functions.text import let, ngram_structs, tokenize
 VOCAB_CAP = 1_000_000  # reference corpus.py:193,241
 
 
-def doc_token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """A1: (doc, token, count) — one row per distinct token per document."""
-    toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("token"))
-    return toks.groupBy(id_col, "token").agg(F.count("*").alias("count"))
+def doc_token_counts(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", fused: bool = True) -> DataFrame:
+    """A1: (doc, token, count) — one row per distinct token per document.
+
+    Fused (default): sort the token array and run-length encode in one
+    fold — no shuffle (see ngram_counts; same kernel at n=1).  The
+    explode+groupBy fallback shuffles one row per distinct (doc, token)."""
+    if not fused:
+        toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("token"))
+        return toks.groupBy(id_col, "token").agg(F.count("*").alias("count"))
+    counted = docs.select(
+        id_col, F.explode(let(F.array_sort(tokenize(text_col)), _rle_counts)).alias("e")
+    )
+    return counted.select(
+        id_col, F.col("e.g").alias("token"), F.col("e.c").alias("count")
+    )
 
 
 def token_counts_from_tokens(tokens_df: DataFrame, id_col: str = "nc:id",
                              tokens_col: str = "tokenization") -> DataFrame:
-    """A1 over a pre-tokenized frame (the cached `tokenization` transform)."""
-    toks = tokens_df.select(id_col, F.explode(tokens_col).alias("token"))
-    return toks.groupBy(id_col, "token").agg(F.count("*").alias("count"))
+    """A1 over a pre-tokenized frame (the cached `tokenization` transform)
+    — same zero-shuffle fused kernel as doc_token_counts."""
+    counted = tokens_df.select(
+        id_col, F.explode(let(F.array_sort(F.col(tokens_col)), _rle_counts)).alias("e")
+    )
+    return counted.select(
+        id_col, F.col("e.g").alias("token"), F.col("e.c").alias("count")
+    )
 
 
 def ngram_counts_from_tokens(tokens_df: DataFrame, n: int, id_col: str = "nc:id",
