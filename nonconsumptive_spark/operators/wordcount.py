@@ -229,22 +229,35 @@ def chunked_wordcounts(docs: DataFrame, chunk_size: int = 10_000,
     of the k-th token (1-based) = ((k-1) * nchunks) div len — pure integer
     arithmetic so the DuckDB oracle agrees bit-for-bit.
 
-    The document length rides through the explode as a sibling column, so
-    there is no tokens-to-lengths join (which would shuffle every token)."""
-    exploded = (
-        docs.select(id_col, tokenize(text_col).alias("__toks"))
-        .select(
-            id_col,
-            F.size("__toks").alias("nwords"),
-            F.posexplode("__toks").alias("__p0", "token"),
+    Zero-shuffle form (same fused kernel as doc_token_counts): the chunk id
+    is prepended to each token inside an indexed ``transform``, the tagged
+    array is sorted and run-length encoded in one fold, and the tag split
+    back off — the whole operator is a narrow map.  (RLE only needs equal
+    elements adjacent; any total order of the tagged strings works.)"""
+
+    def tagged(toks):
+        nwords = F.size(toks)
+        nchunks = F.greatest(
+            F.ceil(nwords / F.lit(chunk_size)), F.lit(1)
+        ).cast("long")
+        def chunk_of(i):
+            # exact integer division (i*nchunks) div nwords: subtract the
+            # remainder first so the double division is of an exact multiple
+            a = i.cast("long") * nchunks
+            return ((a - F.pmod(a, nwords)) / nwords).cast("long")
+
+        return F.transform(
+            toks,
+            lambda t, i: F.concat_ws(_GRAM_SEP, chunk_of(i).cast("string"), t),
         )
-        .withColumn("pos", F.col("__p0") + 1)
+
+    counted = docs.select(
+        id_col,
+        F.explode(let(F.array_sort(tagged(tokenize(text_col))), _rle_counts)).alias("e"),
     )
-    nchunks = F.greatest(F.ceil(F.col("nwords") / F.lit(chunk_size)), F.lit(1))
-    chunk = F.expr("(pos - 1) * nchunks div nwords").cast("long")
-    return (
-        exploded.withColumn("nchunks", nchunks)
-        .withColumn("chunk", chunk)
-        .groupBy(id_col, "chunk", "token")
-        .agg(F.count("*").alias("count"))
+    return counted.select(
+        id_col,
+        F.split("e.g", _GRAM_SEP)[0].cast("long").alias("chunk"),
+        F.split("e.g", _GRAM_SEP)[1].alias("token"),
+        F.col("e.c").alias("count"),
     )
