@@ -1,0 +1,78 @@
+"""Incremental corpus ingestion: stream bookstacks in, maintain running
+derived tables (SURVEY §7 Phase 4 "streaming variants of ingestion").
+
+The reference rebuilds derived features per-bookstack on demand; here new
+bookstack parquet files arriving in a directory flow through the SAME
+fused counting kernel (operators/wordcount.py) incrementally, and a
+foreachBatch sink folds each micro-batch's counts into a running global
+wordcount table — additive merge, so replays converge and the final
+table equals the batch computation over all files (asserted in tests).
+
+Scale notes: per-batch counting is the narrow fused kernel (no shuffle);
+the merge aggregates (token, count) — the running table is vocabulary-
+sized, not corpus-sized, so the rewrite cost is bounded by distinct
+tokens (cap it with the vocabulary top-K if needed).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators import wordcount as wc
+
+
+def stream_documents(spark: SparkSession, path: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over a documents/bookstack parquet directory;
+    schema frozen from a batch peek (streaming reads require one)."""
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def merge_wordcounts(batch_counts: DataFrame, table_dir: str) -> None:
+    """Fold one micro-batch's (token, count) into the running table:
+    additive on collision.  Sibling-dir swap keeps the table whole."""
+    spark = batch_counts.sparkSession
+    p = Path(table_dir)
+    if p.exists() and any(p.iterdir()):
+        current = spark.read.parquet(table_dir)
+        merged = (
+            current.unionByName(batch_counts)
+            .groupBy("token")
+            .agg(F.sum("count").alias("count"))
+        )
+    else:
+        merged = batch_counts
+    tmp = str(p.parent / (p.name + "__tmp"))
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(table_dir)
+
+
+def start_incremental_wordcounts(stream: DataFrame, table_dir: str,
+                                 checkpoint_dir: str,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text"):
+    """Wire a document stream into a running global wordcount table."""
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        counts = (
+            wc.doc_token_counts(batch_df, id_col=id_col, text_col=text_col)
+            .groupBy("token")
+            .agg(F.sum("count").alias("count"))
+        )
+        merge_wordcounts(counts, table_dir)
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("incremental_wordcounts")
+        .trigger(availableNow=True)
+        .start()
+    )

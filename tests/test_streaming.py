@@ -188,3 +188,26 @@ def test_foreach_batch_upsert_converges(spark, events_dir, tmp_path):
     run("cp2")
     second = {tuple(r) for r in spark.read.parquet(table).collect()}
     assert second == first
+
+
+def test_incremental_wordcounts_equal_batch(spark, tmp_path):
+    from nonconsumptive_spark.operators import wordcount as wc
+    from nonconsumptive_spark.streaming.corpus import (
+        start_incremental_wordcounts,
+        stream_documents,
+    )
+
+    src_dir = str(tmp_path / "docs")
+    load(spark, SF_SMALL, "documents").repartition(6).write.parquet(src_dir)
+    table = str(tmp_path / "wordcounts")
+    q = start_incremental_wordcounts(
+        stream_documents(spark, src_dir, max_files_per_trigger=2),
+        table, checkpoint_dir=str(tmp_path / "cp"),
+    )
+    q.awaitTermination(120)
+    got = {(r["token"], r["count"]) for r in spark.read.parquet(table).collect()}
+    expect = {
+        (r["token"], r["count"])
+        for r in wc.global_wordcount(spark.read.parquet(src_dir)).collect()
+    }
+    assert got == expect and len(expect) > 0
