@@ -623,3 +623,93 @@ def q_grouping_sets(spark, sf_dir):
         FROM __li
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     """)
+
+
+# --------------------------------------------------------------------------
+# W-extension: analytic frames beyond the reference (lag, running frame,
+# dense_rank in one window pass).
+@register(
+    "q_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           round(coalesce(lag(o_totalprice) OVER w, 0), 2) AS prev_price,
+           round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 2) AS running_total,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderpriority) AS BIGINT) AS prio_rank
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Window-frame extension surface (SURVEY §2.5 note): lag, running "
+        "rowsBetween sum, and dense_rank over per-customer order sequences "
+        "— deterministic (orderdate, orderkey) sort key.",
+)
+def q_window_frames(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
+        F.dense_rank().over(wp).cast("long").alias("prio_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated subquery (Catalyst decorrelation): orders above their
+# customer's average order value.
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar subquery — Catalyst decorrelates it into an "
+        "aggregate + join (no per-row re-execution); parity with engines "
+        "that interpret the subquery naively.",
+)
+def q_correlated_subquery(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_corr")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM __orders_corr o
+        WHERE o_totalprice > 1.5 * (
+          SELECT avg(o_totalprice) FROM __orders_corr i
+          WHERE i.o_custkey = o.o_custkey)
+    """)
+
+
+# --------------------------------------------------------------------------
+# Unpivot (wide -> long) via stack().
+@register(
+    "q_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+    WHERE l_orderkey < 200
+    """,
+    doc="Unpivot (wide→long) via stack() — one scan emits all three "
+        "measure rows (the UNION ALL oracle scans three times; Spark's "
+        "generator form scans once).",
+)
+def q_unpivot_measures(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr("stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+               "'discount', l_discount) AS (measure, value)"),
+    ).select("l_orderkey", "l_linenumber", "measure", F.round("value", 4).alias("value"))

@@ -133,3 +133,24 @@ def q_langid_vs_labels(spark, sf_dir):
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_arrow_batch_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="mapInArrow surface (SURVEY §2.10 batch→batch RecordBatch "
+        "transforms): per-doc byte length + whitespace-token count computed "
+        "with pyarrow.compute kernels on the raw Arrow buffers — no pandas, "
+        "no row loops; oracle recomputes in SQL.",
+)
+def q_arrow_batch_stats(spark, sf_dir):
+    from nonconsumptive_spark.operators.arrowops import arrow_text_stats
+
+    return arrow_text_stats(load(spark, sf_dir, "documents"))
