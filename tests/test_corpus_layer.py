@@ -227,3 +227,16 @@ def test_cli_build_and_query(tmp_path):
     assert (cache / "document_lengths" / "_nc_manifest.json").exists()
     assert main(["query", "list"]) == 0
     assert main(["query", "nope_not_a_query"]) == 2
+
+
+def test_messy_parquet_schema_merge(spark, tmp_path):
+    """S8: catalog dir whose parquet footers drifted (a column added later)
+    still reads as one frame with the union schema."""
+    d = str(tmp_path / "messy")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 3.5)], ["id", "name", "score"]
+    ).coalesce(1).write.mode("append").parquet(d)
+    df = readers.read_catalog(spark, d, fmt="parquet")
+    got = {tuple(r) for r in df.select("id", "name", "score").collect()}
+    assert got == {(1, "a", None), (2, "b", 3.5)}
