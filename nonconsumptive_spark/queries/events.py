@@ -274,3 +274,48 @@ def q_pivot_event_values(spark, sf_dir):
         "user_id",
         *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(f"{t}_v") for t in types],
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_sessionize_lag",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    doc="Sessionization, lag+cumsum formulation (the batch-classic dual of "
+        "session_window used by q_events_session): a gap >30min opens a new "
+        "session; running sum of gap flags numbers the sessions.  Ordering "
+        "key (ts, event_id) is total, so both engines agree exactly.",
+)
+def q_sessionize_lag(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "ts", "event_id",
+        F.sum(is_new).over(wr).cast("long").alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )

@@ -41,3 +41,39 @@ def test_asof_inner_and_left(spark):
                            right_cols=["price"], how="left").collect()
     }
     assert left == {("t0", 100.0), ("t1", 101.0), ("t2", None)}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    # randomized cross-check against the pandas reference implementation
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 60),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 60), unit="s"),
+        "lid": np.arange(60),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 40),
+        "rts": pd.to_datetime(rng.integers(0, 10_000, 40), unit="s"),
+        "val": rng.normal(size=40).round(6),
+    }).drop_duplicates(["k", "rts"])  # unique per (key, ts) => deterministic
+
+    expect = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k", direction="backward",
+    )
+    exp = {
+        (int(r.lid), None if pd.isna(r.val) else round(float(r.val), 6))
+        for r in expect.itertuples()
+    }
+    got_df = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", left_ts="ts", right_ts="rts", right_cols=["val"], how="left",
+    )
+    got = {
+        (r["lid"], None if r["val"] is None else round(r["val"], 6))
+        for r in got_df.collect()
+    }
+    assert got == exp
