@@ -67,9 +67,12 @@ def srp_embed(docs: DataFrame, dim: int = SRP_DIM, log_weight: bool = True,
     return docs.select(id_col, srp_udf(tokenize(text_col)).alias("srp"))
 
 
-def srp_bits(df: DataFrame, vec_col: str = "srp", id_col: str = "doc_id") -> DataFrame:
+def srp_bits(df: DataFrame, vec_col: str = "srp", id_col: str = "doc_id",
+             keep_vec: bool = False) -> DataFrame:
     """F16: sign bit-pack — array<float>[dim] → binary[dim/8]
-    (reference transformations.py:176-189: 1280 floats → 160 bytes)."""
+    (reference transformations.py:176-189: 1280 floats → 160 bytes).
+    ``keep_vec=True`` carries the float vector through for invariant
+    checks (bit_count(packed) == count of positive floats)."""
 
     @F.pandas_udf(BinaryType())
     def pack_udf(vecs: pd.Series) -> pd.Series:
@@ -81,7 +84,19 @@ def srp_bits(df: DataFrame, vec_col: str = "srp", id_col: str = "doc_id") -> Dat
             ]
         )
 
-    return df.select(id_col, pack_udf(F.col(vec_col)).alias("srp_bits"))
+    cols = [id_col, vec_col] if keep_vec else [id_col]
+    return df.select(*cols, pack_udf(F.col(vec_col)).alias("srp_bits"))
+
+
+def popcount_binary(c):
+    """Total set bits in a BinaryType column, fully JVM-side (hex-split to
+    a byte array, bit_count per byte, fold)."""
+    parts = F.filter(F.split(F.hex(c), "(?<=\\G..)"), lambda h: h != F.lit(""))
+    return F.aggregate(
+        F.transform(parts, lambda h: F.bit_count(F.conv(h, 16, 10).cast("int"))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
 
 def hamming_binary(a, b):

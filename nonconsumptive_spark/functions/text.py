@@ -49,6 +49,53 @@ def tokenize(text: Column | str) -> Column:
     return F.filter(F.split(_as_col(text), TOKEN_REGEX), lambda x: x != F.lit(""))
 
 
+# F3: the reference's second fallback tokenizer (document.py:79-80):
+# word runs OR punctuation runs — `re.findall(r"[\w^_]+|[^\w\s]+")`.
+# Java regex and DuckDB's RE2 agree on ASCII \w and \s here, so the same
+# pattern string works verbatim on both sides of the oracle compare.
+FALLBACK_TOKEN_REGEX = r"[\w^_]+|[^\w\s]+"
+
+
+def tokenize_fallback(text: Column | str) -> Column:
+    """F3: text -> array<string> of word-or-punctuation runs via
+    regexp_extract_all (reference document.py:79-80).  Unlike ``tokenize``
+    (F1), punctuation survives as its own tokens and digits/underscores
+    count as word characters."""
+    return F.regexp_extract_all(_as_col(text), F.lit(FALLBACK_TOKEN_REGEX), 0)
+
+
+try:  # F2: blingfire tokenizer (reference transformations.py:29-62).
+    import blingfire as _blingfire  # noqa: F401
+
+    HAS_BLINGFIRE = True
+except ImportError:  # not installed in this container; F1 is the
+    _blingfire = None  # documented canonical fallback (±1-token slack in
+    HAS_BLINGFIRE = False  # the reference's own tests, test_throughput.py:43)
+
+
+def tokenize_blingfire(text: Column | str) -> Column:
+    """F2: blingfire ``text_to_words`` then split on space, as a pandas_udf
+    (C library call — cannot be a built-in expression).  Raises at *plan
+    build* time when blingfire is absent so callers fail fast; use
+    ``HAS_BLINGFIRE`` to gate."""
+    if not HAS_BLINGFIRE:
+        raise ModuleNotFoundError(
+            "blingfire is not installed; use tokenize() (F1 regex path) — "
+            "the reference's own tests accept the ±1-token difference "
+            "(test_throughput.py:43)"
+        )
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def bf_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: _blingfire.text_to_words(t).split(" ") if t else []
+        )
+
+    return bf_udf(_as_col(text))
+
+
 def tokens_with_pos(df, id_col: str, text_col: str, pos_col: str = "pos", token_col: str = "token"):
     """Explode a text column into (id, pos, token) rows; pos is 1-based to
     match DuckDB's ``generate_subscripts``."""

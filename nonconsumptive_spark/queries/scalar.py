@@ -169,42 +169,71 @@ def q_markov_transitions(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; driver rows-only
-    doc="A3/A5 approximate mode: approx_count_distinct (HLL) — the opt-in "
-        "scale path replacing the reference's count-min sketch; exact "
-        "counterpart is q_distinct_cardinality.",
+    oracle="""
+    SELECT TRUE AS parts_in_bounds, TRUE AS orders_in_bounds,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact
+    FROM lineitem
+    """,
+    doc="A3/A5 approximate mode: approx_count_distinct (HLL, rsd=0.02) — the "
+        "opt-in scale path replacing the reference's count-min sketch.  The "
+        "HLL estimate is engine-specific, so the oracle checks the sketch "
+        "lands within ±10% of the exact cardinality (TRUE on both sides) and "
+        "hash-matches the exact counts themselves.",
 )
 def q_approx_distinct(spark, sf_dir):
-    return load(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx"),
+    agg = load(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    )
+    return agg.select(
+        F.col("ap").between(0.9 * F.col("ep"), 1.1 * F.col("ep"))
+        .alias("parts_in_bounds"),
+        F.col("ao").between(0.9 * F.col("eo"), 1.1 * F.col("eo"))
+        .alias("orders_in_bounds"),
+        F.col("ep").alias("n_parts_exact"),
+        F.col("eo").alias("n_orders_exact"),
     )
 
 
 # --------------------------------------------------------------------------
 @register(
     "q_srp_stats",
-    oracle=None,  # Python-side seeded RNG; not SQL-expressible
-    doc="F15/F16 surface: SRP random-projection embedding (pandas_udf) — "
-        "per-doc L2 norm and sign-bit population over 128 dims.",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_nonzero_norm,
+           CAST(count(*) AS BIGINT) AS n_bits_match
+    FROM documents
+    """,
+    doc="F15/F16 invariants: the SRP values come from a Python-side seeded "
+        "RNG (not SQL-recomputable), but their invariants are — every doc "
+        "with text embeds to a nonzero-norm vector, and the sign bit-pack "
+        "(F16) must satisfy bit_count(packed bytes) == count of positive "
+        "floats for every row.  Both counts must equal count(*).",
 )
 def q_srp_stats(spark, sf_dir):
-    from nonconsumptive_spark.functions.embeddings import srp_embed
+    from nonconsumptive_spark.functions.embeddings import (
+        popcount_binary,
+        srp_bits,
+        srp_embed,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    emb = srp_embed(docs, dim=128)
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("srp", lambda x: x.cast("double") * x),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
+    emb = srp_bits(srp_embed(docs, dim=128), keep_vec=True)
+    norm_sq = F.aggregate(
+        F.transform("srp", lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda a, v: a + v,
     )
-    pos_bits = F.size(F.filter("srp", lambda x: x > 0))
-    return emb.select(
-        "doc_id",
-        F.round(norm, 3).alias("l2_norm"),
-        pos_bits.alias("n_positive"),
+    pos_floats = F.size(F.filter("srp", lambda x: x > 0))
+    return emb.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(norm_sq > 0, 1)).alias("n_nonzero_norm"),
+        F.count(
+            F.when(popcount_binary(F.col("srp_bits")) == pos_floats, 1)
+        ).alias("n_bits_match"),
     )
 
 

@@ -173,6 +173,81 @@ def q_chunked_wordcounts(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_tokenize_fallback",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks,
+                x -> NOT regexp_full_match(x, '[\w^_]+'))) AS BIGINT) AS n_punct_runs,
+           toks[1] AS first_token
+    FROM (
+      SELECT doc_id, regexp_extract_all(text, '[\w^_]+|[^\w\s]+') AS toks
+      FROM documents)
+    """,
+    doc="F3: the reference's words+punctuation fallback tokenizer "
+        "(document.py:79-80, re.findall(r'[\\w^_]+|[^\\w\\s]+')) as a "
+        "regexp_extract_all column expression — token count, punctuation-run "
+        "count, and first token per document.  Java regex and RE2 agree on "
+        "ASCII \\w/\\s so the identical pattern runs on both engines.",
+)
+def q_tokenize_fallback(spark, sf_dir):
+    from nonconsumptive_spark.functions.text import let, tokenize_fallback
+
+    docs = load(spark, sf_dir, "documents")
+    stats = let(
+        tokenize_fallback("text"),
+        lambda toks: F.struct(
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(
+                F.filter(toks, lambda x: ~x.rlike(r"^[\w^_]+$"))
+            ).cast("long").alias("n_punct_runs"),
+            F.element_at(toks, 1).alias("first_token"),
+        ),
+    )
+    return docs.select("doc_id", stats.alias("s")).select("doc_id", "s.*")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_renest_roundtrip",
+    oracle=f"""
+    WITH orig AS (
+      SELECT doc_id, {_DUCK_TOKS} AS orig FROM documents),
+    child AS (
+      SELECT doc_id, generate_subscripts(orig, 1) AS pos, unnest(orig) AS token
+      FROM orig),
+    renested AS (
+      SELECT doc_id, list(token ORDER BY pos) AS toks
+      FROM child GROUP BY doc_id)
+    SELECT o.doc_id,
+           CAST(len(o.orig) AS BIGINT) AS n_tokens,
+           coalesce(r.toks, []) = o.orig AS round_trip_ok
+    FROM orig o LEFT JOIN renested r USING (doc_id)
+    """,
+    doc="F14: list re-nesting — explode a token array into a (id, pos, "
+        "value) child table, then reconstruct it with order-stable "
+        "collect_list (array_sort on carried positions; reference "
+        "catalog.py:430-442 ListArray.from_arrays).  round_trip_ok must be "
+        "TRUE for every document.",
+)
+def q_renest_roundtrip(spark, sf_dir):
+    from nonconsumptive_spark.functions.text import tokenize, tokens_with_pos
+    from nonconsumptive_spark.sources.writers import renest_lists
+
+    docs = load(spark, sf_dir, "documents")
+    orig = docs.select("doc_id", tokenize("text").alias("orig"))
+    child = tokens_with_pos(docs, "doc_id", "text")
+    renested = renest_lists(child, "doc_id", "token", "pos", out_col="toks")
+    empty = F.array().cast("array<string>")
+    return orig.join(renested, "doc_id", "left").select(
+        "doc_id",
+        F.size("orig").cast("long").alias("n_tokens"),
+        (F.coalesce(F.col("toks"), empty) == F.col("orig")).alias("round_trip_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_count_sum_preservation",
     oracle=f"""
     WITH counts AS (

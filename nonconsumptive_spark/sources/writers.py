@@ -16,7 +16,6 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 _STRINGY = ("string",)
 _FAST = ("tinyint", "smallint", "int", "bigint", "float", "double", "date",
@@ -35,13 +34,17 @@ def export_stacked(df: DataFrame, out_dir: str | Path,
     )
 
 
-def flat_catalog(catalog: DataFrame) -> dict[str, DataFrame]:
+def flat_catalog(catalog: DataFrame, with_pos: bool = False) -> dict[str, DataFrame]:
     """S11: split one wide catalog into the reference's normalized family.
 
     Returns {"catalog": strings+ids, "fastcat": numerics/dates/codes,
     "<col>": exploded child table per array column,
     "<col>Lookup": dimension table per dictionary column}.
-    All tables key on nc:id; lookups key on code."""
+    All tables key on nc:id; lookups key on code.
+
+    ``with_pos=True`` adds a 0-based ``pos`` column to each child table —
+    the saved offsets that make the F14 re-nest (``renest_lists``) an exact
+    inverse (reference catalog.py:430-442 keeps offsets the same way)."""
     dtypes = dict(catalog.dtypes)
     id_cols = [c for c in ("nc:id", "@id") if c in dtypes]
     out: dict[str, DataFrame] = {}
@@ -65,16 +68,40 @@ def flat_catalog(catalog: DataFrame) -> dict[str, DataFrame]:
     out["catalog"] = catalog.select(*id_cols, *sorted(set(str_cols) - set(fast_cols)))
     out["fastcat"] = catalog.select(*nc_id, *sorted(set(fast_cols) - set(list_cols)))
     for c in list_cols:
-        out[c] = catalog.select(*nc_id, F.explode(c).alias(c.rstrip("s") or c))
+        value = c.rstrip("s") or c
+        if with_pos:
+            out[c] = catalog.select(
+                *nc_id, F.posexplode(c).alias("pos", value)
+            )
+        else:
+            out[c] = catalog.select(*nc_id, F.explode(c).alias(value))
     for src in sorted(dict_sources):
-        w = Window.orderBy(F.asc(f"{src}__code"))
         out[f"{src}Lookup"] = (
             catalog.select(F.col(f"{src}__code").alias("code"), F.col(src).alias(src))
             .distinct()
             .orderBy("code")
         )
-        _ = w  # ordering is by code; window kept out of the final plan
     return out
+
+
+def renest_lists(child: DataFrame, id_col: str, value_col: str,
+                 pos_col: str = "pos", out_col: str | None = None) -> DataFrame:
+    """F14: reconstruct an array column from an exploded child table — the
+    inverse of the ``with_pos`` explode above (reference catalog.py:430-442,
+    ``ListArray.from_arrays(offsets, values)``).
+
+    ``collect_list`` order is nondeterministic after a shuffle, so elements
+    are collected as (pos, value) structs and ``array_sort``-ed before the
+    positions are stripped — deterministic regardless of partitioning.
+    Scale note: one hash agg on the parent key; each output row is one
+    document's list (bounded by max list length, not table size)."""
+    out_col = out_col or value_col + "s"
+    pairs = F.collect_list(
+        F.struct(F.col(pos_col).alias("p"), F.col(value_col).alias("v"))
+    )
+    return child.groupBy(id_col).agg(
+        F.transform(F.array_sort(pairs), lambda s: s["v"]).alias(out_col)
+    )
 
 
 def export_flat_catalog(catalog: DataFrame, out_dir: str | Path,

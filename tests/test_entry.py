@@ -22,3 +22,47 @@ def test_contract_shapes(spark):
     assert set(oracles) <= set(qs)
     # most queries must be oracle-checkable (strong gate)
     assert len(oracles) >= len(qs) - 5
+
+
+def test_parity_queries_inside_driver_window():
+    """The driver verifies only the first 50 registry entries; every SURVEY
+    §2 text-pipeline / similarity / textstats parity query must be in that
+    window (round-1 verdict: 22 flagship queries sat past position 50)."""
+    from nonconsumptive_spark.queries import PRIORITY, all_queries
+
+    names = list(all_queries())
+    window = set(names[:50])
+    flagship = {
+        "q_doc_token_counts",
+        "q_document_lengths",
+        "q_global_wordcount",
+        "q_vocabulary",
+        "q_encoded_unigrams",
+        "q_bigram_counts",
+        "q_trigram_counts",
+        "q_chunked_wordcounts",
+        "q_count_sum_preservation",
+        "q_token_count_ws",
+        "q_quality_score",
+        "q_lang_id",
+        "q_fingerprint",
+        "q_arrow_batch_stats",
+        "q_knn_cosine_bruteforce",
+        "q_embedding_norms",
+        "q_cosine_near_pairs",
+        "q_srp_stats",
+        "q_srp_hamming",
+        "q_approx_distinct",
+        "q_dedup_exact",
+        "q_minhash_dedup_pairs",
+        "q_multimodal_features",
+        "q_asof_join",
+        "q_sessionize_lag",
+    }
+    missing = flagship - window
+    assert not missing, f"flagship queries outside driver window: {missing}"
+    # PRIORITY names must all resolve (no typo'd / stale entries), except
+    # queries scheduled for later in the round.
+    registered = set(names)
+    stale = [n for n in PRIORITY if n not in registered]
+    assert not stale, f"PRIORITY entries not in registry: {stale}"
