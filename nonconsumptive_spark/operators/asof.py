@@ -29,19 +29,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               right_cols: list[str], how: str = "inner") -> DataFrame:
     """Columns: all of ``left`` plus ``right_cols`` from the as-of match
     (null if no right row precedes and ``how='left'``; such rows dropped
-    for ``how='inner'``)."""
+    for ``how='inner'``).
+
+    The matched right attributes travel as ONE struct and a single
+    ``last(struct, ignoreNulls=True)`` picks the as-of row, so all
+    attributes always come from the *same* right row — taking ``last`` per
+    column independently would stitch values from different right rows
+    whenever an attribute is legitimately NULL (merge_asof never does
+    this).  Inner semantics key off the struct's own nullness, so a match
+    whose first attribute happens to be NULL is kept."""
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_cols]
+    )
     l = left.select(
         F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r = right.select(
         F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
@@ -51,12 +64,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     matched = l.unionByName(r).select(
         "__side",
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     out = matched.filter(F.col("__side") == 1).drop("__side")
     if how == "inner":
-        out = out.filter(F.col(right_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
+        *lcols, *[F.col("__r").getField(c).alias(c) for c in right_cols]
+    )

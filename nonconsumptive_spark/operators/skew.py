@@ -23,17 +23,35 @@ from pyspark.sql import functions as F
 
 
 def salted_join(big: DataFrame, other: DataFrame, key: str, n_salt: int = 8,
-                salt_cols: list[str] | None = None, how: str = "inner") -> DataFrame:
+                salt_cols: list[str] | None = None, how: str = "inner",
+                position_salt: bool = False) -> DataFrame:
     """Equi-join robust to a skewed ``key`` distribution on ``big``.
 
     ``big`` rows get salt = hash(salt_cols) mod n_salt (or a hash of all
     non-key columns if unspecified); ``other`` is replicated once per salt
     via an exploded literal sequence.  The join key becomes (key, salt),
     so a hot key's rows spread over ``n_salt`` shuffle partitions.
-    Output columns match ``big.join(other, key, how)``."""
-    if salt_cols is None:
-        salt_cols = [c for c in big.columns if c != key]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt))
+    Output columns match ``big.join(other, key, how)``.
+
+    Column-hash salting cannot spread a hot key whose rows are IDENTICAL
+    across ``salt_cols`` (they all hash to one bucket).  For that case —
+    and for a ``big`` with no non-key columns at all — pass
+    ``position_salt=True``: the salt derives from the row's physical
+    position (partition id + offset), which is stable across shuffle
+    replays when ``big`` is a deterministic scan (file sources; NOT the
+    output of a previous shuffle — reorderings there would re-salt rows).
+    """
+    if position_salt:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    else:
+        if salt_cols is None:
+            salt_cols = [c for c in big.columns if c != key]
+        if not salt_cols:
+            raise ValueError(
+                "salted_join: `big` has no non-key columns to derive a salt "
+                "from; pass salt_cols explicitly or position_salt=True"
+            )
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt))
     b = big.withColumn("__salt", salt.cast("int"))
     o = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

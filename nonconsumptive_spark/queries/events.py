@@ -301,15 +301,19 @@ def q_pivot_event_values(spark, sf_dir):
     doc="Sessionization, lag+cumsum formulation (the batch-classic dual of "
         "session_window used by q_events_session): a gap >30min opens a new "
         "session; running sum of gap flags numbers the sessions.  Ordering "
-        "key (ts, event_id) is total, so both engines agree exactly.",
+        "key (ts, event_id) is total, so both engines agree exactly.  Gaps "
+        "compare at MICROSECOND precision (unix_micros) to match the "
+        "oracle's exact interval comparison — a second-truncated cast would "
+        "flip session numbering for same-user gaps within ~1s of the "
+        "threshold.",
 )
 def q_sessionize_lag(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = ev.select(
         "user_id", "ts", "event_id",

@@ -5,8 +5,12 @@ The reference rebuilds derived features per-bookstack on demand; here new
 bookstack parquet files arriving in a directory flow through the SAME
 fused counting kernel (operators/wordcount.py) incrementally, and a
 foreachBatch sink folds each micro-batch's counts into a running global
-wordcount table — additive merge, so replays converge and the final
-table equals the batch computation over all files (asserted in tests).
+wordcount table.  The merge is ADDITIVE, and foreachBatch is
+at-least-once — a merge that commits just before a failed streaming
+checkpoint commit gets re-applied on restart — so the sink records the
+last-applied epoch in a sidecar marker and skips any batch with
+``epoch_id <= applied``; that makes re-application a no-op and the final
+table equal to the batch computation over all files (asserted in tests).
 
 Scale notes: per-batch counting is the narrow fused kernel (no shuffle);
 the merge aggregates (token, count) — the running table is vocabulary-
@@ -37,9 +41,30 @@ def stream_documents(spark: SparkSession, path: str,
     )
 
 
-def merge_wordcounts(batch_counts: DataFrame, table_dir: str) -> None:
+def _epoch_marker(table_dir: str) -> Path:
+    return Path(str(table_dir).rstrip("/") + "__epoch")
+
+
+def applied_epoch(table_dir: str) -> int:
+    """Last epoch folded into the table; -1 if none recorded."""
+    marker = _epoch_marker(table_dir)
+    try:
+        return int(marker.read_text().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def merge_wordcounts(batch_counts: DataFrame, table_dir: str,
+                     epoch_id: int | None = None) -> bool:
     """Fold one micro-batch's (token, count) into the running table:
-    additive on collision.  Sibling-dir swap keeps the table whole."""
+    additive on collision.  Returns False (and does nothing) when
+    ``epoch_id`` was already applied — additive merges MUST be guarded
+    this way under foreachBatch's at-least-once contract, or a replayed
+    epoch double-counts every token.  The epoch marker is written only
+    after the table rewrite completes, so a crash between the two replays
+    the merge (never skips it)."""
+    if epoch_id is not None and epoch_id <= applied_epoch(table_dir):
+        return False
     spark = batch_counts.sparkSession
     p = Path(table_dir)
     if p.exists() and any(p.iterdir()):
@@ -54,6 +79,12 @@ def merge_wordcounts(batch_counts: DataFrame, table_dir: str) -> None:
     tmp = str(p.parent / (p.name + "__tmp"))
     merged.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(table_dir)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    if epoch_id is not None:
+        _epoch_marker(table_dir).write_text(str(epoch_id))
+    return True
 
 
 def start_incremental_wordcounts(stream: DataFrame, table_dir: str,
@@ -67,7 +98,7 @@ def start_incremental_wordcounts(stream: DataFrame, table_dir: str,
             .groupBy("token")
             .agg(F.sum("count").alias("count"))
         )
-        merge_wordcounts(counts, table_dir)
+        merge_wordcounts(counts, table_dir, epoch_id=epoch_id)
 
     return (
         stream.writeStream.foreachBatch(body)

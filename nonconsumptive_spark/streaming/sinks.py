@@ -33,11 +33,19 @@ def upsert_parquet(batch_df: DataFrame, table_dir: str, keys: list[str]) -> None
         merged = kept.unionByName(dedup)
     else:
         merged = dedup
-    # write to a sibling then swap: the table is never half-written
+    # Stage to a sibling dir first so the merge never reads the table it is
+    # rewriting.  The final overwrite is itself delete-then-write, NOT
+    # atomic — a crash mid-rewrite leaves a partial table (recoverable from
+    # the staged copy, which is removed only after the rewrite completes).
+    # A truly atomic swap needs a table format (Delta/Iceberg) or an
+    # atomic directory rename; this sink trades that for zero extra deps.
     tmp = str(p.parent / (p.name + "__tmp"))
     merged.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(table_dir)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def start_upsert_sink(stream: DataFrame, table_dir: str, keys: list[str],

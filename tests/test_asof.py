@@ -43,6 +43,30 @@ def test_asof_inner_and_left(spark):
     assert left == {("t0", 100.0), ("t1", 101.0), ("t2", None)}
 
 
+def test_asof_null_right_attributes_stay_coherent(spark):
+    """Right rows with NULL attributes: all matched attributes must come
+    from the SAME right row (no per-column stitching), and an inner join
+    must keep a match whose attributes are NULL."""
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:05"), "t1")], ["k", "ts", "trade_id"]
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100.0, "mkt-A"),
+         # the as-of match: later quote with a NULL price and a new venue
+         (1, _ts("2024-01-01 10:00:03"), None, None)],
+        "k long, qts timestamp, price double, venue string",
+    )
+    rows = asof_join(
+        trades, quotes, on="k", left_ts="ts", right_ts="qts",
+        right_cols=["price", "venue"], how="inner",
+    ).collect()
+    # inner keeps the match even though its attributes are NULL, and the
+    # earlier row's (100.0, "mkt-A") must NOT leak through per-column.
+    assert [(r["trade_id"], r["price"], r["venue"]) for r in rows] == [
+        ("t1", None, None)
+    ]
+
+
 def test_asof_matches_pandas_merge_asof(spark):
     # randomized cross-check against the pandas reference implementation
     import numpy as np

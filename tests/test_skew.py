@@ -41,6 +41,20 @@ def test_salted_join_spreads_hot_key(spark):
     assert salts == 4  # the hot key occupies every salt bucket
 
 
+def test_salted_join_keyonly_big_requires_explicit_salt(spark):
+    import pytest
+
+    big = spark.range(100).select(F.lit(1).alias("k"))  # key column only
+    dim = spark.createDataFrame([(1, "x")], ["k", "name"])
+    with pytest.raises(ValueError, match="position_salt"):
+        salted_join(big, dim, key="k", n_salt=4)
+    # position salt spreads even fully-identical rows across buckets
+    out = salted_join(big, dim, key="k", n_salt=4, position_salt=True)
+    assert out.count() == 100
+    plain = {tuple(r) for r in big.join(dim, "k").collect()}
+    assert {tuple(r) for r in out.collect()} == plain
+
+
 def test_salted_agg_equals_plain(spark):
     df = _skewed(spark)
     plain = {

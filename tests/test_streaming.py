@@ -211,3 +211,24 @@ def test_incremental_wordcounts_equal_batch(spark, tmp_path):
         for r in wc.global_wordcount(spark.read.parquet(src_dir)).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_merge_wordcounts_epoch_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once; re-applying a committed epoch must
+    not double-count (the additive merge is guarded by an epoch marker)."""
+    from nonconsumptive_spark.streaming.corpus import applied_epoch, merge_wordcounts
+
+    table = str(tmp_path / "wc")
+    batch = spark.createDataFrame([("a", 2), ("b", 1)], ["token", "count"])
+    assert merge_wordcounts(batch, table, epoch_id=0) is True
+    assert applied_epoch(table) == 0
+    # replay of epoch 0 (checkpoint commit failed, stream restarted)
+    assert merge_wordcounts(batch, table, epoch_id=0) is False
+    got = {(r["token"], r["count"]) for r in spark.read.parquet(table).collect()}
+    assert got == {("a", 2), ("b", 1)}
+    # a genuinely new epoch still merges additively
+    assert merge_wordcounts(batch, table, epoch_id=1) is True
+    got = {(r["token"], r["count"]) for r in spark.read.parquet(table).collect()}
+    assert got == {("a", 4), ("b", 2)}
+    # no stray staging directory left behind
+    assert not (tmp_path / "wc__tmp").exists()
