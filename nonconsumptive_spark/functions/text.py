@@ -51,9 +51,11 @@ def tokenize(text: Column | str) -> Column:
 
 # F3: the reference's second fallback tokenizer (document.py:79-80):
 # word runs OR punctuation runs — `re.findall(r"[\w^_]+|[^\w\s]+")`.
-# Java regex and DuckDB's RE2 agree on ASCII \w and \s here, so the same
-# pattern string works verbatim on both sides of the oracle compare.
-FALLBACK_TOKEN_REGEX = r"[\w^_]+|[^\w\s]+"
+# Python's \w there is UNICODE (Cyrillic text tokenizes as words), while
+# Java's and RE2's \w is ASCII-only — so spell the class out as
+# \p{L}\p{N}_ (letters, numbers, underscore), which all three engines
+# support and which matches the reference's behavior on non-ASCII text.
+FALLBACK_TOKEN_REGEX = r"[\p{L}\p{N}^_]+|[^\p{L}\p{N}_\s]+"
 
 
 def tokenize_fallback(text: Column | str) -> Column:

@@ -178,17 +178,19 @@ def q_chunked_wordcounts(spark, sf_dir):
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_filter(toks,
-                x -> NOT regexp_full_match(x, '[\w^_]+'))) AS BIGINT) AS n_punct_runs,
+                x -> NOT regexp_full_match(x, '[\p{L}\p{N}^_]+'))) AS BIGINT) AS n_punct_runs,
            toks[1] AS first_token
     FROM (
-      SELECT doc_id, regexp_extract_all(text, '[\w^_]+|[^\w\s]+') AS toks
+      SELECT doc_id,
+             regexp_extract_all(text, '[\p{L}\p{N}^_]+|[^\p{L}\p{N}_\s]+') AS toks
       FROM documents)
     """,
     doc="F3: the reference's words+punctuation fallback tokenizer "
         "(document.py:79-80, re.findall(r'[\\w^_]+|[^\\w\\s]+')) as a "
         "regexp_extract_all column expression — token count, punctuation-run "
-        "count, and first token per document.  Java regex and RE2 agree on "
-        "ASCII \\w/\\s so the identical pattern runs on both engines.",
+        "count, and first token per document.  The word class is spelled "
+        "\\p{L}\\p{N}_ so Spark (Java), DuckDB (RE2), and the reference "
+        "(Python Unicode \\w) agree on non-ASCII text.",
 )
 def q_tokenize_fallback(spark, sf_dir):
     from nonconsumptive_spark.functions.text import let, tokenize_fallback
@@ -199,7 +201,7 @@ def q_tokenize_fallback(spark, sf_dir):
         lambda toks: F.struct(
             F.size(toks).cast("long").alias("n_tokens"),
             F.size(
-                F.filter(toks, lambda x: ~x.rlike(r"^[\w^_]+$"))
+                F.filter(toks, lambda x: ~x.rlike(r"^[\p{L}\p{N}^_]+$"))
             ).cast("long").alias("n_punct_runs"),
             F.element_at(toks, 1).alias("first_token"),
         ),

@@ -29,6 +29,44 @@ def test_unicode_tokens(spark):
     assert counts["семья"] == 1
 
 
+def test_tokenize_fallback_matches_reference_findall(spark):
+    """F3 must agree with the reference's re.findall(r'[\\w^_]+|[^\\w\\s]+')
+    (reference document.py:79-80) on representative texts."""
+    import re
+
+    texts = [
+        "Hello, world! It's a test_case.",
+        "a--b  c_d 42x ...",
+        "каждая! семья; (mixed) #tag",
+        "",
+    ]
+    docs = _docs(spark, list(enumerate(texts)))
+    from nonconsumptive_spark.functions.text import tokenize_fallback
+
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select("doc_id", tokenize_fallback("text").alias("toks")).collect()
+    }
+    # default (Unicode) flags — exactly what the reference runs
+    pat = re.compile(r"[\w^_]+|[^\w\s]+")
+    for i, t in enumerate(texts):
+        assert got[i] == pat.findall(t), (i, t)
+
+
+def test_tokenize_blingfire_gated(spark):
+    from nonconsumptive_spark.functions import text as tx
+
+    if tx.HAS_BLINGFIRE:
+        docs = _docs(spark, [(1, "Hello, world!")])
+        toks = docs.select(tx.tokenize_blingfire("text").alias("t")).first()["t"]
+        assert len(toks) >= 2
+    else:
+        import pytest
+
+        with pytest.raises(ModuleNotFoundError, match="blingfire"):
+            tx.tokenize_blingfire("text")
+
+
 def test_vocabulary_dense_ids_and_tiebreak(spark):
     docs = _docs(spark, [(1, "b a b c a b")])
     vocab = wc.vocabulary(docs).collect()
