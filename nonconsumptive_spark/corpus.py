@@ -166,6 +166,17 @@ class CorpusSession:
             self.cache.cache_set.add(t)
             self.run(t)
 
+    def export_catalog(self, out_dir) -> dict[str, dict]:
+        """Write the catalog with persisted per-field statistics
+        (quantiles / top values — reference catalog.py:420-428) as parquet
+        column metadata plus a JSON sidecar.  Returns the stats map."""
+        from nonconsumptive_spark.sources import writers
+        from nonconsumptive_spark.sources.inference import field_metadata
+
+        meta = field_metadata(self._catalog, self.column_plans)
+        writers.export_catalog(self._catalog, out_dir, field_meta=meta)
+        return meta
+
     # -- document accessor (reference document.py:39-77) ------------------
     def document(self, doc_id: str) -> dict:
         row = self._docs.filter(F.col("@id") == doc_id).first()

@@ -134,19 +134,39 @@ def infer_column_plans(raw: DataFrame, id_field: str | None = None,
     return plans
 
 
-def build_dictionary(raw: DataFrame, col: str, code_type: str = "int") -> DataFrame:
+def build_dictionary(raw: DataFrame, col: str, code_type: str = "int",
+                     cap: int | None = None) -> DataFrame:
     """Frequency-ordered dictionary dim table (value, code) — count desc,
     value asc tie-break (reference catalog.py:375-402 plus our determinism
-    fix, SURVEY §7 hard-point 2)."""
+    fix, SURVEY §7 hard-point 2).
+
+    Small-code dictionaries (tinyint/smallint — ≤32k codes by the width
+    rule, reference catalog.py:506-513) rank with the bounded
+    ``orderBy().limit(cap)`` + window pattern.  Wide (int) dictionaries can
+    legitimately hold 10⁸+ distinct values, where any single-partition
+    window is a scale bug — they take the per-partition-offset dense-id
+    path (``assign_dense_ids``) instead: range-partition by the sort key,
+    local row numbers, driver-side offset add.  Both paths produce the
+    identical deterministic assignment."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("__n"), F.asc(col))
-    return (
-        raw.groupBy(col).agg(F.count(F.lit(1)).alias("__n"))
-        .select(
+    from nonconsumptive_spark.sources.readers import assign_dense_ids
+
+    counts = raw.groupBy(col).agg(F.count(F.lit(1)).alias("__n"))
+    if cap is None:
+        cap = {"tinyint": 2 ** 7, "smallint": 2 ** 15}.get(code_type)
+    if cap is not None:
+        top = counts.orderBy(F.desc("__n"), F.asc(col)).limit(cap)
+        w = Window.orderBy(F.desc("__n"), F.asc(col))
+        return top.select(
             F.col(col).alias("value"),
             (F.row_number().over(w) - 1).cast(code_type).alias("code"),
         )
+    coded = assign_dense_ids(
+        counts.withColumn("__neg", -F.col("__n")), ["__neg", col], id_name="code"
+    )
+    return coded.select(
+        F.col(col).alias("value"), F.col("code").cast(code_type).alias("code")
     )
 
 
@@ -177,6 +197,59 @@ def apply_plans(raw: DataFrame, plans: list[ColumnPlan],
         elif p.target != dict(raw.dtypes)[p.name]:
             out = out.withColumn(p.name, F.col(p.name).cast(p.target))
     return out
+
+
+# reference catalog.py:408-418
+QUANTILE_POINTS = [0.0, 0.005, 0.05, 0.25, 0.5, 0.75, 0.95, 0.995, 1.0]
+TOP_VALUES_K = 10  # reference catalog.py:426-427
+
+
+def field_metadata(df: DataFrame, plans: list[ColumnPlan],
+                   top_k: int = TOP_VALUES_K) -> dict[str, dict]:
+    """Per-field statistics persisted with the catalog (reference
+    catalog.py:420-428): quantiles at the reference's nine points for
+    numeric columns, min/max for dates, top-K most frequent values for
+    dictionary columns.
+
+    Cost: ONE aggregation scan for every quantile/min-max column, plus one
+    tiny top-k job per dictionary column (catalog-sized inputs; each is a
+    TakeOrderedAndProject)."""
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    aggs, meta = [], {}
+    for p in plans:
+        if p.target in numeric:
+            aggs.append(
+                F.percentile_approx(p.name, QUANTILE_POINTS, 10_000)
+                .alias(f"{p.name}__q")
+            )
+        elif p.target in ("date", "date-parse"):
+            c = F.to_date(p.name, "yyyy-MM-dd") if p.target == "date-parse" else F.col(p.name)
+            aggs += [F.min(c).alias(f"{p.name}__min"), F.max(c).alias(f"{p.name}__max")]
+    row = df.agg(*aggs).first().asDict() if aggs else {}
+    for p in plans:
+        if f"{p.name}__q" in row and row[f"{p.name}__q"] is not None:
+            meta[p.name] = {
+                "quantiles": [
+                    {"q": q, "value": v}
+                    for q, v in zip(QUANTILE_POINTS, row[f"{p.name}__q"])
+                ]
+            }
+        elif f"{p.name}__min" in row:
+            meta[p.name] = {
+                "min": str(row[f"{p.name}__min"]),
+                "max": str(row[f"{p.name}__max"]),
+            }
+        elif p.target == "dict":
+            top = (
+                df.groupBy(p.name).agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc(p.name))
+                .limit(top_k)
+                .collect()
+            )
+            meta[p.name] = {
+                "top_values": [{"value": r[p.name], "count": r["n"]} for r in top]
+            }
+    return meta
 
 
 def check_unique_ids(df: DataFrame, id_col: str = "@id") -> None:

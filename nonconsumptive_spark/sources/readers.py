@@ -146,12 +146,35 @@ def read_catalog(spark: SparkSession, path: str, fmt: str | None = None) -> Data
         # S8: tolerate footer drift across files
         return spark.read.option("mergeSchema", "true").parquet(path)
     if fmt == "feather":
-        # No native feather source: read via pyarrow on the driver (catalogs
-        # are small); corpus-scale data standardizes on parquet (SURVEY S6).
-        import pyarrow.feather as feather
-
-        return spark.createDataFrame(feather.read_table(path).to_pandas())
+        return read_feather_catalog(spark, path)
     raise ValueError(f"cannot sniff catalog format for {path}")
+
+
+def feather_is_nonconsumptive(path: str) -> bool:
+    """S6: the reference marks its own feather caches with a schema-metadata
+    key ``b"nonconsumptive"`` and skips re-inference for them (reference
+    catalog.py:168-176, 220-221, 259-260).  Footer-only read — no data."""
+    import pyarrow.ipc as ipc
+
+    with ipc.open_file(path) as rd:
+        return b"nonconsumptive" in (rd.schema.metadata or {})
+
+
+def read_feather_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """S6: feather/Arrow-IPC catalog shim.  Spark has no feather source, so
+    the file is read via pyarrow on the driver and handed to
+    ``createDataFrame`` — Arrow-native in Spark 4 (zero-copy batches), with
+    a pandas fallback for types the Arrow path rejects.  Catalogs are
+    metadata-sized; corpus-scale data standardizes on parquet (SURVEY S6).
+    Use ``feather_is_nonconsumptive`` to skip schema re-inference for the
+    reference's own caches."""
+    import pyarrow.feather as feather
+
+    tb = feather.read_table(path)
+    try:
+        return spark.createDataFrame(tb)
+    except Exception:
+        return spark.createDataFrame(tb.to_pandas())
 
 
 def read_parquet_bookstacks(spark: SparkSession, path: str) -> DataFrame:

@@ -120,3 +120,38 @@ def export_flat_catalog(catalog: DataFrame, out_dir: str | Path,
 def export_id_index(catalog: DataFrame, out_dir: str | Path) -> None:
     """S12: the @id → nc:id mapping as plain parquet."""
     catalog.select("@id", "nc:id").write.mode("overwrite").parquet(str(out_dir))
+
+
+NC_VERSION = "nonconsumptive-spark/0.2"  # table stamp, reference catalog.py:259-260
+
+
+def export_catalog(catalog: DataFrame, out_dir: str | Path,
+                   field_meta: dict[str, dict] | None = None,
+                   compression: str = "zstd") -> None:
+    """Catalog export with persisted field statistics (reference
+    catalog.py:420-428 stores quantiles/top-values as Arrow field metadata
+    plus a `nonconsumptive` table stamp).
+
+    Spark renders this two ways at once: each field's stats go into its
+    ``StructField.metadata`` (serialized into the parquet footer's Spark
+    schema and restored by any Spark reader), and the whole map goes into
+    a ``_nc_fields.json`` sidecar next to the data for non-Spark
+    consumers."""
+    import json
+
+    df = catalog
+    for c, m in (field_meta or {}).items():
+        if c in df.columns:
+            df = df.withMetadata(c, {"nonconsumptive": m})
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(str(out_dir))
+    )
+    sidecar = Path(out_dir) / "_nc_fields.json"
+    sidecar.write_text(
+        json.dumps(
+            {"nonconsumptive": NC_VERSION, "fields": field_meta or {}},
+            indent=2, ensure_ascii=False, default=str,
+        )
+    )

@@ -229,6 +229,112 @@ def test_cli_build_and_query(tmp_path):
     assert main(["query", "nope_not_a_query"]) == 2
 
 
+def test_export_catalog_field_metadata(spark, corpus_dir, tmp_path):
+    """Persisted field stats (reference catalog.py:420-428): quantiles for
+    numerics land in parquet column metadata AND a JSON sidecar; dict
+    columns carry top-values; a version stamp marks the table."""
+    import json as _json
+
+    cs = CorpusSession(
+        spark,
+        texts=str(corpus_dir / "texts"),
+        metadata=str(corpus_dir / "catalog.ndjson"),
+        cache_dir=tmp_path / "cache_meta",
+    )
+    out = tmp_path / "catalog_out"
+    meta = cs.export_catalog(out)
+
+    # year inferred smallint → quantiles at the reference's nine points
+    assert "year" in meta and len(meta["year"]["quantiles"]) == 9
+    qs = {d["q"]: d["value"] for d in meta["year"]["quantiles"]}
+    assert qs[0.0] == 1850 and qs[1.0] == 1852
+    assert meta["date"] == {"min": "1850-03-01", "max": "1852-05-03"}
+
+    sidecar = _json.loads((out / "_nc_fields.json").read_text())
+    assert sidecar["nonconsumptive"].startswith("nonconsumptive-spark/")
+    assert sidecar["fields"]["year"] == meta["year"]
+
+    # Spark restores the column metadata from the parquet footer
+    back = spark.read.parquet(str(out))
+    fld = {f.name: f.metadata for f in back.schema.fields}
+    assert fld["year"]["nonconsumptive"]["quantiles"][0]["value"] == 1850
+
+
+def test_field_metadata_dict_top_values(spark):
+    from nonconsumptive_spark.sources.inference import field_metadata
+
+    df = spark.createDataFrame(
+        [(str(i), ["x", "y", "z", "z"][i % 4]) for i in range(40)],
+        ["@id", "cat"],
+    )
+    plans = infer_column_plans(df)
+    assert {p.name: p.target for p in plans}["cat"] == "dict"
+    meta = field_metadata(df, plans)
+    top = meta["cat"]["top_values"]
+    # z appears 2x per cycle: top value is z(20), then x(10), y(10)
+    assert top[0] == {"value": "z", "count": 20}
+    assert [d["value"] for d in top[1:]] == ["x", "y"]
+
+
+def test_feather_catalog_roundtrip(spark, tmp_path):
+    """S6: a feather catalog in the reference's layout (list column +
+    `nonconsumptive` schema-metadata marker) reads through the pyarrow
+    shim with types and rows intact; the marker is detected footer-only."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    tb = pa.table(
+        {
+            "@id": pa.array(["a", "b", "г"]),
+            "year": pa.array([1990, 2001, 2020], type=pa.int16()),
+            "keywords": pa.array([["fox", "dog"], [], ["семья"]],
+                                 type=pa.list_(pa.string())),
+        }
+    )
+    plain = tmp_path / "cat.feather"
+    feather.write_feather(tb, str(plain))
+    df = readers.read_catalog(spark, str(plain))
+    assert df.count() == 3
+    got = {tuple(r) for r in df.select("@id", "year").collect()}
+    assert got == {("a", 1990), ("b", 2001), ("г", 2020)}
+    kw = dict(
+        (r["@id"], r["keywords"]) for r in df.select("@id", "keywords").collect()
+    )
+    assert kw["a"] == ["fox", "dog"] and kw["г"] == ["семья"]
+    assert readers.feather_is_nonconsumptive(str(plain)) is False
+
+    marked = tmp_path / "nc.feather"
+    feather.write_feather(
+        tb.replace_schema_metadata({b"nonconsumptive": b"{}"}), str(marked)
+    )
+    assert readers.feather_is_nonconsumptive(str(marked)) is True
+
+
+def test_flat_catalog_renest_roundtrip(spark, corpus_dir, tmp_path):
+    """F14: wide → flat (with saved positions) → wide reconstructs list
+    columns exactly, element order included."""
+    cs = CorpusSession(
+        spark,
+        texts=str(corpus_dir / "texts"),
+        metadata=str(corpus_dir / "catalog.ndjson"),
+        cache_dir=tmp_path / "cache_renest",
+    )
+    cat = cs.run("catalog")
+    fixed = readers.normalize_mixed_list_columns(cat, ["keywords"])
+    family = writers.flat_catalog(fixed, with_pos=True)
+    assert family["keywords"].columns[1] == "pos"
+    wide = writers.renest_lists(
+        family["keywords"], "nc:id", "keyword", out_col="keywords"
+    )
+    orig = {
+        r["nc:id"]: r["keywords"]
+        for r in fixed.select("nc:id", "keywords").collect()
+        if r["keywords"]  # docs with no keywords have no child rows
+    }
+    got = {r["nc:id"]: r["keywords"] for r in wide.collect()}
+    assert got == orig and len(got) > 0
+
+
 def test_messy_parquet_schema_merge(spark, tmp_path):
     """S8: catalog dir whose parquet footers drifted (a column added later)
     still reads as one frame with the union schema."""
