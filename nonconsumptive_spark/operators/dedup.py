@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from nonconsumptive_spark.functions.text import let, tokenize
 from nonconsumptive_spark.operators.textstats import fingerprint
+from nonconsumptive_spark.plans.checkpoint import materialize_once
 
 # MinHash parameters — shared verbatim with the DuckDB oracle SQL.
 MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
@@ -78,7 +79,7 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized-text fingerprint: every doc mapped to the
     minimum doc_id of its duplicate group (keep_id == doc_id => keeper)."""
-    fp = fingerprint(docs, id_col, text_col).localCheckpoint(eager=False)
+    fp = materialize_once(fingerprint(docs, id_col, text_col), "exact_fp")
     groups = fp.groupBy("fingerprint").agg(F.min(id_col).alias("keep_id"))
     return (
         fp.join(groups, "fingerprint")
@@ -129,7 +130,7 @@ def _sig_base(docs: DataFrame, id_col: str, text_col: str,
         ),
     )
     base = hashed.select(id_col, *keep, sig_arr.alias("sig"))
-    return base.localCheckpoint(eager=False) if materialize else base
+    return materialize_once(base, "minhash_sig") if materialize else base
 
 
 def _minhash_wide(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -200,7 +201,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold via a shingle equi-join
     (only pairs sharing ≥1 shingle are ever materialized)."""
-    sh = doc_shingles(docs, id_col, text_col).localCheckpoint(eager=False)
+    sh = materialize_once(doc_shingles(docs, id_col, text_col), "shingles")
     exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
     a = exploded.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -334,7 +335,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
     actually faster (0.8s vs 1.4s — 12.5M vectorized long comparisons
     beat an explode+shuffle+distinct); banded wins as soon as n² stops
     fitting, which is the only regime that matters at corpus scale."""
-    sig = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
+    sig = materialize_once(simhash(docs, id_col, text_col), "simhash_sig")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     if not banded:
         a = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))

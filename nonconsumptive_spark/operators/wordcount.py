@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nonconsumptive_spark.functions.text import let, ngram_structs, tokenize
+from nonconsumptive_spark.plans.checkpoint import materialize_once
 
 VOCAB_CAP = 1_000_000  # reference corpus.py:193,241
 
@@ -136,7 +137,7 @@ def encode_unigrams(docs: DataFrame, vocab: DataFrame | None = None,
     with the barrier realized as a broadcast."""
     counts = doc_token_counts(docs, id_col, text_col)
     if vocab is None:
-        counts = counts.localCheckpoint(eager=False)
+        counts = materialize_once(counts, "unigram_counts")
         vocab = rank_vocab(
             counts.groupBy("token").agg(F.sum("count").alias("count"))
         )

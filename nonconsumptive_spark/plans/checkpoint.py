@@ -22,6 +22,63 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_nc_manifest.json"
 
+# ---------------------------------------------------------------------------
+# Materialization policy for in-query reuse points (dedup signatures,
+# shingle tables, SRP bit frames): places where one expensive frame feeds
+# several plan subtrees and must be computed once, not once per reference.
+#
+#   'local'   → DataFrame.localCheckpoint(eager=False): executor-local
+#               shuffle files — fast, zero config, but LOST on executor
+#               failure (the whole query re-runs).  Right for local[n]
+#               and short interactive jobs.
+#   'parquet' → durable zstd parquet under a root dir, read back: survives
+#               executor loss, shareable across jobs — the knob a
+#               1000-executor cluster must run with (the reference's
+#               reservoir policy, data_storage.py:154-161).
+#
+# The policy is process-global so operator code stays declarative; flip it
+# once at session setup (or via the `parquet_materialization` context
+# manager in tests).
+
+_MAT_POLICY: dict = {"mode": "local", "root": None}
+_MAT_SEQ = 0
+
+
+def set_materialization(mode: str, root: str | Path | None = None) -> None:
+    if mode not in ("local", "parquet"):
+        raise ValueError(f"materialization mode must be local|parquet, got {mode!r}")
+    if mode == "parquet" and root is None:
+        raise ValueError("parquet materialization needs a root directory")
+    _MAT_POLICY["mode"] = mode
+    _MAT_POLICY["root"] = str(root) if root else None
+
+
+def materialize_once(df: DataFrame, name: str = "mat") -> DataFrame:
+    """Apply the session materialization policy to a reuse-point frame."""
+    global _MAT_SEQ
+    if _MAT_POLICY["mode"] == "local":
+        return df.localCheckpoint(eager=False)
+    _MAT_SEQ += 1
+    path = str(Path(_MAT_POLICY["root"]) / f"{name}-{_MAT_SEQ:04d}")
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+class parquet_materialization:
+    """Context manager: run a block under the durable parquet policy."""
+
+    def __init__(self, root: str | Path):
+        self.root = root
+
+    def __enter__(self):
+        self._saved = dict(_MAT_POLICY)
+        set_materialization("parquet", self.root)
+        return self
+
+    def __exit__(self, *exc):
+        _MAT_POLICY.update(self._saved)
+        return False
+
 
 class CheckpointCache:
     def __init__(self, root: str | Path, cache_set: set[str] | None = None,

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nonconsumptive_spark.plans.checkpoint import materialize_once
 from nonconsumptive_spark.queries import load, register
 
 _DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\pL]+'), x -> x <> '')"
@@ -217,11 +218,11 @@ def q_srp_stats(spark, sf_dir):
     from nonconsumptive_spark.functions.embeddings import (
         popcount_binary,
         srp_bits,
-        srp_embed,
+        srp_embed_arrow,
     )
 
     docs = load(spark, sf_dir, "documents")
-    emb = srp_bits(srp_embed(docs, dim=128), keep_vec=True)
+    emb = srp_bits(srp_embed_arrow(docs, dim=128), keep_vec=True)
     norm_sq = F.aggregate(
         F.transform("srp", lambda x: x.cast("double") * x),
         F.lit(0.0),
@@ -250,11 +251,13 @@ def q_srp_hamming(spark, sf_dir):
     from nonconsumptive_spark.functions.embeddings import (
         hamming_binary,
         srp_bits,
-        srp_embed,
+        srp_embed_arrow,
     )
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    bits = srp_bits(srp_embed(docs, dim=128), id_col="doc_id").localCheckpoint(eager=False)
+    bits = materialize_once(
+        srp_bits(srp_embed_arrow(docs, dim=128), id_col="doc_id"), "srp_bits"
+    )
     a = bits.select(F.col("doc_id").alias("doc_a"), F.col("srp_bits").alias("bits_a"))
     b = bits.select(F.col("doc_id").alias("doc_b"), F.col("srp_bits").alias("bits_b"))
     return (

@@ -33,6 +33,28 @@ def test_srp_shape_and_determinism(spark):
     assert not np.allclose(a[1], a[2])
 
 
+def test_srp_arrow_matches_pandas_udf(spark):
+    """The mapInArrow fast path must reproduce the pandas_udf reference
+    embedding bit-for-bit (same accumulation order: rows ascending, then
+    distinct tokens in np.unique's lexicographic order)."""
+    from nonconsumptive_spark.functions.embeddings import srp_embed_arrow
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+    ref = {r["doc_id"]: r["srp"] for r in srp_embed(docs, dim=64).collect()}
+    fast = {r["doc_id"]: r["srp"] for r in srp_embed_arrow(docs, dim=64).collect()}
+    assert set(ref) == set(fast)
+    for k in ref:
+        assert ref[k] == fast[k], k  # exact float32 equality, not allclose
+    # empty/edge docs too
+    e_ref = {r["doc_id"]: r["srp"] for r in srp_embed(_docs(spark), dim=32).collect()}
+    e_fast = {
+        r["doc_id"]: r["srp"]
+        for r in srp_embed_arrow(_docs(spark), dim=32).collect()
+    }
+    assert e_ref == e_fast
+
+
 def test_srp_default_dim(spark):
     one = srp_embed(_docs(spark).limit(1)).first()
     assert len(one["srp"]) == SRP_DIM  # 1280, reference transformations.py:147
