@@ -257,6 +257,68 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
+                   threshold: float = 0.5, id_col: str = "doc_id",
+                   text_col: str = "text", max_iter: int = 20) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the verified
+    near-dup pair graph.  Returns (id, cluster, is_keeper) for EVERY doc —
+    cluster = min doc id in the component, keeper = the doc that survives
+    "drop all but one per cluster" (the step a corpus-scale dedup actually
+    executes after pair generation; pairs alone don't dedup a corpus).
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    list — ``label ← min(label, neighbors' labels)`` until fixpoint.  Each
+    round is one equi-join on doc id plus one groupBy-min (shuffles keyed
+    on ids only; no wide rows move), with lineage truncated per round via
+    ``materialize_once`` — without that, iterative plans nest exponentially.
+    Rounds needed = component diameter; near-dup components are clique-ish
+    (diameter ≤ 3 — every member shares an LSH band with most others), so
+    this converges in 2-4 rounds.  For adversarially long chain graphs use
+    the large-star/small-star variant (same join primitives, O(log n)
+    rounds); the fixpoint check here is a bounded ``limit(1).count()`` per
+    round, never a full collect.  Singletons label themselves via the
+    final left join — they never enter the propagation loop at all, so the
+    iterated frames are bounded by 2·|pairs|, not corpus size."""
+    if pairs is None:
+        pairs = minhash_dedup_pairs(docs, threshold, id_col, text_col)
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = materialize_once(sym, "cc_edges")
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        new = materialize_once(new, "cc_labels")
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    out = docs.select(id_col).join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce("label", F.col(id_col)).alias("cluster"),
+    ).withColumn("is_keeper", F.col("cluster") == F.col(id_col))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash: each token occurrence's md5 hash contributes ±1 per
     bit position; fingerprint bit j = 1 iff the summed weight is positive.

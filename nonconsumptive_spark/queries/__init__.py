@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "q_minhash_signatures",
     "q_lsh_candidates",
     "q_minhash_dedup_pairs",
+    "q_dedup_clusters",
     "q_ngram_jaccard_pairs",
     "q_simhash",
     "q_simhash_near_pairs",

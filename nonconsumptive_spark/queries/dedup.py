@@ -137,6 +137,52 @@ def q_minhash_dedup_pairs(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_dedup_clusters",
+    # the recursive reach CTE needs WITH RECURSIVE on the whole CTE list
+    oracle=_DUCK_BANDS.replace("WITH", "WITH RECURSIVE", 1) + f""",
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cands c
+      JOIN shingles x ON x.doc_id = c.doc_a
+      JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster,
+           coalesce(c.cluster, d.doc_id) = d.doc_id AS is_keeper
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+    doc="Near-dup CLUSTER assignment: connected components over the "
+        "verified LSH pair graph, cluster id = component minimum, keeper "
+        "flag for drop-all-but-one — iterative min-label propagation in "
+        "Spark (joins on ids only, lineage truncated per round) checked "
+        "against DuckDB's recursive-CTE transitive closure.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    return dd.dedup_clusters(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_ngram_jaccard_pairs",
     oracle=f"""
     {_DUCK_SHINGLES},

@@ -26,6 +26,35 @@ def test_exact_dedup_keeper(spark):
     assert rows[3]["is_keeper"]
 
 
+def test_dedup_clusters_semantics(spark):
+    """Connected components on a hand graph: chain 1-2, 2-3 plus pair 5-6
+    → {1,2,3} cluster 1, {5,6} cluster 5, singleton 4 its own cluster."""
+    docs = spark.createDataFrame([(i, f"text {i}") for i in range(1, 7)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  ["doc_a", "doc_b"])
+    rows = {
+        r["doc_id"]: (r["cluster"], r["is_keeper"])
+        for r in dd.dedup_clusters(docs, pairs=pairs).collect()
+    }
+    assert rows == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False),
+    }
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 12-node path graph (worst-case diameter) still reaches the
+    fixpoint: every node labels to the chain minimum."""
+    docs = spark.createDataFrame([(i, "t") for i in range(12)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)],
+                                  ["doc_a", "doc_b"])
+    rows = {r["doc_id"]: r["cluster"]
+            for r in dd.dedup_clusters(docs, pairs=pairs).collect()}
+    assert rows == {i: 0 for i in range(12)}
+
+
 def test_dedup_pipeline_under_parquet_materialization(spark, tmp_path):
     """The cluster-reliable materialization knob (durable parquet
     checkpoints instead of executor-local localCheckpoint) must produce
