@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nonconsumptive_spark.functions.text import tokenize
+from nonconsumptive_spark.functions.text import ngram_structs, tokenize
 
 # Tiny deterministic stopword lists per language for the n-gram/stopword
 # language-ID heuristic.  (Real deployments swap in fastText et al. behind
@@ -75,6 +75,62 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         id_col,
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         best["hits"].cast("long").alias("stopword_hits"),
+    )
+
+
+def repetition_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family): duplicate-line fraction, duplicate-bigram fraction, and the
+    fraction of bigrams taken by the single most frequent bigram.
+    Documents dominated by boilerplate or looping generations score high
+    and get dropped by a threshold filter downstream.
+
+    Everything is computed INSIDE per-row arrays (split / array_distinct /
+    a sorted run-length fold for the mode) — a narrow map with zero
+    shuffle, so it runs at scan throughput at any corpus size.  The
+    explode→groupBy formulation the oracle uses would shuffle every bigram
+    in the corpus."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+
+    grams = F.transform(
+        ngram_structs(tokenize(text_col), 2),
+        lambda s: F.concat_ws(" ", s["w0"], s["w1"]),
+    )
+    n_bg = F.size(grams)
+    dup_bigram_frac = F.when(
+        n_bg > 0, 1.0 - F.size(F.array_distinct(grams)) / n_bg
+    ).otherwise(F.lit(0.0))
+    # mode count via run-length fold over the sorted gram array: one pass,
+    # no shuffle (the same sorted-RLE trick as the chunked-wordcount kernel)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    top_run = F.aggregate(
+        F.array_sort(grams),
+        zero,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram_frac = F.when(n_bg > 0, top_run / n_bg).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.round(dup_bigram_frac, 4).alias("dup_bigram_frac"),
+        F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
     )
 
 

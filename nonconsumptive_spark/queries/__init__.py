@@ -87,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     # text analysis (lang-id / quality / fingerprint / token stats)
     "q_token_count_ws",
     "q_quality_score",
+    "q_repetition_scores",
     "q_lang_id",
     "q_fingerprint",
     "q_langid_vs_labels",
@@ -128,12 +129,14 @@ PRIORITY: tuple[str, ...] = (
     "q_posexplode_provenance",
     "q_cast_ladder_roundtrip",
     "q_struct_roundtrip",
-    # relational core (pricing summary, star join, scan pruning, stats)
+    # relational core (pricing summary, star join, dict-encode changed
+    # this round → must stay in-window; point-lookup/quantiles were
+    # driver-green in r1 and are unchanged)
     "q1_pricing_summary",
     "q_star_join_revenue",
+    "q_dict_encode",
     "q_filter_projection",
     "q_point_lookup",
-    "q_dict_encode",
     "q_quantiles",
 )
 

@@ -241,11 +241,22 @@ def q_srp_stats(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q_srp_hamming",
-    oracle=None,  # SRP bits come from a Python-side seeded RNG; rows-only
+    oracle="""
+    WITH n AS (SELECT count(*) AS c FROM documents WHERE doc_id < 20)
+    SELECT CAST(c * (c - 1) / 2 AS BIGINT) AS n_pairs,
+           CAST(c * (c - 1) / 2 AS BIGINT) AS n_consistent,
+           TRUE AS all_bounded
+    FROM n
+    """,
     doc="F15→F16→F17 chain (the reference's flagship notebook workflow, "
         "examples/Ngrams.ipynb): SRP embed → sign-bit pack to binary → "
-        "pairwise Hamming distance over the packed bytes, XOR+popcount "
-        "fully JVM-side; pairs blocked to first-20 docs (i<j).",
+        "pairwise Hamming over the packed bytes, XOR+popcount fully "
+        "JVM-side, first-20 docs (i<j).  The SRP values are a seeded RNG, "
+        "but the Hamming INVARIANT is checkable: for every pair, "
+        "bit_count(bits_a XOR bits_b) must equal the count of dimensions "
+        "where the float vectors disagree in sign, and never exceed the "
+        "dimension.  Both counts must equal C(n,2), which DuckDB "
+        "recomputes from the table.",
 )
 def q_srp_hamming(spark, sf_dir):
     from nonconsumptive_spark.functions.embeddings import (
@@ -255,16 +266,27 @@ def q_srp_hamming(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    bits = materialize_once(
-        srp_bits(srp_embed_arrow(docs, dim=128), id_col="doc_id"), "srp_bits"
+    emb = materialize_once(
+        srp_bits(srp_embed_arrow(docs, dim=128), keep_vec=True), "srp_bits"
     )
-    a = bits.select(F.col("doc_id").alias("doc_a"), F.col("srp_bits").alias("bits_a"))
-    b = bits.select(F.col("doc_id").alias("doc_b"), F.col("srp_bits").alias("bits_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b",
-            hamming_binary(F.col("bits_a"), F.col("bits_b")).cast("long").alias("hamming"),
+    a = emb.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("srp").alias("va"), F.col("srp_bits").alias("ba"),
+    )
+    b = emb.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("srp").alias("vb"), F.col("srp_bits").alias("bb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    ham = hamming_binary(F.col("ba"), F.col("bb"))
+    sign_diff = F.size(
+        F.filter(
+            F.zip_with("va", "vb", lambda x, y: (x > 0) != (y > 0)),
+            lambda d: d,
         )
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(ham == sign_diff, 1)).alias("n_consistent"),
+        F.every(ham <= 128).alias("all_bounded"),
     )

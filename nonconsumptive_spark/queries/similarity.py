@@ -1,9 +1,10 @@
 """Similarity-search queries over the `embeddings` table.
 
-The brute-force top-k is the oracle-checked exact baseline; the LSH variant
-is the approximate scale path (registered without an oracle — the driver
-records a rows-only check, and tests measure its recall against the exact
-result instead).
+The brute-force top-k is the oracle-checked exact baseline; the LSH/IVF
+variants are the approximate scale paths, oracle-checked on QUALITY: their
+recall against the exact baseline must clear a bound (plus exact-side
+counts DuckDB recomputes itself); tests additionally measure the raw
+recall numbers.
 """
 
 from __future__ import annotations
@@ -115,27 +116,65 @@ def q_cosine_near_pairs(spark, sf_dir):
     return sim.cosine_near_dup_pairs(emb, threshold=0.3, block_col="label")
 
 
-@register(
-    "q_knn_cosine_lsh",
-    oracle=None,  # approximate: driver rows-only; tests measure recall vs exact
-    doc="Approximate top-k via random-hyperplane LSH bucketing — the 100 TB "
-        "scale path; recall vs the exact baseline is asserted in tests.",
-)
-def q_knn_cosine_lsh(spark, sf_dir):
+# ANN results are approximate so their ROWS aren't SQL-recomputable, but
+# their QUALITY is: recall against the exact brute-force baseline (both
+# computed in Spark, deterministic seeded hyperplanes/centroids) must clear
+# a bound the oracle asserts as TRUE, alongside exact-side counts DuckDB
+# recomputes itself.  Measured at sf0.01: LSH 0.86, IVF 0.78.
+_RECALL_BOUND = 0.6
+
+_DUCK_RECALL = f"""
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    FROM ({_DUCK_KNN})
+"""
+
+
+def _recall_check(spark, sf_dir, approx_fn):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return sim.knn_lsh(emb, queries, k=_K, n_planes=4, n_tables=12)
+    exact = sim.knn_bruteforce(emb, queries, k=_K)
+    approx = approx_fn(emb, queries)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    agg = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+    )
+    return agg.crossJoin(hits.agg(F.count("*").alias("n_hits"))).select(
+        "n_queries", "n_exact",
+        (F.col("n_hits") / F.col("n_exact") >= _RECALL_BOUND).alias("recall_ok"),
+    )
+
+
+@register(
+    "q_knn_cosine_lsh",
+    oracle=_DUCK_RECALL,
+    doc="Approximate top-k via random-hyperplane LSH bucketing — the 100 TB "
+        f"scale path.  Oracle checks recall ≥ {_RECALL_BOUND} vs the exact "
+        "baseline (measured 0.86 at sf0.01; deterministic seeded planes) "
+        "plus DuckDB-recomputed exact-side counts.",
+)
+def q_knn_cosine_lsh(spark, sf_dir):
+    return _recall_check(
+        spark, sf_dir,
+        lambda emb, q: sim.knn_lsh(emb, q, k=_K, n_planes=4, n_tables=12),
+    )
 
 
 @register(
     "q_knn_cosine_ivf",
-    oracle=None,  # approximate: driver rows-only; tests measure recall vs exact
+    oracle=_DUCK_RECALL,
     doc="Approximate top-k via IVF coarse quantization (nearest-centroid "
         "cells, multi-probe) — the partition-pruning ANN path: at scale the "
         "corpus is written partitioned by cell and probes prune whole "
-        "partitions; recall vs exact asserted in tests.",
+        f"partitions.  Oracle checks recall ≥ {_RECALL_BOUND} (measured "
+        "0.78 at sf0.01) plus exact-side counts.",
 )
 def q_knn_cosine_ivf(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return sim.knn_ivf(emb, queries, k=_K, n_centroids=16, n_probe=8)
+    return _recall_check(
+        spark, sf_dir,
+        lambda emb, q: sim.knn_ivf(emb, q, k=_K, n_centroids=16, n_probe=8),
+    )

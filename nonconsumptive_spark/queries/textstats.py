@@ -32,6 +32,49 @@ def q_token_count_ws(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_repetition_scores",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\n'), x -> x <> '') AS ls
+      FROM documents),
+    line_stats AS (
+      SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+             CASE WHEN len(ls) > 0
+                  THEN round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls), 4)
+                  ELSE 0.0 END AS dup_line_frac
+      FROM lines),
+    tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    bg AS (
+      SELECT doc_id, w0 || ' ' || w1 AS gram FROM (
+        SELECT doc_id, token AS w0,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM tokpos) z
+      WHERE w1 IS NOT NULL),
+    bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+    bgs AS (
+      SELECT doc_id, sum(c) AS tot, max(c) AS top, count(*) AS nd
+      FROM bgc GROUP BY doc_id)
+    SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+           coalesce(round(1.0 - b.nd * 1.0 / b.tot, 4), 0.0) AS dup_bigram_frac,
+           coalesce(round(b.top * 1.0 / b.tot, 4), 0.0) AS top_bigram_frac
+    FROM line_stats l LEFT JOIN bgs b ON l.doc_id = b.doc_id
+    """,
+    doc="Repetition quality signals (Gopher-family filters): duplicate-line "
+        "fraction, duplicate-bigram fraction, top-bigram dominance.  Spark "
+        "computes them inside per-row arrays (sorted run-length fold for "
+        "the mode — zero shuffle); the oracle uses the explode+groupBy "
+        "formulation.",
+)
+def q_repetition_scores(spark, sf_dir):
+    return ts.repetition_scores(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_quality_score",
     oracle=f"""
     SELECT doc_id,

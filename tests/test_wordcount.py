@@ -29,6 +29,24 @@ def test_unicode_tokens(spark):
     assert counts["семья"] == 1
 
 
+def test_repetition_scores_golden(spark):
+    """Hand-computed repetition metrics: 'a b\\na b\\nc d' has 3 lines with
+    one duplicate; tokens a,b,a,b,c,d give bigrams [a b, b a, a b, b c,
+    c d] — 5 total, 4 distinct, mode 'a b' twice."""
+    from nonconsumptive_spark.operators.textstats import repetition_scores
+
+    docs = _docs(spark, [(1, "a b\na b\nc d"), (2, "x"), (3, "")])
+    rows = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == round(1 - 2 / 3, 4)
+    assert r1["dup_bigram_frac"] == round(1 - 4 / 5, 4)
+    assert r1["top_bigram_frac"] == 0.4
+    # degenerate docs: no bigrams, no lines → all zeros
+    assert rows[2]["dup_bigram_frac"] == 0.0 and rows[2]["n_lines"] == 1
+    assert rows[3]["n_lines"] == 0 and rows[3]["top_bigram_frac"] == 0.0
+
+
 def test_tokenize_fallback_matches_reference_findall(spark):
     """F3 must agree with the reference's re.findall(r'[\\w^_]+|[^\\w\\s]+')
     (reference document.py:79-80) on representative texts."""
