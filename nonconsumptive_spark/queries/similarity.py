@@ -132,9 +132,13 @@ _DUCK_RECALL = f"""
 
 
 def _recall_check(spark, sf_dir, approx_fn):
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    exact = sim.knn_bruteforce(emb, queries, k=_K)
+    # the exact top-k feeds both the hits join and the count agg —
+    # materialize so the corpus-wide scoring pass runs once, not twice
+    exact = materialize_once(sim.knn_bruteforce(emb, queries, k=_K), "knn_exact")
     approx = approx_fn(emb, queries)
     hits = exact.join(
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
