@@ -234,7 +234,12 @@ def chunked_wordcounts(docs: DataFrame, chunk_size: int = 10_000,
     is prepended to each token inside an indexed ``transform``, the tagged
     array is sorted and run-length encoded in one fold, and the tag split
     back off — the whole operator is a narrow map.  (RLE only needs equal
-    elements adjacent; any total order of the tagged strings works.)"""
+    elements adjacent; any total order of the tagged strings works.)
+
+    The token array MUST be let-bound before the indexed transform: the
+    per-element lambda references nwords/nchunks, and without the binding
+    CollapseProject inlines ``size(tokenize(text))`` into every element —
+    O(n²) per document (measured 4× slower at sf0.1)."""
 
     def tagged(toks):
         nwords = F.size(toks)
@@ -252,9 +257,12 @@ def chunked_wordcounts(docs: DataFrame, chunk_size: int = 10_000,
             lambda t, i: F.concat_ws(_GRAM_SEP, chunk_of(i).cast("string"), t),
         )
 
+    tagged_sorted = let(
+        tokenize(text_col), lambda toks: F.array_sort(tagged(toks))
+    )
     counted = docs.select(
         id_col,
-        F.explode(let(F.array_sort(tagged(tokenize(text_col))), _rle_counts)).alias("e"),
+        F.explode(let(tagged_sorted, _rle_counts)).alias("e"),
     )
     return counted.select(
         id_col,
