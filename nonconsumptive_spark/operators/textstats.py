@@ -134,6 +134,62 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  overlap_threshold: int = 1, n: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    ``overlap_threshold`` distinct n-gram shingles with an evaluation set
+    (the standard guard against test-set leakage into training data).
+
+    Plan shape: distinct eval shingles (a small side — eval sets are
+    thousands of docs, not billions) are joined against the training
+    side's exploded shingles; the overlap count per doc comes back via a
+    hash agg and a LEFT join marks clean docs.  At scale the eval-shingle
+    table broadcasts (or bucket-joins if an eval corpus is huge); the
+    training corpus never self-joins.  Returns every training doc with
+    (n_overlap_shingles, is_contaminated)."""
+    from nonconsumptive_spark.operators.dedup import doc_shingles
+
+    train_sh = doc_shingles(docs, id_col, text_col).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+    eval_sh = (
+        doc_shingles(eval_docs, id_col, text_col)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    overlap = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_overlap_shingles"))
+    )
+    return docs.select(id_col).join(overlap, id_col, "left").select(
+        id_col,
+        F.coalesce("n_overlap_shingles", F.lit(0)).alias("n_overlap_shingles"),
+        (F.coalesce("n_overlap_shingles", F.lit(0)) >= overlap_threshold)
+        .alias("is_contaminated"),
+    )
+
+
+def hash_sample(df: DataFrame, fractions: dict[str, float],
+                key_col: str = "doc_id", stratum_col: str = "source",
+                modulus: int = 10_000) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: keep a row iff
+    ``md5(key) mod modulus < fraction * modulus`` for its stratum's
+    fraction.  Unlike ``sample()``/``sampleBy()`` (RNG per task, results
+    shift with partitioning), the hash decision is a pure function of the
+    ROW — reproducible across engines, runs, cluster sizes, and even
+    incremental re-ingests (a doc's fate never changes), which is what a
+    training-mixture spec needs.  Zero shuffle: filter + map only.
+    Strata absent from ``fractions`` are dropped (mixture semantics)."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10) \
+        .cast("long") % modulus
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col(stratum_col)]
+    return df.filter(frac.isNotNull() & (bucket < frac * modulus))
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-duplicate fingerprint: md5 of the normalized text (lowercased,
     non-letters collapsed to single spaces, trimmed).  md5 is identical in

@@ -124,11 +124,13 @@ PRIORITY: tuple[str, ...] = (
     "q_click_attribution",
     "q_asof_join",
     "q_sessionize_lag",
-    # scalar / provenance parity
+    # new extension ops (decontamination, deterministic mixing sample)
+    "q_decontamination",
+    "q_hash_sample",
+    # scalar / provenance parity (cast-ladder/struct-roundtrip were
+    # driver-green in r1 and unchanged → past the window)
     "q_id_resolution",
     "q_posexplode_provenance",
-    "q_cast_ladder_roundtrip",
-    "q_struct_roundtrip",
     # relational core (pricing summary, star join, dict-encode changed
     # this round → must stay in-window; point-lookup/quantiles were
     # driver-green in r1 and are unchanged)

@@ -75,6 +75,71 @@ def q_repetition_scores(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_decontamination",
+    oracle=f"""
+    WITH tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id, w0 || ' ' || w1 || ' ' || w2 AS shingle
+      FROM (
+        SELECT doc_id, token AS w0,
+               lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tokpos) z
+      WHERE w2 IS NOT NULL),
+    eval_sh AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id < 10),
+    overlap AS (
+      SELECT s.doc_id, count(DISTINCT s.shingle) AS n
+      FROM shingles s JOIN eval_sh e USING (shingle)
+      GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap_shingles,
+           coalesce(o.n, 0) >= 5 AS is_contaminated
+    FROM documents d LEFT JOIN overlap o USING (doc_id)
+    """,
+    doc="Benchmark decontamination: docs sharing ≥5 distinct 3-shingles "
+        "with the eval set (docs 0-9 stand in for a benchmark) are flagged "
+        "— the test-set-leakage guard every training pipeline runs.  Eval "
+        "shingles broadcast; the corpus never self-joins.",
+)
+def q_decontamination(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    return ts.decontaminate(
+        docs, docs.filter(F.col("doc_id") < 10), overlap_threshold=5
+    )
+
+
+# --------------------------------------------------------------------------
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_VALUES = ", ".join(f"('{s}', {f})" for s, f in _MIX_FRACTIONS.items())
+
+
+@register(
+    "q_hash_sample",
+    oracle=f"""
+    WITH frac(source, f) AS (VALUES {_MIX_VALUES})
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN frac USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 10000 < f * 10000
+    """,
+    doc="Deterministic stratified sampling for training-data mixing: keep "
+        "a doc iff md5(doc_id) mod 10000 clears its source's rate — a pure "
+        "function of the row, so the mixture is reproducible across "
+        "engines, runs, and cluster sizes (unlike RNG sample()).  DuckDB "
+        "recomputes the identical hash decision row by row.",
+)
+def q_hash_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return ts.hash_sample(docs, _MIX_FRACTIONS).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_quality_score",
     oracle=f"""
     SELECT doc_id,

@@ -33,11 +33,16 @@ SET = settings(
 )
 
 # Text with letters (several scripts), digits, punctuation, whitespace.
+# Capped at the BMP: Python 3.11 carries a newer Unicode table than Java 17
+# (e.g. U+12F90 Cypro-Minoan is a letter only since Unicode 14), so astral
+# letters added between the two versions flip \p{L} membership between the
+# engines — a JVM/CPython version skew, not an operator bug.
 doc_text = st.text(
     alphabet=st.characters(
         codec="utf-8",
         categories=("Lu", "Ll", "Lo", "Nd", "Po", "Zs"),
         include_characters=" \t\n",
+        max_codepoint=0xFFFF,
     ),
     max_size=200,
 )
