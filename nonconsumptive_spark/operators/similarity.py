@@ -281,6 +281,67 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, dim: int = 64,
     )
 
 
+def ivf_write(emb: DataFrame, index_dir: str, n_centroids: int = 16,
+              dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 42, compression: str = "zstd") -> None:
+    """Persist the IVF index: corpus vectors written PARTITIONED BY cell —
+    one directory per centroid cell, so a probe of p cells physically
+    reads p/n_centroids of the data and partition pruning skips the rest
+    at the file-listing level (this is the 'at scale the corpus is
+    written partitioned by cell' story as code, not a comment)."""
+    (
+        ivf_assign(emb, n_centroids, dim, id_col, vec_col, seed)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("cell")
+        .parquet(index_dir)
+    )
+
+
+def knn_ivf_index(spark, index_dir: str, queries: DataFrame, k: int = 5,
+                  n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  seed: int = 42) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index (see ``ivf_write``).
+
+    The union of all queries' probe cells (≤ n_queries·n_probe ints —
+    driver-side collect of a bounded list) becomes a static
+    ``cell IN (...)`` predicate on the partitioned read, so non-probed
+    cell directories are pruned before any file is opened (visible as
+    ``PartitionFilters`` in the scan; asserted via inputFiles in tests).
+    Per-query cell membership is then enforced by the same equi-join as
+    the in-memory ``knn_ivf``, producing identical results."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.slice(_centroid_ranks(vec_col, n_centroids, dim, seed), 1, n_probe)
+        ).alias("cell"),
+    )
+    probe_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    idx = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+        )
+    )
+    scored = (
+        idx.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def knn_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
             n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding",

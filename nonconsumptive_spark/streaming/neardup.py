@@ -1,0 +1,130 @@
+"""Streaming near-dup ingest: every arriving micro-batch is LSH-checked
+against the signature index of EVERYTHING seen so far, then folded into
+that index — the crawl-ingest dedup pattern ("is this new page a near-dup
+of anything we already have?") that batch pair-mining can't express.
+
+Per batch (foreachBatch, AvailableNow or continuous):
+
+  1. one narrow pass builds the batch's minhash signatures + shingle sets
+     (the same ``_sig_base`` kernel as batch dedup — no new math);
+  2. band keys of the BATCH join band keys of the INDEX (equi-join on
+     short strings; the index side at scale is bucketed/partitioned by
+     band so only matching buckets are read) → cross-batch candidates;
+  3. an intra-batch band self-join catches dups arriving together;
+  4. candidates verify with exact Jaccard over the carried shingle sets;
+     each flagged doc records its best match (highest jaccard, then
+     lowest id);
+  5. the batch's signatures append to the index; flags append to the
+     flag table.  An epoch marker (same guard as the wordcount merge)
+     makes replays no-ops, since both writes are appends.
+
+State is the on-disk signature index, not executor memory — a restart
+resumes from parquet.  The per-batch cost is |batch| signature work plus
+one join against the index's matching band buckets; nothing rescans raw
+history text.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nonconsumptive_spark.operators.dedup import _band_rows, _sig_base
+from nonconsumptive_spark.streaming.corpus import _epoch_marker, applied_epoch
+
+def _verify(cands: DataFrame, left_sh: DataFrame, right_sh: DataFrame,
+            threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of (doc_id, dup_of) candidates using the
+    shingle sets carried on each side."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(left_sh, "doc_id")
+        .join(right_sh, "dup_of")
+        .withColumn("jaccard", F.round(inter / uni, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+
+
+def neardup_flag_batch(batch_base: DataFrame, index: DataFrame | None,
+                       threshold: float, id_col: str) -> DataFrame:
+    """(doc_id, dup_of, jaccard): best near-dup match per flagged batch doc
+    — against the index (cross-batch) and within the batch (intra)."""
+    new_bands = _band_rows(batch_base, id_col)
+    left_sh = batch_base.select(
+        F.col(id_col).alias("doc_id"), F.col("shingles").alias("sh_a")
+    )
+
+    intra_a = new_bands.select(F.col(id_col).alias("dup_of"), "band", "band_key")
+    intra_b = new_bands.select(F.col(id_col).alias("doc_id"), "band", "band_key")
+    intra = (
+        intra_a.join(intra_b, ["band", "band_key"])
+        .filter(F.col("dup_of") < F.col("doc_id"))  # later id is the dup
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    right_sh_batch = batch_base.select(
+        F.col(id_col).alias("dup_of"), F.col("shingles").alias("sh_b")
+    )
+    flagged = _verify(intra, left_sh, right_sh_batch, threshold)
+
+    if index is not None:
+        idx_bands = _band_rows(index, id_col).select(
+            F.col(id_col).alias("dup_of"), "band", "band_key"
+        )
+        cross = (
+            new_bands.select(F.col(id_col).alias("doc_id"), "band", "band_key")
+            .join(idx_bands, ["band", "band_key"])
+            .select("doc_id", "dup_of")
+            .distinct()
+        )
+        right_sh_idx = index.select(
+            F.col(id_col).alias("dup_of"), F.col("shingles").alias("sh_b")
+        )
+        flagged = flagged.unionByName(
+            _verify(cross, left_sh, right_sh_idx, threshold)
+        )
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    return (
+        flagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def start_neardup_ingest(stream: DataFrame, index_dir: str, flags_dir: str,
+                         checkpoint_dir: str, threshold: float = 0.5,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Wire a document stream into the incremental near-dup flagger."""
+    index_path = Path(index_dir)
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= applied_epoch(flags_dir):
+            return  # replayed epoch: both writes below are appends
+        spark = batch_df.sparkSession
+        base = _sig_base(batch_df, id_col, text_col, keep_shingles=True,
+                         materialize=True)
+        index = (
+            spark.read.parquet(str(index_path))
+            if index_path.exists() and any(index_path.iterdir())
+            else None
+        )
+        flags = neardup_flag_batch(base, index, threshold, id_col)
+        flags.write.mode("append").parquet(flags_dir)
+        base.select(id_col, "shingles", "sig").write.mode("append").parquet(
+            str(index_path)
+        )
+        _epoch_marker(flags_dir).write_text(str(epoch_id))
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("neardup_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )

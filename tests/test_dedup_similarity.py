@@ -119,6 +119,38 @@ def test_knn_lsh_recall(spark):
     assert recall >= 0.5, f"ANN recall collapsed: {recall}"
 
 
+def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path):
+    """The on-disk IVF index must return exactly the in-memory knn_ivf
+    result AND physically read only the probed cell partitions."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx_dir = str(tmp_path / "ivf")
+    sim.ivf_write(emb, idx_dir, n_centroids=16)
+
+    mem = {tuple(r) for r in
+           sim.knn_ivf(emb, queries, k=5, n_centroids=16, n_probe=4).collect()}
+    disk_df = sim.knn_ivf_index(spark, idx_dir, queries, k=5,
+                                n_centroids=16, n_probe=4)
+    disk = {tuple(r) for r in disk_df.collect()}
+    assert disk == mem and len(disk) > 0
+
+    # pruning: the probe-cell predicate reaches the scan as a
+    # PartitionFilter (file-listing-level skip of non-probed cell dirs)
+    q_cells = queries.select(
+        F.explode(F.slice(
+            sim._centroid_ranks("embedding", 16, 64, 42), 1, 4)).alias("cell")
+    ).distinct()
+    assert q_cells.count() < 16, "fixture queries should not probe every cell"
+    import re
+
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "FileScan" in ln and "ivf" in ln]
+    assert scan_lines and all(
+        re.search(r"PartitionFilters: \[.*cell.*", ln) for ln in scan_lines
+    ), plan[:2000]
+
+
 def test_cosine_self_similarity(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(5)
     df = emb.select(

@@ -213,6 +213,65 @@ def test_incremental_wordcounts_equal_batch(spark, tmp_path):
     assert got == expect and len(expect) > 0
 
 
+def test_neardup_ingest_stream_equals_batch(spark, tmp_path):
+    """Crawl-ingest dedup: streaming each file against the growing
+    signature index flags exactly the docs that batch LSH pair-mining
+    pairs as the LARGER id (arrival order == id order here), regardless
+    of which batch the two sides arrived in."""
+    import time
+
+    from nonconsumptive_spark.operators import dedup as dd
+    from nonconsumptive_spark.streaming.corpus import stream_documents
+    from nonconsumptive_spark.streaming.neardup import start_neardup_ingest
+
+    docs = load(spark, SF_SMALL, "documents")
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # four id-ordered files with strictly increasing mtimes → the file
+    # source processes them oldest-first, so arrival order == id order
+    for i, (lo, hi) in enumerate([(0, 125), (125, 250), (250, 375), (375, 10**9)]):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        part.coalesce(1).write.parquet(str(src / f"part{i}"))
+        time.sleep(0.1)
+    # flatten: move each run's parquet file up as an ordered file name
+    files = []
+    for i in range(4):
+        d = src / f"part{i}"
+        pq = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        tgt = src / f"{i:02d}.parquet"
+        pq.rename(tgt)
+        files.append(tgt)
+        import shutil
+
+        shutil.rmtree(d)
+
+    q = start_neardup_ingest(
+        stream_documents(spark, str(src), max_files_per_trigger=1),
+        index_dir=str(tmp_path / "index"),
+        flags_dir=str(tmp_path / "flags"),
+        checkpoint_dir=str(tmp_path / "cp"),
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    flagged = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    }
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert batch_pairs, "fixture should contain planted near-dups"
+    expect_flagged = {b for _, b in batch_pairs}
+    assert set(flagged) == expect_flagged
+    # every recorded match is a genuine verified pair with an earlier doc
+    for doc, dup_of in flagged.items():
+        assert dup_of < doc and (dup_of, doc) in batch_pairs
+    # the signature index now covers the whole corpus
+    assert spark.read.parquet(str(tmp_path / "index")).count() == docs.count()
+
+
 def test_merge_wordcounts_epoch_replay_is_noop(spark, tmp_path):
     """foreachBatch is at-least-once; re-applying a committed epoch must
     not double-count (the additive merge is guarded by an epoch marker)."""
