@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "q_encoded_unigrams",
     "q_bigram_counts",
     "q_trigram_counts",
+    "q_quadgram_counts",
     "q_chunked_wordcounts",
     "q_count_sum_preservation",
     # text analysis (lang-id / quality / fingerprint / token stats)
@@ -124,13 +125,13 @@ PRIORITY: tuple[str, ...] = (
     "q_click_attribution",
     "q_asof_join",
     "q_sessionize_lag",
+    "q_funnel_stages",
+    "q_retention_cohorts",
     # new extension ops (decontamination, deterministic mixing sample)
     "q_decontamination",
     "q_hash_sample",
-    # scalar / provenance parity (cast-ladder/struct-roundtrip were
-    # driver-green in r1 and unchanged → past the window)
-    "q_id_resolution",
-    "q_posexplode_provenance",
+    # scalar / provenance parity (cast-ladder/struct-roundtrip/id-resolution/
+    # posexplode were driver-green in r1 and unchanged → past the window)
     # relational core (pricing summary, star join, dict-encode changed
     # this round → must stay in-window; point-lookup/quantiles were
     # driver-green in r1 and are unchanged)

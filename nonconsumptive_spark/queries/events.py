@@ -278,6 +278,97 @@ def q_pivot_event_values(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+    doc="Funnel analysis (event-sequence extension): users entering each "
+        "stage of view → click → purchase, each stage strictly after the "
+        "user's first entry into the previous one.  Three stage aggs "
+        "chained by user-keyed joins; each stage frame is one row per "
+        "surviving user, so the joins shrink monotonically.",
+)
+def q_funnel_stages(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+
+    def stage(prev, etype, tcol):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        prev_t = prev.columns[-1]
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = stage(None, "view", "tv")
+    c = stage(v, "click", "tc")
+    p = stage(c, "purchase", "tp")
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch(a.wk) - epoch(f.cohort)) // 604800 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohorts (event extension): users grouped by first-seen "
+        "week, counted per activity-week offset.  Both engines truncate "
+        "weeks to Monday and the offset is exact epoch arithmetic, so the "
+        "matrix hash-matches.  Two aggs + one user-keyed join.",
+)
+def q_retention_cohorts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    offset = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+    ).cast("long")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_sessionize_lag",
     oracle="""
     WITH gaps AS (

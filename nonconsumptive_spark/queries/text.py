@@ -154,6 +154,29 @@ def q_trigram_counts(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_quadgram_counts",
+    oracle=f"""
+    SELECT doc_id, w0, w1, w2, w3, CAST(count(*) AS BIGINT) AS count
+    FROM (
+      SELECT doc_id, token AS w0,
+             lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             lead(token, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      FROM ({_DUCK_TOKEN_POS_ROWS}))
+    WHERE w3 IS NOT NULL
+    GROUP BY doc_id, w0, w1, w2, w3
+    """,
+    doc="A2 at n=4 — what the reference's Quadgrams class INTENDS: its "
+        "constructor passes ngrams=3 (copy-paste bug, transformations.py:"
+        "282-289, SURVEY §2.11), so this implements the intent, not the "
+        "defect.",
+)
+def q_quadgram_counts(spark, sf_dir):
+    return wc.ngram_counts(load(spark, sf_dir, "documents"), 4)
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_chunked_wordcounts",
     oracle=f"""
     SELECT doc_id, CAST(((pos - 1) * nchunks) // nwords AS BIGINT) AS chunk,
