@@ -84,6 +84,79 @@ def ngram_counts_from_tokens(tokens_df: DataFrame, n: int, id_col: str = "nc:id"
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """TF-IDF top-k terms per document: tf = raw in-doc count, idf =
+    ln(N / df) with df = number of docs containing the term.  Ties break
+    on token ascending for cross-engine determinism.
+
+    Plan: the fused per-doc counts (zero-shuffle) feed BOTH the df agg
+    (one row per (doc, token) → count per token) and the scoring join;
+    the (token, df) side is vocabulary-sized and broadcasts.  N comes
+    from a 1-row agg cross-joined in (no collect).  Top-k per doc is a
+    partitioned window — no global sort."""
+    counts = materialize_once(doc_token_counts(docs, id_col, text_col), "tfidf_tf")
+    df_t = counts.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        counts.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("count") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "count", "tfidf", "rank")
+    )
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Pointwise mutual information over corpus-wide bigrams — the
+    collocation detector: pmi = ln(p(w0,w1) / (p(w0)·p(w1))) with
+    probabilities over bigram/unigram totals; pairs below ``min_count``
+    dropped (PMI is noise at low counts).
+
+    Plan: global bigram counts (fused kernel + one agg) join the
+    vocabulary-sized unigram count table twice — both broadcast; totals
+    are 1-row aggs cross-joined in.  No shuffle larger than the bigram
+    agg itself."""
+    bg_all = materialize_once(
+        ngram_counts(docs, 2, id_col, text_col)
+        .groupBy("w0", "w1")
+        .agg(F.sum("count").alias("c2")),
+        "pmi_bigrams",
+    )
+    bg = bg_all.filter(F.col("c2") >= min_count)
+    uni = global_wordcount(docs, id_col, text_col).select(
+        "token", F.col("count").alias("c1")
+    )
+    uni = materialize_once(uni, "pmi_uni")
+    t2 = bg_all.agg(F.sum("c2").alias("t2"))
+    t1 = uni.agg(F.sum("c1").alias("t1"))
+    joined = (
+        bg.join(F.broadcast(uni.withColumnRenamed("token", "w0")
+                            .withColumnRenamed("c1", "c1a")), "w0")
+        .join(F.broadcast(uni.withColumnRenamed("token", "w1")
+                          .withColumnRenamed("c1", "c1b")), "w1")
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(t1))
+    )
+    pmi = F.log(
+        (F.col("c2") / F.col("t2"))
+        / ((F.col("c1a") / F.col("t1")) * (F.col("c1b") / F.col("t1")))
+    )
+    return joined.select(
+        "w0", "w1", "c2", F.round(pmi, 4).alias("pmi")
+    )
+
+
 def document_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """A8: token count per document, read off the array length — no explode,
     no shuffle (reference transformations.py:113-132 reads Arrow offsets)."""

@@ -83,6 +83,8 @@ PRIORITY: tuple[str, ...] = (
     "q_bigram_counts",
     "q_trigram_counts",
     "q_quadgram_counts",
+    "q_tfidf_top_terms",
+    "q_bigram_pmi",
     "q_chunked_wordcounts",
     "q_count_sum_preservation",
     # text analysis (lang-id / quality / fingerprint / token stats)
@@ -118,6 +120,8 @@ PRIORITY: tuple[str, ...] = (
     "q_simhash_near_pairs",
     # multimodal plumbing
     "q_multimodal_features",
+    # dict-encode changed this round (build_dictionary) → stay in-window
+    "q_dict_encode",
     # event-time windows + as-of join (asof & sessionize changed this round)
     "q_events_tumbling",
     "q_events_session",
@@ -132,12 +136,10 @@ PRIORITY: tuple[str, ...] = (
     "q_hash_sample",
     # scalar / provenance parity (cast-ladder/struct-roundtrip/id-resolution/
     # posexplode were driver-green in r1 and unchanged → past the window)
-    # relational core (pricing summary, star join, dict-encode changed
-    # this round → must stay in-window; point-lookup/quantiles were
-    # driver-green in r1 and are unchanged)
+    # relational core (r1-green, unchanged — lowest window priority;
+    # these fall past 50 as new queries land above them)
     "q1_pricing_summary",
     "q_star_join_revenue",
-    "q_dict_encode",
     "q_filter_projection",
     "q_point_lookup",
     "q_quantiles",

@@ -196,6 +196,69 @@ def q_chunked_wordcounts(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS count
+      FROM ({_DUCK_TOKEN_ROWS})
+      GROUP BY doc_id, token),
+    dfs AS (SELECT token, count(*) AS df FROM counts GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT c.doc_id, c.token, c.count,
+             round(c.count * ln(n.n_docs * 1.0 / d.df), 4) AS tfidf
+      FROM counts c JOIN dfs d USING (token) CROSS JOIN n)
+    SELECT doc_id, token, count, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="TF-IDF top-5 terms per document (tf = raw count, idf = ln(N/df), "
+        "token tie-break).  Fused counts feed both the broadcast df table "
+        "and the scoring join; top-k is a partitioned window.",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    return wc.tfidf_top_terms(load(spark, sf_dir, "documents"), k=5)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_bigram_pmi",
+    oracle=f"""
+    WITH tokpos AS ({_DUCK_TOKEN_POS_ROWS}),
+    bg AS (
+      SELECT w0, w1, CAST(count(*) AS BIGINT) AS c2
+      FROM (
+        SELECT doc_id, token AS w0,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM tokpos) z
+      WHERE w1 IS NOT NULL
+      GROUP BY w0, w1),
+    uni AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c1
+      FROM ({_DUCK_TOKEN_ROWS}) GROUP BY token),
+    t2 AS (SELECT sum(c2) AS t2 FROM bg),
+    t1 AS (SELECT sum(c1) AS t1 FROM uni)
+    SELECT b.w0, b.w1, b.c2,
+           round(ln((b.c2 * 1.0 / t2.t2) /
+                    ((ua.c1 * 1.0 / t1.t1) * (ub.c1 * 1.0 / t1.t1))), 4) AS pmi
+    FROM bg b
+    JOIN uni ua ON ua.token = b.w0
+    JOIN uni ub ON ub.token = b.w1
+    CROSS JOIN t2 CROSS JOIN t1
+    WHERE b.c2 >= 5
+    """,
+    doc="Bigram PMI collocations: ln(p(w0,w1)/(p(w0)p(w1))), pairs under "
+        "min_count=5 dropped.  Bigram agg joins the broadcast unigram "
+        "table twice; totals are 1-row cross joins.",
+)
+def q_bigram_pmi(spark, sf_dir):
+    return wc.bigram_pmi(load(spark, sf_dir, "documents"), min_count=5)
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_tokenize_fallback",
     oracle=r"""
     SELECT doc_id,
