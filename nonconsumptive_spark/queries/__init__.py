@@ -131,6 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sessionize_lag",
     "q_funnel_stages",
     "q_retention_cohorts",
+    "q_user_value_trend",
     # new extension ops (decontamination, deterministic mixing sample)
     "q_decontamination",
     "q_hash_sample",

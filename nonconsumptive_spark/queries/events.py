@@ -278,6 +278,35 @@ def q_pivot_event_values(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_user_value_trend",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+    pts AS (SELECT user_id, count(*) AS n FROM e GROUP BY user_id),
+    slopes AS (
+      SELECT a.user_id,
+             (b.value - a.value) / (b.t - a.t) * 3600000000.0 AS s
+      FROM e a JOIN e b ON a.user_id = b.user_id AND a.t < b.t)
+    SELECT p.user_id, CAST(p.n AS BIGINT) AS n_points,
+           round(median(s.s), 4) AS slope_per_hour
+    FROM pts p JOIN slopes s USING (user_id)
+    WHERE p.n >= 3
+    GROUP BY p.user_id, p.n
+    """,
+    doc="Grouped-map applyInPandas surface (SURVEY §2.10 per-document "
+        "generator): Theil–Sen robust trend per user — the median of all "
+        "pairwise slopes, an order-statistic over O(n²) derived values "
+        "that no built-in aggregate expresses.  DuckDB recomputes it via "
+        "self-join + median; both engines do float64 per-pair arithmetic "
+        "then a continuous median, so values hash-match.",
+)
+def q_user_value_trend(spark, sf_dir):
+    from nonconsumptive_spark.operators.grouped import user_value_trend
+
+    return user_value_trend(load(spark, sf_dir, "events"), min_points=3)
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_funnel_stages",
     oracle="""
     WITH v AS (
