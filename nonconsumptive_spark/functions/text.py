@@ -13,6 +13,7 @@ every exploded token on doc_id; the array formulation shuffles nothing.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -86,7 +87,6 @@ def tokenize_blingfire(text: Column | str) -> Column:
             "the reference's own tests accept the ±1-token difference "
             "(test_throughput.py:43)"
         )
-    import pandas as pd
     from pyspark.sql.types import ArrayType, StringType
 
     @F.pandas_udf(ArrayType(StringType()))
@@ -96,6 +96,24 @@ def tokenize_blingfire(text: Column | str) -> Column:
         )
 
     return bf_udf(_as_col(text))
+
+
+def nfc_normalize(text: Column | str) -> Column:
+    """Unicode NFC normalization — the text-cleaning step every ingest
+    pipeline runs before hashing/dedup (composed vs decomposed forms of
+    the same glyph hash differently).  Spark has no built-in Unicode
+    normalizer, so this is a pandas_udf over ``unicodedata`` (stdlib —
+    the sanctioned slow path; DuckDB's native ``nfc_normalize`` serves as
+    the oracle)."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return nfc_udf(_as_col(text))
 
 
 def tokens_with_pos(df, id_col: str, text_col: str, pos_col: str = "pos", token_col: str = "token"):

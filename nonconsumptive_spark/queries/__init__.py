@@ -106,9 +106,10 @@ PRIORITY: tuple[str, ...] = (
     "q_srp_stats",
     "q_srp_hamming",
     "q_approx_distinct",
-    # new this round: F3 fallback tokenizer, F14 re-nest round-trip
+    # new this round: F3 fallback tokenizer, F14 re-nest, NFC normalize
     "q_tokenize_fallback",
     "q_renest_roundtrip",
+    "q_nfc_normalize",
     # dedup flagship block (exact / MinHash+LSH / Jaccard / SimHash)
     "q_dedup_exact",
     "q_minhash_signatures",
@@ -122,10 +123,9 @@ PRIORITY: tuple[str, ...] = (
     "q_multimodal_features",
     # dict-encode changed this round (build_dictionary) → stay in-window
     "q_dict_encode",
-    # event-time windows + as-of join (asof & sessionize changed this round)
-    "q_events_tumbling",
+    # event-time windows + as-of join (asof & sessionize changed this
+    # round; tumbling/json were r1-green and unchanged → demoted)
     "q_events_session",
-    "q_events_json",
     "q_click_attribution",
     "q_asof_join",
     "q_sessionize_lag",

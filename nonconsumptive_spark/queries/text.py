@@ -259,6 +259,38 @@ def q_bigram_pmi(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_nfc_normalize",
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(text) = text AS already_nfc,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+           md5(nfc_normalize(text)) AS nfc_md5
+    FROM documents
+    """,
+    doc="Unicode NFC normalization (ingest-cleaning step: composed vs "
+        "decomposed glyphs must hash identically before dedup).  Spark "
+        "side is a pandas_udf over stdlib unicodedata; DuckDB's native "
+        "nfc_normalize recomputes the normalized text and the md5 compare "
+        "proves the outputs are byte-identical.",
+)
+def q_nfc_normalize(spark, sf_dir):
+    from nonconsumptive_spark.functions.text import nfc_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    # bind ONE udf expression and reference it three times — separate
+    # nfc_normalize() calls create distinct PythonUDF nodes that
+    # ExtractPythonUDFs cannot deduplicate (3 worker round-trips)
+    nfc = nfc_normalize("text")
+    return docs.select(
+        "doc_id",
+        (nfc == F.col("text")).alias("already_nfc"),
+        F.length(nfc).cast("long").alias("n_chars_nfc"),
+        F.md5(nfc).alias("nfc_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_tokenize_fallback",
     oracle=r"""
     SELECT doc_id,
