@@ -8,7 +8,7 @@ SQL-expressible definition so the DuckDB oracle can verify it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nonconsumptive_spark.functions.text import ngram_structs, tokenize
@@ -25,10 +25,16 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def ws_token_count(text_col: str) -> Column:
+    """Whitespace token count as a column expression (reusable inside other
+    operators without forcing a join back to the source frame)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    return F.size(toks).cast("long")
+
+
 def token_count_ws(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace token count — the cheap `wc -w` approximation."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-    return df.select(id_col, F.size(toks).cast("long").alias("n_ws_tokens"))
+    return df.select(id_col, ws_token_count(text_col).alias("n_ws_tokens"))
 
 
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

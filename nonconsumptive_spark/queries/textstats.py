@@ -244,6 +244,88 @@ def q_langid_vs_labels(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+_PACK_LEN = 256
+_PACK_SHARDS = 16
+
+# Greedy sequential fill is inherently iterative (each doc's bin depends on
+# every prior assignment in its shard), so the oracle is a recursive CTE
+# that advances every shard one document per iteration — ~rows/shards
+# iterations total.
+_DUCK_PACKED = f"""
+    WITH RECURSIVE counts AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_PACK_SHARDS} AS shard,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    ordered AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM counts),
+    packed AS (
+      SELECT shard, doc_id, n_tokens, rn,
+             CAST(1 AS BIGINT) AS seq_id,
+             CAST(0 AS BIGINT) AS seq_offset,
+             n_tokens AS filled
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+             CASE WHEN p.filled + o.n_tokens <= {_PACK_LEN}
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.filled + o.n_tokens <= {_PACK_LEN}
+                  THEN p.filled ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN p.filled + o.n_tokens <= {_PACK_LEN}
+                  THEN p.filled + o.n_tokens ELSE o.n_tokens END
+      FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+"""
+
+
+@register(
+    "q_pack_sequences",
+    oracle=_DUCK_PACKED + """
+    SELECT shard, seq_id, doc_id, n_tokens, seq_offset FROM packed
+    """,
+    doc="Sequence packing: greedy sequential fill of documents into "
+        f"{_PACK_LEN}-token training sequences, sharded by md5(doc_id) so "
+        "every shard packs independently (the parallel unit at scale).  "
+        "Spark runs the fill as applyInPandas per shard; the DuckDB oracle "
+        "replays the identical greedy recurrence as a recursive CTE.",
+)
+def q_pack_sequences(spark, sf_dir):
+    from nonconsumptive_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"),
+                          max_len=_PACK_LEN, n_shards=_PACK_SHARDS)
+
+
+@register(
+    "q_packing_stats",
+    oracle=_DUCK_PACKED + f"""
+    , per_seq AS (
+      SELECT shard, seq_id, count(*) AS docs_in_seq,
+             sum(n_tokens) AS tokens_in_seq
+      FROM packed GROUP BY shard, seq_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_sequences,
+           CAST(sum(docs_in_seq) AS BIGINT) AS n_docs,
+           round(avg(docs_in_seq), 4) AS avg_docs_per_seq,
+           round(sum(least(tokens_in_seq, {_PACK_LEN})) * 1.0
+                 / (count(*) * {_PACK_LEN}), 4) AS fill_ratio
+    FROM per_seq
+    """,
+    doc="Packing efficiency: sequence count, docs per sequence, fill ratio "
+        "(padding waste = 1 - fill_ratio) — the number a pipeline owner "
+        "watches when choosing max_len and shard count.",
+)
+def q_packing_stats(spark, sf_dir):
+    from nonconsumptive_spark.operators.packing import pack_sequences, packing_stats
+
+    packed = pack_sequences(load(spark, sf_dir, "documents"),
+                            max_len=_PACK_LEN, n_shards=_PACK_SHARDS)
+    return packing_stats(packed, max_len=_PACK_LEN)
+
+
+# --------------------------------------------------------------------------
 @register(
     "q_arrow_batch_stats",
     oracle="""

@@ -1,0 +1,88 @@
+"""Sequence-packing invariants: capacity, offset contiguity, determinism
+under repartitioning, oversized-doc isolation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+MAX_LEN = 64
+SHARDS = 4
+
+
+def _packed(spark, docs=None):
+    from nonconsumptive_spark.operators.packing import pack_sequences
+
+    if docs is None:
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    return pack_sequences(docs, max_len=MAX_LEN, n_shards=SHARDS)
+
+
+def test_every_doc_packed_exactly_once(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    packed = _packed(spark, docs)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_capacity_respected_except_oversized_singletons(spark):
+    per_seq = (
+        _packed(spark)
+        .groupBy("shard", "seq_id")
+        .agg(F.sum("n_tokens").alias("total"), F.count("*").alias("docs"))
+    )
+    # A sequence may exceed max_len ONLY when it holds a single oversized doc.
+    bad = per_seq.filter((F.col("total") > MAX_LEN) & (F.col("docs") > 1))
+    assert bad.count() == 0
+
+
+def test_offsets_are_contiguous_fill(spark):
+    # Within a sequence, sorting docs by offset must give
+    # offset[i] == sum of n_tokens of docs before it (greedy append).
+    rows = (
+        _packed(spark)
+        .sort("shard", "seq_id", "seq_offset")
+        .collect()
+    )
+    fill: dict[tuple, int] = {}
+    for r in rows:
+        key = (r.shard, r.seq_id)
+        assert r.seq_offset == fill.get(key, 0)
+        fill[key] = fill.get(key, 0) + r.n_tokens
+
+
+def test_deterministic_across_partitioning(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    a = {(r.doc_id): (r.shard, r.seq_id, r.seq_offset)
+         for r in _packed(spark, docs).collect()}
+    b = {(r.doc_id): (r.shard, r.seq_id, r.seq_offset)
+         for r in _packed(spark, docs.repartition(7)).collect()}
+    assert a == b
+
+
+def test_oversized_doc_is_isolated(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok " * n) for i, n in enumerate([10, 500, 10, 10, 60, 10])],
+        "doc_id long, text string",
+    )
+    from nonconsumptive_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(docs, max_len=MAX_LEN, n_shards=1)
+    by_doc = {r.doc_id: r for r in packed.collect()}
+    big = by_doc[1]
+    mates = [r for r in by_doc.values()
+             if (r.shard, r.seq_id) == (big.shard, big.seq_id)]
+    assert mates == [big]  # the 500-token doc shares its sequence with no one
+    assert big.seq_offset == 0
+
+
+def test_packing_stats_consistent(spark):
+    from nonconsumptive_spark.operators.packing import packing_stats
+
+    packed = _packed(spark)
+    stats = packing_stats(packed, max_len=MAX_LEN).collect()[0]
+    n_seqs = packed.select("shard", "seq_id").distinct().count()
+    assert stats.n_sequences == n_seqs
+    assert stats.n_docs == packed.count()
+    assert 0.0 < stats.fill_ratio <= 1.0
