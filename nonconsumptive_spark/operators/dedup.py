@@ -426,3 +426,101 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document dedup: exact repeated-span removal (the "dedup training data
+# at the substring level" operation — flag n-gram spans that recur across
+# >= min_docs distinct documents and strip every token they cover).
+# Reference-adjacent: the reference dedups whole documents only
+# (metadata.py:320-333 id dedup); span-level removal is the standard
+# extension for LLM corpora where boilerplate repeats inside otherwise
+# unique pages.
+# ---------------------------------------------------------------------------
+def _ws_tokens_with_pos(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token) over WHITESPACE tokens (1-based pos) — whitespace
+    tokenization (not the letters-only `tokenize`) so the cleaned text is a
+    faithful re-join of the surviving tokens."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    return docs.select(
+        id_col, F.posexplode(toks).alias("pos0", "token")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+
+
+def repeated_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, start, gram) for every n-token span whose gram text occurs in
+    >= ``min_docs`` distinct documents.  Gram construction is in-row (one
+    `let`-bound token array, no per-gram shuffle); the only wide stage is
+    the count-distinct-docs aggregation on the gram key, which partial-
+    aggregates map-side.  The flagged-gram set (small: spans shared across
+    documents) is broadcast back onto the occurrence stream."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+
+    def gram_structs(t):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ).alias("gram"),
+            ),
+        )
+        return F.when(F.size(t) >= n, grams).otherwise(F.array())
+
+    occ = docs.select(
+        id_col, F.explode(let(toks, gram_structs)).alias("g")
+    ).select(id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+
+    flagged = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    return occ.join(F.broadcast(flagged), "gram").select(id_col, "start", "gram")
+
+
+def remove_repeated_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
+                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Strip every token covered by a repeated n-gram span; returns
+    (id, n_tokens_removed, clean_text) for every input document (docs with
+    nothing removed pass through verbatim, re-joined on single spaces).
+
+    Plan shape: span flagging as in :func:`repeated_spans`; covered
+    positions come from exploding ``sequence(start, start+n-1)`` and the
+    surviving tokens from a broadcast-fed anti-join on (id, pos); the final
+    per-document reassembly is the one unavoidable full shuffle (group by
+    id), the same cost class as any tokenize-regroup stage."""
+    spans = repeated_spans(docs, n=n, min_docs=min_docs,
+                           id_col=id_col, text_col=text_col)
+    covered = spans.select(
+        id_col,
+        F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+    ).distinct()
+
+    kept = _ws_tokens_with_pos(docs, id_col, text_col).join(
+        covered, [id_col, "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    n_toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")))
+    return (
+        docs.select(id_col, n_toks.cast("long").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_tokens_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -264,3 +264,49 @@ def q_simhash(spark, sf_dir):
 )
 def q_simhash_near_pairs(spark, sf_dir):
     return dd.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+_SPAN_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+@register(
+    "q_remove_repeated_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts({_SPAN_TOKS}, 1) AS pos,
+             unnest({_SPAN_TOKS}) AS token
+      FROM documents),
+    grams AS (
+      SELECT doc_id, pos AS start,
+             token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+                   || ' ' || lead(token, 3) OVER w || ' ' || lead(token, 4) OVER w AS gram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    occ AS (SELECT doc_id, start, gram FROM grams WHERE gram IS NOT NULL),
+    flagged AS (
+      SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    covered AS (
+      SELECT DISTINCT o.doc_id, unnest(generate_series(o.start, o.start + 4)) AS pos
+      FROM occ o JOIN flagged f USING (gram)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.token
+      FROM tok t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+    rebuilt AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len({_SPAN_TOKS}) - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Exact repeated-span removal (substring-level dedup): 5-token "
+        "spans occurring in ≥2 distinct docs are flagged, every token they "
+        "cover is stripped, and the survivors re-join on single spaces.  "
+        "Spark builds gram+position structs in-row (let-bound array, no "
+        "per-gram shuffle), broadcasts the flagged-gram set, and anti-joins "
+        "covered positions; the oracle replays it with window leads.",
+)
+def q_remove_repeated_spans(spark, sf_dir):
+    return dd.remove_repeated_spans(load(spark, sf_dir, "documents"),
+                                    n=5, min_docs=2)

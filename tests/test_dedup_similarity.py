@@ -184,3 +184,50 @@ def test_knn_ivf_recall(spark):
     # uniform-random vectors are ANN's worst case, so the bar is modest.
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.7, f"IVF recall dropped: {recall}"
+
+
+# ---------------------------------------------------------------------------
+class TestRepeatedSpanRemoval:
+    def _docs(self, spark):
+        boiler = "subscribe to our newsletter for daily updates"
+        rows = [
+            (1, f"alpha beta gamma {boiler} delta epsilon"),
+            (2, f"one two three four five six {boiler}"),
+            (3, "completely unique text with no shared spans at all here"),
+            (4, "short doc"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_boilerplate_stripped_uniques_untouched(self, spark):
+        from nonconsumptive_spark.operators.dedup import remove_repeated_spans
+
+        out = {r.doc_id: r for r in
+               remove_repeated_spans(self._docs(spark), n=5, min_docs=2).collect()}
+        # The 7-token boilerplate contains three overlapping shared 5-grams;
+        # their union covers exactly the 7 boilerplate tokens in both docs.
+        assert out[1].n_tokens_removed == 7
+        assert out[1].clean_text == "alpha beta gamma delta epsilon"
+        assert out[2].n_tokens_removed == 7
+        assert out[2].clean_text == "one two three four five six"
+        # Unique and sub-n docs pass through verbatim.
+        assert out[3].n_tokens_removed == 0
+        assert out[3].clean_text.startswith("completely unique")
+        assert out[4].n_tokens_removed == 0
+        assert out[4].clean_text == "short doc"
+
+    def test_every_doc_present_once(self, spark):
+        from nonconsumptive_spark.operators.dedup import remove_repeated_spans
+
+        docs = self._docs(spark)
+        out = remove_repeated_spans(docs, n=5, min_docs=2)
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+
+    def test_repeated_spans_flags_only_shared(self, spark):
+        from nonconsumptive_spark.operators.dedup import repeated_spans
+
+        spans = repeated_spans(self._docs(spark), n=5, min_docs=2)
+        assert spans.select("doc_id").distinct().count() == 2  # docs 1 and 2
+        # every flagged gram is inside the boilerplate sentence
+        for r in spans.collect():
+            assert "newsletter" in r.gram or "subscribe" in r.gram or "daily" in r.gram
