@@ -166,3 +166,46 @@ def hamming_binary(a, b):
         F.lit(0),
         lambda acc, v: acc + v,
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization — the storage/bandwidth lever for ANN at
+# scale: 4x smaller vectors (float32 -> int8 + one double scale), with
+# dot products computed in integer arithmetic and rescaled afterward.
+# Pure column expressions (JVM-side, codegen'd): no UDF anywhere.
+# ---------------------------------------------------------------------------
+def quantize_int8(vec) -> "F.Column":
+    """array<float> -> struct(scale double, q array<int>): symmetric
+    per-vector quantization, q_i = floor(v_i/scale + 0.5) with
+    scale = max|v|/127 (explicit floor(+0.5) rounding so Spark and DuckDB
+    agree bit-for-bit; engine `round()` half-way rules differ).  The zero
+    vector quantizes to scale 0 with all-zero codes."""
+    from nonconsumptive_spark.functions.text import _as_col, let
+
+    v = _as_col(vec)
+    # Bind the scale once: referencing the array_max aggregate inside the
+    # per-element lambda would re-reduce the whole vector per element
+    # (O(d^2) — the interpreted-HOF trap, see functions.text.let).
+    def build(s):
+        q = F.transform(
+            v, lambda x: F.floor(x.cast("double") / s + F.lit(0.5)).cast("int")
+        )
+        return F.struct(
+            s.alias("scale"),
+            F.when(s > 0, q)
+            .otherwise(F.transform(v, lambda x: F.lit(0))).alias("q"),
+        )
+
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    return let(scale, build)
+
+
+def int8_dot(qa, sa, qb, sb) -> "F.Column":
+    """Rescaled integer dot product: sa*sb * sum(qa_i * qb_i).  The inner
+    sum stays in BIGINT (exact); only the final rescale touches doubles."""
+    acc = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return sa * sb * acc.cast("double")

@@ -380,3 +380,60 @@ def knn_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8-quantized kNN: the memory/bandwidth scale path.  Vectors are
+# symmetric-int8 quantized once (4x smaller; functions.embeddings.
+# quantize_int8), similarity is the rescaled integer dot product, and
+# ranking mirrors knn_bruteforce exactly so recall against the float
+# baseline is directly measurable.
+# --------------------------------------------------------------------------
+def quantized_vectors(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(id, scale double, q array<int>) — the stored form of a quantized
+    corpus.  At scale this frame is what you persist: int8 codes shrink
+    the shuffle/scan footprint 4x and the scales column is negligible."""
+    from nonconsumptive_spark.functions.embeddings import quantize_int8
+
+    qz = quantize_int8(F.col(vec_col))
+    return emb.withColumn("__qz", qz).select(
+        id_col,
+        F.col("__qz.scale").alias("scale"),
+        F.col("__qz.q").alias("q"),
+    )
+
+
+def knn_quantized(emb: DataFrame, queries: DataFrame, k: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k neighbors by QUANTIZED cosine: integer dot product over int8
+    codes, normalized by the quantized vectors' own norms.  Same broadcast
+    + window shape as knn_bruteforce; returns (query_id, neighbor_id,
+    qcosine_sim, rank)."""
+    from nonconsumptive_spark.functions.embeddings import int8_dot
+
+    qv = quantized_vectors(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("scale").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    cv = quantized_vectors(emb, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("scale").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    dot = int8_dot(F.col("qa"), F.col("sa"), F.col("qb"), F.col("sb"))
+    norm_a = F.sqrt(int8_dot(F.col("qa"), F.col("sa"), F.col("qa"), F.col("sa")))
+    norm_b = F.sqrt(int8_dot(F.col("qb"), F.col("sb"), F.col("qb"), F.col("sb")))
+    scored = (
+        cv.join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(dot / (norm_a * norm_b), 4).alias("qcosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcosine_sim", "rank")
+    )

@@ -182,3 +182,59 @@ def q_knn_cosine_ivf(spark, sf_dir):
         spark, sf_dir,
         lambda emb, q: sim.knn_ivf(emb, q, k=_K, n_centroids=16, n_probe=8),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_quantize_int8",
+    oracle="""
+    WITH qz AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings),
+    codes AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM qz)
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS q_max_abs
+    FROM codes
+    """,
+    doc="Symmetric int8 quantization of the embedding column (the 4x "
+        "storage/bandwidth lever for ANN at scale).  Codes are exact "
+        "integers, so the oracle compares integer checksums (sum, L1, "
+        "max|q|) plus the rounded scale — no float-sum ordering risk; "
+        "reconstruction-error bounds live in pytest.",
+)
+def q_quantize_int8(spark, sf_dir):
+    qv = sim.quantized_vectors(load(spark, sf_dir, "embeddings"))
+    absq = F.transform(F.col("q"), lambda x: F.abs(x))
+    zero = F.lit(0).cast("long")
+    return qv.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate(F.col("q"), zero, lambda a, v: a + v).alias("q_sum"),
+        F.aggregate(absq, zero, lambda a, v: a + v).alias("q_l1"),
+        F.array_max(absq).cast("long").alias("q_max_abs"),
+    )
+
+
+@register(
+    "q_knn_quantized",
+    oracle=_DUCK_RECALL,
+    doc="Top-k cosine over int8-quantized vectors (integer dot products, "
+        f"rescaled).  Oracle checks recall ≥ {_RECALL_BOUND} vs the exact "
+        "float baseline (measured ≈1.0 at sf0.01 — int8 cosine error is "
+        "~1e-3); same broadcast + per-query window shape as the exact kNN.",
+)
+def q_knn_quantized(spark, sf_dir):
+    return _recall_check(
+        spark, sf_dir,
+        lambda emb, q: sim.knn_quantized(emb, q, k=_K),
+    )

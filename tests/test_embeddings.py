@@ -91,3 +91,48 @@ def test_hamming_on_srp_bits(spark):
     assert all(0 <= v <= 128 for v in rows.values())
     # doc1 vs doc2 share no tokens: expect ~half the bits to differ
     assert 20 <= rows[(1, 2)] <= 108
+
+
+# ---------------------------------------------------------------------------
+class TestInt8Quantization:
+    def test_reconstruction_error_bounded(self, spark):
+        import numpy as np
+        from nonconsumptive_spark.operators.similarity import quantized_vectors
+        from tests.conftest import SF_SMALL
+
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        joined = quantized_vectors(emb).join(emb, "vec_id").collect()
+        for r in joined:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            rec = np.asarray(r.q, dtype=np.float64) * r.scale
+            denom = np.linalg.norm(v)
+            if denom == 0:
+                assert r.scale == 0 and not rec.any()
+                continue
+            # worst-case per-element error is scale/2 = max|v|/254
+            assert np.linalg.norm(v - rec) / denom < 0.01
+            assert max(abs(q) for q in r.q) <= 127
+
+    def test_zero_vector_quantizes_to_zero(self, spark):
+        from nonconsumptive_spark.operators.similarity import quantized_vectors
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.vec_id: r for r in quantized_vectors(df).collect()}
+        assert rows[1].scale == 0.0 and rows[1].q == [0, 0, 0]
+        assert rows[2].q[1] == -127  # max-magnitude element hits the rail
+
+    def test_quantized_knn_recall_near_exact(self, spark):
+        from pyspark.sql import functions as F
+        from nonconsumptive_spark.operators import similarity as sim
+        from tests.conftest import SF_SMALL
+
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in sim.knn_bruteforce(emb, queries, k=5).collect()}
+        quant = {(r.query_id, r.neighbor_id)
+                 for r in sim.knn_quantized(emb, queries, k=5).collect()}
+        assert len(exact & quant) / len(exact) >= 0.9
