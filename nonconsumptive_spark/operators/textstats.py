@@ -202,3 +202,36 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     Spark and DuckDB, so the oracle checks it bit-for-bit."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", " "))
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the compliance pass every training-data pipeline runs
+# before anything ships: emails, URLs, and long digit runs (phone/account
+# numbers) replaced by typed placeholder tokens.  Patterns are ASCII-only
+# so Java regex (Spark) and RE2 (DuckDB) agree character-for-character.
+# Zero shuffle: a regexp_replace chain over the scan.
+# ---------------------------------------------------------------------------
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS = r"\d{7,}"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, n_urls, n_emails, n_id_runs, redacted) — counts of each PII
+    class found plus the text with them replaced by <URL>/<EMAIL>/<ID>.
+    Replacement order matters: URLs first (an email-shaped substring inside
+    a URL query string must redact as part of the URL), then emails, then
+    bare digit runs (digits inside already-redacted spans are gone)."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(PII_URL), 0)).cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
+    ]
+    red = F.regexp_replace(t, PII_URL, "<URL>")
+    red = F.regexp_replace(red, PII_EMAIL, "<EMAIL>")
+    n_ids = F.size(F.regexp_extract_all(red, F.lit(PII_DIGITS), 0)).cast("long")
+    red = F.regexp_replace(red, PII_DIGITS, "<ID>")
+    return df.select(
+        id_col, *counts, n_ids.alias("n_id_runs"), red.alias("redacted"),
+    )

@@ -344,3 +344,54 @@ def q_arrow_batch_stats(spark, sf_dir):
     from nonconsumptive_spark.operators.arrowops import arrow_text_stats
 
     return arrow_text_stats(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# The fixture corpus carries no PII, so the query plants one deterministic
+# synthetic contact block per doc (identically on both engines) and then
+# redacts it — the redaction chain is exercised on every row instead of
+# vacuously passing text through.
+_PII_AUG = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@mail.example.org see https://ex.org/u/' || "
+            "CAST(doc_id AS VARCHAR) || '?s=1 acct ' || "
+            "CAST(1000000 + doc_id AS VARCHAR)")
+
+
+@register(
+    "q_redact_pii",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+                regexp_replace(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                '\\d{{7,}}')) AS BIGINT) AS n_id_runs,
+           regexp_replace(
+             regexp_replace(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\d{{7,}}', '<ID>', 'g') AS redacted
+    FROM aug
+    """,
+    doc="PII redaction (compliance pass): emails, URLs, long digit runs "
+        "replaced by typed placeholders, with per-class counts.  ASCII-only "
+        "patterns so Java regex and RE2 agree; replacement order "
+        "URL→email→digits.  Zero shuffle — a regexp_replace chain at scan "
+        "throughput.",
+)
+def q_redact_pii(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org see https://ex.org/u/"),
+            F.col("doc_id").cast("string"), F.lit("?s=1 acct "),
+            (F.col("doc_id") + 1_000_000).cast("string"),
+        ).alias("text"),
+    )
+    return ts.redact_pii(aug)

@@ -86,3 +86,26 @@ def test_packing_stats_consistent(spark):
     assert stats.n_sequences == n_seqs
     assert stats.n_docs == packed.count()
     assert 0.0 < stats.fill_ratio <= 1.0
+
+
+# ---------------------------------------------------------------------------
+class TestRedaction:
+    def test_redacts_all_three_classes(self, spark):
+        from nonconsumptive_spark.operators.textstats import redact_pii
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@site.co.uk or visit https://a.b/c?d=1 ref 12345678"),
+                (2, "no pii here, just 123 and a word"),
+                (3, "https://x.y/z?email=a@b.com stays one URL"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in redact_pii(docs).collect()}
+        assert out[1].n_emails == 1 and out[1].n_urls == 1 and out[1].n_id_runs == 1
+        assert out[1].redacted == "mail me at <EMAIL> or visit <URL> ref <ID>"
+        assert out[2].redacted == docs.filter("doc_id=2").collect()[0].text
+        assert (out[2].n_emails, out[2].n_urls, out[2].n_id_runs) == (0, 0, 0)
+        # the email-shaped substring inside the URL redacts as part of the URL
+        assert out[3].redacted == "<URL> stays one URL"
+        assert out[3].n_urls == 1
