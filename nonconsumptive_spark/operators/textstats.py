@@ -235,3 +235,61 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id",
     return df.select(
         id_col, *counts, n_ids.alias("n_id_runs"), red.alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-proxy quality scoring: per-document mean unigram log-prob
+# under the corpus's own (Laplace-smoothed, capped) unigram model.  The
+# cheap stand-in for the KenLM perplexity filter in CCNet-style pipelines:
+# documents full of rare/garbage tokens score low and get dropped.
+# ---------------------------------------------------------------------------
+def unigram_logprob_scores(df: DataFrame, vocab_cap: int = 50_000,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, avg_logprob) with logprob(t) = ln((c_t + 1) /
+    (N + V + 1)) for the ``vocab_cap`` most frequent tokens (ties broken by
+    token asc), and every other token scored as OOV with c_t = 0.  V is the
+    CAPPED vocabulary size, N the total token count.
+
+    Plan shape: one corpus-wide count aggregation builds the model (partial
+    map-side combine; top-cap via orderBy+limit so the rank window never
+    sees the full vocab), the model broadcasts onto the exploded token
+    stream, and the per-doc mean is a second hash agg keyed on the doc id.
+    Two shuffles total, both on short keys; the model table is ≤ cap rows
+    by construction, so the broadcast is always safe."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    toks = df.select(id_col, F.explode(tokenize(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(vocab_cap)
+
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    # model = vocab + corpus constants (crossJoin of a 1-row frame)
+    model = vocab.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v_size") + 1))
+        .alias("logprob"),
+    )
+    oov = totals.select(
+        F.log(1.0 / (F.col("n_total") + F.col("v_size") + 1)).alias("oov_logprob")
+    )
+    scored = (
+        toks.join(F.broadcast(model), "token", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(id_col, F.coalesce("logprob", "oov_logprob").alias("lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.round(F.avg("lp"), 4).alias("avg_logprob")
+    )
+    # LEFT join back so token-less documents appear with n_tokens = 0
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

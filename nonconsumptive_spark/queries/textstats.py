@@ -395,3 +395,82 @@ def q_redact_pii(spark, sf_dir):
         ).alias("text"),
     )
     return ts.redact_pii(aug)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token, c FROM counts ORDER BY c DESC, token ASC LIMIT 50000),
+    tot AS (SELECT sum(c) AS n_total, count(*) AS v_size FROM vocab),
+    model AS (
+      SELECT token, ln((c + 1) * 1.0 / (n_total + v_size + 1)) AS logprob
+      FROM vocab CROSS JOIN tot),
+    scored AS (
+      SELECT t.doc_id,
+             coalesce(m.logprob,
+                      (SELECT ln(1.0 / (n_total + v_size + 1)) FROM tot)) AS lp
+      FROM tok t LEFT JOIN model m USING (token)),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logprob
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(p.avg_logprob, 0.0) AS avg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Perplexity-proxy quality filter (CCNet-style): per-doc mean "
+        "unigram log-prob under the corpus's own Laplace-smoothed unigram "
+        "model (capped vocab, OOV floor).  Model builds in one capped "
+        "aggregation and broadcasts; per-doc mean is a second short-key "
+        "hash agg.",
+)
+def q_unigram_logprob(spark, sf_dir):
+    return ts.unigram_logprob_scores(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff: "old" = docs with id % 7 != 0, "new" = every doc but ids
+# divisible by 5 carry edited text — both engines derive the two snapshots
+# from the same fixture, so added/deleted/changed/unchanged all occur.
+@register(
+    "q_corpus_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp_old FROM documents WHERE doc_id % 7 <> 0),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp_new
+      FROM documents WHERE doc_id % 11 <> 3),
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp_old, n.fp_new
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT doc_id,
+           CASE WHEN fp_old IS NULL THEN 'added'
+                WHEN fp_new IS NULL THEN 'deleted'
+                WHEN fp_old <> fp_new THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM j
+    """,
+    doc="Corpus snapshot diff (incremental-ingest driver): full outer join "
+        "of md5 fingerprints classifies every doc id as added / deleted / "
+        "changed / unchanged.  Sides prune to (id, fingerprint) before the "
+        "join — the shuffle never carries text.",
+)
+def q_corpus_diff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.operators.versioning import corpus_diff
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)

@@ -109,3 +109,52 @@ class TestRedaction:
         # the email-shaped substring inside the URL redacts as part of the URL
         assert out[3].redacted == "<URL> stays one URL"
         assert out[3].n_urls == 1
+
+
+# ---------------------------------------------------------------------------
+class TestVersioningAndLogprob:
+    def test_corpus_diff_statuses(self, spark):
+        from nonconsumptive_spark.operators.versioning import corpus_diff, diff_summary
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string")
+        st = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+        assert st == {1: "deleted", 2: "unchanged", 3: "changed", 4: "added"}
+        summary = {r.status: r.n for r in
+                   diff_summary(corpus_diff(old, new)).collect()}
+        assert summary == {"deleted": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+    def test_unigram_logprob_orders_quality(self, spark):
+        from nonconsumptive_spark.operators.textstats import unigram_logprob_scores
+
+        # doc 3 is all-rare tokens; docs 1-2 share frequent vocabulary
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat"),
+             (2, "the dog sat on the rug"),
+             (3, "zyx qwv plk mnb"),
+             (4, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+        assert out[3].avg_logprob < out[1].avg_logprob
+        assert out[3].avg_logprob < out[2].avg_logprob
+        assert out[4].n_tokens == 0 and out[4].avg_logprob == 0.0
+
+    def test_vocab_cap_forces_oov(self, spark):
+        from nonconsumptive_spark.operators.textstats import unigram_logprob_scores
+
+        docs = spark.createDataFrame(
+            [(1, "aa aa aa aa"), (2, "bb bb"), (3, "cc")],
+            "doc_id long, text string",
+        )
+        # cap=1 keeps only 'aa': bb (count 2) and cc (count 1) both hit the
+        # OOV floor, so their docs score IDENTICALLY under the cap...
+        capped = {r.doc_id: r.avg_logprob
+                  for r in unigram_logprob_scores(docs, vocab_cap=1).collect()}
+        assert capped[2] == capped[3]
+        # ...but differ when the vocab holds their true counts.
+        full = {r.doc_id: r.avg_logprob
+                for r in unigram_logprob_scores(docs, vocab_cap=10).collect()}
+        assert full[2] > full[3]
