@@ -293,3 +293,72 @@ def unigram_logprob_scores(df: DataFrame, vocab_cap: int = 50_000,
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain capping — "no single source may contribute more than K documents"
+# (the anti-monoculture rule in web-corpus curation).  Deterministic: docs
+# within a source are ranked by md5(doc_id), so the kept subset is a pure
+# function of the data, reproducible across runs and engines.
+# ---------------------------------------------------------------------------
+def cap_per_source(df: DataFrame, k: int, id_col: str = "doc_id",
+                   stratum_col: str = "source") -> DataFrame:
+    """Keep at most ``k`` docs per stratum, selected by md5 rank (with the
+    id as tie-break).  Exact capping needs a per-stratum ordering — one
+    shuffle on the stratum key, and a hot stratum serializes through one
+    partition.  That is acceptable when strata are domains (cardinality ≫
+    partitions); for pathological skew the scale path is the two-pass
+    approximation: measure per-stratum counts, then ``hash_sample`` with
+    fraction k/count — no ordering, fully parallel."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, stratum_col, "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite quality filter — the keep/drop decision plus WHY, one boolean
+# per rule (Gopher-style).  Pipelines keep the reason columns: they are
+# what you aggregate when deciding whether a threshold is miscalibrated.
+# ---------------------------------------------------------------------------
+def quality_filter(df: DataFrame, min_tokens: int = 20,
+                   min_alpha_ratio: float = 0.5,
+                   max_dup_bigram_frac: float = 0.3,
+                   min_stopword_ratio: float = 0.05,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, too_short, low_alpha, high_dup, low_stopword, keep) — a doc is
+    kept iff every rule passes.  All signals are per-row array math (the
+    same formulas as quality_score / repetition_scores), so the filter
+    runs at scan throughput with zero shuffle."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^\p{L}]", ""))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    grams = F.transform(
+        ngram_structs(toks, 2), lambda s: F.concat_ws(" ", s["w0"], s["w1"])
+    )
+    n_bg = F.size(grams)
+    dup_bg = F.when(
+        n_bg > 0, 1.0 - F.size(F.array_distinct(grams)) / n_bg
+    ).otherwise(F.lit(0.0))
+
+    too_short = (n_tokens < min_tokens).alias("too_short")
+    low_alpha = (alpha_ratio < min_alpha_ratio).alias("low_alpha")
+    high_dup = (dup_bg > max_dup_bigram_frac).alias("high_dup")
+    low_stop = (stop_ratio < min_stopword_ratio).alias("low_stopword")
+    return df.select(
+        id_col, too_short, low_alpha, high_dup, low_stop,
+        (~((n_tokens < min_tokens) | (alpha_ratio < min_alpha_ratio)
+           | (dup_bg > max_dup_bigram_frac)
+           | (stop_ratio < min_stopword_ratio))).alias("keep"),
+    )

@@ -474,3 +474,63 @@ def q_corpus_diff(spark, sf_dir):
         .otherwise(F.col("text")),
     )
     return corpus_diff(old, new)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_cap_per_source",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk
+      FROM documents)
+    WHERE rk <= 50
+    """,
+    doc="Domain capping: at most 50 docs per source, chosen by "
+        "deterministic md5 rank — the anti-monoculture curation rule.  "
+        "Exact form shuffles once on the stratum key; the documented "
+        "scale path for pathologically hot strata is count + hash_sample "
+        "at fraction k/count.",
+)
+def q_cap_per_source(spark, sf_dir):
+    return ts.cap_per_source(load(spark, sf_dir, "documents"), k=50)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_quality_filter",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS}) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^\\pL]', '', 'g')) * 1.0 / length(text)
+                  ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len({_DUCK_TOKS}) > 0
+                  THEN len(list_filter({_DUCK_TOKS}, t -> list_contains({_stoplist_sql("en")}, lower(t)))) * 1.0
+                       / len({_DUCK_TOKS})
+                  ELSE 0.0 END AS stop_ratio,
+             (SELECT CASE WHEN count(*) > 0
+                          THEN 1.0 - count(DISTINCT g) * 1.0 / count(*) ELSE 0.0 END
+              FROM (SELECT w0 || ' ' || w1 AS g FROM (
+                      SELECT unnest({_DUCK_TOKS}[1:len({_DUCK_TOKS})-1]) AS w0,
+                             unnest({_DUCK_TOKS}[2:len({_DUCK_TOKS})]) AS w1)) z
+             ) AS dup_bg
+      FROM documents)
+    SELECT doc_id,
+           n_tokens < 20 AS too_short,
+           alpha_ratio < 0.5 AS low_alpha,
+           dup_bg > 0.3 AS high_dup,
+           stop_ratio < 0.05 AS low_stopword,
+           NOT (n_tokens < 20 OR alpha_ratio < 0.5 OR dup_bg > 0.3
+                OR stop_ratio < 0.05) AS keep
+    FROM sig
+    """,
+    doc="Composite Gopher-style quality filter: keep/drop plus one boolean "
+        "per rule (length, alpha ratio, duplicate-bigram fraction, "
+        "stopword floor).  All per-row array math — zero shuffle.",
+)
+def q_quality_filter(spark, sf_dir):
+    return ts.quality_filter(load(spark, sf_dir, "documents"))

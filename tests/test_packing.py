@@ -158,3 +158,81 @@ class TestVersioningAndLogprob:
         full = {r.doc_id: r.avg_logprob
                 for r in unigram_logprob_scores(docs, vocab_cap=10).collect()}
         assert full[2] > full[3]
+
+
+# ---------------------------------------------------------------------------
+class TestCapAndFilter:
+    def test_cap_respects_k_and_determinism(self, spark):
+        from nonconsumptive_spark.operators.textstats import cap_per_source
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        capped = cap_per_source(docs, k=5)
+        per_src = {r.source: r.n for r in
+                   capped.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+        avail = {r.source: r.n for r in
+                 docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+        for src, n in per_src.items():
+            assert n == min(5, avail[src])
+        # deterministic under repartitioning
+        a = {r.doc_id for r in capped.collect()}
+        b = {r.doc_id for r in cap_per_source(docs.repartition(9), k=5).collect()}
+        assert a == b
+
+    def test_quality_filter_reasons(self, spark):
+        from nonconsumptive_spark.operators.textstats import quality_filter
+
+        good = ("the cat and the dog sat in a house with it is nice and "
+                "the sun was warm so they slept all day long together")
+        docs = spark.createDataFrame(
+            [
+                (1, good),
+                (2, "short text"),                       # too_short
+                (3, "1234 5678 !!! 90 ## 4567 " * 8),    # low_alpha + low_stopword
+                (4, ("spam word " * 30).strip()),        # high_dup (one repeated bigram)
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in quality_filter(docs).collect()}
+        assert out[1].keep and not (out[1].too_short or out[1].low_alpha
+                                    or out[1].high_dup or out[1].low_stopword)
+        assert out[2].too_short and not out[2].keep
+        assert out[3].low_alpha and not out[3].keep
+        assert out[4].high_dup and not out[4].keep
+
+
+class TestStreamingHygiene:
+    def test_redaction_stream_equals_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from nonconsumptive_spark.operators.textstats import redact_pii
+        from tests.conftest import SF_SMALL
+
+        src = str(tmp_path / "docs")
+        batch_df = (
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .withColumn("text", F.concat(
+                F.col("text"), F.lit(" mail x"), F.col("doc_id").cast("string"),
+                F.lit("@ex.org")))
+        )
+        batch_df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 2)
+            .load(src)
+        )
+        out = str(tmp_path / "red")
+        q = (
+            redact_pii(stream).writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r.doc_id, r.redacted, r.n_emails)
+               for r in spark.read.parquet(out).collect()}
+        expect = {(r.doc_id, r.redacted, r.n_emails)
+                  for r in redact_pii(spark.read.parquet(src)).collect()}
+        assert got == expect and len(got) > 0
+        assert all(n == 1 for _, _, n in got)
