@@ -387,3 +387,60 @@ def q_count_sum_preservation(spark, sf_dir):
     return enc.agg(F.sum("count").alias("total_encoded")).crossJoin(
         total_tokens.select(F.col("t").alias("total_tokens"))
     )
+
+
+# --------------------------------------------------------------------------
+_BPE_MERGES = 8
+
+
+def _bpe_oracle(k: int) -> str:
+    """Generate the k-round BPE replay: each round counts weighted adjacent
+    pairs, picks the argmax (cnt DESC, x, y), and re-segments every word
+    with a greedy left-to-right fold (string accumulator with a chr(31)
+    separator — a just-merged tail can never re-merge in-round, matching
+    the Spark array fold and reference BPE trainers)."""
+    cte = [f"""
+    words_0 AS (
+      SELECT word, freq, string_split(word, '') AS syms
+      FROM (SELECT word, count(*) AS freq
+            FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+            GROUP BY word))"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        cte.append(f"""
+    pairs_{i} AS (
+      SELECT s[1] AS x, s[2] AS y, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq,
+                   unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS s
+            FROM words_{p})
+      GROUP BY 1, 2),
+    best_{i} AS (
+      SELECT x, y, cnt FROM pairs_{i} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+    words_{i} AS (
+      SELECT word, freq,
+             string_split(substr(list_reduce(list_prepend('', syms),
+               (acc, s) -> CASE WHEN ends_with(acc, chr(31) || b.x) AND s = b.y
+                           THEN substr(acc, 1, length(acc) - length(b.x)) || b.x || b.y
+                           ELSE acc || chr(31) || s END), 2), chr(31)) AS syms
+      FROM words_{p} CROSS JOIN best_{i} b)""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, x, y, x || y AS merged, cnt FROM best_{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH" + ",".join(cte) + f"\n    {unions}"
+
+
+@register(
+    "q_bpe_merges",
+    oracle=_bpe_oracle(_BPE_MERGES),
+    doc=f"BPE vocabulary induction: the first {_BPE_MERGES} learned merges "
+        "(step, x, y, merged, cnt) — the tokenizer-training algorithm.  "
+        "Corpus-sized work is one word-count agg; rounds run on the small "
+        "vocab table with one bounded 1-row collect per round (merge order "
+        "is inherently sequential).  The oracle replays all rounds as "
+        "generated CTEs with a string-fold merge.",
+)
+def q_bpe_merges(spark, sf_dir):
+    from nonconsumptive_spark.operators.bpe import train_bpe
+
+    return train_bpe(load(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)

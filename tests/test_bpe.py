@@ -1,0 +1,57 @@
+"""BPE trainer: known-corpus merge order, greedy overlap semantics,
+inference segmentation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_known_corpus_merge_order(spark):
+    from nonconsumptive_spark.operators.bpe import train_bpe
+
+    # freq(hug)=10, freq(pug)=5, freq(hugs)=5  (the classic BPE example)
+    docs = spark.createDataFrame(
+        [(i, "hug") for i in range(10)]
+        + [(100 + i, "pug") for i in range(5)]
+        + [(200 + i, "hugs") for i in range(5)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=3).collect()
+    # pair counts round 1: (h,u)=15, (u,g)=20, (p,u)=5, (g,s)=5 -> ug
+    assert (merges[0].x, merges[0].y, merges[0].cnt) == ("u", "g", 20)
+    # round 2: (h,ug)=15, (p,ug)=5, (ug,s)=5 -> h+ug
+    assert (merges[1].x, merges[1].y, merges[1].cnt) == ("h", "ug", 15)
+    assert merges[1].merged == "hug"
+    # round 3: (p,ug)=5, (hug,s)=5 -> tie, lexicographic: hug < p
+    assert (merges[2].x, merges[2].y, merges[2].cnt) == ("hug", "s", 5)
+
+
+def test_greedy_merge_is_left_to_right_nonoverlapping(spark):
+    from nonconsumptive_spark.operators.bpe import _merge_round
+
+    words = spark.createDataFrame(
+        [("aaaa", 1, list("aaaa")), ("aaa", 1, list("aaa"))],
+        "word string, freq long, syms array<string>",
+    )
+    out = {r.word: r.syms for r in _merge_round(words, "a", "a").collect()}
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+
+
+def test_apply_bpe_segments_with_learned_merges(spark):
+    from nonconsumptive_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, "hug") for i in range(10)]
+        + [(100 + i, "pug") for i in range(5)]
+        + [(200 + i, "hugs") for i in range(5)],
+        "doc_id long, text string",
+    )
+    table = [(r.x, r.y) for r in train_bpe(docs, n_merges=3).collect()]
+    words = spark.createDataFrame(
+        [("hugs", 1, list("hugs")), ("pugs", 1, list("pugs"))],
+        "word string, freq long, syms array<string>",
+    )
+    segs = {r.word: r.syms for r in apply_bpe(words, table).collect()}
+    assert segs["hugs"] == ["hugs"]          # hug+s merged in round 3
+    assert segs["pugs"] == ["p", "ug", "s"]  # no (p,ug) merge learned
