@@ -1,0 +1,78 @@
+"""Graph operators over corpus-derived graphs.
+
+PageRank here runs on the token co-occurrence graph (distinct bigrams as
+directed edges) — the corpus-analysis flavor of "which tokens sit at the
+center of the corpus's phrase structure" (TextRank's underlying recurrence).
+The same operator serves any (src, dst) edge frame.
+
+Distribution shape — the standard Spark PageRank iteration, DataFrame-native:
+  * out-degrees computed once, joined into the edge list once, both
+    materialized — per-iteration work is ONE equi-join (ranks ⋈ edges on
+    src) and ONE hash agg (sum contributions by dst), i.e. two shuffles
+    keyed on node ids;
+  * dangling nodes (no out-edges) keep receiving the teleport term but
+    contribute nothing — handled by the LEFT join from the node set;
+  * each iteration's rank frame is re-materialized (materialize_once) so
+    iteration k never replays 1..k-1 — the same lineage-cut discipline as
+    connected components (operators/dedup.py) and BPE (operators/bpe.py).
+
+Convergence is fixed-iteration (k) rather than delta-threshold so the
+result is deterministic and oracle-replayable round for round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.text import ngram_structs, tokenize
+from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+
+def bigram_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct directed token-adjacency edges (src, dst) over the corpus."""
+    grams = ngram_structs(tokenize(text_col), 2)
+    return (
+        docs.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w0").alias("src"), F.col("g.w1").alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous PageRank iterations with
+    uniform teleport; ranks rounded to 6 decimals at OUTPUT only (interim
+    values stay full-precision so engines replaying the same recurrence
+    agree)."""
+    nodes = materialize_once(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        "pr_nodes",
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # one edges⋈degree join, reused by every iteration
+    ed = materialize_once(edges.join(out_deg, "src"), "pr_edges")
+
+    n = nodes.count()  # scalar, bounded: the node-count of the graph
+    ranks = materialize_once(
+        nodes.select("node", F.lit(1.0 / n).alias("rank")), "pr_init"
+    )
+    for i in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = materialize_once(
+            nodes.join(contrib, "node", "left").select(
+                "node",
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+            ),
+            f"pr_iter_{i}",
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

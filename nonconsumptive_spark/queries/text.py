@@ -444,3 +444,55 @@ def q_bpe_merges(spark, sf_dir):
     from nonconsumptive_spark.operators.bpe import train_bpe
 
     return train_bpe(load(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+
+
+# --------------------------------------------------------------------------
+_PR_ITERS = 10
+
+
+def _pagerank_oracle(k: int) -> str:
+    """Replay k synchronous PageRank iterations over the distinct-bigram
+    graph: same recurrence, same damping, rounding at output only."""
+    cte = [f"""
+    tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    edges AS (
+      SELECT DISTINCT token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM tokpos QUALIFY dst IS NOT NULL),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d USING (src)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, k + 1):
+        cte.append(f"""
+    r{i} AS (
+      SELECT nd.node,
+             (0.15 / (SELECT n FROM nn))
+               + 0.85 * coalesce(c.sum_c, 0.0) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT ed.dst AS node, sum(r.rank / ed.out_deg) AS sum_c
+        FROM ed JOIN r{i - 1} r ON ed.src = r.node
+        GROUP BY ed.dst) c USING (node))""")
+    return ("WITH" + ",".join(cte)
+            + f"\n    SELECT node, round(rank, 6) AS rank FROM r{k}")
+
+
+@register(
+    "q_token_pagerank",
+    oracle=_pagerank_oracle(_PR_ITERS),
+    doc=f"PageRank ({_PR_ITERS} synchronous iterations, damping 0.85, "
+        "uniform teleport, dangling mass not redistributed) over the "
+        "distinct token-bigram graph — the TextRank recurrence.  "
+        "Per-iteration: one ranks⋈edges equi-join + one dst-keyed agg, "
+        "lineage cut per round; the oracle replays every iteration as "
+        "generated CTEs.",
+)
+def q_token_pagerank(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import bigram_edges, pagerank
+
+    edges = bigram_edges(load(spark, sf_dir, "documents"))
+    return pagerank(edges, n_iter=_PR_ITERS)

@@ -55,3 +55,29 @@ def test_apply_bpe_segments_with_learned_merges(spark):
     segs = {r.word: r.syms for r in apply_bpe(words, table).collect()}
     assert segs["hugs"] == ["hugs"]          # hug+s merged in round 3
     assert segs["pugs"] == ["p", "ug", "s"]  # no (p,ug) merge learned
+
+
+# ---------------------------------------------------------------------------
+def test_pagerank_two_node_cycle_with_dangler(spark):
+    from nonconsumptive_spark.operators.graph import pagerank
+
+    # a <-> b cycle plus a -> c dangler: c receives but never emits.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string")
+    ranks = {r.node: r.rank for r in pagerank(edges, n_iter=30).collect()}
+    # hand-iterated fixed point (damping .85, n=3, no dangling redistribution):
+    # b = .05 + .85*a/2, c = .05 + .85*a/2, a = .05 + .85*b  =>
+    # a = .05 + .85*(.05 + .425a) -> a(1-.36125)=.0925 -> a≈.144814
+    assert abs(ranks["a"] - 0.144814) < 1e-4
+    assert abs(ranks["b"] - ranks["c"]) < 1e-9
+    assert abs(ranks["b"] - (0.05 + 0.425 * ranks["a"])) < 1e-4
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from nonconsumptive_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    ranks = [r.rank for r in pagerank(edges, n_iter=5).collect()]
+    # output ranks are rounded to 6 decimals
+    assert all(abs(x - 1 / 3) < 1e-6 for x in ranks)
