@@ -53,11 +53,23 @@ def test_parity_queries_inside_driver_window():
         "q_srp_stats",
         "q_srp_hamming",
         "q_approx_distinct",
-        "q_dedup_exact",
-        "q_minhash_dedup_pairs",
-        "q_multimodal_features",
         "q_asof_join",
         "q_sessionize_lag",
+        # new-in-round-2 extension queries: never driver-verified, so they
+        # take the window slots of the r1-green dedup/multimodal block
+        # (q_dedup_exact, q_minhash_dedup_pairs, q_multimodal_features were
+        # driver-green in CORRECTNESS_r01 and their only r2 change — the
+        # materialization policy routing — is asserted bit-identical by
+        # tests/test_corpus_layer.py::test_checkpoint_policy).
+        "q_dedup_clusters",
+        "q_remove_repeated_spans",
+        "q_pack_sequences",
+        "q_quantize_int8",
+        "q_knn_quantized",
+        "q_unigram_logprob",
+        "q_corpus_diff",
+        "q_bpe_merges",
+        "q_token_pagerank",
     }
     missing = flagship - window
     assert not missing, f"flagship queries outside driver window: {missing}"
