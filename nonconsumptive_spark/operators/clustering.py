@@ -1,0 +1,213 @@
+"""Embedding clustering and semantic dedup: k-means + SemDeDup.
+
+The cluster-then-prune curation path for LLM training data (SemDeDup,
+Abbas et al. 2023, arXiv:2303.09540): k-means over the embedding column,
+then within each cluster drop every vector that is near-duplicate (cosine
+above a threshold) of a lower-id member.  The reference engine has no
+clustering operator; this is one of the brief's training-data-pipeline
+extensions, built in the repo's iterative-replay style (operators/graph.py
+PageRank, operators/bpe.py).
+
+Determinism contract — the whole recurrence is cross-engine replayable:
+
+  * vectors are quantized to an integer grid (``round(x * 2^20)`` as
+    BIGINT, the same half-up rule as the int8 quantizer in
+    operators/similarity.py), so distances and dot products are EXACT
+    integers — no float-sum ordering risk between Spark and DuckDB;
+  * initial centroids are the ``k`` lowest-id vectors; each Lloyd update
+    re-quantizes the mean back onto the grid via ``floor(S/n + 0.5)``
+    (one IEEE-double divide of exactly-representable integers — identical
+    in Python, Spark and DuckDB for |S| < 2^53, i.e. up to ~2^33 rows per
+    cluster at this grid; beyond that, widen the grid or shard the sum);
+  * assignment ties break toward the lowest centroid id;
+  * the SemDeDup cosine threshold ``tau = num/den`` is evaluated as the
+    integer comparison ``den² · dot² ≥ num² · ‖a‖²·‖b‖² AND dot > 0``
+    (decimal(38,0) on Spark, HUGEINT in DuckDB) — no sqrt, no rounding.
+
+Distribution shape (the 100 TB story):
+
+  * assignment is a ZERO-shuffle projection: the k×d centroid matrix is a
+    constant-folded JSON literal (same trick as the LSH hyperplanes in
+    operators/similarity.py), so each iteration scans the quantized
+    vectors once and computes argmin per row;
+  * the update is one k-group hash aggregate (map-side partial) of d
+    per-dimension sums — shuffle volume is k·d longs per partition,
+    independent of row count;
+  * per-iteration driver traffic is the k×(d+1) summary row set (bounded,
+    like the 1-row-per-round collect in operators/bpe.py);
+  * SemDeDup's pairwise stage is an equi-join on the cluster id, so its
+    cost is Σ|cluster|² — at scale you grow k proportionally to N to keep
+    clusters bounded, exactly the SemDeDup paper's regime.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.text import let
+from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+GRID = 1 << 20
+
+
+def quantize_grid(vec, grid: int = GRID):
+    """float array -> BIGINT array on a uniform grid (round-half-up)."""
+    col = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * grid + F.lit(0.5)).cast("long")
+    )
+
+
+def _sq_dist(xq, cq):
+    """Exact integer squared L2 distance between two BIGINT arrays."""
+    return F.aggregate(
+        F.zip_with(xq, cq, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dot(xa, xb):
+    """Exact integer dot product of two BIGINT arrays."""
+    return F.aggregate(
+        F.zip_with(xa, xb, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(q: DataFrame, cents: list[list[int]], id_col: str) -> DataFrame:
+    """(id, xq) -> (id, xq, cluster, dist_sq) under the given centroids.
+
+    The centroid matrix rides in as ONE JSON literal so Catalyst constant-
+    folds it once per task instead of materializing k·d Literal nodes
+    (measured driver-time trap, see operators/similarity.py planes)."""
+    cq_mat = F.from_json(F.lit(json.dumps(cents)), "array<array<long>>")
+    dists = F.transform(cq_mat, lambda cq: _sq_dist(F.col("xq"), cq))
+    best = let(
+        dists,
+        lambda d: F.struct(
+            (F.array_position(d, F.array_min(d)) - 1).alias("cluster"),
+            F.array_min(d).alias("dist_sq"),
+        ),
+    )
+    return q.select(id_col, "xq", best.alias("_b")).select(
+        id_col, "xq", "_b.cluster", "_b.dist_sq"
+    )
+
+
+def _update(assigned: DataFrame, cents: list[list[int]], dims: int) -> list[list[int]]:
+    """One Lloyd step: per-cluster per-dimension integer sums (one hash
+    agg, k groups), re-quantized to the grid.  Empty clusters keep their
+    previous centroid.  The collect is the bounded k-row summary."""
+    sums = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at(F.col("xq"), j + 1)).alias(f"s{j}") for j in range(dims)],
+    )
+    by_cid = {int(r["cluster"]): r for r in sums.collect()}  # ≤ k rows
+    out = []
+    for cid, prev in enumerate(cents):
+        r = by_cid.get(cid)
+        if r is None:
+            out.append(prev)
+        else:
+            n = int(r["n"])
+            out.append([math.floor(int(r[f"s{j}"]) / n + 0.5) for j in range(dims)])
+    return out
+
+
+def _kmeans_core(
+    emb: DataFrame,
+    k: int,
+    n_iter: int,
+    grid: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared k-means driver: returns (final assignment incl. xq, centroids)."""
+    q = materialize_once(
+        emb.select(id_col, quantize_grid(vec_col, grid).alias("xq")), "km_q"
+    )
+    first = q.orderBy(id_col).limit(k).collect()  # bounded: k seed rows
+    cents = [list(r["xq"]) for r in sorted(first, key=lambda r: r[id_col])]
+    dims = len(cents[0])
+    for _ in range(n_iter):
+        cents = _update(_assign(q, cents, id_col), cents, dims)
+    return _assign(q, cents, id_col), cents
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 10,
+    n_iter: int = 4,
+    grid: int = GRID,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist_sq) after ``n_iter`` integer-grid Lloyd rounds.
+
+    ``cluster`` is the 0-based centroid index (BIGINT), ``dist_sq`` the
+    exact integer squared distance in grid units."""
+    assigned, _ = _kmeans_core(emb, k, n_iter, grid, id_col, vec_col)
+    return assigned.select(id_col, "cluster", "dist_sq")
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 10,
+    n_iter: int = 4,
+    tau_num: int = 7,
+    tau_den: int = 20,
+    grid: int = GRID,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup pruning pass: (id, cluster, pruned).
+
+    ``pruned`` is TRUE iff some lower-id vector in the SAME k-means
+    cluster has cosine similarity ≥ tau_num/tau_den — evaluated exactly on
+    the quantized grid as ``dot > 0 AND den²·dot² ≥ num²·na·nb`` in
+    decimal(38,0) (dot ≤ d·(grid/2)² ≈ 2^45 here, so den²·dot² ≲ 5e29,
+    comfortably inside 38 digits)."""
+    assigned, _ = _kmeans_core(emb, k, n_iter, grid, id_col, vec_col)
+    a = materialize_once(
+        assigned.withColumn("nq", _dot(F.col("xq"), F.col("xq"))), "sd_assign"
+    )
+
+    left = a.select(
+        F.col(id_col).alias("id_a"), "cluster",
+        F.col("xq").alias("xa"), F.col("nq").alias("na"),
+    )
+    right = a.select(
+        F.col(id_col).alias("id_b"), "cluster",
+        F.col("xq").alias("xb"), F.col("nq").alias("nb"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    near = let(
+        _dot(F.col("xa"), F.col("xb")),
+        lambda d: (d > 0)
+        & (
+            dec(F.lit(tau_den * tau_den)) * dec(d) * dec(d)
+            >= dec(F.lit(tau_num * tau_num)) * dec(F.col("na")) * dec(F.col("nb"))
+        ),
+    )
+    dup_ids = (
+        left.join(right, "cluster")  # equi-join on the cluster id
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(near)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        a.join(dup_ids.withColumn("_p", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "cluster", F.coalesce("_p", F.lit(False)).alias("pruned")
+        )
+    )

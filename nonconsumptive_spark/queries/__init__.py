@@ -127,12 +127,14 @@ PRIORITY: tuple[str, ...] = (
     "q_corpus_diff",
     "q_bpe_merges",
     "q_token_pagerank",
+    # new this session: k-means + SemDeDup (cluster-then-prune curation)
+    "q_kmeans_assign",
+    "q_semdedup_prune",
     # dict-encode changed this round (build_dictionary) → stay in-window
     "q_dict_encode",
     # event-time windows + as-of join (asof & sessionize changed this
-    # round; tumbling/json were r1-green and unchanged → demoted)
-    "q_events_session",
-    "q_click_attribution",
+    # round; tumbling/json/session/attribution were r1-green and unchanged
+    # → demoted to make window room for the clustering block above)
     "q_asof_join",
     "q_sessionize_lag",
     "q_funnel_stages",
@@ -156,6 +158,7 @@ PRIORITY: tuple[str, ...] = (
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules exactly once.
     from nonconsumptive_spark.queries import (  # noqa: F401
+        clustering,
         dedup,
         events,
         multimodal,

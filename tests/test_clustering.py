@@ -1,0 +1,87 @@
+"""k-means + SemDeDup invariants (cross-engine parity is covered for both
+registry entries by test_oracle_parity; these pin the operator semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators import clustering as cl
+from tests.conftest import SF_SMALL
+
+K, ITERS = 10, 4
+TAU = (7, 20)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def test_kmeans_assignment_invariants(spark, emb):
+    out = cl.kmeans(emb, k=K, n_iter=ITERS).collect()
+    n = emb.count()
+    assert len(out) == n  # every vector assigned exactly once
+    assert all(0 <= r["cluster"] < K for r in out)
+    assert all(r["dist_sq"] >= 0 for r in out)
+    # the synthetic embeddings carry 10 latent labels; Lloyd from 10 seeds
+    # should populate more than one cluster
+    assert len({r["cluster"] for r in out}) > 1
+
+
+def test_kmeans_deterministic(spark, emb):
+    a = sorted(map(tuple, cl.kmeans(emb, k=K, n_iter=ITERS).collect()))
+    b = sorted(map(tuple, cl.kmeans(emb, k=K, n_iter=ITERS).collect()))
+    assert a == b
+
+
+def test_semdedup_matches_numpy_reference(spark, emb):
+    """Prune decisions equal an independent numpy replay of the contract:
+    pruned(b) <=> exists a<b in the same cluster with quantized-cosine >= tau."""
+    rows = cl.semdedup(emb, k=K, n_iter=ITERS,
+                       tau_num=TAU[0], tau_den=TAU[1]).collect()
+    assign = {r["vec_id"]: r["cluster"] for r in rows}
+    pruned = {r["vec_id"]: r["pruned"] for r in rows}
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    xq = np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * cl.GRID + 0.5
+    ).astype(np.int64)
+    nq = (xq * xq).sum(axis=1)
+    num2, den2 = TAU[0] ** 2, TAU[1] ** 2
+
+    expect = {}
+    order = np.argsort(ids)
+    for bi in order:
+        b = int(ids[bi])
+        hit = False
+        for ai in order:
+            a = int(ids[ai])
+            if a >= b or assign[a] != assign[b]:
+                continue
+            dot = int(np.dot(xq[ai], xq[bi]))
+            if dot > 0 and den2 * dot * dot >= num2 * int(nq[ai]) * int(nq[bi]):
+                hit = True
+                break
+        expect[b] = hit
+    assert pruned == expect
+
+
+def test_semdedup_threshold_monotone(spark, emb):
+    """A stricter threshold never prunes more vectors."""
+    loose = cl.semdedup(emb, k=K, n_iter=ITERS, tau_num=7, tau_den=20)
+    strict = cl.semdedup(emb, k=K, n_iter=ITERS, tau_num=9, tau_den=10)
+    n_loose = loose.where("pruned").count()
+    n_strict = strict.where("pruned").count()
+    assert n_strict <= n_loose
+
+
+def test_assignment_is_zero_shuffle(spark, emb):
+    """The per-iteration assignment must not shuffle: its plan contains no
+    Exchange (centroids ride as a constant-folded literal)."""
+    q = emb.select("vec_id", cl.quantize_grid("embedding").alias("xq"))
+    cents = [[0] * 64 for _ in range(K)]
+    plan = cl._assign(q, cents, "vec_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
