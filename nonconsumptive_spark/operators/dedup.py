@@ -319,6 +319,36 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
     ).withColumn("is_keeper", F.col("cluster") == F.col(id_col))
 
 
+def canonical_docs(docs: DataFrame, pairs: DataFrame | None = None,
+                   threshold: float = 0.5, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Quality-aware keeper selection: (id, cluster, n_tokens, canonical).
+
+    ``dedup_clusters`` keeps the MIN-id member; a real curation pipeline
+    keeps the BEST member — here the longest one (token count), the
+    standard "near-dups are truncations/mirrors of one master copy"
+    heuristic, with id as the deterministic tie-break.  Token count is an
+    exact integer, so the choice replays bit-identically cross-engine.
+
+    Scale shape: one cluster-keyed ``row_number`` window — clusters are
+    near-dup components (bounded size by construction), so no partition
+    ever sees more than one component; singletons are 1-row windows."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.functions.text import tokenize
+
+    clusters = dedup_clusters(docs, pairs, threshold, id_col, text_col)
+    lens = docs.select(id_col, F.size(tokenize(text_col)).alias("n_tokens"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_tokens"), F.asc(id_col)
+    )
+    return (
+        clusters.join(lens, id_col)
+        .withColumn("canonical", F.row_number().over(w) == 1)
+        .select(id_col, "cluster", "n_tokens", "canonical")
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash: each token occurrence's md5 hash contributes ±1 per
     bit position; fingerprint bit j = 1 iff the summed weight is positive.

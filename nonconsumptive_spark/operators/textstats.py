@@ -196,6 +196,55 @@ def hash_sample(df: DataFrame, fractions: dict[str, float],
     return df.filter(frac.isNotNull() & (bucket < frac * modulus))
 
 
+def dataset_split(df: DataFrame,
+                  weights: tuple[tuple[str, int], ...] = (
+                      ("train", 98), ("val", 1), ("test", 1)),
+                  key_col: str = "doc_id",
+                  modulus: int = 10_000) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(key) mod modulus falls
+    into integer bands sized by the cumulative weights.  Like hash_sample,
+    the split is a pure function of the row — a document never migrates
+    between splits across runs, engines, cluster sizes, or incremental
+    re-ingests (the property that keeps eval sets uncontaminated as the
+    corpus grows).  Zero shuffle; band edges are exact integers."""
+    total = sum(w for _, w in weights)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % modulus
+    )
+    cum = 0
+    expr = None
+    for name, w in weights[:-1]:
+        cum += w
+        edge = (cum * modulus) // total
+        expr = (F.when(bucket < edge, name) if expr is None
+                else expr.when(bucket < edge, name))
+    expr = expr.otherwise(weights[-1][0])
+    return df.select(key_col, expr.alias("split"))
+
+
+def temperature_mix(df: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """Square-root temperature sampling weights per stratum (the alpha=0.5
+    mixture rule used to up-weight small sources in multilingual/multi-
+    domain training sets): mix_frac_s = sqrt(n_s) / Σ_t sqrt(n_t).
+
+    sqrt is IEEE-correctly-rounded in every engine (unlike pow), so the
+    per-stratum weights are bit-identical cross-engine; the normalizing
+    sum spans only #strata doubles and the output rounds to 6 decimals.
+    One stratum-keyed count agg + one tiny cross join — no data movement
+    beyond the (stratum, count) pairs."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum(F.sqrt("n_docs")).alias("z"))
+    return (
+        counts.crossJoin(tot)
+        .select(
+            stratum_col,
+            "n_docs",
+            F.round(F.sqrt("n_docs") / F.col("z"), 6).alias("mix_frac"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-duplicate fingerprint: md5 of the normalized text (lowercased,
     non-letters collapsed to single spaces, trimmed).  md5 is identical in

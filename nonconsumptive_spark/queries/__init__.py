@@ -143,6 +143,18 @@ PRIORITY: tuple[str, ...] = (
     # new extension ops (decontamination, deterministic mixing sample)
     "q_decontamination",
     "q_hash_sample",
+    # ---- driver window boundary (first 50 above) ----
+    # Next-round rotation backlog: new this session but past the window —
+    # the 50 slots above are all never-driver-verified r2 queries.  These
+    # are pytest- and local-oracle-green; rotate them in next round by
+    # demoting whatever the driver greenlights this round.
+    "q_canonical_docs",
+    "q_dataset_split",
+    "q_temperature_mix",
+    "q_packing_stats",
+    "q_redact_pii",
+    "q_cap_per_source",
+    "q_quality_filter",
     # scalar / provenance parity (cast-ladder/struct-roundtrip/id-resolution/
     # posexplode were driver-green in r1 and unchanged → past the window)
     # relational core (r1-green, unchanged — lowest window priority;

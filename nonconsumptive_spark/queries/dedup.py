@@ -136,10 +136,9 @@ def q_minhash_dedup_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-@register(
-    "q_dedup_clusters",
-    # the recursive reach CTE needs WITH RECURSIVE on the whole CTE list
-    oracle=_DUCK_BANDS.replace("WITH", "WITH RECURSIVE", 1) + f""",
+# Shared connected-components CTE chain (recursive reach needs WITH
+# RECURSIVE on the whole CTE list) — ends at comp(id, cluster).
+_DUCK_COMP = _DUCK_BANDS.replace("WITH", "WITH RECURSIVE", 1) + """,
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -165,7 +164,12 @@ def q_minhash_dedup_pairs(spark, sf_dir):
       SELECT src AS id, src AS r FROM edges
       UNION
       SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
-    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_DUCK_COMP + """
     SELECT d.doc_id,
            CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster,
            coalesce(c.cluster, d.doc_id) = d.doc_id AS is_keeper
@@ -179,6 +183,32 @@ def q_minhash_dedup_pairs(spark, sf_dir):
 )
 def q_dedup_clusters(spark, sf_dir):
     return dd.dedup_clusters(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_canonical_docs",
+    oracle=_DUCK_COMP + f""",
+    asg AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster, d.doc_id) AS cluster,
+             len({_DUCK_TOKS}) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_tokens DESC, doc_id) = 1 AS canonical
+    FROM asg
+    """,
+    doc="Curation keeper selection: within each near-dup cluster keep the "
+        "LONGEST member (token count, id tie-break) instead of the min-id "
+        "one — the 'near-dups are truncations of one master copy' rule.  "
+        "One cluster-keyed row_number window over the CC output; cluster "
+        "sizes are bounded by construction, so no window partition grows "
+        "with the corpus.",
+)
+def q_canonical_docs(spark, sf_dir):
+    return dd.canonical_docs(load(spark, sf_dir, "documents"), threshold=0.5)
 
 
 # --------------------------------------------------------------------------

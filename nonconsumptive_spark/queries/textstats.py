@@ -139,6 +139,57 @@ def q_hash_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+_SPLIT_WEIGHTS = (("train", 98), ("val", 1), ("test", 1))
+_SPLIT_TOTAL = sum(w for _, w in _SPLIT_WEIGHTS)
+_SPLIT_CASE = "CASE " + " ".join(
+    f"WHEN b < {(cum * 10000) // _SPLIT_TOTAL} THEN '{name}'"
+    for cum, name in zip(
+        [sum(w for _, w in _SPLIT_WEIGHTS[: i + 1]) for i in range(len(_SPLIT_WEIGHTS) - 1)],
+        [n for n, _ in _SPLIT_WEIGHTS[:-1]],
+    )
+) + f" ELSE '{_SPLIT_WEIGHTS[-1][0]}' END"
+
+
+@register(
+    "q_dataset_split",
+    oracle=f"""
+    SELECT doc_id, {_SPLIT_CASE} AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 10000 AS b
+          FROM documents)
+    """,
+    doc="Deterministic 98/1/1 train/val/test split: md5(doc_id) mod 10000 "
+        "against exact integer band edges — a document never migrates "
+        "between splits across runs, engines, or corpus growth, which is "
+        "what keeps eval sets uncontaminated.  Pure row function, zero "
+        "shuffle.",
+)
+def q_dataset_split(spark, sf_dir):
+    return ts.dataset_split(load(spark, sf_dir, "documents"), _SPLIT_WEIGHTS)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    z AS (SELECT sum(sqrt(n_docs)) AS z FROM c)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(sqrt(n_docs) / (SELECT z FROM z), 6) AS mix_frac
+    FROM c
+    """,
+    doc="Alpha=0.5 temperature mixture weights per source "
+        "(mix_frac = sqrt(n)/sum sqrt(n), the up-weight-small-sources rule). "
+        "sqrt is IEEE-correctly-rounded in both engines (pow is not, which "
+        "is why alpha is fixed at 1/2); movement is one (source, count) "
+        "agg.",
+)
+def q_temperature_mix(spark, sf_dir):
+    return ts.temperature_mix(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 @register(
     "q_quality_score",
     oracle=f"""

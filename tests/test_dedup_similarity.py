@@ -3,6 +3,8 @@ LSH recall vs exact ground truth, keeper selection, ANN recall."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nonconsumptive_spark.operators import dedup as dd
@@ -231,3 +233,55 @@ class TestRepeatedSpanRemoval:
         # every flagged gram is inside the boilerplate sentence
         for r in spans.collect():
             assert "newsletter" in r.gram or "subscribe" in r.gram or "daily" in r.gram
+
+
+class TestCurationSelection:
+    def test_canonical_one_per_cluster(self, spark):
+        from nonconsumptive_spark.operators.dedup import canonical_docs
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        out = canonical_docs(docs, threshold=0.5)
+        assert out.count() == docs.count()
+        per = out.groupBy("cluster").agg(
+            F.sum(F.col("canonical").cast("int")).alias("n_canon")
+        )
+        assert per.where("n_canon <> 1").count() == 0
+        # the canonical member is never shorter than a clustermate
+        a, b = out.alias("a"), out.alias("b")
+        worse = (
+            a.join(b, F.col("a.cluster") == F.col("b.cluster"))
+            .where(F.col("a.canonical") & (F.col("a.n_tokens") < F.col("b.n_tokens")))
+        )
+        assert worse.count() == 0
+
+    def test_dataset_split_exhaustive_and_proportional(self, spark):
+        from nonconsumptive_spark.operators.textstats import dataset_split
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        out = dataset_split(docs)
+        n = docs.count()
+        by = {r["split"]: r["c"] for r in
+              out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+        assert sum(by.values()) == n  # every doc in exactly one split
+        assert by["train"] / n > 0.9  # 98% band dominates
+        assert set(by) <= {"train", "val", "test"}
+        # stability: same input -> identical assignment
+        again = dataset_split(docs)
+        assert out.exceptAll(again).count() == 0
+
+    def test_temperature_mix_sums_to_one(self, spark):
+        from nonconsumptive_spark.operators.textstats import temperature_mix
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        rows = temperature_mix(docs).collect()
+        assert abs(sum(r["mix_frac"] for r in rows) - 1.0) < 1e-4
+        # smaller sources get boosted: frac ratio grows slower than counts
+        rows = sorted(rows, key=lambda r: r["n_docs"])
+        lo, hi = rows[0], rows[-1]
+        if lo["n_docs"] < hi["n_docs"]:
+            assert (hi["mix_frac"] / lo["mix_frac"]) ** 2 == pytest.approx(
+                hi["n_docs"] / lo["n_docs"], rel=1e-3
+            )
