@@ -343,3 +343,70 @@ def chunked_wordcounts(docs: DataFrame, chunk_size: int = 10_000,
         F.split("e.g", _GRAM_SEP)[1].alias("token"),
         F.col("e.c").alias("count"),
     )
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 500, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the top-``top_n`` vocabulary: OLS of ln(count)
+    on ln(rank) — the corpus-analytics "is this corpus natural language"
+    diagnostic (natural text slopes ≈ -1).  One row:
+    (n_terms, slope, intercept).
+
+    The regression runs over the RANKED vocab (bounded by ``top_n``, the
+    same capped-window pattern as rank_vocab), so the only corpus-sized
+    work is the wordcount agg; the OLS sums are one tiny aggregate.
+    Outputs round to 4 decimals — ln differs across engines by ≤1 ulp per
+    term, orders of magnitude inside the rounding guard."""
+    ranked = rank_vocab(global_wordcount(docs, id_col, text_col), cap=top_n)
+    xy = ranked.select(
+        F.log(F.col("wordid") + 1.0).alias("x"),
+        F.log(F.col("count").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )
+
+
+def heaps_fit(docs: DataFrame, stratum_col: str = "source",
+              text_col: str = "text") -> DataFrame:
+    """Heaps'-law fit V = k·N^beta from per-stratum (total tokens N_s,
+    distinct tokens V_s) points: OLS of ln(V) on ln(N) across strata.
+    One row: (n_strata, beta, k).
+
+    Each stratum contributes one point, so the fit input is
+    stratum-cardinality-sized; the distinct-token count is the one real
+    shuffle ((stratum, token) pairs)."""
+    toks = docs.select(
+        stratum_col, F.explode(tokenize(text_col)).alias("token")
+    )
+    pts = toks.groupBy(stratum_col).agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("token").alias("v_tok"),
+    )
+    xy = pts.select(
+        F.log(F.col("n_tok").cast("double")).alias("x"),
+        F.log(F.col("v_tok").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_strata"),
+        F.round(beta, 4).alias("beta"),
+        F.round(F.exp((sy - beta * sx) / n), 4).alias("k"),
+    )

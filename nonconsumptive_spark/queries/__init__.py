@@ -151,6 +151,8 @@ PRIORITY: tuple[str, ...] = (
     "q_canonical_docs",
     "q_dataset_split",
     "q_temperature_mix",
+    "q_zipf_slope",
+    "q_heaps_fit",
     "q_packing_stats",
     "q_redact_pii",
     "q_cap_per_source",

@@ -496,3 +496,67 @@ def q_token_pagerank(spark, sf_dir):
 
     edges = bigram_edges(load(spark, sf_dir, "documents"))
     return pagerank(edges, n_iter=_PR_ITERS)
+
+
+# --------------------------------------------------------------------------
+_ZIPF_TOP = 500
+
+_OLS = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy
+    FROM xy
+"""
+
+
+@register(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT row_number() OVER (ORDER BY count DESC, token ASC) - 1 AS wordid,
+             count
+      FROM (SELECT token, CAST(count(*) AS BIGINT) AS count
+            FROM ({_DUCK_TOKEN_ROWS}) GROUP BY token)
+      ORDER BY wordid LIMIT {_ZIPF_TOP}),
+    xy AS (SELECT ln(wordid + 1.0) AS x, ln(CAST(count AS DOUBLE)) AS y
+           FROM ranked),
+    s AS ({_OLS})
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept
+    FROM s
+    """,
+    doc=f"Zipf's-law diagnostic: OLS of ln(count) on ln(rank) over the "
+        f"top-{_ZIPF_TOP} vocabulary (natural text ≈ -1).  Corpus-sized "
+        "work is the wordcount agg; the regression is a bounded-cap "
+        "ranked frame + one tiny sum aggregate, rounded to 4 decimals "
+        "(ln cross-engine drift ≤ 1 ulp/term).",
+)
+def q_zipf_slope(spark, sf_dir):
+    return wc.zipf_fit(load(spark, sf_dir, "documents"), top_n=_ZIPF_TOP)
+
+
+@register(
+    "q_heaps_fit",
+    oracle=f"""
+    WITH pts AS (
+      SELECT source, count(*) AS n_tok, count(DISTINCT token) AS v_tok
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY source),
+    xy AS (SELECT ln(CAST(n_tok AS DOUBLE)) AS x,
+                  ln(CAST(v_tok AS DOUBLE)) AS y FROM pts),
+    s AS ({_OLS})
+    SELECT n AS n_strata,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
+           round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 4)
+             AS k
+    FROM s
+    """,
+    doc="Heaps'-law fit V = k·N^beta across per-source (tokens, distinct "
+        "tokens) points — vocabulary-growth analytics.  One (source, "
+        "token) distinct agg is the only corpus-sized shuffle; the fit "
+        "runs on #sources points.",
+)
+def q_heaps_fit(spark, sf_dir):
+    return wc.heaps_fit(load(spark, sf_dir, "documents"))

@@ -137,3 +137,19 @@ def test_rerunnable(spark):
     docs = _docs(spark, [(1, "a b a")])
     q = wc.doc_token_counts(docs)
     assert q.count() == q.count() == 2
+
+
+def test_zipf_and_heaps_fits(spark):
+    from nonconsumptive_spark.operators.wordcount import heaps_fit, zipf_fit
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    z = zipf_fit(docs).collect()[0]
+    assert z["n_terms"] > 2
+    assert z["slope"] < 0  # frequency decreases with rank, always
+    h = heaps_fit(docs).collect()[0]
+    assert h["n_strata"] > 2
+    assert h["k"] > 0
+    # vocabulary never exceeds token count: V = k*N^beta stays under N at
+    # the observed points, so beta < 1 on any real corpus
+    assert h["beta"] < 1
