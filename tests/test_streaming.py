@@ -291,3 +291,34 @@ def test_merge_wordcounts_epoch_replay_is_noop(spark, tmp_path):
     assert got == {("a", 4), ("b", 2)}
     # no stray staging directory left behind
     assert not (tmp_path / "wc__tmp").exists()
+
+
+def test_kmeans_scoring_stream_equals_batch(spark, tmp_path):
+    """The clustering assignment kernel is stateless, so scoring a stream
+    of embeddings against batch-fitted centroids must equal the batch
+    assignment row for row."""
+    from nonconsumptive_spark.streaming.scoring import (
+        fit_centroids,
+        kmeans_score,
+        stream_embeddings,
+    )
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "emb")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    emb.repartition(4).write.parquet(src)  # several files -> several triggers
+
+    cents = fit_centroids(emb, k=10, n_iter=2)
+    batch = {tuple(r) for r in kmeans_score(
+        spark.read.parquet(src), cents).collect()}
+
+    q = (
+        kmeans_score(stream_embeddings(spark, src, max_files_per_trigger=1), cents)
+        .writeStream.format("memory").queryName("km_scores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM km_scores").collect()}
+    assert streamed == batch
