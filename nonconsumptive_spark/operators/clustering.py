@@ -156,6 +156,84 @@ def kmeans(
     return assigned.select(id_col, "cluster", "dist_sq")
 
 
+def global_centroid(q: DataFrame, dims: int) -> list[int]:
+    """Grid-quantized mean of every vector: one d-column aggregate, one
+    bounded 1-row collect (the same floor(S/n + 0.5) rule as the Lloyd
+    update, so it replays exactly cross-engine)."""
+    r = q.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at(F.col("xq"), j + 1)).alias(f"s{j}") for j in range(dims)],
+    ).collect()[0]
+    n = int(r["n"])
+    return [math.floor(int(r[f"s{j}"]) / n + 0.5) for j in range(dims)]
+
+
+def mmr_select(
+    emb: DataFrame,
+    m: int = 8,
+    grid: int = GRID,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance subset selection: greedily pick ``m``
+    vectors maximizing ``relevance − redundancy`` (Carbonell & Goldstein
+    1998), the diverse-exemplar picker for curation and dedup-aware
+    sampling.  Returns (step, id, rel, penalty) in selection order.
+
+    * relevance = ⟨xq, global centroid⟩; redundancy = max dot with the
+      already-selected set — both exact integers on the grid, so the
+      greedy argmax (score DESC, id ASC tie-break) replays bit-for-bit
+      in DuckDB's unrolled-CTE oracle;
+    * each of the m rounds is ONE zero-shuffle scan of the materialized
+      (id, xq, rel) frame — the selected set rides along as a constant-
+      folded literal, like the centroid matrix in ``_assign`` — plus a
+      TakeOrdered(1) and a bounded 1-row collect (the BPE round shape);
+    * greedy selection is inherently sequential in m.  At 100 TB keep m
+      small (exemplar picking), or run this per-cluster after ``kmeans``
+      so each group's scan is bounded — the stochastic-greedy variant
+      (sample candidates per round) drops in by replacing the scan with
+      a ``hash_sample``."""
+    spark = emb.sparkSession
+    q = materialize_once(
+        emb.select(id_col, quantize_grid(vec_col, grid).alias("xq")), "mmr_q"
+    )
+    dims = len(q.select("xq").head()["xq"])
+    g = global_centroid(q, dims)
+    gj = F.from_json(F.lit(json.dumps(g)), "array<long>")
+    rel_df = materialize_once(
+        q.select(id_col, "xq", _dot(F.col("xq"), gj).alias("rel")), "mmr_rel"
+    )
+
+    picked: list[tuple] = []
+    sel_vecs: list[list[int]] = []
+    for step in range(1, m + 1):
+        if not sel_vecs:
+            cand = rel_df.withColumn("penalty", F.lit(0).cast("long"))
+        else:
+            sel = F.from_json(F.lit(json.dumps(sel_vecs)), "array<array<long>>")
+            cand = rel_df.where(
+                ~F.col(id_col).isin([p[1] for p in picked])
+            ).withColumn(
+                "penalty",
+                F.array_max(F.transform(sel, lambda s: _dot(F.col("xq"), s))),
+            )
+        top = (
+            cand.orderBy(
+                F.desc(F.col("rel") - F.col("penalty")), F.asc(id_col)
+            )
+            .limit(1)
+            .collect()  # bounded: one row per round
+        )
+        if not top:
+            break
+        r = top[0]
+        picked.append((step, r[id_col], int(r["rel"]), int(r["penalty"])))
+        sel_vecs.append(list(r["xq"]))
+    return spark.createDataFrame(
+        picked, f"step long, {id_col} long, rel long, penalty long"
+    )
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 10,

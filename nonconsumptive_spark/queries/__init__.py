@@ -153,6 +153,7 @@ PRIORITY: tuple[str, ...] = (
     "q_temperature_mix",
     "q_zipf_slope",
     "q_heaps_fit",
+    "q_mmr_select",
     "q_packing_stats",
     "q_redact_pii",
     "q_cap_per_source",

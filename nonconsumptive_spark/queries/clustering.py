@@ -93,6 +93,72 @@ def _semdedup_oracle(k: int, n_iter: int, grid: int, num: int, den: int) -> str:
     )
 
 
+_MMR_M = 8
+
+
+def _mmr_oracle(m: int, grid: int) -> str:
+    """Unrolled m-round greedy MMR replay: argmax(rel - penalty) with id
+    tie-break per round, selected set accumulated across CTEs."""
+    parts = [f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {grid}.0 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings),
+    g AS (
+      SELECT list(cv ORDER BY pos) AS cq
+      FROM (SELECT pos,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cv
+            FROM (SELECT generate_subscripts(xq, 1) AS pos, unnest(xq) AS v
+                  FROM q)
+            GROUP BY pos)),
+    r AS MATERIALIZED (
+      SELECT q.vec_id, q.xq,
+             list_sum(list_transform(list_zip(q.xq, g.cq),
+               p -> p[1] * p[2])) AS rel
+      FROM q CROSS JOIN g),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS step, vec_id, xq, rel, CAST(0 AS BIGINT) AS penalty
+      FROM r ORDER BY rel DESC, vec_id LIMIT 1)"""]
+    # each sel{t} is referenced twice by level t+1 (join + NOT IN) — without
+    # MATERIALIZED DuckDB inlines the chain and the plan grows exponentially
+    for t in range(2, m + 1):
+        parts.append(f"""
+    pick{t} AS MATERIALIZED (
+      SELECT {t} AS step, r.vec_id, r.xq, r.rel,
+             max(list_sum(list_transform(list_zip(r.xq, s.xq),
+               p -> p[1] * p[2]))) AS penalty
+      FROM r JOIN sel{t - 1} s ON true
+      WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY r.vec_id, r.xq, r.rel
+      ORDER BY r.rel - max(list_sum(list_transform(list_zip(r.xq, s.xq),
+               p -> p[1] * p[2]))) DESC, r.vec_id
+      LIMIT 1),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM pick{t})""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+    SELECT CAST(step AS BIGINT) AS step, vec_id,
+           CAST(rel AS BIGINT) AS rel, CAST(penalty AS BIGINT) AS penalty
+    FROM sel{m}"""
+    )
+
+
+@register(
+    "q_mmr_select",
+    oracle=_mmr_oracle(_MMR_M, _GRID),
+    doc=f"Maximal-marginal-relevance exemplar selection: {_MMR_M} greedy "
+        "rounds of argmax(relevance − max-dot-to-selected) on the integer "
+        "grid (Carbonell & Goldstein 1998).  Each round is one zero-"
+        "shuffle scan with the selected set as a constant-folded literal "
+        "+ TakeOrdered(1); the oracle replays all rounds as unrolled "
+        "CTEs.  Greedy selection is inherently sequential in m.",
+)
+def q_mmr_select(spark, sf_dir):
+    return cl.mmr_select(load(spark, sf_dir, "embeddings"), m=_MMR_M)
+
+
 @register(
     "q_kmeans_assign",
     oracle=_kmeans_oracle(_K, _ITERS, _GRID),

@@ -85,3 +85,37 @@ def test_assignment_is_zero_shuffle(spark, emb):
     cents = [[0] * 64 for _ in range(K)]
     plan = cl._assign(q, cents, "vec_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mmr_greedy_matches_numpy_replay(spark, emb):
+    """Selection order equals an independent numpy replay of the greedy
+    rule: argmax(rel - max dot to selected), id tie-break."""
+    M = 6
+    rows = cl.mmr_select(emb, m=M).collect()
+    assert [r["step"] for r in rows] == list(range(1, M + 1))
+    assert len({r["vec_id"] for r in rows}) == M
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    xq = np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * cl.GRID + 0.5
+    ).astype(np.int64)
+    n = xq.shape[0]
+    g = np.floor(xq.sum(axis=0) / n + 0.5).astype(np.int64)
+    rel = xq @ g
+
+    order = np.lexsort((ids,))  # stable id ordering for tie-breaks
+    selected = []
+    for _ in range(M):
+        best = None
+        for i in order:
+            if i in selected:
+                continue
+            pen = max((int(xq[i] @ xq[j]) for j in selected), default=0)
+            score = int(rel[i]) - pen
+            key = (-score, int(ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i, pen)
+        selected.append(best[1])
+    expect = [(t + 1, int(ids[i])) for t, i in enumerate(selected)]
+    assert [(r["step"], r["vec_id"]) for r in rows] == expect
