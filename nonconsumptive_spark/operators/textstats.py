@@ -344,6 +344,87 @@ def unigram_logprob_scores(df: DataFrame, vocab_cap: int = 50_000,
     )
 
 
+def bigram_logprob_scores(df: DataFrame, vocab_cap: int = 50_000,
+                          lam: float = 0.5,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, avg_logprob) under an interpolated bigram LM:
+    p(w|prev) = lam·c(prev,w)/c(prev) + (1−lam)·(c_vocab(w)+1)/(N+V+1) —
+    the next rung above ``unigram_logprob_scores`` on the CCNet ladder:
+    word-salad documents fall back to the unigram term, fluent text gains
+    the bigram term.  A document's first token (no prev) takes the
+    Laplace unigram term alone.  The Laplace constants (capped vocab,
+    OOV floor) are IDENTICAL to the unigram scorer, so the two filters
+    are directly comparable.
+
+    Plan shape: two corpus aggs build the models (bigram and unigram
+    counts); scoring joins the (prev, cur) stream to both — the bigram
+    model join is a short-key equi-join, NOT a forced broadcast (bigram
+    vocab grows with the corpus; AQE still broadcasts it when small);
+    the Laplace model is ≤ cap rows and always broadcasts.  The per-doc
+    mean is one id-keyed hash agg."""
+    from nonconsumptive_spark.functions.text import ngram_structs, tokenize
+
+    toks_arr = tokenize(text_col)
+    # (id, prev, cur): bigram pairs plus one prev=NULL row for the first token
+    pairs = df.select(
+        id_col, F.explode(ngram_structs(toks_arr, 2)).alias("g")
+    ).select(id_col, F.col("g.w0").alias("prev"), F.col("g.w1").alias("cur"))
+    first = df.where(F.size(toks_arr) > 0).select(
+        id_col,
+        F.lit(None).cast("string").alias("prev"),
+        F.element_at(toks_arr, 1).alias("cur"),
+    )
+    rows = pairs.unionByName(first)
+
+    toks = df.select(F.explode(toks_arr).alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("c_prev"))
+    big = (
+        df.select(F.explode(ngram_structs(toks_arr, 2)).alias("g"))
+        .groupBy(F.col("g.w0").alias("prev"), F.col("g.w1").alias("cur"))
+        .agg(F.count("*").alias("c_big"))
+    )
+    vocab = uni.orderBy(F.desc("c_prev"), F.asc("token")).limit(vocab_cap)
+    totals = vocab.agg(
+        F.sum("c_prev").alias("n_total"), F.count("*").alias("v_size")
+    )
+    lap = vocab.crossJoin(F.broadcast(totals)).select(
+        F.col("token").alias("cur"),
+        ((F.col("c_prev") + 1) / (F.col("n_total") + F.col("v_size") + 1))
+        .alias("p_lap"),
+    )
+    oov = totals.select(
+        (F.lit(1.0) / (F.col("n_total") + F.col("v_size") + 1)).alias("p_oov")
+    )
+
+    scored = (
+        rows.join(big, ["prev", "cur"], "left")
+        .join(uni.withColumnRenamed("token", "prev"), ["prev"], "left")
+        .join(F.broadcast(lap), ["cur"], "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            id_col,
+            F.log(
+                F.when(
+                    F.col("prev").isNull(), F.coalesce("p_lap", "p_oov")
+                ).otherwise(
+                    F.lit(lam) * F.coalesce("c_big", F.lit(0)) / F.col("c_prev")
+                    + F.lit(1.0 - lam) * F.coalesce("p_lap", "p_oov")
+                )
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Domain capping — "no single source may contribute more than K documents"
 # (the anti-monoculture rule in web-corpus curation).  Deterministic: docs

@@ -154,6 +154,7 @@ PRIORITY: tuple[str, ...] = (
     "q_zipf_slope",
     "q_heaps_fit",
     "q_mmr_select",
+    "q_bigram_logprob",
     "q_packing_stats",
     "q_redact_pii",
     "q_cap_per_source",

@@ -485,6 +485,58 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+@register(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    rws AS (
+      SELECT doc_id,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+             token AS cur
+      FROM tokpos),
+    uni AS (SELECT token, count(*) AS c_prev FROM tokpos GROUP BY token),
+    big AS (SELECT prev, cur, count(*) AS c_big FROM rws
+            WHERE prev IS NOT NULL GROUP BY prev, cur),
+    vocab AS (
+      SELECT token, c_prev FROM uni ORDER BY c_prev DESC, token ASC LIMIT 50000),
+    tot AS (SELECT sum(c_prev) AS n_total, count(*) AS v_size FROM vocab),
+    lap AS (
+      SELECT token AS cur, (c_prev + 1) * 1.0 / (n_total + v_size + 1) AS p_lap
+      FROM vocab CROSS JOIN tot),
+    oov AS (SELECT 1.0 / (n_total + v_size + 1) AS p_oov FROM tot),
+    scored AS (
+      SELECT r.doc_id,
+             ln(CASE WHEN r.prev IS NULL THEN coalesce(l.p_lap, o.p_oov)
+                ELSE 0.5 * coalesce(b.c_big, 0) / u.c_prev
+                     + 0.5 * coalesce(l.p_lap, o.p_oov) END) AS lp
+      FROM rws r
+      LEFT JOIN big b ON b.prev = r.prev AND b.cur = r.cur
+      LEFT JOIN uni u ON u.token = r.prev
+      LEFT JOIN lap l ON l.cur = r.cur
+      CROSS JOIN oov o),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logprob
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(p.avg_logprob, 0.0) AS avg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Interpolated bigram LM scorer (lambda=0.5 bigram MLE + Laplace "
+        "unigram, same constants as q_unigram_logprob) — the next CCNet "
+        "ladder rung: fluent text gains the bigram term, word salad falls "
+        "back to unigram.  Bigram model join is a short-key equi-join "
+        "(NOT forced broadcast — bigram vocab grows with the corpus); "
+        "Laplace model broadcasts at <= cap rows.",
+)
+def q_bigram_logprob(spark, sf_dir):
+    return ts.bigram_logprob_scores(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Snapshot diff: "old" = docs with id % 7 != 0, "new" = every doc but ids
 # divisible by 5 carry edited text — both engines derive the two snapshots
 # from the same fixture, so added/deleted/changed/unchanged all occur.

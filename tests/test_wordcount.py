@@ -153,3 +153,27 @@ def test_zipf_and_heaps_fits(spark):
     # vocabulary never exceeds token count: V = k*N^beta stays under N at
     # the observed points, so beta < 1 on any real corpus
     assert h["beta"] < 1
+
+
+def test_bigram_lm_ranks_fluent_above_shuffled(spark):
+    """The bigram term must reward in-corpus word order: a corpus of
+    repeated fluent sentences scores strictly higher under the bigram LM
+    than a doc with the same unigram profile but scrambled order."""
+    from nonconsumptive_spark.operators.textstats import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(20)] + [(99, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    bg = {r["doc_id"]: r["avg_logprob"]
+          for r in bigram_logprob_scores(docs).collect()}
+    ug = {r["doc_id"]: r["avg_logprob"]
+          for r in unigram_logprob_scores(docs).collect()}
+    # same tokens -> unigram can't separate them...
+    assert abs(ug[0] - ug[99]) < 1e-9
+    # ...but the bigram model must
+    assert bg[0] > bg[99]
