@@ -155,6 +155,7 @@ PRIORITY: tuple[str, ...] = (
     "q_heaps_fit",
     "q_mmr_select",
     "q_bigram_logprob",
+    "q_countmin_estimate",
     "q_packing_stats",
     "q_redact_pii",
     "q_cap_per_source",

@@ -560,3 +560,53 @@ def q_zipf_slope(spark, sf_dir):
 )
 def q_heaps_fit(spark, sf_dir):
     return wc.heaps_fit(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+def _countmin_oracle(depth: int, width: int, top: int) -> str:
+    from nonconsumptive_spark.operators.dedup import HASH_AS, HASH_BS, MINHASH_P
+
+    params = ", ".join(
+        f"({i}, {HASH_AS[i]}, {HASH_BS[i]})" for i in range(depth)
+    )
+    return f"""
+    WITH params(i, a, b) AS (VALUES {params}),
+    tok AS (
+      SELECT unnest({_DUCK_TOKS}) AS token FROM documents),
+    hv AS (
+      SELECT token,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+      FROM tok),
+    cells AS (
+      SELECT p.i AS row_idx, (p.a * hv.h + p.b) % {MINHASH_P} % {width} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM hv CROSS JOIN params p
+      GROUP BY 1, 2),
+    vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c_exact,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+      FROM tok GROUP BY token ORDER BY c_exact DESC, token ASC LIMIT {top}),
+    est AS (
+      SELECT v.token, v.c_exact, min(c.cnt) AS c_est
+      FROM vocab v
+      JOIN params p ON true
+      JOIN cells c ON c.row_idx = p.i
+                  AND c.bucket = (p.a * v.h + p.b) % {MINHASH_P} % {width}
+      GROUP BY v.token, v.c_exact)
+    SELECT token, c_exact, c_est, c_est - c_exact AS overestimate
+    FROM est
+    """
+
+
+@register(
+    "q_countmin_estimate",
+    oracle=_countmin_oracle(wc.CMS_DEPTH, wc.CMS_WIDTH, 50),
+    doc="Count-min sketch counts vs exact — the reference's ACTUAL A3 "
+        "mechanism (bounter count-min, reference corpus.py:198-228) in "
+        "fixed memory: the sketch agg keys on d*w cells regardless of "
+        "corpus size, estimates are min-of-cells (always >= exact).  "
+        "Deterministic md5-affine hashes make sketch AND estimates replay "
+        "bit-for-bit in DuckDB.",
+)
+def q_countmin_estimate(spark, sf_dir):
+    return wc.countmin_estimates(load(spark, sf_dir, "documents"), top=50)

@@ -177,3 +177,16 @@ def test_bigram_lm_ranks_fluent_above_shuffled(spark):
     assert abs(ug[0] - ug[99]) < 1e-9
     # ...but the bigram model must
     assert bg[0] > bg[99]
+
+
+def test_countmin_never_undercounts(spark):
+    from nonconsumptive_spark.operators.wordcount import countmin_estimates
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = countmin_estimates(docs, top=100).collect()
+    assert rows
+    assert all(r["c_est"] >= r["c_exact"] for r in rows)  # structural bound
+    assert all(r["overestimate"] == r["c_est"] - r["c_exact"] for r in rows)
+    # with width 1024 >> vocab, most top tokens should be collision-free
+    assert sum(1 for r in rows if r["overestimate"] == 0) > len(rows) * 0.5
