@@ -1,0 +1,107 @@
+"""Chunk-level corpus deduplication — the "line dedup" pass of the
+CCNet / RefinedWeb pipelines, applied at sub-document granularity.
+
+Web-pipeline line dedup removes any LINE that occurs in many documents
+(navigation bars, cookie banners, boilerplate footers) while keeping the
+rest of each document intact.  The synthetic corpus carries no newlines,
+so the unit here is a deterministic fixed-length token window
+(``chunk_len`` tokens) — the same boundaries on both engines, which is
+exactly how fixed-window substring dedup (e.g. suffix-window passes) is
+run when no natural line structure exists.
+
+Semantics: a chunk whose normalized text occurs in >= ``min_doc_freq``
+DISTINCT documents is removed from EVERY document containing it; each
+document's text is reassembled from its surviving chunks in order.
+(Within-document repeats don't count toward the threshold — that axis is
+covered by operators/dedup.py `remove_repeated_spans`.)
+
+Distribution shape (the 100 TB story):
+
+  * the document-frequency pass explodes (id, idx, md5(chunk)) — 32-char
+    hashes, never chunk text — so the big shuffle carries short keys;
+  * flagged chunk hashes come back via a LEFT SEMI equi-join on the hash,
+    then collapse to one (id, bad_idx[]) row per affected document — the
+    only rows that reach the reassembly join;
+  * reassembly rebuilds text IN-ROW with an index-aware ``filter`` over
+    the chunk array, so document text itself is never exploded; the final
+    join's right side holds only ints for the (usually small) flagged
+    subset, which AQE broadcast-converts when it fits;
+  * the tokenize -> chunk expression is evaluated once per branch via
+    ``let`` (two corpus scans total: one for counting, one for rebuild —
+    the classic two-pass trade that avoids materializing chunk text).
+
+No reference analog (the reference dedups whole documents only); this is
+one of the brief's training-data-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.text import let, tokenize
+
+CHUNK_LEN = 8
+MIN_DOC_FREQ = 2
+
+
+def chunk_texts(text_col, chunk_len: int = CHUNK_LEN):
+    """text -> array<string> of space-joined ``chunk_len``-token windows
+    (last window may be shorter).  Empty text -> empty array."""
+    def build(t):
+        n = F.floor((F.size(t) + chunk_len - 1) / F.lit(chunk_len)).cast("int")
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i * chunk_len + 1, chunk_len)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(tokenize(text_col), build)
+
+
+def remove_duplicated_chunks(
+    docs: DataFrame,
+    chunk_len: int = CHUNK_LEN,
+    min_doc_freq: int = MIN_DOC_FREQ,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, clean_text, n_chunks, n_removed): drop every chunk present in
+    >= ``min_doc_freq`` distinct documents, reassemble the survivors."""
+    chunked = docs.select(F.col(id_col), chunk_texts(text_col, chunk_len).alias("chunks"))
+
+    hashed = chunked.select(
+        id_col, F.posexplode("chunks").alias("idx", "chunk")
+    ).select(id_col, "idx", F.md5("chunk").alias("h"))
+
+    flagged = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("h")
+    )
+
+    bad_pos = (
+        hashed.join(flagged, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("bad_idx"))
+    )
+
+    bad = F.coalesce(F.col("bad_idx"), F.array().cast("array<int>"))
+    return (
+        chunked.join(bad_pos, id_col, "left")
+        .select(
+            id_col,
+            let(
+                bad,
+                lambda b: F.concat_ws(
+                    " ",
+                    F.filter("chunks", lambda c, i: ~F.array_contains(b, i)),
+                ),
+            ).alias("clean_text"),
+            F.size("chunks").cast("long").alias("n_chunks"),
+            F.coalesce(F.size("bad_idx"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
