@@ -102,6 +102,6 @@ def remove_duplicated_chunks(
                 ),
             ).alias("clean_text"),
             F.size("chunks").cast("long").alias("n_chunks"),
-            F.coalesce(F.size("bad_idx"), F.lit(0)).cast("long").alias("n_removed"),
+            F.size(bad).cast("long").alias("n_removed"),
         )
     )

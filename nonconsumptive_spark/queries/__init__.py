@@ -148,6 +148,7 @@ PRIORITY: tuple[str, ...] = (
     # the 50 slots above are all never-driver-verified r2 queries.  These
     # are pytest- and local-oracle-green; rotate them in next round by
     # demoting whatever the driver greenlights this round.
+    "q_remove_duplicated_chunks",
     "q_canonical_docs",
     "q_dataset_split",
     "q_temperature_mix",

@@ -340,3 +340,52 @@ _SPAN_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 def q_remove_repeated_spans(spark, sf_dir):
     return dd.remove_repeated_spans(load(spark, sf_dir, "documents"),
                                     n=5, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_remove_duplicated_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    idxed AS (
+      SELECT doc_id, t,
+             unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS idx
+      FROM toks),
+    chunk_txt AS (
+      SELECT doc_id, CAST(idx AS INT) AS idx,
+             array_to_string(list_slice(t, idx * 8 + 1, idx * 8 + 8), ' ') AS chunk
+      FROM idxed),
+    flagged AS (
+      SELECT chunk FROM chunk_txt GROUP BY chunk
+      HAVING count(DISTINCT doc_id) >= 2),
+    bad AS (
+      SELECT DISTINCT c.doc_id, c.idx
+      FROM chunk_txt c JOIN flagged f USING (chunk)),
+    kept AS (
+      SELECT c.doc_id, c.idx, c.chunk
+      FROM chunk_txt c ANTI JOIN bad b ON c.doc_id = b.doc_id AND c.idx = b.idx),
+    rebuilt AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+      FROM kept GROUP BY doc_id),
+    removed AS (
+      SELECT doc_id, count(*) AS n_removed FROM bad GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(ceil(len(t.t) / 8.0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(x.n_removed, 0) AS BIGINT) AS n_removed
+    FROM toks t
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN removed x USING (doc_id)
+    """,
+    doc="Chunk-level dedup (the CCNet/RefinedWeb 'line dedup' pass on "
+        "fixed 8-token windows): any chunk occurring in >=2 distinct docs "
+        "is dropped from every doc, the survivors re-join in order.  Spark "
+        "shuffles only (id, idx, md5) triples and rebuilds text in-row via "
+        "an index-aware array filter; the oracle replays with list_slice.",
+)
+def q_remove_duplicated_chunks(spark, sf_dir):
+    from nonconsumptive_spark.operators import lines
+
+    return lines.remove_duplicated_chunks(load(spark, sf_dir, "documents"),
+                                          chunk_len=8, min_doc_freq=2)

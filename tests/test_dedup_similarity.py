@@ -285,3 +285,36 @@ class TestCurationSelection:
             assert (hi["mix_frac"] / lo["mix_frac"]) ** 2 == pytest.approx(
                 hi["n_docs"] / lo["n_docs"], rel=1e-3
             )
+
+
+def test_remove_duplicated_chunks_semantics(spark):
+    from nonconsumptive_spark.operators import lines
+
+    # chunk_len=2: doc 1 = [a b][c d][e f], doc 2 = [a b][x y],
+    # doc 3 = [c d]... but chunk boundaries differ: doc 3 = "q q c d" ->
+    # [q q][c d].  "a b" occurs in docs 1+2, "c d" in docs 1+3 -> both
+    # flagged; everything else survives in order.
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b x y"), (3, "q q c d"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in lines.remove_duplicated_chunks(
+        docs, chunk_len=2, min_doc_freq=2).collect()}
+    assert out[1]["clean_text"] == "e f"
+    assert (out[1]["n_chunks"], out[1]["n_removed"]) == (3, 2)
+    assert out[2]["clean_text"] == "x y"
+    assert out[3]["clean_text"] == "q q"
+    assert out[4]["clean_text"] == "" and out[4]["n_chunks"] == 0
+    assert out[4]["n_removed"] == 0
+
+
+def test_remove_duplicated_chunks_within_doc_repeat_not_flagged(spark):
+    from nonconsumptive_spark.operators import lines
+
+    # "a b" repeats WITHIN doc 1 only -> document frequency is 1 -> kept.
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "z z")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lines.remove_duplicated_chunks(
+        docs, chunk_len=2, min_doc_freq=2).collect()}
+    assert out[1]["clean_text"] == "a b a b"
+    assert out[1]["n_removed"] == 0
