@@ -153,7 +153,10 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5, id_col: str = "doc_id",
         / ((F.col("c1a") / F.col("t1")) * (F.col("c1b") / F.col("t1")))
     )
     return joined.select(
-        "w0", "w1", "c2", F.round(pmi, 4).alias("pmi")
+        # + 0.0 normalizes IEEE -0.0 (a tiny-negative pmi rounded to 4
+        # decimals) to +0.0, so the value-hash agrees with engines whose
+        # round() preserves the sign bit
+        "w0", "w1", "c2", (F.round(pmi, 4) + F.lit(0.0)).alias("pmi")
     )
 
 

@@ -67,88 +67,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 registry entries per round
-# (CORRECTNESS_r{N}.json).  Order the dict so every SURVEY §2-parity
-# operator — especially the flagship text pipeline (A1-A4, A8, A10, J1,
-# W1), the LLM-pipeline similarity/textstats blocks, and any query whose
-# behavior changed this round — lands inside that window.  Entries past 50
-# are redundant relational/event variants that were driver-verified green
-# in round 1 and are code-unchanged since.
+# (CORRECTNESS_r{N}.json).  Round-3 rotation policy: (1) queries whose
+# code or oracle changed this round, (2) queries that have never received
+# a driver CORRECTNESS row (the r2 backlog past position 50), (3) new
+# queries added this round, then (4) flagship re-verification fills the
+# remaining slots.  Everything past 50 is driver-green from r1/r2 and
+# code-unchanged since.
 PRIORITY: tuple[str, ...] = (
-    # text pipeline (A1-A4, A8, A10, J1, W1)
-    "q_doc_token_counts",
-    "q_document_lengths",
-    "q_global_wordcount",
-    "q_vocabulary",
-    "q_encoded_unigrams",
-    "q_bigram_counts",
-    "q_trigram_counts",
-    "q_quadgram_counts",
-    "q_tfidf_top_terms",
+    # changed this round: -0.0 normalization (pmi), NTZ-safe timestamp
+    # arithmetic (sessionize/retention), NULL-text + shared-constant
+    # oracle hardening (span/chunk dedup)
     "q_bigram_pmi",
-    "q_chunked_wordcounts",
-    "q_count_sum_preservation",
-    # text analysis (lang-id / quality / fingerprint / token stats)
-    "q_token_count_ws",
-    "q_quality_score",
-    "q_repetition_scores",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_langid_vs_labels",
-    "q_arrow_batch_stats",
-    # similarity search (cosine pairs / kNN brute force / LSH / IVF)
-    "q_knn_cosine_bruteforce",
-    "q_embedding_norms",
-    "q_norms_by_label",
-    "q_cosine_near_pairs",
-    "q_knn_cosine_lsh",
-    "q_knn_cosine_ivf",
-    # SRP embeddings + approximate aggregation (F15-F17, A3 approx)
-    "q_srp_stats",
-    "q_srp_hamming",
-    "q_approx_distinct",
-    # new this round: F3 fallback tokenizer, F14 re-nest, NFC normalize
-    "q_tokenize_fallback",
-    "q_renest_roundtrip",
-    "q_nfc_normalize",
-    # dedup: q_dedup_clusters is new this round → in-window.  The seven
-    # r1-green dedup queries (exact / MinHash+LSH / Jaccard / SimHash) and
-    # q_multimodal_features are demoted past 50 this round: their only r2
-    # change is the materialize_once policy routing, which pytest asserts
-    # is bit-identical under both policies — the window slots go to the
-    # never-driver-verified new extension queries below instead.
-    "q_dedup_clusters",
-    # new this session: sub-document dedup, packing, quantization,
-    # perplexity filter, snapshot diff, and the two iterative showcases
-    "q_remove_repeated_spans",
-    "q_pack_sequences",
-    "q_quantize_int8",
-    "q_knn_quantized",
-    "q_unigram_logprob",
-    "q_corpus_diff",
-    "q_bpe_merges",
-    "q_token_pagerank",
-    # new this session: k-means + SemDeDup (cluster-then-prune curation)
-    "q_kmeans_assign",
-    "q_semdedup_prune",
-    # dict-encode changed this round (build_dictionary) → stay in-window
-    "q_dict_encode",
-    # event-time windows + as-of join (asof & sessionize changed this
-    # round; tumbling/json/session/attribution were r1-green and unchanged
-    # → demoted to make window room for the clustering block above)
-    "q_asof_join",
     "q_sessionize_lag",
-    "q_funnel_stages",
     "q_retention_cohorts",
-    "q_user_value_trend",
-    # new extension ops (decontamination, deterministic mixing sample)
-    "q_decontamination",
-    "q_hash_sample",
-    # ---- driver window boundary (first 50 above) ----
-    # Next-round rotation backlog: new this session but past the window —
-    # the 50 slots above are all never-driver-verified r2 queries.  These
-    # are pytest- and local-oracle-green; rotate them in next round by
-    # demoting whatever the driver greenlights this round.
+    "q_remove_repeated_spans",
     "q_remove_duplicated_chunks",
+    # never driver-verified (r2 backlog past the window)
     "q_canonical_docs",
     "q_dataset_split",
     "q_temperature_mix",
@@ -161,15 +95,48 @@ PRIORITY: tuple[str, ...] = (
     "q_redact_pii",
     "q_cap_per_source",
     "q_quality_filter",
-    # scalar / provenance parity (cast-ladder/struct-roundtrip/id-resolution/
-    # posexplode were driver-green in r1 and unchanged → past the window)
-    # relational core (r1-green, unchanged — lowest window priority;
-    # these fall past 50 as new queries land above them)
+    # ---- new round-3 queries get inserted here as they land ----
+    # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
+    "q_doc_token_counts",
+    "q_document_lengths",
+    "q_global_wordcount",
+    "q_vocabulary",
+    "q_encoded_unigrams",
+    "q_bigram_counts",
+    "q_trigram_counts",
+    "q_chunked_wordcounts",
+    "q_count_sum_preservation",
+    # dedup core (exact / MinHash+LSH / Jaccard / SimHash / clusters)
+    "q_dedup_exact",
+    "q_minhash_signatures",
+    "q_lsh_candidates",
+    "q_minhash_dedup_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_simhash",
+    "q_simhash_near_pairs",
+    "q_dedup_clusters",
+    # similarity search (cosine pairs / kNN brute force / LSH / IVF)
+    "q_knn_cosine_bruteforce",
+    "q_embedding_norms",
+    "q_cosine_near_pairs",
+    "q_knn_cosine_lsh",
+    "q_knn_cosine_ivf",
+    "q_srp_stats",
+    "q_srp_hamming",
+    # text analysis
+    "q_lang_id",
+    "q_quality_score",
+    "q_repetition_scores",
+    "q_fingerprint",
+    "q_tokenize_fallback",
+    # relational + events flagship
     "q1_pricing_summary",
     "q_star_join_revenue",
-    "q_filter_projection",
-    "q_point_lookup",
-    "q_quantiles",
+    "q_asof_join",
+    "q_user_value_trend",
+    "q_decontamination",
+    "q_hash_sample",
+    # ---- driver window boundary (~50 above) ----
 )
 
 

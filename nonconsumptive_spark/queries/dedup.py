@@ -6,6 +6,7 @@ exact n-gram Jaccard).
 from __future__ import annotations
 
 from nonconsumptive_spark.operators import dedup as dd
+from nonconsumptive_spark.operators import lines as _lines
 from nonconsumptive_spark.queries import load, register
 
 _DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\pL]+'), x -> x <> '')"
@@ -326,7 +327,7 @@ _SPAN_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
              count(*) AS n_kept
       FROM kept GROUP BY doc_id)
     SELECT d.doc_id,
-           CAST(len({_SPAN_TOKS}) - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(coalesce(len({_SPAN_TOKS}), 0) - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed,
            coalesce(r.clean_text, '') AS clean_text
     FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     """,
@@ -347,18 +348,19 @@ def q_remove_repeated_spans(spark, sf_dir):
     "q_remove_duplicated_chunks",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+      SELECT doc_id, coalesce({_DUCK_TOKS}, []) AS t FROM documents),
     idxed AS (
       SELECT doc_id, t,
-             unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS idx
+             unnest(range(CAST(ceil(len(t) / {_lines.CHUNK_LEN}.0) AS BIGINT))) AS idx
       FROM toks),
     chunk_txt AS (
       SELECT doc_id, CAST(idx AS INT) AS idx,
-             array_to_string(list_slice(t, idx * 8 + 1, idx * 8 + 8), ' ') AS chunk
+             array_to_string(list_slice(t, idx * {_lines.CHUNK_LEN} + 1,
+                                        idx * {_lines.CHUNK_LEN} + {_lines.CHUNK_LEN}), ' ') AS chunk
       FROM idxed),
     flagged AS (
       SELECT chunk FROM chunk_txt GROUP BY chunk
-      HAVING count(DISTINCT doc_id) >= 2),
+      HAVING count(DISTINCT doc_id) >= {_lines.MIN_DOC_FREQ}),
     bad AS (
       SELECT DISTINCT c.doc_id, c.idx
       FROM chunk_txt c JOIN flagged f USING (chunk)),
@@ -372,7 +374,7 @@ def q_remove_repeated_spans(spark, sf_dir):
       SELECT doc_id, count(*) AS n_removed FROM bad GROUP BY doc_id)
     SELECT t.doc_id,
            coalesce(r.clean_text, '') AS clean_text,
-           CAST(ceil(len(t.t) / 8.0) AS BIGINT) AS n_chunks,
+           CAST(ceil(len(t.t) / {_lines.CHUNK_LEN}.0) AS BIGINT) AS n_chunks,
            CAST(coalesce(x.n_removed, 0) AS BIGINT) AS n_removed
     FROM toks t
     LEFT JOIN rebuilt r USING (doc_id)
@@ -385,7 +387,6 @@ def q_remove_repeated_spans(spark, sf_dir):
         "an index-aware array filter; the oracle replays with list_slice.",
 )
 def q_remove_duplicated_chunks(spark, sf_dir):
-    from nonconsumptive_spark.operators import lines
-
-    return lines.remove_duplicated_chunks(load(spark, sf_dir, "documents"),
-                                          chunk_len=8, min_doc_freq=2)
+    return _lines.remove_duplicated_chunks(
+        load(spark, sf_dir, "documents"),
+        chunk_len=_lines.CHUNK_LEN, min_doc_freq=_lines.MIN_DOC_FREQ)

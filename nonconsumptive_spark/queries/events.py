@@ -383,8 +383,13 @@ def q_retention_cohorts(spark, sf_dir):
     activity = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
     ).distinct()
+    # datediff instead of unix_timestamp: works for both TIMESTAMP and
+    # TIMESTAMP_NTZ ts columns (the test parquet carries no tz annotation,
+    # so Spark reads it as NTZ, which unix_timestamp rejects).  Both sides
+    # are week-truncated midnights, so the day difference is an exact
+    # multiple of 7.
     offset = (
-        (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+        F.datediff(F.col("wk").cast("date"), F.col("cohort").cast("date")) / 7
     ).cast("long")
     return (
         firsts.join(activity, "user_id")
@@ -422,8 +427,8 @@ def q_retention_cohorts(spark, sf_dir):
         "session_window used by q_events_session): a gap >30min opens a new "
         "session; running sum of gap flags numbers the sessions.  Ordering "
         "key (ts, event_id) is total, so both engines agree exactly.  Gaps "
-        "compare at MICROSECOND precision (unix_micros) to match the "
-        "oracle's exact interval comparison — a second-truncated cast would "
+        "compare at MICROSECOND precision (timestamp-difference interval) "
+        "to match the oracle's exact comparison — a second-truncated cast would "
         "flip session numbering for same-user gaps within ~1s of the "
         "threshold.",
 )
@@ -432,8 +437,14 @@ def q_sessionize_lag(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    # timestamp subtraction yields a day-time interval at microsecond
+    # precision and works for both TIMESTAMP and TIMESTAMP_NTZ (the test
+    # parquet carries no tz annotation, so Spark reads NTZ, which
+    # unix_micros rejects) — same exact comparison the oracle makes
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
     wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = ev.select(
         "user_id", "ts", "event_id",

@@ -242,7 +242,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     t1 AS (SELECT sum(c1) AS t1 FROM uni)
     SELECT b.w0, b.w1, b.c2,
            round(ln((b.c2 * 1.0 / t2.t2) /
-                    ((ua.c1 * 1.0 / t1.t1) * (ub.c1 * 1.0 / t1.t1))), 4) AS pmi
+                    ((ua.c1 * 1.0 / t1.t1) * (ub.c1 * 1.0 / t1.t1))), 4) + 0.0 AS pmi
     FROM bg b
     JOIN uni ua ON ua.token = b.w0
     JOIN uni ub ON ub.token = b.w1
