@@ -79,11 +79,9 @@ def _merge_round(words: DataFrame, x: str, y: str) -> DataFrame:
     return words.select("word", "freq", let(F.col("syms"), fold).alias("syms"))
 
 
-def train_bpe(docs: DataFrame, n_merges: int = 8, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """Returns the merge table: (step, x, y, merged, cnt), one row per
-    learned merge, in merge order."""
-    spark = docs.sparkSession
+def _train(docs: DataFrame, n_merges: int, id_col: str,
+           text_col: str) -> tuple[list[tuple], DataFrame]:
+    """Shared training loop: returns (merge rows, final segmented words)."""
     words = materialize_once(
         word_counts(docs, id_col, text_col)
         .select("word", "freq", F.split(F.col("word"), "").alias("syms")),
@@ -102,8 +100,30 @@ def train_bpe(docs: DataFrame, n_merges: int = 8, id_col: str = "doc_id",
         x, y, cnt = best[0].x, best[0].y, best[0].cnt
         merges.append((step, x, y, x + y, cnt))
         words = materialize_once(_merge_round(words, x, y), f"bpe_round_{step}")
-    return spark.createDataFrame(
+    return merges, words
+
+
+def train_bpe(docs: DataFrame, n_merges: int = 8, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Returns the merge table: (step, x, y, merged, cnt), one row per
+    learned merge, in merge order."""
+    merges, _ = _train(docs, n_merges, id_col, text_col)
+    return docs.sparkSession.createDataFrame(
         merges, "step long, x string, y string, merged string, cnt long"
+    )
+
+
+def encode_bpe(docs: DataFrame, n_merges: int = 8, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """The inference half over the training vocabulary: every word with
+    its frequency, post-merge symbol count, and space-joined segmentation
+    after all ``n_merges`` learned merges have been applied."""
+    _, words = _train(docs, n_merges, id_col, text_col)
+    return words.select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.size("syms").cast("long").alias("n_syms"),
+        F.concat_ws(" ", F.col("syms")).alias("segmented"),
     )
 
 

@@ -1,0 +1,106 @@
+"""Full-text retrieval scoring — BM25 over the tokenized corpus.
+
+The capability a training-data pipeline needs when curating by *relevance
+to a topic* (e.g. "collect documents about X for a domain mixture") rather
+than by similarity to an embedding: classic sparse lexical ranking.
+
+Reference anchor: the reference exposes per-document token counts and a
+global vocabulary (nonconsumptive/corpus.py:186-253) — exactly the tf and
+df statistics BM25 consumes; it never composes them into a ranker.  This
+module is that composition, Spark-first.
+
+Scale shape (the whole point):
+  * ONE narrow map computes, per document, the token-array length and the
+    query-term sub-array — tokenization runs once per row (let-bound),
+    nothing corpus-sized is exploded.  Only tokens that match a query
+    term leave the row, so the exploded frame is O(matches), not
+    O(corpus tokens).
+  * Document frequencies and corpus stats (N, avgdl) are tiny aggregates
+    over that frame — broadcast back in; the fact table never shuffles
+    on anything wider than doc_id.
+  * Top-k is TakeOrderedAndProject (sort+limit), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.text import let, tokenize
+from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = K1, b: float = B,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25
+    (Robertson/Sparck-Jones weights, the Lucene ``+1`` idf variant so
+    weights never go negative):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(d, t) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Matching is case-insensitive (both sides lowercase before
+    tokenizing).  Returns (doc_id, n_terms_matched, score) with the score
+    rounded to 4 decimals; ordering ties break on doc_id so the cut is
+    deterministic and engine-portable.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    qset = F.array(*[F.lit(t) for t in terms])
+
+    # one tokenize per row: dl + the query-term sub-array in a single
+    # let-bound projection
+    base = docs.select(
+        id_col,
+        let(
+            tokenize(F.lower(F.col(text_col))),
+            lambda toks: F.struct(
+                F.size(toks).alias("dl"),
+                F.filter(toks, lambda x: F.array_contains(qset, x)).alias("qt"),
+            ),
+        ).alias("s"),
+    ).select(id_col, "s.dl", "s.qt")
+    base = materialize_once(base, "bm25_base")  # dl feeds stats AND scoring
+
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = (
+        base.select(id_col, "dl", F.explode("qt").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms_matched"),
+            F.sum(per_term).alias("raw"),
+        )
+    )
+    # sort on a 6-decimal quantization (ulp-stable across engines), break
+    # residual ties on doc_id; emit 4 decimals
+    return (
+        scored.select(
+            id_col,
+            "n_terms_matched",
+            F.round("raw", 6).alias("_sk"),
+            F.round("raw", 4).alias("score"),
+        )
+        .orderBy(F.desc("_sk"), F.asc(id_col))
+        .limit(k)
+        .drop("_sk")
+    )

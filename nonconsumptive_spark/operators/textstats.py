@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nonconsumptive_spark.functions.text import ngram_structs, tokenize
+from nonconsumptive_spark.functions.text import let, ngram_structs, tokenize
 
 # Tiny deterministic stopword lists per language for the n-gram/stopword
 # language-ID heuristic.  (Real deployments swap in fastText et al. behind
@@ -491,4 +491,178 @@ def quality_filter(df: DataFrame, min_tokens: int = 20,
         (~((n_tokens < min_tokens) | (alpha_ratio < min_alpha_ratio)
            | (dup_bg > max_dup_bigram_frac)
            | (stop_ratio < min_stopword_ratio))).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): the guarantee-bearing local fingerprint scheme.  Any shared
+# substring of >= WINNOW_W + WINNOW_K - 1 tokens between two documents is
+# certain to share at least one selected fingerprint, yet only ~2/(w+1) of
+# all k-gram hashes are kept.  The standard primitive for partial-overlap
+# (not whole-doc) duplicate detection at corpus scale.
+# ---------------------------------------------------------------------------
+WINNOW_K = 4   # k-gram width (tokens)
+WINNOW_W = 4   # winnowing window (hashes)
+
+
+def winnow_fingerprints(df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, n_windows, n_fingerprints, fp_checksum): per document, the
+    winnowing-selected fingerprint set — its size and its order-insensitive
+    XOR (a strong, small verification surface that cannot overflow; the
+    set itself would be the join key in a follow-on overlap join).
+
+    Plan shape: everything happens INSIDE the token array of one row —
+    positional k-gram hashes via ``transform(sequence(...))``, window
+    minima via ``array_min(slice(...))``, selection via
+    ``array_distinct`` — a narrow map with zero shuffle and zero Python.
+    The reference's fingerprint surface is whole-document
+    (document.py md5); this is the sub-document extension."""
+
+    def fp(t):
+        n_grams = F.size(t) - (k - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+        )
+        hashes = F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        )
+        n_windows = F.size(t) - (k + w - 2)
+        mins = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        )
+        sel = F.array_distinct(mins)
+        return F.when(
+            n_windows >= 1,
+            F.struct(
+                n_windows.cast("long").alias("n_windows"),
+                F.size(sel).cast("long").alias("n_fingerprints"),
+                F.aggregate(sel, F.lit(0).cast("long"),
+                            lambda acc, x: acc.bitwiseXOR(x)).alias("fp_checksum"),
+            ),
+        ).otherwise(
+            F.struct(F.lit(0).cast("long").alias("n_windows"),
+                     F.lit(0).cast("long").alias("n_fingerprints"),
+                     F.lit(0).cast("long").alias("fp_checksum"))
+        )
+
+    out = let(tokenize(text_col), fp)
+    return df.select(id_col, out.alias("s")).select(id_col, "s.*")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# how much more likely its tokens are under a TARGET domain's unigram
+# distribution than under the RAW corpus distribution, then keep the top
+# fraction.  The standard cheap lever for tilting a 100 TB crawl toward a
+# high-quality domain without training a classifier.
+# ---------------------------------------------------------------------------
+DSIR_VOCAB_CAP = 50_000
+DSIR_KEEP_FRAC = 0.25
+
+
+def dsir_weights(df: DataFrame, target_filter: Column,
+                 vocab_cap: int = DSIR_VOCAB_CAP,
+                 keep_frac: float = DSIR_KEEP_FRAC,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, avg_logratio, keep): per-token average of
+    ln(p_target(tok) / p_raw(tok)) with add-1 smoothing over the raw
+    corpus's ``vocab_cap`` most frequent tokens (OOV tokens share one
+    smoothed bucket), and a keep flag for the ``keep_frac`` highest-scoring
+    documents (rank ties break on id, so the cut is deterministic).
+
+    Plan shape: two vocabulary-sized aggs (raw + target counts — the
+    target side is a filtered re-agg, not a second corpus pass over
+    anything wider), a broadcast token→logratio map joined into one
+    explode of the scored corpus.  The top-fraction cut does NOT rank all
+    documents through one window: it aggregates a histogram of 6-decimal
+    score keys (bounded by the distinct rounded values, ≤ a few million —
+    the only unpartitioned window runs over THAT), then ranks documents
+    only inside their own score bucket (window partitioned by score key).
+    The corpus-sized frame shuffles once (token agg) and never
+    self-joins."""
+    from pyspark.sql.window import Window
+
+    from nonconsumptive_spark.operators.wordcount import global_wordcount
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    toks_df = df.select(
+        id_col, F.col(text_col).alias("__text"), target_filter.alias("__is_tgt")
+    )
+
+    # raw vocabulary (capped, deterministic rank ties on token)
+    raw_counts = materialize_once(
+        global_wordcount(toks_df, id_col, "__text"), "dsir_raw_counts"
+    )
+    vocab = (
+        raw_counts.orderBy(F.desc("count"), F.asc("token")).limit(vocab_cap)
+        .select("token", F.col("count").alias("c_raw"))
+    )
+
+    tgt_counts = global_wordcount(
+        toks_df.filter("__is_tgt"), id_col, "__text"
+    ).select("token", F.col("count").alias("c_tgt"))
+
+    # smoothed log ratio per vocab token; totals are 1-row aggregates
+    lut = vocab.join(tgt_counts, "token", "left").na.fill({"c_tgt": 0})
+    lut = materialize_once(lut, "dsir_lut")
+    totals = lut.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt"),
+        F.count("*").alias("v"),
+    )
+    lr = F.log(
+        ((F.col("c_tgt") + 1) / (F.col("t_tgt") + F.col("v") + 1))
+        / ((F.col("c_raw") + 1) / (F.col("t_raw") + F.col("v") + 1))
+    )
+    # OOV bucket: c_tgt = c_raw = 0 under the same smoothing
+    oov = F.log(
+        (1.0 / (F.col("t_tgt") + F.col("v") + 1))
+        / (1.0 / (F.col("t_raw") + F.col("v") + 1))
+    )
+    lut_lr = lut.crossJoin(F.broadcast(totals)).select(
+        "token", lr.alias("lr")
+    )
+
+    scored = (
+        toks_df.select(id_col, F.explode(tokenize("__text")).alias("token"))
+        .join(F.broadcast(lut_lr), "token", "left")
+        .crossJoin(F.broadcast(totals.select(oov.alias("oov"))))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg(F.coalesce("lr", "oov")).alias("raw_avg"),
+        )
+        .withColumn("sk", F.round("raw_avg", 6))
+    )
+    scored = materialize_once(scored, "dsir_scored")
+
+    # histogram of score keys: kept_before = docs in strictly higher
+    # buckets (running sum over the bounded histogram, score DESC)
+    hist = scored.groupBy("sk").agg(F.count("*").alias("bucket_n"))
+    hw = Window.orderBy(F.desc("sk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.select(
+        "sk", (F.sum("bucket_n").over(hw) - F.col("bucket_n")).alias("kept_before")
+    )
+    n_keep = scored.agg(
+        F.ceil(F.count("*") * keep_frac).cast("long").alias("n_keep")
+    )
+    # global rank = higher-bucket count + rank within own bucket (by id)
+    in_bucket = Window.partitionBy("sk").orderBy(F.asc(id_col))
+    return (
+        scored.withColumn("bucket_rnk", F.row_number().over(in_bucket))
+        .join(F.broadcast(hist), "sk")
+        .crossJoin(F.broadcast(n_keep))
+        .select(
+            id_col, "n_tokens", F.round("raw_avg", 4).alias("avg_logratio"),
+            (F.col("kept_before") + F.col("bucket_rnk")
+             <= F.col("n_keep")).alias("keep"),
+        )
     )

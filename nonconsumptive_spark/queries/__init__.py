@@ -95,7 +95,13 @@ PRIORITY: tuple[str, ...] = (
     "q_redact_pii",
     "q_cap_per_source",
     "q_quality_filter",
-    # ---- new round-3 queries get inserted here as they land ----
+    # new round-3 queries (BM25 retrieval, winnowing, DSIR, BPE encode,
+    # frame-sample plan)
+    "q_bm25_topk",
+    "q_winnow_fingerprints",
+    "q_dsir_weights",
+    "q_bpe_encode",
+    "q_frame_sample",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",
@@ -148,6 +154,7 @@ def all_queries() -> dict[str, Query]:
         events,
         multimodal,
         relational,
+        retrieval,
         scalar,
         similarity,
         text,

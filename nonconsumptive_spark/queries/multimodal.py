@@ -57,3 +57,37 @@ def q_multimodal_features(spark, sf_dir):
     return mm.extract_media_features(media).select(
         "media_id", "kind", "n_bytes", "width", "height"
     )
+
+
+def _synthetic_video(docs):
+    """One fake video per document: content = 'NCVID|<frames>|x...x'."""
+    payload = F.repeat(F.lit("x"), (F.col("doc_id") % 30).cast("int"))
+    header = F.concat_ws(
+        "|",
+        F.lit("NCVID"),
+        ((F.col("n_chars") % 40) + 1).cast("string"),
+        payload,
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/x-nc").alias("mime"),
+        F.encode(header, "UTF-8").alias("content"),
+    )
+
+
+@register(
+    "q_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx
+    FROM documents, unnest(range(0, (n_chars % 40) + 1, 10)) AS r(f)
+    """,
+    doc="Video frame-sampling plan end-to-end: binary video column through "
+        "the mapInPandas metadata extractor (stub decode), then a JVM-side "
+        "explode of every 10th frame index — one row per frame a real "
+        "pipeline would hand to a per-frame decoder.  Oracle recomputes "
+        "the sampled indices from the deterministic construction.",
+)
+def q_frame_sample(spark, sf_dir):
+    media = _synthetic_video(load(spark, sf_dir, "documents"))
+    return mm.frame_sample_plan(media, every_n=10)

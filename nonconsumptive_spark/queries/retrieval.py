@@ -1,0 +1,53 @@
+"""Retrieval-scoring queries: BM25 lexical ranking over the corpus."""
+
+from __future__ import annotations
+
+from nonconsumptive_spark.operators import retrieval as rt
+from nonconsumptive_spark.queries import load, register
+
+_BM25_TERMS = ["spark", "query", "dup"]
+_BM25_K = 10
+
+_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS)) + ")"
+_DUCK_TOKS_LOWER = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\pL]+'), x -> x <> '')"
+)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_TOKS_LOWER} AS t FROM documents),
+    lens AS (SELECT doc_id, len(t) AS dl FROM base),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, dl, token, count(*) AS tf
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM base)
+      WHERE token IN {_TERMS_SQL}
+      GROUP BY doc_id, dl, token),
+    dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms_matched,
+             sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * f.tf * ({rt.K1} + 1)
+                 / (f.tf + {rt.K1} * (1 - {rt.B} + {rt.B} * f.dl / s.avgdl))) AS raw
+      FROM tf f JOIN dfs d USING (token) CROSS JOIN stats s
+      GROUP BY f.doc_id)
+    SELECT doc_id, n_terms_matched, round(raw, 4) + 0.0 AS score
+    FROM scored
+    ORDER BY round(raw, 6) DESC, doc_id ASC
+    LIMIT {_BM25_K}
+    """,
+    doc=f"BM25 top-{_BM25_K} retrieval for query {_BM25_TERMS} (Lucene +1 "
+        "idf variant, k1/b shared constants).  One let-bound tokenize pass "
+        "yields dl and the query-term sub-array per row; only matching "
+        "tokens explode, df/stats are broadcast 1-row/short aggs, and the "
+        "cut is TakeOrderedAndProject on a 6-decimal score key with id "
+        "tiebreak.",
+)
+def q_bm25_topk(spark, sf_dir):
+    return rt.bm25_topk(load(spark, sf_dir, "documents"),
+                        _BM25_TERMS, k=_BM25_K)

@@ -430,6 +430,20 @@ def _bpe_oracle(k: int) -> str:
     return "WITH" + ",".join(cte) + f"\n    {unions}"
 
 
+def _bpe_encode_oracle(k: int) -> str:
+    """Same k-round replay as ``_bpe_oracle``, but emitting the ENCODED
+    vocabulary after the final round: every word with its frequency,
+    symbol count, and space-joined segmentation — the inference half of
+    the tokenizer, verified against the same merge sequence."""
+    train = _bpe_oracle(k)
+    with_body = train[: train.rindex("\n    SELECT CAST(1")]
+    return f"""{with_body}
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(len(syms) AS BIGINT) AS n_syms,
+           array_to_string(syms, ' ') AS segmented
+    FROM words_{k}"""
+
+
 @register(
     "q_bpe_merges",
     oracle=_bpe_oracle(_BPE_MERGES),
@@ -444,6 +458,22 @@ def q_bpe_merges(spark, sf_dir):
     from nonconsumptive_spark.operators.bpe import train_bpe
 
     return train_bpe(load(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(_BPE_MERGES),
+    doc=f"BPE encoding (the inference half): the training vocabulary "
+        f"segmented by the {_BPE_MERGES} learned merges — (word, freq, "
+        "n_syms, segmented).  Same sequential training replay as "
+        "q_bpe_merges; the encode itself is the same vocab-sized Catalyst "
+        "array fold, so corpus-sized work stays one word-count agg.",
+)
+def q_bpe_encode(spark, sf_dir):
+    from nonconsumptive_spark.operators.bpe import encode_bpe
+
+    return encode_bpe(load(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
 
 
 # --------------------------------------------------------------------------

@@ -637,3 +637,120 @@ def q_cap_per_source(spark, sf_dir):
 )
 def q_quality_filter(spark, sf_dir):
     return ts.quality_filter(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, coalesce({_DUCK_TOKS}, []) AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+{ts.WINNOW_K - 1}], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks, unnest(range(1, len(t) - {ts.WINNOW_K - 2})) AS r(i)),
+    wins AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {ts.WINNOW_W - 1} FOLLOWING) AS mh,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams),
+    sel AS (
+      SELECT doc_id, mh FROM wins
+      WHERE pos <= n_grams - {ts.WINNOW_W - 1}
+      GROUP BY doc_id, mh),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_fingerprints, bit_xor(mh) AS fp_checksum
+      FROM sel GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(greatest(len(t.t) - {ts.WINNOW_K + ts.WINNOW_W - 2}, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(p.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+           CAST(coalesce(p.fp_checksum, 0) AS BIGINT) AS fp_checksum
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc=f"Winnowing fingerprints (MOSS, k={ts.WINNOW_K} w={ts.WINNOW_W}): "
+        "positional k-gram hashes, per-window minima, distinct selection — "
+        "the guarantee-bearing sub-document fingerprint scheme (any shared "
+        "run of k+w-1 tokens shares a fingerprint).  Spark side is a "
+        "zero-shuffle in-row array program; the oracle replays it with "
+        "window-function minima over exploded positions.",
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    return ts.winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents),
+    raw AS (SELECT token, count(*) AS c_raw FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token, c_raw FROM raw
+      ORDER BY c_raw DESC, token ASC LIMIT {ts.DSIR_VOCAB_CAP}),
+    tgt AS (
+      SELECT t.token, count(*) AS c_tgt
+      FROM tok t JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY t.token),
+    lut AS (
+      SELECT v.token, v.c_raw, coalesce(g.c_tgt, 0) AS c_tgt
+      FROM vocab v LEFT JOIN tgt g USING (token)),
+    tot AS (
+      SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt, count(*) AS v FROM lut),
+    model AS (
+      SELECT token,
+             ln(((c_tgt + 1) / (t_tgt + v + 1)) / ((c_raw + 1) / (t_raw + v + 1))) AS lr
+      FROM lut CROSS JOIN tot),
+    oov AS (
+      SELECT ln((1.0 / (t_tgt + v + 1)) / (1.0 / (t_raw + v + 1))) AS lr FROM tot),
+    scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             avg(coalesce(m.lr, o.lr)) AS raw_avg
+      FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov o
+      GROUP BY t.doc_id),
+    keyed AS (SELECT *, round(raw_avg, 6) AS sk FROM scored),
+    hist AS (
+      SELECT sk, count(*) AS bucket_n FROM keyed GROUP BY sk),
+    cum AS (
+      SELECT sk,
+             sum(bucket_n) OVER (ORDER BY sk DESC
+                                 ROWS UNBOUNDED PRECEDING) - bucket_n AS kept_before
+      FROM hist),
+    nk AS (SELECT CAST(ceil(count(*) * {ts.DSIR_KEEP_FRAC}) AS BIGINT) AS n_keep
+           FROM keyed),
+    ranked AS (
+      SELECT k.doc_id, k.n_tokens, k.raw_avg,
+             c.kept_before
+               + row_number() OVER (PARTITION BY k.sk ORDER BY k.doc_id) AS rnk
+      FROM keyed k JOIN cum c USING (sk))
+    SELECT d.doc_id,
+           CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(round(r.raw_avg, 4), 0.0) AS avg_logratio,
+           coalesce(r.rnk <= (SELECT n_keep FROM nk), false) AS keep
+    FROM documents d LEFT JOIN ranked r USING (doc_id)
+    """,
+    doc="DSIR-style importance weighting (Xie et al. 2023): per-doc mean "
+        "ln(p_target/p_raw) under Laplace-smoothed unigram models (target "
+        "= lang='en' docs, raw = whole corpus, shared capped vocab), with "
+        "a deterministic top-fraction keep.  The top cut ranks via a "
+        "score-key histogram (bounded unpartitioned window) plus an "
+        "in-bucket id rank — no global row_number over the corpus.  "
+        "Token-less docs score 0 and are never kept.",
+)
+def q_dsir_weights(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    w = ts.dsir_weights(docs, F.col("lang") == "en")
+    return (
+        docs.select("doc_id")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("avg_logratio", F.lit(0.0)).alias("avg_logratio"),
+            F.coalesce("keep", F.lit(False)).alias("keep"),
+        )
+    )
