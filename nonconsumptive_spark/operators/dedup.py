@@ -257,6 +257,66 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def dedup_against(new_docs: DataFrame, corpus_docs: DataFrame,
+                  threshold: float = 0.5, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Incremental near-dedup: flag every NEW document that near-duplicates
+    any EXISTING corpus document — the production shape where a fresh
+    crawl batch lands against a corpus whose signatures are already
+    materialized, and the corpus must never re-hash or self-join.
+
+    Returns one row per new document: (id, is_dup, match_id, jaccard)
+    with the best existing match (highest verified Jaccard, lowest
+    existing id on ties) or NULLs when clean.
+
+    Plan shape: both sides band independently (at scale the corpus side
+    is a parquet-backed signature table, here materialize_once); the only
+    cross-side contact is a band-key equi-join whose output is candidate
+    pairs, then exact-Jaccard verification on survivors — identical cost
+    envelope to one LSH round over the BATCH, independent of corpus size
+    beyond the band join's hash lookup."""
+    nb = _sig_base(new_docs, id_col, text_col, keep_shingles=True,
+                   materialize=True)
+    cb = _sig_base(corpus_docs, id_col, text_col, keep_shingles=True,
+                   materialize=True)
+    a = _band_rows(nb, id_col).select(
+        F.col(id_col).alias("new_id"), "band", "band_key")
+    b = _band_rows(cb, id_col).select(
+        F.col(id_col).alias("old_id"), "band", "band_key")
+    cands = a.join(b, ["band", "band_key"]).select("new_id", "old_id").distinct()
+
+    sa = nb.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_a"))
+    sb = cb.select(F.col(id_col).alias("old_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        cands.join(sa, "new_id")
+        .join(sb, "old_id")
+        .withColumn("jaccard", F.round(inter / uni, 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = (
+        verified.groupBy("new_id")
+        .agg(F.max(F.struct(F.col("jaccard"), (-F.col("old_id")).alias("neg")))
+             .alias("m"))
+        .select(
+            "new_id",
+            (-F.col("m.neg")).alias("match_id"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("match_id").isNotNull().alias("is_dup"),
+            "match_id",
+            "jaccard",
+        )
+    )
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
                    threshold: float = 0.5, id_col: str = "doc_id",
                    text_col: str = "text", max_iter: int = 20) -> DataFrame:

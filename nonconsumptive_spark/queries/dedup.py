@@ -390,3 +390,57 @@ def q_remove_duplicated_chunks(spark, sf_dir):
     return _lines.remove_duplicated_chunks(
         load(spark, sf_dir, "documents"),
         chunk_len=_lines.CHUNK_LEN, min_doc_freq=_lines.MIN_DOC_FREQ)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    {_DUCK_BANDS},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.old_id, count(*) AS i
+      FROM cands c
+      JOIN shingles x ON x.doc_id = c.new_id
+      JOIN shingles y ON y.doc_id = c.old_id AND y.shingle = x.shingle
+      GROUP BY c.new_id, c.old_id),
+    verified AS (
+      SELECT i.new_id, i.old_id,
+             round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.new_id
+      JOIN sizes sb ON sb.doc_id = i.old_id
+      WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) >= 0.5),
+    best AS (
+      SELECT new_id, old_id AS match_id, jaccard
+      FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                        ORDER BY jaccard DESC, old_id ASC) AS rn
+            FROM verified)
+      WHERE rn = 1)
+    SELECT d.doc_id, b.match_id IS NOT NULL AS is_dup,
+           CAST(b.match_id AS BIGINT) AS match_id, b.jaccard
+    FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+    doc="Incremental near-dedup (new batch vs existing corpus — the "
+        "production shape): odd-id docs play the fresh crawl batch, "
+        "even-id docs the signed corpus.  Both sides band independently "
+        "(corpus side = its materialized signature table, never "
+        "re-hashed or self-joined); one cross-side band equi-join, exact "
+        "Jaccard verify on survivors, best match per new doc with "
+        "deterministic ties.",
+)
+def q_dedup_incremental(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.5,
+    )

@@ -318,3 +318,33 @@ def test_remove_duplicated_chunks_within_doc_repeat_not_flagged(spark):
         docs, chunk_len=2, min_doc_freq=2).collect()}
     assert out[1]["clean_text"] == "a b a b"
     assert out[1]["n_removed"] == 0
+
+
+def test_dedup_against_incremental(spark):
+    from nonconsumptive_spark.operators.dedup import dedup_against
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(2, base), (4, "totally different words entirely unrelated content here")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, base),                      # exact dup of corpus doc 2
+         (3, "fresh unique new text that matches nothing in the corpus")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup_against(new, corpus, threshold=0.5).collect()}
+    assert rows[1]["is_dup"] and rows[1]["match_id"] == 2
+    assert rows[1]["jaccard"] == 1.0
+    assert not rows[3]["is_dup"] and rows[3]["match_id"] is None
+
+
+def test_dedup_against_best_match_ties(spark):
+    from nonconsumptive_spark.operators.dedup import dedup_against
+
+    t = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame([(10, t), (20, t)], ["doc_id", "text"])
+    new = spark.createDataFrame([(1, t)], ["doc_id", "text"])
+    r = dedup_against(new, corpus).collect()[0]
+    # equal jaccard 1.0 to both corpus docs -> lowest existing id wins
+    assert r["match_id"] == 10
