@@ -522,21 +522,8 @@ def winnow_fingerprints(df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
     (document.py md5); this is the sub-document extension."""
 
     def fp(t):
-        n_grams = F.size(t) - (k - 1)
-        grams = F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
-        )
-        hashes = F.transform(
-            grams,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-        )
         n_windows = F.size(t) - (k + w - 2)
-        mins = F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(hashes, i, w)),
-        )
-        sel = F.array_distinct(mins)
+        sel = _winnow_selected(t, k, w)
         return F.when(
             n_windows >= 1,
             F.struct(
@@ -553,6 +540,63 @@ def winnow_fingerprints(df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
 
     out = let(tokenize(text_col), fp)
     return df.select(id_col, out.alias("s")).select(id_col, "s.*")
+
+
+def _winnow_selected(t, k: int, w: int):
+    """Distinct winnowing-selected fingerprint array for a bound token
+    array ``t`` (callers guard n_windows >= 1 before evaluating)."""
+    n_grams = F.size(t) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    n_windows = F.size(t) - (k + w - 2)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return F.array_distinct(mins)
+
+
+def winnow_overlap_pairs(df: DataFrame, min_shared: int = 2,
+                         k: int = WINNOW_K, w: int = WINNOW_W,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — the partial-overlap detector
+    the fingerprints exist for.  By the winnowing guarantee, any pair
+    sharing a run of >= k+w-1 tokens appears here (with min_shared=1).
+
+    Plan shape: the selected-fingerprint sets materialize once, explode
+    to (id, fp) rows, and meet in a fingerprint equi-join — the same
+    banded-candidate shape as the LSH/SimHash dedup joins; only pairs
+    sharing >=1 fingerprint are ever materialized, never all pairs."""
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    def sel_or_empty(t):
+        return F.when(
+            F.size(t) - (k + w - 2) >= 1, _winnow_selected(t, k, w)
+        ).otherwise(F.array().cast("array<long>"))
+
+    sel = materialize_once(
+        df.select(id_col, let(tokenize(text_col), sel_or_empty).alias("fps"))
+        .filter(F.size("fps") > 0),
+        "winnow_sel",
+    )
+    ex = sel.select(id_col, F.explode("fps").alias("fp"))
+    a = ex.select(F.col(id_col).alias("doc_a"), "fp")
+    b = ex.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 # ---------------------------------------------------------------------------

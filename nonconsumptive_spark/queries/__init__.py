@@ -103,6 +103,7 @@ PRIORITY: tuple[str, ...] = (
     "q_bpe_encode",
     "q_frame_sample",
     "q_dedup_incremental",
+    "q_winnow_overlap_pairs",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",

@@ -754,3 +754,41 @@ def q_dsir_weights(spark, sf_dir):
             F.coalesce("keep", F.lit(False)).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_winnow_overlap_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, coalesce({_DUCK_TOKS}, []) AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+{ts.WINNOW_K - 1}], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks, unnest(range(1, len(t) - {ts.WINNOW_K - 2})) AS r(i)),
+    wins AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {ts.WINNOW_W - 1} FOLLOWING) AS mh,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams),
+    sel AS (
+      SELECT doc_id, mh FROM wins
+      WHERE pos <= n_grams - {ts.WINNOW_W - 1}
+      GROUP BY doc_id, mh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    doc="Winnowing overlap detector: pairs sharing >= 2 selected "
+        "fingerprints — the partial-overlap (plagiarism/quotation) dual "
+        "of whole-doc dedup; guaranteed to surface any pair sharing a "
+        "k+w-1-token run.  Fingerprint equi-join over materialized "
+        "selected sets, same banded-candidate shape as LSH.",
+)
+def q_winnow_overlap_pairs(spark, sf_dir):
+    return ts.winnow_overlap_pairs(load(spark, sf_dir, "documents"),
+                                   min_shared=2)

@@ -122,3 +122,19 @@ def test_bpe_encode_segments_with_learned_merges(spark):
     assert out["aaab"]["segmented"] == "aa ab"
     assert out["aaab"]["n_syms"] == 2
     assert out["aaab"]["freq"] == 3
+
+
+def test_winnow_overlap_detects_shared_run(spark):
+    from nonconsumptive_spark.operators.textstats import winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens > k+w-1
+    docs = spark.createDataFrame(
+        [(1, "intro words " + shared),
+         (2, shared + " closing words"),
+         (3, "completely unrelated text about other things entirely")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_overlap_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in pairs  # the winnowing guarantee
+    assert all(3 not in p for p in pairs)
