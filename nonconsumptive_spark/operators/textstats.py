@@ -710,3 +710,72 @@ def dsir_weights(df: DataFrame, target_filter: Column,
              <= F.col("n_keep")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-order assignment and corpus profiling — the last mile (shuffle
+# the corpus deterministically into training shards) and the first mile
+# (the dataset-card numbers) of a training-data pipeline.
+# ---------------------------------------------------------------------------
+def training_order(df: DataFrame, seed: int = 42, n_shards: int = 16,
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, shard, pos): a deterministic global shuffle for training —
+    every document gets a pseudo-random sort key md5(seed:id), a balanced
+    shard by key hash, and a position within its shard.  Reproducible
+    across engines, runs, and cluster sizes (same reason as hash_sample:
+    the key is a pure row function, not an RNG), and re-keyable by seed
+    for a fresh epoch order.
+
+    Scale shape: the within-shard rank is a Window PARTITIONED BY shard;
+    ``n_shards`` is sized so a shard fits an executor (production: one
+    shard per output file, thousands of shards), the same bounded-shard
+    argument as packing.pack_sequences.  The write-side equivalent is
+    ``repartition(n_shards, shard).sortWithinPartitions(key)`` where the
+    position never materializes at all."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    keyed = df.select(
+        id_col,
+        key.alias("k"),
+        (F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_shards)
+        .cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", id_col)
+    return keyed.select(
+        id_col, "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+def corpus_profile(df: DataFrame, stratum_col: str = "source",
+                   lang_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-stratum dataset-card numbers: doc count, token totals/means,
+    exact interpolated token-count percentiles, distinct language count
+    and dominant language (count-desc, name-asc tie-break).
+
+    One narrow tokenize pass feeds one stratum-keyed agg; the dominant
+    language is a (stratum, lang) agg reduced by max(struct) — no
+    row_number over doc-level rows anywhere."""
+    base = df.select(
+        stratum_col, lang_col,
+        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
+    )
+    stats = base.groupBy(stratum_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 3).alias("mean_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.50)"), 3).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 3).alias("p95_tokens"),
+        F.countDistinct(lang_col).cast("long").alias("n_langs"),
+    )
+    # count-desc/name-asc argmax as min(struct(-c, lang)): smallest negative
+    # count = largest count, then lexicographically smallest language
+    top_lang = (
+        base.groupBy(stratum_col, lang_col).agg(F.count("*").alias("c"))
+        .groupBy(stratum_col)
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col(lang_col).alias("l")))
+             .alias("m"))
+        .select(stratum_col, F.col("m.l").alias("top_lang"))
+    )
+    return stats.join(top_lang, stratum_col)

@@ -104,6 +104,8 @@ PRIORITY: tuple[str, ...] = (
     "q_frame_sample",
     "q_dedup_incremental",
     "q_winnow_overlap_pairs",
+    "q_training_order",
+    "q_corpus_profile",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",

@@ -792,3 +792,65 @@ def q_dsir_weights(spark, sf_dir):
 def q_winnow_overlap_pairs(spark, sf_dir):
     return ts.winnow_overlap_pairs(load(spark, sf_dir, "documents"),
                                    min_shared=2)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_training_order",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS INTEGER) AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+    doc="Deterministic training-order shuffle: md5(seed:id) sort key, "
+        "hash-balanced shard, within-shard position — reproducible across "
+        "engines/runs/cluster sizes and re-keyable per epoch.  Rank is "
+        "windowed PER SHARD (n_shards sized to one output file each at "
+        "scale); the write-side form is repartition + sortWithinPartitions "
+        "with no materialized rank at all.",
+)
+def q_training_order(spark, sf_dir):
+    return ts.training_order(load(spark, sf_dir, "documents"),
+                             seed=42, n_shards=16)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_corpus_profile",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, lang, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             round(avg(n_tokens), 3) AS mean_tokens,
+             round(CAST(quantile_cont(n_tokens, 0.50) AS DOUBLE), 3) AS p50_tokens,
+             round(CAST(quantile_cont(n_tokens, 0.95) AS DOUBLE), 3) AS p95_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM base GROUP BY source),
+    lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang),
+    top AS (
+      SELECT source, lang AS top_lang
+      FROM (SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, lang ASC) AS rn
+            FROM lc)
+      WHERE rn = 1)
+    SELECT s.*, t.top_lang FROM stats s JOIN top t USING (source)
+    """,
+    doc="Per-source dataset-card profile: doc/token counts, mean and exact "
+        "interpolated p50/p95 token counts, language diversity, dominant "
+        "language (count-desc name-asc ties).  One tokenize pass, one "
+        "stratum agg, argmax via min(struct) on the (source, lang) agg — "
+        "no doc-level windows.",
+)
+def q_corpus_profile(spark, sf_dir):
+    return ts.corpus_profile(load(spark, sf_dir, "documents"))

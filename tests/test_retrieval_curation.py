@@ -138,3 +138,37 @@ def test_winnow_overlap_detects_shared_run(spark):
              for r in winnow_overlap_pairs(docs, min_shared=1).collect()}
     assert (1, 2) in pairs  # the winnowing guarantee
     assert all(3 not in p for p in pairs)
+
+
+def test_training_order_deterministic_and_balanced(spark):
+    from nonconsumptive_spark.operators.textstats import training_order
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"),
+                                      F.lit("x").alias("text"))
+    a = {(r["doc_id"], r["shard"], r["pos"])
+         for r in training_order(docs, seed=7, n_shards=4).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in training_order(docs, seed=7, n_shards=4).collect()}
+    assert a == b  # pure function of the rows
+    c = {(r["doc_id"], r["shard"], r["pos"])
+         for r in training_order(docs, seed=8, n_shards=4).collect()}
+    assert a != c  # a new seed is a new epoch order
+    # positions are 1..n contiguous within each shard
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for _, s, p in a:
+        by_shard[s].append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_corpus_profile_top_lang_tiebreak(spark):
+    from nonconsumptive_spark.operators.textstats import corpus_profile
+
+    rows = [(1, "a b c", "en", "s1"), (2, "d e", "de", "s1"),
+            (3, "f", "de", "s2"), (4, "g h i j", "de", "s2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {r["source"]: r for r in corpus_profile(df).collect()}
+    assert out["s1"]["top_lang"] == "de"  # tie 1-1 -> alphabetical
+    assert out["s2"]["top_lang"] == "de"
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["total_tokens"] == 5
