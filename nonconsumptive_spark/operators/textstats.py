@@ -779,3 +779,70 @@ def corpus_profile(df: DataFrame, stratum_col: str = "source",
         .select(stratum_col, F.col("m.l").alias("top_lang"))
     )
     return stats.join(top_lang, stratum_col)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-hygiene passes: markup stripping and sentence segmentation — the
+# steps between "raw HTML-ish crawl bytes" and the tokenizer.
+# ---------------------------------------------------------------------------
+_MARKUP_TAG = r"<[^>]*>"
+_MARKUP_ENTITIES = (  # the high-frequency HTML entities, decoded exactly
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+)
+
+
+def strip_markup(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, clean_text, n_tags_removed): tags out, common entities decoded,
+    whitespace collapsed — the trafilatura-shaped extraction step reduced
+    to its deterministic core (a real deployment swaps a DOM-aware
+    extractor into the same operator signature; the pipeline around it is
+    identical).  Zero shuffle: a regexp/replace chain over the scan.
+
+    Entity decode order matters: ``&amp;lt;`` must become ``&lt;`` (one
+    decode pass, not a fixpoint), so ``&amp;`` is replaced LAST."""
+    tagless = F.regexp_replace(F.col(text_col), _MARKUP_TAG, " ")
+    decoded = tagless
+    for ent, ch in [e for e in _MARKUP_ENTITIES if e[0] != "&amp;"]:
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    decoded = F.replace(decoded, F.lit("&amp;"), F.lit("&"))
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    n_tags = F.size(F.split(F.col(text_col), _MARKUP_TAG)) - 1
+    return df.select(
+        id_col,
+        clean.alias("clean_text"),
+        n_tags.cast("long").alias("n_tags_removed"),
+    )
+
+
+def sentence_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, n_sentences, mean_sentence_tokens, max_sentence_tokens):
+    regex sentence segmentation (runs of .!? as terminators) with
+    per-sentence token counts — the unit every sentence-level dedup or
+    quality pass needs.  All in-row array math, zero shuffle."""
+
+    def stats(sents):
+        counts = F.transform(
+            sents,
+            lambda s: F.size(F.filter(F.split(F.trim(s), r"[^\p{L}]+"),
+                                      lambda x: x != F.lit(""))),
+        )
+        n = F.size(sents)
+        total = F.aggregate(counts, F.lit(0).cast("long"),
+                            lambda a, x: a + x)
+        return F.struct(
+            n.cast("long").alias("n_sentences"),
+            F.round(F.when(n > 0, total / n).otherwise(F.lit(0.0)), 4)
+            .alias("mean_sentence_tokens"),
+            F.coalesce(F.array_max(counts), F.lit(0)).cast("long")
+            .alias("max_sentence_tokens"),
+        )
+
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != F.lit(""),
+    )
+    out = let(sents, stats)
+    return df.select(id_col, out.alias("s")).select(id_col, "s.*")

@@ -106,6 +106,8 @@ PRIORITY: tuple[str, ...] = (
     "q_winnow_overlap_pairs",
     "q_training_order",
     "q_corpus_profile",
+    "q_strip_markup",
+    "q_sentence_stats",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",

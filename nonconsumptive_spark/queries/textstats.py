@@ -854,3 +854,92 @@ def q_training_order(spark, sf_dir):
 )
 def q_corpus_profile(spark, sf_dir):
     return ts.corpus_profile(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# The test corpus has no markup or punctuation, so the hygiene queries
+# plant a deterministic construction on both engines first (same pattern
+# as q_redact_pii's contact block and the multimodal headers).
+@register(
+    "q_strip_markup",
+    oracle=r"""
+    WITH marked AS (
+      SELECT doc_id,
+             '<p id="' || doc_id || '"><b>' || text || '</b> &amp; tail</p>' AS text
+      FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS decoded,
+             CAST(len(regexp_split_to_array(text, '<[^>]*>')) - 1 AS BIGINT)
+               AS n_tags_removed
+      FROM marked)
+    SELECT doc_id,
+           trim(regexp_replace(decoded, '\s+', ' ', 'g')) AS clean_text,
+           n_tags_removed
+    FROM stripped
+    """,
+    doc="Markup stripping (the crawl-extraction step): tags removed, "
+        "high-frequency entities decoded in one pass (&amp; last, so "
+        "&amp;lt; decodes to &lt; not <), whitespace collapsed.  Both "
+        "engines wrap the corpus in a deterministic tag+entity shell "
+        "first.  Zero shuffle: a regexp/replace chain at scan throughput.",
+)
+def q_strip_markup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p id="'), F.col("doc_id").cast("string"), F.lit('"><b>'),
+            F.col("text"), F.lit("</b> &amp; tail</p>"),
+        ).alias("text"),
+    )
+    return ts.strip_markup(marked)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_sentence_stats",
+    oracle=r"""
+    WITH punct AS (
+      SELECT doc_id, replace(text, ' a ', '. ') || '!' AS text
+      FROM documents),
+    sents AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         s -> trim(s) <> '') AS ss
+      FROM punct),
+    counts AS (
+      SELECT doc_id,
+             list_transform(ss,
+               s -> len(list_filter(regexp_split_to_array(trim(s), '[^\pL]+'),
+                                    x -> x <> ''))) AS cs
+      FROM sents)
+    SELECT doc_id,
+           CAST(len(cs) AS BIGINT) AS n_sentences,
+           CASE WHEN len(cs) > 0
+                THEN round(list_sum(cs) * 1.0 / len(cs), 4) ELSE 0.0 END
+             AS mean_sentence_tokens,
+           CAST(coalesce(list_max(cs), 0) AS BIGINT) AS max_sentence_tokens
+    FROM counts
+    """,
+    doc="Sentence segmentation stats (the unit for sentence-level dedup "
+        "and quality passes): regex terminators, per-sentence token "
+        "counts, mean/max per doc.  The corpus has no punctuation, so "
+        "both engines plant the same deterministic '.'/'!' construction "
+        "first.  All in-row array math, zero shuffle.",
+)
+def q_sentence_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    punct = docs.select(
+        "doc_id",
+        F.concat(F.replace(F.col("text"), F.lit(" a "), F.lit(". ")),
+                 F.lit("!")).alias("text"),
+    )
+    return ts.sentence_stats(punct)

@@ -172,3 +172,37 @@ def test_corpus_profile_top_lang_tiebreak(spark):
     assert out["s1"]["top_lang"] == "de"  # tie 1-1 -> alphabetical
     assert out["s2"]["top_lang"] == "de"
     assert out["s1"]["n_docs"] == 2 and out["s1"]["total_tokens"] == 5
+
+
+def test_strip_markup_tags_entities_whitespace(spark):
+    from nonconsumptive_spark.operators.textstats import strip_markup
+
+    docs = spark.createDataFrame(
+        [(1, '<div class="x">hello <b>world</b> &amp;lt; &lt;ok&gt;</div>'),
+         (2, "plain text, no markup")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in strip_markup(docs).collect()}
+    # one decode pass: &amp;lt; -> &lt;  (NOT '<'), &lt;ok&gt; -> <ok>
+    assert rows[1]["clean_text"] == "hello world &lt; <ok>"
+    assert rows[1]["n_tags_removed"] == 4
+    assert rows[2]["clean_text"] == "plain text, no markup"
+    assert rows[2]["n_tags_removed"] == 0
+
+
+def test_sentence_stats_counts(spark):
+    from nonconsumptive_spark.operators.textstats import sentence_stats
+
+    docs = spark.createDataFrame(
+        [(1, "One two three. Four five! Six?"),
+         (2, "no terminator at all"),
+         (3, "...")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in sentence_stats(docs).collect()}
+    assert rows[1]["n_sentences"] == 3
+    assert rows[1]["max_sentence_tokens"] == 3
+    assert abs(rows[1]["mean_sentence_tokens"] - 2.0) < 1e-9
+    assert rows[2]["n_sentences"] == 1
+    assert rows[3]["n_sentences"] == 0
+    assert rows[3]["max_sentence_tokens"] == 0
