@@ -700,9 +700,12 @@ def dsir_weights(df: DataFrame, target_filter: Column,
     )
     # global rank = higher-bucket count + rank within own bucket (by id)
     in_bucket = Window.partitionBy("sk").orderBy(F.asc(id_col))
+    # hist is bounded by distinct rounded scores but can still reach
+    # millions of rows — no broadcast hint; AQE downgrades the sk-keyed
+    # join to broadcast at runtime when it is in fact small
     return (
         scored.withColumn("bucket_rnk", F.row_number().over(in_bucket))
-        .join(F.broadcast(hist), "sk")
+        .join(hist, "sk")
         .crossJoin(F.broadcast(n_keep))
         .select(
             id_col, "n_tokens", F.round("raw_avg", 4).alias("avg_logratio"),

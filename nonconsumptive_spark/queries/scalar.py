@@ -76,15 +76,16 @@ def q_cast_ladder_roundtrip(spark, sf_dir):
     SELECT d.doc_id, i.nc_id, d.n_chars
     FROM documents d JOIN ids i ON d.doc_id = i.doc_id
     """,
-    doc="J2/W2: @id → dense nc:id resolution via deterministic row_number "
-        "then equi-join (reference data_storage.py:64, catalog.py:286-288).",
+    doc="J2/W2: @id → dense nc:id resolution then equi-join (reference "
+        "data_storage.py:64, catalog.py:286-288).  Uses the distributed "
+        "per-partition-offset assignment (readers.assign_dense_ids), not a "
+        "global row_number window — no row passes through one reducer.",
 )
 def q_id_resolution(spark, sf_dir):
+    from nonconsumptive_spark.sources.readers import assign_dense_ids
+
     docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    ids = docs.select(
-        "doc_id", (F.row_number().over(w) - 1).cast("long").alias("nc_id")
-    )
+    ids = assign_dense_ids(docs.select("doc_id"), ["doc_id"], id_name="nc_id")
     return docs.join(ids, "doc_id").select("doc_id", "nc_id", "n_chars")
 
 
