@@ -36,6 +36,18 @@ from nonconsumptive_spark.sources.inference import (
 DEFAULT_STACK_SIZE = 2 ** 16  # docs per bookstack, reference corpus.py:40
 
 
+def _ts():
+    from nonconsumptive_spark.operators import textstats
+
+    return textstats
+
+
+def _dedup():
+    from nonconsumptive_spark.operators import dedup
+
+    return dedup
+
+
 class CorpusSession:
     def __init__(
         self,
@@ -130,6 +142,15 @@ class CorpusSession:
             # consume srp THROUGH run() so a cached embedding replays from
             # its checkpoint instead of re-running the pandas UDF
             "srp_bits": lambda: srp_bits(self.run("srp"), id_col="nc:id"),
+            # curation extensions as named transforms — the LLM-pipeline
+            # surface a user reaches through the same DAG/cache machinery
+            # as the reference-parity nodes
+            "quality": lambda: _ts().quality_score(docs, "nc:id", tcol),
+            "lang_id": lambda: _ts().lang_id(docs, "nc:id", tcol),
+            "fingerprints": lambda: _ts().fingerprint(docs, "nc:id", tcol),
+            "winnow": lambda: _ts().winnow_fingerprints(
+                docs, id_col="nc:id", text_col=tcol),
+            "dedup_flags": lambda: _dedup().exact_dedup(docs, "nc:id", tcol),
         }
 
     @staticmethod

@@ -346,3 +346,20 @@ def test_messy_parquet_schema_merge(spark, tmp_path):
     df = readers.read_catalog(spark, d, fmt="parquet")
     got = {tuple(r) for r in df.select("id", "name", "score").collect()}
     assert got == {(1, "a", None), (2, "b", 3.5)}
+
+
+def test_corpus_session_curation_transforms(spark, corpus_dir, tmp_path):
+    cs = CorpusSession(
+        spark,
+        texts=str(corpus_dir / "texts"),
+        metadata=str(corpus_dir / "catalog.ndjson"),
+        cache_dir=tmp_path / "cache",
+    )
+    for name in ["quality", "lang_id", "fingerprints", "winnow", "dedup_flags"]:
+        assert name in cs.transforms()
+        out = cs.run(name)
+        assert out.count() == cs.run("documents").count()
+        assert "nc:id" in out.columns
+    # lang_id on the English fixture predicts en for the English docs
+    preds = {r["nc:id"]: r["pred_lang"] for r in cs.run("lang_id").collect()}
+    assert "en" in preds.values()
