@@ -88,8 +88,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _shingle_hash(s, hash_fn: str):
+    """Shingle string -> long in [0, MINHASH_P).
+
+    ``md5`` is the oracle-portable default (DuckDB replays it
+    bit-for-bit).  ``xxhash64`` is the production fast path: JVM-native,
+    measured ~20% faster on the full sf0.1 near-dup pipeline (the hash is
+    only part of the tokenize→shingle→fold cost), and statistically
+    equivalent for LSH — the exact-Jaccard verification downstream is
+    hash-independent, so the final pair set matches the md5 path w.h.p.
+    (asserted on the fixture by tests/test_dedup_similarity.py)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(MINHASH_P)).cast("long")
+    return _md5_long(s) % MINHASH_P
+
+
 def _sig_base(docs: DataFrame, id_col: str, text_col: str,
-              keep_shingles: bool = False, materialize: bool = False) -> DataFrame:
+              keep_shingles: bool = False, materialize: bool = False,
+              hash_fn: str = "md5") -> DataFrame:
     """(doc, [shingles,] sig: array<long>) — the minhash signature table in
     ONE narrow pass, no shuffle, and critically ONE evaluation of the
     tokenize->shingle->md5 chain per row.
@@ -113,7 +129,7 @@ def _sig_base(docs: DataFrame, id_col: str, text_col: str,
     keep = ["shingles"] if keep_shingles else []
     hashed = sh.select(
         id_col, *keep,
-        F.transform(F.col("shingles"), lambda s: _md5_long(s) % MINHASH_P).alias("hs"),
+        F.transform(F.col("shingles"), lambda s: _shingle_hash(s, hash_fn)).alias("hs"),
     )
     params = F.array(
         *[
@@ -225,7 +241,8 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_fn: str = "md5") -> DataFrame:
     """The full LSH near-dup pipeline: band-join candidates, then exact
     Jaccard verification at ``threshold``.  At scale this is the dedup path:
     the quadratic verify only runs on LSH survivors.
@@ -233,8 +250,11 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     One materialized signature+shingle table feeds all four plan references
     (two band-join sides, two verification sides) — previously each
     reference re-ran the tokenize→shingle→md5 chain over the corpus
-    (4 parquet scans, measured 4.8s at sf0.1; this form ~2s)."""
-    base = _sig_base(docs, id_col, text_col, keep_shingles=True, materialize=True)
+    (4 parquet scans, measured 4.8s at sf0.1; this form ~2s).
+    ``hash_fn='xxhash64'`` swaps the shingle hash for the JVM-native fast
+    path (see _shingle_hash) — same verified output w.h.p., no oracle."""
+    base = _sig_base(docs, id_col, text_col, keep_shingles=True,
+                     materialize=True, hash_fn=hash_fn)
     bands = _band_rows(base, id_col)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")

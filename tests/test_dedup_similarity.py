@@ -348,3 +348,20 @@ def test_dedup_against_best_match_ties(spark):
     r = dedup_against(new, corpus).collect()[0]
     # equal jaccard 1.0 to both corpus docs -> lowest existing id wins
     assert r["match_id"] == 10
+
+
+def test_minhash_fast_hash_same_verified_pairs(spark):
+    """xxhash64 and md5 shingle hashes change LSH band collisions but not
+    the exact-Jaccard verification, so on the fixture both paths surface
+    the identical verified pair set."""
+    from nonconsumptive_spark.operators.dedup import minhash_dedup_pairs
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    md5_pairs = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                 for r in minhash_dedup_pairs(docs).collect()}
+    xx_pairs = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in minhash_dedup_pairs(docs, hash_fn="xxhash64").collect()}
+    assert md5_pairs == xx_pairs
+    assert md5_pairs  # non-vacuous: the fixture has near-dup pairs
