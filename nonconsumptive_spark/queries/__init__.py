@@ -108,6 +108,7 @@ PRIORITY: tuple[str, ...] = (
     "q_corpus_profile",
     "q_strip_markup",
     "q_sentence_stats",
+    "q_curation_pipeline",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",

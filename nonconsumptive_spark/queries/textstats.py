@@ -943,3 +943,91 @@ def q_sentence_stats(spark, sf_dir):
                  F.lit("!")).alias("text"),
     )
     return ts.sentence_stats(punct)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS}) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^\\pL]', '', 'g')) * 1.0 / length(text)
+                  ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len({_DUCK_TOKS}) > 0
+                  THEN len(list_filter({_DUCK_TOKS}, t -> list_contains({_stoplist_sql("en")}, lower(t)))) * 1.0
+                       / len({_DUCK_TOKS})
+                  ELSE 0.0 END AS stop_ratio,
+             (SELECT CASE WHEN count(*) > 0
+                          THEN 1.0 - count(DISTINCT g) * 1.0 / count(*) ELSE 0.0 END
+              FROM (SELECT w0 || ' ' || w1 AS g FROM (
+                      SELECT unnest({_DUCK_TOKS}[1:len({_DUCK_TOKS})-1]) AS w0,
+                             unnest({_DUCK_TOKS}[2:len({_DUCK_TOKS})]) AS w1)) z
+             ) AS dup_bg
+      FROM documents),
+    quality AS (
+      SELECT doc_id,
+             NOT (n_tokens < 20 OR alpha_ratio < 0.5 OR dup_bg > 0.3
+                  OR stop_ratio < 0.05) AS quality_keep
+      FROM sig),
+    clean AS (
+      SELECT d.* FROM documents d JOIN quality q USING (doc_id)
+      WHERE q.quality_keep),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^\\pL]+', ' ', 'g'))) AS f
+      FROM clean),
+    keepers AS (
+      SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY f) AS dedup_keeper
+      FROM fp),
+    tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id, w0 || ' ' || w1 || ' ' || w2 AS shingle
+      FROM (
+        SELECT doc_id, token AS w0,
+               lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tokpos) z
+      WHERE w2 IS NOT NULL),
+    eval_sh AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id < 10),
+    contam AS (
+      SELECT s.doc_id, count(DISTINCT s.shingle) >= 5 AS contaminated
+      FROM shingles s JOIN eval_sh e USING (shingle)
+      GROUP BY s.doc_id),
+    verdicts AS (
+      SELECT d.doc_id,
+             coalesce(q.quality_keep, false) AS quality_keep,
+             coalesce(k.dedup_keeper, false) AS dedup_keeper,
+             coalesce(c.contaminated, false) AS contaminated,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 10000 AS b
+      FROM documents d
+      LEFT JOIN quality q USING (doc_id)
+      LEFT JOIN keepers k USING (doc_id)
+      LEFT JOIN contam c USING (doc_id))
+    SELECT doc_id, quality_keep, dedup_keeper, contaminated,
+           quality_keep AND dedup_keeper AND NOT contaminated AS selected,
+           CASE WHEN quality_keep AND dedup_keeper AND NOT contaminated
+                THEN (CASE WHEN b < 9800 THEN 'train'
+                           WHEN b < 9900 THEN 'val' ELSE 'test' END)
+           END AS split
+    FROM verdicts
+    """,
+    doc="The end-to-end curation pipeline: quality filter -> exact-dedup "
+        "keeper election (run on quality survivors only, so spam never "
+        "steals keeper-ship from its clean duplicate) -> benchmark "
+        "decontamination (eval = docs 0-9) -> deterministic 98/1/1 split "
+        "for survivors.  One row per INPUT doc with per-stage verdicts — "
+        "the training-set selector and the governance audit trail in one "
+        "frame.  Oracle chains the four stage replays end-to-end.",
+)
+def q_curation_pipeline(spark, sf_dir):
+    from nonconsumptive_spark.operators.pipeline import curate
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return curate(docs, docs.filter(F.col("doc_id") < 10))

@@ -206,3 +206,38 @@ def test_sentence_stats_counts(spark):
     assert rows[2]["n_sentences"] == 1
     assert rows[3]["n_sentences"] == 0
     assert rows[3]["max_sentence_tokens"] == 0
+
+
+def test_curation_pipeline_stage_interactions(spark):
+    from nonconsumptive_spark.operators.pipeline import curate
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "to a place where it is safe and sound every day") # passes filters
+    rows = [
+        (1, good),                       # keeper of the (1, 2) dup group
+        (2, good),                       # exact dup -> not keeper
+        (3, "spam spam spam"),           # fails quality (short, repetitive)
+        (4, good + " with a tiny twist at the end of it all right now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    evals = spark.createDataFrame([(99, "nothing shared here at all")],
+                                  ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curate(docs, evals, overlap_threshold=5).collect()}
+    assert out[1]["selected"] and out[1]["split"] is not None
+    assert not out[2]["selected"] and not out[2]["dedup_keeper"]
+    assert not out[3]["quality_keep"] and out[3]["split"] is None
+    assert out[4]["selected"]
+    # a quality-dropped doc must not have participated in keeper election:
+    # doc 3 being spam doesn't affect doc 1/4 keepership
+    assert out[1]["dedup_keeper"] and out[4]["dedup_keeper"]
+
+
+def test_curation_pipeline_contamination_drops(spark):
+    from nonconsumptive_spark.operators.pipeline import curate
+
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "the and of to a in is it lambda mu nu xi omicron pi rho sigma")
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    evals = spark.createDataFrame([(99, text)], ["doc_id", "text"])
+    r = curate(docs, evals, overlap_threshold=5).collect()[0]
+    assert r["contaminated"] and not r["selected"] and r["split"] is None
