@@ -109,6 +109,7 @@ PRIORITY: tuple[str, ...] = (
     "q_strip_markup",
     "q_sentence_stats",
     "q_curation_pipeline",
+    "q_dedup_stats",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",

@@ -444,3 +444,41 @@ def q_dedup_incremental(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0),
         threshold=0.5,
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_dedup_stats",
+    oracle=_DUCK_COMP + """,
+    asg AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    csizes AS (SELECT cluster, count(*) AS sz FROM asg GROUP BY cluster)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN sz > 1 THEN (sz - 1) * count(*) ELSE 0 END AS BIGINT)
+             AS n_removable
+    FROM csizes GROUP BY sz
+    """,
+    doc="Dedup report: the cluster-size histogram with docs-removable per "
+        "size — the number every dedup run is judged by ('how much does "
+        "near-dedup shrink this corpus?').  Built on the same CC output "
+        "as q_dedup_clusters; two short-key aggs beyond it.",
+)
+def q_dedup_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    clusters = dd.dedup_clusters(load(spark, sf_dir, "documents"), threshold=0.5)
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.when(F.col("sz") > 1, (F.col("sz") - 1) * F.col("n_clusters"))
+            .otherwise(F.lit(0)).cast("long").alias("n_removable"),
+        )
+    )
