@@ -151,3 +151,75 @@ def test_minhash_range_and_determinism(spark, texts):
     for i, t in enumerate(texts):
         if sig.get(i):
             assert sig[i] == sig[i + len(texts)]
+
+
+@SET
+@given(corpus, st.integers(0, 1000))
+def test_winnowing_guarantee_planted_run(spark, texts, seed):
+    """Plant a shared (k+w-1)-token run into two docs built from random
+    text; the overlap detector MUST surface that pair (the winnowing
+    guarantee), and per-doc selected counts never exceed window counts."""
+    from nonconsumptive_spark.operators.textstats import (
+        WINNOW_K, WINNOW_W, winnow_fingerprints, winnow_overlap_pairs)
+
+    run = " ".join(f"tok{seed}x{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    pre = texts[0] if texts else ""
+    post = texts[-1] if texts else ""
+    docs = spark.createDataFrame(
+        [(0, f"{pre} {run}"), (1, f"{run} {post}")], ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in winnow_overlap_pairs(docs, min_shared=1).collect()}
+    assert (0, 1) in pairs
+    for r in winnow_fingerprints(docs).collect():
+        assert 0 <= r["n_fingerprints"] <= max(r["n_windows"], 0)
+
+
+@SET
+@given(corpus)
+def test_bm25_output_invariants(spark, texts):
+    """Scores strictly positive, matched-term counts bounded by the query
+    size, and no document without a query term ever appears."""
+    from nonconsumptive_spark.operators.retrieval import bm25_topk
+
+    terms = ["zzzneverthere"] + ([_py_tokens(texts[0].lower())[0]]
+                                 if texts and _py_tokens(texts[0].lower())
+                                 else [])
+    df = _df(spark, texts)
+    out = bm25_topk(df, terms, k=50).collect()
+    toksets = {i: set(_py_tokens(t.lower())) for i, t in enumerate(texts)}
+    for r in out:
+        assert r["score"] > 0
+        assert 1 <= r["n_terms_matched"] <= len(set(t.lower() for t in terms))
+        assert toksets[r["doc_id"]] & set(t.lower() for t in terms)
+
+
+@SET
+@given(st.integers(1, 60), st.integers(0, 99))
+def test_training_order_is_shardwise_permutation(spark, n_docs, seed):
+    from collections import defaultdict
+
+    from nonconsumptive_spark.operators.textstats import training_order
+
+    docs = spark.range(n_docs).selectExpr("id as doc_id", "'x' as text")
+    rows = training_order(docs, seed=seed, n_shards=4).collect()
+    assert len(rows) == n_docs and len({r["doc_id"] for r in rows}) == n_docs
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["pos"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+@SET
+@given(corpus)
+def test_sentence_stats_mean_consistency(spark, texts):
+    """n_sentences * mean_sentence_tokens re-sums to the total (within
+    the 4-decimal rounding), and max never exceeds the total."""
+    from nonconsumptive_spark.operators.textstats import sentence_stats
+
+    out = sentence_stats(_df(spark, texts)).collect()
+    for r in out:
+        total = r["mean_sentence_tokens"] * r["n_sentences"]
+        assert r["max_sentence_tokens"] <= total + 1e-4 * max(r["n_sentences"], 1)
+        if r["n_sentences"] == 0:
+            assert r["max_sentence_tokens"] == 0
