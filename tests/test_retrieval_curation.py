@@ -241,3 +241,28 @@ def test_curation_pipeline_contamination_drops(spark):
     evals = spark.createDataFrame([(99, text)], ["doc_id", "text"])
     r = curate(docs, evals, overlap_threshold=5).collect()[0]
     assert r["contaminated"] and not r["selected"] and r["split"] is None
+
+
+def test_scan_throughput_operators_plan_zero_shuffle(spark):
+    """The operators documented as zero-shuffle scans must PLAN that way:
+    no Exchange anywhere (guards against a refactor quietly introducing a
+    window or aggregation shuffle into a scan-throughput pass)."""
+    from nonconsumptive_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "some text. here!"), (2, "more words follow now")],
+        ["doc_id", "text"],
+    )
+    zero_shuffle = [
+        ts.winnow_fingerprints(docs),
+        ts.sentence_stats(docs),
+        ts.strip_markup(docs),
+        ts.quality_score(docs),
+        ts.repetition_scores(docs),
+        ts.fingerprint(docs),
+        ts.token_count_ws(docs),
+        ts.lang_id(docs),
+    ]
+    for df in zero_shuffle:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan.splitlines()[:5]
