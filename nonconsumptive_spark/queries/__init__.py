@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sentence_stats",
     "q_curation_pipeline",
     "q_dedup_stats",
+    "q_cube_revenue",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",

@@ -713,3 +713,33 @@ def q_unpivot_measures(spark, sf_dir):
         F.expr("stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
                "'discount', l_discount) AS (measure, value)"),
     ).select("l_orderkey", "l_linenumber", "measure", F.round("value", 4).alias("value"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_cube_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, '_all') AS returnflag,
+           coalesce(l_linestatus, '_all') AS linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE aggregation (completes the grouping-analytics row alongside "
+        "ROLLUP and GROUPING SETS): all four grouping combinations in one "
+        "pass — Spark expands the cube map-side, so the shuffle carries "
+        "one partial row per (grouping-id, keys), not four scans.",
+)
+def q_cube_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("_all")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("_all")).alias("linestatus"),
+            "sum_qty", "n",
+        )
+    )
