@@ -76,3 +76,53 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
             f"pr_iter_{i}",
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, n_triangles) over the UNDIRECTED graph
+    underlying a directed edge list — the clustering-structure census
+    (used on co-occurrence graphs to gauge topical cohesion).
+
+    Scale shape: the standard degree-ordered orientation — each undirected
+    edge points from its lower-(degree, node) endpoint to the higher one,
+    so every wedge join fans out by a node's ORIENTED out-degree, which is
+    O(sqrt(m)) for any graph (arboricity bound) instead of the raw degree
+    of hub nodes.  Two equi-joins on node keys; the edge list materializes
+    once and feeds all three plan references."""
+    und = materialize_once(
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct(),
+        "tri_edges",
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = materialize_once(
+        ranked.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        ),
+        "tri_oriented",
+    )
+    e1 = oriented.select(F.col("a"), F.col("b"))
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = oriented.select(F.col("a"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(e3, ["a", "c"])
+    return (
+        und.agg(F.count("*").alias("n_edges"))
+        .crossJoin(deg.agg(F.count("*").alias("n_nodes")))
+        .crossJoin(tris.agg(F.count("*").alias("n_triangles")))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

@@ -111,6 +111,8 @@ PRIORITY: tuple[str, ...] = (
     "q_curation_pipeline",
     "q_dedup_stats",
     "q_cube_revenue",
+    "q_approx_quantiles",
+    "q_token_triangles",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",

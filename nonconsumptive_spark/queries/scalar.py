@@ -291,3 +291,36 @@ def q_srp_hamming(spark, sf_dir):
         F.count(F.when(ham == sign_diff, 1)).alias("n_consistent"),
         F.every(ham <= 128).alias("all_bounded"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_approx_quantiles",
+    oracle="""
+    SELECT TRUE AS p50_in_bounds, TRUE AS p95_in_bounds,
+           round(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 3) AS p50_exact,
+           round(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 3) AS p95_exact
+    FROM orders
+    """,
+    doc="A6 approximate mode: percentile_approx (Greenwald-Khanna sketch, "
+        "accuracy 100) — the scale path where exact interpolated "
+        "percentiles would buffer every value per group.  The sketch value "
+        "is engine-specific, so the oracle checks it lands within ±5% of "
+        "the exact percentile (TRUE on both sides) and hash-matches the "
+        "exact values themselves.",
+)
+def q_approx_quantiles(spark, sf_dir):
+    agg = load(spark, sf_dir, "orders").agg(
+        F.expr("percentile_approx(o_totalprice, 0.50, 100)").alias("a50"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("e50"),
+        F.expr("percentile_approx(o_totalprice, 0.95, 100)").alias("a95"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
+    )
+    return agg.select(
+        F.col("a50").between(0.95 * F.col("e50"), 1.05 * F.col("e50"))
+        .alias("p50_in_bounds"),
+        F.col("a95").between(0.95 * F.col("e95"), 1.05 * F.col("e95"))
+        .alias("p95_in_bounds"),
+        F.round("e50", 3).alias("p50_exact"),
+        F.round("e95", 3).alias("p95_exact"),
+    )

@@ -640,3 +640,39 @@ def _countmin_oracle(depth: int, width: int, top: int) -> str:
 )
 def q_countmin_estimate(spark, sf_dir):
     return wc.countmin_estimates(load(spark, sf_dir, "documents"), top=50)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_token_triangles",
+    oracle=f"""
+    WITH tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    dedges AS (
+      SELECT DISTINCT token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM tokpos QUALIFY dst IS NOT NULL),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM dedges WHERE src <> dst),
+    nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+    tris AS (
+      SELECT count(*) AS t
+      FROM und e1 JOIN und e2 ON e1.v = e2.u JOIN und e3
+        ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tris) AS BIGINT) AS n_triangles
+    """,
+    doc="Triangle census of the undirected token co-occurrence graph.  "
+        "Spark enumerates via degree-ordered orientation (wedge fan-out "
+        "bounded by sqrt(m) per node — the hub-proof form); the oracle "
+        "enumerates u<v<w directly.  Both count each triangle exactly "
+        "once, so the totals hash-match.",
+)
+def q_token_triangles(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import bigram_edges, triangle_count
+
+    return triangle_count(bigram_edges(load(spark, sf_dir, "documents")))
