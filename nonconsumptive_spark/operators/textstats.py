@@ -849,3 +849,19 @@ def sentence_stats(df: DataFrame, id_col: str = "doc_id",
     )
     out = let(sents, stats)
     return df.select(id_col, out.alias("s")).select(id_col, "s.*")
+
+
+def uniform_sample_k(df: DataFrame, k: int,
+                     key_col: str = "doc_id") -> DataFrame:
+    """Exactly ``k`` rows sampled uniformly and DETERMINISTICALLY: rank by
+    md5(key) and keep the k smallest — the eval-subset selector.  Unlike
+    ``df.sample``, membership is a pure function of the key (stable
+    across runs, engines, partitionings, and corpus growth only appends
+    or removes the hash-boundary rows).  Plans as TakeOrderedAndProject:
+    distributed partial top-k, never a full sort."""
+    return (
+        df.withColumn("__rk", F.md5(F.col(key_col).cast("string")))
+        .orderBy("__rk", key_col)
+        .limit(k)
+        .drop("__rk")
+    )

@@ -113,6 +113,7 @@ PRIORITY: tuple[str, ...] = (
     "q_cube_revenue",
     "q_approx_quantiles",
     "q_token_triangles",
+    "q_uniform_sample_k",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",

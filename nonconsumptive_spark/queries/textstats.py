@@ -1031,3 +1031,22 @@ def q_curation_pipeline(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return curate(docs, docs.filter(F.col("doc_id") < 10))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_uniform_sample_k",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 25
+    """,
+    doc="Deterministic exact-k uniform sample (eval-subset selection): the "
+        "25 smallest md5(doc_id) ranks.  A pure function of the key — "
+        "stable across runs/engines/partitionings, unlike RNG sample().  "
+        "Plans as TakeOrderedAndProject (distributed partial top-k).",
+)
+def q_uniform_sample_k(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return ts.uniform_sample_k(docs, k=25)
