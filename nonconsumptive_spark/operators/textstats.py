@@ -196,17 +196,11 @@ def hash_sample(df: DataFrame, fractions: dict[str, float],
     return df.filter(frac.isNotNull() & (bucket < frac * modulus))
 
 
-def dataset_split(df: DataFrame,
-                  weights: tuple[tuple[str, int], ...] = (
-                      ("train", 98), ("val", 1), ("test", 1)),
-                  key_col: str = "doc_id",
-                  modulus: int = 10_000) -> DataFrame:
-    """Deterministic train/val/test assignment: md5(key) mod modulus falls
-    into integer bands sized by the cumulative weights.  Like hash_sample,
-    the split is a pure function of the row — a document never migrates
-    between splits across runs, engines, cluster sizes, or incremental
-    re-ingests (the property that keeps eval sets uncontaminated as the
-    corpus grows).  Zero shuffle; band edges are exact integers."""
+def split_expr(key_col: str = "doc_id",
+               weights: tuple[tuple[str, int], ...] = (
+                   ("train", 98), ("val", 1), ("test", 1)),
+               modulus: int = 10_000) -> Column:
+    """The split assignment as a bare Column (see quality_keep_expr)."""
     total = sum(w for _, w in weights)
     bucket = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
@@ -219,8 +213,21 @@ def dataset_split(df: DataFrame,
         edge = (cum * modulus) // total
         expr = (F.when(bucket < edge, name) if expr is None
                 else expr.when(bucket < edge, name))
-    expr = expr.otherwise(weights[-1][0])
-    return df.select(key_col, expr.alias("split"))
+    return expr.otherwise(weights[-1][0])
+
+
+def dataset_split(df: DataFrame,
+                  weights: tuple[tuple[str, int], ...] = (
+                      ("train", 98), ("val", 1), ("test", 1)),
+                  key_col: str = "doc_id",
+                  modulus: int = 10_000) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(key) mod modulus falls
+    into integer bands sized by the cumulative weights.  Like hash_sample,
+    the split is a pure function of the row — a document never migrates
+    between splits across runs, engines, cluster sizes, or incremental
+    re-ingests (the property that keeps eval sets uncontaminated as the
+    corpus grows).  Zero shuffle; band edges are exact integers."""
+    return df.select(key_col, split_expr(key_col, weights, modulus).alias("split"))
 
 
 def temperature_mix(df: DataFrame, stratum_col: str = "source") -> DataFrame:
@@ -456,6 +463,33 @@ def cap_per_source(df: DataFrame, k: int, id_col: str = "doc_id",
 # per rule (Gopher-style).  Pipelines keep the reason columns: they are
 # what you aggregate when deciding whether a threshold is miscalibrated.
 # ---------------------------------------------------------------------------
+def quality_keep_expr(text_col: str = "text", min_tokens: int = 20,
+                      min_alpha_ratio: float = 0.5,
+                      max_dup_bigram_frac: float = 0.3,
+                      min_stopword_ratio: float = 0.05) -> Column:
+    """The composite keep rule as a bare Column — for callers (e.g. the
+    streaming curation gate) that must evaluate every verdict in ONE
+    projection over the frame rather than joining operator outputs (a
+    stream cannot self-join)."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^\p{L}]", ""))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    grams = F.transform(
+        ngram_structs(toks, 2), lambda s: F.concat_ws(" ", s["w0"], s["w1"])
+    )
+    n_bg = F.size(grams)
+    dup_bg = F.when(
+        n_bg > 0, 1.0 - F.size(F.array_distinct(grams)) / n_bg
+    ).otherwise(F.lit(0.0))
+    return ~((n_tokens < min_tokens) | (alpha_ratio < min_alpha_ratio)
+             | (dup_bg > max_dup_bigram_frac) | (stop_ratio < min_stopword_ratio))
+
+
 def quality_filter(df: DataFrame, min_tokens: int = 20,
                    min_alpha_ratio: float = 0.5,
                    max_dup_bigram_frac: float = 0.3,

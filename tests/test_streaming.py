@@ -322,3 +322,23 @@ def test_kmeans_scoring_stream_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     streamed = {tuple(r) for r in spark.sql("SELECT * FROM km_scores").collect()}
     assert streamed == batch
+
+
+def test_curation_gate_stream_equals_batch(spark, tmp_path):
+    """The streaming curation gate (stateless rules + stream-static
+    contamination join) must produce exactly the batch verdicts."""
+    from nonconsumptive_spark.streaming import curation as cur
+
+    docs = load(spark, SF_SMALL, "documents")
+    d = tmp_path / "docs_stream"
+    docs.repartition(3).write.mode("overwrite").parquet(str(d))
+
+    eval_sh = cur.eval_shingle_table(docs.filter(F.col("doc_id") < 5))
+    stream = cur.stream_documents(spark, str(d), schema=docs.schema)
+    got = st.run_available_now(
+        cur.curation_gate(stream, eval_sh), "t_curation", mode="complete")
+
+    batch = cur.curation_gate(spark.read.parquet(str(d)), eval_sh)
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) == docs.count()
