@@ -463,14 +463,13 @@ def cap_per_source(df: DataFrame, k: int, id_col: str = "doc_id",
 # per rule (Gopher-style).  Pipelines keep the reason columns: they are
 # what you aggregate when deciding whether a threshold is miscalibrated.
 # ---------------------------------------------------------------------------
-def quality_keep_expr(text_col: str = "text", min_tokens: int = 20,
-                      min_alpha_ratio: float = 0.5,
-                      max_dup_bigram_frac: float = 0.3,
-                      min_stopword_ratio: float = 0.05) -> Column:
-    """The composite keep rule as a bare Column — for callers (e.g. the
-    streaming curation gate) that must evaluate every verdict in ONE
-    projection over the frame rather than joining operator outputs (a
-    stream cannot self-join)."""
+def _quality_rule_exprs(text_col: str, min_tokens: int, min_alpha_ratio: float,
+                        max_dup_bigram_frac: float,
+                        min_stopword_ratio: float) -> dict[str, Column]:
+    """The four quality-rule violation flags as bare Columns — the ONE
+    definition both the batch filter and the streaming gate build from,
+    so a threshold or tokenization tweak can never diverge the two (the
+    stream==batch parity test depends on that)."""
     toks = tokenize(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
@@ -486,8 +485,28 @@ def quality_keep_expr(text_col: str = "text", min_tokens: int = 20,
     dup_bg = F.when(
         n_bg > 0, 1.0 - F.size(F.array_distinct(grams)) / n_bg
     ).otherwise(F.lit(0.0))
-    return ~((n_tokens < min_tokens) | (alpha_ratio < min_alpha_ratio)
-             | (dup_bg > max_dup_bigram_frac) | (stop_ratio < min_stopword_ratio))
+    return {
+        "too_short": n_tokens < min_tokens,
+        "low_alpha": alpha_ratio < min_alpha_ratio,
+        "high_dup": dup_bg > max_dup_bigram_frac,
+        "low_stopword": stop_ratio < min_stopword_ratio,
+    }
+
+
+def quality_keep_expr(text_col: str = "text", min_tokens: int = 20,
+                      min_alpha_ratio: float = 0.5,
+                      max_dup_bigram_frac: float = 0.3,
+                      min_stopword_ratio: float = 0.05) -> Column:
+    """The composite keep rule as a bare Column — for callers (e.g. the
+    streaming curation gate) that must evaluate every verdict in ONE
+    projection over the frame rather than joining operator outputs (a
+    stream cannot self-join)."""
+    rules = _quality_rule_exprs(text_col, min_tokens, min_alpha_ratio,
+                                max_dup_bigram_frac, min_stopword_ratio)
+    keep = F.lit(True)
+    for flag in rules.values():
+        keep = keep & ~flag
+    return keep
 
 
 def quality_filter(df: DataFrame, min_tokens: int = 20,
@@ -499,32 +518,16 @@ def quality_filter(df: DataFrame, min_tokens: int = 20,
     """(id, too_short, low_alpha, high_dup, low_stopword, keep) — a doc is
     kept iff every rule passes.  All signals are per-row array math (the
     same formulas as quality_score / repetition_scores), so the filter
-    runs at scan throughput with zero shuffle."""
-    toks = tokenize(text_col)
-    n_tokens = F.size(toks)
-    n_chars = F.length(text_col)
-    n_alpha = F.length(F.regexp_replace(text_col, r"[^\p{L}]", ""))
-    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
-    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
-    grams = F.transform(
-        ngram_structs(toks, 2), lambda s: F.concat_ws(" ", s["w0"], s["w1"])
-    )
-    n_bg = F.size(grams)
-    dup_bg = F.when(
-        n_bg > 0, 1.0 - F.size(F.array_distinct(grams)) / n_bg
-    ).otherwise(F.lit(0.0))
-
-    too_short = (n_tokens < min_tokens).alias("too_short")
-    low_alpha = (alpha_ratio < min_alpha_ratio).alias("low_alpha")
-    high_dup = (dup_bg > max_dup_bigram_frac).alias("high_dup")
-    low_stop = (stop_ratio < min_stopword_ratio).alias("low_stopword")
+    runs at scan throughput with zero shuffle.  Built from the same rule
+    expressions as quality_keep_expr (the streaming gate's form)."""
+    rules = _quality_rule_exprs(text_col, min_tokens, min_alpha_ratio,
+                                max_dup_bigram_frac, min_stopword_ratio)
+    keep = quality_keep_expr(text_col, min_tokens, min_alpha_ratio,
+                             max_dup_bigram_frac, min_stopword_ratio)
     return df.select(
-        id_col, too_short, low_alpha, high_dup, low_stop,
-        (~((n_tokens < min_tokens) | (alpha_ratio < min_alpha_ratio)
-           | (dup_bg > max_dup_bigram_frac)
-           | (stop_ratio < min_stopword_ratio))).alias("keep"),
+        id_col,
+        *[flag.alias(name) for name, flag in rules.items()],
+        keep.alias("keep"),
     )
 
 
@@ -838,14 +841,17 @@ def strip_markup(df: DataFrame, id_col: str = "doc_id",
     identical).  Zero shuffle: a regexp/replace chain over the scan.
 
     Entity decode order matters: ``&amp;lt;`` must become ``&lt;`` (one
-    decode pass, not a fixpoint), so ``&amp;`` is replaced LAST."""
-    tagless = F.regexp_replace(F.col(text_col), _MARKUP_TAG, " ")
+    decode pass, not a fixpoint), so ``&amp;`` is replaced LAST.  NULL
+    text coalesces to '' first — split(NULL) sizes to -1 under non-ANSI
+    Spark, which would emit n_tags_removed = -2."""
+    text0 = F.coalesce(F.col(text_col), F.lit(""))
+    tagless = F.regexp_replace(text0, _MARKUP_TAG, " ")
     decoded = tagless
     for ent, ch in [e for e in _MARKUP_ENTITIES if e[0] != "&amp;"]:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
     decoded = F.replace(decoded, F.lit("&amp;"), F.lit("&"))
     clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
-    n_tags = F.size(F.split(F.col(text_col), _MARKUP_TAG)) - 1
+    n_tags = F.size(F.split(text0, _MARKUP_TAG)) - 1
     return df.select(
         id_col,
         clean.alias("clean_text"),
@@ -877,8 +883,10 @@ def sentence_stats(df: DataFrame, id_col: str = "doc_id",
             .alias("max_sentence_tokens"),
         )
 
+    # coalesce first: split(NULL) sizes to -1 under non-ANSI Spark, which
+    # would emit n_sentences = -1
     sents = F.filter(
-        F.split(F.col(text_col), r"[.!?]+"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"[.!?]+"),
         lambda s: F.trim(s) != F.lit(""),
     )
     out = let(sents, stats)

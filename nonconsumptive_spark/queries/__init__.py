@@ -124,7 +124,9 @@ PRIORITY: tuple[str, ...] = (
     "q_trigram_counts",
     "q_chunked_wordcounts",
     "q_count_sum_preservation",
-    # dedup core (exact / MinHash+LSH / Jaccard / SimHash / clusters)
+    # flagship re-verification fills the remaining window slots (the list
+    # above is exactly 50 entries — the driver's window; everything past
+    # it takes plain registry order and was driver-green in r1/r2)
     "q_dedup_exact",
     "q_minhash_signatures",
     "q_lsh_candidates",
@@ -132,29 +134,6 @@ PRIORITY: tuple[str, ...] = (
     "q_ngram_jaccard_pairs",
     "q_simhash",
     "q_simhash_near_pairs",
-    "q_dedup_clusters",
-    # similarity search (cosine pairs / kNN brute force / LSH / IVF)
-    "q_knn_cosine_bruteforce",
-    "q_embedding_norms",
-    "q_cosine_near_pairs",
-    "q_knn_cosine_lsh",
-    "q_knn_cosine_ivf",
-    "q_srp_stats",
-    "q_srp_hamming",
-    # text analysis
-    "q_lang_id",
-    "q_quality_score",
-    "q_repetition_scores",
-    "q_fingerprint",
-    "q_tokenize_fallback",
-    # relational + events flagship
-    "q1_pricing_summary",
-    "q_star_join_revenue",
-    "q_asof_join",
-    "q_user_value_trend",
-    "q_decontamination",
-    "q_hash_sample",
-    # ---- driver window boundary (~50 above) ----
 )
 
 

@@ -865,7 +865,8 @@ def q_corpus_profile(spark, sf_dir):
     oracle=r"""
     WITH marked AS (
       SELECT doc_id,
-             '<p id="' || doc_id || '"><b>' || text || '</b> &amp; tail</p>' AS text
+             '<p id="' || doc_id || '"><b>' || coalesce(text, '')
+               || '</b> &amp; tail</p>' AS text
       FROM documents),
     stripped AS (
       SELECT doc_id,
@@ -895,7 +896,7 @@ def q_strip_markup(spark, sf_dir):
         "doc_id",
         F.concat(
             F.lit('<p id="'), F.col("doc_id").cast("string"), F.lit('"><b>'),
-            F.col("text"), F.lit("</b> &amp; tail</p>"),
+            F.coalesce(F.col("text"), F.lit("")), F.lit("</b> &amp; tail</p>"),
         ).alias("text"),
     )
     return ts.strip_markup(marked)
@@ -906,7 +907,7 @@ def q_strip_markup(spark, sf_dir):
     "q_sentence_stats",
     oracle=r"""
     WITH punct AS (
-      SELECT doc_id, replace(text, ' a ', '. ') || '!' AS text
+      SELECT doc_id, replace(coalesce(text, ''), ' a ', '. ') || '!' AS text
       FROM documents),
     sents AS (
       SELECT doc_id,
@@ -939,7 +940,8 @@ def q_sentence_stats(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     punct = docs.select(
         "doc_id",
-        F.concat(F.replace(F.col("text"), F.lit(" a "), F.lit(". ")),
+        F.concat(F.replace(F.coalesce(F.col("text"), F.lit("")),
+                           F.lit(" a "), F.lit(". ")),
                  F.lit("!")).alias("text"),
     )
     return ts.sentence_stats(punct)
