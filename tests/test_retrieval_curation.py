@@ -266,3 +266,22 @@ def test_scan_throughput_operators_plan_zero_shuffle(spark):
     for df in zero_shuffle:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan.splitlines()[:5]
+
+
+def test_hygiene_operators_null_text(spark):
+    """NULL text must yield empty/zero outputs, not size(NULL) = -1
+    artifacts (n_tags_removed = -2 / n_sentences = -1)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nonconsumptive_spark.operators.textstats import (
+        sentence_stats, strip_markup, winnow_fingerprints)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    docs = spark.createDataFrame([(1, None), (2, "<b>hi</b>. ok!")], schema)
+    sm = {r["doc_id"]: r for r in strip_markup(docs).collect()}
+    assert (sm[1]["clean_text"], sm[1]["n_tags_removed"]) == ("", 0)
+    ss = {r["doc_id"]: r for r in sentence_stats(docs).collect()}
+    assert (ss[1]["n_sentences"], ss[1]["max_sentence_tokens"]) == (0, 0)
+    wf = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    assert (wf[1]["n_windows"], wf[1]["n_fingerprints"]) == (0, 0)
