@@ -112,3 +112,59 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("dst_width", IntegerType()),
+        StructField("dst_height", IntegerType()),
+        StructField("scale_pct", IntegerType()),   # round(100 * dst_w / src_w)
+        StructField("content", BinaryType()),      # resized payload (stub)
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256,
+                  decode_fn: Callable[[bytes, str], dict] = fake_decode) -> DataFrame:
+    """Image resize pass: fit each image inside a ``max_side`` square
+    preserving aspect ratio (never upscale) — the standard normalization
+    before feature extraction or VLM training.
+
+    The geometry (target dims, scale) is REAL; the pixel resample is
+    stubbed the same way decode is (no image library in this container):
+    the output payload re-serializes the synthetic header with the new
+    dims, which keeps the Arrow batch shape — binary in, binary out —
+    identical to a PIL-backed implementation.  Swap ``decode_fn`` plus
+    the payload line for Pillow and nothing else changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None else b""
+                try:
+                    meta = decode_fn(content, r["kind"])
+                except NotImplementedError:
+                    meta = {"width": None, "height": None}
+                w, h = meta.get("width"), meta.get("height")
+                if not w or not h:
+                    continue
+                scale = min(max_side / w, max_side / h, 1.0)
+                dw, dh = max(int(w * scale), 1), max(int(h * scale), 1)
+                rows.append({
+                    "media_id": r["media_id"],
+                    "src_width": w, "src_height": h,
+                    "dst_width": dw, "dst_height": dh,
+                    # floor(x + 0.5): explicit half-up, portable across
+                    # engines (Python round() is half-even, SQL's is not)
+                    "scale_pct": int(100.0 * dw / w + 0.5),
+                    # stub resample: re-serialize the header at new dims
+                    "content": f"NCIM|{dw}|{dh}|resized".encode(),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    imgs = media.filter(F.col("kind") == "image")
+    return imgs.mapInPandas(run, schema=RESIZE_SCHEMA)

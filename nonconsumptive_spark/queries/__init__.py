@@ -114,6 +114,7 @@ PRIORITY: tuple[str, ...] = (
     "q_approx_quantiles",
     "q_token_triangles",
     "q_uniform_sample_k",
+    "q_image_resize",
     # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
     "q_doc_token_counts",
     "q_document_lengths",

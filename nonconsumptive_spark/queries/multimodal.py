@@ -91,3 +91,35 @@ def _synthetic_video(docs):
 def q_frame_sample(spark, sf_dir):
     media = _synthetic_video(load(spark, sf_dir, "documents"))
     return mm.frame_sample_plan(media, every_n=10)
+
+
+@register(
+    "q_image_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CAST(n_chars % 1920 AS INTEGER) AS w,
+             CAST(n_chars % 1080 AS INTEGER) AS h
+      FROM documents
+      WHERE (n_chars % 1920) > 0 AND (n_chars % 1080) > 0),
+    scaled AS (
+      SELECT media_id, w, h,
+             least(256.0 / w, 256.0 / h, 1.0) AS s
+      FROM dims)
+    SELECT media_id,
+           w AS src_width, h AS src_height,
+           CAST(greatest(floor(w * s), 1) AS INTEGER) AS dst_width,
+           CAST(greatest(floor(h * s), 1) AS INTEGER) AS dst_height,
+           CAST(floor(100.0 * greatest(floor(w * s), 1) / w + 0.5) AS INTEGER)
+             AS scale_pct
+    FROM scaled
+    """,
+    doc="Image resize pass (fit-in-256 preserving aspect, never upscale): "
+        "geometry through the real Arrow-batched mapInPandas plumbing "
+        "(stubbed pixel resample, same as decode); oracle recomputes "
+        "target dims from the deterministic construction.  scale_pct uses "
+        "explicit floor(x+0.5) half-up rounding on both engines.",
+)
+def q_image_resize(spark, sf_dir):
+    media = _synthetic_media(load(spark, sf_dir, "documents"))
+    return mm.resize_images(media, max_side=256).drop("content")

@@ -57,3 +57,25 @@ def test_markov_chain_deterministic(spark):
     # every adjacent pair must be an observed bigram
     observed = {(r["w0"], r["w1"]) for r in bi.collect()}
     assert all((a, b) in observed for a, b in zip(c1, c1[1:]))
+
+
+def test_resize_geometry_and_stub_payload(spark):
+    from nonconsumptive_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/x-nc", b"NCIM|1920|1080|xx"),
+         (2, "image", "image/x-nc", b"NCIM|100|50|xx"),
+         (3, "video", "video/x-nc", b"NCVID|30|xx")],   # filtered out
+        ["media_id", "kind", "mime", "content"],
+    )
+    rows = {r["media_id"]: r for r in mm.resize_images(media, max_side=256).collect()}
+    assert set(rows) == {1, 2}
+    # downscale preserving aspect: 1920x1080 -> 256x144
+    assert (rows[1]["dst_width"], rows[1]["dst_height"]) == (256, 144)
+    assert rows[1]["scale_pct"] == 13
+    # never upscale: 100x50 stays
+    assert (rows[2]["dst_width"], rows[2]["dst_height"]) == (100, 50)
+    assert rows[2]["scale_pct"] == 100
+    # stub payload re-serializes the new dims (PIL drop-in point)
+    assert bytes(rows[1]["content"]).startswith(b"NCIM|256|144|")
