@@ -134,7 +134,6 @@ PRIORITY: tuple[str, ...] = (
     "q_minhash_dedup_pairs",
     "q_ngram_jaccard_pairs",
     "q_simhash",
-    "q_simhash_near_pairs",
 )
 
 
