@@ -68,10 +68,11 @@ def _md5_long(c):
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = SHINGLE_N) -> DataFrame:
     """(doc, shingles array) for docs with at least one shingle."""
     return (
-        docs.select(id_col, shingle_array(tokenize(text_col)).alias("shingles"))
+        docs.select(id_col, shingle_array(tokenize(text_col), n).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
 
@@ -563,8 +564,11 @@ def repeated_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
     >= ``min_docs`` distinct documents.  Gram construction is in-row (one
     `let`-bound token array, no per-gram shuffle); the only wide stage is
     the count-distinct-docs aggregation on the gram key, which partial-
-    aggregates map-side.  The flagged-gram set (small: spans shared across
-    documents) is broadcast back onto the occurrence stream."""
+    aggregates map-side.  The flagged-gram set joins back onto the
+    occurrence stream WITHOUT a broadcast hint: in the boilerplate-heavy
+    corpora this operator targets, the flagged set grows with corpus size
+    (a forced broadcast would OOM the driver) — AQE downgrades the
+    equi-join to broadcast at runtime when it is in fact small."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
 
     def gram_structs(t):
@@ -589,7 +593,7 @@ def repeated_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
         .filter(F.col("nd") >= min_docs)
         .select("gram")
     )
-    return occ.join(F.broadcast(flagged), "gram").select(id_col, "start", "gram")
+    return occ.join(flagged, "gram").select(id_col, "start", "gram")
 
 
 def remove_repeated_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,

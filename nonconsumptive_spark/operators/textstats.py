@@ -156,11 +156,11 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
     (n_overlap_shingles, is_contaminated)."""
     from nonconsumptive_spark.operators.dedup import doc_shingles
 
-    train_sh = doc_shingles(docs, id_col, text_col).select(
+    train_sh = doc_shingles(docs, id_col, text_col, n=n).select(
         id_col, F.explode("shingles").alias("shingle")
     )
     eval_sh = (
-        doc_shingles(eval_docs, id_col, text_col)
+        doc_shingles(eval_docs, id_col, text_col, n=n)
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
     )
@@ -312,10 +312,17 @@ def unigram_logprob_scores(df: DataFrame, vocab_cap: int = 50_000,
     sees the full vocab), the model broadcasts onto the exploded token
     stream, and the per-doc mean is a second hash agg keyed on the doc id.
     Two shuffles total, both on short keys; the model table is ≤ cap rows
-    by construction, so the broadcast is always safe."""
+    by construction, so the broadcast is always safe.  The exploded token
+    frame is materialized once — it feeds BOTH the model aggregation and
+    the scoring join, which would otherwise re-run the tokenizer over the
+    corpus twice."""
     from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
 
-    toks = df.select(id_col, F.explode(tokenize(text_col)).alias("token"))
+    toks = materialize_once(
+        df.select(id_col, F.explode(tokenize(text_col)).alias("token")),
+        "unigram_lm_toks",
+    )
     counts = toks.groupBy("token").agg(F.count("*").alias("c"))
     vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(vocab_cap)
 
@@ -369,8 +376,14 @@ def bigram_logprob_scores(df: DataFrame, vocab_cap: int = 50_000,
     model join is a short-key equi-join, NOT a forced broadcast (bigram
     vocab grows with the corpus; AQE still broadcasts it when small);
     the Laplace model is ≤ cap rows and always broadcasts.  The per-doc
-    mean is one id-keyed hash agg."""
+    mean is one id-keyed hash agg.  The (id, prev, cur) stream
+    materializes ONCE and every model derives from it — each corpus token
+    appears exactly once as ``cur`` (positions 2..n via the bigram pairs,
+    position 1 via the prev=NULL row), so the unigram counts are a
+    ``cur`` agg and the bigram counts a (prev, cur) agg over the same
+    frame; previously each model re-ran the tokenizer over the corpus."""
     from nonconsumptive_spark.functions.text import ngram_structs, tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
 
     toks_arr = tokenize(text_col)
     # (id, prev, cur): bigram pairs plus one prev=NULL row for the first token
@@ -382,13 +395,14 @@ def bigram_logprob_scores(df: DataFrame, vocab_cap: int = 50_000,
         F.lit(None).cast("string").alias("prev"),
         F.element_at(toks_arr, 1).alias("cur"),
     )
-    rows = pairs.unionByName(first)
+    rows = materialize_once(pairs.unionByName(first), "bigram_lm_rows")
 
-    toks = df.select(F.explode(toks_arr).alias("token"))
-    uni = toks.groupBy("token").agg(F.count("*").alias("c_prev"))
+    uni = rows.groupBy(F.col("cur").alias("token")).agg(
+        F.count("*").alias("c_prev")
+    )
     big = (
-        df.select(F.explode(ngram_structs(toks_arr, 2)).alias("g"))
-        .groupBy(F.col("g.w0").alias("prev"), F.col("g.w1").alias("cur"))
+        rows.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
         .agg(F.count("*").alias("c_big"))
     )
     vocab = uni.orderBy(F.desc("c_prev"), F.asc("token")).limit(vocab_cap)

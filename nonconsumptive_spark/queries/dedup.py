@@ -127,10 +127,12 @@ def q_lsh_candidates(spark, sf_dir):
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+    WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) >= 0.5
     """,
     doc="Full LSH near-dup pipeline: banded candidates verified with exact "
-        "Jaccard ≥ 0.5.",
+        "Jaccard ≥ 0.5 (threshold compares the ROUNDED jaccard on both "
+        "engines — Spark filters round(j,4), so an unrounded oracle filter "
+        "would diverge for j in [0.49995, 0.5)).",
 )
 def q_minhash_dedup_pairs(spark, sf_dir):
     return dd.minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
@@ -156,7 +158,7 @@ _DUCK_COMP = _DUCK_BANDS.replace("WITH", "WITH RECURSIVE", 1) + """,
       FROM inter i
       JOIN sizes sa ON sa.doc_id = i.doc_a
       JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5),
+      WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) >= 0.5),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL

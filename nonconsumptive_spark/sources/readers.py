@@ -47,7 +47,17 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str], id_name: str = "nc:id
             i += len(pdf)
             yield pdf
 
-    with_rn = parted.mapInPandas(add_local_rn, schema=schema)
+    # materialize BEFORE the sizes job: the offsets collected below and the
+    # final projection would otherwise run as two separate executions of
+    # this plan, and RangePartitioning re-samples boundaries per execution
+    # — on nondeterministically-ordered input (e.g. shuffle output) the
+    # second run's partition sizes need not match the collected offsets,
+    # yielding non-dense or colliding ids
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    with_rn = materialize_once(
+        parted.mapInPandas(add_local_rn, schema=schema), "dense_ids"
+    )
     sizes = with_rn.groupBy(F.spark_partition_id().alias("__pid")).count()
     # cumulative offsets are tiny (one row per partition): compute on driver
     offsets = {r["__pid"]: r["count"] for r in sizes.collect()}

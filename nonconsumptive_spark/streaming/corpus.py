@@ -54,21 +54,51 @@ def applied_epoch(table_dir: str) -> int:
         return -1
 
 
+def _commit_epoch(table_dir: str, epoch_id: int) -> None:
+    """Atomic commit point: write-then-rename, so the marker is never
+    observed half-written and the commit is all-or-nothing."""
+    import os
+
+    marker = _epoch_marker(table_dir)
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(str(epoch_id))
+    os.replace(tmp, marker)
+
+
+def _version_dir(table_dir: str, epoch_id: int) -> Path:
+    return Path(table_dir) / f"v{epoch_id}"
+
+
+def committed_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """The last COMMITTED version of the running table (None before the
+    first commit).  Readers must come through here: uncommitted version
+    dirs (a crash mid-write) are invisible because the marker still names
+    the previous version."""
+    applied = applied_epoch(table_dir)
+    if applied < 0:
+        return None
+    return spark.read.parquet(str(_version_dir(table_dir, applied)))
+
+
 def merge_wordcounts(batch_counts: DataFrame, table_dir: str,
-                     epoch_id: int | None = None) -> bool:
+                     epoch_id: int = 0) -> bool:
     """Fold one micro-batch's (token, count) into the running table:
     additive on collision.  Returns False (and does nothing) when
     ``epoch_id`` was already applied — additive merges MUST be guarded
     this way under foreachBatch's at-least-once contract, or a replayed
-    epoch double-counts every token.  The epoch marker is written only
-    after the table rewrite completes, so a crash between the two replays
-    the merge (never skips it)."""
-    if epoch_id is not None and epoch_id <= applied_epoch(table_dir):
+    epoch double-counts every token.
+
+    Crash-safe by versioned commit: epoch e's merge reads the last
+    COMMITTED version (the marker), writes ``table_dir/v{e}``, then
+    atomically renames the marker.  A crash anywhere before the rename
+    leaves the marker on the previous version, so the replay rebuilds
+    v{e} from the same committed input — idempotent, no double count, and
+    a partial v{e} is never read (the marker still points at v{e-1})."""
+    if epoch_id <= applied_epoch(table_dir):
         return False
     spark = batch_counts.sparkSession
-    p = Path(table_dir)
-    if p.exists() and any(p.iterdir()):
-        current = spark.read.parquet(table_dir)
+    current = committed_table(spark, table_dir)
+    if current is not None:
         merged = (
             current.unionByName(batch_counts)
             .groupBy("token")
@@ -76,14 +106,14 @@ def merge_wordcounts(batch_counts: DataFrame, table_dir: str,
         )
     else:
         merged = batch_counts
-    tmp = str(p.parent / (p.name + "__tmp"))
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(table_dir)
+    prev = applied_epoch(table_dir)
+    merged.write.mode("overwrite").parquet(str(_version_dir(table_dir, epoch_id)))
+    _commit_epoch(table_dir, epoch_id)
+    # best-effort prune of the superseded version (post-commit, safe)
     import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    if epoch_id is not None:
-        _epoch_marker(table_dir).write_text(str(epoch_id))
+    if prev >= 0:
+        shutil.rmtree(_version_dir(table_dir, prev), ignore_errors=True)
     return True
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nonconsumptive_spark.operators.dedup import _band_rows, _sig_base
-from nonconsumptive_spark.streaming.corpus import _epoch_marker, applied_epoch
+from nonconsumptive_spark.streaming.corpus import _commit_epoch, applied_epoch
 
 def _verify(cands: DataFrame, left_sh: DataFrame, right_sh: DataFrame,
             threshold: float) -> DataFrame:
@@ -97,6 +97,25 @@ def neardup_flag_batch(batch_base: DataFrame, index: DataFrame | None,
     )
 
 
+def _committed_epoch_dirs(root: Path, marker_dir: str) -> list[str]:
+    applied = applied_epoch(marker_dir)
+    if not root.exists():
+        return []
+    return [str(p) for p in sorted(root.glob("e*")) if int(p.name[1:]) <= applied]
+
+
+def read_flags(spark, flags_dir: str) -> DataFrame | None:
+    """Committed flag rows (crashed, uncommitted epochs invisible)."""
+    dirs = _committed_epoch_dirs(Path(flags_dir), flags_dir)
+    return spark.read.parquet(*dirs) if dirs else None
+
+
+def read_index(spark, index_dir: str, flags_dir: str) -> DataFrame | None:
+    """Committed signature-index rows (commit marker lives with flags)."""
+    dirs = _committed_epoch_dirs(Path(index_dir), flags_dir)
+    return spark.read.parquet(*dirs) if dirs else None
+
+
 def start_neardup_ingest(stream: DataFrame, index_dir: str, flags_dir: str,
                          checkpoint_dir: str, threshold: float = 0.5,
                          id_col: str = "doc_id", text_col: str = "text"):
@@ -105,21 +124,29 @@ def start_neardup_ingest(stream: DataFrame, index_dir: str, flags_dir: str,
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= applied_epoch(flags_dir):
-            return  # replayed epoch: both writes below are appends
+            return  # replayed epoch: already committed, skip entirely
         spark = batch_df.sparkSession
         base = _sig_base(batch_df, id_col, text_col, keep_shingles=True,
                          materialize=True)
-        index = (
-            spark.read.parquet(str(index_path))
-            if index_path.exists() and any(index_path.iterdir())
-            else None
-        )
+        # read only COMMITTED epoch partitions of the index: a crashed
+        # attempt's partial e{epoch} dir must not feed candidate lookup
+        # (it would contain this very batch's own docs)
+        applied = applied_epoch(flags_dir)
+        committed = [
+            str(p) for p in sorted(index_path.glob("e*"))
+            if int(p.name[1:]) <= applied
+        ] if index_path.exists() else []
+        index = spark.read.parquet(*committed) if committed else None
         flags = neardup_flag_batch(base, index, threshold, id_col)
-        flags.write.mode("append").parquet(flags_dir)
-        base.select(id_col, "shingles", "sig").write.mode("append").parquet(
-            str(index_path)
+        # per-epoch OVERWRITE, not a bare append: a crash between these
+        # writes and the marker replays the epoch, and overwrite makes
+        # the replay rewrite the same epoch partition instead of
+        # appending duplicate flag/index rows
+        flags.write.mode("overwrite").parquet(f"{flags_dir}/e{epoch_id}")
+        base.select(id_col, "shingles", "sig").write.mode("overwrite").parquet(
+            str(index_path / f"e{epoch_id}")
         )
-        _epoch_marker(flags_dir).write_text(str(epoch_id))
+        _commit_epoch(flags_dir, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(body)

@@ -205,7 +205,9 @@ def test_incremental_wordcounts_equal_batch(spark, tmp_path):
         table, checkpoint_dir=str(tmp_path / "cp"),
     )
     q.awaitTermination(120)
-    got = {(r["token"], r["count"]) for r in spark.read.parquet(table).collect()}
+    from nonconsumptive_spark.streaming.corpus import committed_table
+
+    got = {(r["token"], r["count"]) for r in committed_table(spark, table).collect()}
     expect = {
         (r["token"], r["count"])
         for r in wc.global_wordcount(spark.read.parquet(src_dir)).collect()
@@ -254,9 +256,11 @@ def test_neardup_ingest_stream_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
 
+    from nonconsumptive_spark.streaming.neardup import read_flags, read_index
+
     flagged = {
         r["doc_id"]: r["dup_of"]
-        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+        for r in read_flags(spark, str(tmp_path / "flags")).collect()
     }
     batch_pairs = {
         (r["doc_a"], r["doc_b"])
@@ -269,13 +273,15 @@ def test_neardup_ingest_stream_equals_batch(spark, tmp_path):
     for doc, dup_of in flagged.items():
         assert dup_of < doc and (dup_of, doc) in batch_pairs
     # the signature index now covers the whole corpus
-    assert spark.read.parquet(str(tmp_path / "index")).count() == docs.count()
+    assert read_index(spark, str(tmp_path / "index"),
+                      str(tmp_path / "flags")).count() == docs.count()
 
 
 def test_merge_wordcounts_epoch_replay_is_noop(spark, tmp_path):
     """foreachBatch is at-least-once; re-applying a committed epoch must
     not double-count (the additive merge is guarded by an epoch marker)."""
-    from nonconsumptive_spark.streaming.corpus import applied_epoch, merge_wordcounts
+    from nonconsumptive_spark.streaming.corpus import (
+        applied_epoch, committed_table, merge_wordcounts)
 
     table = str(tmp_path / "wc")
     batch = spark.createDataFrame([("a", 2), ("b", 1)], ["token", "count"])
@@ -283,14 +289,41 @@ def test_merge_wordcounts_epoch_replay_is_noop(spark, tmp_path):
     assert applied_epoch(table) == 0
     # replay of epoch 0 (checkpoint commit failed, stream restarted)
     assert merge_wordcounts(batch, table, epoch_id=0) is False
-    got = {(r["token"], r["count"]) for r in spark.read.parquet(table).collect()}
+    got = {(r["token"], r["count"]) for r in committed_table(spark, table).collect()}
     assert got == {("a", 2), ("b", 1)}
     # a genuinely new epoch still merges additively
     assert merge_wordcounts(batch, table, epoch_id=1) is True
-    got = {(r["token"], r["count"]) for r in spark.read.parquet(table).collect()}
+    got = {(r["token"], r["count"]) for r in committed_table(spark, table).collect()}
     assert got == {("a", 4), ("b", 2)}
-    # no stray staging directory left behind
-    assert not (tmp_path / "wc__tmp").exists()
+
+
+def test_merge_wordcounts_crash_window_replay(spark, tmp_path):
+    """The versioned-commit scheme: a crash AFTER the epoch's data write
+    but BEFORE the marker rename must leave the table readable at the
+    previous version, and the replay must rebuild the epoch from the same
+    committed input — no double count (the bug the old rewrite-then-mark
+    layout had)."""
+    from nonconsumptive_spark.streaming import corpus as c
+
+    table = str(tmp_path / "wc")
+    batch = spark.createDataFrame([("a", 2), ("b", 1)], ["token", "count"])
+    assert c.merge_wordcounts(batch, table, epoch_id=0) is True
+
+    # simulate the crash: epoch 1's version dir fully written, marker NOT
+    # advanced (this is exactly the state after a failure between the
+    # parquet write and _commit_epoch)
+    cur = c.committed_table(spark, table)
+    merged = (cur.unionByName(batch).groupBy("token")
+              .agg(F.sum("count").alias("count")))
+    merged.write.mode("overwrite").parquet(str(c._version_dir(table, 1)))
+    assert c.applied_epoch(table) == 0  # uncommitted -> invisible
+    got = {(r["token"], r["count"]) for r in c.committed_table(spark, table).collect()}
+    assert got == {("a", 2), ("b", 1)}  # readers see the committed version
+
+    # restart replays epoch 1: rebuilds v1 from committed v0 + batch
+    assert c.merge_wordcounts(batch, table, epoch_id=1) is True
+    got = {(r["token"], r["count"]) for r in c.committed_table(spark, table).collect()}
+    assert got == {("a", 4), ("b", 2)}  # once, not twice
 
 
 def test_kmeans_scoring_stream_equals_batch(spark, tmp_path):
