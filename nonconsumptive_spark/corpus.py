@@ -106,7 +106,13 @@ class CorpusSession:
             for e in entries:
                 if e.is_file():
                     st = e.stat()
-                    h.update(f"{e.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+                    # fingerprint the path RELATIVE to the source root, not
+                    # the basename: moving a file between subdirectories
+                    # changes rglob order — and therefore nc:id — with
+                    # size/mtime preserved, and two same-named files in
+                    # different subdirs must not conflate
+                    rel = e.relative_to(pp) if pp.is_dir() else e.name
+                    h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
         return h.hexdigest()
 
     # -- the named-transform DAG ------------------------------------------
@@ -155,16 +161,11 @@ class CorpusSession:
 
     @staticmethod
     def _rank_vocab(unigrams: DataFrame, cap: int = wc.VOCAB_CAP) -> DataFrame:
-        from pyspark.sql.window import Window
-
+        # delegate to the registry's ranking step so a tie-break or cap
+        # change can never diverge CorpusSession's vocabulary from the
+        # query path's
         counts = unigrams.groupBy("token").agg(F.sum("count").alias("count"))
-        top = counts.orderBy(F.desc("count"), F.asc("token")).limit(cap)
-        w = Window.orderBy(F.desc("count"), F.asc("token"))
-        return top.select(
-            (F.row_number().over(w) - 1).cast("long").alias("wordid"),
-            "token",
-            "count",
-        )
+        return wc.rank_vocab(counts, cap)
 
     def transforms(self) -> list[str]:
         return sorted(self._transforms())

@@ -444,27 +444,34 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     # shiftleft/shiftright need int literals, so bit j is probed with a
     # precomputed powers-of-two array: bit set iff h & 2^j != 0.
     pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(60)])
-    hs = F.transform(tokenize(text_col), lambda t: _md5_long(t))
-    acc = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("long"), 60),
-        lambda a, h: F.zip_with(
-            a, pow2,
-            lambda s, p: s + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
-        ),
-    )
-    sig = F.aggregate(
-        F.zip_with(
-            acc, pow2,
-            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
+
+    def build(toks):
+        hs = F.transform(toks, lambda t: _md5_long(t))
+        acc = F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0).cast("long"), 60),
+            lambda a, h: F.zip_with(
+                a, pow2,
+                lambda s, p: s + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+            ),
+        )
+        sig = F.aggregate(
+            F.zip_with(
+                acc, pow2,
+                lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        return F.struct(F.size(toks).alias("nt"), sig.alias("sig"))
+
+    # let-bind the token array: signature and empty-doc guard share ONE
+    # tokenizer evaluation per row instead of two
+    s = let(tokenize(text_col), build)
     return (
-        docs.select(id_col, F.size(tokenize(text_col)).alias("__nt"), sig.alias("simhash"))
-        .filter(F.col("__nt") > 0)  # empty docs have no signature (oracle parity)
-        .drop("__nt")
+        docs.select(id_col, s.alias("__s"))
+        .filter(F.col("__s.nt") > 0)  # empty docs have no signature (oracle parity)
+        .select(id_col, F.col("__s.sig").alias("simhash"))
     )
 
 

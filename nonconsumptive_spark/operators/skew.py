@@ -31,7 +31,9 @@ def salted_join(big: DataFrame, other: DataFrame, key: str, n_salt: int = 8,
     non-key columns if unspecified); ``other`` is replicated once per salt
     via an exploded literal sequence.  The join key becomes (key, salt),
     so a hot key's rows spread over ``n_salt`` shuffle partitions.
-    Output columns match ``big.join(other, key, how)``.
+    Output matches ``big.join(other, key, how)`` for inner/left/semi/anti
+    ONLY — right/full would emit one null-padded row per salt replica for
+    every unmatched ``other`` row, so those modes are rejected.
 
     Column-hash salting cannot spread a hot key whose rows are IDENTICAL
     across ``salt_cols`` (they all hash to one bucket).  For that case —
@@ -41,6 +43,13 @@ def salted_join(big: DataFrame, other: DataFrame, key: str, n_salt: int = 8,
     replays when ``big`` is a deterministic scan (file sources; NOT the
     output of a previous shuffle — reorderings there would re-salt rows).
     """
+    if how.replace("_", "").lower() in (
+        "right", "rightouter", "full", "fullouter", "outer"
+    ):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched `other` "
+            "rows once per salt replica; salt the other side instead"
+        )
     if position_salt:
         salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
     else:

@@ -195,4 +195,10 @@ def read_parquet_bookstacks(spark: SparkSession, path: str) -> DataFrame:
         "stack",
         F.regexp_extract(F.input_file_name(), r"([^/]+)\.parquet$", 1),
     )
-    return _ordered_ids(df, ["stack"])
+    # tie-break inside a stack on @id when present: a stack file larger
+    # than maxPartitionBytes reads as several splits, and rows tying on
+    # the sort key would take shuffle-fetch order — intra-stack nc:id
+    # would permute across runs, breaking the module's determinism
+    # invariant
+    order_cols = ["stack"] + (["@id"] if "@id" in df.columns else [])
+    return _ordered_ids(df, order_cols)

@@ -53,7 +53,6 @@ def flat_catalog(catalog: DataFrame, with_pos: bool = False) -> dict[str, DataFr
     str_cols = [
         c for c in dtypes
         if dtypes[c] in _STRINGY and c not in id_cols and not c.endswith("__code")
-        and c.replace("__code", "") not in ()
     ]
     # dictionary-encoded source columns live in lookups, not in `catalog`
     dict_sources = {c[: -len("__code")] for c in code_cols}
@@ -68,7 +67,9 @@ def flat_catalog(catalog: DataFrame, with_pos: bool = False) -> dict[str, DataFr
     out["catalog"] = catalog.select(*id_cols, *sorted(set(str_cols) - set(fast_cols)))
     out["fastcat"] = catalog.select(*nc_id, *sorted(set(fast_cols) - set(list_cols)))
     for c in list_cols:
-        value = c.rstrip("s") or c
+        # strip ONE plural suffix ('keywords' -> 'keyword'); rstrip("s")
+        # would remove every trailing 's' ('witness' -> 'witne')
+        value = c[:-1] if c.endswith("s") and len(c) > 1 else c
         if with_pos:
             out[c] = catalog.select(
                 *nc_id, F.posexplode(c).alias("pos", value)

@@ -1,51 +1,53 @@
-"""foreachBatch sinks: exactly-once-style upsert into parquet.
+"""foreachBatch sinks: the bridge from a streaming query's micro-batch to
+arbitrary batch code with an epoch id.  The upsert sink maintains a
+keyed running table (last-write-wins per key) under foreachBatch's
+at-least-once contract.
 
-SURVEY §2.9's remaining streaming surface: ``foreachBatch`` hands each
-micro-batch to arbitrary batch code with an epoch id.  The upsert sink
-emulates MERGE INTO (no Delta/Iceberg jars in this build): new keys are
-appended, existing keys replaced, by rewriting
-``current ⟵ (current ANTI-JOIN batch) ∪ batch``.
-
-Idempotence, not transactionality: replaying a micro-batch converges to
-the same table (upsert of identical rows is a no-op), which is the
-practical exactly-once story for file sinks without a table format.  The
-rewrite is O(table) per batch — with a real lakehouse format the same
-``foreachBatch`` body becomes a metadata-only MERGE; the streaming-side
-wiring is unchanged.  Partition the table and prune on the batch's key
-range to bound the rewrite in production.
+Durability: versioned commit, same scheme as streaming/corpus.py — each
+apply reads the last COMMITTED version, writes a NEW version directory,
+then atomically renames the marker.  A crash anywhere before the rename
+leaves the marker (and every reader) on the previous version; the replay
+rebuilds the new version from the same committed input.  Upsert is
+idempotent per key, so even a replay applied twice converges — the
+versioning additionally guarantees readers never observe a half-written
+table, which a delete-then-overwrite of one directory cannot.
 """
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame
 
+from nonconsumptive_spark.streaming.corpus import (
+    _commit_epoch,
+    _version_dir,
+    applied_epoch,
+    committed_table,
+)
 
-def upsert_parquet(batch_df: DataFrame, table_dir: str, keys: list[str]) -> None:
-    """Batch-side upsert body (usable directly or from foreachBatch)."""
+
+def upsert_parquet(batch_df: DataFrame, table_dir: str, keys: list[str],
+                   epoch_id: int | None = None) -> None:
+    """Batch-side upsert body (usable directly or from foreachBatch).
+    Without an ``epoch_id`` the version counter simply advances by one
+    per call (direct batch use); with one, replayed epochs are skipped."""
     spark = batch_df.sparkSession
+    applied = applied_epoch(table_dir)
+    if epoch_id is not None and epoch_id <= applied:
+        return
+    version = epoch_id if epoch_id is not None else applied + 1
     dedup = batch_df.dropDuplicates(keys)  # last-write-wins inside a batch
-    p = Path(table_dir)
-    if p.exists() and any(p.iterdir()):
-        current = spark.read.parquet(table_dir)
+    current = committed_table(spark, table_dir)
+    if current is not None:
         kept = current.join(dedup.select(*keys), keys, "left_anti")
         merged = kept.unionByName(dedup)
     else:
         merged = dedup
-    # Stage to a sibling dir first so the merge never reads the table it is
-    # rewriting.  The final overwrite is itself delete-then-write, NOT
-    # atomic — a crash mid-rewrite leaves a partial table (recoverable from
-    # the staged copy, which is removed only after the rewrite completes).
-    # A truly atomic swap needs a table format (Delta/Iceberg) or an
-    # atomic directory rename; this sink trades that for zero extra deps.
-    tmp = str(p.parent / (p.name + "__tmp"))
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(table_dir)
+    merged.write.mode("overwrite").parquet(str(_version_dir(table_dir, version)))
+    _commit_epoch(table_dir, version)
     import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    if applied >= 0:
+        shutil.rmtree(_version_dir(table_dir, applied), ignore_errors=True)
 
 
 def start_upsert_sink(stream: DataFrame, table_dir: str, keys: list[str],
@@ -53,7 +55,7 @@ def start_upsert_sink(stream: DataFrame, table_dir: str, keys: list[str],
     """Wire a streaming DataFrame into the upsert sink via foreachBatch
     with AvailableNow (drain backlog then stop)."""
     def body(batch_df: DataFrame, epoch_id: int) -> None:
-        upsert_parquet(batch_df, table_dir, keys)
+        upsert_parquet(batch_df, table_dir, keys, epoch_id=epoch_id)
 
     return (
         stream.writeStream.foreachBatch(body)

@@ -178,15 +178,17 @@ def test_foreach_batch_upsert_converges(spark, events_dir, tmp_path):
         )
         q.awaitTermination(120)
 
+    from nonconsumptive_spark.streaming.corpus import committed_table
+
     run("cp1")
-    first = {tuple(r) for r in spark.read.parquet(table).collect()}
+    first = {tuple(r) for r in committed_table(spark, table).collect()}
     n_src = spark.read.parquet(events_dir).count()
     assert len(first) == n_src  # every event upserted exactly once
 
     # full replay with a fresh checkpoint: reprocessing the same input
     # must converge to the identical table (idempotent upsert)
     run("cp2")
-    second = {tuple(r) for r in spark.read.parquet(table).collect()}
+    second = {tuple(r) for r in committed_table(spark, table).collect()}
     assert second == first
 
 
