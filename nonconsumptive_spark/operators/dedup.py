@@ -443,35 +443,37 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     measured ~2.3s at sf0.1; this form is scan-speed."""
     # shiftleft/shiftright need int literals, so bit j is probed with a
     # precomputed powers-of-two array: bit set iff h & 2^j != 0.
+    #
+    # The tokenizer is deliberately evaluated TWICE per row (signature +
+    # empty-doc guard): wrapping the whole expression in a `let`-bound
+    # struct to share one evaluation measured 3x SLOWER at sf0.1
+    # (0.64s -> 1.80s) — the outer let forces the heavy nested aggregate
+    # subtree through interpreted HOF evaluation, costing far more than
+    # one extra regex split.  `let` pays off when the DUPLICATED subtree
+    # is the expensive one (shingle pipelines); here the duplicated part
+    # is cheap and the wrapped part is hot.
     pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(60)])
-
-    def build(toks):
-        hs = F.transform(toks, lambda t: _md5_long(t))
-        acc = F.aggregate(
-            hs,
-            F.array_repeat(F.lit(0).cast("long"), 60),
-            lambda a, h: F.zip_with(
-                a, pow2,
-                lambda s, p: s + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
-            ),
-        )
-        sig = F.aggregate(
-            F.zip_with(
-                acc, pow2,
-                lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda a, v: a + v,
-        )
-        return F.struct(F.size(toks).alias("nt"), sig.alias("sig"))
-
-    # let-bind the token array: signature and empty-doc guard share ONE
-    # tokenizer evaluation per row instead of two
-    s = let(tokenize(text_col), build)
+    hs = F.transform(tokenize(text_col), lambda t: _md5_long(t))
+    acc = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda a, h: F.zip_with(
+            a, pow2,
+            lambda s, p: s + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            acc, pow2,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
     return (
-        docs.select(id_col, s.alias("__s"))
-        .filter(F.col("__s.nt") > 0)  # empty docs have no signature (oracle parity)
-        .select(id_col, F.col("__s.sig").alias("simhash"))
+        docs.select(id_col, F.size(tokenize(text_col)).alias("__nt"), sig.alias("simhash"))
+        .filter(F.col("__nt") > 0)  # empty docs have no signature (oracle parity)
+        .drop("__nt")
     )
 
 
