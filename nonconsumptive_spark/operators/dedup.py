@@ -316,13 +316,19 @@ def dedup_against(new_docs: DataFrame, corpus_docs: DataFrame,
         .withColumn("jaccard", F.round(inter / uni, 4))
         .filter(F.col("jaccard") >= threshold)
     )
+    # Best match = highest jaccard, ties -> lowest existing id.  min_by
+    # over (-jaccard, old_id) keeps the tie-break in the id column's OWN
+    # ordering (numeric negation of the id would cast a string id to
+    # double -> NULL and silently corrupt match_id — r3 ADVICE finding).
     best = (
         verified.groupBy("new_id")
-        .agg(F.max(F.struct(F.col("jaccard"), (-F.col("old_id")).alias("neg")))
-             .alias("m"))
+        .agg(F.min_by(
+            F.struct(F.col("old_id"), F.col("jaccard")),
+            F.struct((-F.col("jaccard")).alias("nj"),
+                     F.col("old_id").alias("oid"))).alias("m"))
         .select(
             "new_id",
-            (-F.col("m.neg")).alias("match_id"),
+            F.col("m.old_id").alias("match_id"),
             F.col("m.jaccard").alias("jaccard"),
         )
     )

@@ -660,6 +660,12 @@ def winnow_overlap_pairs(df: DataFrame, min_shared: int = 2,
 # ---------------------------------------------------------------------------
 DSIR_VOCAB_CAP = 50_000
 DSIR_KEEP_FRAC = 0.25
+# Per-token log-ratios are quantized to integer 1e-9 units in the LUT so the
+# per-document aggregate is an EXACT BIGINT sum: float summation order (and
+# the IEEE -0.0 sign bit that broke the r3 driver hash on q_dsir_weights)
+# cannot move averages or the keep cut between engines.  The average is a
+# single double division of two exactly-agreed integers at output time.
+DSIR_LR_SCALE = 1_000_000_000
 
 
 def dsir_weights(df: DataFrame, target_filter: Column,
@@ -676,12 +682,14 @@ def dsir_weights(df: DataFrame, target_filter: Column,
     target side is a filtered re-agg, not a second corpus pass over
     anything wider), a broadcast token→logratio map joined into one
     explode of the scored corpus.  The top-fraction cut does NOT rank all
-    documents through one window: it aggregates a histogram of 6-decimal
-    score keys (bounded by the distinct rounded values, ≤ a few million —
-    the only unpartitioned window runs over THAT), then ranks documents
-    only inside their own score bucket (window partitioned by score key).
-    The corpus-sized frame shuffles once (token agg) and never
-    self-joins."""
+    documents through one window: it aggregates a histogram of integer
+    score keys (floored 1e-6-unit averages, bounded by the distinct keys,
+    ≤ a few million — the only unpartitioned window runs over THAT), then
+    ranks documents only inside their own score bucket (window partitioned
+    by score key).  The corpus-sized frame shuffles once (token agg) and
+    never self-joins.  Log-ratios are quantized to integer 1e-9 units in
+    the broadcast LUT, so every cross-engine-compared quantity is an exact
+    BIGINT sum (see DSIR_LR_SCALE note above)."""
     from pyspark.sql.window import Window
 
     from nonconsumptive_spark.operators.wordcount import global_wordcount
@@ -720,20 +728,34 @@ def dsir_weights(df: DataFrame, target_filter: Column,
         (1.0 / (F.col("t_tgt") + F.col("v") + 1))
         / (1.0 / (F.col("t_raw") + F.col("v") + 1))
     )
+    # Quantize the per-token log-ratio to integer 1e-9 units (DSIR_LR_SCALE)
+    # INSIDE the broadcast LUT: the corpus-sized aggregate below sums exact
+    # BIGINTs, so it is summation-order independent, and the score key is
+    # derived from the same integers — no float ever feeds a comparison.
+    lr_q = F.round(lr * DSIR_LR_SCALE).cast("long")
+    oov_q = F.round(oov * DSIR_LR_SCALE).cast("long")
     lut_lr = lut.crossJoin(F.broadcast(totals)).select(
-        "token", lr.alias("lr")
+        "token", lr_q.alias("lr_q")
     )
 
     scored = (
         toks_df.select(id_col, F.explode(tokenize("__text")).alias("token"))
         .join(F.broadcast(lut_lr), "token", "left")
-        .crossJoin(F.broadcast(totals.select(oov.alias("oov"))))
+        .crossJoin(F.broadcast(totals.select(oov_q.alias("oov_q"))))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.avg(F.coalesce("lr", "oov")).alias("raw_avg"),
+            F.sum(F.coalesce("lr_q", "oov_q")).alias("sum_q"),
         )
-        .withColumn("sk", F.round("raw_avg", 6))
+        # bucket key = floored average in 1e-6 units; two IEEE double
+        # divisions of exactly-represented integers — bit-identical in any
+        # engine, same granularity as the old round(raw_avg, 6) key
+        .withColumn(
+            "sk",
+            F.floor(
+                F.col("sum_q").cast("double") / F.col("n_tokens") / F.lit(1e3)
+            ).cast("long"),
+        )
     )
     scored = materialize_once(scored, "dsir_scored")
 
@@ -759,7 +781,13 @@ def dsir_weights(df: DataFrame, target_filter: Column,
         .join(hist, "sk")
         .crossJoin(F.broadcast(n_keep))
         .select(
-            id_col, "n_tokens", F.round("raw_avg", 4).alias("avg_logratio"),
+            id_col, "n_tokens",
+            # + 0.0 normalizes IEEE -0.0 (a tiny negative rounding to zero
+            # keeps its sign bit otherwise — the exact r3 driver-hash trap)
+            (F.round(
+                F.col("sum_q").cast("double") / F.col("n_tokens")
+                / F.lit(float(DSIR_LR_SCALE)), 4
+            ) + F.lit(0.0)).alias("avg_logratio"),
             (F.col("kept_before") + F.col("bucket_rnk")
              <= F.col("n_keep")).alias("keep"),
         )

@@ -701,16 +701,19 @@ def q_winnow_fingerprints(spark, sf_dir):
       SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt, count(*) AS v FROM lut),
     model AS (
       SELECT token,
-             ln(((c_tgt + 1) / (t_tgt + v + 1)) / ((c_raw + 1) / (t_raw + v + 1))) AS lr
+             CAST(round(ln(((c_tgt + 1) / (t_tgt + v + 1)) / ((c_raw + 1) / (t_raw + v + 1)))
+                        * {ts.DSIR_LR_SCALE}) AS BIGINT) AS lr_q
       FROM lut CROSS JOIN tot),
     oov AS (
-      SELECT ln((1.0 / (t_tgt + v + 1)) / (1.0 / (t_raw + v + 1))) AS lr FROM tot),
+      SELECT CAST(round(ln((1.0 / (t_tgt + v + 1)) / (1.0 / (t_raw + v + 1)))
+                        * {ts.DSIR_LR_SCALE}) AS BIGINT) AS lr_q FROM tot),
     scored AS (
       SELECT t.doc_id, count(*) AS n_tokens,
-             avg(coalesce(m.lr, o.lr)) AS raw_avg
+             CAST(sum(coalesce(m.lr_q, o.lr_q)) AS BIGINT) AS sum_q
       FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov o
       GROUP BY t.doc_id),
-    keyed AS (SELECT *, round(raw_avg, 6) AS sk FROM scored),
+    keyed AS (SELECT *, CAST(floor(CAST(sum_q AS DOUBLE) / n_tokens / 1000.0)
+                             AS BIGINT) AS sk FROM scored),
     hist AS (
       SELECT sk, count(*) AS bucket_n FROM keyed GROUP BY sk),
     cum AS (
@@ -721,13 +724,14 @@ def q_winnow_fingerprints(spark, sf_dir):
     nk AS (SELECT CAST(ceil(count(*) * {ts.DSIR_KEEP_FRAC}) AS BIGINT) AS n_keep
            FROM keyed),
     ranked AS (
-      SELECT k.doc_id, k.n_tokens, k.raw_avg,
+      SELECT k.doc_id, k.n_tokens, k.sum_q,
              c.kept_before
                + row_number() OVER (PARTITION BY k.sk ORDER BY k.doc_id) AS rnk
       FROM keyed k JOIN cum c USING (sk))
     SELECT d.doc_id,
            CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
-           coalesce(round(r.raw_avg, 4), 0.0) AS avg_logratio,
+           coalesce(round(CAST(r.sum_q AS DOUBLE) / r.n_tokens
+                          / {ts.DSIR_LR_SCALE}.0, 4) + 0.0, 0.0) AS avg_logratio,
            coalesce(r.rnk <= (SELECT n_keep FROM nk), false) AS keep
     FROM documents d LEFT JOIN ranked r USING (doc_id)
     """,

@@ -60,7 +60,11 @@ def _commit_epoch(table_dir: str, epoch_id: int) -> None:
     import os
 
     marker = _epoch_marker(table_dir)
-    tmp = marker.with_suffix(".tmp")
+    # NOT with_suffix: a table dir containing a dot ('wc.parquet' ->
+    # marker 'wc.parquet__epoch') would have its whole suffix replaced,
+    # so two tables like 'a.parquet' / 'a.json' would race one shared
+    # 'a.tmp' (r3 ADVICE finding).  Append instead.
+    tmp = marker.parent / (marker.name + ".tmp")
     tmp.write_text(str(epoch_id))
     os.replace(tmp, marker)
 
@@ -69,11 +73,36 @@ def _version_dir(table_dir: str, epoch_id: int) -> Path:
     return Path(table_dir) / f"v{epoch_id}"
 
 
+def _prune_versions(table_dir: str, keep_from: int) -> None:
+    """Best-effort removal of version dirs strictly older than
+    ``keep_from``.  The LAST superseded version is retained on purpose:
+    ``committed_table`` hands out a LAZY DataFrame over ``v{applied}``,
+    and a reader holding that frame while the next epoch commits must
+    still find its files.  Deleting only versions two-or-more commits old
+    gives the documented guarantee: a committed reader survives one
+    subsequent commit (single writer assumed; a reader that lags two
+    commits can still hit FileNotFoundException mid-scan)."""
+    import shutil
+
+    root = Path(table_dir)
+    if not root.exists():
+        return
+    for d in root.glob("v*"):
+        try:
+            epoch = int(d.name[1:])
+        except ValueError:
+            continue
+        if epoch < keep_from:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def committed_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
     """The last COMMITTED version of the running table (None before the
     first commit).  Readers must come through here: uncommitted version
     dirs (a crash mid-write) are invisible because the marker still names
-    the previous version."""
+    the previous version.  The returned DataFrame is lazy and remains
+    readable across exactly ONE subsequent commit (see _prune_versions);
+    long-lived readers should materialize promptly."""
     applied = applied_epoch(table_dir)
     if applied < 0:
         return None
@@ -109,11 +138,10 @@ def merge_wordcounts(batch_counts: DataFrame, table_dir: str,
     prev = applied_epoch(table_dir)
     merged.write.mode("overwrite").parquet(str(_version_dir(table_dir, epoch_id)))
     _commit_epoch(table_dir, epoch_id)
-    # best-effort prune of the superseded version (post-commit, safe)
-    import shutil
-
+    # post-commit prune: keep the newly superseded version (live lazy
+    # readers), drop anything older
     if prev >= 0:
-        shutil.rmtree(_version_dir(table_dir, prev), ignore_errors=True)
+        _prune_versions(table_dir, prev)
     return True
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 
 from nonconsumptive_spark.streaming.corpus import (
     _commit_epoch,
+    _prune_versions,
     _version_dir,
     applied_epoch,
     committed_table,
@@ -44,10 +45,9 @@ def upsert_parquet(batch_df: DataFrame, table_dir: str, keys: list[str],
         merged = dedup
     merged.write.mode("overwrite").parquet(str(_version_dir(table_dir, version)))
     _commit_epoch(table_dir, version)
-    import shutil
-
+    # keep the newly superseded version for live lazy readers; drop older
     if applied >= 0:
-        shutil.rmtree(_version_dir(table_dir, applied), ignore_errors=True)
+        _prune_versions(table_dir, applied)
 
 
 def start_upsert_sink(stream: DataFrame, table_dir: str, keys: list[str],

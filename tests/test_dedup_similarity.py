@@ -350,6 +350,25 @@ def test_dedup_against_best_match_ties(spark):
     assert r["match_id"] == 10
 
 
+def test_dedup_against_string_ids(spark):
+    """String doc ids must work: the r3 tie-break negated the id column
+    arithmetically, which cast strings to double -> NULL and reported a
+    real dup as clean (r3 ADVICE).  Ties now break on the id column's own
+    ordering (lexicographic for strings)."""
+    from nonconsumptive_spark.operators.dedup import dedup_against
+
+    t = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [("doc-b", t), ("doc-a", t),
+         ("doc-z", "totally different words entirely unrelated content here")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame([("batch-1", t)], ["doc_id", "text"])
+    r = dedup_against(new, corpus, threshold=0.5).collect()[0]
+    assert r["is_dup"] is True
+    assert r["match_id"] == "doc-a"  # lexicographic min on the jaccard tie
+    assert r["jaccard"] == 1.0
+
+
 def test_minhash_fast_hash_same_verified_pairs(spark):
     """xxhash64 and md5 shingle hashes change LSH band collisions but not
     the exact-Jaccard verification, so on the fixture both paths surface

@@ -10,6 +10,7 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import struct
 import sys
 import time
 from pathlib import Path
@@ -41,8 +42,13 @@ def normalize(rows, colnames):
         if isinstance(v, bool):
             return v
         if isinstance(v, float):
-            # final guard against -0.0 and representation noise
-            return round(v + 0.0, 6)
+            # BIT-level compare (VERDICT r3 item 2): the driver hashes raw
+            # values, so -0.0 vs +0.0 and last-ulp drift MUST fail here too.
+            # Queries are expected to emit pre-rounded, sign-normalized
+            # doubles that are bit-identical across engines.
+            return struct.pack("<d", v).hex()
+        if isinstance(v, (list, tuple)):
+            return tuple(norm_val(x) for x in v)
         return v
 
     out = [tuple(norm_val(r[i]) for i in order) for r in rows]
