@@ -40,6 +40,25 @@ HEADLINE = [
 ]
 
 
+def _minhash_pairs_xxhash64(spark, sf_dir):
+    """Production-hash variant of q_minhash_dedup_pairs: xxhash64 shingle
+    hashing (JVM-native, ~20% faster than the md5 oracle-portable path).
+    Timed every round so the fast path can't rot; NOT part of the judged
+    headline total (no DuckDB oracle for xxhash64)."""
+    from nonconsumptive_spark.operators.dedup import minhash_dedup_pairs
+    from nonconsumptive_spark.queries import load
+
+    return minhash_dedup_pairs(load(spark, sf_dir, "documents"),
+                               threshold=0.5, hash_fn="xxhash64")
+
+
+# Extra timed-but-not-judged entries: reported under "extra_queries",
+# excluded from the headline total so round-over-round comparisons hold.
+EXTRA = {
+    "q_minhash_dedup_pairs[xxhash64]": _minhash_pairs_xxhash64,
+}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -69,12 +88,26 @@ def main():
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    extra: dict[str, float] = {}
+    for name, fn in EXTRA.items():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            extra[name] = min(extra.get(name, dt), dt)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
+        # headline protocol: untimed warm-up pass, then per-query MIN of
+        # two timed passes in one warm JVM (adopted in round 3 — earlier
+        # rounds were single-pass; see BASELINE.md)
+        "methodology": "warm-jvm, warmup pass + min-of-2 timed passes",
         "sf": sf,
     }))
 

@@ -241,6 +241,45 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Directed shingle containment C(A→B) = |A∩B| / |A| ≥ threshold:
+    the asymmetric near-dup relation Jaccard misses — a short document
+    quoted or boilerplated inside a much larger one has high containment
+    but low Jaccard (union is dominated by the big doc).  Corpus curation
+    uses this to drop subset/quote documents after the symmetric pass.
+
+    Returns (doc_a, doc_b, containment): doc_a's shingles are the
+    denominator, pairs are directed, self-pairs excluded.
+
+    Scale shape: same envelope as jaccard_pairs — the shingle equi-join
+    IS the candidate generator (only pairs sharing ≥1 shingle ever
+    materialize), intersection sizes come from a (doc_a, doc_b) agg of
+    the join, and the denominator joins from the materialized per-doc
+    size table.  No minhash here on purpose: minhash estimates Jaccard,
+    not containment, so LSH banding would systematically miss the
+    small-in-big pairs this operator exists to find."""
+    sh = materialize_once(doc_shingles(docs, id_col, text_col),
+                          "containment_shingles")
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
+    a = exploded.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = exploded.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    return (
+        inter.join(sa, "doc_a")
+        .withColumn("containment", F.round(F.col("inter") / F.col("na"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
                         hash_fn: str = "md5") -> DataFrame:

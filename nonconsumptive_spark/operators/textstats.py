@@ -949,3 +949,193 @@ def uniform_sample_k(df: DataFrame, k: int,
         .limit(k)
         .drop("__rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: proportional stratified sampling, CCNet-style
+# perplexity bucketing, and per-doc n-gram novelty.
+# ---------------------------------------------------------------------------
+def stratified_sample_proportional(df: DataFrame, k: int,
+                                   id_col: str = "doc_id",
+                                   stratum_col: str = "source") -> DataFrame:
+    """Exactly ``k`` rows allocated across strata PROPORTIONALLY to
+    stratum size via largest-remainder (Hamilton) apportionment, each
+    stratum's quota filled by deterministic md5-rank — the
+    sub-corpus selector when an eval split must mirror the corpus's
+    domain mixture exactly (``uniform_sample_k`` ignores strata;
+    ``hash_sample`` takes fractions and returns approximate counts).
+
+    Allocation arithmetic is exact BIGINT on purpose (``k*n_i DIV N`` /
+    ``k*n_i % N``): both engines agree bit-for-bit, no float quota ever
+    decides a row.  Requires k <= corpus rows; then output is exactly k.
+
+    Scale shape: stratum counts are one short agg (rows = #strata); the
+    remainder rank is a window over that bounded frame; the per-stratum
+    selection rank is the same stratum-keyed shuffle as cap_per_source
+    (domains ≫ partitions; pathological skew falls back to the measured
+    two-pass hash_sample, see cap_per_source's docstring)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_i"))
+    tot = counts.agg(F.sum("n_i").alias("N"))
+    alloc0 = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col, "n_i",
+        F.expr(f"CAST({k} * n_i DIV N AS BIGINT)").alias("base"),
+        F.expr(f"CAST({k} * n_i % N AS BIGINT)").alias("rem"),
+    )
+    leftover = alloc0.agg((F.lit(k) - F.sum("base")).alias("L"))
+    rw = Window.orderBy(F.desc("rem"), F.asc(stratum_col))  # rows = #strata
+    alloc = (
+        alloc0.withColumn("rrk", F.row_number().over(rw))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            stratum_col,
+            (F.col("base")
+             + (F.col("rrk") <= F.col("L")).cast("long")).alias("alloc"),
+        )
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    sw = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(sw).cast("long"))
+        .join(F.broadcast(alloc), stratum_col)
+        .filter(F.col("rk") <= F.col("alloc"))
+        .select(id_col, stratum_col, "rk")
+    )
+
+
+PPL_VOCAB_CAP = 50_000
+
+
+def perplexity_buckets(df: DataFrame, vocab_cap: int = PPL_VOCAB_CAP,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document by its mean
+    token log-probability under the corpus's OWN add-1-smoothed unigram
+    LM (capped vocabulary + one OOV bucket), then split the corpus into
+    head / middle / tail terciles — head = most-predictable (lowest
+    perplexity).  The bucket label is what a curation pipeline samples
+    by (CCNet keeps head+middle, drops tail).
+
+    Returns (id, n_tokens, avg_logprob, bucket) for docs with ≥1 token.
+
+    Determinism/exactness: per-token log-probs are quantized to integer
+    1e-9 units in the broadcast LUT (the DSIR_LR_SCALE scheme — exact
+    BIGINT sums, no float summation order); the tercile cut ranks via
+    the integer score-key histogram + in-bucket id rank, never a global
+    row_number over the corpus; boundaries are integer arithmetic
+    ``(n+2) DIV 3`` on both engines.  One corpus-sized shuffle (the
+    token agg); the LM rides as a broadcast."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.operators.wordcount import global_wordcount
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    raw_counts = materialize_once(
+        global_wordcount(df, id_col, text_col), "ppl_raw_counts"
+    )
+    vocab = (
+        raw_counts.orderBy(F.desc("count"), F.asc("token")).limit(vocab_cap)
+        .select("token", F.col("count").alias("c"))
+    )
+    totals = vocab.agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")
+    )
+    lp = F.log((F.col("c") + 1) / (F.col("t") + F.col("v") + 1))
+    oov = F.log(1.0 / (F.col("t") + F.col("v") + 1))
+    lp_q = F.round(lp * DSIR_LR_SCALE).cast("long")
+    oov_q = F.round(oov * DSIR_LR_SCALE).cast("long")
+    lut = vocab.crossJoin(F.broadcast(totals)).select("token", lp_q.alias("lp_q"))
+
+    scored = (
+        df.select(id_col, F.explode(tokenize(text_col)).alias("token"))
+        .join(F.broadcast(lut), "token", "left")
+        .crossJoin(F.broadcast(totals.select(oov_q.alias("oov_q"))))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("lp_q", "oov_q")).alias("sum_q"),
+        )
+        .withColumn(
+            "sk",
+            F.floor(
+                F.col("sum_q").cast("double") / F.col("n_tokens") / F.lit(1e3)
+            ).cast("long"),
+        )
+    )
+    scored = materialize_once(scored, "ppl_scored")
+
+    hist = scored.groupBy("sk").agg(F.count("*").alias("bucket_n"))
+    hw = Window.orderBy(F.desc("sk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.select(
+        "sk", (F.sum("bucket_n").over(hw) - F.col("bucket_n")).alias("kept_before")
+    )
+    bounds = scored.agg(
+        F.expr("CAST((count(*) + 2) DIV 3 AS BIGINT)").alias("h1"),
+        F.expr("CAST((2 * count(*) + 2) DIV 3 AS BIGINT)").alias("h2"),
+    )
+    in_bucket = Window.partitionBy("sk").orderBy(F.asc(id_col))
+    rnk = F.col("kept_before") + F.col("bucket_rnk")
+    return (
+        scored.withColumn("bucket_rnk", F.row_number().over(in_bucket))
+        .join(hist, "sk")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            id_col, "n_tokens",
+            (F.round(
+                F.col("sum_q").cast("double") / F.col("n_tokens")
+                / F.lit(float(DSIR_LR_SCALE)), 4
+            ) + F.lit(0.0)).alias("avg_logprob"),
+            F.when(rnk <= F.col("h1"), F.lit("head"))
+             .when(rnk <= F.col("h2"), F.lit("middle"))
+             .otherwise(F.lit("tail")).alias("bucket"),
+        )
+    )
+
+
+NOVELTY_N = 3
+
+
+def ngram_novelty(df: DataFrame, n: int = NOVELTY_N,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_grams, n_shared, novelty): of a document's DISTINCT token
+    n-grams, how many also occur in at least one OTHER document — and
+    novelty = 1 - shared/distinct, the memorization/boilerplate signal
+    ("how much of this doc exists elsewhere in the corpus").  Corpus
+    curation thresholds novelty to drop template-heavy documents that
+    per-pair dedup misses (many small overlaps, no single dominant pair).
+
+    Scale shape: distinct grams per doc are built in-row (the shingle
+    array), the corpus-wide doc-frequency is ONE agg keyed by gram, and
+    the per-doc rollup joins gram-keyed then re-aggregates by id — two
+    shuffles of (id, gram-hash) pairs, never text; the gram table is
+    materialized once and feeds both sides."""
+    from nonconsumptive_spark.operators.dedup import shingle_array
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    grams = materialize_once(
+        df.select(
+            id_col,
+            F.explode(shingle_array(tokenize(text_col), n)).alias("gram"),
+        ),
+        "novelty_grams",
+    )
+    gram_df = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("gdf")
+    )
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("gdf") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            id_col, "n_grams", "n_shared",
+            (F.round(
+                F.lit(1.0) - F.col("n_shared") / F.col("n_grams"), 4
+            ) + F.lit(0.0)).alias("novelty"),
+        )
+    )

@@ -185,17 +185,74 @@ def vocabulary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return rank_vocab(counts, cap)
 
 
-def rank_vocab(global_counts: DataFrame, cap: int = VOCAB_CAP) -> DataFrame:
+WINDOW_CAP_THRESHOLD = 1_000_000
+
+
+def rank_vocab(global_counts: DataFrame, cap: int = VOCAB_CAP,
+               window_cap_threshold: int = WINDOW_CAP_THRESHOLD) -> DataFrame:
     """A4 ranking step over a (token, count) frame: top-``cap`` by count
-    desc, dense wordid 0..N-1.  The single-partition window is bounded by
-    ``cap`` (≤1M rows), never by corpus size."""
-    top = global_counts.orderBy(F.desc("count"), F.asc("token")).limit(cap)
-    w = Window.orderBy(F.desc("count"), F.asc("token"))
-    return top.select(
-        (F.row_number().over(w) - 1).cast("long").alias("wordid"),
-        "token",
-        "count",
+    desc (ties token asc), dense wordid 0..N-1.
+
+    Two physical strategies, same result (test-asserted equal):
+
+    * ``cap <= window_cap_threshold`` — TakeOrdered + a single-partition
+      window BOUNDED BY ``cap`` (≤1M rows after the limit, never corpus
+      size).  The right plan for dictionary-sized vocabularies.
+    * ``cap > window_cap_threshold`` — no unpartitioned window anywhere:
+      the cap boundary is located on a count-value histogram (rows =
+      distinct count values, collapsed to ONE collected row), boundary
+      ties are ranked with the distributed per-partition-offset id
+      assigner, and final wordids come from ``assign_dense_ids`` over
+      (count desc, token asc) — range partition + local sort + offsets,
+      so a 100M-term vocabulary never passes through one reducer."""
+    if cap <= window_cap_threshold:
+        top = global_counts.orderBy(F.desc("count"), F.asc("token")).limit(cap)
+        w = Window.orderBy(F.desc("count"), F.asc("token"))
+        return top.select(
+            (F.row_number().over(w) - 1).cast("long").alias("wordid"),
+            "token",
+            "count",
+        )
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    from nonconsumptive_spark.sources.readers import assign_dense_ids
+
+    counts = materialize_once(global_counts, "rank_vocab_counts")
+    # histogram over distinct COUNT VALUES (Zipfian corpora: small), with
+    # tokens-in-strictly-higher-bands as the running prefix; the only
+    # global window runs over this histogram and ends in a 1-row collect
+    hist = counts.groupBy("count").agg(F.count("*").alias("n"))
+    hw = Window.orderBy(F.desc("count")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    hist = hist.select(
+        "count", (F.sum("n").over(hw) - F.col("n")).alias("kept_before")
+    )
+    # the band containing the cap-th token: smallest count whose prefix
+    # is still inside the cap
+    row = (
+        hist.filter(F.col("kept_before") < cap)
+        .orderBy(F.asc("count")).limit(1).collect()
+    )
+    if not row:
+        return counts.select(
+            F.lit(0).cast("long").alias("wordid"), "token", "count"
+        ).limit(0)
+    cstar, kept_before = row[0]["count"], row[0]["kept_before"]
+
+    above = counts.filter(F.col("count") > cstar)
+    boundary = counts.filter(F.col("count") == cstar)
+    # rank boundary ties by token asc WITHOUT a global window: the
+    # boundary band can be huge (count-1 tokens) at corpus scale
+    b_ranked = assign_dense_ids(boundary, ["token"], id_name="__brk")
+    kept = above.unionByName(
+        b_ranked.filter(F.col("__brk") < cap - kept_before).drop("__brk")
+    )
+    out = assign_dense_ids(
+        kept.withColumn("__negc", -F.col("count")),
+        ["__negc", "token"], id_name="wordid",
+    )
+    return out.select(F.col("wordid").cast("long"), "token", "count")
 
 
 def encode_unigrams(docs: DataFrame, vocab: DataFrame | None = None,

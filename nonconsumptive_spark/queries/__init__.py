@@ -67,73 +67,74 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 registry entries per round
-# (CORRECTNESS_r{N}.json).  Round-3 rotation policy: (1) queries whose
-# code or oracle changed this round, (2) queries that have never received
-# a driver CORRECTNESS row (the r2 backlog past position 50), (3) new
-# queries added this round, then (4) flagship re-verification fills the
-# remaining slots.  Everything past 50 is driver-green from r1/r2 and
-# code-unchanged since.
+# (CORRECTNESS_r{N}.json).  Rotation policy (mechanical via
+# ``python tools/stale_report.py`` — run it at round start): (1) queries
+# whose implementation or oracle changed since the last driver gate,
+# (2) queries never driver-verified, (3) new queries added this round,
+# then (4) the longest-unverified tail (oldest last-green round first)
+# fills the remaining slots.  Goal: no green row older than two rounds
+# for any code-touched file.
 PRIORITY: tuple[str, ...] = (
-    # changed this round: -0.0 normalization (pmi), NTZ-safe timestamp
-    # arithmetic (sessionize/retention), NULL-text + shared-constant
-    # oracle hardening (span/chunk dedup)
-    "q_bigram_pmi",
-    "q_sessionize_lag",
-    "q_retention_cohorts",
-    "q_remove_repeated_spans",
-    "q_remove_duplicated_chunks",
-    # never driver-verified (r2 backlog past the window)
-    "q_canonical_docs",
-    "q_dataset_split",
-    "q_temperature_mix",
-    "q_zipf_slope",
-    "q_heaps_fit",
-    "q_mmr_select",
-    "q_bigram_logprob",
-    "q_countmin_estimate",
-    "q_packing_stats",
-    "q_redact_pii",
-    "q_cap_per_source",
-    "q_quality_filter",
-    # new round-3 queries (BM25 retrieval, winnowing, DSIR, BPE encode,
-    # frame-sample plan)
-    "q_bm25_topk",
-    "q_winnow_fingerprints",
+    # -- changed this round (r4): DSIR integer-quantized log-ratio sums
+    #    (the one red r3 row), dedup_against tie-break rewrite
     "q_dsir_weights",
-    "q_bpe_encode",
-    "q_frame_sample",
     "q_dedup_incremental",
-    "q_winnow_overlap_pairs",
-    "q_training_order",
-    "q_corpus_profile",
-    "q_strip_markup",
-    "q_sentence_stats",
-    "q_curation_pipeline",
-    "q_dedup_stats",
-    "q_cube_revenue",
-    "q_approx_quantiles",
-    "q_token_triangles",
-    "q_uniform_sample_k",
-    "q_image_resize",
-    # flagship re-verification: text pipeline (A1-A4, A8, A10, J1, W1)
-    "q_doc_token_counts",
-    "q_document_lengths",
-    "q_global_wordcount",
-    "q_vocabulary",
-    "q_encoded_unigrams",
-    "q_bigram_counts",
-    "q_trigram_counts",
-    "q_chunked_wordcounts",
-    "q_count_sum_preservation",
-    # flagship re-verification fills the remaining window slots (the list
-    # above is exactly 50 entries — the driver's window; everything past
-    # it takes plain registry order and was driver-green in r1/r2)
-    "q_dedup_exact",
-    "q_minhash_signatures",
-    "q_lsh_candidates",
-    "q_minhash_dedup_pairs",
-    "q_ngram_jaccard_pairs",
+    # -- new round-4 queries
+    "q_containment_pairs",
+    "q_ngram_novelty",
+    "q_perplexity_buckets",
+    "q_stratified_sample",
+    # -- touched by r3 post-gate commits (simhash let-binding revert,
+    #    skew outer-join rejection, reader @id tie-break): their r3/r1
+    #    rows predate the code at HEAD
     "q_simhash",
+    "q_simhash_near_pairs",
+    "q_salted_join_revenue",
+    "q_id_resolution",
+    # -- longest-unverified tail: every remaining r1-only row (driver
+    #    last saw these two windows ago)
+    "q_point_lookup",
+    "q_filter_projection",
+    "q1_pricing_summary",
+    "q_anti_join",
+    "q_cast_ladder_roundtrip",
+    "q_click_attribution",
+    "q_correlated_subquery",
+    "q_distinct_cardinality",
+    "q_dup_id_guard",
+    "q_events_json",
+    "q_events_session",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_events_user_running",
+    "q_except_intersect",
+    "q_grouping_sets",
+    "q_markov_transitions",
+    "q_multikey_sort",
+    "q_multimodal_features",
+    "q_orders_by_month",
+    "q_pivot_event_values",
+    "q_posexplode_provenance",
+    "q_quantiles",
+    "q_regex_extract_cast",
+    "q_regex_vote",
+    "q_rollup_revenue",
+    "q_semi_join",
+    "q_shipping_priority",
+    "q_star_join_revenue",
+    "q_struct_roundtrip",
+    "q_topk_categories",
+    "q_topk_customers",
+    "q_union_shards",
+    "q_unpivot_measures",
+    "q_window_frames",
+    "q_window_rank",
+    # -- oldest r2 rows whose implementation files were touched since the
+    #    r3 gate (dedup.py / textstats.py dependents) — fills to 50
+    "q_dedup_clusters",
+    "q_decontamination",
+    "q_fingerprint",
+    "q_unigram_logprob",
 )
 
 

@@ -484,3 +484,60 @@ def q_dedup_stats(spark, sf_dir):
             .otherwise(F.lit(0)).cast("long").alias("n_removable"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_containment_pairs",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / sa.n, 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE round(i * 1.0 / sa.n, 4) >= 0.6
+    """,
+    doc="Directed shingle containment |A∩B|/|A| ≥ 0.6: the asymmetric "
+        "near-dup relation (small doc quoted inside a big one) that "
+        "Jaccard structurally misses.  Shingle equi-join is the candidate "
+        "generator; minhash-LSH is deliberately NOT used here because "
+        "minhash estimates Jaccard, not containment.",
+)
+def q_containment_pairs(spark, sf_dir):
+    return dd.containment_pairs(load(spark, sf_dir, "documents"),
+                                threshold=0.6)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    gdf AS (SELECT shingle, count(*) AS gdf FROM shingles GROUP BY shingle),
+    per_doc AS (
+      SELECT s.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN g.gdf >= 2 THEN 1 ELSE 0 END) AS n_shared
+      FROM shingles s JOIN gdf g USING (shingle)
+      GROUP BY s.doc_id)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(1.0 - n_shared * 1.0 / n_grams, 4) + 0.0 AS novelty
+    FROM per_doc
+    """,
+    doc="Per-document 3-gram novelty: fraction of the doc's distinct "
+        "3-grams occurring in NO other document (1 - shared/distinct) — "
+        "the boilerplate/memorization signal that thresholds "
+        "template-heavy docs pairwise dedup misses.  One gram-keyed agg "
+        "plus one gram-keyed join; only (id, gram) pairs ever shuffle.",
+)
+def q_ngram_novelty(spark, sf_dir):
+    from nonconsumptive_spark.operators import textstats as ts
+
+    return ts.ngram_novelty(load(spark, sf_dir, "documents"))

@@ -1056,3 +1056,103 @@ def q_curation_pipeline(spark, sf_dir):
 def q_uniform_sample_k(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return ts.uniform_sample_k(docs, k=25)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents),
+    raw AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token, c FROM raw ORDER BY c DESC, token ASC LIMIT {ts.PPL_VOCAB_CAP}),
+    tot AS (SELECT sum(c) AS t, count(*) AS v FROM vocab),
+    model AS (
+      SELECT token,
+             CAST(round(ln((c + 1) / (t + v + 1)) * {ts.DSIR_LR_SCALE}) AS BIGINT) AS lp_q
+      FROM vocab CROSS JOIN tot),
+    oov AS (
+      SELECT CAST(round(ln(1.0 / (t + v + 1)) * {ts.DSIR_LR_SCALE}) AS BIGINT) AS lp_q
+      FROM tot),
+    scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(sum(coalesce(m.lp_q, o.lp_q)) AS BIGINT) AS sum_q
+      FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov o
+      GROUP BY t.doc_id),
+    keyed AS (SELECT *, CAST(floor(CAST(sum_q AS DOUBLE) / n_tokens / 1000.0)
+                             AS BIGINT) AS sk FROM scored),
+    hist AS (SELECT sk, count(*) AS bucket_n FROM keyed GROUP BY sk),
+    cum AS (
+      SELECT sk,
+             sum(bucket_n) OVER (ORDER BY sk DESC
+                                 ROWS UNBOUNDED PRECEDING) - bucket_n AS kept_before
+      FROM hist),
+    nb AS (SELECT (count(*) + 2) // 3 AS h1, (2 * count(*) + 2) // 3 AS h2
+           FROM keyed),
+    ranked AS (
+      SELECT k.doc_id, k.n_tokens, k.sum_q,
+             c.kept_before
+               + row_number() OVER (PARTITION BY k.sk ORDER BY k.doc_id) AS rnk
+      FROM keyed k JOIN cum c USING (sk))
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(sum_q AS DOUBLE) / n_tokens
+                 / {ts.DSIR_LR_SCALE}.0, 4) + 0.0 AS avg_logprob,
+           CASE WHEN rnk <= (SELECT h1 FROM nb) THEN 'head'
+                WHEN rnk <= (SELECT h2 FROM nb) THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+    doc="CCNet-style perplexity bucketing: mean token log-prob under the "
+        "corpus's own add-1 unigram LM (capped vocab + OOV bucket), "
+        "tercile split head/middle/tail (head = most predictable).  "
+        "Log-probs are integer-quantized in the broadcast LUT (exact "
+        "BIGINT sums, the DSIR scheme), the tercile cut ranks via the "
+        "integer score-key histogram + in-bucket id rank — no global "
+        "row_number over the corpus — and boundaries are (n+2) DIV 3 "
+        "integer arithmetic on both engines.",
+)
+def q_perplexity_buckets(spark, sf_dir):
+    return ts.perplexity_buckets(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+_STRAT_K = 100
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH counts AS (SELECT source, count(*) AS n_i FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_i) AS N FROM counts),
+    alloc0 AS (
+      SELECT source, n_i, ({_STRAT_K} * n_i) // N AS base,
+             ({_STRAT_K} * n_i) % N AS rem
+      FROM counts CROSS JOIN tot),
+    lo AS (SELECT {_STRAT_K} - sum(base) AS L FROM alloc0),
+    alloc AS (
+      SELECT source,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+                           <= (SELECT L FROM lo) THEN 1 ELSE 0 END AS alloc
+      FROM alloc0),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents)
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN alloc a USING (source)
+    WHERE r.rk <= a.alloc
+    """,
+    doc=f"Exactly-{_STRAT_K} proportional stratified sample: "
+        "largest-remainder (Hamilton) apportionment across sources with "
+        "exact BIGINT quota arithmetic (k*n_i DIV N / k*n_i %% N — no "
+        "float quota decides a row on either engine), strata filled by "
+        "deterministic md5 rank.  The eval-split selector that mirrors "
+        "the corpus's domain mixture exactly.",
+)
+def q_stratified_sample(spark, sf_dir):
+    return ts.stratified_sample_proportional(
+        load(spark, sf_dir, "documents"), k=_STRAT_K)

@@ -285,3 +285,90 @@ def test_hygiene_operators_null_text(spark):
     assert (ss[1]["n_sentences"], ss[1]["max_sentence_tokens"]) == (0, 0)
     wf = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
     assert (wf[1]["n_windows"], wf[1]["n_fingerprints"]) == (0, 0)
+
+
+def test_perplexity_buckets_terciles_and_ordering(spark):
+    """Bucket sizes follow the exact (n+2) DIV 3 boundaries and the score
+    ordering is respected: every head doc's avg_logprob >= every tail
+    doc's (head = most predictable under the corpus LM)."""
+    from nonconsumptive_spark.operators.textstats import perplexity_buckets
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    out = perplexity_buckets(load(spark, SF_SMALL, "documents")).collect()
+    n = len(out)
+    sizes = {b: 0 for b in ("head", "middle", "tail")}
+    for r in out:
+        sizes[r["bucket"]] += 1
+    h1 = (n + 2) // 3
+    h2 = (2 * n + 2) // 3
+    assert sizes["head"] == h1
+    assert sizes["middle"] == h2 - h1
+    assert sizes["tail"] == n - h2
+    worst_head = min(r["avg_logprob"] for r in out if r["bucket"] == "head")
+    best_tail = max(r["avg_logprob"] for r in out if r["bucket"] == "tail")
+    assert worst_head >= best_tail
+
+
+def test_stratified_sample_exact_k_and_proportional(spark):
+    """Largest-remainder apportionment: exactly k rows total, every
+    stratum within 1 of its exact proportional quota, and the selection
+    is deterministic across invocations."""
+    from nonconsumptive_spark.operators.textstats import (
+        stratified_sample_proportional)
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    strata = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = sum(strata.values())
+    k = 97  # deliberately not a multiple of anything
+    out = stratified_sample_proportional(docs, k=k).collect()
+    assert len(out) == k
+    got = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    for s, n_i in strata.items():
+        quota = k * n_i / total
+        assert abs(got.get(s, 0) - quota) < 1.0 + 1e-9, (s, got.get(s), quota)
+    again = {tuple(r) for r in
+             stratified_sample_proportional(docs, k=k).collect()}
+    assert {tuple(r) for r in out} == again
+
+
+def test_ngram_novelty_duplicate_and_unique(spark):
+    """A doc duplicated verbatim scores novelty 0 (every gram shared);
+    a doc sharing nothing scores 1."""
+    from nonconsumptive_spark.operators.textstats import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),
+         (3, "totally different words entirely unrelated")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[1]["n_shared"] == out[1]["n_grams"] == 3
+    assert out[3]["novelty"] == 1.0 and out[3]["n_shared"] == 0
+
+
+def test_containment_asymmetric_small_in_big(spark):
+    """A short doc fully contained in a long one: containment(small->big)
+    = 1.0 while the Jaccard of the pair is far below any useful
+    threshold — the case this operator exists for."""
+    from nonconsumptive_spark.operators.dedup import (
+        containment_pairs, jaccard_pairs)
+
+    small = "one two three four five"
+    # letter-only fillers: the tokenizer splits on non-letters, so digit
+    # suffixes would collapse every filler into one token
+    big = small + " " + " ".join(
+        f"filler{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(40))
+    docs = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["containment"]
+             for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0       # small fully inside big
+    assert (2, 1) not in pairs        # big not contained in small
+    jac = jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []                  # Jaccard misses the relation entirely

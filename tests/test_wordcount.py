@@ -97,6 +97,29 @@ def test_vocabulary_dense_ids_and_tiebreak(spark):
     assert by_token["c"]["wordid"] == 2
 
 
+def test_rank_vocab_dense_path_matches_window_path(spark):
+    """The corpus-scale ranking strategy (count-histogram boundary +
+    per-partition-offset dense ids, no unpartitioned window) must produce
+    EXACTLY the window path's (wordid, token, count) rows, including the
+    tie band cut mid-count, and its returned plan must contain no Window
+    and no global Sort."""
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    counts = wc.global_wordcount(docs)
+    for cap in (5, 17, 10_000):  # below, mid-tie-band, above vocab size
+        a = sorted(map(tuple, wc.rank_vocab(counts, cap=cap).collect()))
+        dense = wc.rank_vocab(counts, cap=cap, window_cap_threshold=0)
+        b = sorted(map(tuple, dense.collect()))
+        assert a == b, f"cap={cap}"
+
+    dense = wc.rank_vocab(counts, cap=17, window_cap_threshold=0)
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Sort [count" not in plan  # no global sort on the kept set
+
+
 def test_vocab_cap_and_oov_drop(spark):
     docs = _docs(spark, [(1, "x x y z w")])
     vocab = wc.vocabulary(docs, cap=2)
