@@ -437,3 +437,151 @@ def knn_quantized(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qcosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) kNN — the
+# memory-scale ANN path (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search"): vectors stored as m small codebook indices instead of
+# d floats, queries scored against codebook centroids.
+# ---------------------------------------------------------------------------
+PQ_M = 2        # subspaces
+PQ_KSUB = 8     # centroids per subspace codebook
+PQ_ITERS = 2    # integer-grid Lloyd rounds per codebook
+
+
+def pq_train(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+             n_iter: int = PQ_ITERS, dim: int = 64, grid: int | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> list:
+    """Train ``m`` per-subspace codebooks (ksub × d/m integer-grid
+    centroids each) by running the SAME integer Lloyd recurrence as
+    operators/clustering.kmeans over each vector slice.  Deterministic:
+    seeds are the first ksub rows by id, updates floor(sum/n + 0.5) —
+    both engines replay it exactly.
+
+    Scale: each round is one k-group agg of per-dimension sums (ksub·d/m
+    longs of shuffle) + a bounded ksub-row collect; m and n_iter are
+    small constants, so training cost is m·n_iter short aggs over the
+    corpus regardless of row count."""
+    from nonconsumptive_spark.operators.clustering import GRID, _kmeans_core
+
+    grid = grid or GRID
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            id_col, F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col)
+        )
+        _, cents = _kmeans_core(sub, ksub, n_iter, grid, id_col, vec_col)
+        books.append(cents)
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: list, grid: int | None = None,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<long>): each vector compressed to its nearest
+    codebook entry per subspace — the stored form of a PQ index (m bytes
+    per vector at ksub ≤ 256 vs 4·d float bytes; 128× smaller at
+    d=64, m=2).
+
+    One zero-shuffle projection: the codebook matrix rides as a single
+    constant-folded JSON literal (the operators/clustering._assign trick)
+    and the argmin runs inside let-bound array HOFs — no join, no Python,
+    scan throughput at any corpus size.  Ties break to the lowest code
+    (array_position finds the first minimum), matching the oracle's
+    ORDER BY dist, cid."""
+    import json
+
+    from nonconsumptive_spark.functions.text import let
+    from nonconsumptive_spark.operators.clustering import (
+        GRID, _sq_dist, quantize_grid)
+
+    grid = grid or GRID
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = F.from_json(F.lit(json.dumps(codebooks)), "array<array<array<long>>>")
+
+    def codes(x):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: let(
+                F.transform(
+                    F.element_at(cb, (j + 1).cast("int")),
+                    lambda cq: _sq_dist(
+                        F.slice(x, (j * dsub + 1).cast("int"), F.lit(dsub)), cq
+                    ),
+                ),
+                lambda d: (F.array_position(d, F.array_min(d)) - 1)
+                .cast("long"),
+            ),
+        )
+
+    return emb.select(
+        id_col, let(quantize_grid(vec_col, grid), codes).alias("codes")
+    )
+
+
+def knn_pq_adc(emb: DataFrame, queries: DataFrame, k: int = 5,
+               m: int = PQ_M, ksub: int = PQ_KSUB, n_iter: int = PQ_ITERS,
+               dim: int = 64, grid: int | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k by asymmetric distance: the query stays at grid resolution,
+    every corpus vector is represented by its codebook centroids, and
+    dist(q, v) ≈ Σ_j ||q_slice_j − codebook_j[code_j(v)]||².  Exact
+    integer arithmetic end-to-end, so the full pipeline (training,
+    encoding, scoring, ranking) replays bit-for-bit in the oracle —
+    a hash-exact check, stronger than the recall bound the LSH/IVF
+    variants get.
+
+    Returns (query_id, neighbor_id, adc_dist, rank); ties rank by
+    neighbor id.
+
+    Plan shape: scoring is one broadcast join (≤N-row query side) over
+    the encoded corpus, with the codebook constant-folded into the
+    distance expression — the corpus never shuffles for the join, and
+    the only exchange is the per-query top-k window.  The production
+    refinement (per-query LUT of the m·ksub partial distances,
+    precomputed once instead of re-derived per row) changes constants,
+    not shape; at ksub=8 the in-expression form stays in codegen."""
+    import json
+
+    from nonconsumptive_spark.operators.clustering import (
+        GRID, _sq_dist, quantize_grid)
+
+    grid = grid or GRID
+    dsub = dim // m
+    books = pq_train(emb, m, ksub, n_iter, dim, grid, id_col, vec_col)
+    cb = F.from_json(F.lit(json.dumps(books)), "array<array<array<long>>>")
+
+    codes_df = pq_encode(emb, books, grid, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    qx = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_grid(vec_col, grid).alias("qxq"),
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + _sq_dist(
+            F.slice(F.col("qxq"), (j * dsub + 1).cast("int"), F.lit(dsub)),
+            F.element_at(
+                F.element_at(cb, (j + 1).cast("int")),
+                (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1)
+                .cast("int"),
+            ),
+        ),
+    )
+    scored = (
+        codes_df.join(F.broadcast(qx))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

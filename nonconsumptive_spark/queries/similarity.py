@@ -238,3 +238,111 @@ def q_knn_quantized(spark, sf_dir):
         spark, sf_dir,
         lambda emb, q: sim.knn_quantized(emb, q, k=_K),
     )
+
+
+# --------------------------------------------------------------------------
+# PQ + ADC: full-replay oracle (hash-exact, not just a recall bound) —
+# the same generated-CTE discipline as the k-means/BPE/PageRank oracles.
+# All interim values are exact integers (grid quantization, integer Lloyd,
+# integer squared distances), so the whole train→encode→score→rank
+# pipeline replays bit-for-bit in DuckDB.
+_PQ_M = sim.PQ_M
+_PQ_KSUB = sim.PQ_KSUB
+_PQ_ITERS = sim.PQ_ITERS
+_PQ_DIM = 64  # fixture embedding dimensionality
+
+
+def _pq_subspace_chain(j: int, ksub: int, n_iter: int, dsub: int) -> str:
+    """CTE chain training subspace ``j``'s codebook and assigning every
+    corpus vector to its final centroid (a{j}_{n_iter+1} carries the
+    winning centroid vector cq)."""
+    lo, hi = j * dsub + 1, (j + 1) * dsub
+    parts = [f"""
+    q{j} AS (SELECT vec_id, xq[{lo}:{hi}] AS sx FROM q),
+    c{j}_0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sx AS cq
+      FROM (SELECT vec_id, sx FROM q{j} ORDER BY vec_id LIMIT {ksub}))"""]
+    for i in range(1, n_iter + 2):
+        parts.append(f"""
+    a{j}_{i} AS (
+      SELECT vec_id, sx, cid, cq, dist
+      FROM (SELECT s.vec_id, s.sx, c.cid, c.cq,
+                   list_sum(list_transform(list_zip(s.sx, c.cq),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+            FROM q{j} s CROSS JOIN c{j}_{i - 1} c)
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""")
+        if i == n_iter + 1:
+            break
+        parts.append(f"""
+    s{j}_{i} AS (
+      SELECT cid, pos,
+             CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cv
+      FROM (SELECT cid, generate_subscripts(sx, 1) AS pos, unnest(sx) AS v
+            FROM a{j}_{i})
+      GROUP BY cid, pos),
+    c{j}_{i} AS (
+      SELECT p.cid, coalesce(n.cq, p.cq) AS cq
+      FROM c{j}_{i - 1} p
+      LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS cq
+                 FROM s{j}_{i} GROUP BY cid) n USING (cid))""")
+    return ",".join(parts)
+
+
+def _pq_adc_oracle(m: int, ksub: int, n_iter: int, dim: int, grid: int,
+                   n_queries: int, k: int) -> str:
+    dsub = dim // m
+    fin = n_iter + 1
+    chains = ",".join(_pq_subspace_chain(j, ksub, n_iter, dsub)
+                      for j in range(m))
+    enc_joins = " JOIN ".join(
+        [f"(SELECT vec_id, cq AS cq0 FROM a0_{fin}) e0"]
+        + [f"(SELECT vec_id, cq AS cq{j} FROM a{j}_{fin}) e{j} USING (vec_id)"
+           for j in range(1, m)]
+    )
+    dist_terms = " + ".join(
+        f"list_sum(list_transform(list_zip(qs.xq[{j * dsub + 1}:{(j + 1) * dsub}], "
+        f"enc.cq{j}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        for j in range(m)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {grid}.0 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings),
+    {chains},
+    enc AS (SELECT * FROM {enc_joins}),
+    qs AS (SELECT vec_id AS query_id, xq FROM q WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT qs.query_id, enc.vec_id AS neighbor_id,
+             CAST({dist_terms} AS BIGINT) AS adc_dist
+      FROM qs CROSS JOIN enc
+      WHERE enc.vec_id <> qs.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC)
+                  AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "q_knn_pq_adc",
+    oracle=_pq_adc_oracle(_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM,
+                          1 << 20, _N_QUERIES, _K),
+    doc=f"Product-quantized kNN with asymmetric-distance scoring (Jégou "
+        f"et al.): {_PQ_M} subspace codebooks of {_PQ_KSUB} integer-grid "
+        f"centroids ({_PQ_ITERS} Lloyd rounds each), corpus stored as "
+        "codes, queries scored against centroids.  Exact integer "
+        "arithmetic end-to-end, so the oracle replays training, encoding, "
+        "ADC scoring and ranking as generated CTEs — hash-exact, stronger "
+        "than the LSH/IVF recall bounds.  Scoring is a broadcast join "
+        "with the codebook constant-folded; the only exchange is the "
+        "per-query top-k window.",
+)
+def q_knn_pq_adc(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return sim.knn_pq_adc(emb, queries, k=_K, dim=_PQ_DIM)

@@ -119,3 +119,42 @@ def test_mmr_greedy_matches_numpy_replay(spark, emb):
         selected.append(best[1])
     expect = [(t + 1, int(ids[i])) for t, i in enumerate(selected)]
     assert [(r["step"], r["vec_id"]) for r in rows] == expect
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """PQ encoding: one code per subspace, every code < ksub, identical
+    vectors get identical codes, and train+encode is a pure function of
+    the data (two runs agree)."""
+    from nonconsumptive_spark.operators.similarity import pq_encode, pq_train
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    books = pq_train(emb, m=2, ksub=4, n_iter=1, dim=64)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 32 for b in books for c in b)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(emb, books).collect()}
+    assert all(len(c) == 2 and all(0 <= x < 4 for x in c)
+               for c in codes.values())
+    books2 = pq_train(emb, m=2, ksub=4, n_iter=1, dim=64)
+    assert books == books2
+
+
+def test_pq_adc_prefers_true_neighbors(spark):
+    """ADC ranking sanity: on well-separated synthetic clusters, every
+    query's top-1 ADC neighbor comes from the query's own cluster."""
+    from nonconsumptive_spark.operators.similarity import knn_pq_adc
+
+    # two tight clusters far apart in both subspaces
+    rows = []
+    for i in range(8):
+        base = 10.0 if i < 4 else -10.0
+        rows.append((i, [base + 0.01 * i] * 64))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter("vec_id IN (0, 4)")
+    out = knn_pq_adc(emb, queries, k=3, m=2, ksub=2, n_iter=2, dim=64)
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in out.collect() if r["rank"] == 1}
+    assert top1[0] in {1, 2, 3}
+    assert top1[4] in {5, 6, 7}

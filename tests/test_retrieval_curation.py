@@ -372,3 +372,53 @@ def test_containment_asymmetric_small_in_big(spark):
     assert (2, 1) not in pairs        # big not contained in small
     jac = jaccard_pairs(docs, threshold=0.3).collect()
     assert jac == []                  # Jaccard misses the relation entirely
+
+
+def test_r4_operators_plan_shapes(spark):
+    """Pin the r4 operators' shuffle budgets so refactors can't quietly
+    regress them: novelty moves only (id, gram) pairs through gram-keyed
+    exchanges; stratified sampling's corpus-sized movement is ONE
+    stratum-keyed exchange (allocation plan is #strata-bounded
+    broadcasts); perplexity's only windows are the bounded score-key
+    histogram and the in-bucket rank (both partitioned or
+    histogram-sized, never a corpus row_number)."""
+    import re
+
+    from nonconsumptive_spark.operators.textstats import (
+        ngram_novelty, perplexity_buckets, stratified_sample_proportional)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{chr(97 + i)} epsilon", f"s{i % 3}")
+         for i in range(9)],
+        ["doc_id", "text", "source"])
+
+    nov = ngram_novelty(docs)
+    plan = nov._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # gram DF agg + join-back + doc rollup: at most 3 exchanges, none
+    # carrying the text column
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+    strat = stratified_sample_proportional(docs, k=5)
+    plan = strat._jdf.queryExecution().executedPlan().toString()
+    # corpus-sized shuffle: exactly the stratum-keyed rank exchange; the
+    # allocation side is broadcasts over #strata rows
+    corpus_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "source" in ln
+    ]
+    assert corpus_exchanges, plan.splitlines()[:5]
+    assert "BroadcastExchange" in plan
+
+    ppl = perplexity_buckets(docs)
+    plan = ppl._jdf.queryExecution().executedPlan().toString()
+    # every Window node is either partitioned (in-bucket rank) or runs
+    # over the score-key histogram — never an unpartitioned corpus window
+    for ln in plan.splitlines():
+        if re.search(r"\bWindow\b", ln) and "partitionBy" not in ln:
+            # unpartitioned windows must specify the histogram frame
+            # (ordered by sk) — a corpus-frame window orders by doc_id
+            assert "sk" in ln, ln
