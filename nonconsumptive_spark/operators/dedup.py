@@ -692,3 +692,76 @@ def remove_repeated_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood method (SNM) — the classic record-linkage dedup
+# family (Hernandez & Stolfo 1995): sort the corpus by a blocking key so
+# similar records land near each other, then compare only rows within a
+# sliding rank window.  Complements LSH: no hashing assumptions, candidate
+# count is corpus_size × (window-1) by construction, and the sort key can
+# encode domain knowledge (here: the doc's rarest-prefix token signature).
+# ---------------------------------------------------------------------------
+SNM_WINDOW = 4
+SNM_KEY_TOKENS = 4
+
+
+def snm_key(text_col, n_tokens: int = SNM_KEY_TOKENS):
+    """Blocking key: the first ``n_tokens`` of the doc's SORTED distinct
+    token set, joined by spaces.  Near-duplicate docs share most tokens,
+    so their sorted prefixes — and hence sort positions — coincide."""
+    return F.array_join(
+        F.slice(F.array_sort(F.array_distinct(tokenize(text_col))),
+                1, n_tokens),
+        " ",
+    )
+
+
+def snm_pairs(docs: DataFrame, window: int = SNM_WINDOW,
+              threshold: float = 0.5, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, jaccard): exact shingle-Jaccard ≥ threshold over
+    pairs within ``window`` positions of each other in blocking-key
+    order (doc_a ranks before doc_b).
+
+    Scale shape: the rank comes from ``assign_dense_ids`` (range
+    partition + local sort + per-partition offsets — never a global
+    single-partition sort), and the rank-distance self-join is realized
+    as TWO equi-joins on the rank bucket ``rank DIV window`` (same
+    bucket + adjacent bucket, then the |Δrank| < window filter): every
+    candidate pair shares a bucket key, so Catalyst shuffles on a short
+    integer — the sorted corpus never cross-joins.  Verification reuses
+    the materialized shingle table on both sides."""
+    from nonconsumptive_spark.sources.readers import assign_dense_ids
+
+    sh = materialize_once(
+        docs.select(
+            id_col,
+            snm_key(text_col).alias("__key"),
+            shingle_array(tokenize(text_col)).alias("shingles"),
+        ).filter(F.size("shingles") > 0),
+        "snm_shingles",
+    )
+    ranked = assign_dense_ids(
+        sh.select(id_col, "__key", "shingles"),
+        ["__key", id_col], id_name="rnk",
+    ).withColumn("bkt", (F.col("rnk") / window).cast("long"))
+
+    a = ranked.select(F.col(id_col).alias("doc_a"), F.col("rnk").alias("ra"),
+                      F.col("bkt").alias("ba"), F.col("shingles").alias("sh_a"))
+    b = ranked.select(F.col(id_col).alias("doc_b"), F.col("rnk").alias("rb"),
+                      F.col("bkt").alias("bb"), F.col("shingles").alias("sh_b"))
+    same = a.join(b, a["ba"] == b["bb"])
+    nxt = a.join(b, a["ba"] + 1 == b["bb"])
+    cands = (
+        same.unionByName(nxt)
+        .filter((F.col("rb") > F.col("ra"))
+                & (F.col("rb") - F.col("ra") < window))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.withColumn("jaccard", F.round(inter / uni, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "q_perplexity_buckets",
     "q_stratified_sample",
     "q_knn_pq_adc",
+    "q_snm_pairs",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -134,7 +135,6 @@ PRIORITY: tuple[str, ...] = (
     #    r3 gate (dedup.py / textstats.py dependents) — fills to 50
     "q_dedup_clusters",
     "q_decontamination",
-    "q_unigram_logprob",
 )
 
 

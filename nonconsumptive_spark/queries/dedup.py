@@ -541,3 +541,52 @@ def q_ngram_novelty(spark, sf_dir):
     from nonconsumptive_spark.operators import textstats as ts
 
     return ts.ngram_novelty(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_snm_pairs",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    keyed AS (
+      SELECT doc_id,
+             array_to_string(
+               list_sort(list_distinct({_DUCK_TOKS}))[1:{dd.SNM_KEY_TOKENS}],
+               ' ') AS key
+      FROM documents),
+    ranked AS (
+      SELECT s.doc_id, k.key,
+             row_number() OVER (ORDER BY k.key, s.doc_id) - 1 AS rnk
+      FROM (SELECT DISTINCT doc_id FROM shingles) s
+      JOIN keyed k USING (doc_id)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ranked a JOIN ranked b
+        ON b.rnk > a.rnk AND b.rnk - a.rnk < {dd.SNM_WINDOW}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS i
+      FROM pairs p
+      JOIN shingles sa ON sa.doc_id = p.doc_a
+      JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.5
+    """,
+    doc=f"Sorted-neighborhood dedup (Hernandez-Stolfo): docs ranked by a "
+        f"{dd.SNM_KEY_TOKENS}-token sorted-distinct-prefix blocking key, "
+        f"pairs within {dd.SNM_WINDOW} rank positions verified by exact "
+        "shingle Jaccard ≥ 0.5.  Complements LSH: candidate count is "
+        "rows × (window−1) by construction, no hashing assumptions.  "
+        "Spark ranks via the distributed per-partition-offset assigner "
+        "(no global sort) and realizes the rank-distance join as two "
+        "bucket equi-joins; the oracle replays with row_number and a "
+        "rank-difference join.",
+)
+def q_snm_pairs(spark, sf_dir):
+    return dd.snm_pairs(load(spark, sf_dir, "documents"),
+                        window=dd.SNM_WINDOW, threshold=0.5)

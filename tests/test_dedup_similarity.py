@@ -384,3 +384,50 @@ def test_minhash_fast_hash_same_verified_pairs(spark):
                 for r in minhash_dedup_pairs(docs, hash_fn="xxhash64").collect()}
     assert md5_pairs == xx_pairs
     assert md5_pairs  # non-vacuous: the fixture has near-dup pairs
+
+
+def test_snm_window_semantics(spark):
+    """Near-identical docs share a sorted-prefix blocking key, land on
+    adjacent ranks, and get verified; a high-Jaccard pair forced far
+    apart in key order is OUTSIDE the window and must not be reported
+    (that is the SNM trade — window recall for linear candidates)."""
+    from nonconsumptive_spark.operators.dedup import snm_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    # docs 1/2 near-identical; padding docs whose keys sort BETWEEN
+    # 'aa ...' and 'alpha ...' push the aa-prefixed mirror doc away
+    rows = [(1, t), (2, t + " iota")]
+    rows += [(10 + i, f"ab{chr(98 + i)} ac{chr(98 + i)} ad{chr(98 + i)} "
+              f"ae{chr(98 + i)} af{chr(98 + i)}") for i in range(6)]
+    rows += [(99, "aa " + t)]  # shares 8 of 9 distinct tokens with doc 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           snm_pairs(docs, window=3, threshold=0.5).collect()}
+    assert (1, 2) in got
+    assert all(99 not in p for p in got)  # key 'aa ...' ranks far from 'alpha ...'
+
+
+def test_snm_bucket_join_equals_naive_window_join(spark):
+    """The two-bucket equi-join realization must produce EXACTLY the
+    pairs of a naive |Δrank| < window theta-join (no pair lost at bucket
+    boundaries, none duplicated)."""
+    from nonconsumptive_spark.operators.dedup import snm_pairs
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").limit(60)
+    w = 4
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in snm_pairs(docs, window=w, threshold=0.0).collect()}
+    # naive reference: rank in driver, all pairs within window
+    from nonconsumptive_spark.operators.dedup import (
+        doc_shingles, snm_key, tokenize)  # noqa: F401
+    base = docs.select(
+        "doc_id", snm_key("text").alias("k")).join(
+        doc_shingles(docs).select("doc_id"), "doc_id").collect()
+    order = sorted(base, key=lambda r: (r["k"], r["doc_id"]))
+    expect = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + w, len(order))):
+            expect.add((order[i]["doc_id"], order[j]["doc_id"]))
+    assert set(got) == expect
