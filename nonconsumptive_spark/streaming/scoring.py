@@ -54,3 +54,17 @@ def kmeans_score(df: DataFrame, cents: list[list[int]],
     zero-shuffle assignment expression either way."""
     q = df.select(id_col, quantize_grid(vec_col, grid).alias("xq"))
     return _assign(q, cents, id_col).select(id_col, "cluster", "dist_sq")
+
+
+def pq_score(df: DataFrame, codebooks: list, grid: int = GRID,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, codes) for a batch OR streaming frame: PQ-encode arriving
+    embeddings against batch-trained codebooks (operators/similarity.
+    pq_train — the nightly artifact, same lambda shape as the centroid
+    JSON above).  The encode is one zero-shuffle projection against the
+    constant-folded codebook literal, so the identical kernel runs
+    unchanged under Structured Streaming; the encoded stream feeds a
+    code-partitioned sink that keeps downstream ADC lookups pruned."""
+    from nonconsumptive_spark.operators.similarity import pq_encode
+
+    return pq_encode(df, codebooks, grid, id_col, vec_col)

@@ -223,3 +223,71 @@ def test_sentence_stats_mean_consistency(spark, texts):
         assert r["max_sentence_tokens"] <= total + 1e-4 * max(r["n_sentences"], 1)
         if r["n_sentences"] == 0:
             assert r["max_sentence_tokens"] == 0
+
+
+@given(
+    strata=st.lists(st.integers(min_value=1, max_value=40),
+                    min_size=1, max_size=6),
+    k_frac=st.floats(min_value=0.05, max_value=1.0),
+)
+@SET
+def test_stratified_apportionment_properties(spark, strata, k_frac):
+    """Largest-remainder apportionment invariants on arbitrary stratum
+    shapes: output size exactly k, every stratum within 1 of its real
+    quota (the Hamilton guarantee), never more rows than a stratum has."""
+    from nonconsumptive_spark.operators.textstats import (
+        stratified_sample_proportional)
+
+    total = sum(strata)
+    k = max(1, int(total * k_frac))
+    rows = [(i * 1000 + j, f"s{i}")
+            for i, n in enumerate(strata) for j in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample_proportional(df, k=k).collect()
+    assert len(out) == k
+    got: dict[str, int] = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    for i, n in enumerate(strata):
+        g = got.get(f"s{i}", 0)
+        assert g <= n
+        assert abs(g - k * n / total) < 1.0 + 1e-9
+
+
+@given(texts=corpus)
+@SET
+def test_novelty_bounds_and_duplicate_zero(spark, texts):
+    """Novelty lies in [0, 1]; appending an exact duplicate of every doc
+    forces novelty 0 corpus-wide (every gram now shared)."""
+    from nonconsumptive_spark.operators.textstats import ngram_novelty
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    doubled = rows + [(1000 + i, t) for i, t in rows]
+    df = spark.createDataFrame(doubled, ["doc_id", "text"])
+    out = ngram_novelty(df).collect()
+    for r in out:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["novelty"] == 0.0  # every doc has an exact twin
+        assert r["n_shared"] == r["n_grams"]
+
+
+@given(texts=st.lists(doc_text, min_size=2, max_size=10))
+@SET
+def test_containment_dominates_jaccard(spark, texts):
+    """For every reported pair, containment(A→B) ≥ Jaccard(A,B): the
+    denominator |A| is never larger than |A∪B|.  Checked by running both
+    operators at threshold 0 and comparing the shared pairs."""
+    from nonconsumptive_spark.operators.dedup import (
+        containment_pairs, jaccard_pairs)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(df, threshold=0.0).collect()}
+    jac = {}
+    for r in jaccard_pairs(df, threshold=0.0).collect():
+        jac[(r["doc_a"], r["doc_b"])] = r["jaccard"]
+        jac[(r["doc_b"], r["doc_a"])] = r["jaccard"]
+    for pair, c in cont.items():
+        if pair in jac:
+            assert c >= jac[pair] - 1e-9, (pair, c, jac[pair])

@@ -492,3 +492,35 @@ def test_curation_gate_stream_equals_batch(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) == docs.count()
+
+
+def test_pq_scoring_stream_equals_batch(spark, tmp_path):
+    """PQ encoding is a stateless per-row expression against the trained
+    codebook literal, so encoding a stream must equal the batch encode
+    row for row (the same discipline as kmeans_score)."""
+    from nonconsumptive_spark.operators.similarity import pq_train
+    from nonconsumptive_spark.streaming.scoring import (
+        pq_score,
+        stream_embeddings,
+    )
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "emb")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    emb.repartition(4).write.parquet(src)
+
+    books = pq_train(emb, m=2, ksub=4, n_iter=1, dim=64)
+    batch = {(r["vec_id"], tuple(r["codes"])) for r in
+             pq_score(spark.read.parquet(src), books).collect()}
+
+    q = (
+        pq_score(stream_embeddings(spark, src, max_files_per_trigger=1), books)
+        .writeStream.format("memory").queryName("pq_codes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {(r["vec_id"], tuple(r["codes"])) for r in
+                spark.sql("SELECT * FROM pq_codes").collect()}
+    assert streamed == batch and len(streamed) > 0
