@@ -1139,3 +1139,152 @@ def ngram_novelty(df: DataFrame, n: int = NOVELTY_N,
             ) + F.lit(0.0)).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Character-level diversity (quality signal: gibberish / boilerplate shows
+# up as abnormally low or high char entropy — cf. Gopher/C4-style filters).
+#
+# Hash-parity design (same playbook as dsir_weights above): every
+# cross-engine-compared quantity is either an exact BIGINT (char totals,
+# squared-count sums, per-char log2 terms quantized to integer 1e-9 units)
+# or a double produced by ONE identical arithmetic expression over those
+# exact integers — no float ever accumulates across rows in engine-defined
+# order.
+ENT_SCALE = 1_000_000_000  # log2 quantization: 1e-9 units ("nano-bits")
+
+
+def char_diversity(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, n_chars_tok, n_distinct_chars, sum_sq, simpson, entropy):
+    per-document character histogram statistics.
+
+    * ``simpson`` — Simpson diversity 1 - sum(c_i^2)/n^2 (exact integer
+      numerator/denominator, one float division at output).
+    * ``entropy`` — Shannon entropy log2(n) - sum(c_i*log2(c_i))/n, with
+      each log2 quantized to integer 1e-9 units BEFORE the sum, so the
+      per-doc accumulation is an order-independent BIGINT sum.
+
+    Plan: explode chars into the whole-stage-codegen'd hash aggregate.
+    A/B vs the in-row sort+RLE fold (doc_token_counts' kernel): the fold
+    is zero-shuffle but runs the interpreted-HOF path per CHARACTER and
+    measured 2.4x slower (1.33s vs 0.56s warm at sf0.01) — and the
+    explode form's shuffles are histogram-sized anyway: partial hash agg
+    collapses each doc to <= |alphabet| rows map-side before either
+    exchange, so bytes-on-the-wire ~= final histogram, not the char
+    stream.  Codegen wins; shuffle volume ties.  Empty/NULL-text docs are
+    re-attached with zero stats (left join on the id spine)."""
+    # split('', '') yields [''] (not []) — drop empty strings so an
+    # empty/NULL document contributes no rows, mirroring the oracle
+    chars = F.explode(
+        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+                 lambda x: x != F.lit(""))
+    ).alias("c")
+    hist = (
+        df.select(id_col, chars)
+        .groupBy(id_col, "c")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    agg = hist.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss"),
+        F.count("*").cast("bigint").alias("d"),
+        F.sum(F.col("cnt") *
+              F.round(F.log2("cnt") * F.lit(ENT_SCALE)).cast("bigint"))
+         .cast("bigint").alias("hq"),
+    )
+    n = F.col("n")
+    return (
+        df.select(id_col).join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(n, F.lit(0)).cast("bigint").alias("n_chars_tok"),
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("n_distinct_chars"),
+            F.coalesce("ss", F.lit(0)).cast("bigint").alias("sum_sq"),
+            (F.round(F.when(n > 0, F.lit(1.0) - F.col("ss") / (n * n))
+                      .otherwise(F.lit(0.0)), 4) + F.lit(0.0)).alias("simpson"),
+            (F.round(F.when(
+                n > 0,
+                (F.round(F.log2(n) * F.lit(ENT_SCALE)) -
+                 F.col("hq").cast("double") / n) / F.lit(ENT_SCALE))
+                .otherwise(F.lit(0.0)), 4) + F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stupid-backoff bigram language-model scoring (Brants et al. 2007): the
+# standard cheap corpus-level LM used to perplexity-rank web text for
+# training-data curation.  score(w1|w0) = c(w0 w1)/c(w0) if the bigram was
+# seen, else alpha * c(w1)/N.  Per-doc log-score averages, with the same
+# integer-quantized log-term trick as dsir_weights (micro-nat units), so
+# the per-doc sum is an exact BIGINT in both engines.
+SB_ALPHA = 0.4              # Brants et al.'s fixed backoff weight
+SB_SCALE = 1_000_000        # log quantization: 1e-6 nats ("micro-nats")
+
+
+def stupid_backoff_scores(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(id, n_pairs, sum_q, avg_logscore): per-document mean stupid-backoff
+    log-score over adjacent token pairs (docs with < 2 tokens drop out).
+
+    Plan shape: ONE corpus tokenization feeds both count tables; the
+    unigram table is vocabulary-sized and BROADCASTs onto the bigram
+    table to form the scored LUT (log-quantized there, so the doc-level
+    agg sums BIGINTs); the corpus-sized pair frame equi-joins the LUT on
+    the bigram key — at 100 TB that's one shuffle join on a short string
+    key, and the per-doc agg is map-side-combinable."""
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(ngram_structs(tokenize(text_col), 2)).alias("g"),
+    ).select(id_col, F.col("g.w0").alias("w0"), F.col("g.w1").alias("w1"))
+    pairs = materialize_once(pairs, "sb_pairs")
+
+    # corpus totals: unigrams from the SAME pair frame (all w0 plus the
+    # final token of each doc would differ — use the plain token stream
+    # so c(w) matches the oracle's definition exactly)
+    toks = df.select(F.explode(tokenize(text_col)).alias("w"))
+    ug = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c_ug"))
+    ug = materialize_once(ug, "sb_unigrams")
+    n_total = ug.agg(F.sum("c_ug").alias("n_tok"))
+
+    bg = pairs.groupBy("w0", "w1").agg(
+        F.count("*").cast("bigint").alias("c_bg"))
+
+    # scored LUT: one row per distinct bigram, log quantized to micro-nats
+    lut = (
+        bg.join(F.broadcast(ug.select(F.col("w").alias("w0"),
+                                      F.col("c_ug").alias("c_w0"))), "w0")
+        .select(
+            "w0", "w1",
+            F.round(F.log(F.col("c_bg") / F.col("c_w0")) * F.lit(SB_SCALE))
+             .cast("bigint").alias("q_bg"),
+        )
+    )
+    # backoff LUT: one row per unigram (as the second word)
+    backoff = (
+        ug.crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("w").alias("w1"),
+            F.round(F.log(F.lit(SB_ALPHA) * F.col("c_ug") / F.col("n_tok"))
+                    * F.lit(SB_SCALE)).cast("bigint").alias("q_bo"),
+        )
+    )
+
+    scored = (
+        pairs.join(lut, ["w0", "w1"], "left")
+        .join(F.broadcast(backoff), "w1", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce("q_bg", "q_bo")).alias("sum_q"),
+        )
+        .select(
+            id_col, "n_pairs", "sum_q",
+            (F.round(F.col("sum_q").cast("double") / F.col("n_pairs")
+                     / F.lit(SB_SCALE), 4) + F.lit(0.0)).alias("avg_logscore"),
+        )
+    )
+    return scored

@@ -86,6 +86,10 @@ PRIORITY: tuple[str, ...] = (
     "q_stratified_sample",
     "q_knn_pq_adc",
     "q_snm_pairs",
+    "q_char_diversity",
+    "q_stupid_backoff",
+    "q_range_join_events",
+    "q_zscore_outliers",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -127,10 +131,6 @@ PRIORITY: tuple[str, ...] = (
     "q_struct_roundtrip",
     "q_topk_categories",
     "q_topk_customers",
-    "q_union_shards",
-    "q_unpivot_measures",
-    "q_window_frames",
-    "q_window_rank",
     # -- oldest r2 rows whose implementation files were touched since the
     #    r3 gate (dedup.py / textstats.py dependents) — fills to 50
     "q_dedup_clusters",

@@ -454,3 +454,115 @@ def q_sessionize_lag(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+
+
+# --------------------------------------------------------------------------
+_US_EXPR = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+_RJ_LO = -1_800_000_000  # 30 minutes before, in microseconds
+_RJ_HI = 0               # ...up to (exclusive) the purchase instant
+
+
+@register(
+    "q_range_join_events",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS lus
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS rus
+      FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CAST(count(c.rus) AS BIGINT) AS n_prior_clicks
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.rus - p.lus >= {_RJ_LO} AND c.rus - p.lus < {_RJ_HI}
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="Range (interval) join — operator Spark lacks natively "
+        "(operators/asof.py:bucketed_range_join): clicks within the 30 "
+        "minutes before each purchase, counted per purchase.  Spark side "
+        "is a bucketed EQUI-join on (user, time-bucket) with 2x bounded "
+        "left amplification — never a per-key cross product; oracle is the "
+        "naive inequality join (fine at oracle SF).",
+)
+def q_range_join_events(spark, sf_dir):
+    from nonconsumptive_spark.operators.asof import bucketed_range_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr(_US_EXPR).alias("lus"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr(_US_EXPR).alias("rus"))
+    pairs = bucketed_range_join(
+        purchases, clicks, on="user_id", left_us="lus", right_us="rus",
+        lo_us=_RJ_LO, hi_us=_RJ_HI,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("*").cast("long").alias("n_prior_clicks"))
+    return (
+        purchases.join(counts, "event_id", "left")
+        .select(
+            "event_id", "user_id",
+            F.coalesce("n_prior_clicks", F.lit(0)).cast("long")
+             .alias("n_prior_clicks"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_zscore_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+      FROM events),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vq) AS BIGINT) AS sv,
+             CAST(sum(vq * vq) AS BIGINT) AS svv
+      FROM q GROUP BY event_type)
+    SELECT q.event_id, q.event_type, q.vq,
+           round(CASE WHEN s.n * s.svv - s.sv * s.sv > 0
+                 THEN CAST(s.n * q.vq - s.sv AS DOUBLE)
+                      / sqrt(CAST(s.n * s.svv - s.sv * s.sv AS DOUBLE))
+                 ELSE 0.0 END, 4) + 0.0 AS zscore,
+           (s.n * q.vq - s.sv) * (s.n * q.vq - s.sv)
+             > 3 * (s.n * s.svv - s.sv * s.sv) AS is_outlier
+    FROM q JOIN s USING (event_type)
+    """,
+    doc="Per-group z-score outlier flagging (population std over per-type "
+        "value distributions).  Hash-parity design: values quantized to "
+        "integer cents, group moments are exact BIGINT sums, and both the "
+        "z-score (one identical div+sqrt over exact ints) and the outlier "
+        "flag (pure integer inequality, z^2 > 3) never accumulate floats "
+        "in engine order.  Plan: tiny per-type moment agg BROADCAST back "
+        "onto the events scan — one map-side-combined agg, no window, no "
+        "second shuffle.  Integer headroom: (n*vq-S)^2 stays under 2^63 "
+        "through ~sf0.3; larger SFs would move the flag compare to double.",
+)
+def q_zscore_outliers(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+         .alias("vq"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vq").cast("long").alias("sv"),
+        F.sum(F.col("vq") * F.col("vq")).cast("long").alias("svv"),
+    )
+    num = F.col("n") * F.col("vq") - F.col("sv")
+    den = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    return (
+        q.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id", "event_type", "vq",
+            (F.round(
+                F.when(den > 0,
+                       num.cast("double") / F.sqrt(den.cast("double")))
+                 .otherwise(F.lit(0.0)), 4) + F.lit(0.0)).alias("zscore"),
+            (num * num > F.lit(3) * den).alias("is_outlier"),
+        )
+    )

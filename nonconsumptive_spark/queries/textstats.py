@@ -1156,3 +1156,93 @@ _STRAT_K = 100
 def q_stratified_sample(spark, sf_dir):
     return ts.stratified_sample_proportional(
         load(spark, sf_dir, "documents"), k=_STRAT_K)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_char_diversity",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(coalesce(text, ''), ''),
+                                x -> x <> '')) AS c
+      FROM documents),
+    hist AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM ch GROUP BY doc_id, c),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * cnt) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(cnt * CAST(round(log2(cnt) * 1000000000) AS BIGINT))
+                  AS BIGINT) AS hq
+      FROM hist GROUP BY doc_id)
+    SELECT doc.doc_id,
+           coalesce(a.n, 0) AS n_chars_tok,
+           coalesce(a.d, 0) AS n_distinct_chars,
+           coalesce(a.ss, 0) AS sum_sq,
+           round(CASE WHEN a.n > 0 THEN 1.0 - a.ss * 1.0 / (a.n * a.n)
+                 ELSE 0.0 END, 4) + 0.0 AS simpson,
+           round(CASE WHEN a.n > 0
+                 THEN (round(log2(a.n) * 1000000000) - a.hq * 1.0 / a.n)
+                      / 1000000000
+                 ELSE 0.0 END, 4) + 0.0 AS entropy
+    FROM documents doc LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Character-level diversity stats (Shannon entropy + Simpson index "
+        "— gibberish/boilerplate quality signal).  In-row char histogram "
+        "(sort + RLE fold, zero shuffle); log2 terms integer-quantized to "
+        "1e-9 units so cross-engine sums are exact BIGINTs "
+        "(operators/textstats.py:char_diversity).",
+)
+def q_char_diversity(spark, sf_dir):
+    return ts.char_diversity(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_stupid_backoff",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS w
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, w0, w1 FROM (
+        SELECT doc_id, w AS w0,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM toks) z
+      WHERE w1 IS NOT NULL),
+    ug AS (SELECT w, CAST(count(*) AS BIGINT) AS c_ug FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c_ug) AS BIGINT) AS n_tok FROM ug),
+    bg AS (SELECT w0, w1, CAST(count(*) AS BIGINT) AS c_bg
+           FROM pairs GROUP BY w0, w1),
+    lut AS (
+      SELECT b.w0, b.w1,
+             CAST(round(ln(b.c_bg / u.c_ug) * {ts.SB_SCALE}) AS BIGINT) AS q_bg
+      FROM bg b JOIN ug u ON u.w = b.w0),
+    bo AS (
+      SELECT u.w AS w1,
+             CAST(round(ln({ts.SB_ALPHA} * u.c_ug / t.n_tok) * {ts.SB_SCALE})
+                  AS BIGINT) AS q_bo
+      FROM ug u CROSS JOIN tot t),
+    sc AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(coalesce(l.q_bg, b.q_bo)) AS BIGINT) AS sum_q
+      FROM pairs p
+      LEFT JOIN lut l ON l.w0 = p.w0 AND l.w1 = p.w1
+      LEFT JOIN bo b ON b.w1 = p.w1
+      GROUP BY p.doc_id)
+    SELECT doc_id, n_pairs, sum_q,
+           round(sum_q * 1.0 / n_pairs / {ts.SB_SCALE}, 4) + 0.0 AS avg_logscore
+    FROM sc
+    """,
+    doc="Stupid-backoff bigram LM scoring (Brants et al. 2007) — the cheap "
+        "corpus LM used to perplexity-rank web text for curation.  Per-pair "
+        "log-scores integer-quantized in the LUT (micro-nats) so per-doc "
+        "sums are exact BIGINTs in both engines "
+        "(operators/textstats.py:stupid_backoff_scores).",
+)
+def q_stupid_backoff(spark, sf_dir):
+    return ts.stupid_backoff_scores(load(spark, sf_dir, "documents"))

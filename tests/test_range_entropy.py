@@ -1,0 +1,146 @@
+"""Edge-case tests for the round-4 operators: bucketed range join,
+char diversity, z-score outliers, stupid-backoff LM scoring."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_range_join_boundaries(spark):
+    from nonconsumptive_spark.operators.asof import bucketed_range_join
+
+    # window: [-10s, 0) relative to the left row → right at exactly
+    # -10s is IN, right at exactly 0 (same instant) is OUT.
+    left = spark.createDataFrame(
+        [(1, 100, 1_000_000_000)], ["event_id", "user_id", "lus"])
+    right = spark.createDataFrame(
+        [
+            (100, 1_000_000_000 - 10_000_000),   # exactly lo → in
+            (100, 1_000_000_000),                # exactly hi → out
+            (100, 1_000_000_000 - 1),            # just inside → in
+            (100, 1_000_000_000 - 10_000_001),   # just outside → out
+            (999, 1_000_000_000 - 5_000_000),    # wrong key → out
+        ],
+        ["user_id", "rus"],
+    )
+    got = bucketed_range_join(
+        left, right, on="user_id", left_us="lus", right_us="rus",
+        lo_us=-10_000_000, hi_us=0,
+    )
+    rows = sorted(r["rus"] for r in got.collect())
+    assert rows == [1_000_000_000 - 10_000_000, 1_000_000_000 - 1]
+
+
+def test_bucketed_range_join_no_duplicate_pairs(spark):
+    from nonconsumptive_spark.operators.asof import bucketed_range_join
+
+    # right rows land in different buckets than the left row's home
+    # bucket; every qualifying pair must appear exactly once despite the
+    # 2x left bucket expansion.
+    left = spark.createDataFrame(
+        [(i, 7, i * 3_000_000) for i in range(50)],
+        ["event_id", "user_id", "lus"])
+    right = spark.createDataFrame(
+        [(7, i * 1_000_000) for i in range(200)], ["user_id", "rus"])
+    got = bucketed_range_join(
+        left, right, on="user_id", left_us="lus", right_us="rus",
+        lo_us=-5_000_000, hi_us=5_000_000,
+    ).select("event_id", "rus")
+    counted = got.groupBy("event_id", "rus").count().filter("count > 1")
+    assert counted.count() == 0
+    # brute-force cross check
+    lrows = [(r["event_id"], r["lus"]) for r in left.collect()]
+    rrows = [r["rus"] for r in right.collect()]
+    expect = sorted(
+        (e, ru) for e, lu in lrows for ru in rrows
+        if -5_000_000 <= ru - lu < 5_000_000
+    )
+    assert sorted((r["event_id"], r["rus"]) for r in got.collect()) == expect
+
+
+def test_char_diversity_empty_and_null_text(spark):
+    from nonconsumptive_spark.operators.textstats import char_diversity
+
+    df = spark.createDataFrame(
+        [(1, "aab"), (2, ""), (3, None), (4, "zzzz")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in char_diversity(df).collect()}
+    assert got[1]["n_chars_tok"] == 3
+    assert got[1]["n_distinct_chars"] == 2
+    assert got[1]["sum_sq"] == 5  # 2^2 + 1^2
+    assert abs(got[1]["simpson"] - round(1 - 5 / 9, 4)) < 1e-9
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[1]["entropy"] - round(h, 4)) < 1e-3
+    for did in (2, 3):
+        r = got[did]
+        assert (r["n_chars_tok"], r["n_distinct_chars"], r["sum_sq"]) == (0, 0, 0)
+        assert r["simpson"] == 0.0 and r["entropy"] == 0.0
+    # single repeated char: entropy 0, simpson 1 - 16/16 = 0
+    assert got[4]["entropy"] == 0.0
+    assert got[4]["simpson"] == 0.0
+
+
+def test_zscore_outliers_constant_group(spark, tmp_path):
+    # a group where every value is identical → den = 0 → zscore 0.0,
+    # no outliers, no NaN/Inf leaking out.
+    import pandas as pd
+
+    from nonconsumptive_spark.queries import all_queries
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame({
+        "event_id": range(9),
+        "ts": pd.to_datetime(["2024-01-01"] * 9),
+        "user_id": [1] * 9,
+        "event_type": ["flat"] * 3 + ["vary"] * 6,
+        # an n-point group caps |z| at sqrt(n-1), so the vary group needs
+        # enough mass around the mean for the 30.0 to clear sqrt(3)
+        "value": [5.0, 5.0, 5.0, 1.0, 1.0, 1.0, 1.0, 1.0, 30.0],
+        "props": ["{}"] * 9,
+    }).to_parquet(sf / "events.parquet")
+    q = all_queries()["q_zscore_outliers"]
+    rows = {r["event_id"]: r for r in q.spark_fn(spark, str(sf)).collect()}
+    for eid in (0, 1, 2):
+        assert rows[eid]["zscore"] == 0.0
+        assert rows[eid]["is_outlier"] is False
+    assert rows[8]["is_outlier"] is True
+    assert all(rows[eid]["is_outlier"] is False for eid in (3, 4, 5, 6, 7))
+
+
+def test_stupid_backoff_semantics(spark):
+    from nonconsumptive_spark.operators.textstats import (
+        SB_ALPHA, SB_SCALE, stupid_backoff_scores)
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a z"), (3, "solo")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in stupid_backoff_scores(df).collect()}
+    # doc 3 has a single token → no pairs → dropped
+    assert 3 not in got
+    assert got[1]["n_pairs"] == 3
+    # corpus: tokens a:3 b:2 z:1 solo:1, N=7; bigrams: (a,b):2 (b,a):1 (a,z):1
+    # doc1 pairs: (a,b) ln(2/3), (b,a) ln(1/2), (a,b) ln(2/3)
+    expect1 = (round(math.log(2 / 3) * SB_SCALE) * 2 +
+               round(math.log(1 / 2) * SB_SCALE))
+    assert got[1]["sum_q"] == expect1
+    # doc2: (a,z) seen once: ln(1/3) — bigram path, not backoff
+    assert got[2]["sum_q"] == round(math.log(1 / 3) * SB_SCALE)
+
+
+def test_stupid_backoff_backoff_path(spark):
+    # construct a pair that is NOT a corpus bigram to exercise backoff:
+    # impossible within one corpus (every adjacent pair IS a bigram), so
+    # backoff only fires for docs scored against a *different* corpus —
+    # verify the LUT covers it by scoring with coalesce semantics: a
+    # bigram that appears once in one doc still uses the bigram path, and
+    # the backoff column exists for every pair.
+    from nonconsumptive_spark.operators.textstats import stupid_backoff_scores
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "y x")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in stupid_backoff_scores(df).collect()}
+    # both bigrams seen once, unigrams x:2 y:2 → ln(1/2) each
+    assert got[1]["sum_q"] == got[2]["sum_q"]
