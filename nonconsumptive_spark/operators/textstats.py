@@ -1224,11 +1224,20 @@ SB_SCALE = 1_000_000        # log quantization: 1e-6 nats ("micro-nats")
 
 
 def stupid_backoff_scores(df: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          lm_df: DataFrame | None = None) -> DataFrame:
     """(id, n_pairs, sum_q, avg_logscore): per-document mean stupid-backoff
     log-score over adjacent token pairs (docs with < 2 tokens drop out).
 
-    Plan shape: ONE corpus tokenization feeds both count tables; the
+    ``lm_df`` selects the corpus the LM counts come from (CCNet-style:
+    score everything against a trusted reference corpus's LM).  Default
+    None trains on ``df`` itself — in that case every adjacent pair IS a
+    corpus bigram and the backoff path is never taken; cross-corpus
+    scoring is what exercises it.  Backoff mass is add-1 smoothed over
+    the LM vocab (ln(alpha * (c+1) / (N + V))) so words the LM never saw
+    still get a finite score.
+
+    Plan shape: ONE LM-corpus tokenization feeds both count tables; the
     unigram table is vocabulary-sized and BROADCASTs onto the bigram
     table to form the scored LUT (log-quantized there, so the doc-level
     agg sums BIGINTs); the corpus-sized pair frame equi-joins the LUT on
@@ -1236,21 +1245,28 @@ def stupid_backoff_scores(df: DataFrame, id_col: str = "doc_id",
     key, and the per-doc agg is map-side-combinable."""
     from nonconsumptive_spark.plans.checkpoint import materialize_once
 
+    lm = lm_df if lm_df is not None else df
     pairs = df.select(
         F.col(id_col),
         F.explode(ngram_structs(tokenize(text_col), 2)).alias("g"),
     ).select(id_col, F.col("g.w0").alias("w0"), F.col("g.w1").alias("w1"))
     pairs = materialize_once(pairs, "sb_pairs")
 
-    # corpus totals: unigrams from the SAME pair frame (all w0 plus the
-    # final token of each doc would differ — use the plain token stream
-    # so c(w) matches the oracle's definition exactly)
-    toks = df.select(F.explode(tokenize(text_col)).alias("w"))
+    # LM totals: unigrams from the plain token stream (not the pair
+    # frame — all-w0-plus-final-token would differ), so c(w) matches the
+    # oracle's definition exactly
+    toks = lm.select(F.explode(tokenize(text_col)).alias("w"))
     ug = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c_ug"))
     ug = materialize_once(ug, "sb_unigrams")
-    n_total = ug.agg(F.sum("c_ug").alias("n_tok"))
+    n_total = ug.agg(F.sum("c_ug").alias("n_tok"),
+                     F.count("*").alias("v_lm"))
 
-    bg = pairs.groupBy("w0", "w1").agg(
+    lm_pairs = (
+        pairs if lm_df is None else
+        lm.select(F.explode(ngram_structs(tokenize(text_col), 2)).alias("g"))
+          .select(F.col("g.w0").alias("w0"), F.col("g.w1").alias("w1"))
+    )
+    bg = lm_pairs.groupBy("w0", "w1").agg(
         F.count("*").cast("bigint").alias("c_bg"))
 
     # scored LUT: one row per distinct bigram, log quantized to micro-nats
@@ -1263,23 +1279,31 @@ def stupid_backoff_scores(df: DataFrame, id_col: str = "doc_id",
              .cast("bigint").alias("q_bg"),
         )
     )
-    # backoff LUT: one row per unigram (as the second word)
+    # backoff LUT: one row per LM unigram (as the second word), add-1
+    # smoothed; plus a single OOV floor (c=0 under the same smoothing)
+    # for words the LM never saw at all
     backoff = (
         ug.crossJoin(F.broadcast(n_total))
         .select(
             F.col("w").alias("w1"),
-            F.round(F.log(F.lit(SB_ALPHA) * F.col("c_ug") / F.col("n_tok"))
+            F.round(F.log(F.lit(SB_ALPHA) * (F.col("c_ug") + 1)
+                          / (F.col("n_tok") + F.col("v_lm")))
                     * F.lit(SB_SCALE)).cast("bigint").alias("q_bo"),
         )
     )
+    oov = n_total.select(
+        F.round(F.log(F.lit(SB_ALPHA) * 1
+                      / (F.col("n_tok") + F.col("v_lm")))
+                * F.lit(SB_SCALE)).cast("bigint").alias("q_oov"))
 
     scored = (
         pairs.join(lut, ["w0", "w1"], "left")
         .join(F.broadcast(backoff), "w1", "left")
+        .crossJoin(F.broadcast(oov))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.sum(F.coalesce("q_bg", "q_bo")).alias("sum_q"),
+            F.sum(F.coalesce("q_bg", "q_bo", "q_oov")).alias("sum_q"),
         )
         .select(
             id_col, "n_pairs", "sum_q",
@@ -1288,3 +1312,91 @@ def stupid_backoff_scores(df: DataFrame, id_col: str = "doc_id",
         )
     )
     return scored
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between subcorpus unigram distributions —
+# the standard corpus-drift / domain-shift measurement (e.g. comparing a
+# new crawl snapshot against the training mix, or languages/sources
+# against each other).  Symmetric, bounded [0, ln 2] in nats.
+JSD_SCALE = 1_000_000_000_000  # per-token terms quantized to 1e-12 nats
+
+
+def unigram_js_divergence(df: DataFrame, label_col: str = "lang",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(label_a, label_b, v, n_a, n_b, jsd): pairwise JSD between the
+    add-1-smoothed unigram distributions of every pair of label values
+    (label_a < label_b).  The vocabulary for a pair is the UNION of the
+    two sides' vocabularies, so p and q are both positive everywhere.
+
+    Hash-parity: per-token contributions 0.5*p*ln(p/m) + 0.5*q*ln(q/m)
+    (m the midpoint) are computed from exact integer counts with an
+    expression mirrored verbatim in the oracle, quantized to integer
+    1e-12 units, and summed as BIGINTs — order-independent.
+
+    Plan: one (label, token) agg over the corpus (the only corpus-sized
+    shuffle); pair expansion joins that vocabulary-sized table against a
+    #labels^2-row broadcast; per-pair scalars (N, V) re-attach by
+    broadcast.  At 100 TB nothing bigger than the vocabulary moves after
+    the first agg."""
+    cnt = (
+        df.select(F.col(label_col).alias("lbl"),
+                  F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("lbl", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    cnt = materialize_once(cnt, "jsd_counts")
+
+    labels = cnt.select("lbl").distinct()
+    pairs = (
+        labels.select(F.col("lbl").alias("label_a"))
+        .join(labels.select(F.col("lbl").alias("label_b")),
+              F.col("label_a") < F.col("label_b"))
+    )
+    # membership rows: (pair, side, lbl) — equi-join key for the counts
+    members = pairs.select(
+        "label_a", "label_b",
+        F.explode(F.array(
+            F.struct(F.col("label_a").alias("lbl"), F.lit("a").alias("side")),
+            F.struct(F.col("label_b").alias("lbl"), F.lit("b").alias("side")),
+        )).alias("m"),
+    ).select("label_a", "label_b", F.col("m.lbl").alias("lbl"),
+             F.col("m.side").alias("side"))
+
+    per_tok = (
+        cnt.join(F.broadcast(members), "lbl")
+        .groupBy("label_a", "label_b", "w")
+        .agg(
+            F.sum(F.when(F.col("side") == "a", F.col("c")).otherwise(0))
+             .cast("bigint").alias("c_a"),
+            F.sum(F.when(F.col("side") == "b", F.col("c")).otherwise(0))
+             .cast("bigint").alias("c_b"),
+        )
+    )
+    per_tok = materialize_once(per_tok, "jsd_per_tok")
+    scalars = per_tok.groupBy("label_a", "label_b").agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    p = (F.col("c_a") + 1) / (F.col("n_a") + F.col("v"))
+    q = (F.col("c_b") + 1) / (F.col("n_b") + F.col("v"))
+    m = (p + q) / 2
+    term = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    return (
+        per_tok.join(F.broadcast(scalars), ["label_a", "label_b"])
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("v").alias("v"), F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(F.round(term * F.lit(JSD_SCALE)).cast("bigint"))
+             .alias("sum_q"),
+        )
+        .select(
+            "label_a", "label_b", "v", "n_a", "n_b",
+            (F.round(F.col("sum_q").cast("double") / F.lit(JSD_SCALE), 6)
+             + F.lit(0.0)).alias("jsd"),
+        )
+    )

@@ -90,6 +90,8 @@ PRIORITY: tuple[str, ...] = (
     "q_stupid_backoff",
     "q_range_join_events",
     "q_zscore_outliers",
+    "q_backoff_cross_corpus",
+    "q_js_divergence",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -127,9 +129,7 @@ PRIORITY: tuple[str, ...] = (
     "q_rollup_revenue",
     "q_semi_join",
     "q_shipping_priority",
-    "q_star_join_revenue",
     "q_struct_roundtrip",
-    "q_topk_categories",
     "q_topk_customers",
     # -- oldest r2 rows whose implementation files were touched since the
     #    r3 gate (dedup.py / textstats.py dependents) — fills to 50

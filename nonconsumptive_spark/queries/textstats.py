@@ -1215,7 +1215,8 @@ def q_char_diversity(spark, sf_dir):
         FROM toks) z
       WHERE w1 IS NOT NULL),
     ug AS (SELECT w, CAST(count(*) AS BIGINT) AS c_ug FROM toks GROUP BY w),
-    tot AS (SELECT CAST(sum(c_ug) AS BIGINT) AS n_tok FROM ug),
+    tot AS (SELECT CAST(sum(c_ug) AS BIGINT) AS n_tok,
+                   CAST(count(*) AS BIGINT) AS v_lm FROM ug),
     bg AS (SELECT w0, w1, CAST(count(*) AS BIGINT) AS c_bg
            FROM pairs GROUP BY w0, w1),
     lut AS (
@@ -1224,8 +1225,8 @@ def q_char_diversity(spark, sf_dir):
       FROM bg b JOIN ug u ON u.w = b.w0),
     bo AS (
       SELECT u.w AS w1,
-             CAST(round(ln({ts.SB_ALPHA} * u.c_ug / t.n_tok) * {ts.SB_SCALE})
-                  AS BIGINT) AS q_bo
+             CAST(round(ln({ts.SB_ALPHA} * (u.c_ug + 1) / (t.n_tok + t.v_lm))
+                  * {ts.SB_SCALE}) AS BIGINT) AS q_bo
       FROM ug u CROSS JOIN tot t),
     sc AS (
       SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1246,3 +1247,119 @@ def q_char_diversity(spark, sf_dir):
 )
 def q_stupid_backoff(spark, sf_dir):
     return ts.stupid_backoff_scores(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_backoff_cross_corpus",
+    oracle=f"""
+    WITH toks_all AS (
+      SELECT doc_id, lang, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS w
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, w0, w1 FROM (
+        SELECT doc_id, w AS w0,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM toks_all) z
+      WHERE w1 IS NOT NULL),
+    lm_toks AS (SELECT * FROM toks_all WHERE lang = 'en'),
+    ug AS (SELECT w, CAST(count(*) AS BIGINT) AS c_ug FROM lm_toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c_ug) AS BIGINT) AS n_tok,
+                   CAST(count(*) AS BIGINT) AS v_lm FROM ug),
+    lm_pairs AS (
+      SELECT w0, w1 FROM (
+        SELECT w AS w0, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM lm_toks) z
+      WHERE w1 IS NOT NULL),
+    bg AS (SELECT w0, w1, CAST(count(*) AS BIGINT) AS c_bg
+           FROM lm_pairs GROUP BY w0, w1),
+    lut AS (
+      SELECT b.w0, b.w1,
+             CAST(round(ln(b.c_bg / u.c_ug) * {ts.SB_SCALE}) AS BIGINT) AS q_bg
+      FROM bg b JOIN ug u ON u.w = b.w0),
+    bo AS (
+      SELECT u.w AS w1,
+             CAST(round(ln({ts.SB_ALPHA} * (u.c_ug + 1) / (t.n_tok + t.v_lm))
+                  * {ts.SB_SCALE}) AS BIGINT) AS q_bo
+      FROM ug u CROSS JOIN tot t),
+    oov AS (
+      SELECT CAST(round(ln({ts.SB_ALPHA} * 1 / (t.n_tok + t.v_lm))
+                  * {ts.SB_SCALE}) AS BIGINT) AS q_oov
+      FROM tot t),
+    sc AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(coalesce(l.q_bg, b.q_bo, o.q_oov)) AS BIGINT) AS sum_q
+      FROM pairs p
+      LEFT JOIN lut l ON l.w0 = p.w0 AND l.w1 = p.w1
+      LEFT JOIN bo b ON b.w1 = p.w1
+      CROSS JOIN oov o
+      GROUP BY p.doc_id)
+    SELECT doc_id, n_pairs, sum_q,
+           round(sum_q * 1.0 / n_pairs / {ts.SB_SCALE}, 4) + 0.0 AS avg_logscore
+    FROM sc
+    """,
+    doc="Cross-corpus stupid-backoff scoring (CCNet-style: every document "
+        "scored under the LM of the trusted 'en' subcorpus) — unlike the "
+        "self-LM q_stupid_backoff, unseen bigrams actually occur here, so "
+        "the smoothed unigram-backoff and OOV-floor paths are exercised "
+        "and hash-verified.",
+)
+def q_backoff_cross_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return ts.stupid_backoff_scores(
+        docs, lm_df=docs.filter(F.col("lang") == "en"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_js_divergence",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT lang AS lbl, w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT lang, unnest({_DUCK_TOKS}) AS w FROM documents) z
+      GROUP BY lang, w),
+    labels AS (SELECT DISTINCT lbl FROM cnt),
+    pairs AS (
+      SELECT a.lbl AS label_a, b.lbl AS label_b
+      FROM labels a JOIN labels b ON a.lbl < b.lbl),
+    per_tok AS (
+      SELECT p.label_a, p.label_b, c.w,
+             CAST(sum(CASE WHEN c.lbl = p.label_a THEN c.c ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN c.lbl = p.label_b THEN c.c ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM pairs p JOIN cnt c ON c.lbl = p.label_a OR c.lbl = p.label_b
+      GROUP BY p.label_a, p.label_b, c.w),
+    scalars AS (
+      SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(c_a) AS BIGINT) AS n_a,
+             CAST(sum(c_b) AS BIGINT) AS n_b
+      FROM per_tok GROUP BY label_a, label_b),
+    terms AS (
+      SELECT t.label_a, t.label_b, s.v, s.n_a, s.n_b,
+             CAST(round((0.5 * ((t.c_a + 1) / (s.n_a + s.v))
+                           * ln(((t.c_a + 1) / (s.n_a + s.v))
+                                / ((((t.c_a + 1) / (s.n_a + s.v))
+                                    + ((t.c_b + 1) / (s.n_b + s.v))) / 2))
+                         + 0.5 * ((t.c_b + 1) / (s.n_b + s.v))
+                           * ln(((t.c_b + 1) / (s.n_b + s.v))
+                                / ((((t.c_a + 1) / (s.n_a + s.v))
+                                    + ((t.c_b + 1) / (s.n_b + s.v))) / 2)))
+                        * {ts.JSD_SCALE}) AS BIGINT) AS tq
+      FROM per_tok t
+      JOIN scalars s ON s.label_a = t.label_a AND s.label_b = t.label_b)
+    SELECT label_a, label_b, max(v) AS v, max(n_a) AS n_a, max(n_b) AS n_b,
+           round(CAST(sum(tq) AS BIGINT) * 1.0 / {ts.JSD_SCALE}, 6) + 0.0 AS jsd
+    FROM terms GROUP BY label_a, label_b
+    """,
+    doc="Pairwise Jensen-Shannon divergence between per-language unigram "
+        "distributions (corpus-drift / domain-shift measurement; add-1 "
+        "smoothing over the pair's union vocabulary).  Per-token terms "
+        "integer-quantized to 1e-12 nats so per-pair sums are exact "
+        "BIGINTs (operators/textstats.py:unigram_js_divergence).",
+)
+def q_js_divergence(spark, sf_dir):
+    return ts.unigram_js_divergence(load(spark, sf_dir, "documents"))

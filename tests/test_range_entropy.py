@@ -144,3 +144,51 @@ def test_stupid_backoff_backoff_path(spark):
     got = {r["doc_id"]: r for r in stupid_backoff_scores(df).collect()}
     # both bigrams seen once, unigrams x:2 y:2 → ln(1/2) each
     assert got[1]["sum_q"] == got[2]["sum_q"]
+
+
+def test_backoff_cross_corpus_exercises_backoff_and_oov(spark):
+    from nonconsumptive_spark.operators.textstats import (
+        SB_ALPHA, SB_SCALE, stupid_backoff_scores)
+
+    lm = spark.createDataFrame([(10, "a b a b")], ["doc_id", "text"])
+    # doc 1: pair (b, a) seen in LM? LM bigrams: (a,b)x2... wait "a b a b"
+    # gives (a,b),(b,a),(a,b) — so (b,a) IS seen. Use (b,b): unseen bigram
+    # with in-vocab w1 → backoff path; and (b,zz): OOV w1 → floor path.
+    scored = spark.createDataFrame(
+        [(1, "b b"), (2, "b zz")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           stupid_backoff_scores(scored, lm_df=lm).collect()}
+    # LM: unigrams a:2 b:2 (N=4, V=2); bigrams (a,b):2 (b,a):1
+    # doc 1 pair (b,b): unseen bigram, w1=b in vocab →
+    #   ln(alpha * (2+1)/(4+2))
+    exp_bo = round(math.log(SB_ALPHA * (2 + 1) / (4 + 2)) * SB_SCALE)
+    assert got[1]["sum_q"] == exp_bo
+    # doc 2 pair (b,zz): w1 OOV → ln(alpha * 1/(4+2))
+    exp_oov = round(math.log(SB_ALPHA * 1 / (4 + 2)) * SB_SCALE)
+    assert got[2]["sum_q"] == exp_oov
+
+
+def test_js_divergence_properties(spark):
+    from nonconsumptive_spark.operators.textstats import unigram_js_divergence
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z", "p"), (2, "x y z", "q"),     # identical dists
+            (3, "aa bb cc", "r"),                     # disjoint from s
+            (4, "dd ee ff", "s"),
+        ],
+        ["doc_id", "text", "lang"])
+    got = {(r["label_a"], r["label_b"]): r
+           for r in unigram_js_divergence(df).collect()}
+    # identical distributions → JSD exactly 0
+    assert got[("p", "q")]["jsd"] == 0.0
+    # all pairs: 0 <= jsd <= ln 2
+    for r in got.values():
+        assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
+    # disjoint vocabularies → strictly larger than the identical pair
+    # (add-1 smoothing dominates 3-token corpora, so the value is small
+    # but must still be strictly positive)
+    assert got[("r", "s")]["jsd"] > 0.0
+    # union-vocab bookkeeping: r/s pair has 6 tokens in its vocabulary
+    assert got[("r", "s")]["v"] == 6
+    assert got[("r", "s")]["n_a"] == 3 and got[("r", "s")]["n_b"] == 3
