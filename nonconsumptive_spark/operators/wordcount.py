@@ -546,3 +546,40 @@ def countmin_estimates(docs: DataFrame, top: int = 50,
             (F.col("c_est") - F.col("c_exact")).alias("overestimate"),
         )
     )
+
+
+def cooccurrence_counts(docs: DataFrame, window: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(w0, w1, count): corpus-wide directional co-occurrence counts — every
+    ordered token pair at positional distance 1..window inside a document
+    (the classic skip-gram/GloVe pre-aggregation for embedding training).
+
+    Plan: pair generation is IN-ROW (one ``transform`` over index
+    sequences per distance, concatenated — no self-join on position), so
+    the only shuffle is the final (w0, w1) count agg, map-side combined;
+    the same shape as global wordcount, ~``window``x the rows."""
+    toks = tokenize(text_col)
+
+    def pairs_at(ts, d):
+        return F.when(
+            F.size(ts) > d,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - 1 - d),
+                lambda i: F.struct(
+                    F.element_at(ts, i + 1).alias("w0"),
+                    F.element_at(ts, i + 1 + d).alias("w1"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w0:string,w1:string>>"))
+
+    all_pairs = let(
+        toks,
+        lambda ts: F.concat(*[pairs_at(ts, d) for d in range(1, window + 1)]),
+    )
+    return (
+        docs.select(F.explode(all_pairs).alias("p"))
+        .select(F.col("p.w0").alias("w0"), F.col("p.w1").alias("w1"))
+        .groupBy("w0", "w1")
+        .agg(F.count("*").cast("bigint").alias("count"))
+    )

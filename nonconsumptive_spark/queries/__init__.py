@@ -92,6 +92,9 @@ PRIORITY: tuple[str, ...] = (
     "q_zscore_outliers",
     "q_backoff_cross_corpus",
     "q_js_divergence",
+    "q_cooccurrence_window",
+    "q_winsorize",
+    "q_value_histogram",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -128,9 +131,6 @@ PRIORITY: tuple[str, ...] = (
     "q_regex_vote",
     "q_rollup_revenue",
     "q_semi_join",
-    "q_shipping_priority",
-    "q_struct_roundtrip",
-    "q_topk_customers",
     # -- oldest r2 rows whose implementation files were touched since the
     #    r3 gate (dedup.py / textstats.py dependents) — fills to 50
     "q_dedup_clusters",

@@ -566,3 +566,98 @@ def q_zscore_outliers(spark, sf_dir):
             (num * num > F.lit(3) * den).alias("is_outlier"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+      FROM events),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY event_type),
+    dist AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS c
+             FROM q GROUP BY event_type, vq),
+    cum AS (
+      SELECT event_type, vq,
+             sum(c) OVER (PARTITION BY event_type ORDER BY vq) AS cum
+      FROM dist),
+    bounds AS (
+      SELECT c.event_type,
+             min(CASE WHEN c.cum >= ceil(0.05 * n.n) THEN c.vq END) AS lo,
+             min(CASE WHEN c.cum >= ceil(0.95 * n.n) THEN c.vq END) AS hi
+      FROM cum c JOIN n ON n.event_type = c.event_type
+      GROUP BY c.event_type)
+    SELECT q.event_id, q.event_type, q.vq,
+           greatest(b.lo, least(b.hi, q.vq)) AS vq_clipped,
+           (q.vq < b.lo OR q.vq > b.hi) AS is_clipped
+    FROM q JOIN bounds b ON b.event_type = q.event_type
+    """,
+    doc="Per-group winsorization (clip at discrete P05/P95).  Exact "
+        "percentiles WITHOUT sorting the data: boundaries come from a "
+        "cumulative sum over the per-group distribution of DISTINCT "
+        "quantized values (the DSIR score-histogram trick), so the only "
+        "window runs over distinct-value rows, and the tiny (type, lo, hi) "
+        "table broadcasts back onto the scan.  All compared columns are "
+        "exact BIGINTs/booleans.",
+)
+def q_winsorize(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+         .alias("vq"),
+    )
+    n = q.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    dist = q.groupBy("event_type", "vq").agg(
+        F.count("*").cast("long").alias("c"))
+    wcum = (Window.partitionBy("event_type").orderBy("vq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dist.select("event_type", "vq", F.sum("c").over(wcum).alias("cum"))
+    bounds = (
+        cum.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.ceil(F.lit(0.05) * F.col("n")),
+                         F.col("vq"))).alias("lo"),
+            F.min(F.when(F.col("cum") >= F.ceil(F.lit(0.95) * F.col("n")),
+                         F.col("vq"))).alias("hi"),
+        )
+    )
+    return (
+        q.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id", "event_type", "vq",
+            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("vq")))
+             .alias("vq_clipped"),
+            ((F.col("vq") < F.col("lo")) | (F.col("vq") > F.col("hi")))
+             .alias("is_clipped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 5000 AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Fixed-width value histogram per event type (50.00-unit bins over "
+        "integer-cent quantized values) — one map-side-combined agg; bin "
+        "arithmetic is pure integer, so cross-engine exact.",
+)
+def q_value_histogram(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        ev.select("event_type", (vq - (vq % 5000)) .alias("scaled"))
+        .select("event_type", (F.col("scaled") / 5000).cast("long").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

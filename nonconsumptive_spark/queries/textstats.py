@@ -1363,3 +1363,27 @@ def q_backoff_cross_corpus(spark, sf_dir):
 )
 def q_js_divergence(spark, sf_dir):
     return ts.unigram_js_divergence(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_cooccurrence_window",
+    oracle=f"""
+    WITH tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents)
+    SELECT a.token AS w0, b.token AS w1, CAST(count(*) AS BIGINT) AS count
+    FROM tokpos a JOIN tokpos b
+      ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 4
+    GROUP BY a.token, b.token
+    """,
+    doc="Directional windowed co-occurrence counts (distance <= 4) — the "
+        "skip-gram/GloVe pre-aggregation for embedding training.  Pair "
+        "generation is in-row (no positional self-join); only the final "
+        "(w0, w1) agg shuffles (operators/wordcount.py:cooccurrence_counts).",
+)
+def q_cooccurrence_window(spark, sf_dir):
+    from nonconsumptive_spark.operators.wordcount import cooccurrence_counts
+
+    return cooccurrence_counts(load(spark, sf_dir, "documents"), window=4)

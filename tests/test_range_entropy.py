@@ -192,3 +192,43 @@ def test_js_divergence_properties(spark):
     # union-vocab bookkeeping: r/s pair has 6 tokens in its vocabulary
     assert got[("r", "s")]["v"] == 6
     assert got[("r", "s")]["n_a"] == 3 and got[("r", "s")]["n_b"] == 3
+
+
+def test_cooccurrence_window_semantics(spark):
+    from nonconsumptive_spark.operators.wordcount import cooccurrence_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a")], ["doc_id", "text"])
+    got = {(r["w0"], r["w1"]): r["count"]
+           for r in cooccurrence_counts(df, window=2).collect()}
+    # doc1 pairs: d1 (a,b),(b,c); d2 (a,c); doc2: none
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+    # window=1 degenerates to bigram counts
+    got1 = {(r["w0"], r["w1"]): r["count"]
+            for r in cooccurrence_counts(df, window=1).collect()}
+    assert got1 == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_winsorize_bounds(spark, tmp_path):
+    import pandas as pd
+
+    from nonconsumptive_spark.queries import all_queries
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    vals = list(range(1, 21))  # 1..20 → P05 disc = 1, P95 disc = 19
+    pd.DataFrame({
+        "event_id": range(20),
+        "ts": pd.to_datetime(["2024-01-01"] * 20),
+        "user_id": [1] * 20,
+        "event_type": ["t"] * 20,
+        "value": [float(v) for v in vals],
+        "props": ["{}"] * 20,
+    }).to_parquet(sf / "events.parquet")
+    q = all_queries()["q_winsorize"]
+    rows = {r["event_id"]: r for r in q.spark_fn(spark, str(sf)).collect()}
+    # vq = value*100; ceil(0.05*20)=1 → lo=100; ceil(0.95*20)=19 → hi=1900
+    assert rows[0]["vq_clipped"] == 100 and rows[0]["is_clipped"] is False
+    assert rows[19]["vq"] == 2000
+    assert rows[19]["vq_clipped"] == 1900 and rows[19]["is_clipped"] is True
+    assert rows[18]["vq_clipped"] == 1900 and rows[18]["is_clipped"] is False
