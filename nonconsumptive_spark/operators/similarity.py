@@ -585,3 +585,64 @@ def knn_pq_adc(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+CENT_SCALE = 1000  # per-component quantization for centroid arithmetic
+
+
+def label_centroid_distances(emb: DataFrame, label_col: str = "label",
+                             vec_col: str = "embedding") -> DataFrame:
+    """(label_a, label_b, n_a, n_b, cos_centroid): pairwise cosine between
+    per-label mean embeddings — the embedding-space analog of
+    q_js_divergence's distributional drift measure (are two sources /
+    languages / snapshots embedded in the same region?).
+
+    Exactness: components quantize to integer 1e-3 units BEFORE any agg,
+    so per-label per-dimension sums are exact BIGINTs, and the count
+    normalization cancels out of cosine entirely (cos(Sa/na, Sb/nb) =
+    cos(Sa, Sb)) — dots are pure BIGINT arithmetic (|S_i| <= n*530 at
+    this data's value range keeps 64-dim dots < 2^63 through ~50M rows
+    per label) and the single double expression at the end is mirrored
+    verbatim in the oracle.
+
+    Plan: one (label, dim) agg over the exploded components (64 rows per
+    label survive), then everything is #labels-sized: the pair join is a
+    broadcast over a tiny frame."""
+    comp = emb.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    )
+    sums = (
+        comp.groupBy("lbl", "dim")
+        .agg(F.sum(F.round(F.col("x").cast("double") * F.lit(CENT_SCALE))
+                   .cast("long")).cast("long").alias("s"))
+    )
+    vecs = (
+        sums.groupBy("lbl")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))),
+            lambda p: p["s"]).alias("sv"))
+        .withColumn(
+            "dself",
+            F.aggregate(F.col("sv"), F.lit(0).cast("bigint"),
+                        lambda a, x: a + x * x))
+    )
+    cnt = emb.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count("*").cast("bigint").alias("n"))
+    vecs = vecs.join(F.broadcast(cnt), "lbl")
+    a = vecs.select(F.col("lbl").alias("label_a"), F.col("sv").alias("sa"),
+                    F.col("dself").alias("daa"), F.col("n").alias("n_a"))
+    b = vecs.select(F.col("lbl").alias("label_b"), F.col("sv").alias("sb"),
+                    F.col("dself").alias("dbb"), F.col("n").alias("n_b"))
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    dot = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return pairs.select(
+        "label_a", "label_b", "n_a", "n_b",
+        (F.round(dot.cast("double")
+                 / (F.sqrt(F.col("daa").cast("double"))
+                    * F.sqrt(F.col("dbb").cast("double"))), 6)
+         + F.lit(0.0)).alias("cos_centroid"),
+    )

@@ -1400,3 +1400,42 @@ def unigram_js_divergence(df: DataFrame, label_col: str = "lang",
              + F.lit(0.0)).alias("jsd"),
         )
     )
+
+
+def counts_jsd(cnt_a: DataFrame, cnt_b: DataFrame) -> DataFrame:
+    """One-row (v, n_a, n_b, jsd): Jensen-Shannon divergence between two
+    (token, count) distributions — the pair-free kernel behind
+    unigram_js_divergence, reused by the streaming drift monitor
+    (streaming/drift.py) to compare an arriving micro-batch against the
+    committed corpus.  Same add-1 smoothing over the union vocabulary and
+    the same 1e-12-nat integer quantization, so the result is exact given
+    the two count tables."""
+    a = cnt_a.select(F.col("token").alias("w"), F.col("count").alias("c_a"))
+    b = cnt_b.select(F.col("token").alias("w"), F.col("count").alias("c_b"))
+    per_tok = (
+        a.join(b, "w", "full")
+        .select("w", F.coalesce("c_a", F.lit(0)).cast("bigint").alias("c_a"),
+                F.coalesce("c_b", F.lit(0)).cast("bigint").alias("c_b"))
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    per_tok = materialize_once(per_tok, "jsd_counts_pair")
+    scalars = per_tok.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    p = (F.col("c_a") + 1) / (F.col("n_a") + F.col("v"))
+    q = (F.col("c_b") + 1) / (F.col("n_b") + F.col("v"))
+    m = (p + q) / 2
+    term = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    return (
+        per_tok.crossJoin(F.broadcast(scalars))
+        .groupBy("v", "n_a", "n_b")
+        .agg(F.sum(F.round(term * F.lit(JSD_SCALE)).cast("bigint"))
+             .alias("sum_q"))
+        .select(
+            "v", "n_a", "n_b",
+            (F.round(F.col("sum_q").cast("double") / F.lit(JSD_SCALE), 6)
+             + F.lit(0.0)).alias("jsd"),
+        )
+    )

@@ -346,3 +346,43 @@ def q_knn_pq_adc(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return sim.knn_pq_adc(emb, queries, k=_K, dim=_PQ_DIM)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_label_centroid_distances",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * {sim.CENT_SCALE})
+                  AS BIGINT) AS cq
+      FROM embeddings),
+    sums AS (SELECT label, dim, CAST(sum(cq) AS BIGINT) AS s
+             FROM comp GROUP BY label, dim),
+    vecs AS (SELECT label, list(s ORDER BY dim) AS sv FROM sums GROUP BY label),
+    cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label),
+    selfd AS (
+      SELECT label, sv,
+             CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS daa
+      FROM vecs)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ca.n AS n_a, cb.n AS n_b,
+           round(CAST(list_sum(list_transform(range(1, len(a.sv) + 1),
+                                              i -> a.sv[i] * b.sv[i]))
+                      AS BIGINT) * 1.0
+                 / (sqrt(CAST(a.daa AS DOUBLE)) * sqrt(CAST(b.daa AS DOUBLE))),
+                 6) + 0.0 AS cos_centroid
+    FROM selfd a JOIN selfd b ON a.label < b.label
+    JOIN cnt ca ON ca.label = a.label
+    JOIN cnt cb ON cb.label = b.label
+    """,
+    doc="Pairwise cosine between per-label embedding centroids — the "
+        "embedding-space analog of q_js_divergence's corpus-drift measure. "
+        "Components quantize to integer 1e-3 units before any agg, the "
+        "count normalization cancels out of cosine, and dots are pure "
+        "BIGINT arithmetic (operators/similarity.py:"
+        "label_centroid_distances).",
+)
+def q_label_centroid_distances(spark, sf_dir):
+    return sim.label_centroid_distances(load(spark, sf_dir, "embeddings"))

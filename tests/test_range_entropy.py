@@ -232,3 +232,61 @@ def test_winsorize_bounds(spark, tmp_path):
     assert rows[19]["vq"] == 2000
     assert rows[19]["vq_clipped"] == 1900 and rows[19]["is_clipped"] is True
     assert rows[18]["vq_clipped"] == 1900 and rows[18]["is_clipped"] is False
+
+
+def test_new_text_ops_null_text_consistency(spark):
+    """NULL-text docs: char_diversity keeps the doc with zero stats (it is
+    a per-doc hygiene stat); stupid_backoff drops it (no pairs exist) —
+    both mirroring their oracles' CTE semantics exactly."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nonconsumptive_spark.operators.textstats import (
+        char_diversity, stupid_backoff_scores, unigram_js_divergence)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType()),
+                         StructField("lang", StringType())])
+    docs = spark.createDataFrame(
+        [(1, None, "a"), (2, "x y x", "a"), (3, "x y z", "b")], schema)
+    cd = {r["doc_id"]: r for r in char_diversity(docs).collect()}
+    assert set(cd) == {1, 2, 3} and cd[1]["n_chars_tok"] == 0
+    sb = {r["doc_id"]: r for r in stupid_backoff_scores(docs).collect()}
+    assert set(sb) == {2, 3}
+    jd = unigram_js_divergence(docs).collect()
+    assert len(jd) == 1  # NULL doc contributes no tokens, pair (a,b) exists
+
+
+def test_label_centroid_distances_geometry(spark):
+    from nonconsumptive_spark.operators.similarity import (
+        label_centroid_distances)
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0),   # centroid +x
+        (3, [0.0, 2.0, 0.0], 1),                            # centroid +y
+        (4, [-1.0, 0.0, 0.0], 2), (5, [-3.0, 0.0, 0.0], 2), # centroid -x
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {(r["label_a"], r["label_b"]): r
+           for r in label_centroid_distances(emb).collect()}
+    assert got[(0, 1)]["cos_centroid"] == 0.0      # orthogonal
+    assert got[(0, 2)]["cos_centroid"] == -1.0     # opposite
+    assert got[(1, 2)]["cos_centroid"] == 0.0
+    assert got[(0, 2)]["n_a"] == 2 and got[(0, 2)]["n_b"] == 2
+
+
+def test_counts_jsd_matches_pairwise_operator(spark):
+    """The streaming kernel (counts_jsd) and the batch pairwise operator
+    must agree on the same pair of distributions."""
+    from nonconsumptive_spark.operators.textstats import (
+        counts_jsd, unigram_js_divergence)
+    from nonconsumptive_spark.operators.wordcount import global_wordcount
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    pairwise = {(r["label_a"], r["label_b"]): r["jsd"]
+                for r in unigram_js_divergence(docs).collect()}
+    a = global_wordcount(docs.filter(F.col("lang") == "en"))
+    b = global_wordcount(docs.filter(F.col("lang") == "fr"))
+    one = counts_jsd(a, b).collect()[0]
+    assert one["jsd"] == pairwise[("en", "fr")]

@@ -524,3 +524,49 @@ def test_pq_scoring_stream_equals_batch(spark, tmp_path):
     streamed = {(r["vec_id"], tuple(r["codes"])) for r in
                 spark.sql("SELECT * FROM pq_codes").collect()}
     assert streamed == batch and len(streamed) > 0
+
+
+def test_drift_monitor_logs_epochs_and_final_table(spark, tmp_path):
+    """Drift monitor: per-epoch JSD entries appear for every epoch after
+    the first committed corpus, the final wordcount table still equals
+    the batch computation, and the log survives an epoch replay without
+    duplicating (overwrite-per-epoch idempotence)."""
+    from nonconsumptive_spark.operators import wordcount as wc
+    from nonconsumptive_spark.streaming.corpus import (
+        committed_table, stream_documents)
+    from nonconsumptive_spark.streaming.drift import (
+        drift_log, start_drift_monitor)
+
+    src_dir = str(tmp_path / "docs")
+    load(spark, SF_SMALL, "documents").repartition(6).write.parquet(src_dir)
+    table = str(tmp_path / "wc")
+    log_dir = str(tmp_path / "drift")
+    q = start_drift_monitor(
+        stream_documents(spark, src_dir, max_files_per_trigger=2),
+        table, log_dir, checkpoint_dir=str(tmp_path / "cp"))
+    q.awaitTermination(120)
+
+    got = {(r["token"], r["count"])
+           for r in committed_table(spark, table).collect()}
+    expect = {(r["token"], r["count"])
+              for r in wc.global_wordcount(spark.read.parquet(src_dir)).collect()}
+    assert got == expect
+
+    log = drift_log(spark, log_dir).collect()
+    # 6 files at 2/trigger = 3 epochs; the first has no committed corpus
+    # to compare against, so >= 2 entries, all with sane bounded JSD
+    assert len(log) >= 2
+    assert len({r["epoch"] for r in log}) == len(log)  # one row per epoch
+    import math
+    for r in log:
+        assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
+        assert r["n_batch"] > 0 and r["n_corpus"] > 0
+
+    # replay idempotence: re-log an already-logged epoch with the same
+    # content — row count must not grow
+    from nonconsumptive_spark.streaming.drift import _log_epoch
+    some = sorted(log, key=lambda r: r["epoch"])[0]
+    _log_epoch(spark, log_dir, some["epoch"],
+               {"v": some["v"], "n_a": some["n_corpus"],
+                "n_b": some["n_batch"], "jsd": some["jsd"]})
+    assert len(drift_log(spark, log_dir).collect()) == len(log)
