@@ -765,3 +765,74 @@ def snm_pairs(docs: DataFrame, window: int = SNM_WINDOW,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact all-pairs shingle Jaccard ≥ threshold via PREFIX FILTERING
+    (PPJoin family, Xiao et al. 2008) — same result set as jaccard_pairs,
+    different candidate generator.
+
+    With shingles ordered globally by (document frequency asc, shingle
+    asc), any pair with Jaccard ≥ t must have overlap ≥ ceil(t·n) on each
+    side (J = o/(na+nb-o) ≥ t and nb ≥ o imply o ≥ t·na, symmetrically
+    t·nb), so the first ``n - ceil(t·n) + 1`` shingles of each doc — its
+    RAREST ones — must intersect the partner's prefix.  Candidates are
+    therefore the equi-join of PREFIX rows only, plus the length filter
+    t·na ≤ nb ≤ na/t; verification counts intersections only for
+    candidate pairs.
+
+    vs jaccard_pairs (full shingle equi-join): the join fan-out on a
+    frequent shingle is df², so skewed shingle distributions blow the
+    naive join up; prefixes are rare-first, capping per-shingle fan-out.
+    vs MinHash/LSH: exact — no recall loss, no signature tuning.
+
+    Plan: one df agg (shingle-vocab sized), one per-doc rank window
+    (PARTITIONED by doc), prefix self-join on the shingle key, then a
+    candidate-bounded verify join.  Nothing quadratic in the corpus."""
+    sh = materialize_once(doc_shingles(docs, id_col, text_col), "pp_shingles")
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    exploded = materialize_once(exploded, "pp_exploded")
+    sizes = sh.select(F.col(id_col), F.size("shingles").cast("long").alias("n"))
+
+    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        exploded.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select(id_col, "shingle", "n")
+
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle",
+                       F.col("n").alias("na"))
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle",
+                       F.col("n").alias("nb"))
+    cands = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb")))
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+
+    ea = exploded.select(F.col(id_col).alias("doc_a"), "shingle")
+    eb = exploded.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cands.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

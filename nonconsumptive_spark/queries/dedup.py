@@ -590,3 +590,32 @@ def q_ngram_novelty(spark, sf_dir):
 def q_snm_pairs(spark, sf_dir):
     return dd.snm_pairs(load(spark, sf_dir, "documents"),
                         window=dd.SNM_WINDOW, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_ppjoin_pairs",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.5
+    """,
+    doc="PPJoin-style exact Jaccard ≥ 0.5 via PREFIX filtering (Xiao et "
+        "al. 2008): candidates come from equi-joining only each doc's "
+        "rarest n-ceil(t*n)+1 shingles plus a length filter — exact like "
+        "the naive shingle join but with per-shingle fan-out capped by "
+        "rarity ordering (operators/dedup.py:ppjoin_pairs; oracle is the "
+        "ground-truth full join, so the result-set identity IS the check).",
+)
+def q_ppjoin_pairs(spark, sf_dir):
+    return dd.ppjoin_pairs(load(spark, sf_dir, "documents"), threshold=0.5)

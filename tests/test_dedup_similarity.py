@@ -431,3 +431,49 @@ def test_snm_bucket_join_equals_naive_window_join(spark):
         for j in range(i + 1, min(i + w, len(order))):
             expect.add((order[i]["doc_id"], order[j]["doc_id"]))
     assert set(got) == expect
+
+
+def test_ppjoin_equals_naive_jaccard_and_prunes_candidates(spark):
+    """PPJoin is EXACT: identical result set to the full shingle join at
+    the same threshold — and its prefix candidate set is strictly smaller
+    than the naive join's sharing-any-shingle candidate set."""
+    from nonconsumptive_spark.operators import dedup as dd
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    naive = {(r["doc_a"], r["doc_b"], r["jaccard"])
+             for r in dd.jaccard_pairs(docs, threshold=0.5).collect()}
+    pp = {(r["doc_a"], r["doc_b"], r["jaccard"])
+          for r in dd.ppjoin_pairs(docs, threshold=0.5).collect()}
+    assert pp == naive and len(pp) > 0
+
+    # candidate-volume: pairs sharing >=1 PREFIX shingle (with length
+    # filter) vs pairs sharing >=1 shingle at all
+    sh = dd.doc_shingles(docs)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    naive_cands = (a.join(b, "shingle").filter("doc_a < doc_b")
+                   .select("doc_a", "doc_b").distinct().count())
+    # reconstruct the prefix candidate count through the operator's own
+    # internals: run it up to the distinct() and count
+    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    ranked = (exploded.join(dfreq, "shingle")
+              .withColumn("pos", F.row_number().over(w).cast("long"))
+              .join(sizes, "doc_id"))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(0.5) * F.col("n")) + 1)
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "shingle",
+                       F.col("n").alias("na"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "shingle",
+                       F.col("n").alias("nb"))
+    pp_cands = (pa.join(pb, "shingle")
+                .filter((F.col("doc_a") < F.col("doc_b"))
+                        & (F.col("nb") >= F.ceil(F.lit(0.5) * F.col("na")))
+                        & (F.col("na") >= F.ceil(F.lit(0.5) * F.col("nb"))))
+                .select("doc_a", "doc_b").distinct().count())
+    assert pp_cands < naive_cands
