@@ -54,8 +54,20 @@ def _minhash_pairs_xxhash64(spark, sf_dir):
 
 # Extra timed-but-not-judged entries: reported under "extra_queries",
 # excluded from the headline total so round-over-round comparisons hold.
+def _ppjoin(spark, sf_dir):
+    from nonconsumptive_spark.queries import all_queries
+    return all_queries()["q_ppjoin_pairs"].spark_fn(spark, sf_dir)
+
+
+def _cooccurrence(spark, sf_dir):
+    from nonconsumptive_spark.queries import all_queries
+    return all_queries()["q_cooccurrence_window"].spark_fn(spark, sf_dir)
+
+
 EXTRA = {
     "q_minhash_dedup_pairs[xxhash64]": _minhash_pairs_xxhash64,
+    "q_ppjoin_pairs": _ppjoin,
+    "q_cooccurrence_window": _cooccurrence,
 }
 
 

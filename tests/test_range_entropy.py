@@ -290,3 +290,40 @@ def test_counts_jsd_matches_pairwise_operator(spark):
     b = global_wordcount(docs.filter(F.col("lang") == "fr"))
     one = counts_jsd(a, b).collect()[0]
     assert one["jsd"] == pairwise[("en", "fr")]
+
+
+def test_new_ops_plan_shapes(spark):
+    """Scale-property regressions for the round-4b operators: the range
+    join must be an equi-join (never BroadcastNestedLoopJoin/Cartesian
+    on the data path), ppjoin must stay equi-join only, and zscore's
+    moments must come back as a broadcast."""
+    from nonconsumptive_spark.operators import dedup as dd
+    from nonconsumptive_spark.queries import all_queries, load
+    from tests.conftest import SF_SMALL
+
+    qs = all_queries()
+
+    plan = (qs["q_range_join_events"].spark_fn(spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    plan = (dd.ppjoin_pairs(load(spark, SF_SMALL, "documents"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = (qs["q_zscore_outliers"].spark_fn(spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = (qs["q_winsorize"].spark_fn(spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+
+    # co-occurrence: the only shuffle is the final count agg — no join at all
+    plan = (qs["q_cooccurrence_window"].spark_fn(spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
