@@ -805,30 +805,52 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select(id_col, "shingle", "n")
+    ).select(id_col, "shingle", "n", "pos")
 
     pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle",
-                       F.col("n").alias("na"))
+                       F.col("n").alias("na"), F.col("pos").alias("pa"))
     pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle",
-                       F.col("n").alias("nb"))
+                       F.col("n").alias("nb"), F.col("pos").alias("pb"))
+    # positional filter (PPJoin proper): a shared prefix shingle at
+    # positions (pa, pb) bounds the best possible overlap by the shorter
+    # remaining suffix + 1; pairs that cannot reach the Jaccard-implied
+    # overlap floor ceil(t/(1+t)·(na+nb)) are dropped BEFORE the
+    # deduplicating distinct — the filter is per-joined-row, so it also
+    # shrinks the distinct's shuffle
+    overlap_floor = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")))
+    best_overlap = F.least(F.col("na") - F.col("pa"),
+                           F.col("nb") - F.col("pb")) + 1
     cands = (
         pa.join(pb, "shingle")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
             & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb")))
+            & (best_overlap >= overlap_floor)
         )
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()
     )
 
-    ea = exploded.select(F.col(id_col).alias("doc_a"), "shingle")
-    eb = exploded.select(F.col(id_col).alias("doc_b"), "shingle")
+    # verify IN-ROW: join each candidate to the two full shingle ARRAYS
+    # and intersect inside the row (A/B vs exploding candidates against
+    # the shingle table: 2.80s vs 2.97s warm on materialized candidates
+    # at sf0.1 — a wash on this data; the in-row form is kept because it
+    # adds no |candidates| x |doc| intermediate rows, which is the term
+    # that grows with document size at production scale)
+    arr_a = sh.select(F.col(id_col).alias("doc_a"),
+                      F.col("shingles").alias("sh_a"))
+    arr_b = sh.select(F.col(id_col).alias("doc_b"),
+                      F.col("shingles").alias("sh_b"))
     inter = (
-        cands.join(ea, "doc_a")
-        .join(eb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
+        cands.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a", "doc_b", "na", "nb",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+             .alias("inter"),
+        )
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
