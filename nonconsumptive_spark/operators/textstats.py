@@ -1439,3 +1439,65 @@ def counts_jsd(cnt_a: DataFrame, cnt_b: DataFrame) -> DataFrame:
              + F.lit(0.0)).alias("jsd"),
         )
     )
+
+
+def distinctive_terms(df: DataFrame, label_col: str = "lang", k: int = 10,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(label, token, c_in, c_out, z_logodds, rank): the k most
+    distinctive tokens per label value by weighted log-odds with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008 —
+    "Fightin' Words"), the standard corpus-linguistics answer to "what
+    words characterize this subcorpus?" that raw frequency ratios and
+    TF-IDF both get wrong for rare words.
+
+    z = delta / sqrt(1/(c_in + a_w) + 1/(c_out + a_w)) where delta is the
+    prior-smoothed log-odds difference and the prior a_w is the token's
+    GLOBAL count (a0 = total corpus tokens).  Every z is a pure function
+    of five exact BIGINT counts — no accumulation crosses rows, so
+    cross-engine hash parity needs only a mirrored expression (+ round).
+
+    Plan: ONE (label, token) agg over the corpus; global and per-label
+    totals are re-aggs of that vocabulary-sized frame; the top-k window
+    is partitioned by label.  Ties break (z desc, token asc)."""
+    cnt = (
+        df.select(F.col(label_col).alias("label"),
+                  F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("label", "token")
+        .agg(F.count("*").cast("bigint").alias("c_in"))
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    cnt = materialize_once(cnt, "dterms_counts")
+
+    glob = cnt.groupBy("token").agg(F.sum("c_in").cast("bigint").alias("c_g"))
+    n_lbl = cnt.groupBy("label").agg(F.sum("c_in").cast("bigint").alias("n_in"))
+    n_tot = glob.agg(F.sum("c_g").cast("bigint").alias("n_g"))
+
+    scored = (
+        cnt.join(glob, "token")
+        .join(F.broadcast(n_lbl), "label")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("c_out", (F.col("c_g") - F.col("c_in")).cast("bigint"))
+        .withColumn("n_out", (F.col("n_g") - F.col("n_in")).cast("bigint"))
+    )
+    aw = F.col("c_g")
+    a0 = F.col("n_g")
+    delta = (
+        F.log((F.col("c_in") + aw)
+              / (F.col("n_in") + a0 - F.col("c_in") - aw))
+        - F.log((F.col("c_out") + aw)
+                / (F.col("n_out") + a0 - F.col("c_out") - aw))
+    )
+    var = (F.lit(1.0) / (F.col("c_in") + aw)
+           + F.lit(1.0) / (F.col("c_out") + aw))
+    scored = scored.withColumn(
+        "z_logodds",
+        F.round(delta / F.sqrt(var), 4) + F.lit(0.0))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("label").orderBy(F.desc("z_logodds"),
+                                            F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("label", "token", "c_in", "c_out", "z_logodds", "rank")
+    )

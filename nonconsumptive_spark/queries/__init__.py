@@ -97,6 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "q_value_histogram",
     "q_label_centroid_distances",
     "q_ppjoin_pairs",
+    "q_distinctive_terms",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -130,7 +131,6 @@ PRIORITY: tuple[str, ...] = (
     "q_posexplode_provenance",
     "q_quantiles",
     "q_regex_extract_cast",
-    "q_regex_vote",
     # -- oldest r2 rows whose implementation files were touched since the
     #    r3 gate (dedup.py / textstats.py dependents) — fills to 50
     "q_dedup_clusters",

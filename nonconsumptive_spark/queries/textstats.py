@@ -1387,3 +1387,50 @@ def q_cooccurrence_window(spark, sf_dir):
     from nonconsumptive_spark.operators.wordcount import cooccurrence_counts
 
     return cooccurrence_counts(load(spark, sf_dir, "documents"), window=4)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_distinctive_terms",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT lang AS label, w AS token, CAST(count(*) AS BIGINT) AS c_in
+      FROM (SELECT lang, unnest({_DUCK_TOKS}) AS w FROM documents) z
+      GROUP BY lang, w),
+    gl AS (SELECT token, CAST(sum(c_in) AS BIGINT) AS c_g
+             FROM cnt GROUP BY token),
+    n_lbl AS (SELECT label, CAST(sum(c_in) AS BIGINT) AS n_in
+              FROM cnt GROUP BY label),
+    n_tot AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g FROM gl),
+    scored AS (
+      SELECT c.label, c.token, c.c_in,
+             g.c_g - c.c_in AS c_out,
+             round((ln((c.c_in + g.c_g)
+                       / (l.n_in + t.n_g - c.c_in - g.c_g))
+                    - ln(((g.c_g - c.c_in) + g.c_g)
+                         / ((t.n_g - l.n_in) + t.n_g
+                            - (g.c_g - c.c_in) - g.c_g)))
+                   / sqrt(1.0 / (c.c_in + g.c_g)
+                          + 1.0 / ((g.c_g - c.c_in) + g.c_g)), 4) + 0.0
+               AS z_logodds
+      FROM cnt c
+      JOIN gl g ON g.token = c.token
+      JOIN n_lbl l ON l.label = c.label
+      CROSS JOIN n_tot t),
+    ranked AS (
+      SELECT label, token, c_in, c_out, z_logodds,
+             CAST(row_number() OVER (PARTITION BY label
+                                     ORDER BY z_logodds DESC, token ASC)
+                  AS BIGINT) AS rank
+      FROM scored)
+    SELECT label, token, c_in, c_out, z_logodds, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Distinctive vocabulary per label by weighted log-odds with an "
+        "informative Dirichlet prior (Monroe et al. 2008 'Fightin' "
+        "Words') — each z is a pure function of five exact BIGINT counts, "
+        "so parity needs only a mirrored expression "
+        "(operators/textstats.py:distinctive_terms).",
+)
+def q_distinctive_terms(spark, sf_dir):
+    return ts.distinctive_terms(load(spark, sf_dir, "documents"), k=10)

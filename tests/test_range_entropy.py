@@ -327,3 +327,26 @@ def test_new_ops_plan_shapes(spark):
     plan = (qs["q_cooccurrence_window"].spark_fn(spark, SF_SMALL)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
+
+
+def test_distinctive_terms_separates_planted_vocab(spark):
+    """A token that appears only in one label must rank at the top of
+    that label's distinctive list with positive z; shared background
+    tokens must score near zero."""
+    from nonconsumptive_spark.operators.textstats import distinctive_terms
+
+    rows = [(i, "common words here plus apple apple apple", "a")
+            for i in range(5)]
+    rows += [(10 + i, "common words here plus banana banana banana", "b")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = distinctive_terms(df, k=3).collect()
+    top = {r["label"]: [x["token"] for x in sorted(
+        [g for g in got if g["label"] == r["label"]],
+        key=lambda g: g["rank"])] for r in got}
+    assert top["a"][0] == "apple"
+    assert top["b"][0] == "banana"
+    za = {r["token"]: r["z_logodds"] for r in got if r["label"] == "a"}
+    assert za["apple"] > 0
+    # planted token dominates any background token's score
+    assert all(za["apple"] > v for t, v in za.items() if t != "apple")
