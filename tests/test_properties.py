@@ -291,3 +291,101 @@ def test_containment_dominates_jaccard(spark, texts):
     for pair, c in cont.items():
         if pair in jac:
             assert c >= jac[pair] - 1e-9, (pair, c, jac[pair])
+
+
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=10_000_000),
+                   min_size=1, max_size=15),
+    rights=st.lists(st.integers(min_value=0, max_value=10_000_000),
+                    min_size=1, max_size=30),
+    lo=st.integers(min_value=-2_000_000, max_value=1_000_000),
+    span=st.integers(min_value=1, max_value=3_000_000),
+)
+@SET
+def test_bucketed_range_join_equals_bruteforce(spark, lefts, rights, lo, span):
+    """The bucketed equi-join form is pair-for-pair identical to the
+    naive O(n*m) range predicate for arbitrary window placement."""
+    from nonconsumptive_spark.operators.asof import bucketed_range_join
+
+    hi = lo + span
+    ldf = spark.createDataFrame(
+        [(i, 1, v) for i, v in enumerate(lefts)], ["lid", "k", "lus"])
+    rdf = spark.createDataFrame(
+        [(1, v) for v in rights], ["k", "rus"])
+    got = sorted((r["lid"], r["rus"]) for r in bucketed_range_join(
+        ldf, rdf, on="k", left_us="lus", right_us="rus",
+        lo_us=lo, hi_us=hi).collect())
+    expect = sorted((i, rv) for i, lv in enumerate(lefts) for rv in rights
+                    if lo <= rv - lv < hi)
+    assert got == expect
+
+
+@given(texts=corpus)
+@SET
+def test_char_diversity_bounds(spark, texts):
+    """Entropy lies in [0, log2(distinct)]; Simpson in [0, 1); distinct
+    <= total; sum of squared counts bounded by total^2."""
+    import math
+
+    from nonconsumptive_spark.operators.textstats import char_diversity
+
+    out = char_diversity(_df(spark, texts)).collect()
+    for r in out:
+        n, d, ss = r["n_chars_tok"], r["n_distinct_chars"], r["sum_sq"]
+        assert 0 <= d <= n
+        assert ss <= n * n
+        if n == 0:
+            assert r["entropy"] == 0.0 and r["simpson"] == 0.0
+        else:
+            assert -1e-4 <= r["entropy"] <= math.log2(max(d, 1)) + 1e-4
+            assert 0.0 <= r["simpson"] < 1.0
+
+
+@given(values=st.lists(
+    st.floats(min_value=0.01, max_value=400.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=40))
+@SET
+def test_winsorize_is_order_statistic_clip(spark, values, tmp_path_factory):
+    """Winsorize bounds equal the discrete P05/P95 order statistics of
+    the quantized values, and clipping preserves row count."""
+    import math
+
+    import pandas as pd
+
+    from nonconsumptive_spark.queries import all_queries
+
+    sf = tmp_path_factory.mktemp("wz")
+    pd.DataFrame({
+        "event_id": range(len(values)),
+        "ts": pd.to_datetime(["2024-01-01"] * len(values)),
+        "user_id": [1] * len(values),
+        "event_type": ["t"] * len(values),
+        "value": values,
+        "props": ["{}"] * len(values),
+    }).to_parquet(sf / "events.parquet")
+    rows = all_queries()["q_winsorize"].spark_fn(spark, str(sf)).collect()
+    assert len(rows) == len(values)
+    vq = sorted(math.floor(v * 100.0 + 0.5) for v in values)
+    n = len(vq)
+    lo = vq[max(0, math.ceil(0.05 * n) - 1)]
+    hi = vq[max(0, math.ceil(0.95 * n) - 1)]
+    for r in rows:
+        assert r["vq_clipped"] == max(lo, min(hi, r["vq"]))
+        assert r["is_clipped"] == (r["vq"] < lo or r["vq"] > hi)
+
+
+@given(texts=st.lists(doc_text, min_size=2, max_size=10))
+@SET
+def test_ppjoin_equals_naive_on_random_text(spark, texts):
+    """PPJoin's prefix+positional filtering loses no pairs on arbitrary
+    unicode corpora (exactness property, threshold swept)."""
+    from nonconsumptive_spark.operators.dedup import jaccard_pairs, ppjoin_pairs
+
+    df = _df(spark, texts)
+    for t in (0.3, 0.7):
+        naive = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                 for r in jaccard_pairs(df, threshold=t).collect()}
+        pp = {(r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in ppjoin_pairs(df, threshold=t).collect()}
+        assert pp == naive
