@@ -790,6 +790,20 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     Plan: one df agg (shingle-vocab sized), one per-doc rank window
     (PARTITIONED by doc), prefix self-join on the shingle key, then a
     candidate-bounded verify join.  Nothing quadratic in the corpus."""
+    # All filter bounds use EXACT RATIONAL arithmetic (threshold = p/q):
+    # float expressions like ceil(0.2 * na) overstate the ceiling when the
+    # binary float sits above the decimal (0.2*5 -> 1.0000000000000002 ->
+    # ceil 2 instead of 1), which would shorten prefixes / tighten filters
+    # and silently DROP qualifying pairs.  ceil(p*x/q) over BIGINTs is
+    # (p*x + q - 1) div q — no float ever touches a soundness bound.
+    from fractions import Fraction
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    tp, tq = frac.numerator, frac.denominator
+
+    def ceil_mul(x):
+        """ceil(threshold * x) as exact integer column arithmetic."""
+        return ((F.lit(tp) * x + F.lit(tq - 1)) / F.lit(tq)).cast("long")
+
     sh = materialize_once(doc_shingles(docs, id_col, text_col), "pp_shingles")
     exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     exploded = materialize_once(exploded, "pp_exploded")
@@ -804,7 +818,7 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
         .join(sizes, id_col)
     )
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("pos") <= F.col("n") - ceil_mul(F.col("n")) + 1
     ).select(id_col, "shingle", "n", "pos")
 
     pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle",
@@ -814,19 +828,21 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     # positional filter (PPJoin proper): a shared prefix shingle at
     # positions (pa, pb) bounds the best possible overlap by the shorter
     # remaining suffix + 1; pairs that cannot reach the Jaccard-implied
-    # overlap floor ceil(t/(1+t)·(na+nb)) are dropped BEFORE the
+    # overlap floor ceil(t·(na+nb)/(1+t)) are dropped BEFORE the
     # deduplicating distinct — the filter is per-joined-row, so it also
-    # shrinks the distinct's shuffle
-    overlap_floor = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")))
+    # shrinks the distinct's shuffle.  The floor is exact integer
+    # arithmetic too: ceil(p·(na+nb)/(p+q)).
+    nanb = F.col("na") + F.col("nb")
+    overlap_floor = ((F.lit(tp) * nanb + F.lit(tp + tq - 1))
+                     / F.lit(tp + tq)).cast("long")
     best_overlap = F.least(F.col("na") - F.col("pa"),
                            F.col("nb") - F.col("pb")) + 1
     cands = (
         pa.join(pb, "shingle")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
-            & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb")))
+            & (F.col("nb") >= ceil_mul(F.col("na")))
+            & (F.col("na") >= ceil_mul(F.col("nb")))
             & (best_overlap >= overlap_floor)
         )
         .select("doc_a", "doc_b", "na", "nb")

@@ -601,10 +601,15 @@ def label_centroid_distances(emb: DataFrame, label_col: str = "label",
     Exactness: components quantize to integer 1e-3 units BEFORE any agg,
     so per-label per-dimension sums are exact BIGINTs, and the count
     normalization cancels out of cosine entirely (cos(Sa/na, Sb/nb) =
-    cos(Sa, Sb)) — dots are pure BIGINT arithmetic (|S_i| <= n*530 at
-    this data's value range keeps 64-dim dots < 2^63 through ~50M rows
-    per label) and the single double expression at the end is mirrored
-    verbatim in the oracle.
+    cos(Sa, Sb)) — dots are pure BIGINT arithmetic and the single double
+    expression at the end is mirrored verbatim in the oracle.
+
+    Integer headroom: the 64-dim dot needs 64·max(S_i)² < 2^63, i.e.
+    |S_i| < ~3.8e8 — at this data's component range (|x| <= 0.53, so
+    |cq| <= 530) that is ~700k rows per label.  Beyond that, or with a
+    strongly biased (non-mean-centered) dimension, pre-center the
+    per-dimension sums or compute the final dot in double: the quantized
+    SUMS never overflow at any realistic n, only their product can.
 
     Plan: one (label, dim) agg over the exploded components (64 rows per
     label survive), then everything is #labels-sized: the pair join is a

@@ -668,6 +668,41 @@ DSIR_KEEP_FRAC = 0.25
 DSIR_LR_SCALE = 1_000_000_000
 
 
+def _global_rank_by_score_key(scored: DataFrame, id_col: str) -> DataFrame:
+    """Global DESC-score rank WITHOUT a global window (shared by
+    dsir_weights and perplexity_buckets — any top-fraction / quantile cut
+    over per-doc scores): rank = (# docs in strictly higher ``sk``
+    buckets, from a running sum over the bounded score-key histogram)
+    + (row_number within the doc's own bucket, ordered by id).  The only
+    unpartitioned window runs over the histogram (rows = distinct rounded
+    score keys), never the corpus; ties at a bucket boundary break on id,
+    so the cut is deterministic on both engines.
+
+    Adds columns ``bucket_rnk``, ``kept_before``, ``g_rank``.  The
+    sk-keyed join carries no broadcast hint: the histogram is bounded by
+    distinct keys but can still reach millions of rows — AQE downgrades
+    it to broadcast at runtime when it is in fact small."""
+    from pyspark.sql.window import Window
+
+    hist = scored.groupBy("sk").agg(F.count("*").alias("bucket_n"))
+    hw = Window.orderBy(F.desc("sk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.select(
+        "sk",
+        (F.sum("bucket_n").over(hw) - F.col("bucket_n")).alias("kept_before"),
+    )
+    in_bucket = Window.partitionBy("sk").orderBy(F.asc(id_col))
+    return (
+        scored.withColumn("bucket_rnk", F.row_number().over(in_bucket))
+        .join(hist, "sk")
+        .withColumn(
+            "g_rank",
+            (F.col("kept_before") + F.col("bucket_rnk")).cast("long"),
+        )
+    )
+
+
 def dsir_weights(df: DataFrame, target_filter: Column,
                  vocab_cap: int = DSIR_VOCAB_CAP,
                  keep_frac: float = DSIR_KEEP_FRAC,
@@ -759,26 +794,11 @@ def dsir_weights(df: DataFrame, target_filter: Column,
     )
     scored = materialize_once(scored, "dsir_scored")
 
-    # histogram of score keys: kept_before = docs in strictly higher
-    # buckets (running sum over the bounded histogram, score DESC)
-    hist = scored.groupBy("sk").agg(F.count("*").alias("bucket_n"))
-    hw = Window.orderBy(F.desc("sk")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    hist = hist.select(
-        "sk", (F.sum("bucket_n").over(hw) - F.col("bucket_n")).alias("kept_before")
-    )
     n_keep = scored.agg(
         F.ceil(F.count("*") * keep_frac).cast("long").alias("n_keep")
     )
-    # global rank = higher-bucket count + rank within own bucket (by id)
-    in_bucket = Window.partitionBy("sk").orderBy(F.asc(id_col))
-    # hist is bounded by distinct rounded scores but can still reach
-    # millions of rows — no broadcast hint; AQE downgrades the sk-keyed
-    # join to broadcast at runtime when it is in fact small
     return (
-        scored.withColumn("bucket_rnk", F.row_number().over(in_bucket))
-        .join(hist, "sk")
+        _global_rank_by_score_key(scored, id_col)
         .crossJoin(F.broadcast(n_keep))
         .select(
             id_col, "n_tokens",
@@ -788,8 +808,7 @@ def dsir_weights(df: DataFrame, target_filter: Column,
                 F.col("sum_q").cast("double") / F.col("n_tokens")
                 / F.lit(float(DSIR_LR_SCALE)), 4
             ) + F.lit(0.0)).alias("avg_logratio"),
-            (F.col("kept_before") + F.col("bucket_rnk")
-             <= F.col("n_keep")).alias("keep"),
+            (F.col("g_rank") <= F.col("n_keep")).alias("keep"),
         )
     )
 
@@ -1065,22 +1084,12 @@ def perplexity_buckets(df: DataFrame, vocab_cap: int = PPL_VOCAB_CAP,
     )
     scored = materialize_once(scored, "ppl_scored")
 
-    hist = scored.groupBy("sk").agg(F.count("*").alias("bucket_n"))
-    hw = Window.orderBy(F.desc("sk")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    hist = hist.select(
-        "sk", (F.sum("bucket_n").over(hw) - F.col("bucket_n")).alias("kept_before")
-    )
     bounds = scored.agg(
         F.expr("CAST((count(*) + 2) DIV 3 AS BIGINT)").alias("h1"),
         F.expr("CAST((2 * count(*) + 2) DIV 3 AS BIGINT)").alias("h2"),
     )
-    in_bucket = Window.partitionBy("sk").orderBy(F.asc(id_col))
-    rnk = F.col("kept_before") + F.col("bucket_rnk")
     return (
-        scored.withColumn("bucket_rnk", F.row_number().over(in_bucket))
-        .join(hist, "sk")
+        _global_rank_by_score_key(scored, id_col)
         .crossJoin(F.broadcast(bounds))
         .select(
             id_col, "n_tokens",
@@ -1088,8 +1097,8 @@ def perplexity_buckets(df: DataFrame, vocab_cap: int = PPL_VOCAB_CAP,
                 F.col("sum_q").cast("double") / F.col("n_tokens")
                 / F.lit(float(DSIR_LR_SCALE)), 4
             ) + F.lit(0.0)).alias("avg_logprob"),
-            F.when(rnk <= F.col("h1"), F.lit("head"))
-             .when(rnk <= F.col("h2"), F.lit("middle"))
+            F.when(F.col("g_rank") <= F.col("h1"), F.lit("head"))
+             .when(F.col("g_rank") <= F.col("h2"), F.lit("middle"))
              .otherwise(F.lit("tail")).alias("bucket"),
         )
     )
@@ -1246,16 +1255,23 @@ def stupid_backoff_scores(df: DataFrame, id_col: str = "doc_id",
     from nonconsumptive_spark.plans.checkpoint import materialize_once
 
     lm = lm_df if lm_df is not None else df
+    # Tokenize the LM corpus ONCE: the materialized per-doc token arrays
+    # feed both the unigram table (explode) and the bigram table
+    # (ngram_structs over the same arrays) — the expensive regex scan of
+    # the reference corpus never runs twice.
+    lm_toks = materialize_once(
+        lm.select(tokenize(text_col).alias("__toks")), "sb_lm_toks")
+
     pairs = df.select(
         F.col(id_col),
         F.explode(ngram_structs(tokenize(text_col), 2)).alias("g"),
     ).select(id_col, F.col("g.w0").alias("w0"), F.col("g.w1").alias("w1"))
     pairs = materialize_once(pairs, "sb_pairs")
 
-    # LM totals: unigrams from the plain token stream (not the pair
-    # frame — all-w0-plus-final-token would differ), so c(w) matches the
+    # LM unigrams from the plain token stream (not the pair frame —
+    # all-w0-plus-final-token would differ), so c(w) matches the
     # oracle's definition exactly
-    toks = lm.select(F.explode(tokenize(text_col)).alias("w"))
+    toks = lm_toks.select(F.explode("__toks").alias("w"))
     ug = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c_ug"))
     ug = materialize_once(ug, "sb_unigrams")
     n_total = ug.agg(F.sum("c_ug").alias("n_tok"),
@@ -1263,8 +1279,8 @@ def stupid_backoff_scores(df: DataFrame, id_col: str = "doc_id",
 
     lm_pairs = (
         pairs if lm_df is None else
-        lm.select(F.explode(ngram_structs(tokenize(text_col), 2)).alias("g"))
-          .select(F.col("g.w0").alias("w0"), F.col("g.w1").alias("w1"))
+        lm_toks.select(F.explode(ngram_structs(F.col("__toks"), 2)).alias("g"))
+               .select(F.col("g.w0").alias("w0"), F.col("g.w1").alias("w1"))
     )
     bg = lm_pairs.groupBy("w0", "w1").agg(
         F.count("*").cast("bigint").alias("c_bg"))

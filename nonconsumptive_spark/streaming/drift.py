@@ -5,11 +5,14 @@ of q_js_divergence, catching a crawl snapshot or source whose language
 suddenly shifts.
 
 Per-epoch log entries are written as one overwrite-mode partition
-directory per epoch (``log_dir/epoch=N``), so an at-least-once replay of
-an epoch REWRITES the same entry instead of appending a duplicate — the
-same idempotence contract as merge_wordcounts' versioned commits, without
-needing a marker (overwrite of a deterministic path is naturally
-idempotent).
+directory per epoch (``log_dir/epoch=N``).  Replay safety has two layers:
+an epoch whose merge already COMMITTED is skipped entirely (the corpus
+would otherwise contain the batch being compared, deflating the JSD and
+clobbering the real pre-crash entry), and an epoch that crashed BEFORE
+its merge commit recomputes against the identical committed corpus, so
+the overwrite of ``log_dir/epoch=N`` rewrites the same value — between
+the two, every crash window lands on either skip-identical or
+recompute-identical, never a contaminated entry.
 
 Scale: the batch side is batch-sized, the corpus side is vocabulary-sized
 (the running table merge_wordcounts maintains), and the JSD kernel's only
@@ -25,7 +28,7 @@ from pyspark.sql import functions as F
 from nonconsumptive_spark.operators import wordcount as wc
 from nonconsumptive_spark.operators.textstats import counts_jsd
 from nonconsumptive_spark.streaming.corpus import (
-    committed_table, merge_wordcounts)
+    applied_epoch, committed_table, merge_wordcounts)
 
 
 def _log_epoch(spark, log_dir: str, epoch_id: int, row: dict) -> None:
@@ -52,6 +55,13 @@ def start_drift_monitor(stream: DataFrame, table_dir: str, log_dir: str,
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # replay guard (same contract as merge_wordcounts): if this epoch
+        # already committed, the corpus table ALREADY CONTAINS this batch —
+        # recomputing the JSD now would compare the batch against itself
+        # and overwrite the logged entry with a deflated value.  Skip both
+        # the log and the merge; the pre-crash entry stands.
+        if epoch_id <= applied_epoch(table_dir):
+            return
         counts = (
             wc.doc_token_counts(batch_df, id_col=id_col, text_col=text_col)
             .groupBy("token")

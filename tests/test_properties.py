@@ -383,7 +383,7 @@ def test_ppjoin_equals_naive_on_random_text(spark, texts):
     from nonconsumptive_spark.operators.dedup import jaccard_pairs, ppjoin_pairs
 
     df = _df(spark, texts)
-    for t in (0.3, 0.7):
+    for t in (0.2, 0.3, 0.7):
         naive = {(r["doc_a"], r["doc_b"], r["jaccard"])
                  for r in jaccard_pairs(df, threshold=t).collect()}
         pp = {(r["doc_a"], r["doc_b"], r["jaccard"])

@@ -48,6 +48,13 @@ def correctness_history() -> tuple[dict[str, tuple[int, bool]], int]:
 
 def newest_correctness_commit() -> str:
     files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    if not files:
+        # before the first driver gate: everything counts as touched
+        # since the repo root, and every query reports NEVER-verified
+        out = subprocess.run(
+            ["git", "rev-list", "--max-parents=0", "HEAD"],
+            cwd=REPO, capture_output=True, text=True).stdout.strip()
+        return out.splitlines()[0] if out else "HEAD"
     out = subprocess.run(
         ["git", "log", "--diff-filter=A", "--format=%H", "--", files[-1].name],
         cwd=REPO, capture_output=True, text=True).stdout.strip()
