@@ -583,3 +583,44 @@ def cooccurrence_counts(docs: DataFrame, window: int = 4,
         .groupBy("w0", "w1")
         .agg(F.count("*").cast("bigint").alias("count"))
     )
+
+
+NEG_POW = 0.75            # word2vec's unigram distribution exponent
+NEG_SCALE = 1_000_000     # weight quantization: 1e-6 units
+
+
+def negative_sampling_table(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(token, count, weight_q, cum_lo, cum_hi): the word2vec negative-
+    sampling table — tokens weighted by count^0.75, laid out as disjoint
+    integer ranges so a sampler draws uniform u in [0, max(cum_hi)) and
+    binary-searches its token.  Companion to cooccurrence_counts: the two
+    together are the full word2vec/GloVe data prep.
+
+    weight_q = round(count^0.75 * 1e6) as BIGINT — the only transcendental
+    is pow on an exact integer count, quantized before the cumulative sum,
+    so ranges are exact integer arithmetic in both engines.  Ranges are
+    assigned in token order (deterministic).
+
+    Plan: one corpus count agg, then a vocabulary-bounded running-sum
+    window — the same documented bounded-window pattern as the vocabulary
+    ranker (a 100M-term vocab would switch to the per-partition-offset
+    dense-id path, see rank_vocab)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("count"))
+    )
+    wq = F.round(F.pow(F.col("count"), F.lit(NEG_POW)) * F.lit(NEG_SCALE)) \
+        .cast("bigint")
+    w = Window.orderBy("token").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    return (
+        counts.withColumn("weight_q", wq)
+        .withColumn("cum_hi", F.sum("weight_q").over(w).cast("bigint"))
+        .withColumn("cum_lo", (F.col("cum_hi") - F.col("weight_q"))
+                    .cast("bigint"))
+        .select("token", "count", "weight_q", "cum_lo", "cum_hi")
+    )

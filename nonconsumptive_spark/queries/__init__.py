@@ -98,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "q_label_centroid_distances",
     "q_ppjoin_pairs",
     "q_distinctive_terms",
+    "q_negative_sampling",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -129,7 +130,6 @@ PRIORITY: tuple[str, ...] = (
     "q_orders_by_month",
     "q_pivot_event_values",
     "q_posexplode_provenance",
-    "q_quantiles",
     "q_regex_extract_cast",
     # -- oldest r2 rows whose implementation files were touched since the
     #    r3 gate (dedup.py / textstats.py dependents) — fills to 50

@@ -1434,3 +1434,36 @@ def q_cooccurrence_window(spark, sf_dir):
 )
 def q_distinctive_terms(spark, sf_dir):
     return ts.distinctive_terms(load(spark, sf_dir, "documents"), k=10)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT w AS token, CAST(count(*) AS BIGINT) AS count
+      FROM (SELECT unnest({_DUCK_TOKS}) AS w FROM documents) z
+      GROUP BY w),
+    wq AS (
+      SELECT token, count,
+             CAST(round(pow(count, 0.75) * 1000000) AS BIGINT) AS weight_q
+      FROM cnt)
+    SELECT token, count, weight_q,
+           CAST(sum(weight_q) OVER (ORDER BY token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - weight_q AS BIGINT) AS cum_lo,
+           CAST(sum(weight_q) OVER (ORDER BY token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_hi
+    FROM wq
+    """,
+    doc="word2vec negative-sampling table: tokens weighted count^0.75, "
+        "quantized to integer 1e-6 units BEFORE the cumulative sum, laid "
+        "out as disjoint BIGINT ranges in token order "
+        "(operators/wordcount.py:negative_sampling_table).",
+)
+def q_negative_sampling(spark, sf_dir):
+    from nonconsumptive_spark.operators.wordcount import (
+        negative_sampling_table)
+
+    return negative_sampling_table(load(spark, sf_dir, "documents"))

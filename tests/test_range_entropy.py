@@ -350,3 +350,23 @@ def test_distinctive_terms_separates_planted_vocab(spark):
     assert za["apple"] > 0
     # planted token dominates any background token's score
     assert all(za["apple"] > v for t, v in za.items() if t != "apple")
+
+
+def test_negative_sampling_ranges_tile_and_weight(spark):
+    """Ranges are disjoint, ordered, gap-free, and each width equals the
+    quantized count^0.75 weight."""
+    from nonconsumptive_spark.operators.wordcount import (
+        NEG_POW, NEG_SCALE, negative_sampling_table)
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c"), (2, "a c")], ["doc_id", "text"])
+    rows = sorted(negative_sampling_table(df).collect(),
+                  key=lambda r: r["cum_lo"])
+    prev_hi = 0
+    for r in rows:
+        assert r["cum_lo"] == prev_hi            # gap-free tiling
+        assert r["cum_hi"] - r["cum_lo"] == r["weight_q"]
+        assert r["weight_q"] == round((r["count"] ** NEG_POW) * NEG_SCALE)
+        prev_hi = r["cum_hi"]
+    counts = {r["token"]: r["count"] for r in rows}
+    assert counts == {"a": 5, "b": 2, "c": 2}
