@@ -1517,3 +1517,68 @@ def distinctive_terms(df: DataFrame, label_col: str = "lang", k: int = 10,
         .filter(F.col("rank") <= k)
         .select("label", "token", "c_in", "c_out", "z_logodds", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap (the distributed bootstrap: each row enters each
+# replicate Poisson(1) times, so resampling is a map-side weight — no
+# with-replacement shuffle).  Replicate weights come from an md5 draw
+# reduced mod 1e6 and compared against INTEGER thresholds (the cumulative
+# Poisson(1) CDF at 6 decimals), so replicate composition is pure BIGINT
+# arithmetic — bit-identical in any engine.
+BOOT_REPS = 50
+# cumulative Poisson(1) CDF * 1e6, rounded: P(X<=k) for k = 0..5
+BOOT_CDF = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def bootstrap_mean_ci(df: DataFrame, value_col: str = "n_chars",
+                      id_col: str = "doc_id",
+                      n_reps: int = BOOT_REPS) -> DataFrame:
+    """One row (n_reps, mean, ci_lo, ci_hi): the full-sample mean of
+    ``value_col`` with a 95% Poisson-bootstrap confidence interval —
+    corpus statistics with error bars, computable in one pass at any
+    scale (each replicate's sums are map-side-combinable; nothing is
+    ever resampled through a shuffle).
+
+    CI bounds are the discrete 2.5%/97.5% order statistics of the
+    replicate means (ties break on replicate id); the only window runs
+    over ``n_reps`` rows."""
+    from nonconsumptive_spark.operators.dedup import _md5_long
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col), F.col(value_col).cast("long").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("rep"),
+    )
+    m = _md5_long(F.concat(F.col(id_col).cast("string"), F.lit("#"),
+                           F.col("rep").cast("string"))) % F.lit(1_000_000)
+    k = F.lit(len(BOOT_CDF)).cast("long")
+    for i in range(len(BOOT_CDF) - 1, -1, -1):
+        k = F.when(m < F.lit(BOOT_CDF[i]), F.lit(i).cast("long")).otherwise(k)
+    per_rep = (
+        base.withColumn("k", k)
+        .groupBy("rep")
+        .agg(F.sum("k").cast("long").alias("w"),
+             F.sum(F.col("k") * F.col("x")).cast("long").alias("wx"))
+        .withColumn("rep_mean",
+                    F.when(F.col("w") > 0,
+                           F.col("wx").cast("double") / F.col("w"))
+                     .otherwise(F.lit(0.0)))
+    )
+    rw = Window.orderBy(F.asc("rep_mean"), F.asc("rep"))
+    ranked = per_rep.withColumn("rn", F.row_number().over(rw))
+    import math
+    lo_i = max(1, math.ceil(0.025 * n_reps))
+    hi_i = max(1, math.ceil(0.975 * n_reps))
+    ci = ranked.agg(
+        F.count("*").cast("long").alias("n_reps"),
+        (F.round(F.min(F.when(F.col("rn") == lo_i, F.col("rep_mean"))), 4)
+         + F.lit(0.0)).alias("ci_lo"),
+        (F.round(F.min(F.when(F.col("rn") == hi_i, F.col("rep_mean"))), 4)
+         + F.lit(0.0)).alias("ci_hi"),
+    )
+    full = df.agg(
+        (F.round(F.sum(F.col(value_col).cast("long")).cast("double")
+                 / F.count("*"), 4) + F.lit(0.0)).alias("mean"))
+    return ci.crossJoin(F.broadcast(full)).select(
+        "n_reps", "mean", "ci_lo", "ci_hi")

@@ -1467,3 +1467,60 @@ def q_negative_sampling(spark, sf_dir):
         negative_sampling_table)
 
     return negative_sampling_table(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+def _boot_k_sql(m_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {m_expr} < {t} THEN {i}"
+        for i, t in enumerate(ts.BOOT_CDF))
+    return f"CASE {cases} ELSE {len(ts.BOOT_CDF)} END"
+
+
+@register(
+    "q_bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range({ts.BOOT_REPS})) AS rep),
+    base AS (
+      SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x, r.rep,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#'
+                                      || CAST(r.rep AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS m
+      FROM documents d CROSS JOIN reps r),
+    weighted AS (
+      SELECT rep, x, {_boot_k_sql('m')} AS k FROM base),
+    per_rep AS (
+      SELECT rep, CAST(sum(k) AS BIGINT) AS w,
+             CAST(sum(k * x) AS BIGINT) AS wx
+      FROM weighted GROUP BY rep),
+    means AS (
+      SELECT rep,
+             CASE WHEN w > 0 THEN wx * 1.0 / w ELSE 0.0 END AS rep_mean
+      FROM per_rep),
+    ranked AS (
+      SELECT rep_mean,
+             row_number() OVER (ORDER BY rep_mean ASC, rep ASC) AS rn
+      FROM means),
+    ci AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_reps,
+             round(min(CASE WHEN rn = {max(1, -(-25 * ts.BOOT_REPS // 1000))}
+                       THEN rep_mean END), 4) + 0.0 AS ci_lo,
+             round(min(CASE WHEN rn = {max(1, -(-975 * ts.BOOT_REPS // 1000))}
+                       THEN rep_mean END), 4) + 0.0 AS ci_hi
+      FROM ranked),
+    fullm AS (
+      SELECT round(sum(CAST(n_chars AS BIGINT)) * 1.0 / count(*), 4) + 0.0
+               AS mean
+      FROM documents)
+    SELECT ci.n_reps, fullm.mean, ci.ci_lo, ci.ci_hi
+    FROM ci CROSS JOIN fullm
+    """,
+    doc="Poisson-bootstrap 95% CI for mean document length — the "
+        "distributed bootstrap (each row enters each replicate Poisson(1) "
+        "times via integer md5 thresholds, so replicate composition is "
+        "pure BIGINT arithmetic and every replicate sum is map-side-"
+        "combinable; no with-replacement shuffle exists) "
+        "(operators/textstats.py:bootstrap_mean_ci).",
+)
+def q_bootstrap_mean_ci(spark, sf_dir):
+    return ts.bootstrap_mean_ci(load(spark, sf_dir, "documents"))

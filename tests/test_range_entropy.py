@@ -370,3 +370,18 @@ def test_negative_sampling_ranges_tile_and_weight(spark):
         prev_hi = r["cum_hi"]
     counts = {r["token"]: r["count"] for r in rows}
     assert counts == {"a": 5, "b": 2, "c": 2}
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from nonconsumptive_spark.operators.textstats import bootstrap_mean_ci
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    r1 = bootstrap_mean_ci(docs).collect()[0]
+    r2 = bootstrap_mean_ci(docs).collect()[0]
+    assert r1 == r2                       # fully deterministic
+    assert r1["n_reps"] == 50
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    # interval should be tight for 500 docs but not degenerate
+    assert r1["ci_lo"] < r1["ci_hi"]
