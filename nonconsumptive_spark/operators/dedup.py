@@ -810,16 +810,7 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     sizes = sh.select(F.col(id_col), F.size("shingles").cast("long").alias("n"))
 
     dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
-    ranked = (
-        exploded.join(dfreq, "shingle")
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .join(sizes, id_col)
-    )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - ceil_mul(F.col("n")) + 1
-    ).select(id_col, "shingle", "n", "pos")
+    prefix = _pp_rank_prefix(exploded, dfreq, sizes, id_col, tp, tq)
 
     pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle",
                        F.col("n").alias("na"), F.col("pos").alias("pa"))
@@ -873,4 +864,128 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
         inter.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _pp_rank_prefix(exploded: DataFrame, dfreq: DataFrame, sizes: DataFrame,
+                    id_col: str, tp: int, tq: int) -> DataFrame:
+    """(id, shingle, n, pos) prefix rows under the (df asc, shingle asc)
+    global order — shared by the one-shot ppjoin and the persisted-index
+    incremental path.  ``dfreq`` is the ORDER AUTHORITY: the incremental
+    path passes the corpus's df table so batch and corpus prefixes agree
+    on one total order (batch-only shingles left-join to df NULL and
+    coalesce to 0 — unseen means rarest, which keeps the order total and
+    consistent)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        exploded.join(dfreq, "shingle", "left")
+        .na.fill({"df": 0})
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .join(sizes, id_col)
+    )
+    prefix_len = F.col("n") - ((F.lit(tp) * F.col("n") + F.lit(tq - 1))
+                               / F.lit(tq)).cast("long") + 1
+    return ranked.filter(F.col("pos") <= prefix_len).select(
+        id_col, "shingle", "n", "pos")
+
+
+def ppjoin_index_write(docs: DataFrame, index_dir: str,
+                       threshold: float = 0.5, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       compression: str = "zstd") -> None:
+    """Persist the exact-dedup prefix index for a signed corpus: the
+    shingle ARRAYS (verification side), the df table (the global order
+    authority), and the corpus PREFIX rows.  A later ``ppjoin_against``
+    call never re-tokenizes, re-shingles, or re-ranks the corpus — the
+    per-batch cost is independent of corpus size except for the one
+    prefix equi-join."""
+    from fractions import Fraction
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    tp, tq = frac.numerator, frac.denominator
+
+    sh = materialize_once(doc_shingles(docs, id_col, text_col), "ppw_sh")
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = sh.select(F.col(id_col), F.size("shingles").cast("long").alias("n"))
+    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    dfreq = materialize_once(dfreq, "ppw_df")
+    prefix = _pp_rank_prefix(exploded, dfreq, sizes, id_col, tp, tq)
+
+    opts = {"compression": compression}
+    sh.write.mode("overwrite").options(**opts).parquet(f"{index_dir}/arrays")
+    dfreq.write.mode("overwrite").options(**opts).parquet(f"{index_dir}/dfreq")
+    prefix.write.mode("overwrite").options(**opts).parquet(f"{index_dir}/prefix")
+
+
+def ppjoin_against(batch: DataFrame, index_dir: str, threshold: float = 0.5,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, is_dup, match_id, jaccard): EXACT incremental near-dedup of a
+    fresh batch against a corpus indexed by ``ppjoin_index_write`` — the
+    exact counterpart of the MinHash ``dedup_against`` (no recall loss).
+
+    Both sides' prefixes are defined w.r.t. the CORPUS's df order (see
+    _pp_rank_prefix), so the prefix-intersection theorem holds for every
+    cross pair; candidates = prefix equi-join + length filter, verified
+    in-row on the stored arrays.  Best match per batch doc breaks ties
+    (jaccard desc, corpus id asc)."""
+    from fractions import Fraction
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    tp, tq = frac.numerator, frac.denominator
+
+    spark = batch.sparkSession
+    idx_arrays = spark.read.parquet(f"{index_dir}/arrays")
+    idx_dfreq = spark.read.parquet(f"{index_dir}/dfreq")
+    idx_prefix = spark.read.parquet(f"{index_dir}/prefix")
+
+    bsh = materialize_once(doc_shingles(batch, id_col, text_col), "ppa_sh")
+    bexp = bsh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    bsizes = bsh.select(F.col(id_col), F.size("shingles").cast("long").alias("n"))
+    bprefix = _pp_rank_prefix(bexp, idx_dfreq, bsizes, id_col, tp, tq)
+
+    def ceil_mul(x):
+        return ((F.lit(tp) * x + F.lit(tq - 1)) / F.lit(tq)).cast("long")
+
+    pa = bprefix.select(F.col(id_col).alias("new_id"), "shingle",
+                        F.col("n").alias("na"))
+    pb = idx_prefix.select(F.col(id_col).alias("old_id"), "shingle",
+                           F.col("n").alias("nb"))
+    cands = (
+        pa.join(pb, "shingle")
+        .filter((F.col("nb") >= ceil_mul(F.col("na")))
+                & (F.col("na") >= ceil_mul(F.col("nb"))))
+        .select("new_id", "old_id", "na", "nb")
+        .distinct()
+    )
+    arr_a = bsh.select(F.col(id_col).alias("new_id"),
+                       F.col("shingles").alias("sh_a"))
+    arr_b = idx_arrays.select(F.col(id_col).alias("old_id"),
+                              F.col("shingles").alias("sh_b"))
+    inter = (
+        cands.join(arr_a, "new_id").join(arr_b, "old_id")
+        .select("new_id", "old_id", "na", "nb",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+                 .alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    verified = (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"),
+                                             F.asc("old_id"))
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("old_id").alias("match_id"), "jaccard")
+    )
+    return (
+        batch.select(id_col)
+        .join(best, F.col(id_col) == F.col("new_id"), "left")
+        .select(
+            id_col,
+            F.col("match_id").isNotNull().alias("is_dup"),
+            "match_id", "jaccard",
+        )
     )

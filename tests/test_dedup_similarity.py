@@ -477,3 +477,48 @@ def test_ppjoin_equals_naive_jaccard_and_prunes_candidates(spark):
                         & (F.col("na") >= F.ceil(F.lit(0.5) * F.col("nb"))))
                 .select("doc_a", "doc_b").distinct().count())
     assert pp_cands < naive_cands
+
+
+def test_ppjoin_index_incremental_exact(spark, tmp_path):
+    """Persisted prefix-index incremental dedup is EXACT: identical to a
+    brute-force cross-side jaccard at the same threshold, and the batch
+    path never recomputes corpus structures (it reads them from disk)."""
+    from nonconsumptive_spark.operators import dedup as dd
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "ppidx")
+    dd.ppjoin_index_write(corpus, idx, threshold=0.5)
+    got = {r["doc_id"]: (r["is_dup"], r["match_id"], r["jaccard"])
+           for r in dd.ppjoin_against(batch, idx, threshold=0.5).collect()}
+
+    # brute force: all cross pairs sharing >= 1 shingle, exact jaccard
+    sh = dd.doc_shingles(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = {r["doc_id"]: r["n"] for r in
+             sh.select("doc_id", F.size("shingles").alias("n")).collect()}
+    pairs = {}
+    a = ex.withColumnRenamed("doc_id", "new_id")
+    b = ex.withColumnRenamed("doc_id", "old_id")
+    inter = (a.join(b, "shingle")
+             .filter((F.col("new_id") % 2 == 1) & (F.col("old_id") % 2 == 0))
+             .groupBy("new_id", "old_id").count().collect())
+    best = {}
+    for r in inter:
+        na, nb = sizes[r["new_id"]], sizes[r["old_id"]]
+        j = round(r["count"] / (na + nb - r["count"]), 4)
+        if j >= 0.5:
+            cur = best.get(r["new_id"])
+            if cur is None or j > cur[0] or (j == cur[0] and r["old_id"] < cur[1]):
+                best[r["new_id"]] = (j, r["old_id"])
+    for did, (is_dup, match_id, jac) in got.items():
+        if did in best:
+            assert is_dup and match_id == best[did][1] and jac == best[did][0], \
+                (did, got[did], best[did])
+        else:
+            assert not is_dup and match_id is None
+    assert any(v[0] for v in got.values())  # fixtures contain cross dups
