@@ -100,6 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "q_distinctive_terms",
     "q_negative_sampling",
     "q_bootstrap_mean_ci",
+    "q_cumulative_users",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -125,7 +126,6 @@ PRIORITY: tuple[str, ...] = (
     "q_events_user_running",
     "q_except_intersect",
     "q_grouping_sets",
-    "q_multikey_sort",
     "q_multimodal_features",
     "q_orders_by_month",
     "q_pivot_event_values",

@@ -661,3 +661,47 @@ def q_value_histogram(spark, sf_dir):
         .groupBy("event_type", "bin")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    new_per_day AS (
+      SELECT d0 AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY d0)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM days d LEFT JOIN new_per_day n ON n.day = d.day
+    """,
+    doc="Cumulative distinct users per day — the growth-curve metric.  "
+        "Exact WITHOUT expanding-window count-distinct state: each user "
+        "collapses to a first-seen day (one agg), daily new-user counts "
+        "running-sum over the bounded day spine.  The only window runs "
+        "over distinct days.",
+)
+def q_cumulative_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"))
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    new_per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        days.join(new_per_day, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).cast("long")
+                .alias("new_users"))
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "new_users", "cum_users")
+    )
