@@ -767,6 +767,28 @@ def snm_pairs(docs: DataFrame, window: int = SNM_WINDOW,
     )
 
 
+def _threshold_fraction(threshold: float) -> tuple[int, int]:
+    """threshold as an exact rational (p, q) — every PPJoin bound derives
+    from these integers, never from the float."""
+    from fractions import Fraction
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    return frac.numerator, frac.denominator
+
+
+def _ceil_div(a, q: int):
+    """ceil over BIGINT columns with NO rounding exposure: a - a%q is an
+    exact multiple of q, so the one double division is exact (integer
+    result, representable) for a < 2^53 — far beyond any real shingle
+    count times a 1e6-bounded denominator."""
+    num = a + F.lit(q - 1)
+    return ((num - num % F.lit(q)) / F.lit(q)).cast("long")
+
+
+def _ceil_mul(x, tp: int, tq: int):
+    """ceil(threshold * x) from the exact rational (tp, tq)."""
+    return _ceil_div(F.lit(tp) * x, tq)
+
+
 def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact all-pairs shingle Jaccard ≥ threshold via PREFIX FILTERING
@@ -794,16 +816,8 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     # float expressions like ceil(0.2 * na) overstate the ceiling when the
     # binary float sits above the decimal (0.2*5 -> 1.0000000000000002 ->
     # ceil 2 instead of 1), which would shorten prefixes / tighten filters
-    # and silently DROP qualifying pairs.  ceil(p*x/q) over BIGINTs is
-    # (p*x + q - 1) div q — no float ever touches a soundness bound.
-    from fractions import Fraction
-    frac = Fraction(threshold).limit_denominator(1_000_000)
-    tp, tq = frac.numerator, frac.denominator
-
-    def ceil_mul(x):
-        """ceil(threshold * x) as exact integer column arithmetic."""
-        return ((F.lit(tp) * x + F.lit(tq - 1)) / F.lit(tq)).cast("long")
-
+    # and silently DROP qualifying pairs.  See _threshold_fraction/_ceil_mul.
+    tp, tq = _threshold_fraction(threshold)
     sh = materialize_once(doc_shingles(docs, id_col, text_col), "pp_shingles")
     exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     exploded = materialize_once(exploded, "pp_exploded")
@@ -824,16 +838,15 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     # shrinks the distinct's shuffle.  The floor is exact integer
     # arithmetic too: ceil(p·(na+nb)/(p+q)).
     nanb = F.col("na") + F.col("nb")
-    overlap_floor = ((F.lit(tp) * nanb + F.lit(tp + tq - 1))
-                     / F.lit(tp + tq)).cast("long")
+    overlap_floor = _ceil_div(F.lit(tp) * nanb, tp + tq)
     best_overlap = F.least(F.col("na") - F.col("pa"),
                            F.col("nb") - F.col("pb")) + 1
     cands = (
         pa.join(pb, "shingle")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("nb") >= ceil_mul(F.col("na")))
-            & (F.col("na") >= ceil_mul(F.col("nb")))
+            & (F.col("nb") >= _ceil_mul(F.col("na"), tp, tq))
+            & (F.col("na") >= _ceil_mul(F.col("nb"), tp, tq))
             & (best_overlap >= overlap_floor)
         )
         .select("doc_a", "doc_b", "na", "nb")
@@ -885,8 +898,7 @@ def _pp_rank_prefix(exploded: DataFrame, dfreq: DataFrame, sizes: DataFrame,
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .join(sizes, id_col)
     )
-    prefix_len = F.col("n") - ((F.lit(tp) * F.col("n") + F.lit(tq - 1))
-                               / F.lit(tq)).cast("long") + 1
+    prefix_len = F.col("n") - _ceil_mul(F.col("n"), tp, tq) + 1
     return ranked.filter(F.col("pos") <= prefix_len).select(
         id_col, "shingle", "n", "pos")
 
@@ -901,10 +913,7 @@ def ppjoin_index_write(docs: DataFrame, index_dir: str,
     call never re-tokenizes, re-shingles, or re-ranks the corpus — the
     per-batch cost is independent of corpus size except for the one
     prefix equi-join."""
-    from fractions import Fraction
-    frac = Fraction(threshold).limit_denominator(1_000_000)
-    tp, tq = frac.numerator, frac.denominator
-
+    tp, tq = _threshold_fraction(threshold)
     sh = materialize_once(doc_shingles(docs, id_col, text_col), "ppw_sh")
     exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sizes = sh.select(F.col(id_col), F.size("shingles").cast("long").alias("n"))
@@ -916,9 +925,15 @@ def ppjoin_index_write(docs: DataFrame, index_dir: str,
     sh.write.mode("overwrite").options(**opts).parquet(f"{index_dir}/arrays")
     dfreq.write.mode("overwrite").options(**opts).parquet(f"{index_dir}/dfreq")
     prefix.write.mode("overwrite").options(**opts).parquet(f"{index_dir}/prefix")
+    # the prefix rows are THRESHOLD-DEPENDENT: persist (tp, tq) so reads
+    # can refuse a mismatched threshold instead of silently losing recall
+    spark = docs.sparkSession
+    (spark.createDataFrame([(tp, tq)], "tp int, tq int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta"))
 
 
-def ppjoin_against(batch: DataFrame, index_dir: str, threshold: float = 0.5,
+def ppjoin_against(batch: DataFrame, index_dir: str,
+                   threshold: float | None = None,
                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, is_dup, match_id, jaccard): EXACT incremental near-dedup of a
     fresh batch against a corpus indexed by ``ppjoin_index_write`` — the
@@ -929,11 +944,15 @@ def ppjoin_against(batch: DataFrame, index_dir: str, threshold: float = 0.5,
     cross pair; candidates = prefix equi-join + length filter, verified
     in-row on the stored arrays.  Best match per batch doc breaks ties
     (jaccard desc, corpus id asc)."""
-    from fractions import Fraction
-    frac = Fraction(threshold).limit_denominator(1_000_000)
-    tp, tq = frac.numerator, frac.denominator
-
     spark = batch.sparkSession
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    tp, tq = meta["tp"], meta["tq"]
+    if threshold is not None and _threshold_fraction(threshold) != (tp, tq):
+        raise ValueError(
+            f"ppjoin_against: index at {index_dir} was written for "
+            f"threshold {tp}/{tq}; its prefix rows are too short for "
+            f"{threshold} — rewrite the index or pass threshold=None "
+            f"to use the indexed threshold")
     idx_arrays = spark.read.parquet(f"{index_dir}/arrays")
     idx_dfreq = spark.read.parquet(f"{index_dir}/dfreq")
     idx_prefix = spark.read.parquet(f"{index_dir}/prefix")
@@ -943,17 +962,14 @@ def ppjoin_against(batch: DataFrame, index_dir: str, threshold: float = 0.5,
     bsizes = bsh.select(F.col(id_col), F.size("shingles").cast("long").alias("n"))
     bprefix = _pp_rank_prefix(bexp, idx_dfreq, bsizes, id_col, tp, tq)
 
-    def ceil_mul(x):
-        return ((F.lit(tp) * x + F.lit(tq - 1)) / F.lit(tq)).cast("long")
-
     pa = bprefix.select(F.col(id_col).alias("new_id"), "shingle",
                         F.col("n").alias("na"))
     pb = idx_prefix.select(F.col(id_col).alias("old_id"), "shingle",
                            F.col("n").alias("nb"))
     cands = (
         pa.join(pb, "shingle")
-        .filter((F.col("nb") >= ceil_mul(F.col("na")))
-                & (F.col("na") >= ceil_mul(F.col("nb"))))
+        .filter((F.col("nb") >= _ceil_mul(F.col("na"), tp, tq))
+                & (F.col("na") >= _ceil_mul(F.col("nb"), tp, tq)))
         .select("new_id", "old_id", "na", "nb")
         .distinct()
     )
@@ -970,7 +986,9 @@ def ppjoin_against(batch: DataFrame, index_dir: str, threshold: float = 0.5,
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     verified = (
         inter.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
+        # the indexed threshold governs (threshold=None is valid): compare
+        # against the exact rational, not the possibly-absent float arg
+        .filter(F.col("jaccard") >= F.lit(tp) / F.lit(tq))
     )
     from pyspark.sql.window import Window
     w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"),

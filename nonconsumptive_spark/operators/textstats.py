@@ -1254,20 +1254,24 @@ def stupid_backoff_scores(df: DataFrame, id_col: str = "doc_id",
     key, and the per-doc agg is map-side-combinable."""
     from nonconsumptive_spark.plans.checkpoint import materialize_once
 
-    lm = lm_df if lm_df is not None else df
-    # Tokenize the LM corpus ONCE: the materialized per-doc token arrays
-    # feed both the unigram table (explode) and the bigram table
-    # (ngram_structs over the same arrays) — the expensive regex scan of
-    # the reference corpus never runs twice.
-    lm_toks = materialize_once(
-        lm.select(tokenize(text_col).alias("__toks")), "sb_lm_toks")
-
-    pairs = df.select(
+    # Tokenize each corpus exactly ONCE: a materialized per-doc token
+    # array frame feeds every consumer — in the self-LM case (lm_df is
+    # None) ONE frame serves the scored pairs, the LM unigrams, AND the
+    # LM bigrams; in the cross-corpus case the scored side and the LM
+    # side each get one tokenization.
+    df_toks = materialize_once(
+        df.select(F.col(id_col), tokenize(text_col).alias("__toks")),
+        "sb_toks")
+    pairs = df_toks.select(
         F.col(id_col),
-        F.explode(ngram_structs(tokenize(text_col), 2)).alias("g"),
+        F.explode(ngram_structs(F.col("__toks"), 2)).alias("g"),
     ).select(id_col, F.col("g.w0").alias("w0"), F.col("g.w1").alias("w1"))
-    pairs = materialize_once(pairs, "sb_pairs")
 
+    lm_toks = (
+        df_toks.select("__toks") if lm_df is None else
+        materialize_once(
+            lm_df.select(tokenize(text_col).alias("__toks")), "sb_lm_toks")
+    )
     # LM unigrams from the plain token stream (not the pair frame —
     # all-w0-plus-final-token would differ), so c(w) matches the
     # oracle's definition exactly

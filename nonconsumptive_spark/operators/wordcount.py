@@ -597,9 +597,10 @@ def negative_sampling_table(docs: DataFrame, id_col: str = "doc_id",
     binary-searches its token.  Companion to cooccurrence_counts: the two
     together are the full word2vec/GloVe data prep.
 
-    weight_q = round(count^0.75 * 1e6) as BIGINT — the only transcendental
-    is pow on an exact integer count, quantized before the cumulative sum,
-    so ranges are exact integer arithmetic in both engines.  Ranges are
+    weight_q = round(sqrt(sqrt(c^3)) * 1e6) as BIGINT — algebraically
+    c^0.75, but built from correctly-rounded IEEE ops only (mul, sqrt),
+    so the quantized weight is bit-identical cross-engine (pow is not
+    correctly-rounded and would expose rounding boundaries).  Ranges are
     assigned in token order (deterministic).
 
     Plan: one corpus count agg, then a vocabulary-bounded running-sum
@@ -613,8 +614,13 @@ def negative_sampling_table(docs: DataFrame, id_col: str = "doc_id",
         .groupBy("token")
         .agg(F.count("*").cast("bigint").alias("count"))
     )
-    wq = F.round(F.pow(F.col("count"), F.lit(NEG_POW)) * F.lit(NEG_SCALE)) \
-        .cast("bigint")
+    # count^0.75 computed as sqrt(sqrt(c^3)): multiplication and sqrt are
+    # IEEE-754 correctly-rounded in every engine, unlike pow (Java's
+    # Math.pow is only 1-ulp), so the quantized weight is bit-identical
+    # cross-engine with NO rounding-boundary exposure — the same
+    # transcendental-divergence class the DSIR fix eliminated
+    x = F.col("count").cast("double")
+    wq = F.round(F.sqrt(F.sqrt(x * x * x)) * F.lit(NEG_SCALE)).cast("bigint")
     w = Window.orderBy("token").rowsBetween(Window.unboundedPreceding,
                                             Window.currentRow)
     return (

@@ -1446,7 +1446,8 @@ def q_distinctive_terms(spark, sf_dir):
       GROUP BY w),
     wq AS (
       SELECT token, count,
-             CAST(round(pow(count, 0.75) * 1000000) AS BIGINT) AS weight_q
+             CAST(round(sqrt(sqrt(CAST(count AS DOUBLE) * count * count))
+                        * 1000000) AS BIGINT) AS weight_q
       FROM cnt)
     SELECT token, count, weight_q,
            CAST(sum(weight_q) OVER (ORDER BY token

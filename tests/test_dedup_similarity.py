@@ -522,3 +522,19 @@ def test_ppjoin_index_incremental_exact(spark, tmp_path):
         else:
             assert not is_dup and match_id is None
     assert any(v[0] for v in got.values())  # fixtures contain cross dups
+
+
+def test_ppjoin_index_threshold_mismatch_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    from nonconsumptive_spark.operators import dedup as dd
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").limit(20)
+    idx = str(tmp_path / "idx")
+    dd.ppjoin_index_write(docs, idx, threshold=0.7)
+    with _pytest.raises(ValueError, match="threshold"):
+        dd.ppjoin_against(docs, idx, threshold=0.5)
+    # threshold=None uses the indexed threshold
+    assert dd.ppjoin_against(docs, idx).count() == 20

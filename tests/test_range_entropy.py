@@ -366,7 +366,10 @@ def test_negative_sampling_ranges_tile_and_weight(spark):
     for r in rows:
         assert r["cum_lo"] == prev_hi            # gap-free tiling
         assert r["cum_hi"] - r["cum_lo"] == r["weight_q"]
-        assert r["weight_q"] == round((r["count"] ** NEG_POW) * NEG_SCALE)
+        import math
+        c = float(r["count"])
+        assert r["weight_q"] == round(math.sqrt(math.sqrt(c * c * c))
+                                      * NEG_SCALE)
         prev_hi = r["cum_hi"]
     counts = {r["token"]: r["count"] for r in rows}
     assert counts == {"a": 5, "b": 2, "c": 2}
