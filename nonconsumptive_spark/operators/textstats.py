@@ -1586,3 +1586,72 @@ def bootstrap_mean_ci(df: DataFrame, value_col: str = "n_chars",
                  / F.count("*"), 4) + F.lit(0.0)).alias("mean"))
     return ci.crossJoin(F.broadcast(full)).select(
         "n_reps", "mean", "ci_lo", "ci_hi")
+
+
+TFIDF_IDF_SCALE = 1000  # idf quantization (milli-nats) — kept small so
+                        # per-pair integer dot products stay far from 2^63
+
+
+def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.9,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, cosine): all document pairs with TF-IDF cosine ≥
+    threshold — the sparse-vector member of the all-pairs family (Jaccard
+    and containment treat tokens as sets; this weighs them).
+
+    Hash-parity: idf is quantized to integer milli-nats in the
+    vocabulary-sized LUT, per-(doc, token) weights are exact integer
+    products tf·idf_q, and norms/dots are exact BIGINT sums — the one
+    double expression (dot / (|a|·|b|)) is mirrored verbatim.
+
+    Plan: same candidate shape as jaccard_pairs — a token equi-join means
+    only pairs sharing ≥1 token materialize, with the per-token fan-out
+    capped by document frequency; norms ride along from a vocabulary-
+    bounded agg.  Headroom: wq ≤ tf·(ln(N)·1e3); the per-pair dot sum
+    stays under 2^63 through ~1e4 shared tokens at tf ~1e3 on a 1e9-doc
+    corpus."""
+    from nonconsumptive_spark.operators.wordcount import doc_token_counts
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    counts = materialize_once(
+        doc_token_counts(df, id_col, text_col), "tcp_counts")
+    df_t = counts.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    n = df.agg(F.count("*").cast("bigint").alias("n_docs"))
+    idf = (
+        df_t.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.round(F.log(F.col("n_docs") / F.col("df"))
+                    * F.lit(TFIDF_IDF_SCALE)).cast("bigint").alias("idf_q"),
+        )
+    )
+    weighted = (
+        counts.join(F.broadcast(idf), "token")
+        .select(id_col, "token",
+                (F.col("count") * F.col("idf_q")).cast("bigint").alias("wq"))
+    )
+    weighted = materialize_once(weighted, "tcp_weights")
+    norms = weighted.groupBy(id_col).agg(
+        F.sum(F.col("wq") * F.col("wq")).cast("bigint").alias("n2"))
+
+    a = weighted.select(F.col(id_col).alias("doc_a"), "token",
+                        F.col("wq").alias("wa"))
+    b = weighted.select(F.col(id_col).alias("doc_b"), "token",
+                        F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("na2").cast("double"))
+              * F.sqrt(F.col("nb2").cast("double"))))
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("cosine", F.round(cos, 4) + F.lit(0.0))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

@@ -101,6 +101,7 @@ PRIORITY: tuple[str, ...] = (
     "q_negative_sampling",
     "q_bootstrap_mean_ci",
     "q_cumulative_users",
+    "q_tfidf_cosine_pairs",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -127,7 +128,6 @@ PRIORITY: tuple[str, ...] = (
     "q_except_intersect",
     "q_grouping_sets",
     "q_multimodal_features",
-    "q_orders_by_month",
     "q_pivot_event_values",
     "q_posexplode_provenance",
     "q_regex_extract_cast",

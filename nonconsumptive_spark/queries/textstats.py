@@ -1525,3 +1525,52 @@ def _boot_k_sql(m_expr: str) -> str:
 )
 def q_bootstrap_mean_ci(spark, sf_dir):
     return ts.bootstrap_mean_ci(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, w AS token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents) z
+      GROUP BY doc_id, w),
+    dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM counts GROUP BY token),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    idf AS (
+      SELECT token,
+             CAST(round(ln(n.n_docs / d.df) * {ts.TFIDF_IDF_SCALE})
+                  AS BIGINT) AS idf_q
+      FROM dft d CROSS JOIN nd n),
+    weighted AS (
+      SELECT c.doc_id, c.token, CAST(c.c * i.idf_q AS BIGINT) AS wq
+      FROM counts c JOIN idf i ON i.token = c.token),
+    norms AS (
+      SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS n2
+      FROM weighted GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+      FROM weighted a JOIN weighted b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(dot * 1.0 / (sqrt(CAST(na.n2 AS DOUBLE))
+                              * sqrt(CAST(nb.n2 AS DOUBLE))), 4) + 0.0
+             AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE round(dot * 1.0 / (sqrt(CAST(na.n2 AS DOUBLE))
+                             * sqrt(CAST(nb.n2 AS DOUBLE))), 4) + 0.0 >= 0.9
+    """,
+    doc="All-pairs TF-IDF cosine ≥ 0.9 — the sparse weighted-vector "
+        "member of the pair family (Jaccard/containment are set-based). "
+        "idf integer-quantized in the vocab LUT; weights, norms, and "
+        "dots are exact BIGINTs "
+        "(operators/textstats.py:tfidf_cosine_pairs).",
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    return ts.tfidf_cosine_pairs(load(spark, sf_dir, "documents"),
+                                 threshold=0.9)

@@ -388,3 +388,16 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
     # interval should be tight for 500 docs but not degenerate
     assert r1["ci_lo"] < r1["ci_hi"]
+
+
+def test_tfidf_cosine_pairs_identical_docs(spark):
+    from nonconsumptive_spark.operators.textstats import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta")],
+        ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(df, threshold=0.5).collect()}
+    assert got.get((1, 2)) == 1.0     # identical docs → cosine exactly 1
+    assert (1, 3) not in got and (2, 3) not in got  # disjoint vocab
