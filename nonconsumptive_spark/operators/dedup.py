@@ -1007,3 +1007,35 @@ def ppjoin_against(batch: DataFrame, index_dir: str,
             "match_id", "jaccard",
         )
     )
+
+
+def lsh_tune(threshold: float, n_perm: int = 64,
+             fp_weight: float = 0.5) -> tuple[int, int]:
+    """(bands, rows): the banding that best approximates a step at
+    ``threshold`` — minimizes the weighted integral of false-positive
+    area (below threshold) and false-negative area (above) under the
+    S-curve P(candidate | s) = 1 - (1 - s^rows)^bands, over all exact
+    factorizations bands*rows = n_perm (the datasketch optimization,
+    computed here with a 1e-3 midpoint grid).
+
+    Pure driver-side arithmetic — call it once when configuring
+    minhash_signatures/lsh_candidates for a non-default threshold
+    instead of hand-picking bands."""
+    best, best_err = None, float("inf")
+    for rows in range(1, n_perm + 1):
+        if n_perm % rows:
+            continue
+        bands = n_perm // rows
+        fp = fn = 0.0
+        steps = 1000
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** rows) ** bands
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best, best_err = (bands, rows), err
+    return best

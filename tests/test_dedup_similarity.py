@@ -538,3 +538,30 @@ def test_ppjoin_index_threshold_mismatch_refused(spark, tmp_path):
         dd.ppjoin_against(docs, idx, threshold=0.5)
     # threshold=None uses the indexed threshold
     assert dd.ppjoin_against(docs, idx).count() == 20
+
+
+def test_lsh_tune_minimizes_objective_and_is_monotone():
+    """lsh_tune returns the factorization that actually minimizes its
+    stated FP/FN-area objective, and rows grow monotonically with the
+    threshold (higher threshold -> sharper curve -> more rows/band)."""
+    from nonconsumptive_spark.operators.dedup import lsh_tune
+
+    def err(bands, rows, t, w=0.5):
+        fp = fn = 0.0
+        for i in range(1000):
+            s = (i + 0.5) / 1000
+            p = 1.0 - (1.0 - s ** rows) ** bands
+            if s < t:
+                fp += p / 1000
+            else:
+                fn += (1.0 - p) / 1000
+        return w * fp + (1 - w) * fn
+
+    prev_rows = 0
+    for t in (0.3, 0.5, 0.7, 0.9):
+        bands, rows = lsh_tune(t, 64)
+        assert bands * rows == 64
+        best = min(err(64 // r, r, t) for r in range(1, 65) if 64 % r == 0)
+        assert abs(err(bands, rows, t) - best) < 1e-12
+        assert rows >= prev_rows
+        prev_rows = rows
