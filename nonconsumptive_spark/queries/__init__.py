@@ -102,6 +102,9 @@ PRIORITY: tuple[str, ...] = (
     "q_bootstrap_mean_ci",
     "q_cumulative_users",
     "q_tfidf_cosine_pairs",
+    "q_event_type_lift",
+    "q_event_transitions",
+    "q_vocab_growth_curve",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -122,11 +125,8 @@ PRIORITY: tuple[str, ...] = (
     "q_dup_id_guard",
     "q_events_json",
     "q_events_session",
-    "q_events_sliding",
     "q_events_tumbling",
     "q_events_user_running",
-    "q_except_intersect",
-    "q_grouping_sets",
     "q_multimodal_features",
     "q_pivot_event_values",
     "q_posexplode_provenance",

@@ -705,3 +705,91 @@ def q_cumulative_users(spark, sf_dir):
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                 "new_users", "cum_users")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_event_type_lift",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n_users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.c_ab,
+           ca.c AS c_a, cb.c AS c_b,
+           round(p.c_ab * 1.0 * n.n / (ca.c * cb.c), 4) + 0.0 AS lift
+    FROM pairs p
+    JOIN tc ca ON ca.event_type = p.type_a
+    JOIN tc cb ON cb.event_type = p.type_b
+    CROSS JOIN n_users n
+    """,
+    doc="Association lift between event types across users (market-basket "
+        "form: a user is a basket of distinct event types; lift = "
+        "P(a,b)/(P(a)P(b))).  All counts exact BIGINTs from a distinct-"
+        "pairs self-join on the user key; one mirrored double expression.",
+)
+def q_event_type_lift(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").cast("long").alias("n"))
+    tc = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    ca = tc.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))
+    cb = tc.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "c_ab", "c_a", "c_b",
+            (F.round(F.col("c_ab").cast("double") * F.col("n")
+                     / (F.col("c_a") * F.col("c_b")), 4)
+             + F.lit(0.0)).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Per-user event-type transition counts (behavioral sequence "
+        "mining — the event analog of the token Markov table).  Total "
+        "order (ts, event_id) makes the lead deterministic; one "
+        "user-partitioned window + one short-key agg.",
+)
+def q_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )

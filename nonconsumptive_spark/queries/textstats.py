@@ -1574,3 +1574,68 @@ def q_bootstrap_mean_ci(spark, sf_dir):
 def q_tfidf_cosine_pairs(spark, sf_dir):
     return ts.tfidf_cosine_pairs(load(spark, sf_dir, "documents"),
                                  threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_vocab_growth_curve",
+    oracle=f"""
+    WITH bdocs AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10 AS b,
+             len({_DUCK_TOKS}) AS n_toks
+      FROM documents),
+    tokb AS (
+      SELECT w AS token, min(b) AS b_min FROM (
+        SELECT unnest({_DUCK_TOKS}) AS w,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10 AS b
+        FROM documents) z
+      GROUP BY w),
+    ks AS (SELECT unnest(range(1, 11)) AS k)
+    SELECT k,
+           CAST((SELECT count(*) FROM bdocs WHERE b < k) AS BIGINT) AS n_docs,
+           CAST((SELECT coalesce(sum(n_toks), 0) FROM bdocs WHERE b < k)
+                AS BIGINT) AS n_tokens,
+           CAST((SELECT count(*) FROM tokb WHERE b_min < k) AS BIGINT)
+             AS n_distinct
+    FROM ks
+    """,
+    doc="Vocabulary growth curve under deterministic hash-decile corpus "
+        "sampling (Heaps-law empirics as data, complementing the "
+        "q_heaps_fit parameter fit).  Rank-free: a doc's decile is an md5 "
+        "bucket and a token's first appearance is its MIN bucket, so the "
+        "curve needs no global ordering — two aggs and a 10-row spine.",
+)
+def q_vocab_growth_curve(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.operators.dedup import _md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    b = F.pmod(_md5_long(F.col("doc_id").cast("string")), F.lit(10))
+    bdocs = docs.select(
+        b.alias("b"), F.size(tokenize("text")).cast("long").alias("n_toks"))
+    per_bucket = bdocs.groupBy("b").agg(
+        F.count("*").cast("long").alias("d"),
+        F.sum("n_toks").cast("long").alias("t"))
+    tokb = (
+        docs.select(b.alias("b"), F.explode(tokenize("text")).alias("token"))
+        .groupBy("token").agg(F.min("b").alias("b_min"))
+        .groupBy("b_min").agg(F.count("*").cast("long").alias("v"))
+    )
+    ks = docs.sparkSession.range(1, 11).select(F.col("id").cast("bigint").alias("k"))
+    joined = (
+        ks.join(F.broadcast(per_bucket), F.col("b") < F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_docs"),
+             F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_tokens"))
+    )
+    vq = (
+        ks.join(F.broadcast(tokb), F.col("b_min") < F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("n_distinct"))
+    )
+    return joined.join(vq, "k").select("k", "n_docs", "n_tokens", "n_distinct")
