@@ -79,3 +79,33 @@ def test_resize_geometry_and_stub_payload(spark):
     assert rows[2]["scale_pct"] == 100
     # stub payload re-serializes the new dims (PIL drop-in point)
     assert bytes(rows[1]["content"]).startswith(b"NCIM|256|144|")
+
+
+def test_audio_window_energy_matches_numpy(spark):
+    """Windowed RMS over synthetic int8 PCM: frames tile the payload,
+    values match a straight numpy computation, non-audio rows are pruned
+    before the UDF."""
+    import numpy as np
+
+    from nonconsumptive_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_window_energy)
+
+    rng = np.random.RandomState(7)
+    pcm = rng.randint(-128, 128, size=2500, dtype=np.int16).astype(np.int8)
+    content = b"NCAU|16b-header|" + pcm.tobytes()
+    assert len(b"NCAU|16b-header|") == 16
+    rows = [
+        (1, "audio", "audio/pcm", bytearray(content)),
+        (2, "image", "image/fake", bytearray(b"NCIM|8|8|xxxxxxxx")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["frame"]: r for r in
+           audio_window_energy(media, frame_len=1024).collect()}
+    assert sorted(got) == [0, 1, 2]          # 2500 samples -> 1024+1024+452
+    assert got[2]["n_samples"] == 452
+    assert all(r["media_id"] == 1 for r in got.values())
+    x = pcm.astype(np.float64) / 128.0
+    for f in range(3):
+        chunk = x[f * 1024:(f + 1) * 1024]
+        expect = int(round(float(np.sqrt(np.mean(chunk * chunk))) * 10_000))
+        assert got[f]["rms_q"] == expect
