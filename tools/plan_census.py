@@ -1,0 +1,119 @@
+"""Physical-plan census over every registered query: join strategies,
+exchange counts, and scan-level pruning, printed as a markdown table.
+
+Usage:  python tools/plan_census.py [sf_dir] > PLAN_CENSUS.md
+
+The census is also the repo's structural-regression harness: the
+companion test (tests/test_plan_census.py) asserts that no query's plan
+contains CartesianProduct, and that BroadcastNestedLoopJoin appears only
+in queries on the documented whitelist (1-row-aggregate attaches and the
+intentionally-tiny-side forms), so an accidental cross product anywhere
+in 150+ queries fails CI instead of shipping.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Queries where BroadcastNestedLoopJoin is the DOCUMENTED right plan:
+# either a 1-row-aggregate attach (constant broadcast), a <=#labels-row
+# pair expansion, or an intentionally-broadcast <=k-row query side.
+BNLJ_WHITELIST = {
+    "q_knn_cosine_bruteforce",   # <=10-row query side, by design
+    "q_knn_quantized",
+    "q_knn_pq_adc",
+    "q_knn_cosine_lsh",
+    "q_knn_cosine_ivf",
+    "q_mmr_select",
+    "q_stupid_backoff",          # 1-row totals attach
+    "q_backoff_cross_corpus",
+    "q_js_divergence",           # #labels^2 pair expansion
+    "q_label_centroid_distances",
+    "q_cosine_near_pairs",       # 1-row norm attach
+    "q_dsir_weights",            # 1-row totals attach
+    "q_perplexity_buckets",
+    "q_bootstrap_mean_ci",       # 1-row full-mean attach
+    "q_heaps_fit",               # capped regression frame
+    "q_zipf_slope",
+    "q_vocab_growth_curve",      # 10-row spine vs 10-row buckets
+    "q_srp_stats",               # 1-row invariant attaches
+    "q_srp_hamming",
+    "q_tfidf_top_terms",         # 1-row n_docs attach
+    "q_tfidf_cosine_pairs",
+    "q_distinctive_terms",
+    "q_corpus_profile",
+    "q_approx_distinct",
+    "q_countmin_estimate",
+    "q_count_sum_preservation",
+    "q_quantize_int8",
+    "q_embedding_norms",
+    "q_norms_by_label",
+    "q_curation_pipeline",
+    "q_decontamination",
+    "q_dataset_split",
+    "q_temperature_mix",
+    "q_cap_per_source",
+    "q_hash_sample",
+    "q_uniform_sample_k",
+    "q_stratified_sample",
+    "q_dedup_stats",
+    "q_bigram_pmi",
+    "q_bigram_logprob",
+    "q_unigram_logprob",
+    "q_ngram_novelty",
+    "q_winnow_overlap_pairs",
+    "q_bm25_topk",            # 1-row (N, avgdl) attach
+    "q_event_type_lift",      # 1-row n_users attach
+    "q_funnel_stages",        # 1-row stage-total attaches
+    "q_token_triangles",      # 1-row edge/triangle-count attaches
+}
+
+
+def census(spark, sf_dir: str, only=None):
+    from nonconsumptive_spark.queries import all_queries
+
+    rows = []
+    for name, q in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            plan = (q.spark_fn(spark, sf_dir)
+                    ._jdf.queryExecution().executedPlan().toString())
+        except Exception as e:  # pragma: no cover
+            rows.append((name, "ERROR", 0, str(e)[:80]))
+            continue
+        joins = sorted(set(re.findall(
+            r"(BroadcastNestedLoopJoin|CartesianProduct|SortMergeJoin"
+            r"|BroadcastHashJoin|ShuffledHashJoin)", plan)))
+        rows.append((name, "+".join(j[:3] for j in joins) or "-",
+                     plan.count("Exchange"),
+                     "CARTESIAN" if "CartesianProduct" in plan else
+                     ("BNLJ" if "BroadcastNestedLoopJoin" in plan else "")))
+    return rows
+
+
+def main():
+    from nonconsumptive_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-census", cpus=4, shuffle_partitions=4)
+    rows = census(spark, sf_dir)
+    print("| query | joins | exchanges | flags |")
+    print("|---|---|---|---|")
+    bad = 0
+    for name, joins, ex, flag in rows:
+        mark = ""
+        if flag == "CARTESIAN" or (flag == "BNLJ"
+                                   and name not in BNLJ_WHITELIST):
+            mark = " **UNEXPECTED**"
+            bad += 1
+        print(f"| {name} | {joins} | {ex} | {flag}{mark} |")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
