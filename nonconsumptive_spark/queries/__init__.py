@@ -105,6 +105,7 @@ PRIORITY: tuple[str, ...] = (
     "q_event_type_lift",
     "q_event_transitions",
     "q_vocab_growth_curve",
+    "q_lsh_dedup_recall",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -126,7 +127,6 @@ PRIORITY: tuple[str, ...] = (
     "q_events_json",
     "q_events_session",
     "q_events_tumbling",
-    "q_events_user_running",
     "q_multimodal_features",
     "q_pivot_event_values",
     "q_posexplode_provenance",

@@ -619,3 +619,63 @@ def q_snm_pairs(spark, sf_dir):
 )
 def q_ppjoin_pairs(spark, sf_dir):
     return dd.ppjoin_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_lsh_dedup_recall",
+    oracle=f"""
+    {_DUCK_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.5)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth t
+                 JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM truth t
+                  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                 * 1.0
+                 / greatest((SELECT count(*) FROM truth), 1), 4) + 0.0
+             AS recall
+    """,
+    doc="Self-evaluation of the MinHash-LSH banding: recall of the band "
+        "candidate set against the EXACT Jaccard >= 0.5 ground truth "
+        "(the dedup analog of the r2 kNN recall oracles).  Both sides "
+        "replayed from the same shingle/minhash definitions; one row of "
+        "exact counts plus a mirrored recall division.",
+)
+def q_lsh_dedup_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    cand = dd.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    truth = dd.jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true", "n_candidates", "n_hit",
+            (F.round(F.col("n_hit").cast("double")
+                     / F.greatest(F.col("n_true"), F.lit(1)), 4)
+             + F.lit(0.0)).alias("recall"),
+        )
+    )
