@@ -121,9 +121,9 @@ PRIORITY: tuple[str, ...] = (
     "q_anti_join",
     "q_cast_ladder_roundtrip",
     "q_click_attribution",
-    "q_correlated_subquery",
+    "q_events_sliding",
+    "q_events_user_running",
     "q_distinct_cardinality",
-    "q_dup_id_guard",
     "q_events_json",
     "q_events_session",
     "q_events_tumbling",
