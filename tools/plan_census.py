@@ -70,6 +70,7 @@ BNLJ_WHITELIST = {
     "q_event_type_lift",      # 1-row n_users attach
     "q_funnel_stages",        # 1-row stage-total attaches
     "q_token_triangles",      # 1-row edge/triangle-count attaches
+    "q_lsh_dedup_recall",     # three 1-row count attaches
 }
 
 
