@@ -106,6 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "q_event_transitions",
     "q_vocab_growth_curve",
     "q_lsh_dedup_recall",
+    "q_length_quantiles_by_lang",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -119,7 +120,6 @@ PRIORITY: tuple[str, ...] = (
     "q_filter_projection",
     "q1_pricing_summary",
     "q_anti_join",
-    "q_cast_ladder_roundtrip",
     "q_click_attribution",
     "q_events_sliding",
     "q_events_user_running",

@@ -1639,3 +1639,59 @@ def q_vocab_growth_curve(spark, sf_dir):
         .agg(F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("n_distinct"))
     )
     return joined.join(vq, "k").select("k", "n_docs", "n_tokens", "n_distinct")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_length_quantiles_by_lang",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+      FROM documents),
+    n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY lang),
+    dist AS (SELECT lang, n_toks, CAST(count(*) AS BIGINT) AS c
+             FROM q GROUP BY lang, n_toks),
+    cum AS (
+      SELECT lang, n_toks,
+             sum(c) OVER (PARTITION BY lang ORDER BY n_toks) AS cum
+      FROM dist)
+    SELECT c.lang,
+           min(CASE WHEN c.cum >= ceil(0.25 * n.n) THEN c.n_toks END) AS p25,
+           min(CASE WHEN c.cum >= ceil(0.50 * n.n) THEN c.n_toks END) AS p50,
+           min(CASE WHEN c.cum >= ceil(0.75 * n.n) THEN c.n_toks END) AS p75,
+           min(CASE WHEN c.cum >= ceil(0.95 * n.n) THEN c.n_toks END) AS p95
+    FROM cum c JOIN n ON n.lang = c.lang
+    GROUP BY c.lang
+    """,
+    doc="Exact per-language token-length quantiles (discrete P25/50/75/95) "
+        "WITHOUT sorting documents: the winsorize cum-distribution trick — "
+        "the only window runs over distinct (lang, length) rows.  All "
+        "outputs exact BIGINTs.",
+)
+def q_length_quantiles_by_lang(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.select("lang", F.size(tokenize("text")).cast("long")
+                    .alias("n_toks"))
+    n = q.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    dist = q.groupBy("lang", "n_toks").agg(
+        F.count("*").cast("long").alias("c"))
+    w = (Window.partitionBy("lang").orderBy("n_toks")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dist.select("lang", "n_toks", F.sum("c").over(w).alias("cum"))
+
+    def pq(frac, name):
+        return F.min(F.when(
+            F.col("cum") >= F.ceil(F.lit(frac) * F.col("n")),
+            F.col("n_toks"))).alias(name)
+
+    return (
+        cum.join(F.broadcast(n), "lang")
+        .groupBy("lang")
+        .agg(pq(0.25, "p25"), pq(0.50, "p50"),
+             pq(0.75, "p75"), pq(0.95, "p95"))
+    )
