@@ -405,6 +405,30 @@ def chunked_wordcounts(docs: DataFrame, chunk_size: int = 10_000,
     )
 
 
+def _ols_fold(xy: DataFrame) -> DataFrame:
+    """OLS sums over an (x, y) frame with ORDER-INDEPENDENT results: the
+    points collect into one bounded array (callers guarantee the frame is
+    capped — #strata or a top-N vocab), sort by (x, y), and the sums fold
+    SEQUENTIALLY over the sorted array — so partition/merge order can
+    never flip a last-ulp sum across runs or engines.  One row:
+    (n, sx, sy, sxx, sxy).  The matching oracle fragment is _OLS in
+    queries/text.py (list(... ORDER BY x, y) + list_sum)."""
+    pts = xy.agg(F.array_sort(
+        F.collect_list(F.struct("x", "y"))).alias("p"))
+
+    def fsum(term):
+        return F.aggregate(F.col("p"), F.lit(0.0),
+                           lambda acc, e: acc + term(e))
+
+    return pts.select(
+        F.size("p").cast("long").alias("n"),
+        fsum(lambda e: e["x"]).alias("sx"),
+        fsum(lambda e: e["y"]).alias("sy"),
+        fsum(lambda e: e["x"] * e["x"]).alias("sxx"),
+        fsum(lambda e: e["x"] * e["y"]).alias("sxy"),
+    )
+
+
 def zipf_fit(docs: DataFrame, top_n: int = 500, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Zipf's-law fit over the top-``top_n`` vocabulary: OLS of ln(count)
@@ -422,18 +446,13 @@ def zipf_fit(docs: DataFrame, top_n: int = 500, id_col: str = "doc_id",
         F.log(F.col("wordid") + 1.0).alias("x"),
         F.log(F.col("count").cast("double")).alias("y"),
     )
-    s = xy.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
+    s = _ols_fold(xy)
     n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(
         n.cast("long").alias("n_terms"),
-        F.round(slope, 4).alias("slope"),
-        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("slope"),
+        (F.round((sy - slope * sx) / n, 4) + F.lit(0.0)).alias("intercept"),
     )
 
 
@@ -457,18 +476,17 @@ def heaps_fit(docs: DataFrame, stratum_col: str = "source",
         F.log(F.col("n_tok").cast("double")).alias("x"),
         F.log(F.col("v_tok").cast("double")).alias("y"),
     )
-    s = xy.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
+    s = _ols_fold(xy)
     n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
     beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(
         n.cast("long").alias("n_strata"),
-        F.round(beta, 4).alias("beta"),
-        F.round(F.exp((sy - beta * sx) / n), 4).alias("k"),
+        # + 0.0: a saturated-vocabulary corpus (every stratum sees the
+        # whole vocab) makes the true beta 0 and the computed value a
+        # sign-unstable ~1e-17 — without the guard the -0.0 leaks into
+        # the hash (observed once at sf0.1 before this fix)
+        (F.round(beta, 4) + F.lit(0.0)).alias("beta"),
+        (F.round(F.exp((sy - beta * sx) / n), 4) + F.lit(0.0)).alias("k"),
     )
 
 

@@ -107,6 +107,8 @@ PRIORITY: tuple[str, ...] = (
     "q_vocab_growth_curve",
     "q_lsh_dedup_recall",
     "q_length_quantiles_by_lang",
+    "q_heaps_fit",
+    "q_zipf_slope",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -129,8 +131,6 @@ PRIORITY: tuple[str, ...] = (
     "q_events_tumbling",
     "q_multimodal_features",
     "q_pivot_event_values",
-    "q_posexplode_provenance",
-    "q_regex_extract_cast",
     # -- oldest r2 rows whose implementation files were touched since the
     #    r3 gate (dedup.py / textstats.py dependents) — fills to 50
     "q_dedup_clusters",

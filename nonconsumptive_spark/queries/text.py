@@ -531,11 +531,17 @@ def q_token_pagerank(spark, sf_dir):
 # --------------------------------------------------------------------------
 _ZIPF_TOP = 500
 
+# Order-independent OLS sums: points sort into one list and the sums fold
+# sequentially over it, mirroring operators/wordcount._ols_fold — a plain
+# sum() would accumulate in engine-defined order and can flip the last
+# ulp (observed as a -0.0 beta flake at sf0.1 on a saturated vocabulary).
 _OLS = """
-    SELECT CAST(count(*) AS BIGINT) AS n,
-           sum(x) AS sx, sum(y) AS sy,
-           sum(x * x) AS sxx, sum(x * y) AS sxy
-    FROM xy
+    SELECT CAST(len(p) AS BIGINT) AS n,
+           list_sum(list_transform(p, e -> e.x)) AS sx,
+           list_sum(list_transform(p, e -> e.y)) AS sy,
+           list_sum(list_transform(p, e -> e.x * e.x)) AS sxx,
+           list_sum(list_transform(p, e -> e.x * e.y)) AS sxy
+    FROM (SELECT list({'x': x, 'y': y} ORDER BY x, y) AS p FROM xy)
 """
 
 
@@ -552,9 +558,9 @@ _OLS = """
            FROM ranked),
     s AS ({_OLS})
     SELECT n AS n_terms,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope,
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
-             AS intercept
+             + 0.0 AS intercept
     FROM s
     """,
     doc=f"Zipf's-law diagnostic: OLS of ln(count) on ln(rank) over the "
@@ -578,9 +584,9 @@ def q_zipf_slope(spark, sf_dir):
                   ln(CAST(v_tok AS DOUBLE)) AS y FROM pts),
     s AS ({_OLS})
     SELECT n AS n_strata,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS beta,
            round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 4)
-             AS k
+             + 0.0 AS k
     FROM s
     """,
     doc="Heaps'-law fit V = k·N^beta across per-source (tokens, distinct "
