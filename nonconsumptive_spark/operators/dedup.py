@@ -106,7 +106,8 @@ def _shingle_hash(s, hash_fn: str):
 
 def _sig_base(docs: DataFrame, id_col: str, text_col: str,
               keep_shingles: bool = False, materialize: bool = False,
-              hash_fn: str = "md5") -> DataFrame:
+              hash_fn: str = "md5",
+              shingles_df: DataFrame | None = None) -> DataFrame:
     """(doc, [shingles,] sig: array<long>) — the minhash signature table in
     ONE narrow pass, no shuffle, and critically ONE evaluation of the
     tokenize->shingle->md5 chain per row.
@@ -126,7 +127,8 @@ def _sig_base(docs: DataFrame, id_col: str, text_col: str,
     (data_storage.py:154-161) in Spark form; on a real cluster a reliable
     checkpoint dir / parquet checkpoint (plans.checkpoint) replaces the
     executor-local one."""
-    sh = doc_shingles(docs, id_col, text_col)
+    sh = (shingles_df if shingles_df is not None
+          else doc_shingles(docs, id_col, text_col))
     keep = ["shingles"] if keep_shingles else []
     hashed = sh.select(
         id_col, *keep,
@@ -199,11 +201,16 @@ def lsh_band_keys(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return _band_rows(_sig_base(docs, id_col, text_col), id_col)
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        shingles_df: DataFrame | None = None) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing at least one LSH
     band.  The signature table is materialized once; both self-join sides
-    read it back rather than re-hashing the corpus."""
-    bands = _band_rows(_sig_base(docs, id_col, text_col, materialize=True), id_col)
+    read it back rather than re-hashing the corpus.  ``shingles_df``
+    shares a pre-built shingle frame with other consumers (e.g. the
+    recall self-eval runs this AND the exact join off one shingling)."""
+    bands = _band_rows(_sig_base(docs, id_col, text_col, materialize=True,
+                                 shingles_df=shingles_df), id_col)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -215,10 +222,13 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  shingles_df: DataFrame | None = None) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold via a shingle equi-join
     (only pairs sharing ≥1 shingle are ever materialized)."""
-    sh = materialize_once(doc_shingles(docs, id_col, text_col), "shingles")
+    sh = (shingles_df if shingles_df is not None
+          else materialize_once(doc_shingles(docs, id_col, text_col),
+                                "shingles"))
     exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
     a = exploded.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -1009,7 +1019,7 @@ def ppjoin_against(batch: DataFrame, index_dir: str,
     )
 
 
-def lsh_tune(threshold: float, n_perm: int = 64,
+def lsh_tune(threshold: float, n_perm: int = N_HASHES,
              fp_weight: float = 0.5) -> tuple[int, int]:
     """(bands, rows): the banding that best approximates a step at
     ``threshold`` — minimizes the weighted integral of false-positive

@@ -1629,6 +1629,12 @@ def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.9,
         counts.join(F.broadcast(idf), "token")
         .select(id_col, "token",
                 (F.col("count") * F.col("idf_q")).cast("bigint").alias("wq"))
+        # a token in EVERY document has idf_q = 0: it contributes nothing
+        # to any dot or norm, but left in the join it fans out
+        # O(n_docs^2) zero rows — drop zero weights before anything sees
+        # them (output-identical; pairs reachable only through them score
+        # cosine 0/NULL, below any positive threshold in both engines)
+        .filter(F.col("wq") != 0)
     )
     weighted = materialize_once(weighted, "tcp_weights")
     norms = weighted.groupBy(id_col).agg(

@@ -664,8 +664,12 @@ def q_lsh_dedup_recall(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = load(spark, sf_dir, "documents")
-    cand = dd.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
-    truth = dd.jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    sh = materialize_once(dd.doc_shingles(docs), "recall_shingles")
+    cand = dd.lsh_candidate_pairs(docs, shingles_df=sh).select(
+        "doc_a", "doc_b")
+    truth = dd.jaccard_pairs(docs, threshold=0.5, shingles_df=sh).select(
+        "doc_a", "doc_b")
     n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_hit = truth.join(cand, ["doc_a", "doc_b"]).agg(

@@ -1545,7 +1545,8 @@ def q_bootstrap_mean_ci(spark, sf_dir):
       FROM dft d CROSS JOIN nd n),
     weighted AS (
       SELECT c.doc_id, c.token, CAST(c.c * i.idf_q AS BIGINT) AS wq
-      FROM counts c JOIN idf i ON i.token = c.token),
+      FROM counts c JOIN idf i ON i.token = c.token
+      WHERE c.c * i.idf_q <> 0),
     norms AS (
       SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS n2
       FROM weighted GROUP BY doc_id),

@@ -559,9 +559,9 @@ def test_lsh_tune_minimizes_objective_and_is_monotone():
 
     prev_rows = 0
     for t in (0.3, 0.5, 0.7, 0.9):
-        bands, rows = lsh_tune(t, 64)
-        assert bands * rows == 64
-        best = min(err(64 // r, r, t) for r in range(1, 65) if 64 % r == 0)
+        bands, rows = lsh_tune(t)  # default n_perm = N_HASHES = 16
+        assert bands * rows == 16
+        best = min(err(16 // r, r, t) for r in range(1, 17) if 16 % r == 0)
         assert abs(err(bands, rows, t) - best) < 1e-12
         assert rows >= prev_rows
         prev_rows = rows

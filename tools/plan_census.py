@@ -85,12 +85,15 @@ def census(spark, sf_dir: str, only=None):
             plan = (q.spark_fn(spark, sf_dir)
                     ._jdf.queryExecution().executedPlan().toString())
         except Exception as e:  # pragma: no cover
-            rows.append((name, "ERROR", 0, str(e)[:80]))
+            rows.append((name, str(e)[:80], 0, "ERROR"))
             continue
+        abbrev = {"BroadcastNestedLoopJoin": "BNLJ", "CartesianProduct":
+                  "CART", "SortMergeJoin": "SMJ", "BroadcastHashJoin":
+                  "BHJ", "ShuffledHashJoin": "SHJ"}
         joins = sorted(set(re.findall(
             r"(BroadcastNestedLoopJoin|CartesianProduct|SortMergeJoin"
             r"|BroadcastHashJoin|ShuffledHashJoin)", plan)))
-        rows.append((name, "+".join(j[:3] for j in joins) or "-",
+        rows.append((name, "+".join(abbrev[j] for j in joins) or "-",
                      plan.count("Exchange"),
                      "CARTESIAN" if "CartesianProduct" in plan else
                      ("BNLJ" if "BroadcastNestedLoopJoin" in plan else "")))
@@ -108,8 +111,8 @@ def main():
     bad = 0
     for name, joins, ex, flag in rows:
         mark = ""
-        if flag == "CARTESIAN" or (flag == "BNLJ"
-                                   and name not in BNLJ_WHITELIST):
+        if flag in ("CARTESIAN", "ERROR") or (
+                flag == "BNLJ" and name not in BNLJ_WHITELIST):
             mark = " **UNEXPECTED**"
             bad += 1
         print(f"| {name} | {joins} | {ex} | {flag}{mark} |")
