@@ -651,3 +651,24 @@ def label_centroid_distances(emb: DataFrame, label_col: str = "label",
                     * F.sqrt(F.col("dbb").cast("double"))), 6)
          + F.lit(0.0)).alias("cos_centroid"),
     )
+
+
+def ivf_append(new_emb: DataFrame, index_dir: str, n_centroids: int = 16,
+               dim: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding", seed: int = 42,
+               compression: str = "zstd") -> None:
+    """Append a fresh batch of vectors to a PERSISTED IVF index (see
+    ``ivf_write``) — index maintenance without a rebuild.  The centroid
+    grid is deterministic from (n_centroids, dim, seed), so new vectors
+    assign to exactly the cells the original build used, and appended
+    files land inside the matching ``cell=`` partition directories;
+    ``knn_ivf_index`` probes then see old + new vectors identically to a
+    full rebuild (test-asserted).  Cost: one zero-shuffle assignment scan
+    of the BATCH only — the existing index is never read or rewritten."""
+    (
+        ivf_assign(new_emb, n_centroids, dim, id_col, vec_col, seed)
+        .write.mode("append")
+        .option("compression", compression)
+        .partitionBy("cell")
+        .parquet(index_dir)
+    )

@@ -109,6 +109,7 @@ PRIORITY: tuple[str, ...] = (
     "q_length_quantiles_by_lang",
     "q_heaps_fit",
     "q_zipf_slope",
+    "q_kwic",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -121,7 +122,6 @@ PRIORITY: tuple[str, ...] = (
     "q_point_lookup",
     "q_filter_projection",
     "q1_pricing_summary",
-    "q_anti_join",
     "q_click_attribution",
     "q_events_sliding",
     "q_events_user_running",

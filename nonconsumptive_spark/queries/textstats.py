@@ -1696,3 +1696,62 @@ def q_length_quantiles_by_lang(spark, sf_dir):
         .agg(pq(0.25, "p25"), pq(0.50, "p50"),
              pq(0.75, "p75"), pq(0.95, "p95"))
     )
+
+
+# --------------------------------------------------------------------------
+_KWIC_TERM = "merge"
+_KWIC_WIN = 3
+
+
+@register(
+    "q_kwic",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    hits AS (
+      SELECT doc_id, t,
+             unnest(list_filter(range(1, len(t) + 1), i -> t[i] = '{_KWIC_TERM}'))
+               AS pos
+      FROM toks)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           coalesce(array_to_string(
+             list_slice(t, greatest(pos - {_KWIC_WIN}, 1), pos - 1), ' '), '')
+             AS left_ctx,
+           coalesce(array_to_string(
+             list_slice(t, pos + 1, pos + {_KWIC_WIN}), ' '), '')
+             AS right_ctx
+    FROM hits
+    """,
+    doc=f"Keyword-in-context concordance for '{_KWIC_TERM}' (±{_KWIC_WIN} "
+        "tokens) — the classic nonconsumptive text-analytics surface "
+        "(Bookworm-style concordance lines without exposing full text).  "
+        "Occurrence positions and context windows are built IN-ROW from "
+        "the token array (no explode of non-matching tokens, no shuffle "
+        "beyond the scan).",
+)
+def q_kwic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.functions.text import let, tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    hits = let(tokenize("text"), lambda t: F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(0))),
+            lambda i: F.element_at(t, i) == F.lit(_KWIC_TERM),
+        ),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice(
+                t, F.greatest(i - _KWIC_WIN, F.lit(1)),
+                F.when(i - _KWIC_WIN >= 1, F.lit(_KWIC_WIN))
+                 .otherwise(i - 1))).alias("left_ctx"),
+            F.concat_ws(" ", F.slice(t, i + 1, _KWIC_WIN)).alias("right_ctx"),
+        ),
+    ))
+    return (
+        docs.select("doc_id", F.explode(hits).alias("h"))
+        .select("doc_id", F.col("h.pos").alias("pos"),
+                F.col("h.left_ctx").alias("left_ctx"),
+                F.col("h.right_ctx").alias("right_ctx"))
+    )

@@ -565,3 +565,31 @@ def test_lsh_tune_minimizes_objective_and_is_monotone():
         assert abs(err(bands, rows, t) - best) < 1e-12
         assert rows >= prev_rows
         prev_rows = rows
+
+
+def test_ivf_append_equals_rebuild(spark, tmp_path):
+    """Appending a batch to a persisted IVF index yields identical kNN
+    results to rebuilding the index over the full corpus."""
+    from nonconsumptive_spark.operators import similarity as sim
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.orderBy("vec_id").limit(5)
+
+    inc_dir = str(tmp_path / "inc")
+    sim.ivf_write(old, inc_dir, n_centroids=16)
+    sim.ivf_append(new, inc_dir, n_centroids=16)
+
+    full_dir = str(tmp_path / "full")
+    sim.ivf_write(emb, full_dir, n_centroids=16)
+
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+         sim.knn_ivf_index(spark, inc_dir, queries, k=5,
+                           n_centroids=16).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+         sim.knn_ivf_index(spark, full_dir, queries, k=5,
+                           n_centroids=16).collect()}
+    assert a == b and len(a) > 0
