@@ -648,3 +648,58 @@ def negative_sampling_table(docs: DataFrame, id_col: str = "doc_id",
                     .cast("bigint"))
         .select("token", "count", "weight_q", "cum_lo", "cum_hi")
     )
+
+
+def logdice_collocations(docs: DataFrame, min_count: int = 5,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """log-Dice collocation strength (Rychlý 2008 — the lexicography
+    standard, used by Sketch Engine): 14 + log2(2·c(w0,w1) /
+    (c(w0) + c(w1))).  Unlike PMI it is bounded (≤ 14) and stable under
+    corpus-size changes, so scores compare across corpora.
+
+    Same plan as bigram_pmi: one bigram agg + two broadcast unigram
+    joins; the score is a pure function of three exact BIGINTs, so
+    cross-engine parity needs only the mirrored expression."""
+    bg = (
+        ngram_counts(docs, 2, id_col, text_col)
+        .groupBy("w0", "w1")
+        .agg(F.sum("count").cast("bigint").alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    uni = global_wordcount(docs, id_col, text_col).select(
+        "token", F.col("count").cast("bigint").alias("c1"))
+    uni = materialize_once(uni, "ld_uni")
+    joined = (
+        bg.join(F.broadcast(uni.withColumnRenamed("token", "w0")
+                            .withColumnRenamed("c1", "c1a")), "w0")
+        .join(F.broadcast(uni.withColumnRenamed("token", "w1")
+                          .withColumnRenamed("c1", "c1b")), "w1")
+    )
+    score = F.lit(14.0) + F.log2(
+        F.lit(2.0) * F.col("c2") / (F.col("c1a") + F.col("c1b")))
+    return joined.select(
+        "w0", "w1", "c2",
+        (F.round(score, 4) + F.lit(0.0)).alias("logdice"),
+    )
+
+
+def hapax_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """One row (v, n_tokens, n_hapax, n_dis, hapax_ratio): hapax legomena
+    (count-1 types) and dis legomena (count-2) — the rare-type mass that
+    drives Heaps growth and OOV rates.  Pure integer aggregation over the
+    global wordcount plus one mirrored ratio division."""
+    wc_ = global_wordcount(docs, id_col, text_col)
+    return wc_.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("count").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("count") == 1).cast("bigint")).cast("bigint")
+         .alias("n_hapax"),
+        F.sum((F.col("count") == 2).cast("bigint")).cast("bigint")
+         .alias("n_dis"),
+    ).select(
+        "v", "n_tokens", "n_hapax", "n_dis",
+        (F.round(F.col("n_hapax").cast("double") / F.col("v"), 4)
+         + F.lit(0.0)).alias("hapax_ratio"),
+    )

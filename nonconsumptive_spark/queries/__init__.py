@@ -110,6 +110,8 @@ PRIORITY: tuple[str, ...] = (
     "q_heaps_fit",
     "q_zipf_slope",
     "q_kwic",
+    "q_logdice_collocations",
+    "q_hapax_stats",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -119,8 +121,6 @@ PRIORITY: tuple[str, ...] = (
     "q_id_resolution",
     # -- longest-unverified tail: every remaining r1-only row (driver
     #    last saw these two windows ago)
-    "q_point_lookup",
-    "q_filter_projection",
     "q1_pricing_summary",
     "q_click_attribution",
     "q_events_sliding",

@@ -1755,3 +1755,64 @@ def q_kwic(spark, sf_dir):
                 F.col("h.left_ctx").alias("left_ctx"),
                 F.col("h.right_ctx").alias("right_ctx"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_logdice_collocations",
+    oracle=f"""
+    WITH tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    bg AS (
+      SELECT w0, w1, CAST(count(*) AS BIGINT) AS c2 FROM (
+        SELECT doc_id, token AS w0,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM tokpos) z
+      WHERE w1 IS NOT NULL GROUP BY w0, w1
+      HAVING count(*) >= 5),
+    uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c1
+            FROM tokpos GROUP BY token)
+    SELECT b.w0, b.w1, b.c2,
+           round(14.0 + log2(2.0 * b.c2 / (ua.c1 + ub.c1)), 4) + 0.0
+             AS logdice
+    FROM bg b
+    JOIN uni ua ON ua.token = b.w0
+    JOIN uni ub ON ub.token = b.w1
+    """,
+    doc="log-Dice collocation strength (Rychlý 2008, the Sketch Engine "
+        "measure — bounded and corpus-size stable, unlike PMI).  Score "
+        "is a pure function of three exact BIGINTs "
+        "(operators/wordcount.py:logdice_collocations).",
+)
+def q_logdice_collocations(spark, sf_dir):
+    from nonconsumptive_spark.operators.wordcount import logdice_collocations
+
+    return logdice_collocations(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_hapax_stats",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w AS token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS w FROM documents) z
+      GROUP BY w)
+    SELECT CAST(count(*) AS BIGINT) AS v,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             + 0.0 AS hapax_ratio
+    FROM wc
+    """,
+    doc="Hapax/dis legomena statistics — the rare-type mass behind Heaps "
+        "growth and OOV rates.  Pure integer aggregation over the global "
+        "wordcount (operators/wordcount.py:hapax_stats).",
+)
+def q_hapax_stats(spark, sf_dir):
+    from nonconsumptive_spark.operators.wordcount import hapax_stats
+
+    return hapax_stats(load(spark, sf_dir, "documents"))
