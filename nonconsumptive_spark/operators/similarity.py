@@ -672,3 +672,121 @@ def ivf_append(new_emb: DataFrame, index_dir: str, n_centroids: int = 16,
         .partitionBy("cell")
         .parquet(index_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination: flag corpus vectors whose cosine to ANY
+# held-out/benchmark vector clears a threshold.  The semantic complement of
+# the n-gram decontamination operator (operators/textstats.py:decontaminate)
+# — paraphrased benchmark leakage that shares no 8-gram still lands near
+# the benchmark in embedding space.
+# ---------------------------------------------------------------------------
+def embedding_decontaminate(corpus: DataFrame, heldout: DataFrame,
+                            threshold: float = 0.8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(id, max_heldout_cosine, is_contaminated): max cosine of each corpus
+    vector against the held-out set, flagged at ``threshold``.
+
+    Plan: the held-out side (a benchmark — thousands of rows against a
+    100 TB corpus) is broadcast; the corpus scans ONCE through a
+    BroadcastNestedLoopJoin and aggregates max-per-id with map-side
+    combine, so the corpus never shuffles its vectors — only (id, max)
+    pairs move.  The max over identical IEEE doubles is order-independent,
+    and the flag compares the ROUNDED value so both engines cut on the
+    same 4-decimal key.  For held-out sets too big to broadcast, pre-block
+    both sides with cosine_lsh_bucket and swap the BNLJ for the bucket
+    equi-join (same output contract).
+    """
+    h = heldout.select(F.col(vec_col).alias("hvec"),
+                       _norm(F.col(vec_col)).alias("hnorm"))
+    c = corpus.select(id_col, F.col(vec_col).alias("cvec"),
+                      _norm(F.col(vec_col)).alias("cnorm"))
+    scored = c.join(F.broadcast(h), F.lit(True))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(
+            F.max(_dot(F.col("cvec"), F.col("hvec"))
+                  / (F.col("cnorm") * F.col("hnorm"))), 4)
+             .alias("max_heldout_cosine"))
+        .select(
+            id_col,
+            (F.col("max_heldout_cosine") + F.lit(0.0))
+             .alias("max_heldout_cosine"),
+            (F.col("max_heldout_cosine") >= F.lit(threshold))
+             .alias("is_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-dimension correlation — the gram-matrix building block (PCA /
+# whitening / redundant-dimension diagnostics) as ONE distributed pass.
+# ---------------------------------------------------------------------------
+DIMCORR_SCALE = 10_000  # element values quantized to 1e-4 units
+
+
+def embedding_dim_corr(emb: DataFrame, dim: int,
+                       vec_col: str = "embedding") -> DataFrame:
+    """(dim_i, dim_j, pearson_r) for every dimension pair i < j — the
+    upper triangle of the embedding correlation (gram) matrix.
+
+    Scale design: elements are quantized to exact 1e-4-unit BIGINTs, so
+    every moment (per-dim sum, sum of squares, pairwise cross sum) is an
+    exact integer aggregate — summation-order-proof — and Pearson r is
+    one identical final double expression per pair.  The cross products
+    are generated IN-ROW (d(d-1)/2 structs per row) and aggregated with
+    map-side partial combine: shuffle volume is #partitions x d^2 rows of
+    (i, j, partial-sum), independent of corpus size.  Integer headroom:
+    |q| <= ~5e4 per element keeps n * s_ij < 2^63 through ~1e8 rows;
+    beyond that drop DIMCORR_SCALE a decade.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(DIMCORR_SCALE))
+                          + F.lit(0.5)).cast("long"),
+    )
+    rows = emb.select(q.alias("q"))
+
+    per_dim = (
+        rows.select(F.posexplode("q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("qi").cast("long").alias("s"),
+             F.sum(F.col("qi") * F.col("qi")).cast("long").alias("ss"))
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    pairs = F.flatten(F.transform(
+        idx,
+        lambda i: F.transform(
+            F.slice(F.sequence(F.lit(0), F.lit(dim - 1)), i + 2, F.lit(dim)),
+            lambda j: F.struct(
+                i.alias("i"), j.alias("j"),
+                (F.element_at("q", i + 1) * F.element_at("q", j + 1))
+                 .alias("p")),
+        ),
+    ))
+    cross = (
+        rows.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").cast("long").alias("sij"))
+    )
+    a = per_dim.select(F.col("i"), F.col("n"),
+                       F.col("s").alias("si"), F.col("ss").alias("ssi"))
+    b = per_dim.select(F.col("i").alias("j"), F.col("s").alias("sj"),
+                       F.col("ss").alias("ssj"))
+    num = F.col("n") * F.col("sij") - F.col("si") * F.col("sj")
+    va = F.col("n") * F.col("ssi") - F.col("si") * F.col("si")
+    vb = F.col("n") * F.col("ssj") - F.col("sj") * F.col("sj")
+    r = F.when(
+        (va > 0) & (vb > 0),
+        F.round(num.cast("double")
+                / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))), 4)
+        + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        cross.join(F.broadcast(a), "i").join(F.broadcast(b), "j")
+        .select(F.col("i").cast("long").alias("dim_i"),
+                F.col("j").cast("long").alias("dim_j"),
+                r.alias("pearson_r"))
+    )

@@ -1661,3 +1661,61 @@ def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.9,
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy — the information-theoretic repetition /
+# diversity signal quality filters threshold on (low entropy = boilerplate
+# or keyword stuffing; Rae et al. 2021 Gopher rules use the same family).
+# ---------------------------------------------------------------------------
+ENTROPY_LN_SCALE = 1_000_000_000  # ln(count) quantized to 1e-9 nats
+
+
+def token_entropy(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_types, entropy_nats): Shannon entropy of each
+    document's token distribution, H = ln(n) - (1/n) * sum_i c_i ln c_i.
+
+    ZERO-shuffle: the sorted-token RLE fold (the q_doc_token_counts
+    kernel) runs in-row, and both aggregates fold over the run-length
+    array in the same row — the operator is a pure projection of the
+    documents scan, so it runs at scan throughput on 100 TB.  Hash
+    parity: per-run terms c_i * round(ln(c_i) * 1e9) are exact BIGINTs
+    (ln of a small positive integer is engine-identical IEEE), the sums
+    are exact, and the only float math is one identical final expression
+    over two exact integers.
+    """
+    from nonconsumptive_spark.operators.wordcount import _rle_counts
+
+    rle = let(F.array_sort(tokenize(text_col)), _rle_counts)
+
+    def _fold(expr):
+        return F.aggregate(
+            rle, F.lit(0).cast("bigint"), lambda acc, e: acc + expr(e))
+
+    n = F.coalesce(
+        _fold(lambda e: e["c"]), F.lit(0).cast("bigint")).alias("n_tokens")
+    types = F.coalesce(
+        _fold(lambda e: F.lit(1).cast("bigint")), F.lit(0).cast("bigint")
+    ).alias("n_types")
+    # round-half-up via floor(x + 0.5): ln(c) >= 0, and DuckDB's round()
+    # (half away from zero) only matches Spark's HALF_UP for positives —
+    # floor(+0.5) is the one spelling identical in both engines.
+    s = F.coalesce(
+        _fold(lambda e: e["c"] * F.floor(
+            F.log(e["c"].cast("double")) * F.lit(float(ENTROPY_LN_SCALE))
+            + F.lit(0.5)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+    )
+    ent = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("__s").cast("double") / F.lit(float(ENTROPY_LN_SCALE))
+              / F.col("n_tokens").cast("double"),
+            4) + F.lit(0.0),
+    ).otherwise(F.lit(0.0)).alias("entropy_nats")
+    return (
+        docs.select(F.col(id_col), n, types, s.alias("__s"))
+        .select(id_col, "n_tokens", "n_types", ent)
+    )

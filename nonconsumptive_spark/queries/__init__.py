@@ -112,6 +112,10 @@ PRIORITY: tuple[str, ...] = (
     "q_kwic",
     "q_logdice_collocations",
     "q_hapax_stats",
+    "q_token_entropy",
+    "q_mad_outliers",
+    "q_embedding_decontamination",
+    "q_embedding_dim_corr",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -129,12 +133,6 @@ PRIORITY: tuple[str, ...] = (
     "q_events_json",
     "q_events_session",
     "q_events_tumbling",
-    "q_multimodal_features",
-    "q_pivot_event_values",
-    # -- oldest r2 rows whose implementation files were touched since the
-    #    r3 gate (dedup.py / textstats.py dependents) — fills to 50
-    "q_dedup_clusters",
-    "q_decontamination",
 )
 
 

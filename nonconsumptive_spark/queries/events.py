@@ -793,3 +793,92 @@ def q_event_transitions(spark, sf_dir):
                  F.col("next_type").alias("to_type"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+      FROM events),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY event_type),
+    dist AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS c
+             FROM q GROUP BY event_type, vq),
+    cum AS (SELECT event_type, vq,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY vq) AS cum
+            FROM dist),
+    med AS (SELECT c.event_type,
+                   min(CASE WHEN c.cum >= ceil(0.5 * n.n) THEN c.vq END) AS med
+            FROM cum c JOIN n USING (event_type) GROUP BY c.event_type),
+    dv (event_id, event_type, vq, med, dev) AS (
+      SELECT q.event_id, q.event_type, q.vq, m.med, abs(q.vq - m.med)
+      FROM q JOIN med m USING (event_type)),
+    ddist AS (SELECT event_type, dev, CAST(count(*) AS BIGINT) AS c
+              FROM dv GROUP BY event_type, dev),
+    dcum AS (SELECT event_type, dev,
+                    sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+             FROM ddist),
+    mad AS (SELECT c.event_type,
+                   min(CASE WHEN c.cum >= ceil(0.5 * n.n) THEN c.dev END) AS mad
+            FROM dcum c JOIN n USING (event_type) GROUP BY c.event_type)
+    SELECT d.event_id, d.event_type, d.vq,
+           CASE WHEN m.mad > 0
+                THEN round(0.6745 * (d.vq - d.med) / m.mad, 4) + 0.0
+                ELSE 0.0 END AS mad_z,
+           CASE WHEN m.mad > 0 THEN 6745 * d.dev > 35000 * m.mad
+                ELSE d.dev > 0 END AS is_outlier
+    FROM dv d JOIN mad m USING (event_type)
+    """,
+    doc="Robust per-group outlier flagging via median absolute deviation "
+        "(modified z-score, Iglewicz-Hoaglin 3.5 cut) — unlike "
+        "q_zscore_outliers the cut itself is outlier-resistant.  Scale "
+        "design: medians come from the distribution-cumsum trick (lower "
+        "median over integer-cent values), so the only windows run over "
+        "distinct (type, value) rows, never events; the outlier flag is "
+        "the pure integer inequality 6745*dev > 35000*mad, and the only "
+        "float is the identical final mad_z expression over exact ints.",
+)
+def q_mad_outliers(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+         .alias("vq"),
+    )
+    n = q.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+
+    def lower_median(frame, val_col, out_name):
+        dist = frame.groupBy("event_type", val_col).agg(
+            F.count("*").cast("long").alias("c"))
+        w = (Window.partitionBy("event_type").orderBy(val_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = dist.select("event_type", val_col, F.sum("c").over(w).alias("cum"))
+        return (
+            cum.join(F.broadcast(n), "event_type")
+            .groupBy("event_type")
+            .agg(F.min(F.when(
+                F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")),
+                F.col(val_col))).alias(out_name))
+        )
+
+    med = lower_median(q, "vq", "med")
+    dv = q.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "vq", "med",
+        F.abs(F.col("vq") - F.col("med")).alias("dev"))
+    mad = lower_median(dv, "dev", "mad")
+    return (
+        dv.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id", "event_type", "vq",
+            F.when(F.col("mad") > 0,
+                   F.round(F.lit(0.6745) * (F.col("vq") - F.col("med"))
+                           / F.col("mad"), 4) + F.lit(0.0))
+             .otherwise(F.lit(0.0)).alias("mad_z"),
+            F.when(F.col("mad") > 0,
+                   F.lit(6745) * F.col("dev") > F.lit(35000) * F.col("mad"))
+             .otherwise(F.col("dev") > 0).alias("is_outlier"),
+        )
+    )

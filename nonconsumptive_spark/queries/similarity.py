@@ -386,3 +386,88 @@ def q_knn_pq_adc(spark, sf_dir):
 )
 def q_label_centroid_distances(spark, sf_dir):
     return sim.label_centroid_distances(load(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+_DECON_THRESH = 0.35  # sf0.01 max-heldout-cosine ranges ~0.15-0.49
+
+
+@register(
+    "q_embedding_decontamination",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS hvec FROM embeddings
+      WHERE label = 0),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings
+      WHERE label <> 0),
+    m AS (
+      SELECT c.vec_id,
+             round(max(list_dot_product(c.cvec, h.hvec) /
+                       (sqrt(list_dot_product(c.cvec, c.cvec)) *
+                        sqrt(list_dot_product(h.hvec, h.hvec)))), 4)
+               AS max_heldout_cosine
+      FROM c CROSS JOIN h GROUP BY c.vec_id)
+    SELECT vec_id, max_heldout_cosine + 0.0 AS max_heldout_cosine,
+           max_heldout_cosine >= {_DECON_THRESH} AS is_contaminated
+    FROM m
+    """,
+    doc="Embedding-space decontamination: max cosine of every corpus "
+        "vector (label<>0) against the held-out benchmark set (label=0), "
+        "flagged at 0.35 — catches paraphrased benchmark leakage that "
+        "n-gram decontamination (q_decontamination) cannot.  Plan: the "
+        "benchmark side broadcasts, the corpus scans once through a BNLJ "
+        "and ships only (id, max) pairs; the flag cuts on the ROUNDED "
+        "value so both engines use the same 4-decimal key "
+        "(operators/similarity.py:embedding_decontaminate).",
+)
+def q_embedding_decontamination(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.embedding_decontaminate(
+        emb.filter(F.col("label") != 0),
+        emb.filter(F.col("label") == 0),
+        threshold=_DECON_THRESH,
+    )
+
+
+# --------------------------------------------------------------------------
+_DIM = 64
+
+
+@register(
+    "q_embedding_dim_corr",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {sim.DIMCORR_SCALE} + 0.5) AS BIGINT) AS q
+      FROM embeddings),
+    d AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * q) AS BIGINT) AS ss
+      FROM e GROUP BY i),
+    x AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sij
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY a.i, b.i)
+    SELECT CAST(x.i AS BIGINT) AS dim_i, CAST(x.j AS BIGINT) AS dim_j,
+           CASE WHEN da.n * da.ss - da.s * da.s > 0
+                 AND db.n * db.ss - db.s * db.s > 0
+                THEN round(CAST(da.n * x.sij - da.s * db.s AS DOUBLE)
+                           / (sqrt(CAST(da.n * da.ss - da.s * da.s AS DOUBLE))
+                              * sqrt(CAST(db.n * db.ss - db.s * db.s AS DOUBLE))),
+                           4) + 0.0
+                ELSE 0.0 END AS pearson_r
+    FROM x JOIN d da ON da.i = x.i JOIN d db ON db.i = x.j
+    """,
+    doc="Embedding-dimension Pearson correlation (gram-matrix upper "
+        "triangle, 2016 pairs at d=64) — the PCA/whitening/redundancy "
+        "diagnostic in ONE distributed pass.  Elements quantized to exact "
+        "1e-4-unit BIGINTs so all moments are exact integer sums; cross "
+        "products generated in-row and partially aggregated map-side, so "
+        "shuffle volume is #partitions x d^2, independent of corpus size "
+        "(operators/similarity.py:embedding_dim_corr).",
+)
+def q_embedding_dim_corr(spark, sf_dir):
+    return sim.embedding_dim_corr(load(spark, sf_dir, "embeddings"), dim=_DIM)

@@ -1816,3 +1816,39 @@ def q_hapax_stats(spark, sf_dir):
     from nonconsumptive_spark.operators.wordcount import hapax_stats
 
     return hapax_stats(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents),
+    tc AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, token),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * CAST(floor(ln(c) * {ts.ENTROPY_LN_SCALE} + 0.5)
+                               AS BIGINT)) AS BIGINT) AS s
+      FROM tc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_types, 0) AS BIGINT) AS n_types,
+           CASE WHEN coalesce(a.n, 0) > 0
+                THEN round(ln(a.n) - CAST(a.s AS DOUBLE)
+                           / {ts.ENTROPY_LN_SCALE} / a.n, 4) + 0.0
+                ELSE 0.0 END AS entropy_nats
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Per-document Shannon token entropy H = ln(n) - (1/n) sum c ln c "
+        "— the diversity/boilerplate signal in Gopher-style quality rule "
+        "sets.  ZERO-shuffle on the Spark side: the RLE fold and both "
+        "entropy aggregates run in-row, so the query is a projection of "
+        "the documents scan (operators/textstats.py:token_entropy); "
+        "ln-counts quantized to exact 1e-9-nat BIGINTs for hash parity.",
+)
+def q_token_entropy(spark, sf_dir):
+    return ts.token_entropy(load(spark, sf_dir, "documents"))

@@ -34,6 +34,7 @@ BNLJ_WHITELIST = {
     "q_js_divergence",           # #labels^2 pair expansion
     "q_label_centroid_distances",
     "q_cosine_near_pairs",       # 1-row norm attach
+    "q_embedding_decontamination",  # broadcast benchmark side, by design
     "q_dsir_weights",            # 1-row totals attach
     "q_perplexity_buckets",
     "q_bootstrap_mean_ci",       # 1-row full-mean attach
