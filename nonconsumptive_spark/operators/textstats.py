@@ -1719,3 +1719,100 @@ def token_entropy(docs: DataFrame, id_col: str = "doc_id",
         docs.select(F.col(id_col), n, types, s.alias("__s"))
         .select(id_col, "n_tokens", "n_types", ent)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney bigram LM scorer — the principled top rung of the CCNet-style
+# perplexity-filter ladder (uniform interpolation -> Laplace -> KN).  KN's
+# continuation probability ("how many distinct contexts does this word
+# follow?") separates fluent text from stuffed boilerplate better than raw
+# frequency smoothing.
+# ---------------------------------------------------------------------------
+KN_DISCOUNT = 0.75  # exactly representable (3/4): both engines see one D
+KN_LP_SCALE = 1_000_000_000  # per-token ln p quantized to 1e-9 nats
+
+
+def kn_bigram_logprob_scores(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, avg_logprob) under an interpolated Kneser–Ney bigram
+    model with absolute discount D=0.75:
+
+        p(w|prev) = max(c(prev,w) - D, 0)/c(prev)
+                    + D·N1+(prev,·)/c(prev) · p_cont(w)
+        p_cont(w) = (N1+(·,w) + 1) / (N_bigram_types + V + 1)
+
+    (add-one smoothed continuation so first-token-only types never hit a
+    zero), and a document's first token scores p_cont alone.
+
+    Hash-parity: every model quantity is an integer count, p is ONE
+    mirrored double expression per token, and per-token ln p is quantized
+    to exact 1e-9-nat BIGINTs (KN_LP_SCALE) so the per-doc aggregate is an
+    exact sum — the float-avg ordering trap cannot occur.
+
+    Plan shape: the (id, prev, cur) stream materializes once; all four
+    model tables (bigram counts, context totals, continuation counts, the
+    1-row type totals) derive from it as short-key aggs.  Scoring joins
+    bigram counts on (prev, cur) (equi-join, NOT forced broadcast — the
+    bigram vocab grows with the corpus), context/continuation on single
+    short keys, and broadcasts only the 1-row totals.  One id-keyed agg
+    finishes.  Same join discipline as ``bigram_logprob_scores``."""
+    from nonconsumptive_spark.functions.text import ngram_structs, tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    toks_arr = tokenize(text_col)
+    pairs = df.select(
+        id_col, F.explode(ngram_structs(toks_arr, 2)).alias("g")
+    ).select(id_col, F.col("g.w0").alias("prev"), F.col("g.w1").alias("cur"))
+    first = df.where(F.size(toks_arr) > 0).select(
+        id_col,
+        F.lit(None).cast("string").alias("prev"),
+        F.element_at(toks_arr, 1).alias("cur"),
+    )
+    rows = materialize_once(pairs.unionByName(first), "kn_bigram_rows")
+
+    big = (
+        rows.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    big = materialize_once(big, "kn_bigram_counts")
+    ctx = big.groupBy("prev").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    back = big.groupBy("cur").agg(F.count("*").cast("long").alias("n1b"))
+    totals = big.agg(F.count("*").cast("long").alias("nbt")).crossJoin(
+        rows.agg(F.count_distinct("cur").cast("long").alias("v"))
+    )
+
+    pc = (
+        (F.coalesce("n1b", F.lit(0)) + F.lit(1.0))
+        / (F.col("nbt") + F.col("v") + 1)
+    )
+    p = F.when(F.col("prev").isNull(), pc).otherwise(
+        F.greatest(F.coalesce("c12", F.lit(0)) - F.lit(KN_DISCOUNT), F.lit(0.0))
+        / F.col("c1")
+        + F.lit(KN_DISCOUNT) * F.col("n1f") / F.col("c1") * pc
+    )
+    lq = F.floor(F.log(p) * F.lit(float(KN_LP_SCALE)) + F.lit(0.5)).cast("long")
+
+    scored = (
+        rows.join(big, ["prev", "cur"], "left")
+        .join(ctx, ["prev"], "left")
+        .join(back, ["cur"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, lq.alias("lq"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lq").cast("long").alias("s"),
+    )
+    avg = F.round(
+        F.col("s").cast("double") / F.lit(float(KN_LP_SCALE)) / F.col("n_tokens"),
+        4) + F.lit(0.0)
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(F.col("n_tokens") > 0, avg).otherwise(F.lit(0.0))
+         .alias("avg_logprob"),
+    )

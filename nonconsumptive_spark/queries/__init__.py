@@ -113,6 +113,7 @@ PRIORITY: tuple[str, ...] = (
     "q_logdice_collocations",
     "q_hapax_stats",
     "q_token_entropy",
+    "q_kn_bigram_logprob",
     "q_mad_outliers",
     "q_embedding_decontamination",
     "q_embedding_dim_corr",
@@ -132,7 +133,6 @@ PRIORITY: tuple[str, ...] = (
     "q_distinct_cardinality",
     "q_events_json",
     "q_events_session",
-    "q_events_tumbling",
 )
 
 

@@ -1852,3 +1852,67 @@ def q_hapax_stats(spark, sf_dir):
 )
 def q_token_entropy(spark, sf_dir):
     return ts.token_entropy(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_kn_bigram_logprob",
+    oracle=f"""
+    WITH tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    rws AS (
+      SELECT doc_id,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+             token AS cur
+      FROM tokpos),
+    big AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS c12
+      FROM rws WHERE prev IS NOT NULL GROUP BY prev, cur),
+    ctx AS (
+      SELECT prev, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM big GROUP BY prev),
+    back AS (
+      SELECT cur, CAST(count(*) AS BIGINT) AS n1b FROM big GROUP BY cur),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM big) AS nbt,
+             (SELECT CAST(count(DISTINCT cur) AS BIGINT) FROM rws) AS v),
+    scored AS (
+      SELECT r.doc_id,
+             CAST(floor(ln(
+               CASE WHEN r.prev IS NULL
+                    THEN (coalesce(k.n1b, 0) + 1.0) / (t.nbt + t.v + 1)
+                    ELSE greatest(coalesce(b.c12, 0) - {ts.KN_DISCOUNT}, 0.0)
+                         / c.c1
+                         + {ts.KN_DISCOUNT} * c.n1f / c.c1
+                           * ((coalesce(k.n1b, 0) + 1.0) / (t.nbt + t.v + 1))
+               END) * {ts.KN_LP_SCALE} + 0.5) AS BIGINT) AS lq
+      FROM rws r
+      LEFT JOIN big b ON b.prev = r.prev AND b.cur = r.cur
+      LEFT JOIN ctx c ON c.prev = r.prev
+      LEFT JOIN back k ON k.cur = r.cur
+      CROSS JOIN tot t),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lq) AS BIGINT) AS s
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN coalesce(p.n_tokens, 0) > 0
+                THEN round(CAST(p.s AS DOUBLE) / {ts.KN_LP_SCALE}
+                           / p.n_tokens, 4) + 0.0
+                ELSE 0.0 END AS avg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Kneser–Ney bigram LM scorer (absolute discount 0.75, add-one "
+        "smoothed continuation) — the principled top rung of the CCNet "
+        "perplexity ladder above q_unigram_logprob/q_bigram_logprob.  "
+        "Per-token ln p quantized to exact 1e-9-nat BIGINTs so per-doc "
+        "sums are summation-order-proof; bigram model join is a short-key "
+        "equi-join, only the 1-row type totals broadcast "
+        "(operators/textstats.py:kn_bigram_logprob_scores).",
+)
+def q_kn_bigram_logprob(spark, sf_dir):
+    return ts.kn_bigram_logprob_scores(load(spark, sf_dir, "documents"))

@@ -115,3 +115,33 @@ def test_embedding_dim_corr_shuffle_is_bounded(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+# ------------------------------------------------------------------ KN bigram
+def test_kn_bigram_hand_corpus(spark):
+    """KN probabilities on a 2-doc corpus, checked against a hand model."""
+    import math
+
+    from nonconsumptive_spark.operators.textstats import (
+        KN_DISCOUNT,
+        kn_bigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string")
+    out = {r.doc_id: r for r in kn_bigram_logprob_scores(df).collect()}
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> nbt=3, V={a,b,c}=3
+    # ctx: a -> c1=3, n1f=2 ; b -> c1=1, n1f=1
+    # back: b -> n1b=1, a -> n1b=1, c -> n1b=1
+    D, nbt, v = KN_DISCOUNT, 3, 3
+    pc = lambda n1b: (n1b + 1.0) / (nbt + v + 1)
+    p_first = pc(1)                                     # p_cont(a)
+    p_ab = max(2 - D, 0) / 3 + D * 2 / 3 * pc(1)        # a -> b
+    p_ba = max(1 - D, 0) / 1 + D * 1 / 1 * pc(1)        # b -> a
+    p_ac = max(1 - D, 0) / 3 + D * 2 / 3 * pc(1)        # a -> c
+    exp1 = (math.log(p_first) + math.log(p_ab) + math.log(p_ba)
+            + math.log(p_ab)) / 4
+    exp2 = (math.log(p_first) + math.log(p_ac)) / 2
+    assert out[1].avg_logprob == pytest.approx(exp1, abs=1e-3)
+    assert out[2].avg_logprob == pytest.approx(exp2, abs=1e-3)
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 2
