@@ -826,7 +826,9 @@ def q_event_transitions(spark, sf_dir):
             FROM dcum c JOIN n USING (event_type) GROUP BY c.event_type)
     SELECT d.event_id, d.event_type, d.vq,
            CASE WHEN m.mad > 0
-                THEN round(0.6745 * (d.vq - d.med) / m.mad, 4) + 0.0
+                THEN (CASE WHEN d.vq >= d.med THEN 1 ELSE -1 END
+                      * ((2 * 6745 * d.dev + m.mad) // (2 * m.mad)))
+                     / 10000.0
                 ELSE 0.0 END AS mad_z,
            CASE WHEN m.mad > 0 THEN 6745 * d.dev > 35000 * m.mad
                 ELSE d.dev > 0 END AS is_outlier
@@ -873,10 +875,18 @@ def q_mad_outliers(spark, sf_dir):
         dv.join(F.broadcast(mad), "event_type")
         .select(
             "event_id", "event_type", "vq",
-            F.when(F.col("mad") > 0,
-                   F.round(F.lit(0.6745) * (F.col("vq") - F.col("med"))
-                           / F.col("mad"), 4) + F.lit(0.0))
-             .otherwise(F.lit(0.0)).alias("mad_z"),
+            # 4-decimal modified z by PURE integer arithmetic: round-half-
+            # away(6745*dev/mad) = (2*6745*dev + mad) div (2*mad) on the
+            # non-negative magnitude (trunc == floor there, and both
+            # engines' integer division agree) — float division near a
+            # 5th-decimal tie is exactly what diverged at sf0.1
+            F.expr(
+                "CASE WHEN mad > 0 THEN"
+                " (CASE WHEN vq >= med THEN 1 ELSE -1 END"
+                "  * ((2 * 6745 * dev + mad) div (2 * mad)))"
+                "  / CAST(10000 AS DOUBLE)"
+                " ELSE CAST(0 AS DOUBLE) END"
+            ).alias("mad_z"),
             F.when(F.col("mad") > 0,
                    F.lit(6745) * F.col("dev") > F.lit(35000) * F.col("mad"))
              .otherwise(F.col("dev") > 0).alias("is_outlier"),
