@@ -1816,3 +1816,64 @@ def kn_bigram_logprob_scores(df: DataFrame, id_col: str = "doc_id",
         F.when(F.col("n_tokens") > 0, avg).otherwise(F.lit(0.0))
          .alias("avg_logprob"),
     )
+
+
+def source_overlap_matrix(df: DataFrame, group_col: str = "source",
+                          k: int = WINNOW_K, w: int = WINNOW_W,
+                          text_col: str = "text") -> DataFrame:
+    """(source_a, source_b, n_shared, jaccard): for every source pair, how
+    many DISTINCT winnowing fingerprints the two sources share, and the
+    Jaccard of their fingerprint sets — the corpus-mixing diagnostic
+    ("which crawls are near-copies of each other?") that decides
+    cap-per-source / temperature-mix weights upstream.
+
+    Plan shape: per-source distinct fingerprint sets build with one
+    short-key agg (the only corpus-sized shuffle); the intersection is a
+    fingerprint equi-join between group-level sets (fan-out per
+    fingerprint bounded by #sources, never by corpus rows); the complete
+    pair spine is #sources^2 rows built from the tiny per-source size
+    table, so zero-overlap pairs still appear.  The 4-decimal Jaccard is
+    integer round-half-away — no float division feeds the compare."""
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    def sel_or_empty(t):
+        return F.when(
+            F.size(t) - (k + w - 2) >= 1, _winnow_selected(t, k, w)
+        ).otherwise(F.array().cast("array<long>"))
+
+    sel = materialize_once(
+        df.select(group_col, let(tokenize(text_col), sel_or_empty).alias("fps"))
+        .select(group_col, F.explode("fps").alias("fp"))
+        .groupBy(group_col, "fp").agg(F.lit(1))
+        .select(group_col, "fp"),
+        "source_fps",
+    )
+    sizes = sel.groupBy(group_col).agg(F.count("*").cast("long").alias("nf"))
+    a = sel.select(F.col(group_col).alias("source_a"), "fp")
+    b = sel.select(F.col(group_col).alias("source_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(group_col).alias("source_a"),
+                      F.col("nf").alias("na"))
+    sb = sizes.select(F.col(group_col).alias("source_b"),
+                      F.col("nf").alias("nb"))
+    spine = sa.join(sb, F.col("source_a") < F.col("source_b"))
+    return (
+        spine.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.expr(
+                "CASE WHEN na + nb - coalesce(n_shared, 0) > 0 THEN"
+                " ((2 * 10000 * coalesce(n_shared, 0)"
+                "   + (na + nb - coalesce(n_shared, 0)))"
+                "  div (2 * (na + nb - coalesce(n_shared, 0))))"
+                " / CAST(10000 AS DOUBLE)"
+                " ELSE CAST(0 AS DOUBLE) END"
+            ).alias("jaccard"),
+        )
+    )

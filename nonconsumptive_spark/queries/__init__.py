@@ -117,6 +117,7 @@ PRIORITY: tuple[str, ...] = (
     "q_mad_outliers",
     "q_embedding_decontamination",
     "q_embedding_dim_corr",
+    "q_source_overlap_matrix",
     # -- touched by r3 post-gate commits (simhash let-binding revert,
     #    skew outer-join rejection, reader @id tie-break): their r3/r1
     #    rows predate the code at HEAD
@@ -132,7 +133,6 @@ PRIORITY: tuple[str, ...] = (
     "q_events_user_running",
     "q_distinct_cardinality",
     "q_events_json",
-    "q_events_session",
 )
 
 

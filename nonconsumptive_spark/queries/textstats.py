@@ -1916,3 +1916,57 @@ def q_token_entropy(spark, sf_dir):
 )
 def q_kn_bigram_logprob(spark, sf_dir):
     return ts.kn_bigram_logprob_scores(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, coalesce({_DUCK_TOKS}, []) AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source, i AS pos,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+{ts.WINNOW_K - 1}], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks, unnest(range(1, len(t) - {ts.WINNOW_K - 2})) AS r(i)),
+    wins AS (
+      SELECT source, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {ts.WINNOW_W - 1} FOLLOWING) AS mh,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams),
+    sel AS (
+      SELECT DISTINCT source, mh FROM wins
+      WHERE pos <= n_grams - {ts.WINNOW_W - 1}),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS nf FROM sel GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sel a JOIN sel b ON a.mh = b.mh AND a.source < b.source
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT sa.source AS source_a, sa.nf AS na,
+             sb.source AS source_b, sb.nf AS nb
+      FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+    SELECT s.source_a, s.source_b,
+           CAST(coalesce(i.n_shared, 0) AS BIGINT) AS n_shared,
+           CASE WHEN s.na + s.nb - coalesce(i.n_shared, 0) > 0
+                THEN ((2 * 10000 * coalesce(i.n_shared, 0)
+                       + (s.na + s.nb - coalesce(i.n_shared, 0)))
+                      // (2 * (s.na + s.nb - coalesce(i.n_shared, 0))))
+                     / CAST(10000 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS jaccard
+    FROM spine s LEFT JOIN inter i USING (source_a, source_b)
+    """,
+    doc="Cross-source winnowing-fingerprint overlap matrix — which crawls "
+        "share boilerplate/near-copies, the diagnostic behind "
+        "cap-per-source and temperature-mix weights.  Per-source distinct "
+        "fingerprint sets (one short-key agg), fingerprint equi-join for "
+        "intersections (fan-out bounded by #sources per fingerprint), "
+        "complete #sources^2 spine from the tiny size table; Jaccard by "
+        "integer round-half-away (operators/textstats.py:"
+        "source_overlap_matrix).",
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    return ts.source_overlap_matrix(load(spark, sf_dir, "documents"))

@@ -145,3 +145,35 @@ def test_kn_bigram_hand_corpus(spark):
     assert out[1].avg_logprob == pytest.approx(exp1, abs=1e-3)
     assert out[2].avg_logprob == pytest.approx(exp2, abs=1e-3)
     assert out[1].n_tokens == 4 and out[2].n_tokens == 2
+
+
+# --------------------------------------------------------------- src overlap
+def test_source_overlap_matrix_complete_and_selfconsistent(spark):
+    from nonconsumptive_spark.operators.textstats import source_overlap_matrix
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_src = docs.select("source").distinct().count()
+    rows = source_overlap_matrix(docs).collect()
+    # complete upper-triangle spine, zero-overlap pairs included
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_shared >= 0 and 0.0 <= r.jaccard <= 1.0
+        if r.n_shared == 0:
+            assert r.jaccard == 0.0
+
+
+def test_source_overlap_detects_planted_copy(spark):
+    """Duplicating one source's docs under a new source name must produce
+    a (near-)1.0 Jaccard pair."""
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.operators.textstats import source_overlap_matrix
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    src = docs.select("source").orderBy("source").limit(1).collect()[0][0]
+    clone = docs.filter(F.col("source") == src).withColumn(
+        "source", F.lit("zz_clone"))
+    out = source_overlap_matrix(docs.unionByName(clone)).collect()
+    pair = [r for r in out if r.source_b == "zz_clone" and r.source_a == src]
+    assert len(pair) == 1 and pair[0].jaccard == 1.0

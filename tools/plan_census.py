@@ -30,11 +30,13 @@ BNLJ_WHITELIST = {
     "q_knn_cosine_ivf",
     "q_mmr_select",
     "q_stupid_backoff",          # 1-row totals attach
+    "q_kn_bigram_logprob",       # 1-row type-totals attach
     "q_backoff_cross_corpus",
     "q_js_divergence",           # #labels^2 pair expansion
     "q_label_centroid_distances",
     "q_cosine_near_pairs",       # 1-row norm attach
     "q_embedding_decontamination",  # broadcast benchmark side, by design
+    "q_source_overlap_matrix",   # #sources^2 spine from the tiny size table
     "q_dsir_weights",            # 1-row totals attach
     "q_perplexity_buckets",
     "q_bootstrap_mean_ci",       # 1-row full-mean attach
