@@ -1049,3 +1049,82 @@ def lsh_tune(threshold: float, n_perm: int = N_HASHES,
         if err < best_err:
             best, best_err = (bands, rows), err
     return best
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership pre-filter (MassiveText/Gopher-style): the corpus
+# signs its shingles into an m-bit filter; a fresh batch probes it to cheaply
+# estimate per-doc overlap/novelty before any expensive dedup join.  The
+# exact-membership audit (n_true_hits) makes the false-positive behavior a
+# verifiable output rather than a hidden error term — same self-evaluation
+# shape as q_lsh_dedup_recall.
+BLOOM_M = 65_536  # filter bits
+BLOOM_K = 3       # probes per key
+
+
+def _bloom_pos(col, i: int, m: int):
+    """Probe i's bit position for a key — engine-portable md5 arithmetic."""
+    return _md5_long(F.concat(F.lit(f"{i}:"), col)) % m
+
+
+def bloom_shingle_novelty(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", m: int = BLOOM_M,
+                          k: int = BLOOM_K, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, n_shingles, n_bloom_hits, n_true_hits, n_false_pos) for every
+    batch doc (odd ids) probed against a Bloom filter signed by the corpus
+    (even ids) over distinct token shingles.
+
+    A shingle "hits" iff ALL k of its md5-derived bit positions are set.
+    n_true_hits is the exact-membership audit; n_false_pos = bloom hits the
+    exact check rejects (the filter's one-sided error, never misses).
+
+    Plan shape (100 TB): the filter is represented as the DISTINCT set of
+    set bit positions — <= m rows regardless of corpus size — so the probe
+    join broadcasts the filter, exactly like shipping the bitset to every
+    executor.  Corpus-side signing is one distinct-shingle agg + a k-way
+    in-row fan-out.  The exact audit joins on the shingle short key; in
+    production that join is what the Bloom probe AVOIDS (it runs here as
+    the self-evaluation, the same way the LSH recall query replays exact
+    Jaccard).  Sizing: m tracks distinct corpus keys (~10 bits/key for
+    ~1% FP) and the filter stays a bounded broadcast."""
+    sh = doc_shingles(docs, id_col, text_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+    corpus_set = materialize_once(
+        sh.filter(F.col(id_col) % 2 == 0).select("shingle").distinct(),
+        "bloom_corpus_shingles",
+    )
+    batch = sh.filter(F.col(id_col) % 2 == 1)
+
+    probes = F.array(*[_bloom_pos(F.col("shingle"), i, m) for i in range(k)])
+    bits = (
+        corpus_set.select(F.explode(probes).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = batch.select(id_col, "shingle", F.explode(probes).alias("pos"))
+    shingle_flags = (
+        probed.join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col, "shingle")
+        .agg((F.coalesce(F.sum("hit"), F.lit(0)) == k).alias("bloom_hit"))
+        .join(corpus_set.withColumn("in_corpus", F.lit(1)), "shingle", "left")
+        .select(
+            id_col, "bloom_hit",
+            F.col("in_corpus").isNotNull().alias("true_hit"),
+        )
+    )
+    agg = shingle_flags.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.col("bloom_hit").cast("long")).cast("long").alias("n_bloom_hits"),
+        F.sum(F.col("true_hit").cast("long")).cast("long").alias("n_true_hits"),
+        F.sum((F.col("bloom_hit") & ~F.col("true_hit")).cast("long"))
+         .cast("long").alias("n_false_pos"),
+    )
+    spine = docs.filter(F.col(id_col) % 2 == 1).select(id_col)
+    return spine.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
+        F.coalesce("n_true_hits", F.lit(0)).cast("long").alias("n_true_hits"),
+        F.coalesce("n_false_pos", F.lit(0)).cast("long").alias("n_false_pos"),
+    )

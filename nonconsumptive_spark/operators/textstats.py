@@ -1877,3 +1877,97 @@ def source_overlap_matrix(df: DataFrame, group_col: str = "source",
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# In-engine multinomial Naive Bayes classifier (the SQL-expressible stand-in
+# for the fastText-style quality/domain classifiers every LLM curation
+# pipeline runs — same train-on-corpus / score-every-doc shape as the DSIR
+# and CCNet operators above; reference has no classifier surface).
+NB_LP_SCALE = 1_000_000_000  # per-token ln p quantized to 1e-9 nats
+
+
+def nb_lang_confusion(df: DataFrame, id_col: str = "doc_id",
+                      label_col: str = "lang",
+                      text_col: str = "text") -> DataFrame:
+    """(actual, predicted, n_docs): confusion matrix of a multinomial
+    Naive Bayes classifier trained on the corpus's own (label, token)
+    counts and applied back to every document.
+
+        score(d, l) = ln p(l) + sum_t tf(d,t) * ln p(t|l)
+        p(t|l)      = (c(t,l) + 1) / (n_l + V + 1)     (Laplace, shared V)
+        predicted   = argmax_l score, ties -> label asc
+
+    Hash-parity: every model quantity is a BIGINT count; ln-terms are
+    quantized to exact 1e-9-nat BIGINTs (NB_LP_SCALE) BEFORE the tf
+    multiply and the per-(doc,label) sum, so no float ever accumulates in
+    engine order and the argmax compares exact integers.
+
+    Plan shape (100 TB): the corpus tokenizes ONCE into a per-doc tf table
+    (the only corpus-sized shuffle, keyed (id, token)); the model is a
+    (label, token) re-agg of it; scoring re-joins tf against the model on
+    the (label, token) short key after a #labels-row broadcast fan-out, so
+    the scored stream is |tf| x #labels rows that immediately collapse in
+    a map-side-combinable (id, label) agg.  The argmax window runs over
+    #labels rows per doc; the confusion agg is #labels^2-sized."""
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    from pyspark.sql import Window
+
+    tf = materialize_once(
+        df.select(id_col, label_col, F.explode(tokenize(text_col)).alias("token"))
+        .groupBy(id_col, label_col, "token")
+        .agg(F.count("*").cast("long").alias("tf")),
+        "nb_tf",
+    )
+    model = tf.groupBy(label_col, "token").agg(
+        F.sum("tf").cast("long").alias("c")
+    ).select(F.col(label_col).alias("model_lang"), "token", "c")
+    model = materialize_once(model, "nb_model")
+    tot = model.groupBy("model_lang").agg(F.sum("c").cast("long").alias("n_l"))
+    voc = tf.agg(F.count_distinct("token").cast("long").alias("v"))
+    n_total = df.agg(F.count("*").cast("long").alias("n_total"))
+    pri = (
+        df.groupBy(label_col).agg(F.count("*").cast("long").alias("n_docs_l"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(label_col).alias("model_lang"),
+            F.floor(
+                F.log(F.col("n_docs_l").cast("double") / F.col("n_total"))
+                * F.lit(float(NB_LP_SCALE)) + F.lit(0.5)
+            ).cast("long").alias("prior_q"),
+        )
+    )
+
+    lq = F.floor(
+        F.log(
+            (F.coalesce("c", F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("n_l") + F.col("v") + 1)
+        ) * F.lit(float(NB_LP_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    sums = (
+        tf.crossJoin(F.broadcast(pri.select("model_lang")))
+        .join(model, ["model_lang", "token"], "left")
+        .join(F.broadcast(tot), ["model_lang"])
+        .crossJoin(F.broadcast(voc))
+        .select(id_col, "model_lang", (F.col("tf") * lq).alias("term"))
+        .groupBy(id_col, "model_lang")
+        .agg(F.sum("term").cast("long").alias("s"))
+    )
+
+    scored = (
+        df.select(id_col, F.col(label_col).alias("actual"))
+        .crossJoin(F.broadcast(pri))
+        .join(sums, [id_col, "model_lang"], "left")
+        .select(
+            id_col, "actual", "model_lang",
+            (F.col("prior_q") + F.coalesce("s", F.lit(0))).alias("total"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("total").desc(), F.col("model_lang").asc()
+    )
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("actual", F.col("model_lang").alias("predicted"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -80,6 +80,8 @@ PRIORITY: tuple[str, ...] = (
     "q_dsir_weights",
     "q_dedup_incremental",
     # -- new round-4 queries
+    "q_nb_lang_confusion",
+    "q_bloom_novelty",
     "q_containment_pairs",
     "q_ngram_novelty",
     "q_perplexity_buckets",

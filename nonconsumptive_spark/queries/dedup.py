@@ -683,3 +683,58 @@ def q_lsh_dedup_recall(spark, sf_dir):
              + F.lit(0.0)).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_bloom_novelty",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    corpus AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 2 = 0),
+    probes(i) AS (VALUES (0), (1), (2)),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(i || ':' || shingle), 1, 15)) AS BIGINT)
+               % {dd.BLOOM_M} AS pos
+      FROM corpus CROSS JOIN probes),
+    batch AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 2 = 1),
+    probed AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(i || ':' || shingle), 1, 15)) AS BIGINT)
+               % {dd.BLOOM_M} AS pos
+      FROM batch CROSS JOIN probes),
+    hits AS (
+      SELECT doc_id, shingle, count(b.hit) = {dd.BLOOM_K} AS bloom_hit
+      FROM probed p LEFT JOIN (SELECT pos, 1 AS hit FROM bits) b USING (pos)
+      GROUP BY doc_id, shingle),
+    flags AS (
+      SELECT h.doc_id, h.bloom_hit, (c.shingle IS NOT NULL) AS true_hit
+      FROM hits h LEFT JOIN corpus c USING (shingle)),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_hits,
+             CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_hits,
+             CAST(sum(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_false_pos
+      FROM flags GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_shingles, 0) AS n_shingles,
+           coalesce(a.n_bloom_hits, 0) AS n_bloom_hits,
+           coalesce(a.n_true_hits, 0) AS n_true_hits,
+           coalesce(a.n_false_pos, 0) AS n_false_pos
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    WHERE d.doc_id % 2 = 1
+    """,
+    doc="Bloom-filter shingle novelty (MassiveText-style membership "
+        "pre-filter): the even-id corpus signs its distinct 3-shingles "
+        "into a 65536-bit / 3-probe filter, every odd-id batch doc probes "
+        "it, and the exact-membership audit surfaces the filter's "
+        "one-sided false positives as a verified output.  The filter is "
+        "the DISTINCT set of set bit positions — <= m rows whatever the "
+        "corpus size — so the probe join is a broadcast.",
+)
+def q_bloom_novelty(spark, sf_dir):
+    return dd.bloom_shingle_novelty(load(spark, sf_dir, "documents"))

@@ -1970,3 +1970,60 @@ def q_kn_bigram_logprob(spark, sf_dir):
 )
 def q_source_overlap_matrix(spark, sf_dir):
     return ts.source_overlap_matrix(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_nb_lang_confusion",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, lang, token),
+    model AS (
+      SELECT lang AS model_lang, token, CAST(sum(tf) AS BIGINT) AS c
+      FROM tf GROUP BY lang, token),
+    tot AS (
+      SELECT model_lang, CAST(sum(c) AS BIGINT) AS n_l
+      FROM model GROUP BY model_lang),
+    voc AS (SELECT count(DISTINCT token) AS v FROM tf),
+    pri AS (
+      SELECT lang AS model_lang,
+             CAST(floor(ln(count(*) * 1.0 /
+                           (SELECT count(*) FROM documents)) * 1e9 + 0.5)
+                  AS BIGINT) AS prior_q
+      FROM documents GROUP BY lang),
+    sums AS (
+      SELECT t.doc_id, p.model_lang,
+             CAST(sum(t.tf * CAST(floor(ln((coalesce(m.c, 0) + 1) * 1.0 /
+                                           (tt.n_l + voc.v + 1)) * 1e9 + 0.5)
+                                  AS BIGINT)) AS BIGINT) AS s
+      FROM tf t
+      CROSS JOIN (SELECT model_lang FROM pri) p
+      LEFT JOIN model m ON m.model_lang = p.model_lang AND m.token = t.token
+      JOIN tot tt ON tt.model_lang = p.model_lang
+      CROSS JOIN voc
+      GROUP BY t.doc_id, p.model_lang),
+    scored AS (
+      SELECT d.doc_id, d.lang AS actual, p.model_lang,
+             p.prior_q + coalesce(s.s, 0) AS total
+      FROM documents d
+      CROSS JOIN pri p
+      LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.model_lang = p.model_lang),
+    pred AS (
+      SELECT doc_id, actual, model_lang AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY total DESC, model_lang ASC) AS rn
+      FROM scored)
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY actual, predicted
+    """,
+    doc="In-engine multinomial Naive Bayes classifier: train per-language "
+        "token models on the corpus's own labels, score every doc, report "
+        "the confusion matrix — the SQL-expressible stand-in for the "
+        "fastText-style quality/domain classifiers LLM curation pipelines "
+        "run.  All log-probs are 1e-9-nat integer-quantized before any "
+        "sum, so the argmax compares exact BIGINTs on both engines.",
+)
+def q_nb_lang_confusion(spark, sf_dir):
+    return ts.nb_lang_confusion(load(spark, sf_dir, "documents"))

@@ -1,0 +1,124 @@
+"""Semantic tests for the round-4d operators: in-engine Naive Bayes
+classification and Bloom-filter shingle novelty."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+# ------------------------------------------------------------------- NB
+def test_nb_confusion_separable_corpus(spark):
+    """On a cleanly separable corpus the classifier must be perfect: the
+    confusion matrix is diagonal and counts match the label counts."""
+    from nonconsumptive_spark.operators.textstats import nb_lang_confusion
+
+    rows = [
+        (1, "alpha beta gamma alpha", "aa"),
+        (2, "beta alpha alpha gamma", "aa"),
+        (3, "delta epsilon zeta zeta", "bb"),
+        (4, "zeta delta delta epsilon", "bb"),
+        (5, "alpha gamma beta", "aa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.actual, r.predicted): r.n_docs
+           for r in nb_lang_confusion(df).collect()}
+    assert out == {("aa", "aa"): 3, ("bb", "bb"): 2}
+
+
+def test_nb_confusion_totals_and_ties(spark):
+    """Row sums equal per-label doc counts (every doc predicted exactly
+    once), including empty/NULL-text docs, which fall back to the prior
+    argmax with a deterministic label tie-break."""
+    from nonconsumptive_spark.operators.textstats import nb_lang_confusion
+
+    rows = [
+        (1, "x y z", "p"),
+        (2, "x y q", "p"),
+        (3, "m n o", "q"),
+        (4, "", "q"),
+        (5, None, "q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_lang_confusion(df).collect()
+    per_actual: dict[str, int] = {}
+    for r in out:
+        per_actual[r.actual] = per_actual.get(r.actual, 0) + r.n_docs
+    assert per_actual == {"p": 2, "q": 3}
+    # empty-text docs score prior only: q has the larger prior (3 vs 2
+    # docs), so docs 4 and 5 predict q.
+    assert out and all(r.n_docs > 0 for r in out)
+    cells = {(r.actual, r.predicted): r.n_docs for r in out}
+    assert cells.get(("q", "q"), 0) >= 2
+
+
+def test_nb_on_fixture_beats_chance(spark):
+    """On the sf0.001 fixture the trained classifier must beat the
+    majority-class rate (the labels correlate with real token
+    distributions, so train-on-self accuracy should be high)."""
+    from nonconsumptive_spark.operators.textstats import nb_lang_confusion
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    cells = nb_lang_confusion(docs).collect()
+    total = sum(r.n_docs for r in cells)
+    correct = sum(r.n_docs for r in cells if r.actual == r.predicted)
+    majority = docs.groupBy("lang").count().agg(
+        {"count": "max"}).collect()[0][0]
+    assert total == docs.count()
+    assert correct / total > majority / total
+
+
+# ---------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives(spark):
+    """The Bloom filter's one-sided guarantee: every true corpus shingle
+    must hit, so n_bloom_hits >= n_true_hits row by row."""
+    from nonconsumptive_spark.operators.dedup import bloom_shingle_novelty
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = bloom_shingle_novelty(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_hits >= r.n_true_hits
+        assert r.n_false_pos == r.n_bloom_hits - r.n_true_hits
+        assert r.n_shingles >= r.n_bloom_hits
+
+
+def test_bloom_exact_on_planted_overlap(spark):
+    """A batch doc that copies a corpus doc's text must have every shingle
+    hit both the filter and the exact audit; a disjoint-vocabulary doc must
+    have zero TRUE hits (bloom hits may occur — that's the FP column)."""
+    from nonconsumptive_spark.operators.dedup import bloom_shingle_novelty
+
+    corpus_text = "one two three four five six seven eight"
+    rows = [
+        (2, corpus_text, "en", "s", 1),          # corpus (even)
+        (4, "unrelated corpus words here too", "en", "s", 1),
+        (3, corpus_text, "en", "s", 1),          # batch copy (odd)
+        (5, "qqq www eee rrr ttt yyy uuu", "en", "s", 1),  # disjoint
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r.doc_id: r for r in bloom_shingle_novelty(df).collect()}
+    copy = out[3]
+    assert copy.n_shingles > 0
+    assert copy.n_true_hits == copy.n_shingles
+    assert copy.n_bloom_hits == copy.n_shingles
+    disjoint = out[5]
+    assert disjoint.n_true_hits == 0
+
+
+def test_bloom_filter_is_bounded(spark):
+    """The filter representation must stay <= m rows (the broadcastable
+    bitset invariant) regardless of corpus size."""
+    from nonconsumptive_spark.operators import dedup as dd
+    from nonconsumptive_spark.operators.dedup import (
+        _bloom_pos, doc_shingles)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sh = doc_shingles(docs).select(F.explode("shingles").alias("shingle"))
+    probes = F.array(*[_bloom_pos(F.col("shingle"), i, dd.BLOOM_M)
+                       for i in range(dd.BLOOM_K)])
+    n_bits = sh.select(F.explode(probes).alias("pos")).distinct().count()
+    assert n_bits <= dd.BLOOM_M

@@ -39,6 +39,7 @@ BNLJ_WHITELIST = {
     "q_source_overlap_matrix",   # #sources^2 spine from the tiny size table
     "q_dsir_weights",            # 1-row totals attach
     "q_perplexity_buckets",
+    "q_nb_lang_confusion",       # #labels-row fan-out + 1-row vocab attach
     "q_bootstrap_mean_ci",       # 1-row full-mean attach
     "q_heaps_fit",               # capped regression frame
     "q_zipf_slope",
