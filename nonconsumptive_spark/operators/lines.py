@@ -105,3 +105,82 @@ def remove_duplicated_chunks(
             F.size(bad).cast("long").alias("n_removed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC): the rsync/LBFS boundary trick applied to
+# token streams.  Fixed windows (above) lose every boundary after a single
+# inserted token; CDC cuts wherever a rolling content hash hits 0 mod G, so
+# an edit only perturbs the one chunk containing it and chunking re-syncs
+# at the next content-defined boundary — the property storage dedup systems
+# rely on, applied here to find shift-invariant duplicated text.
+CDC_G = 8  # boundary divisor => expected chunk length ~G tokens
+
+
+def cdc_chunks(text_col, g: int = CDC_G):
+    """text -> array<string> of content-defined chunks.  A chunk starts at
+    position 1 and after every position p (2-based) where
+    md5(token[p-1] + ' ' + token[p]) % g == 0 — a pure function of the two
+    local tokens, so identical text yields identical chunks at ANY offset."""
+    from nonconsumptive_spark.operators.dedup import _md5_long
+
+    def cut(t):
+        cand = F.when(
+            F.size(t) >= 2,
+            F.filter(
+                F.sequence(F.lit(2), F.size(t)),
+                lambda p: _md5_long(
+                    F.concat_ws(" ", F.element_at(t, p - 1), F.element_at(t, p))
+                ) % g == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        starts = F.concat(F.array(F.lit(1)), cand)
+
+        def assemble(s):
+            return F.transform(
+                F.sequence(F.lit(1), F.size(s)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        t,
+                        F.element_at(s, i),
+                        F.when(
+                            i < F.size(s),
+                            F.element_at(s, i + 1) - F.element_at(s, i),
+                        ).otherwise(F.size(t) - F.element_at(s, i) + 1),
+                    ),
+                ),
+            )
+
+        return F.when(F.size(t) > 0, let(starts, assemble)) \
+                .otherwise(F.array().cast("array<string>"))
+
+    return let(tokenize(text_col), cut)
+
+
+def cdc_duplicated_chunks(docs: DataFrame, g: int = CDC_G,
+                          min_doc_freq: int = MIN_DOC_FREQ,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(chunk_md5, n_docs, n_occ) for every content-defined chunk appearing
+    in >= ``min_doc_freq`` DISTINCT documents — the shift-invariant
+    boilerplate detector (a copied passage surfaces even when its host
+    documents prepend/insert text, where fixed-window chunking would slide
+    every boundary).
+
+    Plan shape (100 TB): chunking is a zero-shuffle in-row expression; the
+    explode emits one md5 SHORT KEY per ~g tokens (chunk text never
+    shuffles); the doc-frequency agg is one map-side-combinable hash agg
+    on that key.  Same shuffle discipline as remove_duplicated_chunks."""
+    chunks = docs.select(
+        F.col(id_col), F.explode(cdc_chunks(text_col, g)).alias("chunk")
+    )
+    return (
+        chunks.select(id_col, F.md5("chunk").alias("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_doc_freq)
+    )

@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     # -- new round-4 queries
     "q_nb_lang_confusion",
     "q_bloom_novelty",
+    "q_cdc_duplicate_chunks",
     "q_containment_pairs",
     "q_ngram_novelty",
     "q_perplexity_buckets",

@@ -738,3 +738,43 @@ def q_lsh_dedup_recall(spark, sf_dir):
 )
 def q_bloom_novelty(spark, sf_dir):
     return dd.bloom_shingle_novelty(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_cdc_duplicate_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    bnd AS (
+      SELECT doc_id, t,
+             list_prepend(1, list_filter(
+               generate_series(2, len(t)),
+               p -> CAST(('0x' || substr(md5(t[p-1] || ' ' || t[p]), 1, 15))
+                         AS BIGINT) % {_lines.CDC_G} = 0)) AS starts
+      FROM toks WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(starts)),
+               i -> array_to_string(
+                      t[starts[i] : CASE WHEN i < len(starts)
+                                    THEN starts[i+1] - 1 ELSE len(t) END],
+                      ' '))) AS chunk
+      FROM bnd)
+    SELECT md5(chunk) AS chunk_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM chunks
+    GROUP BY md5(chunk)
+    HAVING count(DISTINCT doc_id) >= {_lines.MIN_DOC_FREQ}
+    """,
+    doc="Content-defined chunking (CDC) duplicate detector: chunk "
+        "boundaries cut where md5 of the local token bigram hits 0 mod "
+        f"{_lines.CDC_G}, so identical passages chunk identically at ANY "
+        "document offset — the rsync/LBFS shift-resistance fixed windows "
+        "lack.  Chunking is in-row; only md5 short keys shuffle into one "
+        "doc-frequency agg.",
+)
+def q_cdc_duplicate_chunks(spark, sf_dir):
+    return _lines.cdc_duplicated_chunks(load(spark, sf_dir, "documents"))

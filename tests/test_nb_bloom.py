@@ -122,3 +122,49 @@ def test_bloom_filter_is_bounded(spark):
                        for i in range(dd.BLOOM_K)])
     n_bits = sh.select(F.explode(probes).alias("pos")).distinct().count()
     assert n_bits <= dd.BLOOM_M
+
+
+# ------------------------------------------------------------------ CDC
+def test_cdc_shift_resistance(spark):
+    """The CDC property fixed windows lack: prepending one token to a doc
+    must leave most chunks identical (chunking re-syncs at the next
+    content boundary), while fixed-length chunking shifts every window."""
+    from nonconsumptive_spark.operators.lines import cdc_chunks, chunk_texts
+    from pyspark.sql import functions as F
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "one two three four five six seven eight nine ten")
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        cdc_chunks("text").alias("cdc"),
+        chunk_texts("text").alias("fixed"),
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    cdc_shared = set(rows[1].cdc) & set(rows[2].cdc)
+    fixed_shared = set(rows[1].fixed) & set(rows[2].fixed)
+    # CDC re-syncs: a majority of the original chunks survive the shift.
+    assert len(cdc_shared) >= len(rows[1].cdc) // 2
+    assert len(cdc_shared) > len(fixed_shared)
+
+
+def test_cdc_chunks_partition_tokens(spark):
+    """Chunks must reassemble to the exact token stream, including
+    single-token and empty/NULL docs."""
+    from nonconsumptive_spark.operators.lines import cdc_chunks
+    from nonconsumptive_spark.functions.text import tokenize
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None),
+         (4, "a b c d e f g h i j k l m n o p q r s t u v w x y z")],
+        "doc_id long, text string")
+    rows = df.select(
+        "doc_id", cdc_chunks("text").alias("chunks"),
+        tokenize("text").alias("toks")).collect()
+    for r in rows:
+        rebuilt = [t for c in r.chunks for t in c.split(" ") if t]
+        assert rebuilt == (r.toks or [])
