@@ -1971,3 +1971,106 @@ def nb_lang_confusion(df: DataFrame, id_col: str = "doc_id",
         pred.groupBy("actual", F.col("model_lang").alias("predicted"))
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are maximal
+# stopword-free token runs; a word's score is degree/frequency over the
+# phrase co-occurrence graph; a phrase scores the sum of its member words.
+RAKE_SCALE = 1_000_000  # word score deg/freq quantized via integer DIV
+RAKE_K = 20
+
+
+def _rake_phrases(text_col, stopwords: tuple[str, ...]):
+    """text -> array<string> of maximal stopword-free token runs (the RAKE
+    candidate phrases), lowercased.  Pure in-row expression."""
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+
+    def cut(t):
+        def stop_at(p):
+            # F.get is 0-based and null-safe, so the p-1 / p+1 probes stay
+            # legal at the array edges under ANSI sessions (the driver's
+            # default) — null ORs away below.
+            return F.array_contains(stop_arr, F.get(t, p - 1))
+
+        starts = F.filter(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda p: ~stop_at(p) & ((p == 1) | stop_at(p - 1)),
+        )
+        ends = F.filter(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda p: ~stop_at(p) & ((p == F.size(t)) | stop_at(p + 1)),
+        )
+        phrases = F.zip_with(
+            starts, ends,
+            lambda s, e: F.concat_ws(" ", F.slice(t, s, e - s + 1)),
+        )
+        return F.when(F.size(t) > 0, phrases) \
+                .otherwise(F.array().cast("array<string>"))
+
+    lowered = F.transform(tokenize(text_col), lambda w: F.lower(w))
+    return let(lowered, cut)
+
+
+def rake_keywords(df: DataFrame, lang: str = "en", k: int = RAKE_K,
+                  label_col: str = "lang",
+                  text_col: str = "text") -> DataFrame:
+    """(phrase, n_occ, score): top-k RAKE keyword phrases over the
+    ``lang`` subcorpus.
+
+        deg(w)  = sum of |phrase| over phrase occurrences containing w
+        freq(w) = number of phrase occurrences containing w
+        score(phrase) = sum_w  (SCALE * deg(w)) DIV freq(w)   (exact BIGINT)
+
+    Member-word scores are quantized by integer division BEFORE the
+    phrase sum, so ranking compares exact integers on both engines; the
+    emitted double is one mirrored division of that integer.
+
+    Plan shape (100 TB): phrase extraction is a zero-shuffle in-row
+    expression; word stats are one short-key agg over exploded phrase
+    members; phrase scores re-join members against the vocabulary-sized
+    stats table on the word key and collapse in a phrase-key agg; the
+    final cut is TakeOrderedAndProject (distributed partial top-k on
+    (score desc, phrase asc) — total order, no global sort)."""
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    stopwords = LANG_STOPWORDS[lang]
+    occ = materialize_once(
+        df.filter(F.col(label_col) == lang)
+        .select(F.explode(_rake_phrases(text_col, stopwords)).alias("phrase"))
+        .filter(F.col("phrase") != ""),
+        "rake_phrases",
+    )
+    members = occ.select(
+        "phrase",
+        F.size(F.split("phrase", " ")).cast("long").alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("word"),
+    )
+    word_stats = members.groupBy("word").agg(
+        F.sum("plen").cast("long").alias("deg"),
+        F.count("*").cast("long").alias("freq"),
+    )
+    phrase_occ = occ.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+    phrase_score = (
+        phrase_occ.select(
+            "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("word")
+        )
+        .join(word_stats, "word")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.sum(
+                F.expr(f"({RAKE_SCALE} * deg) div freq")
+            ).cast("long").alias("score_q")
+        )
+    )
+    return (
+        phrase_score.orderBy(F.col("score_q").desc(), F.col("phrase").asc())
+        .limit(k)
+        .select(
+            "phrase", "n_occ",
+            (F.col("score_q").cast("double") / F.lit(float(RAKE_SCALE))
+             + F.lit(0.0)).alias("score"),
+        )
+    )

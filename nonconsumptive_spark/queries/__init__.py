@@ -83,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "q_nb_lang_confusion",
     "q_bloom_novelty",
     "q_cdc_duplicate_chunks",
+    "q_rake_keywords",
     "q_containment_pairs",
     "q_ngram_novelty",
     "q_perplexity_buckets",

@@ -2027,3 +2027,67 @@ def q_source_overlap_matrix(spark, sf_dir):
 )
 def q_nb_lang_confusion(spark, sf_dir):
     return ts.nb_lang_confusion(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+_RAKE_STOPS = "[" + ", ".join(f"'{w}'" for w in ts.LANG_STOPWORDS["en"]) + "]"
+
+
+@register(
+    "q_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_transform({_DUCK_TOKS}, w -> lower(w)) AS t
+      FROM documents WHERE lang = 'en'),
+    runs AS (
+      SELECT t,
+             list_filter(generate_series(1, len(t)),
+               p -> NOT list_contains({_RAKE_STOPS}, t[p])
+                    AND (p = 1 OR list_contains({_RAKE_STOPS}, t[p-1])))
+               AS starts,
+             list_filter(generate_series(1, len(t)),
+               p -> NOT list_contains({_RAKE_STOPS}, t[p])
+                    AND (p = len(t) OR list_contains({_RAKE_STOPS}, t[p+1])))
+               AS ends
+      FROM toks WHERE len(t) > 0),
+    occ AS (
+      SELECT unnest(list_transform(generate_series(1, len(starts)),
+               i -> array_to_string(t[starts[i]:ends[i]], ' '))) AS phrase
+      FROM runs),
+    occ2 AS (SELECT phrase FROM occ WHERE phrase <> ''),
+    members AS (
+      SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+             unnest(string_split(phrase, ' ')) AS word
+      FROM occ2),
+    ws AS (
+      SELECT word, CAST(sum(plen) AS BIGINT) AS deg,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM members GROUP BY word),
+    po AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+      FROM occ2 GROUP BY phrase),
+    pw AS (
+      SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS word
+      FROM po),
+    ps AS (
+      SELECT pw.phrase, pw.n_occ,
+             CAST(sum(({ts.RAKE_SCALE} * ws.deg) // ws.freq) AS BIGINT)
+               AS score_q
+      FROM pw JOIN ws USING (word)
+      GROUP BY pw.phrase, pw.n_occ)
+    SELECT phrase, n_occ,
+           score_q / CAST({ts.RAKE_SCALE} AS DOUBLE) + 0.0 AS score
+    FROM ps
+    ORDER BY score_q DESC, phrase ASC
+    LIMIT {ts.RAKE_K}
+    """,
+    doc="RAKE keyword extraction (Rose et al. 2010) over the en "
+        "subcorpus: candidate phrases = maximal stopword-free token runs; "
+        "word score = degree/frequency over phrase co-occurrence; phrase "
+        "score = sum of member word scores.  Scores quantize deg/freq by "
+        "integer division BEFORE the phrase sum, so the top-20 cut "
+        "compares exact BIGINTs; extraction is in-row, the cut is "
+        "TakeOrderedAndProject.",
+)
+def q_rake_keywords(spark, sf_dir):
+    return ts.rake_keywords(load(spark, sf_dir, "documents"))

@@ -168,3 +168,45 @@ def test_cdc_chunks_partition_tokens(spark):
     for r in rows:
         rebuilt = [t for c in r.chunks for t in c.split(" ") if t]
         assert rebuilt == (r.toks or [])
+
+
+# ----------------------------------------------------------------- RAKE
+def test_rake_hand_example(spark):
+    """Hand-checked RAKE on a two-doc corpus with the 'en' stoplist
+    ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it')."""
+    from nonconsumptive_spark.operators.textstats import (
+        RAKE_SCALE, rake_keywords)
+
+    rows = [
+        (1, "deep learning is the deep future", "en"),
+        (2, "future of deep learning", "en"),
+        (3, "ignorado por completo", "es"),   # non-en doc must not count
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.phrase: r for r in rake_keywords(df).collect()}
+    # phrase occurrences: "deep learning" x2, "deep future" x1, "future" x1
+    # deg: deep=2+2+2=6 freq=3; learning=2+2=4 freq=2; future=2+1=3 freq=2
+    # scores (x1e6): deep=2000000, learning=2000000, future=1500000
+    assert set(out) == {"deep learning", "deep future", "future"}
+    assert out["deep learning"].n_occ == 2
+    assert out["deep learning"].score == pytest.approx(4.0)
+    assert out["deep future"].score == pytest.approx(3.5)
+    assert out["future"].score == pytest.approx(1.5)
+
+
+def test_rake_phrases_edges(spark):
+    """Stopword-only, empty, and NULL docs produce no phrases; runs at
+    both array edges are captured."""
+    from nonconsumptive_spark.operators.textstats import (
+        LANG_STOPWORDS, _rake_phrases)
+
+    df = spark.createDataFrame(
+        [(1, "the and of"), (2, ""), (3, None),
+         (4, "alpha the beta gamma"), (5, "The quick")],
+        "doc_id long, text string")
+    rows = {r.doc_id: list(r.p) for r in df.select(
+        "doc_id", _rake_phrases("text", LANG_STOPWORDS["en"]).alias("p")
+    ).collect()}
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4] == ["alpha", "beta gamma"]
+    assert rows[5] == ["quick"]  # lowercased 'the' dropped at the edge
