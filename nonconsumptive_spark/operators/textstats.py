@@ -2074,3 +2074,91 @@ def rake_keywords(df: DataFrame, lang: str = "en", k: int = RAKE_K,
              + F.lit(0.0)).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index — the standard production data-drift metric
+# over binned scalar features (complements q_js_divergence, which compares
+# token distributions, and q_source_overlap_matrix, which compares content).
+PSI_SCALE = 1_000_000_000_000  # per-bin term quantized to 1e-12
+PSI_BINS = 10
+
+# One mirrored expression string shared verbatim with the DuckDB oracle so
+# the float product is computed in the identical order on both engines.
+PSI_TERM_SQL = (
+    "CAST(floor(((ca + 1) * 1.0 / (na + 10) - (cb + 1) * 1.0 / (nb + 10))"
+    " * ln(((ca + 1) * (nb + 10)) * 1.0 / ((cb + 1) * (na + 10)))"
+    " * 1000000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def psi_drift(df: DataFrame, value_col: str = "n_chars",
+              group_col: str = "source") -> DataFrame:
+    """(source_a, source_b, psi): pairwise Population Stability Index
+    between per-group distributions of ``value_col`` over EXACT global
+    deciles, add-one smoothed:
+
+        psi = sum_bins (p_a - p_b) * ln(p_a / p_b),
+        p_g = (c_g,bin + 1) / (n_g + 10)
+
+    Hash-parity: decile edges come from the integer threshold
+    (k*n + 9) div 10 over the value cum-distribution (no float fraction
+    ever enters edge selection); bin counts and totals are BIGINTs; each
+    bin's float term is ONE mirrored expression (PSI_TERM_SQL, shared
+    verbatim with the oracle) quantized to 1e-12 units before the exact
+    integer sum.
+
+    Plan shape (100 TB): the cum-distribution window runs over DISTINCT
+    values only (the winsorize trick); edges collapse to a 1-row
+    broadcast; binning is a zero-shuffle row expression; everything after
+    the (group, bin) agg is #groups x 10 rows, and the pair join is a
+    #groups^2 expansion of that tiny frame."""
+    vals = df.select(
+        F.col(group_col).alias("src"), F.col(value_col).cast("long").alias("v")
+    )
+    n1 = vals.agg(F.count("*").cast("long").alias("n"))
+    dist = vals.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = dist.select("v", F.sum("c").over(w).alias("cum"))
+    edges_row = cum.crossJoin(F.broadcast(n1)).agg(*[
+        F.min(
+            F.when(F.col("cum") >= F.expr(f"({k} * n + 9) div 10"), F.col("v"))
+        ).alias(f"e{k}")
+        for k in range(1, PSI_BINS)
+    ]).select(F.array(*[f"e{k}" for k in range(1, PSI_BINS)]).alias("es"))
+
+    binned = vals.crossJoin(F.broadcast(edges_row)).select(
+        "src",
+        (F.size(F.filter(F.col("es"), lambda e: F.col("v") > e)) + 1)
+        .alias("bin"),
+    )
+    counts = binned.groupBy("src", "bin").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    srcs = vals.groupBy("src").agg(F.count("*").cast("long").alias("n"))
+    bins = df.sparkSession.range(1, PSI_BINS + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    spine = srcs.crossJoin(F.broadcast(bins))
+    full = spine.join(counts, ["src", "bin"], "left").select(
+        "src", "bin", "n", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    a = full.select(F.col("src").alias("source_a"), "bin",
+                    F.col("c").alias("ca"), F.col("n").alias("na"))
+    b = full.select(F.col("src").alias("source_b"), "bin",
+                    F.col("c").alias("cb"), F.col("n").alias("nb"))
+    pairs = a.join(b, "bin").filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.select("source_a", "source_b",
+                     F.expr(PSI_TERM_SQL).alias("t"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("t").cast("long").alias("psi_q"))
+        .select(
+            "source_a", "source_b",
+            (F.col("psi_q").cast("double") / F.lit(float(PSI_SCALE))
+             + F.lit(0.0)).alias("psi"),
+        )
+    )

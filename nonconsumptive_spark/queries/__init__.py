@@ -84,6 +84,7 @@ PRIORITY: tuple[str, ...] = (
     "q_bloom_novelty",
     "q_cdc_duplicate_chunks",
     "q_rake_keywords",
+    "q_psi_drift",
     "q_containment_pairs",
     "q_ngram_novelty",
     "q_perplexity_buckets",

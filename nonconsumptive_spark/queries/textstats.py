@@ -2091,3 +2091,53 @@ _RAKE_STOPS = "[" + ", ".join(f"'{w}'" for w in ts.LANG_STOPWORDS["en"]) + "]"
 )
 def q_rake_keywords(spark, sf_dir):
     return ts.rake_keywords(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_psi_drift",
+    oracle=f"""
+    WITH vals AS (
+      SELECT source AS src, CAST(n_chars AS BIGINT) AS v FROM documents),
+    n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    dist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY v),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM dist),
+    edges AS (
+      SELECT g.k,
+             (SELECT min(v) FROM cum, n1
+              WHERE cum >= (g.k * n1.n + 9) // 10) AS e
+      FROM generate_series(1, 9) AS g(k)),
+    earr AS (SELECT list(e ORDER BY k) AS es FROM edges),
+    binned AS (
+      SELECT src, 1 + len(list_filter(es, e -> v > e)) AS bin
+      FROM vals, earr),
+    counts AS (
+      SELECT src, bin, CAST(count(*) AS BIGINT) AS c
+      FROM binned GROUP BY src, bin),
+    srcs AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY src),
+    spine AS (
+      SELECT s.src, s.n, g.k AS bin
+      FROM srcs s, generate_series(1, 10) AS g(k)),
+    fl AS (
+      SELECT spine.src, spine.bin, spine.n, coalesce(c.c, 0) AS c
+      FROM spine LEFT JOIN counts c
+        ON c.src = spine.src AND c.bin = spine.bin),
+    pairs AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+      FROM fl a JOIN fl b ON a.bin = b.bin AND a.src < b.src)
+    SELECT source_a, source_b,
+           CAST(sum({ts.PSI_TERM_SQL}) AS BIGINT)
+             / CAST({ts.PSI_SCALE} AS DOUBLE) + 0.0 AS psi
+    FROM pairs GROUP BY source_a, source_b
+    """,
+    doc="Pairwise Population Stability Index between sources over exact "
+        "global n_chars deciles (add-one smoothed) — the production "
+        "drift metric for scalar features, completing the drift family "
+        "(JSD = token distributions, overlap matrix = shared content).  "
+        "Decile edges use the integer threshold (k*n+9) div 10 over the "
+        "distinct-value cum-distribution; each bin term is one mirrored "
+        "expression quantized to 1e-12 before the exact integer sum.",
+)
+def q_psi_drift(spark, sf_dir):
+    return ts.psi_drift(load(spark, sf_dir, "documents"))

@@ -210,3 +210,26 @@ def test_rake_phrases_edges(spark):
     assert rows[1] == [] and rows[2] == [] and rows[3] == []
     assert rows[4] == ["alpha", "beta gamma"]
     assert rows[5] == ["quick"]  # lowercased 'the' dropped at the edge
+
+
+# ------------------------------------------------------------------ PSI
+def test_psi_identical_and_shifted(spark):
+    """PSI of two identically-distributed groups must be ~0; a group with
+    a shifted distribution must score strictly higher against either."""
+    from nonconsumptive_spark.operators.textstats import psi_drift
+
+    rows = []
+    for i in range(200):
+        rows.append((i * 3 + 0, "t", "same_a", (i % 50) + 10))
+        rows.append((i * 3 + 1, "t", "same_b", (i % 50) + 10))
+        rows.append((i * 3 + 2, "t", "shifted", (i % 50) + 500))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    out = {(r.source_a, r.source_b): r.psi for r in psi_drift(df).collect()}
+    assert set(out) == {("same_a", "same_b"), ("same_a", "shifted"),
+                        ("same_b", "shifted")}
+    assert abs(out[("same_a", "same_b")]) < 1e-6
+    assert out[("same_a", "shifted")] > 0.5
+    assert out[("same_b", "shifted")] > 0.5
+    # PSI is a sum of (p_a - p_b) ln(p_a/p_b) terms, each >= 0
+    assert all(v >= 0 for v in out.values())
