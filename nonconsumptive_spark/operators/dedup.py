@@ -1128,3 +1128,42 @@ def bloom_shingle_novelty(docs: DataFrame, id_col: str = "doc_id",
         F.coalesce("n_true_hits", F.lit(0)).cast("long").alias("n_true_hits"),
         F.coalesce("n_false_pos", F.lit(0)).cast("long").alias("n_false_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance fuzzy dedup: LSH candidates verified by character-level
+# Levenshtein on normalized text — catches OCR noise / typo-level mutation
+# where token-shingle Jaccard degrades.  Both engines implement classic
+# Wagner–Fischer edit distance natively, so the verify is an exact integer.
+LEV_REL_DEN = 5  # dup iff 5 * lev <= max(len_a, len_b), i.e. lev <= 20%
+
+
+def edit_distance_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, lev, is_dup) for every LSH candidate pair, verified
+    by Levenshtein distance over fingerprint-normalized text (lowercased,
+    non-letters collapsed); is_dup is the pure integer inequality
+    ``LEV_REL_DEN * lev <= greatest(len_a, len_b)``.
+
+    Plan shape (100 TB): candidate generation is the banded minhash
+    equi-join (never all-pairs); the O(|a|·|b|) Levenshtein DP runs ONLY
+    on band survivors, joined to normalized text by id — the same
+    survivor-only-verify discipline as the Jaccard pipeline.  All outputs
+    exact integers/booleans."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", " ")
+    )
+    texts = docs.select(F.col(id_col), norm.alias("nt"))
+    cands = lsh_candidate_pairs(docs, id_col, text_col)
+    ta = texts.select(F.col(id_col).alias("doc_a"), F.col("nt").alias("ta"))
+    tb = texts.select(F.col(id_col).alias("doc_b"), F.col("nt").alias("tb"))
+    lev = F.levenshtein("ta", "tb").cast("long")
+    return (
+        cands.join(ta, "doc_a").join(tb, "doc_b")
+        .select(
+            "doc_a", "doc_b", lev.alias("lev"),
+            (F.lit(LEV_REL_DEN) * lev
+             <= F.greatest(F.length("ta"), F.length("tb")).cast("long"))
+            .alias("is_dup"),
+        )
+    )

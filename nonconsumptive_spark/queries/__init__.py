@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "q_cdc_duplicate_chunks",
     "q_rake_keywords",
     "q_psi_drift",
+    "q_edit_distance_pairs",
     "q_containment_pairs",
     "q_ngram_novelty",
     "q_perplexity_buckets",

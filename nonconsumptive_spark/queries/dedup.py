@@ -778,3 +778,35 @@ def q_bloom_novelty(spark, sf_dir):
 )
 def q_cdc_duplicate_chunks(spark, sf_dir):
     return _lines.cdc_duplicated_chunks(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_edit_distance_pairs",
+    oracle=f"""
+    {_DUCK_BANDS},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+    texts AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^\\pL]+', ' ', 'g')) AS nt
+      FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS lev,
+           {dd.LEV_REL_DEN} * levenshtein(ta.nt, tb.nt)
+             <= greatest(len(ta.nt), len(tb.nt)) AS is_dup
+    FROM cands c
+    JOIN texts ta ON ta.doc_id = c.doc_a
+    JOIN texts tb ON tb.doc_id = c.doc_b
+    """,
+    doc="Edit-distance fuzzy dedup: LSH band candidates verified by "
+        "character-level Levenshtein on normalized text (native exact DP "
+        "in both engines) — catches OCR/typo mutation where token-shingle "
+        "Jaccard degrades.  is_dup is the integer inequality "
+        "5*lev <= max(len); the quadratic DP runs only on band survivors.",
+)
+def q_edit_distance_pairs(spark, sf_dir):
+    return dd.edit_distance_pairs(load(spark, sf_dir, "documents"))

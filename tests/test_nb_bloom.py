@@ -233,3 +233,30 @@ def test_psi_identical_and_shifted(spark):
     assert out[("same_b", "shifted")] > 0.5
     # PSI is a sum of (p_a - p_b) ln(p_a/p_b) terms, each >= 0
     assert all(v >= 0 for v in out.values())
+
+
+# --------------------------------------------------------- edit distance
+def test_edit_distance_pairs_planted(spark):
+    """A near-identical pair (one substituted word) must surface as a dup;
+    the distance must equal the hand-computed character edit distance on
+    normalized text."""
+    from nonconsumptive_spark.operators.dedup import edit_distance_pairs
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "uno dos tres cuatro cinco seis siete ocho nueve romeo")
+    # mutate only the FINAL token: exactly one shingle differs, so the
+    # near-identical pair survives the 4x4 LSH banding
+    mutated = base[:-5] + "rxmeo"
+    rows = [(1, base, "en", "s", 1), (2, mutated, "en", "s", 1),
+            (3, "totally different content about other things entirely "
+                "covering separate topics and unrelated words", "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {(r.doc_a, r.doc_b): r for r in edit_distance_pairs(df).collect()}
+    assert (1, 2) in out
+    pair = out[(1, 2)]
+    assert pair.lev == 1  # one substituted character survives normalization
+    assert pair.is_dup
+    assert (1, 3) not in out and (2, 3) not in out  # LSH never pairs them
