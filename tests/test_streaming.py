@@ -570,3 +570,28 @@ def test_drift_monitor_logs_epochs_and_final_table(spark, tmp_path):
                {"v": some["v"], "n_a": some["n_corpus"],
                 "n_b": some["n_batch"], "jsd": some["jsd"]})
     assert len(drift_log(spark, log_dir).collect()) == len(log)
+
+
+def test_bloom_gate_stream_equals_batch(spark, tmp_path):
+    """The streaming Bloom novelty gate (k separate stream-static probe
+    joins, single aggregation) must reproduce the batch operator's
+    (n_shingles, n_bloom_hits) exactly — kernel equality across two
+    different physical plans."""
+    from nonconsumptive_spark.operators.dedup import bloom_shingle_novelty
+    from nonconsumptive_spark.streaming import bloomgate as bg
+
+    docs = load(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    d = tmp_path / "bloom_stream"
+    batch_docs.repartition(3).write.mode("overwrite").parquet(str(d))
+
+    bits = bg.bloom_bits_table(corpus)
+    stream = bg.bloom_novelty_gate(
+        spark.readStream.schema(docs.schema).parquet(str(d)), bits)
+    got = {r.doc_id: (r.n_shingles, r.n_bloom_hits)
+           for r in st.run_available_now(stream, "t_bloom",
+                                         mode="complete").collect()}
+    want = {r.doc_id: (r.n_shingles, r.n_bloom_hits)
+            for r in bloom_shingle_novelty(docs).collect()}
+    assert got == want and len(got) == batch_docs.count()
