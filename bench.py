@@ -64,10 +64,24 @@ def _cooccurrence(spark, sf_dir):
     return all_queries()["q_cooccurrence_window"].spark_fn(spark, sf_dir)
 
 
+def _registry(name):
+    def run(spark, sf_dir):
+        from nonconsumptive_spark.queries import all_queries
+        return all_queries()[name].spark_fn(spark, sf_dir)
+    return run
+
+
 EXTRA = {
     "q_minhash_dedup_pairs[xxhash64]": _minhash_pairs_xxhash64,
     "q_ppjoin_pairs": _ppjoin,
     "q_cooccurrence_window": _cooccurrence,
+    # round-4d additions: timed every round so their scale paths can't rot
+    "q_nb_lang_confusion": _registry("q_nb_lang_confusion"),
+    "q_bloom_novelty": _registry("q_bloom_novelty"),
+    "q_cdc_duplicate_chunks": _registry("q_cdc_duplicate_chunks"),
+    "q_rake_keywords": _registry("q_rake_keywords"),
+    "q_psi_drift": _registry("q_psi_drift"),
+    "q_edit_distance_pairs": _registry("q_edit_distance_pairs"),
 }
 
 
