@@ -389,3 +389,68 @@ def test_ppjoin_equals_naive_on_random_text(spark, texts):
         pp = {(r["doc_a"], r["doc_b"], r["jaccard"])
               for r in ppjoin_pairs(df, threshold=t).collect()}
         assert pp == naive
+
+
+# ----------------------------------------------------------------- r4d ops
+@given(corpus)
+@SET
+def test_cdc_partition_and_shift_invariance(spark, texts):
+    """CDC chunks of every doc reassemble to exactly its token stream, and
+    equal texts produce equal chunk arrays (boundaries are pure content
+    functions — no positional state)."""
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.operators.lines import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(len(texts), texts[0])],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", cdc_chunks("text").alias("chunks"),
+        tokenize("text").alias("toks")).collect()
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        rebuilt = [w for c in r.chunks for w in c.split(" ") if w]
+        assert rebuilt == (r.toks or [])
+    # doc 0 and the appended twin must chunk identically
+    assert by_id[0].chunks == by_id[len(texts)].chunks
+
+
+@given(corpus)
+@SET
+def test_bloom_one_sided_error(spark, texts):
+    """Bloom novelty on arbitrary corpora: no false negatives, counts
+    consistent, and every count bounded by the shingle count."""
+    from nonconsumptive_spark.operators.dedup import bloom_shingle_novelty
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for r in bloom_shingle_novelty(df).collect():
+        assert 0 <= r.n_true_hits <= r.n_bloom_hits <= r.n_shingles
+        assert r.n_false_pos == r.n_bloom_hits - r.n_true_hits
+
+
+@given(corpus)
+@SET
+def test_rake_phrases_are_stopword_free_partitions(spark, texts):
+    """RAKE candidate phrases contain no stopwords, and concatenating
+    phrases + stopwords in order restores the lowercased token stream."""
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.operators.textstats import (
+        LANG_STOPWORDS, _rake_phrases)
+    from pyspark.sql import functions as F
+
+    stops = set(LANG_STOPWORDS["en"])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = df.select(
+        _rake_phrases("text", LANG_STOPWORDS["en"]).alias("phrases"),
+        F.transform(tokenize("text"), lambda w: F.lower(w)).alias("toks"),
+    ).collect()
+    for r in rows:
+        phrase_words = [w for p in r.phrases for w in p.split(" ") if w]
+        assert not (set(phrase_words) & stops)
+        # phrases exactly cover the non-stopword tokens, in order
+        assert phrase_words == [w for w in (r.toks or []) if w not in stops]
