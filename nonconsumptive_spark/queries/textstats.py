@@ -2141,3 +2141,96 @@ def q_rake_keywords(spark, sf_dir):
 )
 def q_psi_drift(spark, sf_dir):
     return ts.psi_drift(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+def _logreg_oracle(t_rounds: int, d: int, lr_den: int) -> str:
+    """Generated-CTE replay of the full logistic GD loop (the k-means/BPE
+    oracle pattern): every round's weight update is floor-division exact
+    via pmod-emulation, so negative gradients agree with Spark/Python."""
+    from nonconsumptive_spark.operators.logreg import (
+        LOGREG_E_SQL, LOGREG_LABEL_CHARS, LOGREG_LEN_CENTER)
+
+    def fdiv(x):
+        return f"({x} - ((({x} % m.m) + m.m) % m.m)) // m.m"
+
+    langs = sorted(ts.LANG_STOPWORDS)
+    feat_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, {i} AS f,
+             CAST(coalesce(len(list_filter({_DUCK_TOKS},
+               x -> list_contains({_stoplist_sql(lang)}, lower(x)))), 0)
+               AS BIGINT) AS cnt FROM documents"""
+        for i, lang in enumerate(langs)
+    )
+    parts = [f"""
+    WITH feats AS MATERIALIZED (
+      SELECT doc_id, f, cnt FROM (
+{feat_selects}
+      UNION ALL
+      SELECT doc_id, {len(langs)} AS f,
+             CAST(coalesce(len({_DUCK_TOKS}), 0) - {LOGREG_LEN_CENTER}
+               AS BIGINT) AS cnt
+      FROM documents)
+      WHERE cnt <> 0),
+    yy AS (
+      SELECT doc_id,
+             CAST(CASE WHEN n_chars >= {LOGREG_LABEL_CHARS}
+                  THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM documents),
+    mm AS (SELECT {lr_den} * count(*) AS m FROM documents),
+    w0 AS (SELECT f, CAST(0 AS BIGINT) AS wq
+           FROM generate_series(0, {d - 1}) AS g(f)),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS bq)"""]
+    for r in range(1, t_rounds + 2):
+        parts.append(f""",
+    z{r} AS MATERIALIZED (
+      SELECT yy.doc_id, yy.y, b.bq + coalesce(s.s, 0) AS zq
+      FROM yy CROSS JOIN b{r - 1} b
+      LEFT JOIN (SELECT feats.doc_id,
+                        CAST(sum(feats.cnt * w.wq) AS BIGINT) AS s
+                 FROM feats JOIN w{r - 1} w USING (f)
+                 GROUP BY feats.doc_id) s USING (doc_id))""")
+        if r == t_rounds + 1:
+            break
+        parts.append(f""",
+    e{r} AS MATERIALIZED (SELECT doc_id, {LOGREG_E_SQL} AS eq FROM z{r}),
+    g{r} AS MATERIALIZED (
+      SELECT f, CAST(sum(cnt * eq) AS BIGINT) AS gq
+      FROM feats JOIN e{r} USING (doc_id) GROUP BY f),
+    gb{r} AS MATERIALIZED (SELECT CAST(sum(eq) AS BIGINT) AS gq FROM e{r}),
+    w{r} AS MATERIALIZED (
+      SELECT w.f, w.wq - {fdiv('coalesce(g.gq, 0)')} AS wq
+      FROM w{r - 1} w LEFT JOIN g{r} g USING (f) CROSS JOIN mm m),
+    b{r} AS MATERIALIZED (
+      SELECT b.bq - {fdiv('g.gq')} AS bq
+      FROM b{r - 1} b, gb{r} g, mm m)""")
+    parts.append(f"""
+    SELECT doc_id, zq AS score_q, zq >= 0 AS pred, y
+    FROM z{t_rounds + 1}""")
+    return "".join(parts)
+
+
+def _logreg_oracle_default() -> str:
+    from nonconsumptive_spark.operators.logreg import (
+        LOGREG_D, LOGREG_LR_DEN, LOGREG_T)
+
+    return _logreg_oracle(LOGREG_T, LOGREG_D, LOGREG_LR_DEN)
+
+
+@register(
+    "q_logreg_train",
+    oracle=_logreg_oracle_default(),
+    doc="In-engine logistic regression TRAINED by 4 rounds of full-batch "
+        "gradient descent over hashed token-count features (y = lang=='en') "
+        "— the trained complement to the closed-form NB classifier, and "
+        "the third iterative-replay oracle (after k-means and BPE): the "
+        "DuckDB side replays every GD round as generated CTEs.  Weights "
+        "are 1e-9-unit BIGINTs, the sigmoid is ONE shared mirrored "
+        "expression quantized per doc before any sum, updates are "
+        "pmod-exact floor divisions, and the output is the raw integer "
+        "logit — no float ever reaches the result.",
+)
+def q_logreg_train(spark, sf_dir):
+    from nonconsumptive_spark.operators.logreg import logreg_train_scores
+
+    return logreg_train_scores(load(spark, sf_dir, "documents"))

@@ -260,3 +260,42 @@ def test_edit_distance_pairs_planted(spark):
     assert pair.lev == 1  # one substituted character survives normalization
     assert pair.is_dup
     assert (1, 3) not in out and (2, 3) not in out  # LSH never pairs them
+
+
+# --------------------------------------------------------------- logreg
+def test_logreg_learns_and_is_consistent(spark):
+    """Full-batch GD must actually learn the n_chars label: training
+    accuracy well above the majority baseline, predictions consistent
+    with the integer logit sign."""
+    from nonconsumptive_spark.operators.logreg import (
+        LOGREG_LABEL_CHARS, logreg_train_scores)
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = logreg_train_scores(docs).collect()
+    n = len(rows)
+    assert n == docs.count()
+    correct = sum(1 for r in rows if r.pred == (r.y == 1))
+    pos = sum(r.y for r in rows)
+    majority = max(pos, n - pos) / n
+    assert correct / n > majority + 0.1, (correct / n, majority)
+    for r in rows:
+        assert r.pred == (r.score_q >= 0)
+
+
+def test_logreg_feature_values(spark):
+    """doc_features hand-check: stopword hits per language list and the
+    centered length, zero-valued features dropped."""
+    from nonconsumptive_spark.operators.logreg import (
+        LOGREG_LEN_CENTER, doc_features)
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog la la"), (2, None)],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.f): r.cnt for r in doc_features(df).collect()}
+    # langs sorted: de=0, en=1, es=2, fr=3, len=4
+    assert got[(1, 1)] == 3           # the, and, the
+    assert got[(1, 2)] == 2           # la, la (es)
+    assert got[(1, 3)] == 2           # la, la (fr)
+    assert (1, 0) not in got          # no de stopwords -> dropped
+    assert got[(1, 4)] == 7 - LOGREG_LEN_CENTER
+    assert got.get((2, 4), None) in (None, -LOGREG_LEN_CENTER)
