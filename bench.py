@@ -82,6 +82,7 @@ EXTRA = {
     "q_rake_keywords": _registry("q_rake_keywords"),
     "q_psi_drift": _registry("q_psi_drift"),
     "q_edit_distance_pairs": _registry("q_edit_distance_pairs"),
+    "q_logreg_train": _registry("q_logreg_train"),
 }
 
 

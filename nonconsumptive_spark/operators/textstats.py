@@ -2125,7 +2125,11 @@ def psi_drift(df: DataFrame, value_col: str = "n_chars",
     cum = dist.select("v", F.sum("c").over(w).alias("cum"))
     edges_row = cum.crossJoin(F.broadcast(n1)).agg(*[
         F.min(
-            F.when(F.col("cum") >= F.expr(f"({k} * n + 9) div 10"), F.col("v"))
+            F.when(
+                F.col("cum")
+                >= F.expr(f"({k} * n + {PSI_BINS - 1}) div {PSI_BINS}"),
+                F.col("v"),
+            )
         ).alias(f"e{k}")
         for k in range(1, PSI_BINS)
     ]).select(F.array(*[f"e{k}" for k in range(1, PSI_BINS)]).alias("es"))

@@ -686,12 +686,15 @@ def q_lsh_dedup_recall(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+_BLOOM_PROBE_VALUES = ", ".join(f"({i})" for i in range(dd.BLOOM_K))
+
+
 @register(
     "q_bloom_novelty",
     oracle=f"""
     {_DUCK_SHINGLES},
     corpus AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 2 = 0),
-    probes(i) AS (VALUES (0), (1), (2)),
+    probes(i) AS (VALUES {_BLOOM_PROBE_VALUES}),
     bits AS (
       SELECT DISTINCT
              CAST(('0x' || substr(md5(i || ':' || shingle), 1, 15)) AS BIGINT)

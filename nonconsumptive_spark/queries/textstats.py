@@ -2105,8 +2105,9 @@ def q_rake_keywords(spark, sf_dir):
     edges AS (
       SELECT g.k,
              (SELECT min(v) FROM cum, n1
-              WHERE cum >= (g.k * n1.n + 9) // 10) AS e
-      FROM generate_series(1, 9) AS g(k)),
+              WHERE cum >= (g.k * n1.n + {ts.PSI_BINS - 1}) // {ts.PSI_BINS})
+               AS e
+      FROM generate_series(1, {ts.PSI_BINS - 1}) AS g(k)),
     earr AS (SELECT list(e ORDER BY k) AS es FROM edges),
     binned AS (
       SELECT src, 1 + len(list_filter(es, e -> v > e)) AS bin
@@ -2117,7 +2118,7 @@ def q_rake_keywords(spark, sf_dir):
     srcs AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY src),
     spine AS (
       SELECT s.src, s.n, g.k AS bin
-      FROM srcs s, generate_series(1, 10) AS g(k)),
+      FROM srcs s, generate_series(1, {ts.PSI_BINS}) AS g(k)),
     fl AS (
       SELECT spine.src, spine.bin, spine.n, coalesce(c.c, 0) AS c
       FROM spine LEFT JOIN counts c
