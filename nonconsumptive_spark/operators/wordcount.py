@@ -703,3 +703,88 @@ def hapax_stats(docs: DataFrame, id_col: str = "doc_id",
         (F.round(F.col("n_hapax").cast("double") / F.col("v"), 4)
          + F.lit(0.0)).alias("hapax_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count replay — the cardinality sketch companion to
+# the count-min frequency sketch above: fixed 2^p-register memory however
+# large the corpus, with the exact distinct count computed alongside as the
+# self-evaluation (the countmin/LSH-recall pattern).  All register math is
+# exact integers (md5-derived buckets, bin()-length ranks, bit-shifted
+# harmonic terms summed as BIGINTs); the only floats are ONE mirrored
+# estimate expression at the end.
+HLL_P = 8
+HLL_M = 1 << HLL_P          # 256 registers
+HLL_SHIFT = 54              # harmonic term = 1 << (SHIFT - M_j), exact BIGINT
+
+# The one float expression (estimate + linear-counting correction) shared
+# verbatim with the DuckDB oracle; references the exact BIGINT columns s, v.
+HLL_EST_SQL = (
+    f"CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 *"
+    f" {HLL_M}.0 * {float(1 << HLL_SHIFT)!r} / s <= 2.5 * {HLL_M}.0"
+    f" AND v > 0"
+    f" THEN round({HLL_M}.0 * ln({HLL_M}.0 / v), 2) + 0.0"
+    f" ELSE round((0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 *"
+    f" {HLL_M}.0 * {float(1 << HLL_SHIFT)!r} / s, 2) + 0.0 END"
+)
+
+
+def hll_distinct_tokens(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """One row (m, n_exact, estimate, rel_err): HLL estimate of the
+    corpus's distinct-token cardinality vs the exact audit.
+
+    Register math (mirrored verbatim in the oracle): h = 60-bit md5;
+    j = h mod m; w = h div m (52 bits); rank = 53 - length(bin(w)),
+    53 if w = 0 — i.e. leading-zero count + 1, derived from the binary
+    STRING length so no float log2 can misround.  Harmonic sum
+    S = sum_j 2^(54 - M_j) is a pure BIGINT (max 256·2^54 < 2^63); the
+    raw estimate alpha_m·m²·2^54/S and the small-range linear-counting
+    correction are one mirrored float expression.
+
+    Plan shape (100 TB): one tokenize scan into a 256-group max agg
+    (map-side combined, so shuffle bytes ≈ 256 rows per partition);
+    everything after is register-table-sized.  The exact count_distinct
+    exists ONLY as the self-evaluation — production keeps the sketch."""
+    from nonconsumptive_spark.operators.dedup import _md5_long
+
+    tok = docs.select(F.explode(tokenize(text_col)).alias("token"))
+    h = _md5_long(F.col("token"))
+    rr = tok.select(
+        (h % HLL_M).alias("j"),
+        F.when(F.expr(f"{_md5_expr('token')} div {HLL_M}") == 0, F.lit(53))
+        .otherwise(
+            F.lit(53)
+            - F.length(F.bin(F.expr(f"{_md5_expr('token')} div {HLL_M}")))
+        ).cast("int").alias("rank"),
+    )
+    regs = rr.groupBy("j").agg(F.max("rank").alias("mr"))
+    spine = docs.sparkSession.range(HLL_M).select(
+        F.col("id").cast("long").alias("j")
+    )
+    full = spine.join(regs, "j", "left").select(
+        F.coalesce("mr", F.lit(0)).alias("m_j")
+    )
+    sums = full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - m_j)"))
+        .cast("long").alias("s"),
+        F.sum((F.col("m_j") == 0).cast("long")).cast("long").alias("v"),
+    )
+    exact = tok.agg(F.count_distinct("token").cast("long").alias("n_exact"))
+    return (
+        sums.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).cast("long").alias("m"),
+            "n_exact",
+            F.expr(HLL_EST_SQL).alias("estimate"),
+            F.expr(
+                "round(abs(" + HLL_EST_SQL + " - n_exact)"
+                " / CAST(n_exact AS DOUBLE), 4) + 0.0"
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _md5_expr(col_name: str) -> str:
+    """The _md5_long arithmetic as a SQL fragment (for expr() reuse)."""
+    return f"CAST(conv(substring(md5({col_name}), 1, 15), 16, 10) AS BIGINT)"

@@ -87,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "q_psi_drift",
     "q_edit_distance_pairs",
     "q_logreg_train",
+    "q_hll_distinct",
     "q_containment_pairs",
     "q_ngram_novelty",
     "q_perplexity_buckets",

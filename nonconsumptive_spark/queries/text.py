@@ -682,3 +682,47 @@ def q_token_triangles(spark, sf_dir):
     from nonconsumptive_spark.operators.graph import bigram_edges, triangle_count
 
     return triangle_count(bigram_edges(load(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------------------
+from nonconsumptive_spark.operators import wordcount as _wc
+
+
+@register(
+    "q_hll_distinct",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKS}) AS token FROM documents),
+    hh AS (
+      SELECT CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h, token
+      FROM tok),
+    rr AS (
+      SELECT h % {_wc.HLL_M} AS j,
+             CASE WHEN h // {_wc.HLL_M} = 0 THEN 53
+                  ELSE 53 - length(bin(h // {_wc.HLL_M})) END AS rank
+      FROM hh),
+    regs AS (SELECT j, max(rank) AS mr FROM rr GROUP BY j),
+    spine AS (SELECT g.j FROM generate_series(0, {_wc.HLL_M - 1}) AS g(j)),
+    fullr AS (
+      SELECT coalesce(r.mr, 0) AS m_j
+      FROM spine s LEFT JOIN regs r ON r.j = s.j),
+    sums AS (
+      SELECT CAST(sum(CAST(1 AS BIGINT) << ({_wc.HLL_SHIFT} - m_j))
+                  AS BIGINT) AS s,
+             CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM fullr),
+    ex AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_exact FROM tok)
+    SELECT CAST({_wc.HLL_M} AS BIGINT) AS m, n_exact,
+           {_wc.HLL_EST_SQL} AS estimate,
+           round(abs({_wc.HLL_EST_SQL} - n_exact)
+                 / CAST(n_exact AS DOUBLE), 4) + 0.0 AS rel_err
+    FROM sums CROSS JOIN ex
+    """,
+    doc="HyperLogLog distinct-token cardinality with the exact audit "
+        "alongside (the countmin/LSH-recall self-evaluation pattern): "
+        "256 registers, md5-bucketed, ranks from binary-STRING length "
+        "(no float log2), harmonic sum as bit-shifted exact BIGINTs; the "
+        "estimate + linear-counting correction is ONE mirrored float "
+        "expression.  Fixed 2^p memory however large the corpus.",
+)
+def q_hll_distinct(spark, sf_dir):
+    return _wc.hll_distinct_tokens(load(spark, sf_dir, "documents"))

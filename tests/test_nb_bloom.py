@@ -299,3 +299,35 @@ def test_logreg_feature_values(spark):
     assert (1, 0) not in got          # no de stopwords -> dropped
     assert got[(1, 4)] == 7 - LOGREG_LEN_CENTER
     assert got.get((2, 4), None) in (None, -LOGREG_LEN_CENTER)
+
+
+# ------------------------------------------------------------------ HLL
+def test_hll_estimate_accuracy(spark):
+    """HLL with 256 registers must land within the theoretical error band
+    (~1.04/sqrt(m) = 6.5%, allow 3 sigma) of the exact distinct count on
+    both a tiny and a wide vocabulary."""
+    from nonconsumptive_spark.operators.wordcount import hll_distinct_tokens
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    row = hll_distinct_tokens(docs).collect()[0]
+    assert row.m == 256 and row.n_exact > 0
+    assert row.rel_err <= 0.20
+    assert abs(row.estimate - row.n_exact) / row.n_exact == pytest.approx(
+        row.rel_err, abs=1e-3)
+
+    # wide vocabulary: 5000 distinct letter-only tokens in one doc (the
+    # tokenizer splits on non-letters, so no digits in the token body)
+    def word(i):
+        s = ""
+        while True:
+            s += chr(ord("a") + i % 26)
+            i //= 26
+            if i == 0:
+                return "tok" + s
+
+    wide = spark.createDataFrame(
+        [(1, " ".join(word(i) for i in range(5000)))],
+        "doc_id long, text string")
+    r2 = hll_distinct_tokens(wide).collect()[0]
+    assert r2.n_exact == 5000
+    assert r2.rel_err <= 0.20

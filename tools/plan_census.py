@@ -41,6 +41,7 @@ BNLJ_WHITELIST = {
     "q_perplexity_buckets",
     "q_nb_lang_confusion",       # #labels-row fan-out + 1-row vocab attach
     "q_psi_drift",               # 1-row edge-array + 10-row bin-spine attach
+    "q_hll_distinct",            # 1-row exact-audit attach onto 1-row sums
     "q_bootstrap_mean_ci",       # 1-row full-mean attach
     "q_heaps_fit",               # capped regression frame
     "q_zipf_slope",
