@@ -1,0 +1,182 @@
+"""Hybrid retrieval: lexical + semantic rankers fused per query.
+
+The retrieval surface a training-data pipeline needs beyond single-signal
+ranking (``operators/retrieval.py`` BM25, ``operators/similarity.py``
+cosine kNN): query-by-example search that combines BOTH signals, and the
+mirror-image mining op — documents that look lexically relevant but are
+semantically far, i.e. the *hard negatives* used to train embedding
+models (DPR / contrastive fine-tuning practice).
+
+Reference anchor: the reference stops at per-document token counts and
+SRP embedding bitsets (nonconsumptive/corpus.py:186-253,
+examples/Ngrams.ipynb); it has no ranker composition.  Both operators
+here are new-capability extensions in the SURVEY §2 "LLM pipeline" class.
+
+Design — Reciprocal Rank Fusion (Cormack et al., SIGIR 2009):
+
+    rrf(d) = Σ_rankers 1 / (K + rank_r(d)),  K = 60
+
+computed in integer arithmetic: each ranker contributes
+``RRF_SCALE div (K + rank)`` (BIGINT), so fused scores are exact integer
+sums — no float ordering anywhere (the repo-standard quantization
+playbook; see PLANS.md).
+
+Scale shape (the 100 TB story):
+  * Lexical candidates come from a *shingle* (word-bigram) equi-join with
+    a stop-shingle cut: shingles present in more than 1/``STOP_FRAC_DEN``
+    of documents are dropped before the join (the stop-word/prefix-filter
+    insight — near-universal grams carry no discriminative signal and
+    would fan out to the whole corpus).  The cut is corpus-proportional
+    (``df·STOP_FRAC_DEN ≤ n_docs``, a pure integer predicate), so it
+    scales with the data rather than hard-coding an absolute df.
+  * The query side is ≤ ``n_queries`` rows — broadcast into every join;
+    the corpus-sized frames never shuffle on anything wider than a gram
+    or an id.
+  * Per-query rankings are windows PARTITIONED BY query_id over candidate
+    rows only (bounded by the df cut × query's grams, not the corpus).
+  * Fusion joins two ≤ n_queries×top_n frames — driver-trivial at any
+    corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.text import tokenize
+from nonconsumptive_spark.operators.dedup import shingle_array
+from nonconsumptive_spark.operators.similarity import cosine, knn_bruteforce
+from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+RRF_K = 60
+RRF_SCALE = 10**12   # integer contribution = RRF_SCALE div (RRF_K + rank)
+SHINGLE_W = 2        # word-bigram shingles for the lexical side
+STOP_FRAC_DEN = 10   # drop shingles with df * STOP_FRAC_DEN > n_docs
+LEX_TOP = 20
+SEM_TOP = 20
+FUSE_TOP = 10
+NEG_COS_MAX = 0.30  # hard negative: lexically top-ranked but cosine below
+
+
+def _shingle_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, gram) over DISTINCT per-doc word-bigram shingles, keeping
+    only grams below the stop-shingle document-frequency cut
+    (df·STOP_FRAC_DEN ≤ n_docs).  One tokenize scan; the df table is
+    gram-vocabulary-bounded and the filter join shuffles short
+    (gram, id) pairs only."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            shingle_array(tokenize(F.lower(F.col(text_col))), SHINGLE_W)
+        ).alias("gram"),
+    )
+    grams = materialize_once(grams, "hybrid_grams")  # feeds df AND join
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    keep = (
+        grams.groupBy("gram").agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * STOP_FRAC_DEN <= F.col("n_docs"))
+        .select("gram")
+    )
+    return grams.join(keep, "gram").select("doc_id", "gram")
+
+
+def lexical_topn(docs: DataFrame, n_queries: int, top_n: int = LEX_TOP,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(query_id, cand_id, overlap, lex_rank): per query document (the
+    first ``n_queries`` ids), candidates ranked by the number of shared
+    distinct word-bigram shingles below the stop cut, ties broken on
+    cand_id."""
+    postings = materialize_once(
+        _shingle_postings(docs, id_col, text_col), "hybrid_postings"
+    )
+    q = postings.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "gram"
+    )
+    matches = (
+        postings.join(F.broadcast(q), "gram")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("overlap"), F.asc("cand_id")
+    )
+    return (
+        matches.withColumn("lex_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("lex_rank") <= top_n)
+    )
+
+
+def rrf_fuse(docs: DataFrame, emb: DataFrame, n_queries: int,
+             lex_top: int = LEX_TOP, sem_top: int = SEM_TOP,
+             fuse_top: int = FUSE_TOP) -> DataFrame:
+    """(query_id, cand_id, lex_rank, sem_rank, rrf_score, fused_rank):
+    reciprocal-rank fusion of the stop-cut shingle lexical ranking and the
+    exact cosine kNN ranking, for the first ``n_queries`` aligned
+    doc/vec ids.  A candidate present in only one ranking contributes
+    that ranking's term alone (the other rank is NULL).  ``rrf_score``
+    is the exact BIGINT Σ RRF_SCALE div (K + rank); the final per-query
+    cut orders by (score desc, cand_id)."""
+    lex = lexical_topn(docs, n_queries, lex_top)
+    sem = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < n_queries), k=sem_top
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = (
+        lex.select("query_id", "cand_id", "lex_rank")
+        .join(sem, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            "cand_id",
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + sem_rank)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("cand_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= fuse_top)
+    )
+
+
+def hard_negatives(docs: DataFrame, emb: DataFrame, n_queries: int,
+                   lex_top: int = LEX_TOP,
+                   cos_max: float = NEG_COS_MAX) -> DataFrame:
+    """(query_id, cand_id, overlap, lex_rank, cosine_sim): candidates in
+    the lexical top-``lex_top`` whose embedding cosine to the query is
+    BELOW ``cos_max`` — lexically plausible, semantically far: the
+    classic hard-negative set for contrastive embedding training.
+
+    The cut compares the 4-decimal-rounded cosine (engine-portable, same
+    convention as the kNN ranking).  Scale: the lexical top frame is
+    ≤ n_queries × lex_top rows and is broadcast onto the embeddings scan
+    twice (query vectors, candidate vectors) — the corpus never shuffles."""
+    lex = lexical_topn(docs, n_queries, lex_top)
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cv = emb.select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("cvec"))
+    return (
+        cv.join(F.broadcast(lex), "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4)
+        )
+        .filter(F.col("cosine_sim") < cos_max)
+        .select("query_id", "cand_id", "overlap", "lex_rank", "cosine_sim")
+    )

@@ -141,6 +141,10 @@ PRIORITY: tuple[str, ...] = (
     "q_events_user_running",
     "q_distinct_cardinality",
     "q_events_json",
+    # -- added after the r4 window filled (the 50-slot budget above is
+    #    spoken for by never-verified r4 queries): HEAD of the r5 window.
+    "q_rrf_fusion",
+    "q_hard_negatives",
 )
 
 
@@ -150,6 +154,7 @@ def all_queries() -> dict[str, Query]:
         clustering,
         dedup,
         events,
+        hybrid,
         multimodal,
         relational,
         retrieval,

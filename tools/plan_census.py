@@ -24,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # pair expansion, or an intentionally-broadcast <=k-row query side.
 BNLJ_WHITELIST = {
     "q_knn_cosine_bruteforce",   # <=10-row query side, by design
+    "q_rrf_fusion",              # same: knn_bruteforce broadcast query side
     "q_knn_quantized",
     "q_knn_pq_adc",
     "q_knn_cosine_lsh",
