@@ -153,6 +153,78 @@ def rrf_fuse(docs: DataFrame, emb: DataFrame, n_queries: int,
     )
 
 
+RBO_P = 0.9
+RBO_SCALE = 10**12
+# columns in scope: x (BIGINT prefix-overlap at depth d), d (INT depth)
+RBO_TERM = (
+    f"CAST(floor(CAST(x AS DOUBLE) * power({RBO_P}, d - 1)"
+    f" / CAST(d AS DOUBLE) * {float(RBO_SCALE)}) AS BIGINT)"
+)
+# 1-p is computed INSIDE the mirrored string: the Python literal 1-0.9
+# is 0.09999999999999998 and must not be interpolated pre-evaluated.
+RBO_OUT = (
+    f"round((1.0 - {RBO_P}) * CAST(rbo_q AS DOUBLE)"
+    f" / {float(RBO_SCALE)}, 6) + 0.0"
+)
+
+
+def rbo_rankers(docs: DataFrame, emb: DataFrame, n_queries: int,
+                depth: int = LEX_TOP) -> DataFrame:
+    """(query_id, n_shared, rbo_q, rbo): truncated rank-biased overlap
+    (Webber et al., TOIS 2010; p = RBO_P, no residual — the RBO_min lower
+    bound at ``depth``) between the lexical and semantic top-``depth``
+    rankings of each query.  The ranker-agreement diagnostic for hybrid
+    retrieval: rbo → 1 means the signals are redundant, rbo → 0 means
+    fusion is doing real work.
+
+    Exactness: prefix-overlap sizes X_d are exact integers from a cum-sum
+    over the ≤``depth``-row per-query spine; each depth's term
+    X_d·p^(d-1)/d is ONE mirrored expression floored to integer units
+    before the per-query sum.  Every window here runs over ≤``depth``
+    rows per query — never corpus-sized."""
+    lex = lexical_topn(docs, n_queries, depth).select(
+        "query_id", "cand_id", F.col("lex_rank").alias("maxr_l")
+    )
+    sem = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < n_queries), k=depth
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("maxr_s"),
+    )
+    shared = lex.join(sem, ["query_id", "cand_id"]).select(
+        "query_id",
+        F.greatest("maxr_l", "maxr_s").alias("d"),
+    )
+    counts = shared.groupBy("query_id", "d").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    spine = (
+        sem.select("query_id").distinct()
+        .select("query_id", F.explode(F.sequence(F.lit(1), F.lit(depth))).alias("d"))
+    )
+    w = (
+        Window.partitionBy("query_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    xs = (
+        spine.join(counts, ["query_id", "d"], "left")
+        .select(
+            "query_id", "d",
+            F.sum(F.coalesce("cnt", F.lit(0))).over(w).cast("long").alias("x"),
+        )
+    )
+    terms = xs.selectExpr("query_id", "x", f"{RBO_TERM} AS tq")
+    return (
+        terms.groupBy("query_id")
+        .agg(
+            F.max("x").cast("long").alias("n_shared"),
+            F.sum("tq").cast("long").alias("rbo_q"),
+        )
+        .selectExpr("query_id", "n_shared", "rbo_q", f"{RBO_OUT} AS rbo")
+    )
+
+
 def hard_negatives(docs: DataFrame, emb: DataFrame, n_queries: int,
                    lex_top: int = LEX_TOP,
                    cos_max: float = NEG_COS_MAX) -> DataFrame:

@@ -145,6 +145,9 @@ PRIORITY: tuple[str, ...] = (
     #    spoken for by never-verified r4 queries): HEAD of the r5 window.
     "q_rrf_fusion",
     "q_hard_negatives",
+    "q_rbo_rankers",
+    "q_decayed_engagement",
+    "q_lang_source_mi",
 )
 
 

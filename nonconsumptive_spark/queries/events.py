@@ -892,3 +892,61 @@ def q_mad_outliers(spark, sf_dir):
              .otherwise(F.col("dev") > 0).alias("is_outlier"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-decayed engagement: exponential half-life weighting of each user's
+# events, anchored at the corpus's last event.  The standard recency-aware
+# activity score (newsfeed ranking, user-value models, churn features) —
+# distinct from the window aggregates above, which weight all history
+# equally.  Hash-parity design: the decay weight is ONE mirrored
+# expression string over exact BIGINT microsecond ages, quantized to
+# integer 1e-9 units per event BEFORE the per-user sum, so engine
+# summation order cannot move the score (the logreg-sigmoid playbook).
+_DECAY_HALF_LIFE_DAYS = 7.0
+_DECAY_SCALE = 10**9
+# columns in scope: us (BIGINT event micros), ref_us (BIGINT max micros)
+_DECAY_WQ = (
+    "CAST(floor(exp(-(CAST(ref_us - us AS DOUBLE) / 86400000000.0)"
+    f" * ln(2.0) / {_DECAY_HALF_LIFE_DAYS}) * {float(_DECAY_SCALE)})"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q_decayed_engagement",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS us
+      FROM events),
+    r AS (SELECT max(us) AS ref_us FROM e),
+    s AS (SELECT user_id, {_DECAY_WQ} AS wq FROM e CROSS JOIN r)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(wq) AS BIGINT) AS decay_q,
+           round(CAST(sum(wq) AS DOUBLE) / {float(_DECAY_SCALE)}, 4) + 0.0
+             AS decayed_score
+    FROM s GROUP BY user_id
+    """,
+    doc=f"Per-user exponentially time-decayed event count (half-life "
+        f"{_DECAY_HALF_LIFE_DAYS} days, anchored at the last event).  The "
+        "per-event weight exp(-age·ln2/hl) is one expression string shared "
+        "verbatim by both engines and floored to integer 1e-9 units before "
+        "the user sum — decay_q is an exact BIGINT.  Plan: one 1-row "
+        "max-age attach broadcast onto the scan, one map-side-combinable "
+        "per-user agg; no window, no corpus-sized shuffle beyond user_id.",
+)
+def q_decayed_engagement(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(_US_EXPR).alias("us"))
+    ref = ev.agg(F.max("us").alias("ref_us"))
+    scored = ev.crossJoin(F.broadcast(ref)).selectExpr(
+        "user_id", f"{_DECAY_WQ} AS wq")
+    return scored.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("wq").cast("long").alias("decay_q"),
+    ).select(
+        "user_id", "n_events", "decay_q",
+        (F.round(F.col("decay_q").cast("double") / _DECAY_SCALE, 4)
+         + F.lit(0.0)).alias("decayed_score"),
+    )

@@ -56,11 +56,9 @@ _LEX_CTES = f"""
 """
 
 
-# --------------------------------------------------------------------------
-@register(
-    "q_rrf_fusion",
-    oracle=f"""
-    WITH {_LEX_CTES},
+# Shared semantic CTEs: exact cosine top-N ranking (rounded-sim + id
+# tie-break, the knn_bruteforce convention).
+_SEM_CTES = f"""
     sems AS (
       SELECT q.query_id, c.cand_id,
              round(list_dot_product(q.qvec, c.cvec) /
@@ -73,7 +71,16 @@ _LEX_CTES = f"""
                PARTITION BY query_id ORDER BY cs DESC, cand_id ASC
              ) AS BIGINT) AS sem_rank
       FROM sems),
-    semt AS (SELECT * FROM semr WHERE sem_rank <= {hy.SEM_TOP}),
+    semt AS (SELECT * FROM semr WHERE sem_rank <= {hy.SEM_TOP})
+"""
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH {_LEX_CTES},
+    {_SEM_CTES},
     fused AS (
       SELECT COALESCE(l.query_id, s.query_id) AS query_id,
              COALESCE(l.cand_id, s.cand_id) AS cand_id,
@@ -130,6 +137,53 @@ def q_rrf_fusion(spark, sf_dir):
 )
 def q_hard_negatives(spark, sf_dir):
     return hy.hard_negatives(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        n_queries=_N_Q,
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_rbo_rankers",
+    oracle=f"""
+    WITH {_LEX_CTES},
+    {_SEM_CTES},
+    shared AS (
+      SELECT l.query_id,
+             CASE WHEN l.lex_rank > s.sem_rank THEN l.lex_rank
+                  ELSE s.sem_rank END AS d
+      FROM lext l JOIN semt s
+        ON l.query_id = s.query_id AND l.cand_id = s.cand_id),
+    counts AS (
+      SELECT query_id, d, CAST(count(*) AS BIGINT) AS cnt
+      FROM shared GROUP BY query_id, d),
+    spine AS (
+      SELECT DISTINCT query_id, unnest(range(1, {hy.LEX_TOP} + 1)) AS d
+      FROM semt),
+    xs AS (
+      SELECT sp.query_id, sp.d,
+             CAST(sum(COALESCE(c.cnt, 0)) OVER (
+               PARTITION BY sp.query_id ORDER BY sp.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS x
+      FROM spine sp LEFT JOIN counts c
+        ON c.query_id = sp.query_id AND c.d = sp.d),
+    terms AS (SELECT query_id, x, {hy.RBO_TERM} AS tq FROM xs)
+    SELECT query_id, CAST(max(x) AS BIGINT) AS n_shared,
+           CAST(sum(tq) AS BIGINT) AS rbo_q,
+           {hy.RBO_OUT.replace('rbo_q', 'CAST(sum(tq) AS BIGINT)')} AS rbo
+    FROM terms GROUP BY query_id
+    """,
+    doc=f"Truncated rank-biased overlap (Webber 2010, p={hy.RBO_P}, "
+        f"depth {hy.LEX_TOP}) between the lexical and semantic rankings "
+        "per query — the ranker-agreement diagnostic for hybrid "
+        "retrieval.  Prefix overlaps are exact integer cum-sums over a "
+        "per-query depth spine; each depth term is one mirrored "
+        "expression floored to integer units before the sum.",
+)
+def q_rbo_rankers(spark, sf_dir):
+    return hy.rbo_rankers(
         load(spark, sf_dir, "documents"),
         load(spark, sf_dir, "embeddings"),
         n_queries=_N_Q,

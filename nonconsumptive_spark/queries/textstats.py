@@ -2235,3 +2235,74 @@ def q_logreg_train(spark, sf_dir):
     from nonconsumptive_spark.operators.logreg import logreg_train_scores
 
     return logreg_train_scores(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Mutual information between two categorical metadata columns — the
+# dataset-card association number ("how much does source determine
+# language?") that guides stratification and mixing decisions.  All
+# probabilities are ratios of exact BIGINT counts; each cell's
+# contribution n_ls·ln(n_ls·n/(n_l·n_s)) is ONE mirrored expression
+# string floored to integer 1e-9-nat units before the (tiny,
+# #cells-sized) sum, so MI in nats is exact-integer-derived on both
+# engines.
+_MI_SCALE = 10**9
+# columns in scope: n_ls, n_l, n_s, n (all BIGINT)
+_MI_TERM = (
+    "CAST(floor(CAST(n_ls AS DOUBLE)"
+    " * ln(CAST(n_ls AS DOUBLE) * n / (CAST(n_l AS DOUBLE) * n_s))"
+    f" * {float(_MI_SCALE)}) AS BIGINT)"
+)
+
+
+@register(
+    "q_lang_source_mi",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ls
+      FROM documents GROUP BY lang, source),
+    ml AS (SELECT lang, CAST(sum(n_ls) AS BIGINT) AS n_l FROM cells GROUP BY lang),
+    ms AS (SELECT source, CAST(sum(n_ls) AS BIGINT) AS n_s FROM cells GROUP BY source),
+    nt AS (SELECT CAST(sum(n_ls) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT {_MI_TERM} AS tq, n
+      FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN nt)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(tq) AS BIGINT) AS mi_q,
+           round(CAST(sum(tq) AS DOUBLE) / (max(n) * {float(_MI_SCALE)}), 6)
+             + 0.0 AS mi_nats
+    FROM terms
+    """,
+    doc="Mutual information I(lang; source) in nats over the documents "
+        "table.  One corpus-sized (lang, source) agg; marginals and totals "
+        "are re-aggs of the #cells-sized frame; per-cell ln terms are one "
+        "shared expression string quantized to 1e-9-nat BIGINTs before the "
+        "sum.  Near-zero MI says sources are language-balanced; high MI "
+        "says language is source-determined (stratify before splitting).",
+)
+def q_lang_source_mi(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n_ls"))
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    cells = materialize_once(cells, "mi_cells")
+    ml = cells.groupBy("lang").agg(F.sum("n_ls").cast("long").alias("n_l"))
+    ms = cells.groupBy("source").agg(F.sum("n_ls").cast("long").alias("n_s"))
+    nt = cells.agg(F.sum("n_ls").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(nt))
+        .selectExpr(f"{_MI_TERM} AS tq", "n")
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("tq").cast("long").alias("mi_q"),
+        (F.round(F.sum("tq").cast("double") / (F.max("n") * _MI_SCALE), 6)
+         + F.lit(0.0)).alias("mi_nats"),
+    )
