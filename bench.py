@@ -83,6 +83,11 @@ EXTRA = {
     "q_psi_drift": _registry("q_psi_drift"),
     "q_edit_distance_pairs": _registry("q_edit_distance_pairs"),
     "q_logreg_train": _registry("q_logreg_train"),
+    # round-4e additions
+    "q_rrf_fusion": _registry("q_rrf_fusion"),
+    "q_hard_negatives": _registry("q_hard_negatives"),
+    "q_rbo_rankers": _registry("q_rbo_rankers"),
+    "q_decayed_engagement": _registry("q_decayed_engagement"),
 }
 
 
