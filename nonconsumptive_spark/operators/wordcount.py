@@ -746,30 +746,9 @@ def hll_distinct_tokens(docs: DataFrame, id_col: str = "doc_id",
     (map-side combined, so shuffle bytes ≈ 256 rows per partition);
     everything after is register-table-sized.  The exact count_distinct
     exists ONLY as the self-evaluation — production keeps the sketch."""
-    from nonconsumptive_spark.operators.dedup import _md5_long
-
     tok = docs.select(F.explode(tokenize(text_col)).alias("token"))
-    h = _md5_long(F.col("token"))
-    rr = tok.select(
-        (h % HLL_M).alias("j"),
-        F.when(F.expr(f"{_md5_expr('token')} div {HLL_M}") == 0, F.lit(53))
-        .otherwise(
-            F.lit(53)
-            - F.length(F.bin(F.expr(f"{_md5_expr('token')} div {HLL_M}")))
-        ).cast("int").alias("rank"),
-    )
-    regs = rr.groupBy("j").agg(F.max("rank").alias("mr"))
-    spine = docs.sparkSession.range(HLL_M).select(
-        F.col("id").cast("long").alias("j")
-    )
-    full = spine.join(regs, "j", "left").select(
-        F.coalesce("mr", F.lit(0)).alias("m_j")
-    )
-    sums = full.agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - m_j)"))
-        .cast("long").alias("s"),
-        F.sum((F.col("m_j") == 0).cast("long")).cast("long").alias("v"),
-    )
+    regs = hll_registers(tok)
+    sums = hll_register_sums(docs.sparkSession, regs)
     exact = tok.agg(F.count_distinct("token").cast("long").alias("n_exact"))
     return (
         sums.crossJoin(F.broadcast(exact))
@@ -782,6 +761,41 @@ def hll_distinct_tokens(docs: DataFrame, id_col: str = "doc_id",
                 " / CAST(n_exact AS DOUBLE), 4) + 0.0"
             ).alias("rel_err"),
         )
+    )
+
+
+def hll_registers(tok: DataFrame) -> DataFrame:
+    """SPARSE register table (j, mr) for a frame with a ``token`` column —
+    only buckets some token hashed into appear.  Sparse registers are the
+    MERGEABLE form of the sketch: registers of two corpora union +
+    max-group into the registers of their union (max is monotone and
+    idempotent, which is what makes the streaming fold replay-safe —
+    ``streaming/hllstream.py``)."""
+    from nonconsumptive_spark.operators.dedup import _md5_long
+
+    h = _md5_long(F.col("token"))
+    rr = tok.select(
+        (h % HLL_M).alias("j"),
+        F.when(F.expr(f"{_md5_expr('token')} div {HLL_M}") == 0, F.lit(53))
+        .otherwise(
+            F.lit(53)
+            - F.length(F.bin(F.expr(f"{_md5_expr('token')} div {HLL_M}")))
+        ).cast("int").alias("rank"),
+    )
+    return rr.groupBy("j").agg(F.max("rank").alias("mr"))
+
+
+def hll_register_sums(spark, regs: DataFrame) -> DataFrame:
+    """1-row (s, v) harmonic-sum frame from a sparse register table
+    (absent buckets are rank 0)."""
+    spine = spark.range(HLL_M).select(F.col("id").cast("long").alias("j"))
+    full = spine.join(regs, "j", "left").select(
+        F.coalesce("mr", F.lit(0)).alias("m_j")
+    )
+    return full.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - m_j)"))
+        .cast("long").alias("s"),
+        F.sum((F.col("m_j") == 0).cast("long")).cast("long").alias("v"),
     )
 
 
