@@ -148,6 +148,9 @@ PRIORITY: tuple[str, ...] = (
     "q_rbo_rankers",
     "q_decayed_engagement",
     "q_lang_source_mi",
+    "q_welch_ttest_sources",
+    "q_lang_source_chi2",
+    "q_ks_length_sources",
 )
 
 

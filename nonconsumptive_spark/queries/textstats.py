@@ -2306,3 +2306,257 @@ def q_lang_source_mi(spark, sf_dir):
         (F.round(F.sum("tq").cast("double") / (F.max("n") * _MI_SCALE), 6)
          + F.lit(0.0)).alias("mi_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classical two-sample / independence tests over corpus metadata — the
+# statistics companions to the drift family (q_psi_drift, q_js_divergence):
+# PSI/JSD say "how different", these say "is the difference significant".
+# All inputs are exact BIGINT moments/counts; floats appear only in
+# mirrored expression strings shared verbatim by both engines.
+
+# per-source mean and variance/n from exact moments (columns n, s, ss)
+_WELCH_M = "CAST(s AS DOUBLE) / n"
+_WELCH_VN = "((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / n"
+# pair expressions (columns m1, vn1, n1, m2, vn2, n2)
+_WELCH_T = "round((m1 - m2) / sqrt(vn1 + vn2), 4) + 0.0"
+_WELCH_DF = (
+    "round((vn1 + vn2) * (vn1 + vn2)"
+    " / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)), 2) + 0.0"
+)
+
+
+@register(
+    "q_welch_ttest_sources",
+    oracle=f"""
+    WITH mom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY source),
+    sided AS (
+      SELECT source, n, {_WELCH_M} AS m, {_WELCH_VN} AS vn FROM mom),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n1, a.m AS m1, a.vn AS vn1,
+             b.n AS n2, b.m AS m2, b.vn AS vn2
+      FROM sided a JOIN sided b ON a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           {_WELCH_T} AS t_stat, {_WELCH_DF} AS welch_df
+    FROM pairs
+    """,
+    doc="Pairwise Welch's unequal-variance t-test on document length "
+        "(n_chars) between every pair of sources, with the "
+        "Welch-Satterthwaite degrees of freedom.  Moments are one exact "
+        "BIGINT agg per source; every float (mean, var/n, t, df) is a "
+        "mirrored expression string over those integers.  Plan: one "
+        "map-side-combinable #sources-group agg; the pair frame is the "
+        "#sources^2 broadcast self-join (source_overlap_matrix pattern).",
+)
+def q_welch_ttest_sources(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    mom = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss"),
+        )
+    )
+    sided = mom.selectExpr(
+        "source", "n", f"{_WELCH_M} AS m", f"{_WELCH_VN} AS vn")
+    a = sided.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n1"),
+        F.col("m").alias("m1"), F.col("vn").alias("vn1"))
+    b = sided.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n2"),
+        F.col("m").alias("m2"), F.col("vn").alias("vn2"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .selectExpr(
+            "source_a", "source_b",
+            "CAST(n1 AS BIGINT) AS n_a", "CAST(n2 AS BIGINT) AS n_b",
+            f"{_WELCH_T} AS t_stat", f"{_WELCH_DF} AS welch_df",
+        )
+    )
+
+
+# chi-squared term over a (possibly zero-observed) cell: columns n_ls,
+# n_l, n_s, n; expected e = n_l*n_s/n, term = (n_ls - e)^2 / e, quantized
+# to 1e-6 units before the (#cells-sized) sum
+_CHI2_SCALE = 10**6
+_CHI2_TERM = (
+    "CAST(floor((CAST(n_ls AS DOUBLE) - CAST(n_l AS DOUBLE) * n_s / n)"
+    " * (CAST(n_ls AS DOUBLE) - CAST(n_l AS DOUBLE) * n_s / n)"
+    f" / (CAST(n_l AS DOUBLE) * n_s / n) * {float(_CHI2_SCALE)}) AS BIGINT)"
+)
+
+
+@register(
+    "q_lang_source_chi2",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source),
+    ml AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM cells GROUP BY lang),
+    ms AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cells GROUP BY source),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    grid AS (
+      SELECT ml.lang, ms.source, ml.n_l, ms.n_s, nt.n,
+             COALESCE(c.c, 0) AS n_ls
+      FROM ml CROSS JOIN ms CROSS JOIN nt
+      LEFT JOIN cells c ON c.lang = ml.lang AND c.source = ms.source),
+    terms AS (SELECT {_CHI2_TERM} AS tq FROM grid),
+    dims AS (
+      SELECT (SELECT count(*) FROM ml) AS nl, (SELECT count(*) FROM ms) AS ns)
+    SELECT CAST((SELECT count(*) FROM terms) AS BIGINT) AS n_cells,
+           CAST((SELECT (nl - 1) * (ns - 1) FROM dims) AS BIGINT) AS dof,
+           CAST((SELECT sum(tq) FROM terms) AS BIGINT) AS chi2_q,
+           round(CAST((SELECT sum(tq) FROM terms) AS DOUBLE)
+                 / {float(_CHI2_SCALE)}, 4) + 0.0 AS chi2
+    """,
+    doc="Chi-squared independence test for lang x source (the hypothesis "
+        "test behind q_lang_source_mi's effect size).  The FULL grid "
+        "including zero-observed cells enters the sum (a zero cell "
+        "contributes its expectation).  Per-cell terms are one mirrored "
+        "expression quantized to 1e-6 units before the #cells-sized sum; "
+        "dof = (L-1)(S-1).  Plan: one corpus-sized (lang, source) agg; "
+        "everything else is re-aggs and cross joins of tiny frames.",
+)
+def q_lang_source_chi2(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cells = materialize_once(cells, "chi2_cells")
+    ml = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("n_l"))
+    ms = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    nt = cells.agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        ml.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(nt))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "n_l", "n_s", "n",
+            F.coalesce("c", F.lit(0)).cast("long").alias("n_ls"),
+        )
+    )
+    terms = grid.selectExpr(f"{_CHI2_TERM} AS tq")
+    dims = (
+        ml.agg(F.count("*").alias("nl"))
+        .crossJoin(ms.agg(F.count("*").alias("ns")))
+    )
+    return (
+        terms.agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("tq").cast("long").alias("chi2_q"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "n_cells",
+            "CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof",
+            "chi2_q",
+            f"round(CAST(chi2_q AS DOUBLE) / {float(_CHI2_SCALE)}, 4)"
+            " + 0.0 AS chi2",
+        )
+        .select("n_cells", "dof", "chi2_q", "chi2")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_ks_length_sources",
+    oracle="""
+    WITH counts AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars),
+    vals AS (SELECT DISTINCT v FROM counts),
+    srcs AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY source),
+    grid AS (
+      SELECT s.source, s.n, vl.v, COALESCE(c.c, 0) AS c
+      FROM srcs s CROSS JOIN vals vl
+      LEFT JOIN counts c ON c.source = s.source AND c.v = vl.v),
+    cdf AS (
+      SELECT source, n, v,
+             CAST(sum(c) OVER (
+               PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM grid),
+    diffs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n_a, b.n AS n_b,
+             abs(a.cum * b.n - b.cum * a.n) AS d
+      FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source)
+    SELECT source_a, source_b, n_a, n_b,
+           CAST(max(d) AS BIGINT) AS ks_q,
+           round(CAST(max(d) AS DOUBLE) / (max(n_a) * max(n_b)), 6) + 0.0
+             AS ks_stat
+    FROM diffs GROUP BY source_a, source_b, n_a, n_b
+    """,
+    doc="Pairwise two-sample Kolmogorov-Smirnov statistic on document "
+        "length between every pair of sources — EXACT by cross-"
+        "multiplication: sup|F_a - F_b| = max|cum_a*n_b - cum_b*n_a| / "
+        "(n_a*n_b), so the supremum is taken over pure BIGINTs and the "
+        "single division happens once at output.  Plan: one (source, "
+        "value) agg; the CDF window runs over the #sources x #distinct-"
+        "values grid (corpus-size independent), and the pair join on the "
+        "value spine is bounded by #sources^2 x #values.",
+)
+def q_ks_length_sources(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    counts = materialize_once(counts, "ks_counts")
+    vals = counts.select("v").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(vals))
+        .join(counts, ["source", "v"], "left")
+        .select("source", "n", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = grid.select(
+        "source", "n", "v", F.sum("c").over(w).cast("long").alias("cum"))
+    a = cdf.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"),
+                   "v", F.col("cum").alias("cum_a"))
+    b = cdf.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"),
+                   "v", F.col("cum").alias("cum_b"))
+    diffs = (
+        a.join(b, "v")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b", "n_a", "n_b",
+            F.abs(F.col("cum_a") * F.col("n_b")
+                  - F.col("cum_b") * F.col("n_a")).alias("d"),
+        )
+    )
+    return (
+        diffs.groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.max("d").cast("long").alias("ks_q"))
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "ks_q",
+            (F.round(F.col("ks_q").cast("double")
+                     / (F.col("n_a") * F.col("n_b")), 6)
+             + F.lit(0.0)).alias("ks_stat"),
+        )
+    )

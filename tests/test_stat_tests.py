@@ -1,0 +1,74 @@
+"""Hand-computed cases for the statistical-test queries (Welch t,
+chi-squared independence, two-sample KS) via their mirrored expression
+strings and a tiny parquet corpus run through the registered queries."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from nonconsumptive_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(spark, tmp_path_factory):
+    """A documents.parquet with two sources of known lengths and a
+    lang column correlated with source."""
+    root = tmp_path_factory.mktemp("stats")
+    rows = []
+    # source sa: lengths 10,12,14,16 (lang en); source sb: 20,24,28,32 (de)
+    for i, n in enumerate([10, 12, 14, 16]):
+        rows.append((i, "x " * 5, "en", "sa", n))
+    for i, n in enumerate([20, 24, 28, 32]):
+        rows.append((10 + i, "y " * 5, "de", "sb", n))
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_welch_t_hand_computed(spark, tiny_dir):
+    out = all_queries()["q_welch_ttest_sources"].spark_fn(
+        spark, tiny_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    a, b = [10, 12, 14, 16], [20, 24, 28, 32]
+    ma, mb = sum(a) / 4, sum(b) / 4
+    va = sum((x - ma) ** 2 for x in a) / 3
+    vb = sum((x - mb) ** 2 for x in b) / 3
+    t = (ma - mb) / math.sqrt(va / 4 + vb / 4)
+    df = (va / 4 + vb / 4) ** 2 / ((va / 4) ** 2 / 3 + (vb / 4) ** 2 / 3)
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert abs(r["t_stat"] - round(t, 4)) < 1e-9
+    assert abs(r["welch_df"] - round(df, 2)) < 1e-9
+
+
+def test_chi2_perfectly_dependent(spark, tiny_dir):
+    # lang is fully determined by source: 2x2 with diagonal 4s ->
+    # chi2 = N = 8, dof = 1
+    r = all_queries()["q_lang_source_chi2"].spark_fn(
+        spark, tiny_dir).collect()[0]
+    assert r["n_cells"] == 4 and r["dof"] == 1
+    assert abs(r["chi2"] - 8.0) < 1e-6
+
+
+def test_ks_disjoint_supports(spark, tiny_dir):
+    # sa's lengths all below sb's -> CDFs separate completely -> KS = 1
+    r = all_queries()["q_ks_length_sources"].spark_fn(
+        spark, tiny_dir).collect()[0]
+    assert (r["source_a"], r["source_b"]) == ("sa", "sb")
+    assert r["ks_q"] == 16  # max|cum_a*4 - cum_b*4| = 4*4
+    assert r["ks_stat"] == 1.0
+
+
+def test_ks_identical_distributions(spark, tmp_path):
+    rows = [(i, "t", "en", "sa", 10 + (i % 3)) for i in range(9)]
+    rows += [(100 + i, "t", "en", "sb", 10 + (i % 3)) for i in range(9)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r = all_queries()["q_ks_length_sources"].spark_fn(spark, d).collect()[0]
+    assert r["ks_q"] == 0 and r["ks_stat"] == 0.0

@@ -28,6 +28,9 @@ BNLJ_WHITELIST = {
     "q_rbo_rankers",             # same knn query side + 5-row spine joins
     "q_decayed_engagement",      # 1-row max-age attach
     "q_lang_source_mi",          # 1-row total attach onto #cells frame
+    "q_lang_source_chi2",        # tiny-grid cross joins + 1-row dims attach
+    "q_welch_ttest_sources",     # #sources^2 broadcast self-join
+    "q_ks_length_sources",       # #sources x #values grid build
     "q_knn_quantized",
     "q_knn_pq_adc",
     "q_knn_cosine_lsh",
