@@ -151,6 +151,7 @@ PRIORITY: tuple[str, ...] = (
     "q_welch_ttest_sources",
     "q_lang_source_chi2",
     "q_ks_length_sources",
+    "q_mann_whitney_sources",
 )
 
 

@@ -2560,3 +2560,129 @@ def q_ks_length_sources(spark, sf_dir):
              + F.lit(0.0)).alias("ks_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U completes the two-sample family: Welch assumes
+# near-normal means, KS weighs the whole CDF; MWU is the standard
+# rank-based location test.  Integer exactness via DOUBLED midranks:
+# with combined per-value tie size c and prior cumulative C, the midrank
+# is C + (c+1)/2, so 2·midrank = 2C + c + 1 is an integer — R2 = Σ c_a ·
+# (2C + c + 1) and 2U = R2 - n_a(n_a+1) are pure BIGINTs.  The normal
+# z (tie-corrected variance) is the one mirrored float expression.
+_MWU_Z = (
+    "CASE WHEN CAST(n1 AS DOUBLE) * n2 / 12.0"
+    " * ((n1 + n2 + 1) - CAST(tsum AS DOUBLE)"
+    "    / ((n1 + n2) * (n1 + n2 - 1.0))) > 0"
+    " THEN round((u2 / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)"
+    "  / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0"
+    "     * ((n1 + n2 + 1) - CAST(tsum AS DOUBLE)"
+    "        / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) + 0.0"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "q_mann_whitney_sources",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars),
+    vals AS (SELECT DISTINCT v FROM counts),
+    srcs AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY source),
+    grid AS (
+      SELECT s.source, s.n, vl.v, COALESCE(c.c, 0) AS c
+      FROM srcs s CROSS JOIN vals vl
+      LEFT JOIN counts c ON c.source = s.source AND c.v = vl.v),
+    cdf AS (
+      SELECT source, n, v, c,
+             CAST(sum(c) OVER (
+               PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM grid),
+    pairv AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n1, b.n AS n2,
+             a.c AS ca, b.c AS cb,
+             a.cum AS cuma, b.cum AS cumb
+      FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source),
+    agg AS (
+      SELECT source_a, source_b, n1, n2,
+             CAST(sum(ca * (2 * ((cuma - ca) + (cumb - cb))
+                            + (ca + cb) + 1)) AS BIGINT) AS r2,
+             CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+               AS BIGINT) AS tsum
+      FROM pairv GROUP BY source_a, source_b, n1, n2),
+    stats AS (
+      SELECT source_a, source_b, n1, n2, tsum,
+             CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2
+      FROM agg)
+    SELECT source_a, source_b,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           u2 AS u2_q,
+           round(CAST(u2 AS DOUBLE) / 2, 1) + 0.0 AS u_stat,
+           {_MWU_Z} AS z_stat
+    FROM stats
+    """,
+    doc="Pairwise Mann-Whitney U on document length between every pair "
+        "of sources, midrank tie handling.  Doubled midranks keep R2 and "
+        "2U exact BIGINTs (2·midrank = 2·C_prev + tie + 1); the tie-"
+        "corrected normal z is one mirrored expression with a zero-"
+        "variance guard.  Plan: same #sources x #distinct-values grid as "
+        "the KS query — no window or join ever sees document rows.",
+)
+def q_mann_whitney_sources(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    counts = materialize_once(counts, "mwu_counts")
+    vals = counts.select("v").distinct()
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(vals))
+        .join(counts, ["source", "v"], "left")
+        .select("source", "n", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = grid.select(
+        "source", "n", "v", "c", F.sum("c").over(w).cast("long").alias("cum"))
+    a = cdf.select(F.col("source").alias("source_a"), F.col("n").alias("n1"),
+                   "v", F.col("c").alias("ca"), F.col("cum").alias("cuma"))
+    b = cdf.select(F.col("source").alias("source_b"), F.col("n").alias("n2"),
+                   "v", F.col("c").alias("cb"), F.col("cum").alias("cumb"))
+    pairv = a.join(b, "v").filter(F.col("source_a") < F.col("source_b"))
+    tie = F.col("ca") + F.col("cb")
+    agg = (
+        pairv.groupBy("source_a", "source_b", "n1", "n2")
+        .agg(
+            F.sum(
+                F.col("ca")
+                * (2 * ((F.col("cuma") - F.col("ca"))
+                        + (F.col("cumb") - F.col("cb"))) + tie + 1)
+            ).cast("long").alias("r2"),
+            F.sum(tie * tie * tie - tie).cast("long").alias("tsum"),
+        )
+    )
+    stats = agg.select(
+        "source_a", "source_b", "n1", "n2", "tsum",
+        (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long").alias("u2"),
+    )
+    return stats.selectExpr(
+        "source_a", "source_b",
+        "CAST(n1 AS BIGINT) AS n_a", "CAST(n2 AS BIGINT) AS n_b",
+        "u2 AS u2_q",
+        "round(CAST(u2 AS DOUBLE) / 2, 1) + 0.0 AS u_stat",
+        f"{_MWU_Z} AS z_stat",
+    )

@@ -72,3 +72,32 @@ def test_ks_identical_distributions(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
     r = all_queries()["q_ks_length_sources"].spark_fn(spark, d).collect()[0]
     assert r["ks_q"] == 0 and r["ks_stat"] == 0.0
+
+
+def test_mwu_hand_computed_with_ties(spark, tmp_path):
+    # a = [1,2,2], b = [2,3]: the three 2s share midrank 3 ->
+    # R_a = 1 + 3 + 3 = 7, U_a = R_a - n_a(n_a+1)/2 = 1 -> 2U = 2
+    rows = [(0, "t", "en", "sa", 1), (1, "t", "en", "sa", 2),
+            (2, "t", "en", "sa", 2), (10, "t", "en", "sb", 2),
+            (11, "t", "en", "sb", 3)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r = all_queries()["q_mann_whitney_sources"].spark_fn(spark, d).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u2_q"] == 2
+    assert r["u_stat"] == 1.0
+
+
+def test_mwu_disjoint_and_identical(spark, tmp_path):
+    # disjoint supports (all a < all b): U_a = 0; swap roles -> U_a = n1*n2
+    rows = [(i, "t", "en", "sa", i + 1) for i in range(3)]
+    rows += [(10 + i, "t", "en", "sb", 100 + i) for i in range(3)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r = all_queries()["q_mann_whitney_sources"].spark_fn(spark, d).collect()[0]
+    assert r["u2_q"] == 0
+    assert r["z_stat"] < -1.9  # strongly separated

@@ -31,6 +31,7 @@ BNLJ_WHITELIST = {
     "q_lang_source_chi2",        # tiny-grid cross joins + 1-row dims attach
     "q_welch_ttest_sources",     # #sources^2 broadcast self-join
     "q_ks_length_sources",       # #sources x #values grid build
+    "q_mann_whitney_sources",    # same grid build as KS
     "q_knn_quantized",
     "q_knn_pq_adc",
     "q_knn_cosine_lsh",
