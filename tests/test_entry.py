@@ -48,9 +48,20 @@ def test_parity_queries_inside_driver_window():
         }
 
     backlog = [n for n in names if n not in verified and n not in window]
-    assert not backlog, (
-        f"{len(backlog)} never-driver-verified queries outside the "
-        f"50-entry window: {backlog[:10]}"
+    # Queries added AFTER the round's window filled are allowed to wait
+    # one round — but only if explicitly queued in PRIORITY (they will
+    # head the next window) and only a bounded number of them: an
+    # unqueued or unbounded backlog is the silent-rot this test exists
+    # to catch.
+    unqueued = [n for n in backlog if n not in PRIORITY]
+    assert not unqueued, (
+        f"never-driver-verified queries neither in the window nor queued "
+        f"in PRIORITY: {unqueued[:10]}"
+    )
+    assert len(backlog) <= 20, (
+        f"{len(backlog)} queries queued past the 50-entry window — more "
+        f"than one round's spillover; stop adding and let the window "
+        f"catch up: {backlog[:10]}"
     )
     # PRIORITY names must all resolve (no typo'd / stale entries).
     registered = set(names)
