@@ -22,11 +22,12 @@ the learning-rate update is an exact floor division implemented with
 pmod so both engines agree on negative gradients.  The emitted scores
 are raw integer z_q values — no float ever reaches the output.
 
-Plan shape (100 TB): the (doc, feature, count) table materializes once
-and feeds every round; per round the corpus does ONE broadcast join
-against the d-row weight table, one map-side-combinable per-doc sum,
-and one d-group gradient agg; the driver collects exactly d+1 numbers
-per round (the documented bounded-collect pattern shared with
+Plan shape (100 TB): the wide (doc, y, feature-array) table materializes
+once and feeds every round; a round is pure IN-ROW arithmetic over that
+scan (z = explicit d+1-term dot product against literal weights, e = the
+mirrored sigmoid) collapsing into ONE 1-row map-side-combined aggregate
+of d+1 gradient sums — zero per-round shuffles, and the driver collects
+exactly d+1 numbers per round (the bounded-collect pattern shared with
 k-means/BPE).  Feature dimension, not corpus size, bounds all state.
 """
 
@@ -53,6 +54,43 @@ LOGREG_E_SQL = (
 )
 
 
+def _stop_pred(words):
+    arr = F.array(*[F.lit(w) for w in words])
+    return lambda x: F.array_contains(arr, F.lower(x))
+
+
+def _nn_size(c):
+    # NULL-text safe on BOTH engines: Spark's size() yields -1 (legacy)
+    # or NULL (ANSI) for a NULL array, DuckDB's len() yields NULL — all
+    # normalize to 0 (mirrored as coalesce(len(...), 0) in the oracle).
+    return F.when(F.size(c) >= 0, F.size(c)).otherwise(F.lit(0))
+
+
+def _count_exprs(t):
+    """The d per-doc feature counts over a let-bound token array — the
+    ONE definition both feature layouts (long and wide) are built from."""
+    from nonconsumptive_spark.operators.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)  # deterministic feature order
+    cs = [
+        _nn_size(F.filter(t, _stop_pred(LANG_STOPWORDS[lang]))).cast("long")
+        for lang in langs
+    ]
+    cs.append((_nn_size(t) - F.lit(LOGREG_LEN_CENTER)).cast("long"))
+    return cs
+
+
+def feature_array(text_col: str):
+    """array<long> of the d feature counts + a constant-1 bias slot —
+    the wide in-row layout the trainer scans (one tokenize per row)."""
+    from nonconsumptive_spark.functions.text import let
+
+    return let(
+        tokenize(text_col),
+        lambda t: F.array(*_count_exprs(t), F.lit(1).cast("long")),
+    )
+
+
 def doc_features(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(id, f, cnt != 0): integer features — f0..f3 = how many of the
@@ -61,40 +99,16 @@ def doc_features(df: DataFrame, id_col: str = "doc_id",
     independently), f4 = token count MINUS LOGREG_LEN_CENTER (centering
     keeps the bias gradient on the same scale as the weights — without
     it full-batch GD oscillates between the two trivial predictors).
-    One in-row projection per doc, zero shuffle before the training
-    joins."""
+    One in-row projection per doc, zero shuffle.  This long form is the
+    hand-checkable surface; the trainer scans the wide ``feature_array``
+    layout (same ``_count_exprs``, layout parity test-asserted)."""
     from nonconsumptive_spark.functions.text import let
-    from nonconsumptive_spark.operators.textstats import LANG_STOPWORDS
-
-    langs = sorted(LANG_STOPWORDS)  # deterministic feature order
-
-    def stop_pred(words):
-        arr = F.array(*[F.lit(w) for w in words])
-        return lambda x: F.array_contains(arr, F.lower(x))
-
-    def nn_size(c):
-        # NULL-text safe on BOTH engines: Spark's size() yields -1 (legacy)
-        # or NULL (ANSI) for a NULL array, DuckDB's len() yields NULL — all
-        # normalize to 0 (mirrored as coalesce(len(...), 0) in the oracle).
-        return F.when(F.size(c) >= 0, F.size(c)).otherwise(F.lit(0))
 
     def build(t):
-        structs = [
-            F.struct(
-                F.lit(i).alias("f"),
-                nn_size(F.filter(t, stop_pred(LANG_STOPWORDS[lang])))
-                .cast("long").alias("cnt"),
-            )
-            for i, lang in enumerate(langs)
-        ]
-        structs.append(
-            F.struct(
-                F.lit(len(langs)).alias("f"),
-                (nn_size(t) - F.lit(LOGREG_LEN_CENTER)).cast("long")
-                .alias("cnt"),
-            )
-        )
-        return F.array(*structs)
+        return F.array(*[
+            F.struct(F.lit(i).alias("f"), c.alias("cnt"))
+            for i, c in enumerate(_count_exprs(t))
+        ])
 
     return (
         df.select(id_col, F.explode(let(tokenize(text_col), build)).alias("s"))
@@ -112,52 +126,51 @@ def logreg_train_scores(df: DataFrame, id_col: str = "doc_id",
     GD: score_q is the final integer logit (1e-9 units), pred the pure
     integer inequality score_q >= 0 (== p >= 0.5), y the training label
     (default: n_chars >= LOGREG_LABEL_CHARS)."""
-    spark = df.sparkSession
-    feats = materialize_once(
-        doc_features(df, id_col, text_col), "logreg_feats"
-    )
     if label_expr is None:
         label_expr = F.col("n_chars") >= LOGREG_LABEL_CHARS
-    ydf = df.select(
-        id_col,
-        F.when(label_expr, F.lit(1)).otherwise(F.lit(0))
-        .cast("long").alias("y"),
+    # WIDE per-doc feature array (d counts + constant-1 bias slot): the
+    # whole training round becomes in-row arithmetic over one materialized
+    # (id, y, cnts) scan — zq and eq are projections, the gradient is ONE
+    # 1-row map-side-combined agg of d+1 sums.  The original long-form
+    # (doc, f, cnt)-join formulation spent its round time on four tiny
+    # shuffles' scheduling overhead (A/B at sf0.1 warm: 11.5s -> 2.4s).
+    # doc_features (the long form) stays as the hand-checkable surface;
+    # parity between the two is asserted in tests.
+    wide = materialize_once(
+        df.select(
+            id_col,
+            F.when(label_expr, F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("y"),
+            feature_array(text_col).alias("cnts"),
+        ),
+        "logreg_wide",
     )
     n = df.count()
     m = lr_den * n  # floor-div denominator for the lr/n * grad update
 
-    w = {f: 0 for f in range(d)}
-    b = 0
+    w = [0] * (d + 1)  # w[d] is the bias
 
-    def z_frame():
-        wdf = spark.createDataFrame(
-            [(f, w[f]) for f in range(d)], "f int, wq long"
-        )
-        s = (
-            feats.join(F.broadcast(wdf), "f")
-            .groupBy(id_col)
-            .agg(F.sum(F.col("cnt") * F.col("wq")).cast("long").alias("s"))
-        )
-        return ydf.join(s, id_col, "left").select(
-            id_col, "y",
-            (F.lit(b) + F.coalesce("s", F.lit(0))).cast("long").alias("zq"),
-        )
+    def zq_expr():
+        # z is an exact BIGINT dot product, spelled as a codegen-friendly
+        # explicit sum (d+1 terms) against the current literal weights
+        return sum(
+            (F.element_at("cnts", f + 1) * F.lit(w[f]) for f in range(d + 1)),
+            start=F.lit(0),
+        ).cast("long")
 
     for _ in range(n_rounds):
-        e = z_frame().select(id_col, F.expr(LOGREG_E_SQL).alias("eq"))
-        grads = {
-            r["f"]: r["g"]
-            for r in feats.join(e, id_col)
-            .groupBy("f")
-            .agg(F.sum(F.col("cnt") * F.col("eq")).cast("long").alias("g"))
-            .collect()  # <= d rows — bounded like the k-means round collect
-        }
-        gb = e.agg(F.sum("eq").cast("long").alias("g")).collect()[0]["g"]
-        for f in range(d):
-            w[f] -= grads.get(f, 0) // m  # Python // floors, like the oracle
-        b -= gb // m
+        e = wide.select("cnts", zq_expr().alias("zq"), "y").select(
+            "cnts", F.expr(LOGREG_E_SQL).alias("eq")
+        )
+        grads = e.agg(*[
+            F.sum(F.element_at("cnts", f + 1) * F.col("eq"))
+            .cast("long").alias(f"g{f}")
+            for f in range(d + 1)
+        ]).collect()[0]  # 1 row x d+1 numbers — the bounded collect
+        for f in range(d + 1):
+            w[f] -= grads[f"g{f}"] // m  # Python // floors, like the oracle
 
-    return z_frame().select(
+    return wide.select(id_col, "y", zq_expr().alias("zq")).select(
         id_col,
         F.col("zq").alias("score_q"),
         (F.col("zq") >= 0).alias("pred"),

@@ -331,3 +331,26 @@ def test_hll_estimate_accuracy(spark):
     r2 = hll_distinct_tokens(wide).collect()[0]
     assert r2.n_exact == 5000
     assert r2.rel_err <= 0.20
+
+
+def test_logreg_feature_layout_parity(spark):
+    """The wide feature_array (trainer layout) must agree entry-for-entry
+    with the long doc_features surface (zeros included in the wide form,
+    filtered in the long one), plus the constant-1 bias slot."""
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.operators.logreg import (
+        LOGREG_D, doc_features, feature_array)
+
+    df = spark.createDataFrame(
+        [(0, "the la der and le und"), (1, "x"), (2, None)],
+        ["doc_id", "text"])
+    wide = {r["doc_id"]: r["cnts"] for r in
+            df.select("doc_id", feature_array("text").alias("cnts")).collect()}
+    long = {(r["doc_id"], r["f"]): r["cnt"]
+            for r in doc_features(df).collect()}
+    for doc, cnts in wide.items():
+        assert len(cnts) == LOGREG_D + 1
+        assert cnts[-1] == 1  # bias slot
+        for f in range(LOGREG_D):
+            assert cnts[f] == long.get((doc, f), 0)
