@@ -69,6 +69,29 @@ def main() -> None:
     print(f"  {hits}/{tot_sh} shingles hit the filter"
           f" ({fps} false positives = {fps / max(hits, 1):.1%} of hits)")
 
+    print("\n## Are sources exchangeable?  (doc-length two-sample tests)")
+    ks = sorted(run("q_ks_length_sources"), key=lambda r: -r.ks_stat)[:3]
+    for r in ks:
+        print(f"  KS  {r.source_a:>10} vs {r.source_b:<10}"
+              f"  D={r.ks_stat:.4f}")
+    mwu = sorted(run("q_mann_whitney_sources"),
+                 key=lambda r: -abs(r.z_stat))[:3]
+    for r in mwu:
+        print(f"  MWU {r.source_a:>10} vs {r.source_b:<10}"
+              f"  z={r.z_stat:+.2f}")
+    tt = sorted(run("q_welch_ttest_sources"),
+                key=lambda r: -abs(r.t_stat))[:3]
+    for r in tt:
+        print(f"  t   {r.source_a:>10} vs {r.source_b:<10}"
+              f"  t={r.t_stat:+.2f} (df~{r.welch_df:.0f})")
+
+    print("\n## Does source determine language?")
+    mi = run("q_lang_source_mi")[0]
+    chi = run("q_lang_source_chi2")[0]
+    print(f"  I(lang; source) = {mi.mi_nats:.4f} nats over {mi.n_cells} cells")
+    print(f"  chi2 = {chi.chi2:.2f} on {chi.dof} dof"
+          f"  (independence plausible below ~{chi.dof + 2.5 * (2 * chi.dof) ** 0.5:.0f})")
+
     spark.stop()
 
 
