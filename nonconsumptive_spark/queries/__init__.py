@@ -152,6 +152,7 @@ PRIORITY: tuple[str, ...] = (
     "q_lang_source_chi2",
     "q_ks_length_sources",
     "q_mann_whitney_sources",
+    "q_user_behavior_pairs",
 )
 
 

@@ -950,3 +950,141 @@ def q_decayed_engagement(spark, sf_dir):
         (F.round(F.col("decay_q").cast("double") / _DECAY_SCALE, 4)
          + F.lit(0.0)).alias("decayed_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral-sequence similarity (the event-stream analog of document
+# near-dup, in the spirit of the distributed trajectory/top-k similarity
+# joins in PAPERS.md — REPOSE ICDE'21, EDBT'20): which users behave
+# alike, as cosine over their event-type TRIGRAM COUNT vectors.  With a
+# small type alphabet the trigram space is dense (5^3 = 125), so a
+# rare-gram stop cut has nothing to cut — candidate generation instead
+# BLOCKS on each user's modal trigram (count desc, gram asc tie-break):
+# only users sharing a most-frequent behavior pattern are compared, the
+# canopy-blocking idea with a deterministic key.
+_BSIM_COS_NUM = 2   # similarity cut: cosine >= 2/5 = 0.4, applied as the
+_BSIM_COS_DEN = 5   # EXACT integer inequality den^2*d^2 >= num^2*nn_a*nn_b
+
+
+@register(
+    "q_user_behavior_pairs",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id),
+    grams AS (
+      SELECT user_id,
+             unnest(list_transform(
+               range(1, len(s) - 1),
+               i -> s[i] || '>' || s[i+1] || '>' || s[i+2])) AS g
+      FROM seqs WHERE len(s) >= 3),
+    cnt AS (
+      SELECT user_id, g, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY user_id, g),
+    rk AS (
+      SELECT user_id, g, c, row_number() OVER (
+        PARTITION BY user_id ORDER BY c DESC, g ASC) AS r
+      FROM cnt),
+    top AS (SELECT user_id, g AS topg FROM rk WHERE r = 1),
+    norms AS (
+      SELECT user_id, CAST(sum(c * c) AS BIGINT) AS nn
+      FROM cnt GROUP BY user_id),
+    cand AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, a.topg
+      FROM top a JOIN top b
+        ON a.topg = b.topg AND a.user_id < b.user_id),
+    dots AS (
+      SELECT c1.user_id AS user_a, c2.user_id AS user_b,
+             CAST(sum(c1.c * c2.c) AS BIGINT) AS dot
+      FROM cnt c1 JOIN cnt c2
+        ON c1.g = c2.g AND c1.user_id < c2.user_id
+      GROUP BY 1, 2)
+    SELECT cd.user_a, cd.user_b, cd.topg, d.dot,
+           round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 4) + 0.0 AS cosine
+    FROM cand cd
+    JOIN dots d ON d.user_a = cd.user_a AND d.user_b = cd.user_b
+    JOIN norms na ON na.user_id = cd.user_a
+    JOIN norms nb ON nb.user_id = cd.user_b
+    WHERE {_BSIM_COS_DEN * _BSIM_COS_DEN} * d.dot * d.dot
+          >= {_BSIM_COS_NUM * _BSIM_COS_NUM} * na.nn * nb.nn
+    """,
+    doc=f"User behavior similarity: cosine >= "
+        f"{_BSIM_COS_NUM}/{_BSIM_COS_DEN} over event-type trigram count "
+        "vectors, candidates blocked on each user's modal trigram "
+        "(canopy blocking with a deterministic key — right for dense "
+        "small-alphabet gram spaces where rare-gram cuts have nothing to "
+        "cut).  Dots/norms are exact BIGINTs and the threshold is a pure "
+        "integer inequality; the reported cosine is the one mirrored "
+        "float.  Scale: per-user vectors bounded by |alphabet|^3; the "
+        "dot join fans out per gram by block population, and the modal-"
+        "key equi-join never forms an all-pairs product.",
+)
+def q_user_behavior_pairs(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("s")
+    )
+    grams = (
+        seqs.filter(F.size("s") >= 3)
+        .select(
+            "user_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 2),
+                    lambda i: F.concat_ws(
+                        ">", F.element_at("s", i),
+                        F.element_at("s", i + 1), F.element_at("s", i + 2)),
+                )
+            ).alias("g"),
+        )
+    )
+    cnt = materialize_once(
+        grams.groupBy("user_id", "g").agg(F.count("*").cast("long").alias("c")),
+        "bsim_cnt",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("g"))
+    top = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("user_id", F.col("g").alias("topg"))
+    )
+    norms = cnt.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("nn"))
+    ta = top.select(F.col("user_id").alias("user_a"), "topg")
+    tb = top.select(F.col("user_id").alias("user_b"), "topg")
+    cand = ta.join(tb, "topg").filter(F.col("user_a") < F.col("user_b"))
+    c1 = cnt.select(F.col("user_id").alias("user_a"), "g", F.col("c").alias("ca"))
+    c2 = cnt.select(F.col("user_id").alias("user_b"), "g", F.col("c").alias("cb"))
+    dots = (
+        c1.join(c2, "g")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("user_id").alias("user_a"), F.col("nn").alias("nna"))
+    nb = norms.select(F.col("user_id").alias("user_b"), F.col("nn").alias("nnb"))
+    den2 = _BSIM_COS_DEN * _BSIM_COS_DEN
+    num2 = _BSIM_COS_NUM * _BSIM_COS_NUM
+    return (
+        cand.join(dots, ["user_a", "user_b"])
+        .join(na, "user_a").join(nb, "user_b")
+        .filter(
+            F.lit(den2) * F.col("dot") * F.col("dot")
+            >= F.lit(num2) * F.col("nna") * F.col("nnb")
+        )
+        .select(
+            "user_a", "user_b", "topg", "dot",
+            (F.round(F.col("dot")
+                     / (F.sqrt(F.col("nna")) * F.sqrt(F.col("nnb"))), 4)
+             + F.lit(0.0)).alias("cosine"),
+        )
+    )

@@ -126,3 +126,36 @@ def test_rbo_identical_vs_disjoint_ordering(spark):
     none = rbo_rankers(docs2, emb, n_queries=1, depth=20).collect()[0]
     assert none["n_shared"] == 0 and none["rbo_q"] == 0
     assert none["rbo"] == 0.0
+
+
+# ------------------------------------------------- behavior similarity ----
+def test_behavior_pairs_blocking_and_cosine(spark, tmp_path):
+    """Users 1 and 2 repeat the same a>b>a pattern (same modal trigram,
+    cosine 1.0); user 3's modal trigram differs, so it is never compared
+    even though it shares some grams."""
+    import datetime as dt
+
+    from nonconsumptive_spark.queries import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(u, types):
+        nonlocal eid
+        for i, t in enumerate(types):
+            rows.append((eid, base + dt.timedelta(minutes=eid), u, t, 1.0,
+                         "{}"))
+            eid += 1
+
+    add(1, ["a", "b", "a", "b", "a"])        # grams: aba, bab, aba
+    add(2, ["a", "b", "a", "b", "a"])        # identical pattern
+    add(3, ["c", "c", "c", "c", "c", "a", "b", "a"])  # modal c>c>c (x3)
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    out = all_queries()["q_user_behavior_pairs"].spark_fn(spark, d).collect()
+    assert [(r["user_a"], r["user_b"]) for r in out] == [(1, 2)]
+    assert out[0]["cosine"] == 1.0
+    assert out[0]["topg"] == "a>b>a"
