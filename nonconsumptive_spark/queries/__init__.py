@@ -153,6 +153,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ks_length_sources",
     "q_mann_whitney_sources",
     "q_user_behavior_pairs",
+    "q_sliding_chunks",
 )
 
 

@@ -726,3 +726,89 @@ from nonconsumptive_spark.operators import wordcount as _wc
 )
 def q_hll_distinct(spark, sf_dir):
     return _wc.hll_distinct_tokens(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunk extraction — the training-prep segmentation step
+# (split every document into fixed-width token windows with overlap so no
+# span longer than the stride is lost at a boundary).  Complements
+# pack_sequences (which BINS whole docs into shards) and
+# chunked_wordcounts (which AGGREGATES per chunk): this emits the chunk
+# ROWS a tokenizer-bound trainer consumes.
+_CHUNK_W = 64      # window width in tokens
+_CHUNK_STRIDE = 48 # stride (overlap = W - STRIDE = 16 tokens)
+
+
+@register(
+    "q_sliding_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\\pL]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    lens AS (SELECT doc_id, t, COALESCE(len(t), 0) AS n_tokens FROM toks),
+    spans AS (
+      SELECT doc_id, n_tokens,
+             unnest(range(0,
+               CASE WHEN n_tokens = 0 THEN 0
+                    WHEN n_tokens <= {_CHUNK_W} THEN 1
+                    ELSE 1 + CAST(ceil((n_tokens - {_CHUNK_W})
+                                       / {_CHUNK_STRIDE}.0) AS BIGINT)
+               END)) AS chunk_idx,
+             t
+      FROM lens)
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_W},
+                      n_tokens - chunk_idx * {_CHUNK_STRIDE}) AS BIGINT)
+             AS chunk_len,
+           array_to_string(t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                             chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_W}],
+                           ' ') AS chunk_text
+    FROM spans
+    """,
+    doc=f"Sliding-window segmentation: width {_CHUNK_W} tokens, stride "
+        f"{_CHUNK_STRIDE} (overlap {_CHUNK_W - _CHUNK_STRIDE}).  Chunk "
+        "count per doc = 1 + ceil((n - W)/stride) (one chunk for short "
+        "docs, none for empty), so every token belongs to >= 1 chunk and "
+        "boundaries never drop a span shorter than the stride.  Pure "
+        "in-row expansion — tokenize once, emit slices; zero shuffle at "
+        "any corpus size.",
+)
+def q_sliding_chunks(spark, sf_dir):
+    from nonconsumptive_spark.functions.text import let, tokenize
+
+    w, st = _CHUNK_W, _CHUNK_STRIDE
+
+    def build(t):
+        # NULL-text safe (legacy size() = -1): normalize to 0 -> no chunks
+        n = F.when(F.size(t) >= 0, F.size(t)).otherwise(F.lit(0))
+        n_chunks = (
+            F.when(n == 0, F.lit(0))
+            .when(n <= w, F.lit(1))
+            .otherwise(1 + F.ceil((n - F.lit(w)) / F.lit(float(st))))
+            .cast("long")
+        )
+        # sequence(0, -1) DESCENDS in Spark, so the empty-doc case must
+        # short-circuit to an empty array (oracle: range(0, 0) = [])
+        return F.when(n_chunks == 0, F.array()).otherwise(F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                (i * st).cast("long").alias("start_tok"),
+                F.least(F.lit(w), n - i * st).cast("long").alias("chunk_len"),
+                F.concat_ws(" ", F.slice(t, i * st + 1, w)).alias("chunk_text"),
+            ),
+        ))
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(let(tokenize("text"), build)).alias("c"),
+        )
+        .select("doc_id", "c.chunk_idx", "c.start_tok", "c.chunk_len",
+                "c.chunk_text")
+    )

@@ -213,3 +213,33 @@ def test_countmin_never_undercounts(spark):
     assert all(r["overestimate"] == r["c_est"] - r["c_exact"] for r in rows)
     # with width 1024 >> vocab, most top tokens should be collision-free
     assert sum(1 for r in rows if r["overestimate"] == 0) > len(rows) * 0.5
+
+
+# ------------------------------------------------------ sliding chunks ----
+def test_sliding_chunks_cover_all_tokens_with_overlap(spark, tmp_path):
+    from nonconsumptive_spark.queries import all_queries
+    from nonconsumptive_spark.queries.text import _CHUNK_STRIDE, _CHUNK_W
+
+    words = " ".join(f"w{chr(ord('a')+i//26)}{chr(ord('a')+i%26)}"
+                     for i in range(150))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, words), (1, "short doc"), (2, "")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = all_queries()["q_sliding_chunks"].spark_fn(spark, d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 150 tokens, W=64, stride=48 -> 1 + ceil((150-64)/48) = 3 chunks
+    assert len(by_doc[0]) == 3
+    covered = set()
+    for r in by_doc[0]:
+        assert r["chunk_len"] == len(r["chunk_text"].split(" "))
+        assert r["start_tok"] == r["chunk_idx"] * _CHUNK_STRIDE
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["chunk_len"]))
+    assert covered == set(range(150))  # every token in >= 1 chunk
+    # consecutive chunks overlap by W - stride tokens (except a short tail)
+    assert by_doc[0][0]["chunk_len"] == _CHUNK_W
+    # short doc -> exactly one whole-doc chunk; empty doc -> none
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_len"] == 2
+    assert 2 not in by_doc
