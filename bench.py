@@ -88,6 +88,9 @@ EXTRA = {
     "q_hard_negatives": _registry("q_hard_negatives"),
     "q_rbo_rankers": _registry("q_rbo_rankers"),
     "q_decayed_engagement": _registry("q_decayed_engagement"),
+    "q_ks_length_sources": _registry("q_ks_length_sources"),
+    "q_user_behavior_pairs": _registry("q_user_behavior_pairs"),
+    "q_sliding_chunks": _registry("q_sliding_chunks"),
 }
 
 
