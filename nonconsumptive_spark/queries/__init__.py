@@ -154,6 +154,8 @@ PRIORITY: tuple[str, ...] = (
     "q_mann_whitney_sources",
     "q_user_behavior_pairs",
     "q_sliding_chunks",
+    "q_spearman_len_tokens",
+    "q_daily_autocorr",
 )
 
 

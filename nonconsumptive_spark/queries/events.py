@@ -1094,3 +1094,85 @@ def q_user_behavior_pairs(spark, sf_dir):
              + F.lit(0.0)).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sample autocorrelation of the daily event-count series — the seasonality
+# probe of the time-series family (PAPERS.md EDBT'19).  With integer daily
+# counts and the rational global mean m = S/n multiplied through by n, the
+# lag products (n·c_t − S)(n·c_{t+k} − S) and the variance term are pure
+# BIGINTs; r_k is one guarded mirrored division.
+_ACF_MAX_LAG = 7
+_ACF_R = (
+    "CASE WHEN den > 0"
+    " THEN round(CAST(num AS DOUBLE) / den, 6) + 0.0"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "q_daily_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+      FROM daily),
+    dev AS (
+      SELECT d, t.n * c - t.s AS e, t.n AS n FROM daily CROSS JOIN tot t),
+    den AS (SELECT CAST(sum(e * e) AS BIGINT) AS den FROM dev),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag),
+    nums AS (
+      SELECT l.lag,
+             CAST(COALESCE(sum(a.e * b.e), 0) AS BIGINT) AS num,
+             CAST(count(b.e) AS BIGINT) AS n_pairs
+      FROM lags l
+      LEFT JOIN dev a ON TRUE
+      LEFT JOIN dev b ON b.d = a.d + CAST(l.lag AS BIGINT) * INTERVAL 1 DAY
+      GROUP BY l.lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs, num,
+           {_ACF_R} AS acf
+    FROM nums CROSS JOIN den
+    """,
+    doc=f"Lag-1..{_ACF_MAX_LAG} sample autocorrelation of daily event "
+        "counts (ACF with the global-mean normalization).  Deviations are "
+        "scaled by n so every numerator/denominator term is an exact "
+        "BIGINT; r_k is one guarded mirrored division.  Plan: the series "
+        "frame is #days rows — every join after the daily agg is "
+        "spine-sized, corpus-size independent.",
+)
+def q_daily_autocorr(spark, sf_dir):
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    daily = materialize_once(daily, "acf_daily")
+    tot = daily.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("c").cast("long").alias("s"))
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("n") * F.col("c") - F.col("s")).cast("long").alias("e"))
+    dev = materialize_once(dev, "acf_dev")
+    den = dev.agg(F.sum(F.col("e") * F.col("e")).cast("long").alias("den"))
+    lags = daily.sparkSession.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag"))
+    a = dev.select("d", F.col("e").alias("ea"))
+    b = dev.select(F.col("d").alias("db"), F.col("e").alias("eb"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.expr("date_add(d, CAST(lag AS INT))"),
+              "left")
+    )
+    nums = pairs.groupBy("lag").agg(
+        F.coalesce(F.sum(F.col("ea") * F.col("eb")), F.lit(0))
+        .cast("long").alias("num"),
+        F.count("eb").cast("long").alias("n_pairs"),
+    )
+    return (
+        nums.crossJoin(F.broadcast(den))
+        .selectExpr("lag", "n_pairs", "num", f"{_ACF_R} AS acf")
+    )

@@ -2686,3 +2686,99 @@ def q_mann_whitney_sources(spark, sf_dir):
         "round(CAST(u2 AS DOUBLE) / 2, 1) + 0.0 AS u_stat",
         f"{_MWU_Z} AS z_stat",
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation between two per-document integers (n_chars vs
+# token count) — the robust association number for a dataset card (is
+# char length a faithful proxy for token length?).  Ranks are tie-midranks
+# in DOUBLED form (the MWU trick: 2·midrank = 2·C_prev + tie + 1, pure
+# BIGINT), so every Pearson moment over the rank pairs is an exact BIGINT
+# and rho is ONE mirrored expression of six integers.
+_SPEARMAN_RHO = (
+    "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0"
+    " THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    "  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    "       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"
+    "  + 0.0"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+_DUCK_NTOK = ("len(list_filter(regexp_split_to_array(text, '[^\\pL]+'),"
+              " x -> x <> ''))")
+
+
+@register(
+    "q_spearman_len_tokens",
+    oracle=f"""
+    WITH vals AS (
+      SELECT doc_id, n_chars AS x, {_DUCK_NTOK} AS y FROM documents),
+    xr AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY x),
+    xc AS (
+      SELECT x, 2 * (CAST(sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) - c) + c + 1 AS r2 FROM xr),
+    yr AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY y),
+    yc AS (
+      SELECT y, 2 * (CAST(sum(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) - c) + c + 1 AS r2 FROM yr),
+    ranked AS (
+      SELECT xc.r2 AS rx, yc.r2 AS ry
+      FROM vals JOIN xc USING (x) JOIN yc USING (y)),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy
+      FROM ranked)
+    SELECT n, {_SPEARMAN_RHO} AS spearman_rho FROM mom
+    """,
+    doc="Spearman rank correlation between n_chars and token count over "
+        "all documents, tie-midrank handling via the doubled-midrank "
+        "integer trick — every moment an exact BIGINT, rho one mirrored "
+        "guarded expression.  Plan: two distinct-value cum windows "
+        "(bounded by distinct values, never document rows) broadcast "
+        "back onto the scan; one 1-row moment agg.",
+)
+def q_spearman_len_tokens(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    vals = materialize_once(
+        load(spark, sf_dir, "documents").select(
+            F.col("n_chars").alias("x"),
+            F.size(tokenize("text")).cast("long").alias("y"),
+        ),
+        "spearman_vals",
+    )
+
+    def rank2(col):
+        cnt = vals.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        w = (Window.orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return cnt.select(
+            col,
+            (2 * (F.sum("c").over(w).cast("long") - F.col("c"))
+             + F.col("c") + 1).cast("long").alias("r2"),
+        )
+
+    ranked = (
+        vals.join(F.broadcast(rank2("x")), "x")
+        .withColumnRenamed("r2", "rx")
+        .join(F.broadcast(rank2("y")), "y")
+        .withColumnRenamed("r2", "ry")
+    )
+    mom = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    return mom.selectExpr("n", f"{_SPEARMAN_RHO} AS spearman_rho")

@@ -101,3 +101,54 @@ def test_mwu_disjoint_and_identical(spark, tmp_path):
     r = all_queries()["q_mann_whitney_sources"].spark_fn(spark, d).collect()[0]
     assert r["u2_q"] == 0
     assert r["z_stat"] < -1.9  # strongly separated
+
+
+def test_spearman_perfect_monotone(spark, tmp_path):
+    # y strictly increasing in x -> rho = 1 exactly
+    rows = [(i, "t " * (i + 1), "en", "sa", (i + 1) * 3) for i in range(10)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r = all_queries()["q_spearman_len_tokens"].spark_fn(spark, d).collect()[0]
+    assert r["n"] == 10
+    assert r["spearman_rho"] == 1.0
+
+
+def test_spearman_perfect_inverse(spark, tmp_path):
+    rows = [(i, "t " * (10 - i), "en", "sa", (i + 1) * 3) for i in range(10)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r = all_queries()["q_spearman_len_tokens"].spark_fn(spark, d).collect()[0]
+    assert r["spearman_rho"] == -1.0
+
+
+def test_daily_autocorr_alternating_series(spark, tmp_path):
+    """Counts alternating 1,3,1,3,... over 8 days: lag-1 ACF strongly
+    negative, lag-2 strongly positive (with the n_pairs/n taper of the
+    global-mean ACF)."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for day in range(8):
+        for _ in range(1 if day % 2 == 0 else 3):
+            rows.append((eid, dt.datetime(2024, 1, 1 + day, 12), eid % 5,
+                         "click", 1.0, "{}"))
+            eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {r["lag"]: r for r in
+           all_queries()["q_daily_autocorr"].spark_fn(spark, d).collect()}
+    assert out[1]["n_pairs"] == 7 and out[2]["n_pairs"] == 6
+    assert out[1]["acf"] < -0.7
+    assert out[2]["acf"] > 0.7
+    # exact ACF hand-check at lag 1: e_t = n*c_t - S with n=8, S=16
+    e = [8 * (1 if i % 2 == 0 else 3) - 16 for i in range(8)]
+    num = sum(e[i] * e[i + 1] for i in range(7))
+    den = sum(x * x for x in e)
+    assert out[1]["num"] == num
+    assert out[1]["acf"] == round(num / den, 6)

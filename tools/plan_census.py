@@ -32,6 +32,8 @@ BNLJ_WHITELIST = {
     "q_welch_ttest_sources",     # #sources^2 broadcast self-join
     "q_ks_length_sources",       # #sources x #values grid build
     "q_mann_whitney_sources",    # same grid build as KS
+    "q_spearman_len_tokens",     # 1-row totals + distinct-value rank attach
+    "q_daily_autocorr",          # #days-spine lag joins + 1-row attaches
     "q_knn_quantized",
     "q_knn_pq_adc",
     "q_knn_cosine_lsh",
