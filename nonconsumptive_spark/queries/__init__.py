@@ -52,17 +52,28 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # NO fan-out here: events queries are window/agg-shaped, so their
+        # FIRST operator already shuffles to full parallelism — an input
+        # repartition only adds an exchange (A/B at sf0.1 warm:
+        # events_session 0.57 -> 1.0s, decayed_engagement 0.23 -> 0.66s;
+        # behavior_pairs, the one CPU-heavy scan, was a wash).
         return df
     df = spark.read.parquet(path)
     if table in ("documents", "embeddings"):
-        # These tables feed CPU-heavy per-row operators (tokenize, md5
-        # minhash, cosine).  The test files are a single row group, i.e. a
-        # single input split — without a fan-out the whole pipeline runs on
-        # one core.  At production scale inputs arrive as many splits and
-        # this is a no-op (guarded on the actual split count).
-        target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < min(target, 8):
-            df = df.repartition(target)
+        df = _fan_out(spark, df)
+    return df
+
+
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Guarded split fan-out for tables feeding CPU-heavy per-row
+    operators (tokenize, md5 minhash, cosine, per-user sequence sorts).
+    The test files are a single row group, i.e. a single input split —
+    without a fan-out the whole pipeline runs on one core.  At production
+    scale inputs arrive as many splits and this is a no-op (guarded on
+    the actual split count)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        df = df.repartition(target)
     return df
 
 
