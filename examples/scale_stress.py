@@ -51,6 +51,14 @@ QUERIES = [
     "q_decayed_engagement",
     "q_knn_cosine_bruteforce",
     "q_events_session",
+    # r4e additions: grid-based statistics, hybrid retrieval, blocked
+    # behavior similarity, the wide-form trained classifier
+    "q_ks_length_sources",
+    "q_mann_whitney_sources",
+    "q_rrf_fusion",
+    "q_user_behavior_pairs",
+    "q_logreg_train",
+    "q_sliding_chunks",
 ]
 
 

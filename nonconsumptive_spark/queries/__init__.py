@@ -167,6 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sliding_chunks",
     "q_spearman_len_tokens",
     "q_daily_autocorr",
+    "q_bpe_fertility",
 )
 
 

@@ -812,3 +812,64 @@ def q_sliding_chunks(spark, sf_dir):
         .select("doc_id", "c.chunk_idx", "c.start_tok", "c.chunk_len",
                 "c.chunk_text")
     )
+
+
+# --------------------------------------------------------------------------
+def _bpe_fertility_oracle(k: int) -> str:
+    """Compose the k-round BPE replay with per-language word counts:
+    fertility = segmented symbols per word occurrence under the learned
+    vocabulary."""
+    train = _bpe_oracle(k)
+    with_body = train[: train.rindex("\n    SELECT CAST(1")]
+    return f"""{with_body},
+    lw AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT lang, unnest({_DUCK_TOKS}) AS word FROM documents)
+      GROUP BY lang, word)
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * len(syms)) AS BIGINT) AS n_pieces,
+           round(CAST(sum(cnt * len(syms)) AS DOUBLE) / sum(cnt), 4) + 0.0
+             AS fertility
+    FROM lw JOIN words_{k} USING (word)
+    GROUP BY lang"""
+
+
+@register(
+    "q_bpe_fertility",
+    oracle=_bpe_fertility_oracle(_BPE_MERGES),
+    doc=f"Tokenizer fertility per language under the {_BPE_MERGES}-merge "
+        "BPE vocabulary learned from this corpus: segmented symbols per "
+        "word occurrence — the dataset-card number that says which "
+        "languages the tokenizer fragments (fertility gaps = compute-cost "
+        "gaps at training time).  n_pieces is an exact BIGINT "
+        "(occurrence-weighted post-merge symbol counts); one mirrored "
+        "division at output.  Plan: per-language word counts are one "
+        "corpus agg; the vocab-with-segmentation table (the q_bpe_encode "
+        "plan) broadcasts onto it.",
+)
+def q_bpe_fertility(spark, sf_dir):
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.operators.bpe import encode_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    enc = encode_bpe(docs, n_merges=_BPE_MERGES).select("word", "n_syms")
+    lw = (
+        docs.select("lang", F.explode(tokenize("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        lw.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("long")
+            .alias("n_pieces"),
+        )
+        .select(
+            "lang", "n_words", "n_pieces",
+            (F.round(F.col("n_pieces").cast("double") / F.col("n_words"), 4)
+             + F.lit(0.0)).alias("fertility"),
+        )
+    )
