@@ -104,3 +104,67 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
         .limit(k)
         .drop("_sk")
     )
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact phrase query: documents containing ``phrase`` as *adjacent*
+    tokens, with occurrence count and first match position (1-based).
+
+    The reference stops at bag-of-words statistics (per-doc counts,
+    corpus.py:186-253); adjacency queries are the retrieval capability on
+    top.  Two standard physical shapes exist:
+
+      * positional-inverted-index join: posting lists (doc, term, pos),
+        k-way equi-join on (doc, pos - slot) — right when an index is
+        already materialized and the corpus is revisited per query;
+      * in-row scan: the phrase lives inside one document, so matching
+        never needs data from another row.
+
+    This implements the in-row scan — ZERO shuffle, O(doc length) per
+    row, trivially parallel at 100 TB (a pure narrow map over the scan;
+    compare a pos-join that shuffles every matching posting).  The token
+    array is let-bound so tokenize runs once per row, and candidate
+    anchors are pre-filtered on the first term before the full k-term
+    conjunction is checked.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    k = len(phrase)
+
+    def anchors(toks):
+        # positions p (1-based) with toks[p+i-1] == phrase[i] for all i.
+        # sequence(1, n) DESCENDS for n < 1 (never empty) and ANSI
+        # element_at throws out-of-bounds, so short docs take the
+        # empty-array branch up front.
+        cand = F.when(
+            F.size(toks) >= k,
+            F.filter(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda p: F.element_at(toks, p) == F.lit(phrase[0]),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        if k == 1:
+            return cand
+
+        # single-parameter lambda: Spark infers HOF lambda arity from the
+        # Python signature, so extra default args would be bound to the
+        # (elem, index) pair — close over i via a factory instead
+        def full_match(p):
+            out = None
+            for i in range(1, k):
+                t = F.element_at(toks, p + i) == F.lit(phrase[i])
+                out = t if out is None else out & t
+            return out
+
+        return F.filter(cand, full_match)
+
+    hits = docs.select(
+        id_col,
+        let(tokenize(F.col(text_col)), anchors).alias("_a"),
+    ).filter(F.size("_a") > 0)
+    return hits.select(
+        id_col,
+        F.size("_a").cast("long").alias("n_hits"),
+        F.element_at("_a", 1).cast("int").alias("first_pos"),
+    )

@@ -90,7 +90,12 @@ PRIORITY: tuple[str, ...] = (
     #    (the one red r3 row), dedup_against tie-break rewrite
     "q_dsir_weights",
     "q_dedup_incremental",
-    # -- new round-4 queries
+    # -- new round-4 queries (newest first: these have never faced the
+    #    driver gate and carry the freshest code)
+    "q_phrase_search",
+    "q_seasonal_residuals",
+    "q_gini_tokens",
+    "q_zorder_curve",
     "q_nb_lang_confusion",
     "q_bloom_novelty",
     "q_cdc_duplicate_chunks",

@@ -1176,3 +1176,85 @@ def q_daily_autocorr(spark, sf_dir):
         nums.crossJoin(F.broadcast(den))
         .selectExpr("lag", "n_pairs", "num", f"{_ACF_R} AS acf")
     )
+
+
+# Seasonal-naive anomaly detection on the daily series: residual vs the
+# same weekday one week earlier (calendar join, robust to missing days),
+# then a population z-score of the residuals from exact integer moments —
+# numerator n*resid - s and denominator n*ss - s*s are BIGINTs, so the
+# only float ops are one sqrt and one division, mirrored bit-for-bit.
+_SEAS_LAG_DAYS = 7
+_SEAS_Z = (
+    "CASE WHEN den > 0"
+    " THEN round(CAST(n * resid - s AS DOUBLE)"
+    "      / sqrt(CAST(den AS DOUBLE)), 4) + 0.0"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "q_seasonal_residuals",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    resid AS (
+      SELECT a.event_type, a.d, a.cnt,
+             CAST(a.cnt - b.cnt AS BIGINT) AS resid
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.d = a.d - INTERVAL {_SEAS_LAG_DAYS} DAY),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(resid) AS BIGINT) AS s,
+             CAST(sum(resid * resid) AS BIGINT) AS ss
+      FROM resid),
+    z AS (
+      SELECT event_type, d, cnt, resid,
+             n * ss - s * s AS den, n, s
+      FROM resid CROSS JOIN mom)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, cnt, resid,
+           {_SEAS_Z} AS zscore
+    FROM z
+    """,
+    doc=f"Seasonal-naive residuals: per (event_type, day) count minus the "
+        f"count {_SEAS_LAG_DAYS} days earlier (calendar equi-join — "
+        "missing days drop out instead of silently comparing wrong "
+        "weekdays), z-scored against the full residual population via "
+        "exact BIGINT moments.  Plan: one (type, day) agg shuffle; "
+        "everything after is spine-sized (days x types) with a broadcast "
+        "1-row moment attach.",
+)
+def q_seasonal_residuals(spark, sf_dir):
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    daily = materialize_once(daily, "seasonal_daily")
+    prev = daily.select(
+        F.col("event_type").alias("pt"),
+        F.expr(f"date_add(d, {_SEAS_LAG_DAYS})").alias("pd"),
+        F.col("cnt").alias("prev_cnt"),
+    )
+    resid = (
+        daily.join(prev, (F.col("event_type") == F.col("pt"))
+                   & (F.col("d") == F.col("pd")))
+        .select("event_type", "d", "cnt",
+                (F.col("cnt") - F.col("prev_cnt")).cast("long").alias("resid"))
+    )
+    resid = materialize_once(resid, "seasonal_resid")
+    mom = resid.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("resid").cast("long").alias("s"),
+        F.sum(F.col("resid") * F.col("resid")).cast("long").alias("ss"),
+    )
+    return (
+        resid.crossJoin(F.broadcast(mom))
+        .withColumn("den", F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .selectExpr("event_type", "date_format(d, 'yyyy-MM-dd') AS day",
+                    "cnt", "resid", f"{_SEAS_Z} AS zscore")
+    )

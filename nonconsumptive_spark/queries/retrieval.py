@@ -51,3 +51,37 @@ _DUCK_TOKS_LOWER = (
 def q_bm25_topk(spark, sf_dir):
     return rt.bm25_topk(load(spark, sf_dir, "documents"),
                         _BM25_TERMS, k=_BM25_K)
+
+
+_PHRASE = ["table", "table"]
+_DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\pL]+'), x -> x <> '')"
+_PHRASE_PRED = " AND ".join(
+    f"t[p+{i}] = '{w}'" if i else f"t[p] = '{w}'"
+    for i, w in enumerate(_PHRASE)
+)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "q_phrase_search",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    hits AS (
+      SELECT doc_id,
+             list_filter(range(1, greatest(len(t) - {len(_PHRASE) - 1}, 0) + 1),
+                         p -> {_PHRASE_PRED}) AS a
+      FROM base)
+    SELECT doc_id, CAST(len(a) AS BIGINT) AS n_hits,
+           CAST(a[1] AS INTEGER) AS first_pos
+    FROM hits WHERE len(a) > 0
+    """,
+    doc=f"Exact adjacent-token phrase query {_PHRASE!r}: docs containing "
+        "the phrase with occurrence count and first 1-based position.  "
+        "In-row anchor scan — the phrase lives inside one document, so "
+        "the plan is a ZERO-shuffle narrow map (let-bound single "
+        "tokenize, candidate anchors pre-filtered on the first term); "
+        "the pos-join inverted-index alternative would shuffle every "
+        "matching posting.",
+)
+def q_phrase_search(spark, sf_dir):
+    return rt.phrase_search(load(spark, sf_dir, "documents"), _PHRASE)

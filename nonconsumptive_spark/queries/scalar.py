@@ -324,3 +324,41 @@ def q_approx_quantiles(spark, sf_dir):
         F.round("e50", 3).alias("p50_exact"),
         F.round("e95", 3).alias("p95_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+_Z_BITS = 8
+
+
+@register(
+    "q_zorder_curve",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id,
+             user_id & 255 AS xq,
+             CAST(floor(value) AS BIGINT) % 256 AS yq
+      FROM events)
+    SELECT event_id,
+           CAST(list_sum(list_transform(range(0, {_Z_BITS}),
+                i -> (((xq >> i) & 1) << (2 * i))
+                   + (((yq >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+    FROM q
+    """,
+    doc=f"Morton (Z-order) curve value over quantized (user_id, value) — "
+        "the layout key behind multi-dimensional file pruning "
+        "(sources/layout.py: OPTIMIZE-ZORDER-style writes; a range "
+        "predicate on EITHER dimension maps to bounded Z-ranges, so "
+        "parquet min/max footers skip files for 2-D box queries, where a "
+        "single sort key only ever prunes one dimension).  The code is a "
+        f"pure {_Z_BITS}-bit aggregate-HOF fold — no UDF, zero shuffle, "
+        "whole-stage codegen.",
+)
+def q_zorder_curve(spark, sf_dir):
+    from nonconsumptive_spark.sources.layout import interleave_bits
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("xq"),
+        (F.floor("value").cast("long") % 256).alias("yq"),
+    )
+    return ev.select("event_id", interleave_bits("xq", "yq", _Z_BITS).alias("z"))

@@ -2782,3 +2782,77 @@ def q_spearman_len_tokens(spark, sf_dir):
         F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
     )
     return mom.selectExpr("n", f"{_SPEARMAN_RHO} AS spearman_rho")
+
+
+# Gini coefficient of the global token-frequency distribution — the
+# corpus-concentration scalar (how much of the corpus a few types
+# account for), companion to Zipf's slope and Heaps' law.  With tokens
+# ranked ascending by frequency and ties on the doubled-midrank trick
+# (same integer device as q_spearman_len_tokens), every moment is an
+# exact BIGINT:  G = (sum_f f*m_f*r2_f - (n+1)*T) / (n*T), where r2 is
+# the doubled midrank, m_f the number of types at frequency f, and
+# T = sum of all token occurrences.  One mirrored division at the end.
+_GINI = (
+    "CASE WHEN n > 0 AND t > 0"
+    " THEN round((CAST(sr AS DOUBLE) - CAST((n + 1) * t AS DOUBLE))"
+    "      / (CAST(n AS DOUBLE) * t), 6) + 0.0"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "q_gini_tokens",
+    oracle=f"""
+    WITH freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY token),
+    grp AS (
+      SELECT f, CAST(count(*) AS BIGINT) AS m FROM freq GROUP BY f),
+    mid AS (
+      SELECT f, m,
+             2 * (CAST(sum(m) OVER (ORDER BY f
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) - m) + m + 1 AS r2
+      FROM grp),
+    mom AS (
+      SELECT CAST(sum(m) AS BIGINT) AS n,
+             CAST(sum(f * m) AS BIGINT) AS t,
+             CAST(sum(f * m * r2) AS BIGINT) AS sr
+      FROM mid)
+    SELECT n AS n_types, t AS total_tokens, {_GINI} AS gini
+    FROM mom
+    """,
+    doc="Gini coefficient of global token frequencies (population form, "
+        "frequencies ranked ascending, tie groups via doubled midranks so "
+        "the sum is order-independent and exactly integer).  Plan: global "
+        "wordcount shuffle, then a distinct-frequency frame (bounded by "
+        "distinct frequency VALUES, not types) with one cum-window and a "
+        "1-row moment agg.",
+)
+def q_gini_tokens(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from nonconsumptive_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    grp = freq.groupBy("f").agg(F.count("*").cast("long").alias("m"))
+    w = (Window.orderBy("f")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    mid = grp.select(
+        "f", "m",
+        (2 * (F.sum("m").over(w).cast("long") - F.col("m"))
+         + F.col("m") + 1).cast("long").alias("r2"),
+    )
+    mom = mid.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("f") * F.col("m")).cast("long").alias("t"),
+        F.sum(F.col("f") * F.col("m") * F.col("r2")).cast("long").alias("sr"),
+    )
+    return mom.selectExpr("n AS n_types", "t AS total_tokens",
+                          f"{_GINI} AS gini")

@@ -1,0 +1,109 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+file-level min/max pruning.
+
+The reference organizes data one-dimensionally (sorted bookstacks,
+``@id``-ordered batches — data_storage.py's stacked parquet).  At 100 TB a
+single sort key only prunes scans filtered on THAT key; queries filtering
+on a second dimension read everything.  The standard warehouse answer
+(Delta/Iceberg ``OPTIMIZE ZORDER BY``) is to sort by an interleaved-bit
+Morton code so that a range predicate on EITHER dimension maps to a
+bounded set of Z-ranges — parquet footer min/max stats then skip most
+files for 2-D box queries.
+
+Spark-first shape: the Z-value is a pure Catalyst expression (one
+``aggregate`` HOF over ``sequence`` — no UDF, stays inside whole-stage
+codegen), quantization bounds come from a broadcast 1-row agg, and the
+layout itself is ``repartitionByRange(z)`` + per-file sort, i.e. one
+range-exchange at write time buys every later scan its pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 8
+
+
+def interleave_bits(x: Column | str, y: Column | str,
+                    bits: int = DEFAULT_BITS) -> Column:
+    """Morton code of two non-negative integer columns already quantized
+    to ``bits`` bits: bit i of x lands at position 2i, bit i of y at
+    2i+1.  Built-in expressions only (shiftright/shiftleft inside an
+    ``aggregate`` fold), so the whole thing codegens."""
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+
+    def bit(c, i):
+        # (c >> i) & 1 — shiftright() demands a literal shift count, so
+        # spell it arithmetically; exact in doubles for bits <= 26
+        return F.floor(c / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (bit(x, i) * F.pow(F.lit(4.0), i.cast("double"))).cast("long")
+        + (bit(y, i) * 2 * F.pow(F.lit(4.0), i.cast("double"))).cast("long"),
+    )
+
+
+def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Linear quantization of ``col`` from [lo, hi] onto [0, 2^bits - 1]
+    (degenerate lo == hi maps to 0)."""
+    buckets = F.lit((1 << bits) - 1)
+    return F.when(hi > lo, F.least(
+        F.floor((col - lo) / (hi - lo) * (buckets + 1)).cast("long"),
+        buckets.cast("long"),
+    )).otherwise(F.lit(0).cast("long"))
+
+
+def zorder_write(df: DataFrame, path: str, xcol: str, ycol: str,
+                 bits: int = DEFAULT_BITS, n_files: int = 16) -> None:
+    """Write ``df`` as parquet laid out in Z-order over (xcol, ycol):
+    quantize both dims against their observed min/max (broadcast 1-row
+    agg), compute the Morton code, ``repartitionByRange`` into
+    ``n_files`` Z-contiguous files and sort within each so parquet
+    min/max footers are tight on BOTH source columns."""
+    bounds = df.agg(
+        F.min(xcol).alias("xlo"), F.max(xcol).alias("xhi"),
+        F.min(ycol).alias("ylo"), F.max(ycol).alias("yhi"),
+    )
+    with_z = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_zx", quantize(F.col(xcol).cast("double"),
+                                    F.col("xlo").cast("double"),
+                                    F.col("xhi").cast("double"), bits))
+        .withColumn("_zy", quantize(F.col(ycol).cast("double"),
+                                    F.col("ylo").cast("double"),
+                                    F.col("yhi").cast("double"), bits))
+        .withColumn("_z", interleave_bits("_zx", "_zy", bits))
+        .drop("xlo", "xhi", "ylo", "yhi", "_zx", "_zy")
+    )
+    (
+        with_z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def pruning_stats(spark, path: str, predicate: str) -> dict:
+    """How selective is the layout for ``predicate``?  Returns per-file
+    match counts — a file whose count is 0 would be skipped entirely by
+    parquet min/max pruning (the write-side sort is what makes those
+    zeros common)."""
+    df = spark.read.parquet(path).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    per_file = (
+        df.groupBy("_file")
+        .agg(F.count("*").alias("rows"),
+             F.count(F.when(F.expr(predicate), 1)).alias("matching"))
+        .collect()  # bounded: one row per file
+    )
+    return {
+        "n_files": len(per_file),
+        "files_skippable": sum(1 for r in per_file if r["matching"] == 0),
+        "rows_total": sum(r["rows"] for r in per_file),
+        "rows_matching": sum(r["matching"] for r in per_file),
+    }
