@@ -91,6 +91,14 @@ EXTRA = {
     "q_ks_length_sources": _registry("q_ks_length_sources"),
     "q_user_behavior_pairs": _registry("q_user_behavior_pairs"),
     "q_sliding_chunks": _registry("q_sliding_chunks"),
+    # round-4f additions
+    "q_phrase_search": _registry("q_phrase_search"),
+    "q_phrase_search_indexed": _registry("q_phrase_search_indexed"),
+    "q_skyline_docs": _registry("q_skyline_docs"),
+    "q_burrows_delta": _registry("q_burrows_delta"),
+    "q_zorder_curve": _registry("q_zorder_curve"),
+    "q_seasonal_residuals": _registry("q_seasonal_residuals"),
+    "q_gini_tokens": _registry("q_gini_tokens"),
 }
 
 

@@ -168,3 +168,49 @@ def phrase_search(docs: DataFrame, phrase: list[str],
         F.size("_a").cast("long").alias("n_hits"),
         F.element_at("_a", 1).cast("int").alias("first_pos"),
     )
+
+
+def build_positional_index(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Positional posting triples (term, doc, pos), 1-based positions —
+    the materialized form of the corpus for repeated retrieval queries.
+    At scale, persist this bucketed/partitioned BY TERM so a query reads
+    only its own terms' postings (partition pruning on term)."""
+    from nonconsumptive_spark.functions.text import tokens_with_pos
+
+    return tokens_with_pos(docs, id_col, text_col).select(
+        F.col("token").alias("term"), id_col, "pos"
+    )
+
+
+def phrase_search_indexed(postings: DataFrame, phrase: list[str],
+                          id_col: str = "doc_id") -> DataFrame:
+    """Phrase query over a materialized positional index — the scale
+    path when the corpus is indexed once and queried many times (the
+    in-row ``phrase_search`` re-tokenizes every document per query).
+
+    Each posting of a phrase term proposes an anchor ``pos - slot`` (the
+    phrase start it would belong to); a true occurrence is an anchor all
+    ``k`` slots voted for.  One broadcast join against the k-row slot
+    table plus one (doc, anchor) aggregation — postings of non-phrase
+    terms never leave the scan, and with the index partitioned by term
+    they are never even read.  Output schema matches ``phrase_search``.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    k = len(phrase)
+    spark = postings.sparkSession
+    slots = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(phrase)], "slot int, w string"
+    )
+    anchors = (
+        postings.join(F.broadcast(slots), postings["term"] == slots["w"])
+        .select(id_col, (F.col("pos") - F.col("slot")).alias("anchor"), "slot")
+        .groupBy(id_col, "anchor")
+        .agg(F.countDistinct("slot").alias("n_slots"))
+        .filter(F.col("n_slots") == k)
+    )
+    return anchors.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min("anchor").cast("int").alias("first_pos"),
+    )

@@ -2166,3 +2166,90 @@ def psi_drift(df: DataFrame, value_col: str = "n_chars",
              + F.lit(0.0)).alias("psi"),
         )
     )
+
+
+# -- Burrows' Delta stylometry ---------------------------------------------
+# Authorship/style distance between corpus slices (Burrows 2002): z-score
+# each slice's relative frequency of the M most frequent words against the
+# across-slice distribution, Delta = mean |z_a - z_b| over the M words.
+# Hash-parity design (the dsir_weights integer playbook): relative
+# frequencies are quantized to exact BIGINTs with integer division
+# (c * 10^9 div T — both engines truncate identically), the z numerator
+# and denominator are built from exact integer moments, and z itself is
+# re-quantized (floor(z * 10^6)) before the cross-slice sum so no float
+# accumulation order ever reaches the output.
+DELTA_TOP_M = 20
+DELTA_FSCALE = 1_000_000_000
+DELTA_ZSCALE = 1_000_000
+
+
+def burrows_delta(docs, group_col: str = "source", text_col: str = "text",
+                  top_m: int = DELTA_TOP_M):
+    """Pairwise Burrows' Delta between values of ``group_col``.
+
+    Plan: ONE (group, token) count shuffle; the marker-word list is a
+    TakeOrdered top-M broadcast; the (group x marker) grid, per-word
+    moments, and the pair join are all bounded by groups x M — corpus
+    size only touches the first aggregation.  Returns (source_a,
+    source_b, delta) with source_a < source_b.
+    """
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    cells = (
+        docs.select(F.col(group_col).alias("g"),
+                    F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("g", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cells = materialize_once(cells, "delta_cells")
+
+    totals = cells.groupBy("g").agg(F.sum("c").cast("long").alias("t"))
+    markers = (
+        cells.groupBy("token").agg(F.sum("c").cast("long").alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("token"))
+        .limit(top_m)
+        .select("token")
+    )
+    # dense (group x marker) grid so absent words contribute fq = 0
+    grid = (
+        totals.crossJoin(F.broadcast(markers))
+        .join(cells, ["g", "token"], "left")
+        .select("g", "token", "t", F.coalesce("c", F.lit(0)).alias("c"))
+        .selectExpr("g", "token",
+                    f"(c * {DELTA_FSCALE}L) div t AS fq")
+    )
+    grid = materialize_once(grid, "delta_grid")
+
+    mom = grid.groupBy("token").agg(
+        F.count("*").cast("long").alias("s"),
+        F.sum("fq").cast("long").alias("sf"),
+        F.sum(F.col("fq") * F.col("fq")).cast("long").alias("sff"),
+    )
+    z = (
+        grid.join(F.broadcast(mom), "token")
+        .selectExpr(
+            "g", "token",
+            "CASE WHEN s * sff - sf * sf > 0"
+            f" THEN CAST(floor(CAST(s * fq - sf AS DOUBLE)"
+            f"      / sqrt(CAST(s * sff - sf * sf AS DOUBLE))"
+            f"      * {DELTA_ZSCALE}) AS BIGINT)"
+            " ELSE 0L END AS zq",
+        )
+    )
+    a = z.select(F.col("g").alias("source_a"), "token",
+                 F.col("zq").alias("za"))
+    b = z.select(F.col("g").alias("source_b"), "token",
+                 F.col("zq").alias("zb"))
+    return (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.abs(F.col("za") - F.col("zb"))).cast("long").alias("sd"))
+        .selectExpr(
+            "source_a", "source_b",
+            f"round(CAST(sd AS DOUBLE) / ({top_m}.0 * {DELTA_ZSCALE}), 4)"
+            " + 0.0 AS delta")
+    )

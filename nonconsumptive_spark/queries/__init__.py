@@ -93,6 +93,9 @@ PRIORITY: tuple[str, ...] = (
     # -- new round-4 queries (newest first: these have never faced the
     #    driver gate and carry the freshest code)
     "q_phrase_search",
+    "q_phrase_search_indexed",
+    "q_skyline_docs",
+    "q_burrows_delta",
     "q_seasonal_residuals",
     "q_gini_tokens",
     "q_zorder_curve",

@@ -85,3 +85,29 @@ _PHRASE_PRED = " AND ".join(
 )
 def q_phrase_search(spark, sf_dir):
     return rt.phrase_search(load(spark, sf_dir, "documents"), _PHRASE)
+
+
+@register(
+    "q_phrase_search_indexed",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    hits AS (
+      SELECT doc_id,
+             list_filter(range(1, greatest(len(t) - {len(_PHRASE) - 1}, 0) + 1),
+                         p -> {_PHRASE_PRED}) AS a
+      FROM base)
+    SELECT doc_id, CAST(len(a) AS BIGINT) AS n_hits,
+           CAST(a[1] AS INTEGER) AS first_pos
+    FROM hits WHERE len(a) > 0
+    """,
+    doc=f"The same phrase query {_PHRASE!r} answered from the MATERIALIZED "
+        "positional inverted index (term, doc, pos) — the scale path for "
+        "index-once / query-many corpora: postings of each phrase term "
+        "propose anchors (pos - slot) via a k-row broadcast slot join, "
+        "and an anchor is a hit when all k slots voted.  Oracle is "
+        "identical to q_phrase_search: both physical forms must agree "
+        "exactly.",
+)
+def q_phrase_search_indexed(spark, sf_dir):
+    idx = rt.build_positional_index(load(spark, sf_dir, "documents"))
+    return rt.phrase_search_indexed(idx, _PHRASE)

@@ -2856,3 +2856,87 @@ def q_gini_tokens(spark, sf_dir):
     )
     return mom.selectExpr("n AS n_types", "t AS total_tokens",
                           f"{_GINI} AS gini")
+
+
+@register(
+    "q_skyline_docs",
+    oracle=f"""
+    WITH pts AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS y
+      FROM documents)
+    SELECT p.doc_id, p.x AS n_chars, p.y AS n_types
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+    """,
+    doc="2-D skyline (Pareto frontier) of documents maximizing (n_chars, "
+        "distinct token types) — the weight-free curation selection rule: "
+        "keep docs no other doc beats on both axes.  Spark side is the "
+        "two-phase plan in operators/skyline.py (bucket-local running-max "
+        "windows, then an exact pass over the bounded survivor frame); the "
+        "oracle is the quadratic NOT-EXISTS definition, fine at oracle "
+        "scale and a labeled non-plan.",
+)
+def q_skyline_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.operators.skyline import skyline
+
+    pts = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(tokenize("text"))).cast("long").alias("y"),
+    )
+    return skyline(pts, "x", "y").select(
+        "doc_id", F.col("x").alias("n_chars"), F.col("y").alias("n_types")
+    )
+
+
+@register(
+    "q_burrows_delta",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source AS g, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY 1, 2),
+    totals AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY g),
+    markers AS (
+      SELECT token
+      FROM (SELECT token, CAST(sum(c) AS BIGINT) AS gc FROM cells GROUP BY token)
+      ORDER BY gc DESC, token ASC LIMIT {ts.DELTA_TOP_M}),
+    grid AS (
+      SELECT tt.g, m.token,
+             (COALESCE(c.c, 0) * {ts.DELTA_FSCALE}) // tt.t AS fq
+      FROM totals tt CROSS JOIN markers m
+      LEFT JOIN cells c ON c.g = tt.g AND c.token = m.token),
+    mom AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS s,
+             CAST(sum(fq) AS BIGINT) AS sf,
+             CAST(sum(fq * fq) AS BIGINT) AS sff
+      FROM grid GROUP BY token),
+    z AS (
+      SELECT g, grid.token,
+             CASE WHEN s * sff - sf * sf > 0
+               THEN CAST(floor(CAST(s * fq - sf AS DOUBLE)
+                    / sqrt(CAST(s * sff - sf * sf AS DOUBLE))
+                    * {ts.DELTA_ZSCALE}) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS zq
+      FROM grid JOIN mom ON grid.token = mom.token)
+    SELECT a.g AS source_a, b.g AS source_b,
+           round(CAST(sum(abs(a.zq - b.zq)) AS DOUBLE)
+                 / ({ts.DELTA_TOP_M}.0 * {ts.DELTA_ZSCALE}), 4) + 0.0 AS delta
+    FROM z a JOIN z b ON a.token = b.token AND a.g < b.g
+    GROUP BY 1, 2
+    """,
+    doc=f"Burrows' Delta stylometric distance between every source pair "
+        f"over the {ts.DELTA_TOP_M} most frequent marker words.  Relative "
+        "frequencies and z-scores are integer-quantized (the DSIR "
+        "playbook) so no float accumulation order reaches the output.  "
+        "Plan: one (source, token) shuffle; everything after is bounded "
+        "by sources x M.",
+)
+def q_burrows_delta(spark, sf_dir):
+    return ts.burrows_delta(load(spark, sf_dir, "documents"))

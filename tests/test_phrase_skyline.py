@@ -1,0 +1,138 @@
+"""Phrase search (both physical forms), skyline, and Burrows' Delta."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.operators.retrieval import (
+    build_positional_index,
+    phrase_search,
+    phrase_search_indexed,
+)
+from nonconsumptive_spark.operators.skyline import skyline
+from tests.conftest import SF_SMALL
+
+
+# -- phrase search ---------------------------------------------------------
+@pytest.fixture(scope="module")
+def phrase_docs(spark):
+    rows = [
+        (1, "a table table b"),
+        (2, "table table table"),          # overlapping occurrences
+        (3, "no match here"),
+        (4, ""),                            # empty text
+        (5, "x"),                           # shorter than the phrase
+        (6, "table x table table y"),
+        (7, None),                          # NULL text must not blow up
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_phrase_overlapping_and_short_docs(phrase_docs):
+    got = _rows(phrase_search(phrase_docs, ["table", "table"]))
+    assert got == [(1, 1, 2), (2, 2, 1), (6, 1, 3)]
+
+
+def test_phrase_single_token(phrase_docs):
+    got = _rows(phrase_search(phrase_docs, ["table"]))
+    assert got == [(1, 2, 2), (2, 3, 1), (6, 3, 1)]
+
+
+def test_phrase_longer_than_any_doc(phrase_docs):
+    assert phrase_search(phrase_docs, ["q"] * 50).count() == 0
+
+
+def test_phrase_empty_raises(phrase_docs):
+    with pytest.raises(ValueError):
+        phrase_search(phrase_docs, [])
+    with pytest.raises(ValueError):
+        phrase_search_indexed(phrase_docs, [])
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [["table", "table"], ["table"], ["a", "table", "table"], ["zzz"]],
+)
+def test_indexed_form_agrees_with_inrow(spark, phrase_docs, phrase):
+    idx = build_positional_index(phrase_docs)
+    assert _rows(phrase_search_indexed(idx, phrase)) == _rows(
+        phrase_search(phrase_docs, phrase)
+    )
+
+
+def test_indexed_form_agrees_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    idx = build_positional_index(docs)
+    for phrase in (["table", "table"], ["fast", "sort"]):
+        assert _rows(phrase_search_indexed(idx, phrase)) == _rows(
+            phrase_search(docs, phrase)
+        )
+
+
+# -- skyline ---------------------------------------------------------------
+def _brute_skyline(rows):
+    out = []
+    for p in rows:
+        dominated = any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in rows
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed,n,xmax,ymax", [
+    (1, 200, 30, 30),      # many ties
+    (2, 500, 10_000, 5),   # extreme y ties
+    (3, 500, 5, 10_000),   # extreme x ties
+    (4, 1000, 1000, 1000),
+])
+def test_skyline_matches_bruteforce(spark, seed, n, xmax, ymax):
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, xmax), rng.randint(0, ymax)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(map(tuple, skyline(df, "x", "y").select("id", "x", "y").collect()))
+    assert got == _brute_skyline(rows)
+
+
+def test_skyline_keeps_duplicate_frontier_points(spark):
+    rows = [(1, 5, 5), (2, 5, 5), (3, 1, 9), (4, 9, 1), (5, 4, 4)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(r["id"] for r in skyline(df, "x", "y").collect())
+    assert got == [1, 2, 3, 4]
+
+
+# -- Burrows' Delta --------------------------------------------------------
+def test_burrows_delta_properties(spark):
+    from nonconsumptive_spark.operators.textstats import burrows_delta
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = burrows_delta(docs).collect()
+    srcs = {r["source"] for r in docs.select("source").distinct().collect()}
+    n = len(srcs)
+    # exactly one row per unordered pair, delta >= 0, a < b everywhere
+    assert len(out) == n * (n - 1) // 2
+    assert all(r["delta"] >= 0 for r in out)
+    assert all(r["source_a"] < r["source_b"] for r in out)
+
+
+def test_burrows_delta_identical_groups_are_zero(spark):
+    from nonconsumptive_spark.operators.textstats import burrows_delta
+
+    docs = spark.createDataFrame(
+        [("a", "x y z x"), ("b", "x y z x"), ("c", "x x x x q q")],
+        "source string, text string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r["delta"]
+            for r in burrows_delta(docs, top_m=4).collect()}
+    assert rows[("a", "b")] == 0.0
+    assert rows[("a", "c")] > 0 and rows[("b", "c")] > 0
+    assert rows[("a", "c")] == rows[("b", "c")]
