@@ -59,6 +59,15 @@ QUERIES = [
     "q_user_behavior_pairs",
     "q_logreg_train",
     "q_sliding_chunks",
+    # r4f additions: zero-shuffle scans (phrase, zorder), the two-phase
+    # skyline, the index-backed phrase join, bounded-frame stylometry
+    "q_phrase_search",
+    "q_phrase_search_indexed",
+    "q_skyline_docs",
+    "q_burrows_delta",
+    "q_gini_tokens",
+    "q_zorder_curve",
+    "q_seasonal_residuals",
 ]
 
 
