@@ -136,3 +136,66 @@ def test_burrows_delta_identical_groups_are_zero(spark):
     assert rows[("a", "b")] == 0.0
     assert rows[("a", "c")] > 0 and rows[("b", "c")] > 0
     assert rows[("a", "c")] == rows[("b", "c")]
+
+
+# -- property tests (hypothesis) -------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_tok = st.sampled_from(["a", "b", "c"])
+_docs = st.lists(st.lists(_tok, max_size=12), min_size=1, max_size=12)
+_phrase = st.lists(_tok, min_size=1, max_size=3)
+
+
+def _phrase_ref(toks, phrase):
+    """Python reference: all 1-based anchor positions of phrase in toks."""
+    k = len(phrase)
+    return [
+        p + 1
+        for p in range(len(toks) - k + 1)
+        if toks[p:p + k] == phrase
+    ]
+
+
+@PROP
+@given(docs=_docs, phrase=_phrase)
+def test_phrase_search_matches_reference(spark, docs, phrase):
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+           for r in phrase_search(df, phrase).collect()}
+    exp = {}
+    for i, toks in enumerate(docs):
+        anchors = _phrase_ref(toks, phrase)
+        if anchors:
+            exp[i] = (len(anchors), anchors[0])
+    assert got == exp
+    # the indexed form must agree bit-for-bit
+    idx = build_positional_index(df)
+    got_idx = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+               for r in phrase_search_indexed(idx, phrase).collect()}
+    assert got_idx == exp
+
+
+_pts = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=60
+)
+
+
+@PROP
+@given(pts=_pts)
+def test_skyline_matches_reference(spark, pts):
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(
+        map(tuple, skyline(df, "x", "y").select("id", "x", "y").collect())
+    )
+    assert got == _brute_skyline(rows)
