@@ -126,3 +126,47 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+def bfs_distances(edges: DataFrame, source: str, max_iter: int = 10,
+                  directed: bool = True) -> DataFrame:
+    """(node, dist) — shortest hop count from ``source`` to every node
+    reachable within ``max_iter`` hops (unweighted BFS).
+
+    Distribution shape: synchronous frontier expansion — per round ONE
+    equi-join (frontier ⋈ edges on src) and ONE anti-join against the
+    visited set, both keyed on node ids; the frontier frame is
+    re-materialized every round (the lineage-cut discipline shared with
+    pagerank / connected components / BPE), so round k never replays
+    rounds 1..k-1.  The visited set grows monotonically and is the only
+    state; nothing is ever collected to the driver.  Fixed ``max_iter``
+    keeps the result deterministic and oracle-replayable (DuckDB WITH
+    RECURSIVE with the same bound).
+    """
+    if not directed:
+        edges = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    edges = materialize_once(edges.select("src", "dst").distinct(), "bfs_edges")
+
+    visited = materialize_once(
+        edges.sparkSession.createDataFrame([(source, 0)], "node string, dist int"),
+        "bfs_v0",
+    )
+    frontier = visited
+    for it in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(it).alias("dist"))
+        )
+        nxt = materialize_once(nxt, f"bfs_f{it}")
+        if nxt.isEmpty():
+            break
+        visited = materialize_once(
+            visited.unionByName(nxt), f"bfs_v{it}"
+        )
+        frontier = nxt
+    return visited.select("node", F.col("dist").cast("long").alias("dist"))

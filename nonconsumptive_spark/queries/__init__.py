@@ -94,6 +94,7 @@ PRIORITY: tuple[str, ...] = (
     #    driver gate and carry the freshest code)
     "q_phrase_search",
     "q_phrase_search_indexed",
+    "q_bfs_distances",
     "q_skyline_docs",
     "q_burrows_delta",
     "q_seasonal_residuals",

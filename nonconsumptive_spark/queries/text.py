@@ -873,3 +873,43 @@ def q_bpe_fertility(spark, sf_dir):
              + F.lit(0.0)).alias("fertility"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_BFS_SOURCE = "table"
+_BFS_MAX_ITER = 10
+
+
+@register(
+    "q_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_id, token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM (SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+                   unnest({_DUCK_TOKS}) AS token FROM documents)),
+    edges AS (
+      SELECT DISTINCT src, dst FROM pairs WHERE dst IS NOT NULL),
+    bfs(node, dist) AS (
+      SELECT '{_BFS_SOURCE}' AS node, 0 AS dist
+      UNION
+      SELECT e.dst, b.dist + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < {_BFS_MAX_ITER})
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY node
+    """,
+    doc=f"BFS shortest hop distances from token '{_BFS_SOURCE}' over the "
+        f"directed distinct-bigram graph, {_BFS_MAX_ITER}-hop bound — the "
+        "reachability/radius companion to PageRank, triangles and "
+        "connected components.  Spark side is synchronous frontier "
+        "expansion (per round: one frontier-edges equi-join + one "
+        "anti-join against the visited set, lineage cut each round, "
+        "early-exit on empty frontier); the oracle is DuckDB WITH "
+        "RECURSIVE with the same hop bound.",
+)
+def q_bfs_distances(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import bfs_distances, bigram_edges
+
+    edges = bigram_edges(load(spark, sf_dir, "documents"))
+    return bfs_distances(edges, _BFS_SOURCE, max_iter=_BFS_MAX_ITER)

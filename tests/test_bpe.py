@@ -81,3 +81,36 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     ranks = [r.rank for r in pagerank(edges, n_iter=5).collect()]
     # output ranks are rounded to 6 decimals
     assert all(abs(x - 1 / 3) < 1e-6 for x in ranks)
+
+
+def test_bfs_chain_distances_and_unreachable(spark):
+    from nonconsumptive_spark.operators.graph import bfs_distances
+
+    # a -> b -> c -> d chain, disconnected x -> y, and a back-edge d -> a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # x, y unreachable
+
+
+def test_bfs_respects_max_iter_bound(spark):
+    from nonconsumptive_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "src string, dst string"
+    )
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, "n0", max_iter=3).collect()}
+    assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
+
+
+def test_bfs_undirected_mode(spark):
+    from nonconsumptive_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([("a", "b"), ("c", "b")],
+                                  "src string, dst string")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, "a", directed=False).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
