@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "q_phrase_search",
     "q_phrase_search_indexed",
     "q_bfs_distances",
+    "q_degree_assortativity",
     "q_skyline_docs",
     "q_burrows_delta",
     "q_seasonal_residuals",

@@ -913,3 +913,74 @@ def q_bfs_distances(spark, sf_dir):
 
     edges = bigram_edges(load(spark, sf_dir, "documents"))
     return bfs_distances(edges, _BFS_SOURCE, max_iter=_BFS_MAX_ITER)
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the bigram graph: Pearson correlation between
+# src out-degree and dst in-degree across directed distinct edges —
+# "do hub tokens link to hub tokens?".  Degrees are exact integers, the
+# six Pearson moments exact BIGINTs, r one guarded mirrored expression
+# (shared shape with q_spearman_len_tokens's rho).
+_ASSORT_R = (
+    "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0"
+    " THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    "  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    "       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"
+    "  + 0.0"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "q_degree_assortativity",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT doc_id, token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM (SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+                   unnest({_DUCK_TOKS}) AS token FROM documents)),
+    edges AS (SELECT DISTINCT src, dst FROM pairs WHERE dst IS NOT NULL),
+    outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+    ind  AS (SELECT dst, CAST(count(*) AS BIGINT) AS idg FROM edges GROUP BY dst),
+    xy AS (
+      SELECT o.od AS x, i.idg AS y
+      FROM edges e JOIN outd o ON e.src = o.src JOIN ind i ON e.dst = i.dst),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM xy)
+    SELECT n AS n_edges, {_ASSORT_R} AS assortativity FROM mom
+    """,
+    doc="Out-in degree assortativity of the directed distinct-bigram "
+        "graph (Newman 2002 r as a plain Pearson over edge-endpoint "
+        "degrees).  Plan: degree tables are short re-aggs of the edge "
+        "frame, broadcast back onto it; one 1-row moment agg; every "
+        "moment an exact BIGINT.",
+)
+def q_degree_assortativity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.operators.graph import bigram_edges
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    edges = materialize_once(
+        bigram_edges(load(spark, sf_dir, "documents")), "assort_edges")
+    outd = edges.groupBy("src").agg(F.count("*").cast("long").alias("od"))
+    ind = edges.groupBy("dst").agg(F.count("*").cast("long").alias("idg"))
+    xy = (
+        edges.join(F.broadcast(outd), "src")
+        .join(F.broadcast(ind), "dst")
+        .select(F.col("od").alias("x"), F.col("idg").alias("y"))
+    )
+    mom = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return mom.selectExpr("n AS n_edges", f"{_ASSORT_R} AS assortativity")
