@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "q_phrase_search_indexed",
     "q_bfs_distances",
     "q_degree_assortativity",
+    "q_weighted_sample",
     "q_skyline_docs",
     "q_burrows_delta",
     "q_seasonal_residuals",

@@ -2940,3 +2940,72 @@ def q_skyline_docs(spark, sf_dir):
 )
 def q_burrows_delta(spark, sf_dir):
     return ts.burrows_delta(load(spark, sf_dir, "documents"))
+
+
+# Priority sampling (Duffield-Lund-Thorup): weight-proportional sample
+# with per-item estimation weights, fully deterministic and engine-
+# portable — the priority w/u uses only IEEE-exact or correctly-rounded
+# ops (long->double cast, division), so both engines compute bit-equal
+# priorities from the shared md5-derived u.  The estimator weight is
+# max(w, tau) with tau the (k+1)-th priority; sum(est) is an unbiased
+# estimate of total weight over any subset.
+_PRIO_K = 20
+_PRIO_POW2 = float(1 << 60)
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             CAST(n_chars AS DOUBLE)
+             / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) + 1) / {_PRIO_POW2}) AS p
+      FROM documents WHERE n_chars > 0),
+    top1 AS (
+      SELECT doc_id, w, p,
+             row_number() OVER (ORDER BY p DESC, doc_id ASC) AS rk
+      FROM (SELECT * FROM pri ORDER BY p DESC, doc_id ASC
+            LIMIT {_PRIO_K + 1})),
+    tau AS (SELECT min(p) AS tau FROM top1)
+    SELECT doc_id, w AS n_chars,
+           round(greatest(CAST(w AS DOUBLE), tau), 4) + 0.0 AS est_weight
+    FROM top1 CROSS JOIN tau WHERE rk <= {_PRIO_K}
+    """,
+    doc=f"Weight-proportional priority sample of {_PRIO_K} documents "
+        "(weights = n_chars) with Duffield-Lund-Thorup estimation "
+        "weights max(w, tau).  Engine-portable randomness: u derives "
+        "from the md5 of the id, and the priority w/u touches only "
+        "IEEE-correctly-rounded ops, so the sampled SET is bit-agreed.  "
+        "Plan: zero-shuffle priority map, TakeOrdered k+1 cut, 1-row "
+        "tau attach onto a k-row frame.",
+)
+def q_weighted_sample(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from nonconsumptive_spark.operators.dedup import _md5_long
+
+    pri = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("w"),
+            (F.col("n_chars").cast("double")
+             / ((_md5_long(F.col("doc_id").cast("string")) + 1)
+                / F.lit(_PRIO_POW2))).alias("p"),
+        )
+    )
+    top1 = (
+        pri.orderBy(F.desc("p"), F.asc("doc_id")).limit(_PRIO_K + 1)
+        .withColumn("rk", F.row_number().over(
+            Window.orderBy(F.desc("p"), F.asc("doc_id"))))
+    )
+    tau = top1.agg(F.min("p").alias("tau"))
+    return (
+        top1.crossJoin(F.broadcast(tau))
+        .filter(F.col("rk") <= _PRIO_K)
+        .selectExpr("doc_id", "w AS n_chars",
+                    "round(greatest(CAST(w AS DOUBLE), tau), 4) + 0.0"
+                    " AS est_weight")
+    )

@@ -199,3 +199,22 @@ def test_skyline_matches_reference(spark, pts):
         map(tuple, skyline(df, "x", "y").select("id", "x", "y").collect())
     )
     assert got == _brute_skyline(rows)
+
+
+# -- priority sampling -----------------------------------------------------
+def test_weighted_sample_invariants(spark):
+    from nonconsumptive_spark.queries import all_queries
+
+    q = all_queries()["q_weighted_sample"]
+    out = q.spark_fn(spark, SF_SMALL).collect()
+    assert len(out) == 20
+    # estimator weight is max(w, tau) >= w, and deterministic across runs
+    assert all(r["est_weight"] >= r["n_chars"] for r in out)
+    again = q.spark_fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # weight-proportionality sanity: the sampled docs skew long — their
+    # mean length beats the corpus mean
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["n_chars"] for r in out) / len(out)
+    assert sample_mean > corpus_mean
