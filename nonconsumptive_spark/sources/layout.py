@@ -107,3 +107,33 @@ def pruning_stats(spark, path: str, predicate: str) -> dict:
         "rows_total": sum(r["rows"] for r in per_file),
         "rows_matching": sum(r["matching"] for r in per_file),
     }
+
+
+def compact_files(spark, src: str, dst: str, target_rows: int,
+                  order_col: str | None = None) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(n / target_rows)`` files of ~target_rows each — the
+    OPTIMIZE-compaction half of layout maintenance (many tiny files
+    per-task overhead + footer reads dominate scans at scale).
+
+    With ``order_col`` the rewrite is range-partitioned and sorted on it,
+    so compaction PRESERVES (or installs) a clusterable layout instead of
+    destroying min/max locality the way a plain coalesce would.  Returns
+    {files_before, files_after, rows}."""
+    import math
+
+    df = spark.read.parquet(src)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    rows = df.count()  # one scan; drives the file budget
+    n_files = max(1, math.ceil(rows / target_rows))
+    if order_col is not None:
+        out = (df.repartitionByRange(n_files, order_col)
+                 .sortWithinPartitions(order_col))
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    files_after = (
+        spark.read.parquet(dst).select(F.input_file_name()).distinct().count()
+    )
+    return {"files_before": files_before, "files_after": files_after,
+            "rows": rows}

@@ -58,10 +58,13 @@ def test_parity_queries_inside_driver_window():
         f"never-driver-verified queries neither in the window nor queued "
         f"in PRIORITY: {unqueued[:10]}"
     )
-    assert len(backlog) <= 20, (
-        f"{len(backlog)} queries queued past the 50-entry window — more "
-        f"than one round's spillover; stop adding and let the window "
-        f"catch up: {backlog[:10]}"
+    # Bound: the backlog must clear within ONE future window while leaving
+    # at least half of that window (25 slots) for rotation re-verification
+    # of already-green queries — so <= 25 queued, never more.
+    assert len(backlog) <= 25, (
+        f"{len(backlog)} queries queued past the 50-entry window — the "
+        f"next window could not both absorb them and keep rotating; stop "
+        f"adding and let the window catch up: {backlog[:10]}"
     )
     # PRIORITY names must all resolve (no typo'd / stale entries).
     registered = set(names)

@@ -114,3 +114,31 @@ def test_interleave_is_monotone_in_each_dim_at_fixed_other(spark, bits):
     )
     zs = [r["z"] for r in rows]
     assert zs == sorted(zs) and len(set(zs)) == len(zs)
+
+
+def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    from nonconsumptive_spark.sources.layout import compact_files
+
+    ev = spark.read.parquet(f"{SF_MEDIUM}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)  # tiny files
+    dst = str(tmp_path / "compact")
+    stats = compact_files(spark, frag, dst, target_rows=4000,
+                          order_col="user_id")
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 3   # ceil(10000 / 4000)
+    assert stats["rows"] == ev.count()
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    assert (
+        back.select(F.sum(F.hash("event_id", "user_id", "value"))).first()[0]
+        == ev.select(F.sum(F.hash("event_id", "user_id", "value"))).first()[0]
+    )
+    # the ordered rewrite keeps user_id rangeable: every file's span is a
+    # contiguous slice, so most files are skippable for a narrow filter
+    from nonconsumptive_spark.sources.layout import pruning_stats
+
+    st = pruning_stats(spark, dst, "user_id BETWEEN 0 AND 10")
+    assert st["files_skippable"] >= st["n_files"] - 1
