@@ -350,8 +350,9 @@ _Z_BITS = 8
         "predicate on EITHER dimension maps to bounded Z-ranges, so "
         "parquet min/max footers skip files for 2-D box queries, where a "
         "single sort key only ever prunes one dimension).  The code is a "
-        f"pure {_Z_BITS}-bit aggregate-HOF fold — no UDF, zero shuffle, "
-        "whole-stage codegen.",
+        f"flat unrolled {_Z_BITS}-bit shift/mask sum — no UDF, no HOF "
+        "lambda (those evaluate interpreted), zero shuffle, whole-stage "
+        "codegen.",
 )
 def q_zorder_curve(spark, sf_dir):
     from nonconsumptive_spark.sources.layout import interleave_bits

@@ -29,23 +29,19 @@ def interleave_bits(x: Column | str, y: Column | str,
                     bits: int = DEFAULT_BITS) -> Column:
     """Morton code of two non-negative integer columns already quantized
     to ``bits`` bits: bit i of x lands at position 2i, bit i of y at
-    2i+1.  Built-in expressions only (shiftright/shiftleft inside an
-    ``aggregate`` fold), so the whole thing codegens."""
+    2i+1.  ``bits`` is a plan-time constant, so the fold UNROLLS into a
+    flat sum of literal-count shift expressions — higher-order-function
+    lambdas evaluate interpreted per element, while this stays inside
+    whole-stage codegen (and shiftleft/shiftright take literal counts
+    anyway)."""
     x = F.col(x) if isinstance(x, str) else x
     y = F.col(y) if isinstance(y, str) else y
-
-    def bit(c, i):
-        # (c >> i) & 1 — shiftright() demands a literal shift count, so
-        # spell it arithmetically; exact in doubles for bits <= 26
-        return F.floor(c / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2
-
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + (bit(x, i) * F.pow(F.lit(4.0), i.cast("double"))).cast("long")
-        + (bit(y, i) * 2 * F.pow(F.lit(4.0), i.cast("double"))).cast("long"),
-    )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z.cast("long")
 
 
 def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:

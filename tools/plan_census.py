@@ -49,6 +49,7 @@ BNLJ_WHITELIST = {
     "q_source_overlap_matrix",   # #sources^2 spine from the tiny size table
     "q_dsir_weights",            # 1-row totals attach
     "q_seasonal_residuals",      # 1-row residual-moment attach
+    "q_weighted_sample",         # 1-row tau attach onto the k-row cut
     "q_perplexity_buckets",
     "q_nb_lang_confusion",       # #labels-row fan-out + 1-row vocab attach
     "q_psi_drift",               # 1-row edge-array + 10-row bin-spine attach
