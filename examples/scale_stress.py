@@ -68,6 +68,9 @@ QUERIES = [
     "q_gini_tokens",
     "q_zorder_curve",
     "q_seasonal_residuals",
+    "q_bfs_distances",
+    "q_degree_assortativity",
+    "q_weighted_sample",
 ]
 
 

@@ -218,3 +218,17 @@ def test_weighted_sample_invariants(spark):
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     sample_mean = sum(r["n_chars"] for r in out) / len(out)
     assert sample_mean > corpus_mean
+
+
+def test_burrows_delta_invariant_under_corpus_duplication(spark):
+    # relative frequencies are unchanged when every doc appears twice, so
+    # Delta must be bit-identical — the scale-free property of the metric
+    from nonconsumptive_spark.operators.textstats import burrows_delta
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "source", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    one = sorted(map(tuple, burrows_delta(docs).collect()))
+    two = sorted(map(tuple, burrows_delta(doubled).collect()))
+    assert one == two
