@@ -42,6 +42,12 @@ def _ts():
     return textstats
 
 
+def _retrieval():
+    from nonconsumptive_spark.operators import retrieval
+
+    return retrieval
+
+
 def _dedup():
     from nonconsumptive_spark.operators import dedup
 
@@ -157,6 +163,11 @@ class CorpusSession:
             "winnow": lambda: _ts().winnow_fingerprints(
                 docs, id_col="nc:id", text_col=tcol),
             "dedup_flags": lambda: _dedup().exact_dedup(docs, "nc:id", tcol),
+            # positional inverted index (term, nc:id, pos) — index once
+            # through the cache, answer phrase queries many times
+            # (operators/retrieval.phrase_search_indexed)
+            "positional_index": lambda: _retrieval().build_positional_index(
+                docs, id_col="nc:id", text_col=tcol),
         }
 
     @staticmethod

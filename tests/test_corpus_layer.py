@@ -363,3 +363,30 @@ def test_corpus_session_curation_transforms(spark, corpus_dir, tmp_path):
     # lang_id on the English fixture predicts en for the English docs
     preds = {r["nc:id"]: r["pred_lang"] for r in cs.run("lang_id").collect()}
     assert "en" in preds.values()
+
+
+def test_positional_index_transform_answers_phrase_queries(spark, corpus_dir, tmp_path):
+    from nonconsumptive_spark.operators.retrieval import (
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    cs = CorpusSession(
+        spark,
+        texts=str(corpus_dir / "texts"),
+        cache_dir=tmp_path / "cache_pidx",
+        cache_set={"positional_index"},
+    )
+    idx = cs.run("positional_index")
+    assert set(idx.columns) == {"term", "nc:id", "pos"}
+    docs = cs.run("documents")
+    phrase = ["the"]
+    got = sorted(map(tuple,
+                     phrase_search_indexed(idx, phrase, id_col="nc:id").collect()))
+    exp = sorted(map(tuple,
+                     phrase_search(docs, phrase, id_col="nc:id",
+                                   text_col="nc:text").collect()))
+    assert got == exp
+    # cached replay returns the same index
+    again = sorted(map(tuple, cs.run("positional_index").collect()))
+    assert again == sorted(map(tuple, idx.collect()))
