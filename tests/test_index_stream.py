@@ -1,0 +1,64 @@
+"""Streaming positional index: stream==batch phrase results, replay
+guard (duplication hazard), and end-to-end wiring."""
+
+from __future__ import annotations
+
+from nonconsumptive_spark.operators.retrieval import phrase_search
+from nonconsumptive_spark.streaming.indexstream import (
+    live_phrase_search,
+    merge_postings,
+    start_incremental_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+EPOCHS = [
+    [(0, "a table table b"), (1, "no match")],
+    [(2, "table table table")],
+    [(3, "x table y table table z")],
+]
+PHRASE = ["table", "table"]
+
+
+def test_stream_equals_batch_phrase_results(spark, tmp_path):
+    table = str(tmp_path / "idx")
+    for e, rows in enumerate(EPOCHS):
+        assert merge_postings(_docs(spark, rows), table, epoch_id=e) is True
+    union = _docs(spark, [r for rows in EPOCHS for r in rows])
+    assert _rows(live_phrase_search(spark, table, PHRASE)) == _rows(
+        phrase_search(union, PHRASE)
+    )
+
+
+def test_replay_guard_prevents_posting_duplication(spark, tmp_path):
+    table = str(tmp_path / "idx")
+    assert merge_postings(_docs(spark, EPOCHS[0]), table, epoch_id=0) is True
+    before = _rows(live_phrase_search(spark, table, PHRASE))
+    # a replayed epoch must be refused — union-merge would double n_hits
+    assert merge_postings(_docs(spark, EPOCHS[0]), table, epoch_id=0) is False
+    assert _rows(live_phrase_search(spark, table, PHRASE)) == before
+
+
+def test_empty_index_returns_none(spark, tmp_path):
+    assert live_phrase_search(spark, str(tmp_path / "nope"), PHRASE) is None
+
+
+def test_foreachbatch_wiring(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    union = _docs(spark, [r for rows in EPOCHS for r in rows])
+    union.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = start_incremental_index(stream, table, ckpt)
+    q.awaitTermination(120)
+    assert _rows(live_phrase_search(spark, table, PHRASE)) == _rows(
+        phrase_search(union, PHRASE)
+    )
