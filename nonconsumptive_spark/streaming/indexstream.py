@@ -1,53 +1,67 @@
 """Streaming positional-index maintenance: append each micro-batch's
-posting triples (term, doc, pos) to a committed index table, so exact
-phrase retrieval (operators/retrieval.phrase_search_indexed) stays
-answerable while the corpus streams in.
+posting triples (term, doc, pos) as an epoch DELTA, so exact phrase
+retrieval (operators/retrieval.phrase_search_indexed) stays answerable
+while the corpus streams in.
 
-Postings are APPEND-ONLY per document (a document arrives once; its
-postings never change), so the merge is a union — but unlike HLL's max
-or the skyline's dominance pruning, a replayed epoch would DUPLICATE
-postings and corrupt hit counts.  The epoch guard of the
-versioned-commit scheme is therefore load-bearing here (the same
-contract as merge_wordcounts, and the same kill-point replay tests
-apply to the shared machinery).
+Unlike the running wordcount/moment/HLL tables (bounded state, rewritten
+per epoch), the index grows with the corpus — rewriting it per epoch
+would cost O(index) per batch.  This module therefore uses the
+append-only half of the commit scheme: each epoch writes its postings to
+``{table_dir}/epoch={e}`` and only then advances the shared epoch
+marker (streaming/corpus.py), the transaction-log pattern:
 
-State grows with the corpus (it IS the index); at scale the committed
-version is partitioned by term so queries prune to their own terms.
+  * a crash between delta write and marker leaves a half-written
+    directory that readers never see (they union only deltas <= the
+    applied epoch); the replay overwrites it and then commits;
+  * a replayed epoch is refused by the guard — postings are additive,
+    so the guard is load-bearing against hit-count duplication (same
+    contract as merge_wordcounts);
+  * per-epoch cost is O(batch); nothing is ever rewritten or pruned.
+
+At scale each delta is additionally partitioned by term prefix so phrase
+queries prune to their own terms' postings.
 """
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
-from nonconsumptive_spark.streaming.corpus import (
-    _commit_epoch,
-    _prune_versions,
-    _version_dir,
-    applied_epoch,
-    committed_table,
-)
+from nonconsumptive_spark.streaming.corpus import _commit_epoch, applied_epoch
+
+
+def _delta_dir(table_dir: str, epoch_id: int) -> Path:
+    return Path(table_dir) / f"epoch={epoch_id}"
 
 
 def merge_postings(batch_docs: DataFrame, table_dir: str,
                    id_col: str = "doc_id", text_col: str = "text",
                    epoch_id: int = 0) -> bool:
-    """Tokenize one micro-batch of documents and append its postings.
-    Returns False (no-op) when ``epoch_id`` was already applied."""
+    """Tokenize one micro-batch of documents and append its postings as
+    this epoch's delta.  Returns False (no-op) when ``epoch_id`` was
+    already applied."""
     if epoch_id <= applied_epoch(table_dir):
         return False
     from nonconsumptive_spark.operators.retrieval import build_positional_index
 
-    spark = batch_docs.sparkSession
-    incoming = build_positional_index(batch_docs, id_col, text_col)
-    current = committed_table(spark, table_dir)
-    merged = (current.unionByName(incoming)
-              if current is not None else incoming)
-    prev = applied_epoch(table_dir)
-    merged.write.mode("overwrite").parquet(str(_version_dir(table_dir, epoch_id)))
+    postings = build_positional_index(batch_docs, id_col, text_col)
+    postings.write.mode("overwrite").parquet(str(_delta_dir(table_dir, epoch_id)))
     _commit_epoch(table_dir, epoch_id)
-    if prev >= 0:
-        _prune_versions(table_dir, prev)
     return True
+
+
+def committed_index(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """Union of all committed epoch deltas (None before the first
+    commit).  Half-written deltas past the marker are invisible."""
+    applied = applied_epoch(table_dir)
+    if applied < 0:
+        return None
+    deltas = [
+        str(p) for p in Path(table_dir).glob("epoch=*")
+        if p.is_dir() and int(p.name.split("=", 1)[1]) <= applied
+    ]
+    return spark.read.parquet(*sorted(deltas))
 
 
 def start_incremental_index(stream: DataFrame, table_dir: str,
@@ -74,7 +88,7 @@ def live_phrase_search(spark: SparkSession, table_dir: str,
     commit) — identical results to the batch forms over the same docs."""
     from nonconsumptive_spark.operators.retrieval import phrase_search_indexed
 
-    idx = committed_table(spark, table_dir)
+    idx = committed_index(spark, table_dir)
     if idx is None:
         return None
     return phrase_search_indexed(idx, phrase, id_col=id_col)

@@ -62,3 +62,33 @@ def test_foreachbatch_wiring(spark, tmp_path):
     assert _rows(live_phrase_search(spark, table, PHRASE)) == _rows(
         phrase_search(union, PHRASE)
     )
+
+
+def test_half_written_delta_is_invisible_until_committed(spark, tmp_path):
+    from nonconsumptive_spark.streaming.indexstream import (
+        _delta_dir,
+        committed_index,
+    )
+    from nonconsumptive_spark.operators.retrieval import build_positional_index
+
+    table = str(tmp_path / "idx")
+    merge_postings(_docs(spark, EPOCHS[0]), table, epoch_id=0)
+    n0 = committed_index(spark, table).count()
+    # simulate a crash: epoch 1's delta lands on disk but never commits
+    build_positional_index(_docs(spark, EPOCHS[1])).write.mode(
+        "overwrite").parquet(str(_delta_dir(table, 1)))
+    assert committed_index(spark, table).count() == n0
+    # the replayed epoch rewrites the delta and commits; now visible
+    assert merge_postings(_docs(spark, EPOCHS[1]), table, epoch_id=1) is True
+    assert committed_index(spark, table).count() > n0
+
+
+def test_per_epoch_cost_is_delta_only(spark, tmp_path):
+    from nonconsumptive_spark.streaming.indexstream import _delta_dir
+
+    table = str(tmp_path / "idx")
+    for e, rows in enumerate(EPOCHS):
+        merge_postings(_docs(spark, rows), table, epoch_id=e)
+    # every epoch's postings still live in their own untouched delta
+    for e in range(len(EPOCHS)):
+        assert _delta_dir(table, e).is_dir()
