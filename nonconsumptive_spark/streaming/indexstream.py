@@ -37,16 +37,22 @@ def _delta_dir(table_dir: str, epoch_id: int) -> Path:
 
 def merge_postings(batch_docs: DataFrame, table_dir: str,
                    id_col: str = "doc_id", text_col: str = "text",
-                   epoch_id: int = 0) -> bool:
+                   epoch_id: int = 0, partition_by_term: bool = False) -> bool:
     """Tokenize one micro-batch of documents and append its postings as
     this epoch's delta.  Returns False (no-op) when ``epoch_id`` was
-    already applied."""
+    already applied.  ``partition_by_term=True`` writes each delta
+    hive-partitioned on the term, so a phrase query's scan partition-
+    prunes to its own terms' postings — the right layout once postings
+    outgrow a single scan."""
     if epoch_id <= applied_epoch(table_dir):
         return False
     from nonconsumptive_spark.operators.retrieval import build_positional_index
 
     postings = build_positional_index(batch_docs, id_col, text_col)
-    postings.write.mode("overwrite").parquet(str(_delta_dir(table_dir, epoch_id)))
+    writer = postings.write.mode("overwrite")
+    if partition_by_term:
+        writer = writer.partitionBy("term")
+    writer.parquet(str(_delta_dir(table_dir, epoch_id)))
     _commit_epoch(table_dir, epoch_id)
     return True
 
@@ -61,7 +67,14 @@ def committed_index(spark: SparkSession, table_dir: str) -> DataFrame | None:
         str(p) for p in Path(table_dir).glob("epoch=*")
         if p.is_dir() and int(p.name.split("=", 1)[1]) <= applied
     ]
-    return spark.read.parquet(*sorted(deltas))
+    # basePath keeps partition discovery rooted at the table even when
+    # the deltas are themselves term-partitioned; the epoch partition
+    # column it surfaces is bookkeeping, not data
+    return (
+        spark.read.option("basePath", table_dir)
+        .parquet(*sorted(deltas))
+        .drop("epoch")
+    )
 
 
 def start_incremental_index(stream: DataFrame, table_dir: str,

@@ -92,3 +92,20 @@ def test_per_epoch_cost_is_delta_only(spark, tmp_path):
     # every epoch's postings still live in their own untouched delta
     for e in range(len(EPOCHS)):
         assert _delta_dir(table, e).is_dir()
+
+
+def test_term_partitioned_deltas_prune_and_answer_identically(spark, tmp_path):
+    table = str(tmp_path / "idx")
+    for e, rows in enumerate(EPOCHS):
+        assert merge_postings(_docs(spark, rows), table, epoch_id=e,
+                              partition_by_term=True) is True
+    union = _docs(spark, [r for rows in EPOCHS for r in rows])
+    assert _rows(live_phrase_search(spark, table, PHRASE)) == _rows(
+        phrase_search(union, PHRASE)
+    )
+    # the term filter reaches the scan as a PartitionFilter
+    from nonconsumptive_spark.streaming.indexstream import committed_index
+
+    idx = committed_index(spark, table).filter("term = 'table'")
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(term" in plan
