@@ -72,6 +72,46 @@ def fake_decode(content: bytes, kind: str) -> dict:
     )
 
 
+def stdlib_decode(content: bytes, kind: str) -> dict:
+    """REAL decoder for formats parseable with the standard library alone
+    — no PIL/ffmpeg needed for container headers:
+
+      * PNG  — width/height from the IHDR chunk (big-endian u32 at 16/20)
+      * GIF  — logical screen size (little-endian u16 at 6/8)
+      * BMP  — BITMAPINFOHEADER dims (little-endian i32 at 18/22)
+      * WAV  — frame count via the stdlib ``wave`` module (mapped onto
+        ``n_frames``; sample width/rate validate the container)
+
+    Falls back to the synthetic ``fake_decode`` format so mixed corpora
+    decode uniformly; anything else raises like ``fake_decode`` does.
+    Pixel/PCM *content* decode beyond headers still needs a media
+    library — this covers the metadata layer for real files."""
+    import struct
+
+    try:
+        if kind == "image":
+            if content[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h = struct.unpack(">II", content[16:24])
+                return {"width": int(w), "height": int(h), "n_frames": None}
+            if content[:6] in (b"GIF87a", b"GIF89a"):
+                w, h = struct.unpack("<HH", content[6:10])
+                return {"width": int(w), "height": int(h), "n_frames": None}
+            if content[:2] == b"BM":
+                w, h = struct.unpack("<ii", content[18:26])
+                return {"width": int(w), "height": abs(int(h)),
+                        "n_frames": None}
+        if kind == "audio" and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(content)) as wf:
+                return {"width": None, "height": None,
+                        "n_frames": int(wf.getnframes())}
+    except (struct.error, EOFError, ValueError):
+        pass
+    return fake_decode(content, kind)
+
+
 def extract_media_features(
     media: DataFrame,
     decode_fn: Callable[[bytes, str], dict] = fake_decode,

@@ -109,3 +109,45 @@ def test_audio_window_energy_matches_numpy(spark):
         chunk = x[f * 1024:(f + 1) * 1024]
         expect = int(round(float(np.sqrt(np.mean(chunk * chunk))) * 10_000))
         assert got[f]["rms_q"] == expect
+
+
+def test_stdlib_decode_handles_real_container_formats(spark):
+    """PNG/GIF/BMP/WAV built with the standard library alone decode for
+    real through the same mapInPandas pipeline as the synthetic format —
+    the metadata layer needs no media library."""
+    import io
+    import struct
+    import wave
+
+    from nonconsumptive_spark.operators.multimodal import (
+        extract_media_features,
+        stdlib_decode,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x01" * 1234)
+    rows = [
+        (1, "image", "image/png", bytearray(png)),
+        (2, "image", "image/gif", bytearray(gif)),
+        (3, "image", "image/bmp", bytearray(bmp)),
+        (4, "audio", "audio/wav", bytearray(buf.getvalue())),
+        (5, "image", "image/x-nc", bytearray(b"NCIM|32|16|x")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, content binary")
+    got = {r["media_id"]: (r["width"], r["height"], r["n_frames"])
+           for r in extract_media_features(
+               media, decode_fn=stdlib_decode).collect()}
+    assert got[1] == (640, 480, None)
+    assert got[2] == (320, 200, None)
+    assert got[3] == (100, 50, None)   # bottom-up BMP: |height|
+    assert got[4] == (None, None, 1234)
+    assert got[5] == (32, 16, None)    # synthetic fallback still works
