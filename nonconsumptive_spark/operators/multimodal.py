@@ -100,6 +100,21 @@ def stdlib_decode(content: bytes, kind: str) -> dict:
                 w, h = struct.unpack("<ii", content[18:26])
                 return {"width": int(w), "height": abs(int(h)),
                         "n_frames": None}
+            if content[:2] == b"\xff\xd8":  # JPEG: scan for an SOF marker
+                i = 2
+                while i + 9 < len(content):
+                    if content[i] != 0xFF:
+                        break
+                    marker = content[i + 1]
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2
+                        continue
+                    seg_len = struct.unpack(">H", content[i + 2:i + 4])[0]
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        h, w = struct.unpack(">HH", content[i + 5:i + 9])
+                        return {"width": int(w), "height": int(h),
+                                "n_frames": None}
+                    i += 2 + seg_len
         if kind == "audio" and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             import io
             import wave
@@ -154,6 +169,42 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def resize_bmp_nearest(content: bytes, dst_w: int, dst_h: int) -> bytes:
+    """REAL nearest-neighbor resample of an uncompressed 24-bit BMP using
+    numpy only — the one common raster format whose pixels are readable
+    without an image library.  Preserves top-down/bottom-up orientation
+    and 4-byte row padding; raises NotImplementedError for compressed or
+    non-24-bit payloads (those genuinely need a media library)."""
+    import struct
+
+    import numpy as np
+
+    off = struct.unpack("<I", content[10:14])[0]
+    w, h = struct.unpack("<ii", content[18:26])
+    bpp = struct.unpack("<H", content[28:30])[0]
+    comp = struct.unpack("<I", content[30:34])[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP resamples "
+                                  "without an image library")
+    hh = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    arr = (np.frombuffer(content, dtype=np.uint8, count=stride * hh,
+                         offset=off)
+           .reshape(hh, stride)[:, :w * 3].reshape(hh, w, 3))
+    ys = (np.arange(dst_h) * hh) // dst_h
+    xs = (np.arange(dst_w) * w) // dst_w
+    out = arr[ys][:, xs]
+    dstride = (dst_w * 3 + 3) // 4 * 4
+    rows = np.zeros((dst_h, dstride), dtype=np.uint8)
+    rows[:, :dst_w * 3] = out.reshape(dst_h, dst_w * 3)
+    header = bytearray(content[:off])
+    struct.pack_into("<i", header, 18, dst_w)
+    struct.pack_into("<i", header, 22, dst_h if h > 0 else -dst_h)
+    struct.pack_into("<I", header, 34, dstride * dst_h)
+    struct.pack_into("<I", header, 2, off + dstride * dst_h)
+    return bytes(header) + rows.tobytes()
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -180,6 +231,14 @@ def resize_images(media: DataFrame, max_side: int = 256,
     identical to a PIL-backed implementation.  Swap ``decode_fn`` plus
     the payload line for Pillow and nothing else changes."""
 
+    def _resample(content: bytes, dw: int, dh: int) -> bytes:
+        if content[:2] == b"BM":
+            try:
+                return resize_bmp_nearest(content, dw, dh)
+            except NotImplementedError:
+                pass
+        return f"NCIM|{dw}|{dh}|resized".encode()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -201,8 +260,9 @@ def resize_images(media: DataFrame, max_side: int = 256,
                     # floor(x + 0.5): explicit half-up, portable across
                     # engines (Python round() is half-even, SQL's is not)
                     "scale_pct": int(100.0 * dw / w + 0.5),
-                    # stub resample: re-serialize the header at new dims
-                    "content": f"NCIM|{dw}|{dh}|resized".encode(),
+                    # REAL resample for uncompressed 24-bit BMP
+                    # (numpy-only); synthetic/stub payload otherwise
+                    "content": _resample(content, dw, dh),
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 

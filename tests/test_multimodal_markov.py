@@ -151,3 +151,54 @@ def test_stdlib_decode_handles_real_container_formats(spark):
     assert got[3] == (100, 50, None)   # bottom-up BMP: |height|
     assert got[4] == (None, None, 1234)
     assert got[5] == (32, 16, None)    # synthetic fallback still works
+
+
+def test_resize_images_really_resamples_bmp_pixels(spark):
+    """For uncompressed 24-bit BMP the resize pass produces a genuinely
+    resampled payload (numpy nearest-neighbor), not a stub header — the
+    output re-decodes with the new dims and carries real pixels."""
+    import struct
+
+    from nonconsumptive_spark.operators.multimodal import (
+        resize_images,
+        stdlib_decode,
+    )
+
+    def make_bmp(w, h, rows_bottom_up):
+        stride = (w * 3 + 3) // 4 * 4
+        body = bytearray()
+        for row in rows_bottom_up:
+            r = bytearray()
+            for px in row:
+                r += bytes(px)
+            r += b"\x00" * (stride - len(r))
+            body += r
+        header = bytearray(54)
+        header[0:2] = b"BM"
+        struct.pack_into("<I", header, 2, 54 + len(body))
+        struct.pack_into("<I", header, 10, 54)
+        struct.pack_into("<I", header, 14, 40)
+        struct.pack_into("<i", header, 18, w)
+        struct.pack_into("<i", header, 22, h)
+        struct.pack_into("<H", header, 26, 1)
+        struct.pack_into("<H", header, 28, 24)
+        return bytes(header) + bytes(body)
+
+    # 4x2, left half red, right half green (both storage rows identical)
+    row = [(0, 0, 255)] * 2 + [(0, 255, 0)] * 2   # BGR byte order
+    bmp = make_bmp(4, 2, [row, row])
+    media = spark.createDataFrame(
+        [(1, "image", "image/bmp", bytearray(bmp))],
+        "media_id long, kind string, mime string, content binary")
+    out = resize_images(media, max_side=2, decode_fn=stdlib_decode).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_width"], r["src_height"]) == (4, 2)
+    assert (r["dst_width"], r["dst_height"]) == (2, 1)
+    payload = bytes(r["content"])
+    meta = stdlib_decode(payload, "image")
+    assert (meta["width"], meta["height"]) == (2, 1)
+    off = struct.unpack("<I", payload[10:14])[0]
+    # nearest-neighbor at half scale: one red, one green pixel survive
+    assert payload[off:off + 3] == b"\x00\x00\xff"
+    assert payload[off + 3:off + 6] == b"\x00\xff\x00"
