@@ -295,14 +295,33 @@ def audio_window_energy(media: DataFrame, frame_len: int = 1024,
     quantized so downstream comparisons are integer-exact."""
     import numpy as np
 
+    def _pcm_of(content: bytes) -> "np.ndarray":
+        # REAL WAV path: stdlib wave -> int16 (or int8) PCM, normalized
+        # to [-1, 1); synthetic payloads fall back to raw int8 after the
+        # fixed header offset
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(content)) as wf:
+                raw = wf.readframes(wf.getnframes())
+                width = wf.getsampwidth()
+            if width == 2:
+                return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            if width == 1:  # WAV 8-bit is UNsigned
+                return (np.frombuffer(raw, dtype=np.uint8)
+                        .astype(np.float64) - 128.0) / 128.0
+            raise NotImplementedError("only 8/16-bit PCM WAV")
+        return (np.frombuffer(content[payload_offset:], dtype=np.int8)
+                .astype(np.float64) / 128.0)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                payload = bytes(row["content"])[payload_offset:]
-                pcm = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+                pcm = _pcm_of(bytes(row["content"]))
                 for i in range(0, len(pcm), frame_len):
-                    chunk = pcm[i:i + frame_len] / 128.0
+                    chunk = pcm[i:i + frame_len]
                     if len(chunk) == 0:
                         continue
                     rms = float(np.sqrt(np.mean(chunk * chunk)))

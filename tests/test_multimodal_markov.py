@@ -202,3 +202,30 @@ def test_resize_images_really_resamples_bmp_pixels(spark):
     # nearest-neighbor at half scale: one red, one green pixel survive
     assert payload[off:off + 3] == b"\x00\x00\xff"
     assert payload[off + 3:off + 6] == b"\x00\xff\x00"
+
+
+def test_audio_energy_decodes_real_wav_pcm(spark):
+    """A genuine 16-bit WAV built with the stdlib wave module goes through
+    the energy kernel for real: a constant-amplitude half-scale square
+    wave has RMS exactly 0.5 (5000 in 1e-4 units)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from nonconsumptive_spark.operators.multimodal import audio_window_energy
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        samples = np.tile(np.array([16384, -16384], dtype="<i2"), 1024)
+        wf.writeframes(samples.tobytes())
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(buf.getvalue()))],
+        "media_id long, kind string, mime string, content binary")
+    rows = audio_window_energy(media, frame_len=1024).collect()
+    assert len(rows) == 2  # 2048 samples / 1024 per frame
+    assert all(r["rms_q"] == 5000 for r in rows)
+    assert all(r["n_samples"] == 1024 for r in rows)
