@@ -145,6 +145,7 @@ def read_catalog(spark: SparkSession, path: str, fmt: str | None = None) -> Data
         else "csv" if p.endswith((".csv", ".csv.gz", ".tsv", ".tsv.gz"))
         else "parquet" if p.endswith(".parquet")
         else "feather" if p.endswith(".feather")
+        else "orc" if p.endswith(".orc")
         else None
     )
     if fmt == "ndjson":
@@ -157,6 +158,9 @@ def read_catalog(spark: SparkSession, path: str, fmt: str | None = None) -> Data
         return spark.read.option("mergeSchema", "true").parquet(path)
     if fmt == "feather":
         return read_feather_catalog(spark, path)
+    if fmt == "orc":
+        # Spark-native columnar alternative; same mergeSchema tolerance
+        return spark.read.option("mergeSchema", "true").orc(path)
     raise ValueError(f"cannot sniff catalog format for {path}")
 
 

@@ -390,3 +390,14 @@ def test_positional_index_transform_answers_phrase_queries(spark, corpus_dir, tm
     # cached replay returns the same index
     again = sorted(map(tuple, cs.run("positional_index").collect()))
     assert again == sorted(map(tuple, idx.collect()))
+
+
+def test_orc_catalog_roundtrip(spark, tmp_path):
+    from nonconsumptive_spark.sources import readers
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 3.5), (2, "beta", None)], "id long, name string, score double")
+    path = str(tmp_path / "cat.orc")
+    df.write.mode("overwrite").orc(path)
+    back = readers.read_catalog(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
