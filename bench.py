@@ -99,6 +99,10 @@ EXTRA = {
     "q_zorder_curve": _registry("q_zorder_curve"),
     "q_seasonal_residuals": _registry("q_seasonal_residuals"),
     "q_gini_tokens": _registry("q_gini_tokens"),
+    # round-4g additions
+    "q_bfs_distances": _registry("q_bfs_distances"),
+    "q_degree_assortativity": _registry("q_degree_assortativity"),
+    "q_weighted_sample": _registry("q_weighted_sample"),
 }
 
 
