@@ -10,8 +10,8 @@ Morton code so that a range predicate on EITHER dimension maps to a
 bounded set of Z-ranges — parquet footer min/max stats then skip most
 files for 2-D box queries.
 
-Spark-first shape: the Z-value is a pure Catalyst expression (one
-``aggregate`` HOF over ``sequence`` — no UDF, stays inside whole-stage
+Spark-first shape: the Z-value is a pure Catalyst expression (a flat
+unrolled shift/mask sum — no UDF, no HOF lambda, stays inside whole-stage
 codegen), quantization bounds come from a broadcast 1-row agg, and the
 layout itself is ``repartitionByRange(z)`` + per-file sort, i.e. one
 range-exchange at write time buys every later scan its pruning.
@@ -133,3 +133,42 @@ def compact_files(spark, src: str, dst: str, target_rows: int,
     )
     return {"files_before": files_before, "files_after": files_after,
             "rows": rows}
+
+
+def footer_stats(path: str, col: str) -> list[dict]:
+    """Per-file parquet footer min/max for ``col`` — read driver-side from
+    the metadata via pyarrow, NO data scan.  This is the same statistic
+    Spark's reader consults for row-group skipping, so it measures
+    skippability the way the engine actually decides it (pruning_stats
+    measures it by scanning, which is only an upper bound argument)."""
+    from pathlib import Path as _P
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(_P(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                column = md.row_group(rg).column(ci)
+                if column.path_in_schema != col or column.statistics is None:
+                    continue
+                st = column.statistics
+                if st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        out.append({"file": f.name, "min": lo, "max": hi,
+                    "rows": md.num_rows})
+    return out
+
+
+def files_skipped_for_range(path: str, col: str, lo, hi) -> dict:
+    """How many files a [lo, hi] range predicate skips on footer stats
+    alone (a file is skipped when its [min, max] misses the range)."""
+    stats = footer_stats(path, col)
+    skipped = sum(
+        1 for s in stats
+        if s["min"] is not None and (s["max"] < lo or s["min"] > hi)
+    )
+    return {"n_files": len(stats), "files_skipped": skipped}

@@ -142,3 +142,22 @@ def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
 
     st = pruning_stats(spark, dst, "user_id BETWEEN 0 AND 10")
     assert st["files_skippable"] >= st["n_files"] - 1
+
+
+def test_footer_stats_agree_with_scan_based_pruning(spark, tmp_path):
+    """The pyarrow footer min/max (what the engine consults) and the
+    scan-based pruning_stats (ground truth) must agree on skippability
+    for the Z-ordered layout."""
+    from nonconsumptive_spark.sources.layout import files_skipped_for_range
+
+    ev = spark.read.parquet(f"{SF_MEDIUM}/events.parquet").select(
+        "event_id", "user_id", "value")
+    zpath = str(tmp_path / "z")
+    zorder_write(ev, zpath, "user_id", "value", bits=8, n_files=16)
+
+    foot = files_skipped_for_range(zpath, "user_id", 10, 25)
+    scan = pruning_stats(spark, zpath, "user_id BETWEEN 10 AND 25")
+    assert foot["n_files"] == scan["n_files"] == 16
+    # footer-based skipping can never overclaim what a scan shows, and
+    # on a freshly sorted write it should match exactly
+    assert foot["files_skipped"] == scan["files_skippable"]
