@@ -203,3 +203,22 @@ def all_queries() -> dict[str, Query]:
         if name not in ordered:
             ordered[name] = q
     return ordered
+
+
+TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = TABLES) -> None:
+    """Register every test table as a temp view (through ``load``, so the
+    events nano-timestamp fix and the split fan-out apply) — the raw
+    ``spark.sql`` entry point for ad-hoc queries over the same data the
+    registry runs on."""
+    from pathlib import Path
+
+    for t in tables:
+        if Path(f"{sf_dir}/{t}.parquet").exists():
+            load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -70,3 +70,18 @@ def test_parity_queries_inside_driver_window():
     registered = set(names)
     stale = [n for n in PRIORITY if n not in registered]
     assert not stale, f"PRIORITY entries not in registry: {stale}"
+
+
+def test_register_views_enables_raw_sql(spark):
+    from nonconsumptive_spark.queries import register_views
+    from tests.conftest import SF_SMALL
+
+    register_views(spark, SF_SMALL)
+    n = spark.sql("SELECT count(*) AS n FROM documents").first()["n"]
+    assert n == spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    joined = spark.sql("""
+        SELECT r_name, count(*) AS n
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """).collect()
+    assert len(joined) == 5
