@@ -16,10 +16,12 @@ marker (streaming/corpus.py), the transaction-log pattern:
   * a replayed epoch is refused by the guard — postings are additive,
     so the guard is load-bearing against hit-count duplication (same
     contract as merge_wordcounts);
-  * per-epoch cost is O(batch); nothing is ever rewritten or pruned.
+  * per-epoch cost is O(batch); deltas are only ever rewritten by the
+    explicit ``optimize_index`` maintenance pass, which compacts them
+    into a single crash-safe base (tmp-write -> atomic rename -> prune).
 
-At scale each delta is additionally partitioned by term prefix so phrase
-queries prune to their own terms' postings.
+With ``partition_by_term`` each delta is hive-partitioned on the term so
+phrase queries prune to their own terms' postings.
 """
 
 from __future__ import annotations
@@ -63,18 +65,23 @@ def committed_index(spark: SparkSession, table_dir: str) -> DataFrame | None:
     applied = applied_epoch(table_dir)
     if applied < 0:
         return None
-    deltas = [
-        str(p) for p in Path(table_dir).glob("epoch=*")
-        if p.is_dir() and int(p.name.split("=", 1)[1]) <= applied
+    base = _base_epoch(table_dir)
+    roots = [
+        p for p in Path(table_dir).glob("epoch=*")
+        if p.is_dir() and base < int(p.name.split("=", 1)[1]) <= applied
     ]
-    # basePath keeps partition discovery rooted at the table even when
-    # the deltas are themselves term-partitioned; the epoch partition
-    # column it surfaces is bookkeeping, not data
-    return (
-        spark.read.option("basePath", table_dir)
-        .parquet(*sorted(deltas))
-        .drop("epoch")
-    )
+    if base >= 0:
+        roots.append(Path(table_dir) / f"base={base}")
+    # each root is read ALONE so partition discovery stays inside it
+    # (term=... subdirs resolve to the term column; mixing base=/epoch=
+    # roots in one read would conflict) and unioned BY NAME (partition
+    # columns come back last).  Compaction (optimize_index) bounds the
+    # number of roots, so the union stays plan-sized.
+    frames = [spark.read.parquet(str(r)) for r in sorted(roots)]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def start_incremental_index(stream: DataFrame, table_dir: str,
@@ -105,3 +112,45 @@ def live_phrase_search(spark: SparkSession, table_dir: str,
     if idx is None:
         return None
     return phrase_search_indexed(idx, phrase, id_col=id_col)
+
+
+def _base_epoch(table_dir: str) -> int:
+    """Highest committed base compaction (-1 if none)."""
+    bases = [
+        int(p.name.split("=", 1)[1]) for p in Path(table_dir).glob("base=*")
+        if p.is_dir() and p.name.split("=", 1)[1].isdigit()
+    ]
+    return max(bases, default=-1)
+
+
+def optimize_index(spark: SparkSession, table_dir: str,
+                   n_files: int = 8) -> bool:
+    """Compact every committed delta into one base — the maintenance half
+    of the delta layout (each epoch adds a directory; after thousands of
+    epochs the union scan pays per-delta open cost).  Crash-safe:
+
+      1. write the union to ``base={applied}.tmp`` (invisible);
+      2. atomic rename to ``base={applied}`` — the commit point;
+      3. delete superseded deltas and older bases — a crash mid-delete
+         leaves garbage that readers already ignore (``committed_index``
+         reads only epochs ABOVE the newest base).
+
+    Returns False when there is nothing to compact."""
+    import shutil
+
+    applied = applied_epoch(table_dir)
+    base = _base_epoch(table_dir)
+    if applied < 0 or applied <= base:
+        return False
+    idx = committed_index(spark, table_dir)
+    tmp = Path(table_dir) / f"base={applied}.tmp"
+    final = Path(table_dir) / f"base={applied}"
+    idx.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
+    tmp.rename(final)                      # commit point (atomic)
+    for p in Path(table_dir).glob("epoch=*"):
+        if p.is_dir() and int(p.name.split("=", 1)[1]) <= applied:
+            shutil.rmtree(p, ignore_errors=True)
+    for p in Path(table_dir).glob("base=*"):
+        if p.is_dir() and int(p.name.split("=", 1)[1]) < applied:
+            shutil.rmtree(p, ignore_errors=True)
+    return True

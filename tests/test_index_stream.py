@@ -109,3 +109,57 @@ def test_term_partitioned_deltas_prune_and_answer_identically(spark, tmp_path):
     idx = committed_index(spark, table).filter("term = 'table'")
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(term" in plan
+
+
+def test_optimize_index_compacts_and_preserves_results(spark, tmp_path):
+    from nonconsumptive_spark.streaming.indexstream import (
+        _base_epoch,
+        _delta_dir,
+        optimize_index,
+    )
+
+    table = str(tmp_path / "idx")
+    for e, rows in enumerate(EPOCHS):
+        merge_postings(_docs(spark, rows), table, epoch_id=e)
+    before = _rows(live_phrase_search(spark, table, PHRASE))
+    assert optimize_index(spark, table) is True
+    # deltas gone, one base remains, results identical
+    assert _base_epoch(table) == len(EPOCHS) - 1
+    assert not any(_delta_dir(table, e).is_dir() for e in range(len(EPOCHS)))
+    assert _rows(live_phrase_search(spark, table, PHRASE)) == before
+    # nothing further to compact
+    assert optimize_index(spark, table) is False
+    # new epochs after compaction merge on top of the base
+    extra = [(9, "table table here")]
+    assert merge_postings(_docs(spark, extra), table,
+                          epoch_id=len(EPOCHS)) is True
+    union = _docs(spark, [r for rows in EPOCHS for r in rows] + extra)
+    assert _rows(live_phrase_search(spark, table, PHRASE)) == _rows(
+        phrase_search(union, PHRASE))
+
+
+def test_optimize_crash_between_rename_and_delete_is_safe(spark, tmp_path):
+    import shutil
+
+    from nonconsumptive_spark.streaming.indexstream import (
+        _delta_dir,
+        committed_index,
+        optimize_index,
+    )
+
+    table = str(tmp_path / "idx")
+    for e, rows in enumerate(EPOCHS):
+        merge_postings(_docs(spark, rows), table, epoch_id=e)
+    n = committed_index(spark, table).count()
+    # simulate the crash: base committed but superseded deltas linger
+    # (copy deltas aside, optimize, restore the stale dirs)
+    aside = []
+    for e in range(len(EPOCHS)):
+        d = _delta_dir(table, e)
+        shutil.copytree(d, str(tmp_path / f"aside{e}"))
+        aside.append((str(tmp_path / f"aside{e}"), str(d)))
+    assert optimize_index(spark, table) is True
+    for src, dst in aside:
+        shutil.copytree(src, dst)
+    # readers ignore deltas at or below the base — no double counting
+    assert committed_index(spark, table).count() == n
