@@ -214,3 +214,73 @@ def phrase_search_indexed(postings: DataFrame, phrase: list[str],
         F.count("*").cast("long").alias("n_hits"),
         F.min("anchor").cast("int").alias("first_pos"),
     )
+
+
+def min_span_proximity(docs: DataFrame, terms: list[str],
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Minimal window span containing ALL ``terms`` per document — the
+    classic proximity-ranking primitive (smaller span = tighter topical
+    association; span == k means the terms are adjacent in some order).
+
+    In-row algorithm (zero shuffle, O(doc length) per row): the matching
+    (pos, slot) pairs stream in position order through one ``aggregate``
+    fold whose accumulator tracks the last-seen position per term slot
+    and the best span so far — the standard sweep, with the k-field
+    accumulator unrolled at plan time (k is a constant).  Only documents
+    containing every term emit a row: (id, span, n_matches).
+    """
+    seen = set()
+    uniq = [t for t in terms if not (t in seen or seen.add(t))]
+    if not uniq:
+        raise ValueError("terms must be non-empty")
+    k = len(uniq)
+
+    def slot_of(tok):
+        out = F.lit(-1)
+        for i, t in enumerate(uniq):
+            out = F.when(tok == F.lit(t), F.lit(i)).otherwise(out)
+        return out
+
+    def matches(toks):
+        return F.filter(
+            F.transform(
+                toks,
+                lambda tok, i: F.struct((i + 1).alias("pos"),
+                                        slot_of(tok).alias("slot")),
+            ),
+            lambda s: s["slot"] >= 0,
+        )
+
+    init = F.struct(
+        *[F.lit(0).alias(f"l{i}") for i in range(k)],
+        F.lit(2147483647).alias("best"),
+    )
+
+    def step(acc, x):
+        lasts = [
+            F.when(x["slot"] == i, x["pos"]).otherwise(acc[f"l{i}"])
+            for i in range(k)
+        ]
+        all_set = F.least(*lasts) > 0 if k > 1 else lasts[0] > 0
+        span = x["pos"] - (F.least(*lasts) if k > 1 else lasts[0]) + 1
+        best = F.when(all_set, F.least(acc["best"], span)).otherwise(acc["best"])
+        return F.struct(*[c.alias(f"l{i}") for i, c in enumerate(lasts)],
+                        best.alias("best"))
+
+    folded = docs.select(
+        id_col,
+        let(
+            tokenize(F.col(text_col)),
+            lambda toks: F.aggregate(matches(toks), init, step),
+        ).alias("_a"),
+        let(tokenize(F.col(text_col)),
+            lambda toks: F.size(F.filter(toks, lambda t: slot_of(t) >= 0))
+            ).alias("n_matches"),
+    )
+    return (
+        folded.filter(F.col("_a.best") < 2147483647)
+        .select(id_col,
+                F.col("_a.best").cast("int").alias("span"),
+                F.col("n_matches").cast("long").alias("n_matches"))
+    )

@@ -232,3 +232,61 @@ def test_burrows_delta_invariant_under_corpus_duplication(spark):
     one = sorted(map(tuple, burrows_delta(docs).collect()))
     two = sorted(map(tuple, burrows_delta(doubled).collect()))
     assert one == two
+
+
+# -- min-span proximity ----------------------------------------------------
+def _minspan_ref(toks, terms):
+    """Brute force: smallest window [i, j] containing every term."""
+    best = None
+    for i in range(len(toks)):
+        need = set(terms)
+        for j in range(i, len(toks)):
+            need.discard(toks[j])
+            if not need:
+                w = j - i + 1
+                best = w if best is None else min(best, w)
+                break
+    return best
+
+
+def test_min_span_proximity_brute_force_cases(spark):
+    from nonconsumptive_spark.operators.retrieval import min_span_proximity
+
+    rows = [
+        (1, "a b c x x x table y scan"),
+        (2, "scan q table"),
+        (3, "table scan"),
+        (4, "table only here"),
+        (5, "scan z z z z table z scan"),
+        (6, ""),
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["table", "scan"]
+    got = {r["doc_id"]: r["span"]
+           for r in min_span_proximity(docs, terms).collect()}
+    exp = {}
+    for i, t in rows:
+        span = _minspan_ref((t or "").split(), terms)
+        if span is not None:
+            exp[i] = span
+    assert got == exp
+
+
+@PROP
+@given(docs=_docs, terms=st.lists(_tok, min_size=1, max_size=3, unique=True))
+def test_min_span_matches_reference(spark, docs, terms):
+    from nonconsumptive_spark.operators.retrieval import min_span_proximity
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["span"]
+           for r in min_span_proximity(df, terms).collect()}
+    exp = {}
+    for i, toks in enumerate(docs):
+        span = _minspan_ref(toks, terms)
+        if span is not None:
+            exp[i] = span
+    assert got == exp
