@@ -802,3 +802,59 @@ def hll_register_sums(spark, regs: DataFrame) -> DataFrame:
 def _md5_expr(col_name: str) -> str:
     """The _md5_long arithmetic as a SQL fragment (for expr() reuse)."""
     return f"CAST(conv(substring(md5({col_name}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hll_registers_grouped(df: DataFrame, group_col: str,
+                          value_col: str) -> DataFrame:
+    """Per-group sparse HLL registers (grp, j, mr) — the grouped form of
+    ``hll_registers`` ("distinct users per event type" at sketch cost).
+    Registers stay mergeable per group (max-fold), so grouped sketches
+    from shards/epochs union + max-group exactly like the global one."""
+    from nonconsumptive_spark.operators.dedup import _md5_long
+
+    v = F.col(value_col).cast("string")
+    h = _md5_long(v)
+    expr_v = f"CAST(conv(substring(md5(CAST({value_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    rr = df.select(
+        F.col(group_col).alias("grp"),
+        (h % HLL_M).alias("j"),
+        F.when(F.expr(f"{expr_v} div {HLL_M}") == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(F.expr(f"{expr_v} div {HLL_M}"))))
+        .cast("int").alias("rank"),
+    )
+    return rr.groupBy("grp", "j").agg(F.max("rank").alias("mr"))
+
+
+def hll_estimate_by_group(df: DataFrame, group_col: str,
+                          value_col: str) -> DataFrame:
+    """(grp, n_exact, estimate, rel_err): per-group HLL cardinality with
+    the exact audit alongside.  Plan: one (grp, j) register agg (map-side
+    combined, ≤ groups x 256 rows shuffle), a groups x 256 spine join,
+    one group agg — the exact count_distinct exists only as the
+    self-evaluation."""
+    regs = hll_registers_grouped(df, group_col, value_col)
+    groups = regs.select("grp").distinct()
+    spark = df.sparkSession
+    spine = (
+        groups.crossJoin(
+            F.broadcast(spark.range(HLL_M)
+                        .select(F.col("id").cast("long").alias("j"))))
+    )
+    full = (
+        spine.join(regs, ["grp", "j"], "left")
+        .select("grp", F.coalesce("mr", F.lit(0)).alias("m_j"))
+    )
+    sums = full.groupBy("grp").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - m_j)"))
+        .cast("long").alias("s"),
+        F.sum((F.col("m_j") == 0).cast("long")).cast("long").alias("v"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(value_col).cast("long").alias("n_exact"))
+    return (
+        sums.join(exact, "grp")
+        .selectExpr(
+            "grp", "n_exact", f"{HLL_EST_SQL} AS estimate",
+            f"round(abs(({HLL_EST_SQL}) - n_exact)"
+            " / greatest(n_exact, 1), 4) AS rel_err")
+    )

@@ -98,3 +98,29 @@ def test_estimate_close_to_truth(spark, tmp_path):
         merge_hll_registers(_regs_of(docs), table, epoch_id=e)
     est = hll_estimate(spark, table).collect()[0]["estimate"]
     assert abs(est - 200) / 200 < 0.2
+
+
+def test_grouped_hll_per_group_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.operators.wordcount import (
+        hll_estimate_by_group,
+        hll_registers_grouped,
+    )
+
+    rows = [(g, v) for g in ("a", "b") for v in range(200 if g == "a" else 37)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    out = {r["grp"]: r for r in hll_estimate_by_group(df, "grp", "val").collect()}
+    assert out["a"]["n_exact"] == 200 and out["b"]["n_exact"] == 37
+    # 256 registers: well under 10% at these cardinalities
+    assert out["a"]["rel_err"] < 0.1 and out["b"]["rel_err"] < 0.1
+
+    # mergeability: shard registers union+max to the full registers
+    h1, h2 = df.filter("val % 2 = 0"), df.filter("val % 2 = 1")
+    merged = (
+        hll_registers_grouped(h1, "grp", "val")
+        .unionByName(hll_registers_grouped(h2, "grp", "val"))
+        .groupBy("grp", "j").agg(F.max("mr").alias("mr"))
+    )
+    full = hll_registers_grouped(df, "grp", "val")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
