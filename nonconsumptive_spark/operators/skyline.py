@@ -67,3 +67,57 @@ def skyline(df: DataFrame, xcol: str, ycol: str,
     # window partition — survivors ~ n_buckets x frontier, not corpus)
     return _survivors(local.withColumn("_g", F.lit(0)), xcol, ycol,
                       ["_g"], exact=True).drop("_g")
+
+
+def _local_skyline_pdf(pdf, cols):
+    """O(n log n + n·f) in-memory maximal-points filter for one bucket
+    (f = local frontier size): sort lexicographically descending, keep
+    points no kept point dominates.  Exact for any dimension count."""
+    import numpy as np
+
+    vals = pdf[list(cols)].to_numpy()
+    order = np.lexsort(tuple(vals[:, i] for i in reversed(range(len(cols)))))[::-1]
+    kept: list[int] = []
+    for idx in order:
+        v = vals[idx]
+        dominated = False
+        for k in kept:
+            w = vals[k]
+            if (w >= v).all() and (w > v).any():
+                dominated = True
+                break
+        if not dominated:
+            kept.append(idx)
+    return pdf.iloc[sorted(kept)]
+
+
+def skyline_kd(df: DataFrame, cols: list[str],
+               n_buckets: int = N_BUCKETS) -> DataFrame:
+    """k-dimensional skyline (maximal points, coordinate-wise dominance,
+    duplicates survive) for ANY number of criteria — beyond 2-D the
+    running-max window trick no longer applies, so the local pass is an
+    Arrow-batched ``applyInPandas`` maximal-points filter per hash
+    bucket (the sanctioned Python path for semantics Catalyst can't
+    express), and the exact global pass re-runs the same kernel on the
+    bounded survivor union.  The witness argument from the 2-D operator
+    carries over unchanged: a dominated point's maximal dominator
+    survives its bucket, so phase 1 never loses a needed witness."""
+    if len(cols) < 2:
+        raise ValueError("skyline needs at least 2 criteria")
+    schema = df.schema
+
+    def kernel(pdf):
+        return _local_skyline_pdf(pdf, cols)
+
+    bucketed = df.withColumn(
+        "_b", F.pmod(F.xxhash64(*df.columns), F.lit(n_buckets))
+    )
+    local = (
+        bucketed.groupBy("_b")
+        .applyInPandas(lambda pdf: kernel(pdf.drop(columns=["_b"])), schema)
+    )
+    return (
+        local.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: kernel(pdf.drop(columns=["_g"])), schema)
+    )

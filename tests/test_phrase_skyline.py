@@ -290,3 +290,47 @@ def test_min_span_matches_reference(spark, docs, terms):
         if span is not None:
             exp[i] = span
     assert got == exp
+
+
+# -- k-dimensional skyline -------------------------------------------------
+def _brute_kd(rows, dims):
+    out = []
+    for p in rows:
+        dominated = any(
+            all(q[d] >= p[d] for d in dims) and any(q[d] > p[d] for d in dims)
+            for q in rows
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed,n,hi", [(11, 500, 20), (12, 300, 4), (13, 800, 1000)])
+def test_skyline_kd_3d_matches_bruteforce(spark, seed, n, hi):
+    from nonconsumptive_spark.operators.skyline import skyline_kd
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, hi), rng.randint(0, hi), rng.randint(0, hi))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, z long")
+    got = sorted(map(tuple, skyline_kd(df, ["x", "y", "z"]).collect()))
+    assert got == _brute_kd(rows, [1, 2, 3])
+
+
+def test_skyline_kd_agrees_with_2d_operator(spark):
+    from nonconsumptive_spark.operators.skyline import skyline_kd
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 30), rng.randint(0, 30)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    a = sorted(map(tuple, skyline_kd(df, ["x", "y"]).collect()))
+    b = sorted(map(tuple, skyline(df, "x", "y").collect()))
+    assert a == b
+
+
+def test_skyline_kd_rejects_single_criterion(spark):
+    from nonconsumptive_spark.operators.skyline import skyline_kd
+
+    df = spark.createDataFrame([(1, 2)], "id long, x long")
+    with pytest.raises(ValueError):
+        skyline_kd(df, ["x"])
