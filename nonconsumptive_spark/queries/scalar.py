@@ -328,6 +328,7 @@ def q_approx_quantiles(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 _Z_BITS = 8
+_Z_MASK = (1 << _Z_BITS) - 1  # interpolated into BOTH sides (drift trap)
 
 
 @register(
@@ -335,8 +336,8 @@ _Z_BITS = 8
     oracle=f"""
     WITH q AS (
       SELECT event_id,
-             user_id & 255 AS xq,
-             CAST(floor(value) AS BIGINT) % 256 AS yq
+             user_id & {_Z_MASK} AS xq,
+             CAST(floor(value) AS BIGINT) % {_Z_MASK + 1} AS yq
       FROM events)
     SELECT event_id,
            CAST(list_sum(list_transform(range(0, {_Z_BITS}),
@@ -359,7 +360,7 @@ def q_zorder_curve(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events").select(
         "event_id",
-        F.col("user_id").bitwiseAND(F.lit(255)).alias("xq"),
-        (F.floor("value").cast("long") % 256).alias("yq"),
+        F.col("user_id").bitwiseAND(F.lit(_Z_MASK)).alias("xq"),
+        (F.floor("value").cast("long") % (_Z_MASK + 1)).alias("yq"),
     )
     return ev.select("event_id", interleave_bits("xq", "yq", _Z_BITS).alias("z"))
