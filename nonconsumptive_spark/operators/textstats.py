@@ -2253,3 +2253,29 @@ def burrows_delta(docs, group_col: str = "source", text_col: str = "text",
             f"round(CAST(sd AS DOUBLE) / ({top_m}.0 * {DELTA_ZSCALE}), 4)"
             " + 0.0 AS delta")
     )
+
+
+def priority_sample_by_group(df, group_col: str, weight_col: str, k: int,
+                             id_col: str = "doc_id"):
+    """Per-stratum weight-proportional priority sample: within each
+    ``group_col`` value keep the top-``k`` rows by the
+    Duffield-Lund-Thorup priority w/u, with u derived from the id's md5
+    (engine-portable: only IEEE-exact or correctly-rounded ops — the
+    q_weighted_sample argument, per group).  The window is PARTITIONED
+    by group, so parallelism is #groups and no global sort exists."""
+    from pyspark.sql import Window, functions as F
+
+    from nonconsumptive_spark.operators.dedup import _md5_long
+
+    pow2 = float(1 << 60)
+    pri = df.filter(F.col(weight_col) > 0).withColumn(
+        "_p",
+        F.col(weight_col).cast("double")
+        / ((_md5_long(F.col(id_col).cast("string")) + 1) / F.lit(pow2)),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("_p"), F.asc(id_col))
+    return (
+        pri.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_p", "_rk")
+    )

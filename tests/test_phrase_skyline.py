@@ -334,3 +334,28 @@ def test_skyline_kd_rejects_single_criterion(spark):
     df = spark.createDataFrame([(1, 2)], "id long, x long")
     with pytest.raises(ValueError):
         skyline_kd(df, ["x"])
+
+
+def test_priority_sample_by_group_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.operators.textstats import priority_sample_by_group
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = priority_sample_by_group(docs, "source", "n_chars", k=3)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # every stratum contributes min(k, stratum size) rows
+    assert per == {s: min(3, n) for s, n in sizes.items()}
+    # deterministic
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               priority_sample_by_group(docs, "source", "n_chars", k=3).collect())
+    assert a == b
+    # weight bias: sampled docs are longer than their stratum average
+    smean = docs.groupBy("source").agg(F.avg("n_chars").alias("mu"))
+    joined = out.join(smean, "source")
+    frac_above = joined.filter(F.col("n_chars") > F.col("mu")).count() / out.count()
+    assert frac_above > 0.6
