@@ -155,6 +155,7 @@ def main():
         # two timed passes in one warm JVM (adopted in round 3 — earlier
         # rounds were single-pass; see BASELINE.md)
         "methodology": "warm-jvm, warmup pass + min-of-2 timed passes",
+        "registry_size": len(all_queries()),
         "sf": sf,
     }))
 
