@@ -124,7 +124,7 @@ def _base_epoch(table_dir: str) -> int:
 
 
 def optimize_index(spark: SparkSession, table_dir: str,
-                   n_files: int = 8) -> bool:
+                   n_files: int = 8, partition_by_term: bool = False) -> bool:
     """Compact every committed delta into one base — the maintenance half
     of the delta layout (each epoch adds a directory; after thousands of
     epochs the union scan pays per-delta open cost).  Crash-safe:
@@ -145,7 +145,10 @@ def optimize_index(spark: SparkSession, table_dir: str,
     idx = committed_index(spark, table_dir)
     tmp = Path(table_dir) / f"base={applied}.tmp"
     final = Path(table_dir) / f"base={applied}"
-    idx.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
+    writer = idx.repartition(n_files).write.mode("overwrite")
+    if partition_by_term:  # keep the delta layout's pruning in the base
+        writer = writer.partitionBy("term")
+    writer.parquet(str(tmp))
     tmp.rename(final)                      # commit point (atomic)
     for p in Path(table_dir).glob("epoch=*"):
         if p.is_dir() and int(p.name.split("=", 1)[1]) <= applied:

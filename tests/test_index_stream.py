@@ -163,3 +163,21 @@ def test_optimize_crash_between_rename_and_delete_is_safe(spark, tmp_path):
         shutil.copytree(src, dst)
     # readers ignore deltas at or below the base — no double counting
     assert committed_index(spark, table).count() == n
+
+
+def test_optimize_preserves_term_partitioning(spark, tmp_path):
+    from nonconsumptive_spark.streaming.indexstream import (
+        committed_index,
+        optimize_index,
+    )
+
+    table = str(tmp_path / "idx")
+    for e, rows in enumerate(EPOCHS):
+        merge_postings(_docs(spark, rows), table, epoch_id=e,
+                       partition_by_term=True)
+    before = _rows(live_phrase_search(spark, table, PHRASE))
+    assert optimize_index(spark, table, partition_by_term=True) is True
+    assert _rows(live_phrase_search(spark, table, PHRASE)) == before
+    idx = committed_index(spark, table).filter("term = 'table'")
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(term" in plan
