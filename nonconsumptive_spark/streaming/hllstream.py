@@ -92,3 +92,52 @@ def hll_estimate(spark: SparkSession, table_dir: str) -> DataFrame | None:
         F.lit(HLL_M).cast("long").alias("m"),
         F.expr(HLL_EST_SQL).alias("estimate"),
     )
+
+
+def merge_hll_registers_grouped(batch_regs: DataFrame, table_dir: str,
+                                epoch_id: int = 0) -> bool:
+    """Grouped form: fold (grp, j, mr) register rows — "distinct users
+    per event type, live".  Still a semilattice join (max per (grp, j)),
+    so replay-idempotent; state is ≤ groups x HLL_M rows forever."""
+    if epoch_id <= applied_epoch(table_dir):
+        return False
+    spark = batch_regs.sparkSession
+    current = committed_table(spark, table_dir)
+    if current is not None:
+        merged = (
+            current.unionByName(batch_regs)
+            .groupBy("grp", "j")
+            .agg(F.max("mr").alias("mr"))
+        )
+    else:
+        merged = batch_regs
+    prev = applied_epoch(table_dir)
+    merged.write.mode("overwrite").parquet(str(_version_dir(table_dir, epoch_id)))
+    _commit_epoch(table_dir, epoch_id)
+    if prev >= 0:
+        _prune_versions(table_dir, prev)
+    return True
+
+
+def hll_estimate_grouped(spark: SparkSession,
+                         table_dir: str) -> DataFrame | None:
+    """(grp, estimate) from the committed grouped registers (None before
+    the first commit) — the same mirrored expression per group."""
+    regs = committed_table(spark, table_dir)
+    if regs is None:
+        return None
+    groups = regs.select("grp").distinct()
+    spine = groups.crossJoin(
+        F.broadcast(spark.range(HLL_M).select(F.col("id").cast("long").alias("j"))))
+    full = (
+        spine.join(regs, ["grp", "j"], "left")
+        .select("grp", F.coalesce("mr", F.lit(0)).alias("m_j"))
+    )
+    from nonconsumptive_spark.operators.wordcount import HLL_SHIFT
+
+    sums = full.groupBy("grp").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - m_j)"))
+        .cast("long").alias("s"),
+        F.sum((F.col("m_j") == 0).cast("long")).cast("long").alias("v"),
+    )
+    return sums.selectExpr("grp", f"{HLL_EST_SQL} AS estimate")

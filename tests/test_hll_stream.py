@@ -124,3 +124,41 @@ def test_grouped_hll_per_group_accuracy_and_merge(spark):
     )
     full = hll_registers_grouped(df, "grp", "val")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_streaming_grouped_hll_equals_batch(spark, tmp_path):
+    from nonconsumptive_spark.operators.wordcount import (
+        hll_estimate_by_group,
+        hll_registers_grouped,
+    )
+    from nonconsumptive_spark.streaming.hllstream import (
+        hll_estimate_grouped,
+        merge_hll_registers_grouped,
+    )
+
+    epochs = [
+        [("a", 1), ("a", 2), ("b", 1)],
+        [("a", 2), ("a", 3), ("b", 9), ("b", 10)],
+        [("c", 5)],
+    ]
+    table = str(tmp_path / "ghll")
+    for e, rows in enumerate(epochs):
+        df = spark.createDataFrame(rows, "grp string, val long")
+        assert merge_hll_registers_grouped(
+            hll_registers_grouped(df, "grp", "val"), table, epoch_id=e) is True
+
+    union = spark.createDataFrame(
+        [r for rows in epochs for r in rows], "grp string, val long")
+    live = {r["grp"]: r["estimate"]
+            for r in hll_estimate_grouped(spark, table).collect()}
+    batch = {r["grp"]: r["estimate"]
+             for r in hll_estimate_by_group(union, "grp", "val").collect()}
+    assert live == batch
+    # replay refused; forced re-merge is a no-op (max semilattice)
+    df0 = spark.createDataFrame(epochs[0], "grp string, val long")
+    regs0 = hll_registers_grouped(df0, "grp", "val")
+    assert merge_hll_registers_grouped(regs0, table, epoch_id=0) is False
+    assert merge_hll_registers_grouped(regs0, table, epoch_id=99) is True
+    live2 = {r["grp"]: r["estimate"]
+             for r in hll_estimate_grouped(spark, table).collect()}
+    assert live2 == live
