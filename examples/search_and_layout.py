@@ -57,6 +57,13 @@ def main() -> None:
     for r in skyline(pts, "x", "y").orderBy("doc_id").collect():
         print(f"  doc {r['doc_id']}: {r['x']} chars, {r['y']} types")
 
+    print("== min-span proximity for ['table', 'scan'] (top 5 tightest) ==")
+    from nonconsumptive_spark.operators.retrieval import min_span_proximity
+
+    spans = min_span_proximity(docs, ["table", "scan"]).orderBy("span", "doc_id")
+    for r in spans.limit(5).collect():
+        print(f"  doc {r['doc_id']}: span {r['span']} ({r['n_matches']} matches)")
+
     print("== Z-order layout of events on (user_id, value) ==")
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     with tempfile.TemporaryDirectory() as tmp:
