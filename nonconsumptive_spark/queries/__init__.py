@@ -85,6 +85,13 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # then (4) the longest-unverified tail (oldest last-green round first)
 # fills the remaining slots.  Goal: no green row older than two rounds
 # for any code-touched file.
+#
+# ROUND-5 TODO (backlog governor was at its 25-entry cap in r4, so these
+# tested operators still need registry entries + oracles once the window
+# drains): operators/retrieval.min_span_proximity,
+# operators/skyline.skyline_kd (3-D form),
+# operators/wordcount.hll_estimate_by_group,
+# operators/textstats.priority_sample_by_group.
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite
