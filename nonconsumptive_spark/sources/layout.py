@@ -146,7 +146,7 @@ def footer_stats(path: str, col: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     out = []
-    for f in sorted(_P(path).glob("*.parquet")):
+    for f in sorted(_P(path).rglob("*.parquet")):  # recurse: hive layouts
         md = pq.ParquetFile(str(f)).metadata
         lo = hi = None
         for rg in range(md.num_row_groups):
@@ -158,8 +158,8 @@ def footer_stats(path: str, col: str) -> list[dict]:
                 if st.has_min_max:
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-        out.append({"file": f.name, "min": lo, "max": hi,
-                    "rows": md.num_rows})
+        out.append({"file": str(f.relative_to(path)), "min": lo,
+                    "max": hi, "rows": md.num_rows})
     return out
 
 

@@ -161,3 +161,16 @@ def test_footer_stats_agree_with_scan_based_pruning(spark, tmp_path):
     # footer-based skipping can never overclaim what a scan shows, and
     # on a freshly sorted write it should match exactly
     assert foot["files_skipped"] == scan["files_skippable"]
+
+
+def test_footer_stats_recurses_into_partitioned_layouts(spark, tmp_path):
+    from nonconsumptive_spark.sources.layout import footer_stats
+
+    ev = spark.read.parquet(f"{SF_MEDIUM}/events.parquet").select(
+        "event_id", "user_id", "event_type")
+    path = str(tmp_path / "parts")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    stats = footer_stats(path, "event_id")
+    assert len(stats) >= 5                      # one+ file per type
+    assert sum(s["rows"] for s in stats) == ev.count()
+    assert all(s["min"] is not None for s in stats)
