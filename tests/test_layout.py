@@ -174,3 +174,13 @@ def test_footer_stats_recurses_into_partitioned_layouts(spark, tmp_path):
     assert len(stats) >= 5                      # one+ file per type
     assert sum(s["rows"] for s in stats) == ev.count()
     assert all(s["min"] is not None for s in stats)
+
+
+def test_zorder_write_preserves_null_dimension_rows(spark, tmp_path):
+    rows = [(1, 5, 2.0), (2, None, 3.0), (3, 7, None), (4, None, None)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = str(tmp_path / "znull")
+    zorder_write(df, out, "user_id", "value", bits=4, n_files=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert sorted(map(tuple, back.collect())) == sorted(rows)

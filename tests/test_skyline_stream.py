@@ -71,3 +71,44 @@ def test_foreachbatch_wiring(spark, tmp_path):
     q = start_incremental_skyline(stream, table, ckpt, "x", "y")
     q.awaitTermination(120)
     assert _set(frontier(spark, table)) == _set(skyline(union, "x", "y"))
+
+
+import contextlib
+
+import pytest
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+@pytest.mark.parametrize("kill_point", ["marker", "prune"])
+@pytest.mark.parametrize("kill_epoch", [0, 1, 2])
+def test_skyline_kill_points_converge(spark, tmp_path, monkeypatch,
+                                      kill_epoch, kill_point):
+    """Crash on both sides of the write/rename commit pair at every epoch;
+    an at-least-once replay must converge to the exact batch frontier.
+    (Unlike the additive wordcount fold, the skyline merge is a lattice
+    reduction, so even a DOUBLE-applied epoch could not corrupt state —
+    this test pins the stronger end-state equality anyway.)"""
+    from nonconsumptive_spark.streaming import skylinestream as ss
+
+    table = str(tmp_path / "sky")
+    target = "_commit_epoch" if kill_point == "marker" else "_prune_versions"
+    real = getattr(ss, target)
+
+    for e, rows in enumerate(EPOCHS):
+        if e == kill_epoch:
+            def dying(*a, **k):
+                raise _Boom()
+            monkeypatch.setattr(ss, target, dying)
+            with contextlib.suppress(_Boom):
+                merge_skyline(_pts(spark, rows), table, "x", "y", epoch_id=e)
+            monkeypatch.setattr(ss, target, real)
+            merge_skyline(_pts(spark, rows), table, "x", "y", epoch_id=e)
+        else:
+            assert merge_skyline(_pts(spark, rows), table, "x", "y",
+                                 epoch_id=e) is True
+
+    union = _pts(spark, [r for rows in EPOCHS for r in rows])
+    assert _set(frontier(spark, table)) == _set(skyline(union, "x", "y"))
