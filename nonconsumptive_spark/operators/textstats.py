@@ -2279,3 +2279,37 @@ def priority_sample_by_group(df, group_col: str, weight_col: str, k: int,
         .filter(F.col("_rk") <= k)
         .drop("_p", "_rk")
     )
+
+
+def k_anonymity_report(df, quasi_cols: list[str], k: int = 5):
+    """Per-equivalence-class k-anonymity report over the quasi-identifier
+    columns: (class values..., class_size, is_risky) plus suppression
+    accounting — the release-safety check a data publisher runs before
+    sharing metadata (a class smaller than ``k`` re-identifies its
+    members).  One groupBy on the quasi columns; nothing else scales
+    with the corpus."""
+    from pyspark.sql import functions as F
+
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("class_size"))
+    return classes.withColumn("is_risky", F.col("class_size") < k)
+
+
+def k_anonymity_summary(df, quasi_cols: list[str], k: int = 5):
+    """1-row rollup of the report: classes, risky classes, rows that
+    would need suppression, and the suppression fraction (4 decimals)."""
+    from pyspark.sql import functions as F
+
+    rep = k_anonymity_report(df, quasi_cols, k)
+    return rep.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.col("is_risky").cast("long")).cast("long")
+        .alias("risky_classes"),
+        F.sum(F.when(F.col("is_risky"), F.col("class_size")).otherwise(0))
+        .cast("long").alias("rows_to_suppress"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+    ).selectExpr(
+        "n_classes", "risky_classes", "rows_to_suppress", "n_rows",
+        "round(CAST(rows_to_suppress AS DOUBLE) / n_rows, 4) + 0.0"
+        " AS suppress_frac",
+    )

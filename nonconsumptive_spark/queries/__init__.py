@@ -91,7 +91,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # drains): operators/retrieval.min_span_proximity,
 # operators/skyline.skyline_kd (3-D form),
 # operators/wordcount.hll_estimate_by_group,
-# operators/textstats.priority_sample_by_group.
+# operators/textstats.priority_sample_by_group,
+# operators/textstats.k_anonymity_summary.
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite

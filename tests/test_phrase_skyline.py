@@ -359,3 +359,24 @@ def test_priority_sample_by_group_invariants(spark):
     joined = out.join(smean, "source")
     frac_above = joined.filter(F.col("n_chars") > F.col("mu")).count() / out.count()
     assert frac_above > 0.6
+
+
+def test_k_anonymity_report_and_summary(spark):
+    from nonconsumptive_spark.operators.textstats import (
+        k_anonymity_report,
+        k_anonymity_summary,
+    )
+
+    rows = (
+        [("en", "web")] * 10 + [("en", "book")] * 3 + [("fr", "web")] * 1
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    rep = {(r["lang"], r["source"]): (r["class_size"], r["is_risky"])
+           for r in k_anonymity_report(df, ["lang", "source"], k=5).collect()}
+    assert rep == {("en", "web"): (10, False),
+                   ("en", "book"): (3, True),
+                   ("fr", "web"): (1, True)}
+    s = k_anonymity_summary(df, ["lang", "source"], k=5).first()
+    assert (s["n_classes"], s["risky_classes"]) == (3, 2)
+    assert (s["rows_to_suppress"], s["n_rows"]) == (4, 14)
+    assert s["suppress_frac"] == round(4 / 14, 4)
