@@ -86,18 +86,20 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # fills the remaining slots.  Goal: no green row older than two rounds
 # for any code-touched file.
 #
-# ROUND-5 TODO (backlog governor was at its 25-entry cap in r4, so these
-# tested operators still need registry entries + oracles once the window
-# drains): operators/retrieval.min_span_proximity,
-# operators/skyline.skyline_kd (3-D form),
-# operators/wordcount.hll_estimate_by_group,
-# operators/textstats.priority_sample_by_group,
-# operators/textstats.k_anonymity_summary.
+# The round-4h operator backlog (min_span_proximity, skyline_kd,
+# hll_estimate_by_group, priority_sample_by_group, k_anonymity_summary)
+# registered late in r4 once head re-ordering freed governor slots; all
+# five are locally oracle-verified and queued at the PRIORITY tail for
+# the r5 driver window.
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite
     "q_dsir_weights",
     "q_dedup_incremental",
+    # -- round-4h late registrations promoted into the window (freshest
+    #    code: new fold + new applyInPandas kernel)
+    "q_min_span_proximity",
+    "q_skyline_kd",
     # -- new round-4 queries (newest first: these have never faced the
     #    driver gate and carry the freshest code)
     "q_phrase_search",
@@ -145,9 +147,12 @@ PRIORITY: tuple[str, ...] = (
     "q_vocab_growth_curve",
     "q_lsh_dedup_recall",
     "q_length_quantiles_by_lang",
+    "q_kwic",
+    # q_heaps_fit / q_zipf_slope rotate out of the window this round:
+    # both driver-verified green in r3, displaced by the round-4h
+    # promotions so every never-verified query stays inside the window
     "q_heaps_fit",
     "q_zipf_slope",
-    "q_kwic",
     "q_logdice_collocations",
     "q_hapax_stats",
     "q_token_entropy",
@@ -187,6 +192,11 @@ PRIORITY: tuple[str, ...] = (
     "q_spearman_len_tokens",
     "q_daily_autocorr",
     "q_bpe_fertility",
+    # -- round-4 late registrations (past the 50-slot window; first in
+    #    line for the r5 head alongside the remaining backlog)
+    "q_hll_by_group",
+    "q_priority_sample_group",
+    "q_k_anonymity",
 )
 
 

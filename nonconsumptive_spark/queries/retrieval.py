@@ -111,3 +111,43 @@ def q_phrase_search(spark, sf_dir):
 def q_phrase_search_indexed(spark, sf_dir):
     idx = rt.build_positional_index(load(spark, sf_dir, "documents"))
     return rt.phrase_search_indexed(idx, _PHRASE)
+
+
+_SPAN_TERMS = ["spark", "join", "filter"]
+_SPAN_K = len(_SPAN_TERMS)
+_SPAN_MS = "flatten([" + ", ".join(
+    f"list_transform(list_filter(range(1, len(t) + 1), p -> t[p] = '{w}'),"
+    f" p -> {{'pos': p, 'slot': {i}}})"
+    for i, w in enumerate(_SPAN_TERMS)
+) + "])"
+
+
+@register(
+    "q_min_span_proximity",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    mm AS (SELECT doc_id, unnest({_SPAN_MS}) AS u FROM base),
+    m AS (SELECT doc_id, u.pos AS pos, u.slot AS slot FROM mm),
+    lasts AS (
+      SELECT e.doc_id, e.pos AS epos, x.slot, max(x.pos) AS last
+      FROM m e JOIN m x ON x.doc_id = e.doc_id AND x.pos <= e.pos
+      GROUP BY 1, 2, 3),
+    spans AS (
+      SELECT doc_id, epos, CAST(epos - min(last) + 1 AS INTEGER) AS span
+      FROM lasts GROUP BY doc_id, epos HAVING count(*) = {_SPAN_K}),
+    agg AS (SELECT doc_id, min(span) AS span FROM spans GROUP BY doc_id),
+    nm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+           FROM m GROUP BY doc_id)
+    SELECT a.doc_id, a.span, nm.n_matches FROM agg a JOIN nm USING (doc_id)
+    """,
+    doc=f"Minimal window span containing ALL of {_SPAN_TERMS} per document "
+        "— the proximity-ranking primitive (span == k means adjacent in "
+        "some order).  Spark runs the classic one-pass sweep as an in-row "
+        "aggregate fold (zero shuffle, O(len) per doc, k-slot accumulator "
+        "unrolled at plan time); the oracle is the quadratic last-"
+        "position-per-slot reformulation of the same sweep, exact at "
+        "oracle scale.",
+)
+def q_min_span_proximity(spark, sf_dir):
+    return rt.min_span_proximity(load(spark, sf_dir, "documents"),
+                                 _SPAN_TERMS)

@@ -984,3 +984,56 @@ def q_degree_assortativity(spark, sf_dir):
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
     return mom.selectExpr("n AS n_edges", f"{_ASSORT_R} AS assortativity")
+
+
+@register(
+    "q_hll_by_group",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source AS grp, unnest({_DUCK_TOKS}) AS token FROM documents),
+    hh AS (
+      SELECT grp,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h, token
+      FROM tok),
+    rr AS (
+      SELECT grp, h % {_wc.HLL_M} AS j,
+             CASE WHEN h // {_wc.HLL_M} = 0 THEN 53
+                  ELSE 53 - length(bin(h // {_wc.HLL_M})) END AS rank
+      FROM hh),
+    regs AS (SELECT grp, j, max(rank) AS mr FROM rr GROUP BY grp, j),
+    spine AS (
+      SELECT g.grp, s.j
+      FROM (SELECT DISTINCT grp FROM tok) g
+      CROSS JOIN generate_series(0, {_wc.HLL_M - 1}) AS s(j)),
+    fullr AS (
+      SELECT spine.grp, coalesce(r.mr, 0) AS m_j
+      FROM spine LEFT JOIN regs r ON r.grp = spine.grp AND r.j = spine.j),
+    sums AS (
+      SELECT grp,
+             CAST(sum(CAST(1 AS BIGINT) << ({_wc.HLL_SHIFT} - m_j))
+                  AS BIGINT) AS s,
+             CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM fullr GROUP BY grp),
+    ex AS (
+      SELECT grp, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+      FROM tok GROUP BY grp)
+    SELECT grp, n_exact, {_wc.HLL_EST_SQL} AS estimate,
+           round(abs(({_wc.HLL_EST_SQL}) - n_exact)
+                 / greatest(n_exact, 1), 4) AS rel_err
+    FROM sums JOIN ex USING (grp)
+    """,
+    doc="Per-source HyperLogLog distinct-token cardinality with the exact "
+        "audit alongside — the grouped form of q_hll_distinct ('distinct "
+        "values per group' at fixed 256-register cost per group).  Plan: "
+        "one (grp, j) register agg (map-side combined, <= groups x 256 "
+        "rows shuffled), a broadcast groups x 256 spine join, one group "
+        "agg; registers stay mergeable per group across shards/epochs.  "
+        "The exact count_distinct exists only as the self-evaluation.",
+)
+def q_hll_by_group(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    from nonconsumptive_spark.functions.text import tokenize
+
+    tok = docs.select(
+        F.col("source").alias("src"), F.explode(tokenize("text")).alias("token"))
+    return _wc.hll_estimate_by_group(tok, "src", "token")

@@ -3009,3 +3009,126 @@ def q_weighted_sample(spark, sf_dir):
                     "round(greatest(CAST(w AS DOUBLE), tau), 4) + 0.0"
                     " AS est_weight")
     )
+
+
+_SKY_DIMS = [("n_data", "data"), ("n_table", "table"), ("n_spark", "spark")]
+_SKY_PTS = ", ".join(
+    f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS {c}"
+    for c, w in _SKY_DIMS
+)
+_SKY_DOM = " AND ".join(f"q.{c} >= p.{c}" for c, _ in _SKY_DIMS)
+_SKY_STRICT = " OR ".join(f"q.{c} > p.{c}" for c, _ in _SKY_DIMS)
+
+
+@register(
+    "q_skyline_kd",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    pts AS (SELECT doc_id, {_SKY_PTS} FROM base)
+    SELECT p.* FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE {_SKY_DOM} AND ({_SKY_STRICT}))
+    """,
+    doc="3-D skyline (coordinate-wise maximal points) of documents over "
+        "competing term-count criteria (counts of 'data'/'table'/'spark') "
+        "— beyond 2-D the running-max window trick no longer applies, so "
+        "the Spark plan is the bucketed applyInPandas maximal-points "
+        "kernel + exact survivor-union pass (operators/skyline.py "
+        "skyline_kd).  Oracle is the quadratic NOT-EXISTS dominance "
+        "definition — a labeled non-plan, exact at oracle scale.",
+)
+def q_skyline_kd(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.operators.skyline import skyline_kd
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+
+    def term_count(word):
+        # closure factory, NOT a default-arg lambda: a 2-param HOF lambda
+        # would receive (element, index) and shadow the bound word
+        return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+    pts = docs.select(
+        "doc_id",
+        *[term_count(w).cast("long").alias(c) for c, w in _SKY_DIMS],
+    )
+    return skyline_kd(pts, [c for c, _ in _SKY_DIMS])
+
+
+_PRIO_GRP_K = 5
+
+
+@register(
+    "q_priority_sample_group",
+    oracle=f"""
+    WITH pri AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+             CAST(n_chars AS DOUBLE)
+             / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) + 1) / {_PRIO_POW2}) AS p
+      FROM documents WHERE n_chars > 0),
+    rk AS (
+      SELECT source, doc_id, w,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY p DESC, doc_id ASC) AS rk
+      FROM pri)
+    SELECT source, doc_id, w AS n_chars FROM rk WHERE rk <= {_PRIO_GRP_K}
+    """,
+    doc=f"Per-stratum weight-proportional priority sample: within each "
+        f"source keep the top-{_PRIO_GRP_K} docs by the Duffield-Lund-"
+        "Thorup priority w/u (weights = n_chars, u from the id's md5 — "
+        "engine-portable, the q_weighted_sample argument, per group).  "
+        "The window partitions BY GROUP, so parallelism is #groups and "
+        "no global sort exists; per-group state is k rows.",
+)
+def q_priority_sample_group(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return ts.priority_sample_by_group(
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.col("n_chars").cast("long").alias("w")),
+        "source", "w", _PRIO_GRP_K,
+    ).select("source", "doc_id", F.col("w").alias("n_chars"))
+
+
+_KANON_K = 5
+_KANON_BIN = 200
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+      SELECT source, CAST(n_chars // {_KANON_BIN} AS BIGINT) AS len_bin,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM documents GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS risky_classes,
+           CAST(sum(CASE WHEN class_size < {_KANON_K} THEN class_size
+                    ELSE 0 END) AS BIGINT) AS rows_to_suppress,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           round(CAST(sum(CASE WHEN class_size < {_KANON_K} THEN class_size
+                          ELSE 0 END) AS DOUBLE)
+                 / sum(class_size), 4) + 0.0 AS suppress_frac
+    FROM cls
+    """,
+    doc=f"k-anonymity release-safety rollup (k={_KANON_K}) over the "
+        f"quasi-identifier pair (source, n_chars//{_KANON_BIN}): classes, "
+        "risky classes (< k members, re-identifiable), rows needing "
+        "suppression and the suppression fraction.  One groupBy on the "
+        "quasi columns then a 1-row agg — nothing scales past the class "
+        "count.",
+)
+def q_k_anonymity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.floor(F.col("n_chars") / _KANON_BIN).cast("long").alias("len_bin"),
+    )
+    return ts.k_anonymity_summary(docs, ["source", "len_bin"], k=_KANON_K)
