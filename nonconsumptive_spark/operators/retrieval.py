@@ -284,3 +284,89 @@ def min_span_proximity(docs: DataFrame, terms: list[str],
                 F.col("_a.best").cast("int").alias("span"),
                 F.col("n_matches").cast("long").alias("n_matches"))
     )
+
+
+def blocklist_match(postings: DataFrame, phrases: list[list[str]],
+                    id_col: str = "doc_id") -> DataFrame:
+    """Match EVERY phrase of a blocklist against the corpus in ONE pass
+    over the positional index — the scale form of "drop/flag documents
+    containing any of these N phrases" (benchmark decontamination,
+    policy blocklists, quote tracking).  Generalizes the
+    ``phrase_search_indexed`` anchor-vote join from one phrase to N:
+    the slot table gains a ``phrase_id`` and per-phrase length, so ONE
+    broadcast join + ONE (doc, phrase, anchor) aggregation answers the
+    whole list; postings of terms in no phrase never leave the scan
+    (term-partitioned index: never read).
+
+    Returns (id, phrase_id, n_hits, first_pos) — one row per document
+    per matched phrase.  Fan-out per posting is the number of (phrase,
+    slot) pairs its term appears in — bounded by the blocklist, not the
+    corpus.
+    """
+    if not phrases or any(not p for p in phrases):
+        raise ValueError("phrases must be non-empty and have no empty entry")
+    rows = [
+        (pid, slot, w, len(p))
+        for pid, p in enumerate(phrases)
+        for slot, w in enumerate(p)
+    ]
+    spark = postings.sparkSession
+    slots = spark.createDataFrame(
+        rows, "phrase_id int, slot int, w string, k int")
+    anchors = (
+        postings.join(F.broadcast(slots), postings["term"] == slots["w"])
+        .select(id_col, "phrase_id",
+                (F.col("pos") - F.col("slot")).alias("anchor"), "slot", "k")
+        .groupBy(id_col, "phrase_id", "anchor")
+        .agg(F.countDistinct("slot").alias("n_slots"), F.max("k").alias("k"))
+        .filter(F.col("n_slots") == F.col("k"))
+    )
+    return anchors.groupBy(id_col, "phrase_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min("anchor").cast("int").alias("first_pos"),
+    )
+
+
+def postings_size_stats(postings: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-term storage accounting for a delta+varint encoded positional
+    index — the planning metric for index layout at scale (which terms
+    dominate storage, what compression buys vs fixed 4-byte positions).
+
+    Per (term, doc) the position list is sorted and folded in-row:
+    deltas of consecutive positions, each costing ``((bitlen-1) div 7)
+    + 1`` varint bytes.  One (term, doc) agg + one term agg; nothing is
+    ever collected and no state exceeds a single document's postings.
+
+    Returns (term, n_docs, n_postings, varint_bytes, fixed_bytes,
+    ratio) with ratio = varint/fixed rounded to 4 decimals.
+    """
+    per_doc = postings.groupBy("term", id_col).agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias("ps"))
+    init = F.struct(F.lit(0).cast("long").alias("prev"),
+                    F.lit(0).cast("long").alias("b"))
+    vbytes = (
+        F.aggregate(
+            "ps", init,
+            lambda acc, p: F.struct(
+                p.alias("prev"),
+                (acc["b"]
+                 + ((F.length(F.bin(p - acc["prev"])) - 1) / 7)
+                 .cast("long") + 1).alias("b"),
+            ),
+        )["b"]
+    )
+    sized = per_doc.select(
+        "term", F.size("ps").cast("long").alias("n"), vbytes.alias("vb"))
+    return (
+        sized.groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n").cast("long").alias("n_postings"),
+             F.sum("vb").cast("long").alias("varint_bytes"))
+        .select(
+            "term", "n_docs", "n_postings", "varint_bytes",
+            (F.col("n_postings") * 4).cast("long").alias("fixed_bytes"),
+            (F.round(F.col("varint_bytes")
+                     / (F.col("n_postings") * 4.0), 4) + 0.0).alias("ratio"),
+        )
+    )

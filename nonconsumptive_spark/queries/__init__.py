@@ -91,6 +91,13 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # registered late in r4 once head re-ordering freed governor slots; all
 # five are locally oracle-verified and queued at the PRIORITY tail for
 # the r5 driver window.
+#
+# ROUND-5 TODO (governor at its 25-entry cap again, so these tested
+# operators wait for registry entries + oracles until the r4 driver
+# window drains): operators/retrieval.blocklist_match (multi-phrase
+# one-pass decontamination), operators/retrieval.postings_size_stats
+# (delta-varint index accounting); also a percent_rank/ntile coverage
+# query over the bounded per-source frame (query-only, no operator).
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite
