@@ -104,3 +104,25 @@ def test_postings_size_stats_large_positions(spark):
     # deltas 1, 199, 19800 -> 1 + 2 + 3 varint bytes
     assert (r.n_docs, r.n_postings, r.varint_bytes, r.fixed_bytes) == (1, 1 * 3, 6, 12)
     assert r.ratio == 0.5
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_blocklist_plan_shape(postings):
+    """Slot table joins as a broadcast hash join; nothing quadratic."""
+    plan = _plan(blocklist_match(postings, BLOCKLIST))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_postings_stats_plan_shape(postings):
+    """Exactly the two documented exchanges: a skew-safe (term, doc)
+    shuffle for the position fold, then the tiny combined (term) agg —
+    never a bare-term first shuffle (hot terms would hotspot one
+    partition at scale)."""
+    plan = _plan(postings_size_stats(postings))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, plan

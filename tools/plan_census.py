@@ -48,6 +48,7 @@ BNLJ_WHITELIST = {
     "q_embedding_decontamination",  # broadcast benchmark side, by design
     "q_source_overlap_matrix",   # #sources^2 spine from the tiny size table
     "q_dsir_weights",            # 1-row totals attach
+    "q_hll_by_group",            # groups x 256-register spine build
     "q_seasonal_residuals",      # 1-row residual-moment attach
     "q_weighted_sample",         # 1-row tau attach onto the k-row cut
     "q_perplexity_buckets",
