@@ -148,3 +148,57 @@ def ngram_structs(tokens: Column | str, n: int) -> Column:
         return F.when(F.size(t) >= n, grams).otherwise(F.array())
 
     return let(col, build)
+
+
+def normalize_unicode(text: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC/NFD/NFKC/NFKD) — the
+    preprocessing step exact dedup and shingle hashing need before any
+    byte-level comparison: visually identical strings with different
+    codepoint sequences (composed vs combining accents, ligatures,
+    fullwidth forms) must hash identically or every dedup operator
+    under-merges.
+
+    No Catalyst built-in exists for this, so it is the sanctioned
+    Python path: an Arrow-batched pandas_udf over ``unicodedata``
+    (C-implemented, one call per value, no per-row Python parsing).
+    NULLs pass through as NULL.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize(form, v))
+
+    return _norm(_as_col(text))
+
+
+def strip_accents(text: Column | str) -> Column:
+    """Remove combining marks (NFD-decompose, drop category Mn,
+    NFC-recompose) — 'école' -> 'ecole'.  Matches DuckDB's
+    ``strip_accents`` on composed input, which keeps the cross-engine
+    oracle honest.  Same Arrow-batched pandas_udf path as
+    ``normalize_unicode``; NULLs pass through."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(v):
+            if v is None:
+                return None
+            decomp = unicodedata.normalize("NFD", v)
+            kept = "".join(c for c in decomp
+                           if unicodedata.category(c) != "Mn")
+            return unicodedata.normalize("NFC", kept)
+
+        return s.map(one)
+
+    return _strip(_as_col(text))

@@ -106,6 +106,39 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     )
 
 
+
+def phrase_anchor_positions(toks, phrase: list[str]):
+    """1-based positions p with toks[p+i-1] == phrase[i] for all i — the
+    in-row anchor scan shared by ``phrase_search`` and the streaming
+    blocklist gate.  ``toks`` must already be a bound Column (callers
+    wrap with ``let`` so tokenize runs once per row)."""
+    k = len(phrase)
+    # sequence(1, n) DESCENDS for n < 1 (never empty) and ANSI
+    # element_at throws out-of-bounds, so short docs take the
+    # empty-array branch up front.
+    cand = F.when(
+        F.size(toks) >= k,
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda p: F.element_at(toks, p) == F.lit(phrase[0]),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    if k == 1:
+        return cand
+
+    # single-parameter lambda: Spark infers HOF lambda arity from the
+    # Python signature, so extra default args would be bound to the
+    # (elem, index) pair — close over i via a factory instead
+    def full_match(p):
+        out = None
+        for i in range(1, k):
+            t = F.element_at(toks, p + i) == F.lit(phrase[i])
+            out = t if out is None else out & t
+        return out
+
+    return F.filter(cand, full_match)
+
+
 def phrase_search(docs: DataFrame, phrase: list[str],
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact phrase query: documents containing ``phrase`` as *adjacent*
@@ -130,38 +163,11 @@ def phrase_search(docs: DataFrame, phrase: list[str],
     """
     if not phrase:
         raise ValueError("phrase must be non-empty")
-    k = len(phrase)
-
-    def anchors(toks):
-        # positions p (1-based) with toks[p+i-1] == phrase[i] for all i.
-        # sequence(1, n) DESCENDS for n < 1 (never empty) and ANSI
-        # element_at throws out-of-bounds, so short docs take the
-        # empty-array branch up front.
-        cand = F.when(
-            F.size(toks) >= k,
-            F.filter(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda p: F.element_at(toks, p) == F.lit(phrase[0]),
-            ),
-        ).otherwise(F.array().cast("array<int>"))
-        if k == 1:
-            return cand
-
-        # single-parameter lambda: Spark infers HOF lambda arity from the
-        # Python signature, so extra default args would be bound to the
-        # (elem, index) pair — close over i via a factory instead
-        def full_match(p):
-            out = None
-            for i in range(1, k):
-                t = F.element_at(toks, p + i) == F.lit(phrase[i])
-                out = t if out is None else out & t
-            return out
-
-        return F.filter(cand, full_match)
 
     hits = docs.select(
         id_col,
-        let(tokenize(F.col(text_col)), anchors).alias("_a"),
+        let(tokenize(F.col(text_col)),
+            lambda toks: phrase_anchor_positions(toks, phrase)).alias("_a"),
     ).filter(F.size("_a") > 0)
     return hits.select(
         id_col,

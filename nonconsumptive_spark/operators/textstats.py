@@ -2313,3 +2313,40 @@ def k_anonymity_summary(df, quasi_cols: list[str], k: int = 5):
         "round(CAST(rows_to_suppress AS DOUBLE) / n_rows, 4) + 0.0"
         " AS suppress_frac",
     )
+
+
+def percentile_filter_by_group(df, group_col: str, score_col: str,
+                               keep_frac: float, id_col: str = "doc_id"):
+    """Keep the top ``keep_frac`` of rows BY SCORE WITHIN EACH GROUP —
+    per-source quality thresholding.  A single global score cutoff
+    over-prunes whole domains whose score distribution sits low (the
+    classic curation failure: one boilerplate-heavy source calibrates
+    the bar for everyone); ranking within the group makes the threshold
+    distribution-free per source.
+
+    Exact rank semantics: a row survives iff its (score desc, id asc)
+    rank within the group is <= ceil(keep_frac * group_size) — ties
+    broken on id so the kept SET is deterministic and engine-portable
+    (no float percent_rank boundary ever reaches the decision).  The
+    window partitions BY GROUP: parallelism is #groups and per-group
+    state is one counter, never a global sort.
+    """
+    from pyspark.sql import Window, functions as F
+
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    # exact rational keep_frac = p/q so ceil never drifts over a float
+    from fractions import Fraction
+
+    fr = Fraction(str(keep_frac)).limit_denominator(10**6)
+    p, q = fr.numerator, fr.denominator
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col))
+    cnt = Window.partitionBy(group_col)
+    quota = -F.floor((-F.lit(p) * F.count("*").over(cnt)) / q)  # ceil(p*n/q)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_quota", quota.cast("long"))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )

@@ -96,8 +96,13 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # operators wait for registry entries + oracles until the r4 driver
 # window drains): operators/retrieval.blocklist_match (multi-phrase
 # one-pass decontamination), operators/retrieval.postings_size_stats
-# (delta-varint index accounting); also a percent_rank/ntile coverage
+# (delta-varint index accounting), textstats.percentile_filter_by_group
+# (per-source quality thresholding — exact ceil-quota rank semantics),
+# functions/text.normalize_unicode + strip_accents (oracle: decorate the
+# ASCII fixture with combining accents in SQL, then nfc_normalize /
+# strip_accents on the DuckDB side); also a percent_rank/ntile coverage
 # query over the bounded per-source frame (query-only, no operator).
+# streaming/blocklist.blocklist_gate is pytest-only (stream surface).
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite
