@@ -71,6 +71,29 @@ def _registry(name):
     return run
 
 
+
+
+def _blocklist_indexed(spark, sf_dir):
+    """Index-side multi-phrase decontamination (not yet registry-judged:
+    r5 queue) — timed so the anchor-vote join's scale path can't rot."""
+    from nonconsumptive_spark.operators.retrieval import (
+        blocklist_match, build_positional_index)
+    from nonconsumptive_spark.queries import load
+
+    idx = build_positional_index(load(spark, sf_dir, "documents"))
+    return blocklist_match(idx, [["table", "table"], ["bad", "word"],
+                                 ["spark", "query"], ["data"]])
+
+
+def _postings_stats(spark, sf_dir):
+    from nonconsumptive_spark.operators.retrieval import (
+        build_positional_index, postings_size_stats)
+    from nonconsumptive_spark.queries import load
+
+    return postings_size_stats(
+        build_positional_index(load(spark, sf_dir, "documents")))
+
+
 EXTRA = {
     "q_minhash_dedup_pairs[xxhash64]": _minhash_pairs_xxhash64,
     "q_ppjoin_pairs": _ppjoin,
@@ -103,6 +126,13 @@ EXTRA = {
     "q_bfs_distances": _registry("q_bfs_distances"),
     "q_degree_assortativity": _registry("q_degree_assortativity"),
     "q_weighted_sample": _registry("q_weighted_sample"),
+    # round-4h/4i additions
+    "q_min_span_proximity": _registry("q_min_span_proximity"),
+    "q_skyline_kd": _registry("q_skyline_kd"),
+    "q_hll_by_group": _registry("q_hll_by_group"),
+    "q_priority_sample_group": _registry("q_priority_sample_group"),
+    "q_blocklist_match[indexed]": _blocklist_indexed,
+    "q_postings_size_stats": _postings_stats,
 }
 
 
