@@ -222,6 +222,34 @@ def phrase_search_indexed(postings: DataFrame, phrase: list[str],
     )
 
 
+_SPAN_INF = 2147483647
+
+
+def _span_fold(k: int):
+    """(init, step) for the minimal-span sweep over position-ordered
+    (pos, slot) structs: the accumulator holds the last-seen position
+    per term slot plus the best span so far, with the k slots unrolled
+    at plan time.  Shared by the in-row and the indexed physical forms
+    so both compute byte-identical spans."""
+    init = F.struct(
+        *[F.lit(0).alias(f"l{i}") for i in range(k)],
+        F.lit(_SPAN_INF).alias("best"),
+    )
+
+    def step(acc, x):
+        lasts = [
+            F.when(x["slot"] == i, x["pos"]).otherwise(acc[f"l{i}"])
+            for i in range(k)
+        ]
+        all_set = F.least(*lasts) > 0 if k > 1 else lasts[0] > 0
+        span = x["pos"] - (F.least(*lasts) if k > 1 else lasts[0]) + 1
+        best = F.when(all_set, F.least(acc["best"], span)).otherwise(acc["best"])
+        return F.struct(*[c.alias(f"l{i}") for i, c in enumerate(lasts)],
+                        best.alias("best"))
+
+    return init, step
+
+
 def min_span_proximity(docs: DataFrame, terms: list[str],
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
@@ -258,21 +286,7 @@ def min_span_proximity(docs: DataFrame, terms: list[str],
             lambda s: s["slot"] >= 0,
         )
 
-    init = F.struct(
-        *[F.lit(0).alias(f"l{i}") for i in range(k)],
-        F.lit(2147483647).alias("best"),
-    )
-
-    def step(acc, x):
-        lasts = [
-            F.when(x["slot"] == i, x["pos"]).otherwise(acc[f"l{i}"])
-            for i in range(k)
-        ]
-        all_set = F.least(*lasts) > 0 if k > 1 else lasts[0] > 0
-        span = x["pos"] - (F.least(*lasts) if k > 1 else lasts[0]) + 1
-        best = F.when(all_set, F.least(acc["best"], span)).otherwise(acc["best"])
-        return F.struct(*[c.alias(f"l{i}") for i, c in enumerate(lasts)],
-                        best.alias("best"))
+    init, step = _span_fold(k)
 
     folded = docs.select(
         id_col,
@@ -285,10 +299,47 @@ def min_span_proximity(docs: DataFrame, terms: list[str],
             ).alias("n_matches"),
     )
     return (
-        folded.filter(F.col("_a.best") < 2147483647)
+        folded.filter(F.col("_a.best") < _SPAN_INF)
         .select(id_col,
                 F.col("_a.best").cast("int").alias("span"),
                 F.col("n_matches").cast("long").alias("n_matches"))
+    )
+
+
+def min_span_proximity_indexed(postings: DataFrame, terms: list[str],
+                               id_col: str = "doc_id") -> DataFrame:
+    """Minimal-span proximity over the MATERIALIZED positional index —
+    the query-many scale path (the in-row form re-tokenizes every
+    document per query).  Postings of the k query terms are selected by
+    a k-row broadcast slot join (term-partitioned index: other terms
+    never read), gathered per document as sorted (pos, slot) structs —
+    bounded by that document's matches, not its length — and swept by
+    the SAME plan-time-unrolled fold as the in-row form, so both
+    physical forms return identical rows.  One shuffle on doc id, state
+    per doc = its match count."""
+    seen = set()
+    uniq = [t for t in terms if not (t in seen or seen.add(t))]
+    if not uniq:
+        raise ValueError("terms must be non-empty")
+    k = len(uniq)
+    spark = postings.sparkSession
+    slots = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(uniq)], "slot int, w string")
+    m = (
+        postings.join(F.broadcast(slots), postings["term"] == slots["w"])
+        .select(id_col, F.col("pos").cast("int").alias("pos"), "slot")
+    )
+    per_doc = m.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("pos", "slot"))).alias("ms"),
+        F.count("*").cast("long").alias("n_matches"),
+    )
+    init, step = _span_fold(k)
+    folded = per_doc.select(
+        id_col, F.aggregate("ms", init, step)["best"].alias("best"),
+        "n_matches")
+    return (
+        folded.filter(F.col("best") < _SPAN_INF)
+        .select(id_col, F.col("best").cast("int").alias("span"), "n_matches")
     )
 
 

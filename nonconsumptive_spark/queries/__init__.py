@@ -96,7 +96,9 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # operators wait for registry entries + oracles until the r4 driver
 # window drains): operators/retrieval.blocklist_match (multi-phrase
 # one-pass decontamination), operators/retrieval.postings_size_stats
-# (delta-varint index accounting), textstats.percentile_filter_by_group
+# (delta-varint index accounting), retrieval.min_span_proximity_indexed
+# (same oracle as q_min_span_proximity — both physical forms must agree
+# exactly, the phrase_search/indexed pattern), textstats.percentile_filter_by_group
 # (per-source quality thresholding — exact ceil-quota rank semantics),
 # functions/text.normalize_unicode + strip_accents (oracle: decorate the
 # ASCII fixture with combining accents in SQL, then nfc_normalize /

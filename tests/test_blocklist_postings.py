@@ -126,3 +126,33 @@ def test_postings_stats_plan_shape(postings):
     plan = _plan(postings_size_stats(postings))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 2, plan
+
+
+# -- indexed min-span ------------------------------------------------------
+def test_min_span_indexed_equals_inrow(spark, docs, postings):
+    from nonconsumptive_spark.operators.retrieval import (
+        min_span_proximity,
+        min_span_proximity_indexed,
+    )
+
+    for terms in (["bad", "word"], ["table"], ["table", "bad", "word"],
+                  ["bad", "bad"]):          # dup terms collapse
+        inrow = _rows(min_span_proximity(docs, terms))
+        idx = _rows(min_span_proximity_indexed(postings, terms))
+        assert inrow == idx, terms
+    # adjacency: span == k where the terms are adjacent
+    got = {r[0]: r[1] for r in
+           _rows(min_span_proximity_indexed(postings, ["bad", "word"]))}
+    assert got[5] == 2                      # "bad word bad word"
+
+
+def test_min_span_indexed_is_order_free(spark, postings):
+    """Min-span is order-free (unlike phrase match): 'word bad' spans 2
+    for terms [bad, word] even though the phrase never occurs."""
+    from nonconsumptive_spark.operators.retrieval import (
+        min_span_proximity_indexed,
+    )
+
+    got = {r[0]: r[1] for r in
+           _rows(min_span_proximity_indexed(postings, ["bad", "word"]))}
+    assert got[6] == 2
