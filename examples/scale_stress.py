@@ -71,6 +71,13 @@ QUERIES = [
     "q_bfs_distances",
     "q_degree_assortativity",
     "q_weighted_sample",
+    # r4h/4i additions: the in-row sweep, the k-d grouped-map skyline,
+    # grouped sketches/samples, and the index-side multi-phrase join
+    "q_min_span_proximity",
+    "q_skyline_kd",
+    "q_hll_by_group",
+    "q_priority_sample_group",
+    "q_k_anonymity",
 ]
 
 

@@ -8,6 +8,7 @@ SQL-expressible definition so the DuckDB oracle can verify it.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -2349,4 +2350,45 @@ def percentile_filter_by_group(df, group_col: str, score_col: str,
         .withColumn("_quota", quota.cast("long"))
         .filter(F.col("_rk") <= F.col("_quota"))
         .drop("_rk", "_quota")
+    )
+
+
+def compression_ratio(df, id_col: str = "doc_id", text_col: str = "text",
+                      level: int = 6):
+    """zlib-compressibility quality signal per document: (id, n_bytes,
+    comp_bytes, ratio) with ratio = compressed/raw rounded to 4 decimals
+    — the standard cheap proxy for boilerplate and low-entropy spam
+    (highly repetitive pages compress far below natural prose, random
+    noise compresses above it; curation keeps a middle band).
+
+    No JVM built-in exposes a compressor as an expression, so this is
+    the sanctioned Python path: an Arrow-batched pandas_udf calling
+    C-implemented ``zlib.compress`` once per value — a pure narrow map,
+    zero shuffle, trivially parallel.  Deterministic for a fixed level,
+    so results are reproducible run-to-run (zlib output can differ
+    across zlib BUILDS — treat stored ratios as advisory across
+    environments, exact within one).  NULL text ratios are NULL.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    # raw byte length is a JVM built-in (octet_length); only the
+    # compressed size needs the Python worker
+    @pandas_udf("long")
+    def _comp(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(lambda v: None if v is None
+                     else len(zlib.compress(v.encode("utf-8"), level)))
+
+    return df.select(
+        id_col,
+        F.octet_length(text_col).cast("long").alias("n_bytes"),
+        _comp(F.col(text_col)).alias("comp_bytes"),
+    ).select(
+        id_col, "n_bytes", "comp_bytes",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("comp_bytes") / F.col("n_bytes"), 4) + 0.0,
+        ).alias("ratio"),
     )

@@ -104,7 +104,9 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # ASCII fixture with combining accents in SQL, then nfc_normalize /
 # strip_accents on the DuckDB side); also a percent_rank/ntile coverage
 # query over the bounded per-source frame (query-only, no operator).
-# streaming/blocklist.blocklist_gate is pytest-only (stream surface).
+# streaming/blocklist.blocklist_gate is pytest-only (stream surface);
+# textstats.compression_ratio is pytest-only unless given a rows-only
+# registry row (zlib has no SQL oracle).
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite
