@@ -168,6 +168,14 @@ class CorpusSession:
             # (operators/retrieval.phrase_search_indexed)
             "positional_index": lambda: _retrieval().build_positional_index(
                 docs, id_col="nc:id", text_col=tcol),
+            # compressibility signal (zlib ratio per doc) — the cheap
+            # boilerplate/entropy curation feature; Arrow-batched, so it
+            # belongs behind the cache like srp
+            "compression": lambda: _ts().compression_ratio(
+                docs, id_col="nc:id", text_col=tcol),
+            # index storage accounting over the cached positional index
+            "postings_stats": lambda: _retrieval().postings_size_stats(
+                self.run("positional_index"), id_col="nc:id"),
         }
 
     @staticmethod

@@ -392,6 +392,25 @@ def test_positional_index_transform_answers_phrase_queries(spark, corpus_dir, tm
     assert again == sorted(map(tuple, idx.collect()))
 
 
+def test_compression_and_postings_transforms(spark, corpus_dir, tmp_path):
+    cs = CorpusSession(
+        spark,
+        texts=str(corpus_dir / "texts"),
+        cache_dir=tmp_path / "cache_cps",
+    )
+    comp = cs.run("compression")
+    assert set(comp.columns) == {"nc:id", "n_bytes", "comp_bytes", "ratio"}
+    assert comp.count() == cs.run("documents").count()
+    assert comp.filter("ratio IS NULL OR ratio <= 0").count() == 0
+    stats = cs.run("postings_stats")
+    assert set(stats.columns) == {"term", "n_docs", "n_postings",
+                                  "varint_bytes", "fixed_bytes", "ratio"}
+    # accounting identity: postings in the stats == rows in the index
+    n_idx = cs.run("positional_index").count()
+    n_acc = stats.agg({"n_postings": "sum"}).collect()[0][0]
+    assert n_acc == n_idx > 0
+
+
 def test_orc_catalog_roundtrip(spark, tmp_path):
     from nonconsumptive_spark.sources import readers
 
