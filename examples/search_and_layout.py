@@ -58,11 +58,26 @@ def main() -> None:
         print(f"  doc {r['doc_id']}: {r['x']} chars, {r['y']} types")
 
     print("== min-span proximity for ['table', 'scan'] (top 5 tightest) ==")
-    from nonconsumptive_spark.operators.retrieval import min_span_proximity
+    from nonconsumptive_spark.operators.retrieval import (
+        min_span_proximity,
+        min_span_proximity_indexed,
+    )
 
     spans = min_span_proximity(docs, ["table", "scan"]).orderBy("span", "doc_id")
     for r in spans.limit(5).collect():
         print(f"  doc {r['doc_id']}: span {r['span']} ({r['n_matches']} matches)")
+    # the indexed form answers the same query from the postings alone
+    n_idx = min_span_proximity_indexed(idx, ["table", "scan"]).count()
+    print(f"  (indexed form agrees: {n_idx} == {spans.count()} docs)")
+
+    print("== blocklist: every phrase decided in one pass over the index ==")
+    from nonconsumptive_spark.operators.retrieval import blocklist_match
+
+    bl = [["table", "table"], ["slow", "scan"], ["merge"]]
+    matches = blocklist_match(idx, bl)
+    for r in (matches.groupBy("phrase_id").count()
+              .orderBy("phrase_id").collect()):
+        print(f"  phrase {bl[r['phrase_id']]}: {r['count']} docs flagged")
 
     print("== Z-order layout of events on (user_id, value) ==")
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
