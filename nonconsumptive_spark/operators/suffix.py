@@ -1,0 +1,230 @@
+"""Distributed generalized suffix array over the tokenized corpus —
+prefix doubling (Manber-Myers, the sort-based form used by every
+MapReduce/MPI-scale suffix-array construction, e.g. Flick & Aluru 2015)
+expressed as DataFrame rounds.
+
+Why a suffix array at all: the fixed-length operators (repeated 5-token
+spans, 8-token chunk dedup, 13-gram decontamination) answer "is this
+EXACT n-gram repeated"; the suffix array answers "what is the LONGEST
+repeated substring through every position" — the signal behind
+exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better"), which removes verbatim
+boilerplate of ANY length without choosing n in advance.
+
+Scale shape (the whole point):
+
+  * ``ceil(log2 maxdoclen)`` ROUNDS, each a fixed pipeline of bounded
+    shuffles over the (doc, pos, rank) frame: one self equi-join on
+    (doc, pos+k) to fetch the partner rank, one distinct over rank
+    pairs, one range-partitioned dense-id assignment (reusing
+    ``assign_dense_ids`` — per-partition offsets, never a global
+    single-partition sort), one join back.  Nothing is ever quadratic
+    and no state exceeds one row per corpus token.
+  * Suffixes are PER-DOCUMENT (a generalized SA): comparisons never
+    cross a document boundary, missing partners rank as -1 (so a
+    prefix sorts before its extensions — the implicit unique-sentinel
+    convention), and identical suffixes in different documents share a
+    rank (ties broken by (doc, pos) only at final ordering time).
+  * Rounds stop early once every rank is unique; corpora with repeated
+    full suffixes converge by rank-count fixpoint at k >= maxdoclen.
+  * LCPs come from the retained doubling tables (the standard
+    O(log n)-per-query walk) — computed only for SA-ADJACENT pairs,
+    which by the classic result suffice for the longest-repeated-prefix
+    of every suffix.  Each walk level is one equi-join of the bounded
+    pair frame against that level's rank table.
+
+Reference anchor: the reference has no substring machinery at all (its
+dedup stops at bag-of-words hashes, nonconsumptive/corpus.py); this is
+north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nonconsumptive_spark.functions.text import tokens_with_pos
+from nonconsumptive_spark.plans.checkpoint import materialize_once
+from nonconsumptive_spark.sources.readers import assign_dense_ids
+
+
+def _dense_rank(df: DataFrame, key_cols: list[str], out: str):
+    """Dense rank of ``df`` rows by ``key_cols`` without a global
+    single-partition window: distinct keys get 0..D-1 ids via the
+    range-partitioned ``assign_dense_ids``, then join back.  Returns
+    (ranked df, number of distinct keys)."""
+    keys = df.select(*key_cols).distinct()
+    keyed = assign_dense_ids(keys, key_cols, id_name=out)
+    n_distinct = keyed.count()  # keyed is materialized inside assign_dense_ids
+    return df.join(keyed, key_cols), n_distinct
+
+
+def suffix_rank_tables(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Run prefix doubling to convergence.  Returns
+    ``(final, tables, total)``: ``final`` is (id, pos, rank) with ranks
+    comparing FULL suffixes (dense; identical suffixes share a rank),
+    ``tables`` is the list of (prefix_len, (id, pos, rank)) doubling
+    tables for LCP walks, ``total`` the corpus token count.  pos is
+    1-based."""
+    toks = tokens_with_pos(docs, id_col, text_col)
+    t, n_distinct = _dense_rank(toks.select(id_col, "pos", "token"),
+                                ["token"], "rank")
+    t = materialize_once(t.select(id_col, "pos", "rank"), "sa_r1")
+    total = t.count()
+    maxlen = (t.groupBy(id_col).count()
+              .agg(F.max("count")).collect()[0][0] or 0)
+    tables = [(1, t)]
+    k = 1
+    while k < maxlen and n_distinct < total:
+        nxt = t.select(F.col(id_col), (F.col("pos") - k).alias("pos"),
+                       F.col("rank").alias("_r2"))
+        pairs = (
+            t.join(nxt, [id_col, "pos"], "left")
+            .select(id_col, "pos", "rank",
+                    F.coalesce("_r2", F.lit(-1)).alias("_r2"))
+        )
+        t2, n2 = _dense_rank(pairs, ["rank", "_r2"], "_nr")
+        t = materialize_once(
+            t2.select(id_col, "pos", F.col("_nr").alias("rank")),
+            f"sa_r{2 * k}")
+        k *= 2
+        tables.append((k, t))
+        if n2 == n_distinct:
+            break  # fixpoint: repeated full suffixes, ranks are final
+        n_distinct = n2
+    return t, tables, total
+
+
+def suffix_array(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, pos, rank, sa): the generalized suffix array.  ``rank`` is
+    dense over suffix CONTENT (ties = identical suffixes); ``sa`` is the
+    0-based array position under the total order (rank, id, pos)."""
+    final, _, _ = suffix_rank_tables(docs, id_col, text_col)
+    return assign_dense_ids(final, ["rank", id_col, "pos"], id_name="sa")
+
+
+def _lcp_walk(pairs: DataFrame, tables, id_col: str) -> DataFrame:
+    """Append ``lcp`` to a frame of suffix pairs (ida, pa, idb, pb) via
+    the doubling tables, highest level first: if the two suffixes'
+    rank_k at their current walk offsets agree, the true LCP has at
+    least k more tokens — advance both pointers by k.  Each level is
+    one (broadcast-free) equi-join per side against that level's rank
+    table; the pair frame never grows."""
+    out = pairs.withColumn("lcp", F.lit(0).cast("long"))
+    for k, tab in sorted(tables, key=lambda x: -x[0]):
+        ra = tab.select(F.col(id_col).alias("ida"),
+                        F.col("pos").alias("_pa"),
+                        F.col("rank").alias("_ra"))
+        rb = tab.select(F.col(id_col).alias("idb"),
+                        F.col("pos").alias("_pb"),
+                        F.col("rank").alias("_rb"))
+        out = (
+            out.withColumn("_pa", F.col("pa") + F.col("lcp"))
+            .withColumn("_pb", F.col("pb") + F.col("lcp"))
+            .join(ra, ["ida", "_pa"], "left")
+            .join(rb, ["idb", "_pb"], "left")
+            .withColumn(
+                "lcp",
+                F.when(
+                    F.col("_ra").isNotNull() & F.col("_rb").isNotNull()
+                    & (F.col("_ra") == F.col("_rb")),
+                    F.col("lcp") + k,
+                ).otherwise(F.col("lcp")),
+            )
+            .drop("_pa", "_pb", "_ra", "_rb")
+        )
+    return out
+
+
+def longest_repeated_prefix(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(id, pos, lrp): for every corpus position, the length of the
+    longest prefix of its suffix that ALSO occurs somewhere else in the
+    corpus (other position, any document).  Classic reduction: that
+    longest match is always with an SA-adjacent suffix, so lrp =
+    max(LCP with SA predecessor, LCP with SA successor) — n-1 pairs,
+    never all pairs."""
+    final, tables, _ = suffix_rank_tables(docs, id_col, text_col)
+    sa = assign_dense_ids(final, ["rank", id_col, "pos"], id_name="sa")
+    sa = materialize_once(sa, "sa_order")
+    cur = sa.select(F.col(id_col).alias("ida"), F.col("pos").alias("pa"),
+                    F.col("rank").alias("rka"), "sa")
+    nxt = sa.select(F.col(id_col).alias("idb"), F.col("pos").alias("pb"),
+                    F.col("rank").alias("rkb"),
+                    (F.col("sa") - 1).alias("sa"))
+    adj = cur.join(nxt, "sa")
+    # identical suffixes (equal rank) have LCP = full suffix length and
+    # need no table walk; only unequal-rank neighbors walk the tables
+    eq = adj.filter(F.col("rka") == F.col("rkb"))
+    ne = adj.filter(F.col("rka") != F.col("rkb"))
+    # equal rank == identical suffix content, so the LCP is the whole
+    # suffix; suffix length = doc token count - pos + 1 (doc lengths
+    # from the rank-1 table, one tiny agg)
+    t1 = tables[0][1]
+    doclen = t1.groupBy(id_col).agg(F.max("pos").alias("_dl"))
+    eq_l = (
+        eq.join(doclen.select(F.col(id_col).alias("ida"), "_dl"), "ida")
+        .withColumn("lcp", (F.col("_dl") - F.col("pa") + 1).cast("long"))
+        .select("ida", "pa", "idb", "pb", "lcp")
+    )
+    ne_l = _lcp_walk(ne.select("ida", "pa", "idb", "pb"), tables, id_col)
+    both = eq_l.unionByName(ne_l)
+    per_side = both.select(F.col("ida").alias(id_col),
+                           F.col("pa").alias("pos"), "lcp") \
+        .unionByName(both.select(F.col("idb").alias(id_col),
+                                 F.col("pb").alias("pos"), "lcp"))
+    lrp = per_side.groupBy(id_col, "pos").agg(F.max("lcp").alias("lrp"))
+    # positions with no SA neighbor on either side (corpus of 1 token)
+    # simply don't appear; join back to emit every position with lrp 0+
+    return (
+        t1.select(id_col, "pos").join(lrp, [id_col, "pos"], "left")
+        .select(id_col, "pos",
+                F.coalesce("lrp", F.lit(0)).cast("long").alias("lrp"))
+    )
+
+
+def repeated_regions(docs: DataFrame, min_len: int,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, span_start, span_end, span_len): maximal merged intervals of
+    positions covered by a repeated substring of length >= ``min_len``
+    — the removal mask exact-substring dedup applies.  A position p
+    with lrp(p) >= min_len certifies the window [p, p+lrp) repeats
+    elsewhere; per document the certified windows are merged in-row
+    (sort + one fold over this doc's flagged positions — bounded by doc
+    length, zero extra shuffle beyond the lrp group)."""
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    lrp = longest_repeated_prefix(docs, id_col, text_col)
+    flagged = lrp.filter(F.col("lrp") >= min_len).select(
+        id_col, F.struct(F.col("pos").cast("long").alias("s"),
+                         (F.col("pos") + F.col("lrp")).cast("long")
+                         .alias("e")).alias("iv"))
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("iv")).alias("ivs"))
+    # in-row interval merge: fold sorted intervals into
+    # array<struct<s,e>>, extending the open interval or appending
+    init = F.expr("CAST(array() AS array<struct<s:bigint, e:bigint>>)")
+    merged = F.aggregate(
+        "ivs", init,
+        lambda acc, iv: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1)["e"] >= iv["s"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    F.greatest(F.element_at(acc, -1)["e"],
+                               iv["e"]).alias("e"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(iv))),
+    )
+    return (
+        per_doc.select(id_col, F.explode(merged).alias("m"))
+        .select(id_col,
+                F.col("m.s").alias("span_start"),
+                F.col("m.e").alias("span_end"),
+                (F.col("m.e") - F.col("m.s")).alias("span_len"))
+    )

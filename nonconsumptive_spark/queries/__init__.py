@@ -107,6 +107,13 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # streaming/blocklist.blocklist_gate is pytest-only (stream surface);
 # textstats.compression_ratio is pytest-only unless given a rows-only
 # registry row (zlib has no SQL oracle).
+# operators/suffix.py (generalized suffix array via prefix doubling,
+# longest_repeated_prefix, repeated_regions — exact-substring dedup)
+# also queues for r5: oracle sketch = DuckDB dense_rank() over the
+# lexicographic ORDER BY list_slice(t, pos, len(t)) suffix lists, or
+# the repeated_regions output directly (quadratic suffix sort is fine
+# at oracle scale).  Too slow for bench extras (log-rounds of shuffles
+# dominate at test SF); PLANS.md documents the cost model.
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite

@@ -65,6 +65,12 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str], id_name: str = "nc:id
     for pid in sorted(offsets):
         cum[pid] = acc
         acc += offsets[pid]
+    if not cum:
+        # empty input: create_map() with zero entries types as
+        # map<void,void> and map()[spark_partition_id()] fails ANALYSIS
+        # even though no row would evaluate it — short-circuit with the
+        # right schema
+        return with_rn.withColumn(id_name, F.col("__local_rn").cast("long"))                       .drop("__local_rn")
     mapping = F.create_map(
         *[F.lit(x) for kv in cum.items() for x in kv]
     )
