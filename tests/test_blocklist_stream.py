@@ -88,3 +88,20 @@ def test_gate_is_stateless_plan(spark, docs_dir):
 def test_gate_rejects_empty(spark):
     with pytest.raises(ValueError):
         blocklist_gate(None, [])
+
+
+def test_compression_ratio_streams(spark, docs_dir):
+    """compression_ratio is a stateless narrow map, so it runs unchanged
+    on a stream; stream == batch."""
+    from nonconsumptive_spark.operators.textstats import compression_ratio
+
+    batch = sorted(map(tuple,
+                       compression_ratio(spark.read.parquet(docs_dir))
+                       .collect()))
+    src = (
+        spark.readStream.format("parquet").schema(SCHEMA)
+        .option("maxFilesPerTrigger", 3).load(docs_dir)
+    )
+    got = run_available_now(compression_ratio(src), "t_compstream",
+                            mode="append")
+    assert sorted(map(tuple, got.collect())) == batch
