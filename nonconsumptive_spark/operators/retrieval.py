@@ -427,3 +427,102 @@ def postings_size_stats(postings: DataFrame,
                      / (F.col("n_postings") * 4.0), 4) + 0.0).alias("ratio"),
         )
     )
+
+
+def query_likelihood_topk(docs: DataFrame, query_terms: list[str],
+                          k: int = 10, mu: float = 100.0,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents under the Dirichlet-smoothed query-likelihood
+    language model (Zhai & Lafferty 2001) — the other classic sparse
+    ranker next to BM25 (reference anchor: the tf/cf statistics are the
+    reference's per-document counts + global wordcount,
+    nonconsumptive/corpus.py:186-253; it never composes a ranker):
+
+        score(d) = sum_t ln( (tf_{t,d} + mu * cf_t / C) / (dl_d + mu) )
+
+    over the query terms present in the corpus (a term with cf=0 would
+    send every document to -inf and carries no ranking signal, so both
+    engines drop it).  Decomposed for exact cross-engine parity: each
+    ln() is quantized to a 1e-9-scaled BIGINT *before* any cross-row sum
+    (the hash-parity playbook used by burrows_delta / dsir_weights), so
+
+        score_q(d) = K + sum_{matched t} [q(ln(tf + mu cf/C)) - q(ln(mu cf/C))]
+                     - |Q| * q(ln(dl + mu))
+
+    is exact integer arithmetic; summation order never reaches the
+    output, and the top-k cut sorts on the BIGINT itself.
+
+    Scale shape (same as bm25_topk): ONE let-bound tokenize per row
+    yields (dl, matched-terms sub-array); only matching tokens explode,
+    so the exploded frame is O(matches).  cf and the query constant are
+    |Q|-row / 1-row broadcast aggregates; the per-doc frame joins them
+    broadcast and never shuffles on anything wider than doc_id; the cut
+    is TakeOrderedAndProject.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    qset = F.array(*[F.lit(t) for t in terms])
+    q9 = F.lit(1e9)
+
+    base = docs.select(
+        id_col,
+        let(
+            tokenize(F.lower(F.col(text_col))),
+            lambda toks: F.struct(
+                F.size(toks).alias("dl"),
+                F.filter(toks, lambda x: F.array_contains(qset, x)).alias("qt"),
+            ),
+        ).alias("s"),
+    ).select(id_col, "s.dl", "s.qt")
+    base = materialize_once(base, "ql_base")  # dl feeds C AND scoring
+
+    cc = base.agg(F.sum("dl").cast("long").alias("cc"))
+    tf = (
+        base.select(id_col, F.explode("qt").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cfq = (
+        tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+        .crossJoin(F.broadcast(cc))
+        .select(
+            "term", "cf", "cc",
+            F.floor(q9 * F.log(F.lit(mu) * F.col("cf") / F.col("cc")))
+            .cast("long").alias("bg_q"),
+        )
+    )
+    konst = cfq.agg(F.sum("bg_q").cast("long").alias("k_q"),
+                    F.count("*").cast("long").alias("nq"))
+    per_doc = (
+        tf.join(F.broadcast(cfq), "term")
+        .select(
+            id_col,
+            (F.floor(q9 * F.log(F.col("tf")
+                                + F.lit(mu) * F.col("cf") / F.col("cc")))
+             .cast("long") - F.col("bg_q")).alias("dq"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("dq").cast("long").alias("dq"),
+             F.count("*").cast("long").alias("n_terms_matched"))
+    )
+    scored = (
+        base.select(id_col, "dl")
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(konst))
+        .select(
+            id_col,
+            F.coalesce("n_terms_matched", F.lit(0)).cast("long")
+            .alias("n_terms_matched"),
+            (F.col("k_q") + F.coalesce("dq", F.lit(0))
+             - F.col("nq")
+             * F.floor(q9 * F.log(F.col("dl") + F.lit(mu))).cast("long"))
+            .alias("score_q"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_q"), F.asc(id_col)).limit(k)
+        .select(
+            id_col, "n_terms_matched",
+            (F.round(F.col("score_q") / q9, 4) + F.lit(0.0)).alias("score"),
+        )
+    )

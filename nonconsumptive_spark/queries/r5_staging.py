@@ -257,3 +257,243 @@ def q_repeated_regions(spark, sf_dir):
 
     return repeated_regions(load(spark, sf_dir, "documents"),
                             min_len=_RR_MIN)
+
+
+# -- Dirichlet query-likelihood ranking (the other classic sparse ranker) --
+_QL_TERMS = ["spark", "query", "dup"]
+_QL_K, _QL_MU = 10, 100.0
+_QL_TOKS_LOWER = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\pL]+'),"
+    " x -> x <> '')"
+)
+_QL_IN = "(" + ", ".join(f"'{t}'" for t in sorted(_QL_TERMS)) + ")"
+
+
+@_stage(
+    "q_query_likelihood",
+    f"""
+    WITH base AS (SELECT doc_id, {_QL_TOKS_LOWER} AS t FROM documents),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+    cc AS (SELECT CAST(sum(dl) AS BIGINT) AS cc FROM lens),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS token FROM base)
+      WHERE token IN {_QL_IN}
+      GROUP BY 1, 2),
+    cfq AS (
+      SELECT token, cf, cc,
+             CAST(floor(1000000000.0 * ln({_QL_MU} * cf / cc)) AS BIGINT)
+               AS bg_q
+      FROM (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+      CROSS JOIN cc),
+    konst AS (SELECT CAST(sum(bg_q) AS BIGINT) AS k_q,
+                     CAST(count(*) AS BIGINT) AS nq FROM cfq),
+    per_doc AS (
+      SELECT f.doc_id,
+             CAST(sum(CAST(floor(1000000000.0
+                    * ln(f.tf + {_QL_MU} * c.cf / c.cc)) AS BIGINT)
+                  - c.bg_q) AS BIGINT) AS dq,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM tf f JOIN cfq c USING (token) GROUP BY f.doc_id),
+    scored AS (
+      SELECT l.doc_id,
+             CAST(COALESCE(p.n_terms_matched, 0) AS BIGINT)
+               AS n_terms_matched,
+             k.k_q + COALESCE(p.dq, 0)
+               - k.nq * CAST(floor(1000000000.0 * ln(l.dl + {_QL_MU}))
+                             AS BIGINT) AS score_q
+      FROM lens l LEFT JOIN per_doc p USING (doc_id) CROSS JOIN konst k)
+    SELECT doc_id, n_terms_matched,
+           round(score_q / 1000000000.0, 4) + 0.0 AS score
+    FROM scored ORDER BY score_q DESC, doc_id ASC LIMIT {_QL_K}
+    """,
+)
+def q_query_likelihood(spark, sf_dir):
+    from nonconsumptive_spark.operators.retrieval import query_likelihood_topk
+
+    return query_likelihood_topk(load(spark, sf_dir, "documents"),
+                                 _QL_TERMS, k=_QL_K, mu=_QL_MU)
+
+
+# -- CUSUM changepoint detection over the daily event-count series ---------
+# The sequential recurrence s_i = max(0, s_{i-1} + y_i) is exactly
+# s_i = cum_i - min(0, running_min(cum_i))  (and its mirror for the
+# negative side), so the whole detector is two window passes over the
+# #days-sized daily spine — no recursion, no UDF, fully BIGINT (daily
+# deviations are scaled by n so the target mean never becomes a float).
+_CUSUM_H = 4  # flag when |cusum| exceeds H * s  (s = n * mean daily count)
+
+
+@_stage(
+    "q_cusum_daily",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s FROM daily),
+    dev AS (SELECT d, c, t.n * c - t.s AS y, t.s AS s
+            FROM daily CROSS JOIN tot t),
+    c1 AS (SELECT d, c, s,
+                  CAST(sum(y) OVER (ORDER BY d) AS BIGINT) AS cum
+           FROM dev),
+    c2 AS (SELECT d, c, s, cum,
+                  CAST(least(0, min(cum) OVER (ORDER BY d)) AS BIGINT)
+                    AS rmin,
+                  CAST(greatest(0, max(cum) OVER (ORDER BY d)) AS BIGINT)
+                    AS rmax
+           FROM c1)
+    SELECT d, c, cum,
+           cum - rmin AS cusum_pos,
+           rmax - cum AS cusum_neg,
+           (cum - rmin > {_CUSUM_H} * s
+            OR rmax - cum > {_CUSUM_H} * s) AS flagged
+    FROM c2
+    """,
+)
+def q_cusum_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    daily = materialize_once(daily, "cusum_daily")
+    tot = daily.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("c").cast("long").alias("s"))
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "c", "s", (F.col("n") * F.col("c") - F.col("s")).alias("y"))
+    # the spine is #days rows — a bounded single-partition window, the
+    # same documented shape as every other daily-series query here
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c1 = dev.select("d", "c", "s",
+                    F.sum("y").over(w).cast("long").alias("cum"))
+    c2 = c1.select(
+        "d", "c", "s", "cum",
+        F.least(F.lit(0), F.min("cum").over(w)).cast("long").alias("rmin"),
+        F.greatest(F.lit(0), F.max("cum").over(w)).cast("long").alias("rmax"),
+    )
+    return c2.select(
+        "d", "c", "cum",
+        (F.col("cum") - F.col("rmin")).alias("cusum_pos"),
+        (F.col("rmax") - F.col("cum")).alias("cusum_neg"),
+        ((F.col("cum") - F.col("rmin") > _CUSUM_H * F.col("s"))
+         | (F.col("rmax") - F.col("cum") > _CUSUM_H * F.col("s")))
+        .alias("flagged"),
+    )
+
+
+# -- Kaplan–Meier survival over user lifetimes ------------------------------
+# Lifetime = days between a user's first and last event; a user whose
+# last event falls within _KM_CENS_DAYS of the observation end is
+# censored (still active), otherwise the churn event is observed.  The
+# survival product is carried as a 1e-9-quantized BIGINT sum of per-step
+# ln((n-d)/n) terms (the exact-integer-accumulation playbook), so the
+# cross-engine hash never sees float summation order; when a step
+# exhausts the risk set (d = n) the term is a -1e15 sentinel whose exp()
+# underflows to exactly 0.0 on both engines.
+_KM_CENS_DAYS = 7
+
+
+@_stage(
+    "q_kaplan_meier",
+    f"""
+    WITH pu AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    obs AS (SELECT max(ts) AS end_ts FROM events),
+    durs AS (
+      SELECT CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(last_ts AS DATE)) AS BIGINT) AS dur,
+             (last_ts < end_ts - INTERVAL {_KM_CENS_DAYS} DAY) AS observed
+      FROM pu CROSS JOIN obs),
+    tbl AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_event
+      FROM durs GROUP BY dur),
+    risk AS (
+      SELECT dur, n_all, n_event,
+             CAST((SELECT count(*) FROM durs)
+                  - COALESCE(sum(n_all) OVER (
+                      ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM tbl),
+    terms AS (
+      SELECT dur, n_risk, n_event, n_all - n_event AS n_censored,
+             CASE WHEN n_event = 0 THEN CAST(0 AS BIGINT)
+                  WHEN n_event < n_risk THEN
+                    CAST(floor(1000000000.0
+                         * ln(CAST(n_risk - n_event AS DOUBLE) / n_risk))
+                         AS BIGINT)
+                  ELSE CAST(-1000000000000000 AS BIGINT) END AS term
+      FROM risk),
+    surv AS (
+      SELECT dur, n_risk, n_event, n_censored,
+             CAST(sum(term) OVER (ORDER BY dur) AS BIGINT) AS log_surv_q
+      FROM terms)
+    SELECT dur, n_risk, n_event, n_censored, log_surv_q,
+           round(exp(log_surv_q / 1000000000.0), 6) + 0.0 AS survival
+    FROM surv
+    """,
+)
+def q_kaplan_meier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"),
+                                   F.max("ts").alias("last_ts"))
+    obs = ev.agg(F.max("ts").alias("end_ts"))
+    durs = pu.crossJoin(F.broadcast(obs)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+        .cast("long").alias("dur"),
+        (F.col("last_ts")
+         < F.col("end_ts") - F.expr(f"INTERVAL {_KM_CENS_DAYS} DAYS"))
+        .alias("observed"),
+    )
+    durs = materialize_once(durs, "km_durs")  # feeds the table AND the total
+    tot = durs.agg(F.count("*").cast("long").alias("n_users"))
+    tbl = durs.groupBy("dur").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.col("observed").cast("long")).cast("long").alias("n_event"),
+    )
+    # the lifetime table is #distinct-durations rows — bounded spine window
+    w_prev = (Window.orderBy("dur")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = tbl.crossJoin(F.broadcast(tot)).select(
+        "dur", "n_all", "n_event",
+        (F.col("n_users")
+         - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0)))
+        .cast("long").alias("n_risk"),
+    )
+    terms = risk.select(
+        "dur", "n_risk", "n_event",
+        (F.col("n_all") - F.col("n_event")).alias("n_censored"),
+        F.when(F.col("n_event") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("n_event") < F.col("n_risk"),
+            F.floor(F.lit(1e9) * F.log(
+                (F.col("n_risk") - F.col("n_event")).cast("double")
+                / F.col("n_risk"))).cast("long"),
+        )
+        .otherwise(F.lit(-(10 ** 15)).cast("long")).alias("term"),
+    )
+    surv = terms.select(
+        "dur", "n_risk", "n_event", "n_censored",
+        F.sum("term").over(w_cum).cast("long").alias("log_surv_q"),
+    )
+    return surv.select(
+        "dur", "n_risk", "n_event", "n_censored", "log_surv_q",
+        (F.round(F.exp(F.col("log_surv_q") / F.lit(1e9)), 6)
+         + F.lit(0.0)).alias("survival"),
+    )
