@@ -252,3 +252,90 @@ def hard_negatives(docs: DataFrame, emb: DataFrame, n_queries: int,
         .filter(F.col("cosine_sim") < cos_max)
         .select("query_id", "cand_id", "overlap", "lex_rank", "cosine_sim")
     )
+
+
+NDCG_K = 10
+NDCG_SCALE = 10**9
+NDCG_HI_CUT = SEM_TOP // 4  # sem_rank <= cut -> grade 2 (gain 3), else 1
+
+
+def ndcg_discounts(k: int = NDCG_K, scale: int = NDCG_SCALE) -> list[int]:
+    """The DCG position-discount table 1/log2(i+1), i = 1..k,
+    floor-quantized to ``scale`` units.  Computed ONCE at plan-build time
+    and interpolated into BOTH engines as integer literals, so the
+    discount applied to a gain is exact shared arithmetic — the float
+    log exists only here, never in either engine."""
+    import math
+
+    return [int(scale / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ndcg_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
+              k: int = NDCG_K) -> DataFrame:
+    """(query_id, n_rel, dcg_q, idcg_q, ndcg): nDCG@k of the stop-cut
+    shingle LEXICAL ranking, judged against cosine-kNN pseudo-relevance
+    — the standard cross-ranker evaluation when no human labels exist
+    (semantic top-``SEM_TOP`` is the relevant set; the top quarter gets
+    grade 2, the rest grade 1; exponential gains 2^g - 1).
+
+    All accumulation is exact BIGINT: gains are small integers, the
+    discount table comes from ``ndcg_discounts`` as shared literals, so
+    dcg_q / idcg_q are exact integer sums and the only float is the
+    final one-division ndcg, rounded at output.
+
+    Scale: relevance and ranking frames are ≤ n_queries × top rows;
+    everything after the two rankers is broadcast-sized.  The rankers
+    themselves carry the documented lexical/semantic plan shapes."""
+    disc = ndcg_discounts(k)
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+
+    lex = lexical_topn(docs, n_queries, LEX_TOP)
+    sem = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < n_queries), k=SEM_TOP
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    rel = sem.select(
+        "query_id", "cand_id",
+        F.when(F.col("sem_rank") <= NDCG_HI_CUT, F.lit(3))
+        .otherwise(F.lit(1)).cast("long").alias("gain"),
+    )
+    rel = materialize_once(rel, "ndcg_rel")  # feeds dcg, idcg AND n_rel
+
+    dcg = (
+        lex.filter(F.col("lex_rank") <= k)
+        .join(rel, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            (F.coalesce("gain", F.lit(0))
+             * F.element_at(disc_arr, F.col("lex_rank").cast("int")))
+            .alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("dcg_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("gain"), F.asc("cand_id"))
+    idcg = (
+        rel.withColumn("ir", F.row_number().over(w))
+        .filter(F.col("ir") <= k)
+        .select("query_id",
+                (F.col("gain") * F.element_at(disc_arr, F.col("ir")))
+                .alias("g"))
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("idcg_q"))
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel"))
+    return (
+        nrel.join(dcg, "query_id", "left")
+        .join(idcg, "query_id")
+        .select(
+            "query_id", "n_rel",
+            F.coalesce("dcg_q", F.lit(0)).cast("long").alias("dcg_q"),
+            "idcg_q",
+            (F.round(F.coalesce("dcg_q", F.lit(0)) / F.col("idcg_q"), 6)
+             + F.lit(0.0)).alias("ndcg"),
+        )
+    )

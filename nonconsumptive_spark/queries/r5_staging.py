@@ -497,3 +497,52 @@ def q_kaplan_meier(spark, sf_dir):
         (F.round(F.exp(F.col("log_surv_q") / F.lit(1e9)), 6)
          + F.lit(0.0)).alias("survival"),
     )
+
+
+# -- nDCG@k of the lexical ranker vs semantic pseudo-relevance -------------
+def _ndcg_oracle() -> str:
+    from nonconsumptive_spark.operators import hybrid as hy
+    from nonconsumptive_spark.queries.hybrid import _LEX_CTES, _SEM_CTES, _N_Q
+
+    disc = hy.ndcg_discounts()
+    # elements carry an explicit BIGINT cast: a bare list literal types
+    # INT32 and gain * discount overflows before any outer cast applies
+    disc_sql = "[" + ", ".join(f"{d}::BIGINT" for d in disc) + "]"
+    return f"""
+    WITH {_LEX_CTES},
+    {_SEM_CTES},
+    rel AS (
+      SELECT query_id, cand_id,
+             CASE WHEN sem_rank <= {hy.NDCG_HI_CUT} THEN 3 ELSE 1 END AS gain
+      FROM semt),
+    dcg AS (
+      SELECT l.query_id,
+             CAST(sum(COALESCE(r.gain, 0) * {disc_sql}[l.lex_rank])
+                  AS BIGINT) AS dcg_q
+      FROM lext l LEFT JOIN rel r
+        ON r.query_id = l.query_id AND r.cand_id = l.cand_id
+      WHERE l.lex_rank <= {hy.NDCG_K} GROUP BY 1),
+    ideal AS (
+      SELECT query_id, gain,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY gain DESC, cand_id ASC) AS ir
+      FROM rel),
+    idcg AS (
+      SELECT query_id, CAST(sum(gain * {disc_sql}[ir]) AS BIGINT) AS idcg_q
+      FROM ideal WHERE ir <= {hy.NDCG_K} GROUP BY 1),
+    nrel AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1)
+    SELECT n.query_id, n.n_rel,
+           CAST(COALESCE(d.dcg_q, 0) AS BIGINT) AS dcg_q, i.idcg_q,
+           round(COALESCE(d.dcg_q, 0) / i.idcg_q, 6) + 0.0 AS ndcg
+    FROM nrel n LEFT JOIN dcg d USING (query_id) JOIN idcg i USING (query_id)
+    """
+
+
+@_stage("q_ndcg_eval", _ndcg_oracle())
+def q_ndcg_eval(spark, sf_dir):
+    from nonconsumptive_spark.operators.hybrid import ndcg_eval
+    from nonconsumptive_spark.queries.hybrid import _N_Q
+
+    return ndcg_eval(load(spark, sf_dir, "documents"),
+                     load(spark, sf_dir, "embeddings"), n_queries=_N_Q)
