@@ -2392,3 +2392,42 @@ def compression_ratio(df, id_col: str = "doc_id", text_col: str = "text",
             F.round(F.col("comp_bytes") / F.col("n_bytes"), 4) + 0.0,
         ).alias("ratio"),
     )
+
+
+CODE_DENSITY_DEN = 50  # codey when 50 * marker_count >= n_chars (2% density)
+
+
+def code_score(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Code-likeness curation signal — the prose/code separator every LLM
+    data mixture needs (C4/Gopher-class pipelines route code-looking
+    prose out of the text stream; code corpora route it in).  Markers:
+    brace characters, semicolons, camelCase transitions, and 4-space
+    indent runs after a newline.  Every count is exact integer
+    arithmetic over the raw string (replace-length deltas + one
+    regexp_count with an engine-portable pattern), and the verdict is an
+    integer cross-multiplication — no floats anywhere, so the oracle
+    hash can never drift.  NULL text counts as empty (hygiene-family
+    convention).  Plan: zero-shuffle row-local scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+
+    def occurrences(sub: str):
+        return (n_chars - F.length(F.replace(t, F.lit(sub), F.lit("")))) \
+            / len(sub)
+
+    n_braces = occurrences("{") + occurrences("}")
+    n_semi = occurrences(";")
+    n_camel = F.regexp_count(t, F.lit("[a-z][A-Z]"))
+    n_indent = occurrences("\n    ")
+    markers = (n_braces + n_semi + n_camel + n_indent).cast("long")
+    return df.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars_obs"),
+        n_braces.cast("long").alias("n_braces"),
+        n_semi.cast("long").alias("n_semicolons"),
+        n_camel.cast("long").alias("n_camel"),
+        n_indent.cast("long").alias("n_indent"),
+        ((markers * CODE_DENSITY_DEN >= n_chars) & (n_chars > 0))
+        .alias("is_codey"),
+    )

@@ -546,3 +546,34 @@ def q_ndcg_eval(spark, sf_dir):
 
     return ndcg_eval(load(spark, sf_dir, "documents"),
                      load(spark, sf_dir, "embeddings"), n_queries=_N_Q)
+
+
+# -- code-likeness curation signal ------------------------------------------
+@_stage(
+    "q_code_score",
+    """
+    WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars_obs,
+           CAST((length(t) - length(replace(t, '{', '')))
+              + (length(t) - length(replace(t, '}', ''))) AS BIGINT)
+             AS n_braces,
+           CAST(length(t) - length(replace(t, ';', '')) AS BIGINT)
+             AS n_semicolons,
+           CAST(len(regexp_extract_all(t, '[a-z][A-Z]')) AS BIGINT)
+             AS n_camel,
+           CAST((length(t) - length(replace(t, chr(10) || '    ', ''))) // 5
+             AS BIGINT) AS n_indent,
+           (((length(t) - length(replace(t, '{', '')))
+             + (length(t) - length(replace(t, '}', '')))
+             + (length(t) - length(replace(t, ';', '')))
+             + len(regexp_extract_all(t, '[a-z][A-Z]'))
+             + (length(t) - length(replace(t, chr(10) || '    ', ''))) // 5)
+            * 50 >= length(t) AND length(t) > 0) AS is_codey
+    FROM base
+    """,
+)
+def q_code_score(spark, sf_dir):
+    from nonconsumptive_spark.operators.textstats import code_score
+
+    return code_score(load(spark, sf_dir, "documents"))
