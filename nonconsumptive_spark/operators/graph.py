@@ -170,3 +170,62 @@ def bfs_distances(edges: DataFrame, source: str, max_iter: int = 10,
         )
         frontier = nxt
     return visited.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """(node, label) after ``n_iter`` SYNCHRONOUS label-propagation
+    rounds over the undirected graph beneath a directed edge list —
+    community detection at graph scale (Raghavan et al. 2007), the
+    near-linear-time alternative to modularity optimizers.
+
+    Determinism (the property the oracle gate needs): updates are
+    synchronous (every node votes on the PREVIOUS round's labels), the
+    vote is the neighbor-label mode, and ties break on the MINIMUM
+    label — no randomness, so both engines replay identical rounds.
+    Fixed iteration count rather than convergence detection, same as
+    pagerank (synchronous LPA can oscillate; a fixed-K replay is exact
+    regardless).
+
+    Scale shape: per round ONE equi-join (labels ⋈ edges on the
+    neighbor key), ONE (node, label) count agg, and ONE per-node window
+    (PARTITIONED by node — never global); the label frame re-materializes
+    every round (the shared lineage-cut discipline).  Labels are node
+    ids, so state is one string per node regardless of round."""
+    from pyspark.sql.window import Window
+
+    und = materialize_once(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        "lpa_edges",
+    )
+    nodes = materialize_once(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        "lpa_nodes",
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for i in range(n_iter):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = materialize_once(
+            labels.join(winner, "node", "left").select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            ),
+            f"lpa_iter_{i}",
+        )
+    return labels

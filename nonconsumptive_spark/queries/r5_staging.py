@@ -577,3 +577,54 @@ def q_code_score(spark, sf_dir):
     from nonconsumptive_spark.operators.textstats import code_score
 
     return code_score(load(spark, sf_dir, "documents"))
+
+
+# -- label-propagation communities over the token-adjacency graph ----------
+_LPA_ITERS = 4
+
+
+def _lpa_oracle(k: int) -> str:
+    cte = [f"""
+    tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    dedges AS (
+      SELECT DISTINCT token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM tokpos QUALIFY dst IS NOT NULL),
+    und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM dedges UNION ALL
+        SELECT dst AS src, src AS dst FROM dedges)
+      WHERE src <> dst),
+    nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
+    l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, k + 1):
+        cte.append(f"""
+    w{i} AS (
+      SELECT node, label FROM (
+        SELECT u.src AS node, l.label, count(*) AS cnt,
+               row_number() OVER (
+                 PARTITION BY u.src
+                 ORDER BY count(*) DESC, l.label ASC) AS rn
+        FROM und u JOIN l{i - 1} l ON l.node = u.dst
+        GROUP BY u.src, l.label)
+      WHERE rn = 1),
+    l{i} AS (
+      SELECT n.node, coalesce(w.label, p.label) AS label
+      FROM nodes n LEFT JOIN w{i} w USING (node)
+      JOIN l{i - 1} p ON p.node = n.node)""")
+    return ("WITH" + ",".join(cte)
+            + f"\n    SELECT node, label FROM l{k}")
+
+
+@_stage("q_label_propagation", _lpa_oracle(_LPA_ITERS))
+def q_label_propagation(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import (
+        bigram_edges,
+        label_propagation,
+    )
+
+    edges = bigram_edges(load(spark, sf_dir, "documents"))
+    return label_propagation(edges, n_iter=_LPA_ITERS)
