@@ -78,6 +78,13 @@ QUERIES = [
     "q_hll_by_group",
     "q_priority_sample_group",
     "q_k_anonymity",
+    # r4j additions (r5-staged ops resolve through queries/r5_staging)
+    "q_query_likelihood",
+    "q_cusum_daily",
+    "q_kaplan_meier",
+    "q_ndcg_eval",
+    "q_code_score",
+    "q_label_propagation",
 ]
 
 
@@ -164,8 +171,14 @@ def timed(fn, spark, sf_dir) -> float:
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_root = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/tmp/nc_scale")
+    # usage: scale_stress.py [K] [out_root] [--only name1,name2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    k = int(args[0]) if len(args) > 0 else 10
+    out_root = Path(args[1]) if len(args) > 1 else Path("/tmp/nc_scale")
     scaled_dir = out_root / f"sfx{k}"
 
     from nonconsumptive_spark.queries import all_queries
@@ -175,10 +188,14 @@ def main():
     if not (scaled_dir / "documents.parquet").exists():
         build(spark, k, scaled_dir)
 
+    from nonconsumptive_spark.queries.r5_staging import STAGED
+
     reg = all_queries()
     results = {}
     for name in QUERIES:
-        fn = reg[name].spark_fn
+        if only and name not in only:
+            continue
+        fn = reg[name].spark_fn if name in reg else STAGED[name][0]
         timed(fn, spark, BASE)                    # warm
         base = min(timed(fn, spark, BASE) for _ in range(2))
         timed(fn, spark, str(scaled_dir))         # warm
