@@ -90,18 +90,29 @@ BNLJ_WHITELIST = {
     "q_funnel_stages",        # 1-row stage-total attaches
     "q_token_triangles",      # 1-row edge/triangle-count attaches
     "q_lsh_dedup_recall",     # three 1-row count attaches
+    # r5-staged (censused pre-promotion):
+    "q_cusum_daily",          # 1-row (n, s) totals attach onto the day spine
+    "q_kaplan_meier",         # 1-row obs-end + user-total attaches
+    "q_query_likelihood",     # 1-row corpus-size + query-constant attaches
 }
 
 
 def census(spark, sf_dir: str, only=None):
     from nonconsumptive_spark.queries import all_queries
+    from nonconsumptive_spark.queries.r5_staging import STAGED
+
+    entries = {name: q.spark_fn for name, q in all_queries().items()}
+    # staged-but-unregistered queries face the same structural gate, so
+    # promotion cannot surprise the census
+    for name, (fn, _oracle) in STAGED.items():
+        entries.setdefault(name, fn)
 
     rows = []
-    for name, q in sorted(all_queries().items()):
+    for name, spark_fn in sorted(entries.items()):
         if only and name not in only:
             continue
         try:
-            plan = (q.spark_fn(spark, sf_dir)
+            plan = (spark_fn(spark, sf_dir)
                     ._jdf.queryExecution().executedPlan().toString())
         except Exception as e:  # pragma: no cover
             rows.append((name, str(e)[:80], 0, "ERROR"))
