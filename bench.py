@@ -147,6 +147,9 @@ EXTRA = {
     "q_kaplan_meier": _staged("q_kaplan_meier"),
     "q_ndcg_eval": _staged("q_ndcg_eval"),
     "q_code_score": _staged("q_code_score"),
+    "q_label_propagation": _staged("q_label_propagation"),
+    "q_top_component": _staged("q_top_component"),
+    "q_abtt_residuals": _staged("q_abtt_residuals"),
 }
 
 

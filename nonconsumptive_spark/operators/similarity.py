@@ -790,3 +790,151 @@ def embedding_dim_corr(emb: DataFrame, dim: int,
                 F.col("j").cast("long").alias("dim_j"),
                 r.alias("pearson_r"))
     )
+
+
+PCA_SCALE = 10**6   # per-row contribution quantum (BIGINT accumulation)
+PCA_ITERS = 3
+PCA_DIM = 64
+
+
+def _seq_fold(arr):
+    """Strict LEFT-TO-RIGHT double fold — the summation-order contract
+    the PCA oracle depends on: DuckDB's ``list_reduce`` folds
+    ((e1+e2)+e3)..., and ``F.aggregate`` with a 0.0 seed folds
+    ((0+e1)+e2)+... — identical bit-for-bit because 0.0 + x == x."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, e: acc + e)
+
+
+def top_principal_component(emb: DataFrame, n_iter: int = PCA_ITERS,
+                            dim: int = PCA_DIM,
+                            vec_col: str = "embedding") -> DataFrame:
+    """(dim, loading): the top principal component of the embedding
+    cloud by ``n_iter`` power-iteration rounds on the CENTERED data —
+    the "all-but-the-top" (Mu & Viswanath 2018) post-processing
+    direction, and the first diagnostic anyone runs on an embedding
+    table (is there a dominant common direction?).
+
+    Exactness discipline (every cross-ROW accumulation is integer):
+      * the mean is built from per-row ``floor(SCALE * x_j)`` BIGINTs;
+      * each round's matvec sum  s_j = Σ_rows q(d · x̃_j)  is a BIGINT
+        sum of per-row floor-quantized contributions;
+      * within-row dots fold strictly left-to-right (``_seq_fold``), the
+        order DuckDB's ``list_reduce`` uses, so the doubles feeding each
+        quantization are bit-identical across engines;
+      * normalization touches only the (identical) 64 BIGINTs, in array
+        form — never a cross-row float SUM.
+
+    Scale shape: per round ONE narrow map over the rows (dot + quantized
+    contribution array), ONE posexplode to (dim, q) with map-side partial
+    aggregation collapsing every partition to ≤ dim rows before the
+    shuffle (64 keys is fine BECAUSE of the combiners), and a dim-sized
+    array rebuild; the vector rides along as a broadcast 1-row frame —
+    no driver collect anywhere."""
+    centered, v = _power_top_vector(emb, n_iter, dim, vec_col)
+    return (
+        v.select(F.posexplode("v").alias("j", "loading"))
+        .select((F.col("j") + 1).cast("long").alias("dim"),  # 1-based, like
+                # generate_subscripts on the oracle side
+                (F.round("loading", 6) + F.lit(0.0)).alias("loading"))
+    )
+
+
+def _power_top_vector(emb: DataFrame, n_iter: int, dim: int,
+                      vec_col: str, id_col: str = "vec_id"):
+    """(centered rows with ids, 1-row v frame) — the shared power
+    iteration behind ``top_principal_component`` and
+    ``remove_top_component``."""
+    spark = emb.sparkSession
+    x = F.col(vec_col).cast("array<double>")
+    rows = emb.select(F.col(id_col), x.alias("x"))
+
+    def _dim_sums(contrib_df):
+        """(1-row) ordered BIGINT sum array of a per-row 'q' array."""
+        return (
+            contrib_df.select(F.posexplode("q").alias("j", "qv"))
+            .groupBy("j").agg(F.sum("qv").cast("long").alias("s"))
+            .agg(F.array_sort(F.collect_list(F.struct("j", "s"))).alias("a"))
+            .select(F.transform("a", lambda e: e["s"]).alias("s"))
+        )
+
+    n = emb.count()  # scalar, bounded: the row count
+    mu = (
+        _dim_sums(rows.select(
+            F.transform("x", lambda e: F.floor(F.lit(float(PCA_SCALE)) * e)
+                        .cast("long")).alias("q")))
+        .select(F.transform(
+            "s", lambda s: s.cast("double")
+            / F.lit(float(n) * PCA_SCALE)).alias("mu"))
+    )
+
+    v = spark.range(1).select(
+        F.array(*[F.lit(1.0 / dim ** 0.5) for _ in range(dim)]).alias("v"))
+    centered = rows.crossJoin(F.broadcast(mu)).select(
+        id_col, F.zip_with("x", "mu", lambda a, b: a - b).alias("xc"))
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    centered = materialize_once(centered, "pca_centered")
+    for i in range(n_iter):
+        # two-stage select: d binds as an attribute BEFORE the transform
+        # lambda references it, so the interpreted-HOF re-evaluation trap
+        # (PLANS.md; functions/text.let) cannot re-run the dot per element
+        contrib = centered.select("xc").crossJoin(F.broadcast(v)).select(
+            _seq_fold(F.zip_with("xc", "v", lambda a, b: a * b)).alias("d"),
+            "xc",
+        ).select(
+            F.transform(
+                "xc",
+                lambda c: F.floor(F.lit(float(PCA_SCALE)) * F.col("d") * c)
+                .cast("long"),
+            ).alias("q")
+        )
+        s = _dim_sums(contrib)
+        v = s.select(
+            "s",
+            _seq_fold(F.transform(
+                "s", lambda e: e.cast("double") * e.cast("double")))
+            .alias("n2"),
+        ).select(
+            F.transform(
+                "s", lambda e: e.cast("double") / F.sqrt(F.col("n2")))
+            .alias("v")
+        )
+    return centered, v
+
+
+def remove_top_component(emb: DataFrame, n_iter: int = PCA_ITERS,
+                         dim: int = PCA_DIM, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, proj, resid_norm): the all-but-the-top decomposition
+    (Mu & Viswanath 2018) — each centered vector's scalar projection on
+    the top component and the L2 norm of what remains after removing it.
+    Removing the dominant common direction is the standard embedding
+    post-processing step before cosine retrieval; the residual norm is
+    the per-vector answer to "how much of this embedding IS that common
+    direction".
+
+    Parity: one more zero-shuffle map over the centered rows — the
+    projection and residual fold strictly left-to-right (the
+    ``list_reduce`` order), so the doubles are bit-identical and the
+    4-decimal rounding is safe."""
+    centered, v = _power_top_vector(emb, n_iter, dim, vec_col, id_col)
+    out = centered.crossJoin(F.broadcast(v)).select(
+        id_col,
+        _seq_fold(F.zip_with("xc", "v", lambda a, b: a * b)).alias("p"),
+        "xc", "v",
+    ).select(
+        id_col,
+        "p",
+        _seq_fold(
+            F.transform(
+                F.zip_with("xc", "v",
+                           lambda c, vv: c - F.col("p") * vv),
+                lambda r: r * r,
+            )
+        ).alias("r2"),
+    )
+    return out.select(
+        id_col,
+        (F.round("p", 4) + F.lit(0.0)).alias("proj"),
+        (F.round(F.sqrt(F.col("r2")), 4) + F.lit(0.0)).alias("resid_norm"),
+    )

@@ -628,3 +628,100 @@ def q_label_propagation(spark, sf_dir):
 
     edges = bigram_edges(load(spark, sf_dir, "documents"))
     return label_propagation(edges, n_iter=_LPA_ITERS)
+
+
+# -- top principal component by exact-integer power iteration ---------------
+def _pca_ctes() -> tuple[str, str, int]:
+    """(WITH-body, final v CTE name, dim+1) — shared by the component and
+    the all-but-the-top residual oracles."""
+    from nonconsumptive_spark.operators.similarity import (
+        PCA_DIM,
+        PCA_ITERS,
+        PCA_SCALE,
+    )
+
+    d1 = PCA_DIM + 1
+    sc = f"{float(PCA_SCALE)!r}"
+    v0 = "[" + ", ".join([repr(1.0 / PCA_DIM ** 0.5)] * PCA_DIM) + "]"
+    cte = [f"""
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+             FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM base),
+    mq AS (
+      SELECT j, CAST(sum(CAST(floor({sc} * x[j]) AS BIGINT)) AS BIGINT) AS s
+      FROM base, unnest(range(1, {d1})) AS r(j) GROUP BY j),
+    mu AS (
+      SELECT list_transform(list(s ORDER BY j),
+                            e -> CAST(e AS DOUBLE) / (n * {sc})) AS mu
+      FROM mq CROSS JOIN nn GROUP BY n),
+    centered AS (
+      SELECT vec_id, list_transform(range(1, {d1}), j -> x[j] - mu[j]) AS xc
+      FROM base CROSS JOIN mu),
+    v0 AS (SELECT {v0}::DOUBLE[] AS v)"""]
+    for i in range(1, PCA_ITERS + 1):
+        cte.append(f"""
+    d{i} AS (
+      SELECT xc, list_reduce(list_transform(range(1, {d1}),
+                                            j -> xc[j] * v[j]),
+                             (a, b) -> a + b) AS d
+      FROM centered CROSS JOIN v{i - 1}),
+    q{i} AS (
+      SELECT j, CAST(sum(CAST(floor({sc} * d * xc[j]) AS BIGINT))
+                 AS BIGINT) AS s
+      FROM d{i}, unnest(range(1, {d1})) AS r(j) GROUP BY j),
+    v{i} AS (
+      SELECT list_transform(sarr, e -> CAST(e AS DOUBLE) / sqrt(n2)) AS v
+      FROM (
+        SELECT list(s ORDER BY j) AS sarr,
+               list_reduce(list_transform(list(s ORDER BY j),
+                                          e -> CAST(e AS DOUBLE)
+                                               * CAST(e AS DOUBLE)),
+                           (a, b) -> a + b) AS n2
+        FROM q{i}))""")
+    return "WITH" + ",".join(cte), f"v{PCA_ITERS}", d1
+
+
+def _pca_oracle() -> str:
+    ctes, vk, d1 = _pca_ctes()
+    return ctes + f"""
+    SELECT CAST(j AS BIGINT) AS dim, round(v[j], 6) + 0.0 AS loading
+    FROM {vk}, unnest(range(1, {d1})) AS r(j)"""
+
+
+def _abtt_oracle() -> str:
+    ctes, vk, d1 = _pca_ctes()
+    return ctes + f"""
+    , pr AS (
+      SELECT vec_id,
+             list_reduce(list_transform(range(1, {d1}),
+                                        j -> xc[j] * v[j]),
+                         (a, b) -> a + b) AS p,
+             xc, v
+      FROM centered CROSS JOIN {vk}),
+    rr AS (
+      SELECT vec_id, p,
+             list_reduce(list_transform(
+               list_transform(range(1, {d1}), j -> xc[j] - p * v[j]),
+               r -> r * r), (a, b) -> a + b) AS r2
+      FROM pr)
+    SELECT vec_id, round(p, 4) + 0.0 AS proj,
+           round(sqrt(r2), 4) + 0.0 AS resid_norm
+    FROM rr"""
+
+
+@_stage("q_top_component", _pca_oracle())
+def q_top_component(spark, sf_dir):
+    from nonconsumptive_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    return top_principal_component(load(spark, sf_dir, "embeddings"))
+
+
+@_stage("q_abtt_residuals", _abtt_oracle())
+def q_abtt_residuals(spark, sf_dir):
+    from nonconsumptive_spark.operators.similarity import (
+        remove_top_component,
+    )
+
+    return remove_top_component(load(spark, sf_dir, "embeddings"))

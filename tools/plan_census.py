@@ -94,6 +94,8 @@ BNLJ_WHITELIST = {
     "q_cusum_daily",          # 1-row (n, s) totals attach onto the day spine
     "q_kaplan_meier",         # 1-row obs-end + user-total attaches
     "q_query_likelihood",     # 1-row corpus-size + query-constant attaches
+    "q_top_component",        # 1-row mean/eigenvector-frame attaches per round
+    "q_abtt_residuals",       # same power-iteration attaches + final v attach
 }
 
 
