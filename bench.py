@@ -150,6 +150,7 @@ EXTRA = {
     "q_label_propagation": _staged("q_label_propagation"),
     "q_top_component": _staged("q_top_component"),
     "q_abtt_residuals": _staged("q_abtt_residuals"),
+    "q_hits_scores": _staged("q_hits_scores"),
 }
 
 

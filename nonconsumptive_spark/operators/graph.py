@@ -229,3 +229,73 @@ def label_propagation(edges: DataFrame, n_iter: int = 4) -> DataFrame:
             f"lpa_iter_{i}",
         )
     return labels
+
+
+HITS_SCALE = 10**6
+HITS_ITERS = 3
+
+
+def hits_scores(edges: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
+    """(node, hub, authority) after ``n_iter`` alternating HITS rounds
+    (Kleinberg 1999) over a directed edge list — hubs point at good
+    authorities, authorities are pointed at by good hubs: the OTHER
+    classic link-analysis pair next to PageRank (on the token-adjacency
+    graph: words that introduce key terms vs the key terms themselves).
+
+    Exactness discipline: scores are MAX-normalized each half-round (the
+    max of BIGINTs is order-free, unlike an L2 norm's cross-row float
+    sum), and every neighbor sum accumulates ``floor(SCALE * score)``
+    BIGINTs — so both engines replay identical rounds and the 6-decimal
+    output rounding is safe.  HITS converges under any norm; fixed
+    iteration count, same policy as pagerank/label_propagation.
+
+    Scale shape: per half-round ONE equi-join (scores ⋈ edges) and ONE
+    hash agg keyed on node ids, plus a 1-row max attach; the score frame
+    re-materializes per round (lineage-cut discipline)."""
+    ed = materialize_once(
+        edges.select("src", "dst").distinct(), "hits_edges")
+    nodes = materialize_once(
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct(),
+        "hits_nodes",
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("s"))
+
+    def _half(scores: DataFrame, edge_key: str, out_key: str, tag: str):
+        """sum floor(SCALE*s) over the ``edge_key`` endpoint, group by
+        the ``out_key`` endpoint, max-normalize."""
+        q = scores.select(
+            F.col("node").alias(edge_key),
+            F.floor(F.lit(float(HITS_SCALE)) * F.col("s"))
+            .cast("long").alias("q"),
+        )
+        raw = (
+            ed.join(q, edge_key)
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum("q").cast("long").alias("raw"))
+        )
+        full = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw"))
+        mx = full.agg(F.max("raw").alias("mx"))
+        return materialize_once(
+            full.crossJoin(F.broadcast(mx)).select(
+                "node",
+                (F.col("raw").cast("double") / F.col("mx")).alias("s"),
+            ),
+            tag,
+        )
+
+    auth = None
+    for i in range(n_iter):
+        auth = _half(hub, "src", "dst", f"hits_a{i}")
+        hub = _half(auth, "dst", "src", f"hits_h{i}")
+    return (
+        hub.select("node", F.col("s").alias("hub"))
+        .join(auth.select("node", F.col("s").alias("authority")), "node")
+        .select(
+            "node",
+            (F.round("hub", 6) + F.lit(0.0)).alias("hub"),
+            (F.round("authority", 6) + F.lit(0.0)).alias("authority"),
+        )
+    )

@@ -725,3 +725,51 @@ def q_abtt_residuals(spark, sf_dir):
     )
 
     return remove_top_component(load(spark, sf_dir, "embeddings"))
+
+
+# -- HITS hubs/authorities over the token-adjacency graph ------------------
+def _hits_oracle() -> str:
+    from nonconsumptive_spark.operators.graph import HITS_ITERS, HITS_SCALE
+
+    sc = f"{float(HITS_SCALE)!r}"
+    cte = [f"""
+    tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    ed AS (
+      SELECT DISTINCT token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM tokpos QUALIFY dst IS NOT NULL),
+    nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+    h0 AS (SELECT node, 1.0 AS s FROM nodes)"""]
+    for i in range(HITS_ITERS):
+        for half, (src_key, dst_key, prev, out) in enumerate(
+            [("src", "dst", f"h{i}", f"a{i}"),
+             ("dst", "src", f"a{i}", f"h{i + 1}")]
+        ):
+            cte.append(f"""
+    {out}raw AS (
+      SELECT n.node,
+             CAST(COALESCE(r.raw, 0) AS BIGINT) AS raw
+      FROM nodes n LEFT JOIN (
+        SELECT e.{dst_key} AS node,
+               CAST(sum(CAST(floor({sc} * p.s) AS BIGINT)) AS BIGINT) AS raw
+        FROM ed e JOIN {prev} p ON p.node = e.{src_key}
+        GROUP BY e.{dst_key}) r USING (node)),
+    {out} AS (
+      SELECT node, CAST(raw AS DOUBLE)
+                   / (SELECT max(raw) FROM {out}raw) AS s
+      FROM {out}raw)""")
+    k = HITS_ITERS
+    return ("WITH" + ",".join(cte) + f"""
+    SELECT h.node, round(h.s, 6) + 0.0 AS hub,
+           round(a.s, 6) + 0.0 AS authority
+    FROM h{k} h JOIN a{k - 1} a USING (node)""")
+
+
+@_stage("q_hits_scores", _hits_oracle())
+def q_hits_scores(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import bigram_edges, hits_scores
+
+    return hits_scores(bigram_edges(load(spark, sf_dir, "documents")))
