@@ -85,6 +85,9 @@ QUERIES = [
     "q_ndcg_eval",
     "q_code_score",
     "q_label_propagation",
+    "q_top_component",
+    "q_abtt_residuals",
+    "q_hits_scores",
 ]
 
 
