@@ -151,6 +151,7 @@ EXTRA = {
     "q_top_component": _staged("q_top_component"),
     "q_abtt_residuals": _staged("q_abtt_residuals"),
     "q_hits_scores": _staged("q_hits_scores"),
+    "q_markov_stationary": _staged("q_markov_stationary"),
 }
 
 

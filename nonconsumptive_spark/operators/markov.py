@@ -49,3 +49,69 @@ def generate_chain(bigram_counts: DataFrame, start: str, length: int = 10,
         return out
     finally:
         tt.unpersist()
+
+
+STAT_SCALE = 10**12
+STAT_ITERS = 5
+STAT_DAMPING = 0.85
+
+
+def stationary_distribution(bigram_counts: DataFrame,
+                            n_iter: int = STAT_ITERS,
+                            damping: float = STAT_DAMPING) -> DataFrame:
+    """(node, pi): the damped stationary distribution of the token Markov
+    chain — power iteration on the ROW-NORMALIZED transition matrix
+    (weighted PageRank: edges carry transition probabilities instead of
+    1/out_degree), with uniform teleport for ergodicity.  Answers "where
+    does the chain actually spend its time", the usage-weighted
+    centrality that plain PageRank's unweighted edges flatten.
+
+    Exactness: each edge contribution floor-quantizes π·P to a
+    1e-12-scaled BIGINT BEFORE the per-node sum (π·P ≤ 1, so sums stay
+    far from overflow below ~10^6 nodes per partition of mass), the
+    repo playbook that keeps float summation order out of every round;
+    teleport + damping are applied to the identical integer sums.
+    Dangling tokens (never a ``w0``) receive teleport and contribute
+    nothing — the pagerank convention.
+
+    Scale shape: per round ONE equi-join (π ⋈ transitions on w0) and ONE
+    dst-keyed agg; transitions materialize once, π re-materializes per
+    round (lineage-cut discipline)."""
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    tt = materialize_once(
+        transition_table(bigram_counts).select("w0", "w1", "prob"),
+        "stat_tt",
+    )
+    nodes = materialize_once(
+        tt.select(F.col("w0").alias("node"))
+        .union(tt.select(F.col("w1").alias("node")))
+        .distinct(),
+        "stat_nodes",
+    )
+    n = nodes.count()  # scalar, bounded: vocabulary size
+    pi = nodes.select("node", F.lit(1.0 / n).alias("p"))
+    for i in range(n_iter):
+        contrib = (
+            tt.join(pi.withColumnRenamed("node", "w0"), "w0")
+            .select(
+                F.col("w1").alias("node"),
+                F.floor(F.lit(float(STAT_SCALE))
+                        * (F.col("p") * F.col("prob")))
+                .cast("long").alias("q"),
+            )
+            .groupBy("node")
+            .agg(F.sum("q").cast("long").alias("s"))
+        )
+        pi = materialize_once(
+            nodes.join(contrib, "node", "left").select(
+                "node",
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping)
+                 * (F.coalesce("s", F.lit(0)).cast("double")
+                    / F.lit(float(STAT_SCALE)))).alias("p"),
+            ),
+            f"stat_iter_{i}",
+        )
+    return pi.select(
+        "node", (F.round("p", 9) + F.lit(0.0)).alias("pi"))

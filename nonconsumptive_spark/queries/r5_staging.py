@@ -773,3 +773,56 @@ def q_hits_scores(spark, sf_dir):
     from nonconsumptive_spark.operators.graph import bigram_edges, hits_scores
 
     return hits_scores(bigram_edges(load(spark, sf_dir, "documents")))
+
+
+# -- damped stationary distribution of the token Markov chain --------------
+def _stationary_oracle() -> str:
+    from nonconsumptive_spark.operators.markov import (
+        STAT_DAMPING,
+        STAT_ITERS,
+        STAT_SCALE,
+    )
+
+    d = STAT_DAMPING
+    sc = f"{float(STAT_SCALE)!r}"
+    cte = [f"""
+    tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    bigrams AS (
+      SELECT w0, w1, CAST(count(*) AS BIGINT) AS count FROM (
+        SELECT doc_id, token AS w0,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM tokpos) z
+      WHERE w1 IS NOT NULL GROUP BY w0, w1),
+    tt AS (
+      SELECT w0, w1,
+             count / sum(count) OVER (PARTITION BY w0) AS prob
+      FROM bigrams),
+    nodes AS (SELECT w0 AS node FROM tt UNION SELECT w1 FROM tt),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS p FROM nodes)"""]
+    for i in range(1, STAT_ITERS + 1):
+        cte.append(f"""
+    p{i} AS (
+      SELECT nd.node,
+             (1.0 - {d}) / (SELECT n FROM nn)
+               + {d} * (COALESCE(c.s, 0) / {sc}) AS p
+      FROM nodes nd LEFT JOIN (
+        SELECT t.w1 AS node,
+               CAST(sum(CAST(floor({sc} * (p.p * t.prob)) AS BIGINT))
+                 AS BIGINT) AS s
+        FROM tt t JOIN p{i - 1} p ON p.node = t.w0
+        GROUP BY t.w1) c USING (node))""")
+    return ("WITH" + ",".join(cte) + f"""
+    SELECT node, round(p, 9) + 0.0 AS pi FROM p{STAT_ITERS}""")
+
+
+@_stage("q_markov_stationary", _stationary_oracle())
+def q_markov_stationary(spark, sf_dir):
+    from nonconsumptive_spark.operators.markov import stationary_distribution
+    from nonconsumptive_spark.operators.wordcount import ngram_counts
+
+    return stationary_distribution(
+        ngram_counts(load(spark, sf_dir, "documents"), 2))
