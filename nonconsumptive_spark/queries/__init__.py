@@ -92,28 +92,21 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # five are locally oracle-verified and queued at the PRIORITY tail for
 # the r5 driver window.
 #
-# ROUND-5 TODO (governor at its 25-entry cap again, so these tested
-# operators wait for registry entries + oracles until the r4 driver
-# window drains): operators/retrieval.blocklist_match (multi-phrase
-# one-pass decontamination), operators/retrieval.postings_size_stats
-# (delta-varint index accounting), retrieval.min_span_proximity_indexed
-# (same oracle as q_min_span_proximity — both physical forms must agree
-# exactly, the phrase_search/indexed pattern), textstats.percentile_filter_by_group
-# (per-source quality thresholding — exact ceil-quota rank semantics),
-# functions/text.normalize_unicode + strip_accents (oracle: decorate the
-# ASCII fixture with combining accents in SQL, then nfc_normalize /
-# strip_accents on the DuckDB side); also a percent_rank/ntile coverage
-# query over the bounded per-source frame (query-only, no operator).
-# streaming/blocklist.blocklist_gate is pytest-only (stream surface);
-# textstats.compression_ratio is pytest-only unless given a rows-only
-# registry row (zlib has no SQL oracle).
-# operators/suffix.py (generalized suffix array via prefix doubling,
-# longest_repeated_prefix, repeated_regions — exact-substring dedup)
-# also queues for r5: oracle sketch = DuckDB dense_rank() over the
-# lexicographic ORDER BY list_slice(t, pos, len(t)) suffix lists, or
-# the repeated_regions output directly (quadratic suffix sort is fine
-# at oracle scale).  Too slow for bench extras (log-rounds of shuffles
-# dominate at test SF); PLANS.md documents the cost model.
+# ROUND-5 PROMOTION QUEUE: every candidate now lives in
+# queries/r5_staging.py as a (spark_fn, oracle) pair, continuously
+# verified by tests/test_r5_staging.py with the driver-grade compare
+# (sf0.001 in the suite; `python tools/check_staged.py` for sf0.01) and
+# censused pre-promotion by tools/plan_census.py.  16 staged entries at
+# round-4 close: blocklist_match, postings_size_stats, min_span_indexed,
+# percentile_filter, normalize_unicode, repeated_regions,
+# query_likelihood, cusum_daily, kaplan_meier, ndcg_eval, code_score,
+# label_propagation, top_component, abtt_residuals, hits_scores,
+# markov_stationary.  Promotion
+# = re-home with @register, add to PRIORITY head, delete the staging
+# module + test.  Stream-only surfaces remain pytest-only:
+# streaming/blocklist, streaming/cusum, streaming/heavyhitters,
+# streaming/bottomk; textstats.compression_ratio has no SQL oracle
+# (zlib).
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite
