@@ -176,6 +176,8 @@ class CorpusSession:
             # index storage accounting over the cached positional index
             "postings_stats": lambda: _retrieval().postings_size_stats(
                 self.run("positional_index"), id_col="nc:id"),
+            # code-likeness markers (prose/code routing signal)
+            "code_score": lambda: _ts().code_score(docs, "nc:id", tcol),
         }
 
     @staticmethod

@@ -355,7 +355,8 @@ def test_corpus_session_curation_transforms(spark, corpus_dir, tmp_path):
         metadata=str(corpus_dir / "catalog.ndjson"),
         cache_dir=tmp_path / "cache",
     )
-    for name in ["quality", "lang_id", "fingerprints", "winnow", "dedup_flags"]:
+    for name in ["quality", "lang_id", "fingerprints", "winnow", "dedup_flags",
+                 "code_score"]:
         assert name in cs.transforms()
         out = cs.run(name)
         assert out.count() == cs.run("documents").count()
