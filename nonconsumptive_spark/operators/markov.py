@@ -90,6 +90,8 @@ def stationary_distribution(bigram_counts: DataFrame,
         "stat_nodes",
     )
     n = nodes.count()  # scalar, bounded: vocabulary size
+    if n == 0:  # no transitions at all -> empty distribution, not 1/0
+        return nodes.select("node", F.lit(0.0).alias("pi"))
     pi = nodes.select("node", F.lit(1.0 / n).alias("p"))
     for i in range(n_iter):
         contrib = (

@@ -858,6 +858,9 @@ def _power_top_vector(emb: DataFrame, n_iter: int, dim: int,
         )
 
     n = emb.count()  # scalar, bounded: the row count
+    if n == 0:  # empty cloud -> empty component, not 0/0
+        empty = spark.createDataFrame([], f"{id_col} long, xc array<double>")
+        return empty, spark.createDataFrame([], "v array<double>")
     mu = (
         _dim_sums(rows.select(
             F.transform("x", lambda e: F.floor(F.lit(float(PCA_SCALE)) * e)
@@ -895,9 +898,16 @@ def _power_top_vector(emb: DataFrame, n_iter: int, dim: int,
                 "s", lambda e: e.cast("double") * e.cast("double")))
             .alias("n2"),
         ).select(
-            F.transform(
-                "s", lambda e: e.cast("double") / F.sqrt(F.col("n2")))
-            .alias("v")
+            # zero-variance cloud (e.g. one row, or all rows equal):
+            # there is no principal direction — emit the zero vector
+            # deterministically instead of 0/0 NaN/NULL drift
+            F.when(
+                F.col("n2") > 0,
+                F.transform(
+                    "s", lambda e: e.cast("double") / F.sqrt(F.col("n2"))),
+            ).otherwise(
+                F.transform("s", lambda e: F.lit(0.0))
+            ).alias("v")
         )
     return centered, v
 

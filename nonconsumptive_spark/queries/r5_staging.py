@@ -670,7 +670,10 @@ def _pca_ctes() -> tuple[str, str, int]:
                  AS BIGINT) AS s
       FROM d{i}, unnest(range(1, {d1})) AS r(j) GROUP BY j),
     v{i} AS (
-      SELECT list_transform(sarr, e -> CAST(e AS DOUBLE) / sqrt(n2)) AS v
+      -- mirror the Spark-side zero-variance guard (drift-trap hygiene;
+      -- inactive on the fixtures)
+      SELECT list_transform(sarr, e -> CASE WHEN n2 > 0
+                 THEN CAST(e AS DOUBLE) / sqrt(n2) ELSE 0.0 END) AS v
       FROM (
         SELECT list(s ORDER BY j) AS sarr,
                list_reduce(list_transform(list(s ORDER BY j),

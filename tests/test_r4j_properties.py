@@ -214,3 +214,37 @@ def test_stationary_is_distribution(spark):
     # mass sums to ~1 minus the dangling leak (no dangling redistribution,
     # the pagerank convention)
     assert 0.7 < sum(r["pi"] for r in rows) <= 1.0 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Degenerate inputs: empty / self-loop / zero-variance stay well-defined
+# ---------------------------------------------------------------------------
+
+
+def test_degenerate_inputs_are_well_defined(spark):
+    from nonconsumptive_spark.operators.graph import (
+        hits_scores,
+        label_propagation,
+    )
+    from nonconsumptive_spark.operators.markov import stationary_distribution
+    from nonconsumptive_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    assert label_propagation(empty_edges).count() == 0
+    assert hits_scores(empty_edges).count() == 0
+    assert stationary_distribution(
+        spark.createDataFrame([], "w0 string, w1 string, count long")
+    ).count() == 0
+    # a self-loop-only graph: the node keeps its own label / unit scores
+    selfloop = spark.createDataFrame([("a", "a")], "src string, dst string")
+    assert label_propagation(selfloop).collect()[0]["label"] == "a"
+    # zero-variance cloud: the component is the deterministic zero vector
+    one = spark.createDataFrame([(0, [1.0] * 4)],
+                                "vec_id long, embedding array<float>")
+    vals = [r["loading"] for r in top_principal_component(one, dim=4).collect()]
+    assert vals == [0.0, 0.0, 0.0, 0.0]
+    assert top_principal_component(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        dim=4).count() == 0
