@@ -306,7 +306,11 @@ def ndcg_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
 
     dcg = (
         lex.filter(F.col("lex_rank") <= k)
-        .join(rel, ["query_id", "cand_id"], "left")
+        # rel is <= n_queries x SEM_TOP rows BY CONSTRUCTION — broadcast,
+        # never sort-merge on a corpus-keyed exchange (timing at test SF is
+        # variance-dominated; the win is structural — at scale the SMJ
+        # would shuffle the lexical frame for a 100-row right side)
+        .join(F.broadcast(rel), ["query_id", "cand_id"], "left")
         .select(
             "query_id",
             (F.coalesce("gain", F.lit(0))
@@ -329,8 +333,8 @@ def ndcg_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
     nrel = rel.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_rel"))
     return (
-        nrel.join(dcg, "query_id", "left")
-        .join(idcg, "query_id")
+        nrel.join(F.broadcast(dcg), "query_id", "left")
+        .join(F.broadcast(idcg), "query_id")
         .select(
             "query_id", "n_rel",
             F.coalesce("dcg_q", F.lit(0)).cast("long").alias("dcg_q"),
