@@ -829,3 +829,70 @@ def q_markov_stationary(spark, sf_dir):
 
     return stationary_distribution(
         ngram_counts(load(spark, sf_dir, "documents"), 2))
+
+
+# -- per-type CUSUM: a fleet of control charts, windows PARTITIONED --------
+# (the scale-preferred form: the global q_cusum_daily spine is one
+# bounded window; here every event type gets its own chart and the
+# windows parallelize across types)
+@_stage(
+    "q_cusum_by_type",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s
+            FROM daily GROUP BY event_type),
+    dev AS (SELECT d.event_type, d.d, d.c, t.n * d.c - t.s AS y, t.s AS s
+            FROM daily d JOIN tot t USING (event_type)),
+    c1 AS (SELECT event_type, d, c, s,
+                  CAST(sum(y) OVER w AS BIGINT) AS cum
+           FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+    c2 AS (SELECT event_type, d, c, s, cum,
+                  CAST(least(0, min(cum) OVER w) AS BIGINT) AS rmin,
+                  CAST(greatest(0, max(cum) OVER w) AS BIGINT) AS rmax
+           FROM c1 WINDOW w AS (PARTITION BY event_type ORDER BY d))
+    SELECT event_type, d, c, cum,
+           cum - rmin AS cusum_pos,
+           rmax - cum AS cusum_neg,
+           (cum - rmin > {_CUSUM_H} * s OR rmax - cum > {_CUSUM_H} * s)
+             AS flagged
+    FROM c2
+    """,
+)
+def q_cusum_by_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    daily = materialize_once(daily, "cusum_ty_daily")
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"))
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type", "d", "c", "s",
+        (F.col("n") * F.col("c") - F.col("s")).alias("y"))
+    w = (Window.partitionBy("event_type").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c1 = dev.select("event_type", "d", "c", "s",
+                    F.sum("y").over(w).cast("long").alias("cum"))
+    c2 = c1.select(
+        "event_type", "d", "c", "s", "cum",
+        F.least(F.lit(0), F.min("cum").over(w)).cast("long").alias("rmin"),
+        F.greatest(F.lit(0), F.max("cum").over(w)).cast("long").alias("rmax"),
+    )
+    return c2.select(
+        "event_type", "d", "c", "cum",
+        (F.col("cum") - F.col("rmin")).alias("cusum_pos"),
+        (F.col("rmax") - F.col("cum")).alias("cusum_neg"),
+        ((F.col("cum") - F.col("rmin") > _CUSUM_H * F.col("s"))
+         | (F.col("rmax") - F.col("cum") > _CUSUM_H * F.col("s")))
+        .alias("flagged"),
+    )
