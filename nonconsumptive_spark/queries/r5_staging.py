@@ -896,3 +896,107 @@ def q_cusum_by_type(spark, sf_dir):
          | (F.col("rmax") - F.col("cum") > _CUSUM_H * F.col("s")))
         .alias("flagged"),
     )
+
+
+# -- Kaplan-Meier per signup cohort: survival curves, windows PARTITIONED --
+@_stage(
+    "q_kaplan_meier_cohorts",
+    f"""
+    WITH pu AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    obs AS (SELECT max(ts) AS end_ts FROM events),
+    durs AS (
+      SELECT CAST(date_trunc('month', first_ts) AS DATE) AS cohort,
+             CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(last_ts AS DATE)) AS BIGINT) AS dur,
+             (last_ts < end_ts - INTERVAL {_KM_CENS_DAYS} DAY) AS observed
+      FROM pu CROSS JOIN obs),
+    ct AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+           FROM durs GROUP BY cohort),
+    tbl AS (
+      SELECT cohort, dur, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_event
+      FROM durs GROUP BY cohort, dur),
+    risk AS (
+      SELECT t.cohort, t.dur, t.n_all, t.n_event,
+             CAST(c.n_users - COALESCE(sum(t.n_all) OVER (
+                    PARTITION BY t.cohort ORDER BY t.dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM tbl t JOIN ct c USING (cohort)),
+    terms AS (
+      SELECT cohort, dur, n_risk, n_event, n_all - n_event AS n_censored,
+             CASE WHEN n_event = 0 THEN CAST(0 AS BIGINT)
+                  WHEN n_event < n_risk THEN
+                    CAST(floor(1000000000.0
+                         * ln(CAST(n_risk - n_event AS DOUBLE) / n_risk))
+                         AS BIGINT)
+                  ELSE CAST(-1000000000000000 AS BIGINT) END AS term
+      FROM risk),
+    surv AS (
+      SELECT cohort, dur, n_risk, n_event, n_censored,
+             CAST(sum(term) OVER (
+               PARTITION BY cohort ORDER BY dur) AS BIGINT) AS log_surv_q
+      FROM terms)
+    SELECT cohort, dur, n_risk, n_event, n_censored, log_surv_q,
+           round(exp(log_surv_q / 1000000000.0), 6) + 0.0 AS survival
+    FROM surv
+    """,
+)
+def q_kaplan_meier_cohorts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"),
+                                   F.max("ts").alias("last_ts"))
+    obs = ev.agg(F.max("ts").alias("end_ts"))
+    durs = pu.crossJoin(F.broadcast(obs)).select(
+        F.to_date(F.date_trunc("month", "first_ts")).alias("cohort"),
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+        .cast("long").alias("dur"),
+        (F.col("last_ts")
+         < F.col("end_ts") - F.expr(f"INTERVAL {_KM_CENS_DAYS} DAYS"))
+        .alias("observed"),
+    )
+    durs = materialize_once(durs, "kmc_durs")
+    ct = durs.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_users"))
+    tbl = durs.groupBy("cohort", "dur").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.col("observed").cast("long")).cast("long").alias("n_event"),
+    )
+    w_prev = (Window.partitionBy("cohort").orderBy("dur")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.partitionBy("cohort").orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = tbl.join(F.broadcast(ct), "cohort").select(
+        "cohort", "dur", "n_all", "n_event",
+        (F.col("n_users")
+         - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0)))
+        .cast("long").alias("n_risk"),
+    )
+    terms = risk.select(
+        "cohort", "dur", "n_risk", "n_event",
+        (F.col("n_all") - F.col("n_event")).alias("n_censored"),
+        F.when(F.col("n_event") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("n_event") < F.col("n_risk"),
+            F.floor(F.lit(1e9) * F.log(
+                (F.col("n_risk") - F.col("n_event")).cast("double")
+                / F.col("n_risk"))).cast("long"),
+        )
+        .otherwise(F.lit(-(10 ** 15)).cast("long")).alias("term"),
+    )
+    surv = terms.select(
+        "cohort", "dur", "n_risk", "n_event", "n_censored",
+        F.sum("term").over(w_cum).cast("long").alias("log_surv_q"),
+    )
+    return surv.select(
+        "cohort", "dur", "n_risk", "n_event", "n_censored", "log_surv_q",
+        (F.round(F.exp(F.col("log_surv_q") / F.lit(1e9)), 6)
+         + F.lit(0.0)).alias("survival"),
+    )
