@@ -4,6 +4,8 @@ foreachBatch wiring."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from nonconsumptive_spark.operators.textstats import uniform_sample_k
 from nonconsumptive_spark.queries import load
 from nonconsumptive_spark.streaming.bottomk import (
@@ -63,3 +65,35 @@ def test_foreachbatch_wiring(spark, tmp_path):
     q.awaitTermination(120)
     assert _ids(sample(spark, table)) == _ids(
         uniform_sample_k(spark.read.parquet(src), K))
+
+
+# ---------------------------------------------------------------------------
+# Weighted companion: the live priority sample
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_any_chunking_equals_batch(spark, tmp_path):
+    from nonconsumptive_spark.operators.textstats import (
+        priority_sample_by_group,
+    )
+    from nonconsumptive_spark.streaming.bottomk import (
+        merge_top_priority,
+        priority_sample,
+    )
+
+    docs = load(spark, SF_SMALL, "documents").select(
+        "doc_id", "n_chars").withColumn("g", F.lit(0))
+    batch_ids = _ids(priority_sample_by_group(docs, "g", "n_chars", K))
+    table = str(tmp_path / "pk")
+    for e, (lo, hi) in enumerate([(0, 150), (150, 400), (400, 10_000)]):
+        part = docs.filter((docs.doc_id >= lo) & (docs.doc_id < hi))
+        assert merge_top_priority(part, table, K, epoch_id=e) is True
+    got = priority_sample(spark, table, K)
+    assert _ids(got) == batch_ids
+    # tau present, positive (population > K), identical on every row
+    taus = {r["tau"] for r in got.collect()}
+    assert len(taus) == 1 and taus.pop() > 0.0
+    # replay refused; forced re-merge is a set no-op (semilattice)
+    assert merge_top_priority(docs, table, K, epoch_id=2) is False
+    assert merge_top_priority(docs, table, K, epoch_id=3) is True
+    assert _ids(priority_sample(spark, table, K)) == batch_ids
