@@ -88,6 +88,8 @@ QUERIES = [
     "q_top_component",
     "q_abtt_residuals",
     "q_hits_scores",
+    "q_cusum_by_type",
+    "q_kaplan_meier_cohorts",
 ]
 
 
