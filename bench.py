@@ -152,6 +152,8 @@ EXTRA = {
     "q_abtt_residuals": _staged("q_abtt_residuals"),
     "q_hits_scores": _staged("q_hits_scores"),
     "q_markov_stationary": _staged("q_markov_stationary"),
+    "q_cusum_by_type": _staged("q_cusum_by_type"),
+    "q_kaplan_meier_cohorts": _staged("q_kaplan_meier_cohorts"),
 }
 
 
