@@ -154,6 +154,7 @@ EXTRA = {
     "q_markov_stationary": _staged("q_markov_stationary"),
     "q_cusum_by_type": _staged("q_cusum_by_type"),
     "q_kaplan_meier_cohorts": _staged("q_kaplan_meier_cohorts"),
+    "q_lexical_cohesion": _staged("q_lexical_cohesion"),
 }
 
 

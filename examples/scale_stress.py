@@ -90,6 +90,7 @@ QUERIES = [
     "q_hits_scores",
     "q_cusum_by_type",
     "q_kaplan_meier_cohorts",
+    "q_lexical_cohesion",
 ]
 
 

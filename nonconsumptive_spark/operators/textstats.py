@@ -2431,3 +2431,88 @@ def code_score(df: DataFrame, id_col: str = "doc_id",
         ((markers * CODE_DENSITY_DEN >= n_chars) & (n_chars > 0))
         .alias("is_codey"),
     )
+
+
+TILE_W = 20          # tokens per cohesion block
+TILE_SCALE = 10**6   # cos^2 quantum
+
+
+def lexical_cohesion_gaps(df: DataFrame, block_w: int = TILE_W,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(doc_id, gap_idx, cos2_q, is_boundary): TextTiling-style lexical
+    cohesion segmentation (Hearst 1997, simplified) — score every gap
+    between adjacent ``block_w``-token blocks by the bag-of-words
+    similarity of its two sides; a STRICT local minimum marks a topic
+    boundary.  This is the content-aware chunker for long-document
+    training windows (``sliding_chunks`` cuts at fixed offsets; this
+    cuts where the vocabulary actually shifts).
+
+    Exactness: the gap score is cos² as an exact integer rational —
+    ``(dot² * SCALE) div (|A|²·|B|²)`` over integer token counts — so no
+    float exists anywhere and boundary decisions are engine-exact.
+    cos² is monotone in cosine on [0, 1], which is the whole range here
+    (counts are non-negative), so minima are preserved.
+
+    Plan: ONE let-bound tokenize per row and everything else in-row
+    (slice/distinct/filter folds over ≤ 2·block_w-token windows) —
+    zero-shuffle scan; the per-gap work is O(block_w²), independent of
+    document length."""
+    toks = tokenize(text_col)
+
+    def gaps(ts):
+        n_gaps = F.greatest(F.size(ts) / block_w - 1, F.lit(0)).cast("int")
+
+        def gap_struct(i):
+            a = F.slice(ts, (i - 1) * block_w + 1, block_w)
+            b = F.slice(ts, i * block_w + 1, block_w)
+
+            def count_in(arr):
+                return lambda t: F.size(F.filter(arr, lambda x: x == t))
+
+            u = F.array_distinct(F.concat(a, b))
+            dot = F.aggregate(
+                u, F.lit(0).cast("long"),
+                lambda acc, t: acc + (count_in(a)(t) * count_in(b)(t))
+                .cast("long"))
+            na2 = F.aggregate(
+                F.array_distinct(a), F.lit(0).cast("long"),
+                lambda acc, t: acc + (count_in(a)(t) * count_in(a)(t))
+                .cast("long"))
+            nb2 = F.aggregate(
+                F.array_distinct(b), F.lit(0).cast("long"),
+                lambda acc, t: acc + (count_in(b)(t) * count_in(b)(t))
+                .cast("long"))
+            # raw integer moments only — the quantized cos² needs SQL
+            # `div` (exact integer division), which cannot be spelled on
+            # a HOF lambda variable, so the division happens post-explode
+            return F.struct(
+                i.cast("long").alias("gap_idx"),
+                dot.alias("dot"), na2.alias("na2"), nb2.alias("nb2"),
+            )
+
+        return F.transform(F.sequence(F.lit(1), n_gaps),
+                           lambda i: gap_struct(i))
+
+    scored = df.select(
+        id_col,
+        let(toks, lambda ts: F.when(F.size(ts) >= 2 * block_w, gaps(ts))
+            .otherwise(F.array().cast(
+                "array<struct<gap_idx:bigint,dot:bigint,"
+                "na2:bigint,nb2:bigint>>"))).alias("g"),
+    )
+    out = scored.select(id_col, F.explode("g").alias("s")).select(
+        id_col, "s.gap_idx",
+        F.expr(f"CASE WHEN s.na2 * s.nb2 > 0 THEN "
+               f"(s.dot * s.dot * {TILE_SCALE}) div (s.na2 * s.nb2) "
+               f"ELSE 0 END").cast("long").alias("cos2_q"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("gap_idx")
+    prev, nxt = F.lag("cos2_q").over(w), F.lead("cos2_q").over(w)
+    return out.select(
+        id_col, "gap_idx", "cos2_q",
+        (prev.isNotNull() & nxt.isNotNull()
+         & (F.col("cos2_q") < prev) & (F.col("cos2_q") < nxt))
+        .alias("is_boundary"),
+    )

@@ -1000,3 +1000,57 @@ def q_kaplan_meier_cohorts(spark, sf_dir):
         (F.round(F.exp(F.col("log_surv_q") / F.lit(1e9)), 6)
          + F.lit(0.0)).alias("survival"),
     )
+
+
+# -- TextTiling-style lexical cohesion segmentation ------------------------
+def _tile_oracle() -> str:
+    from nonconsumptive_spark.operators.textstats import TILE_SCALE, TILE_W
+
+    w = TILE_W
+
+    def moments(x, y):
+        return (f"list_reduce(list_transform(list_distinct({x} || {y}),"
+                f" x -> CAST(len(list_filter({x}, e -> e = x))"
+                f" * len(list_filter({y}, e -> e = x)) AS BIGINT)),"
+                f" (p, q) -> p + q)")
+
+    return f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, t,
+             unnest(range(1, CAST(trunc(len(t) / {w}.0 - 1) AS BIGINT) + 1))
+               AS i
+      FROM base WHERE len(t) >= {2 * w}),
+    m AS (
+      SELECT doc_id, i AS gap_idx,
+             list_slice(t, (i - 1) * {w} + 1, i * {w}) AS a,
+             list_slice(t, i * {w} + 1, (i + 1) * {w}) AS b
+      FROM g),
+    s AS (
+      SELECT doc_id, gap_idx,
+             {moments('a', 'b')} AS dot,
+             {moments('a', 'a')} AS na2,
+             {moments('b', 'b')} AS nb2
+      FROM m),
+    q AS (
+      SELECT doc_id, CAST(gap_idx AS BIGINT) AS gap_idx,
+             CAST(CASE WHEN na2 * nb2 > 0
+                  THEN (dot * dot * {TILE_SCALE}) // (na2 * nb2)
+                  ELSE 0 END AS BIGINT) AS cos2_q
+      FROM s)
+    SELECT doc_id, gap_idx, cos2_q,
+           (lag(cos2_q) OVER win IS NOT NULL
+            AND lead(cos2_q) OVER win IS NOT NULL
+            AND cos2_q < lag(cos2_q) OVER win
+            AND cos2_q < lead(cos2_q) OVER win) AS is_boundary
+    FROM q WINDOW win AS (PARTITION BY doc_id ORDER BY gap_idx)
+    """
+
+
+@_stage("q_lexical_cohesion", _tile_oracle())
+def q_lexical_cohesion(spark, sf_dir):
+    from nonconsumptive_spark.operators.textstats import (
+        lexical_cohesion_gaps,
+    )
+
+    return lexical_cohesion_gaps(load(spark, sf_dir, "documents"))
