@@ -42,6 +42,11 @@ def main() -> None:
     print("== Kaplan-Meier user-lifetime survival ==")
     km.orderBy("dur").show(10, truncate=False)
 
+    # 2b. the same survival analysis per signup cohort
+    kmc = STAGED["q_kaplan_meier_cohorts"][0](spark, sf_dir)
+    print("== Kaplan-Meier per signup cohort ==")
+    kmc.orderBy("cohort", "dur").show(8, truncate=False)
+
     # 3. the SAME CUSUM statistics maintained live: fold the daily series
     #    in three chunks through the versioned-commit monitor and show
     #    stream == batch
