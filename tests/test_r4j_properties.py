@@ -248,3 +248,52 @@ def test_degenerate_inputs_are_well_defined(spark):
     assert top_principal_component(
         spark.createDataFrame([], "vec_id long, embedding array<float>"),
         dim=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Lexical cohesion: Spark gaps == plain-Python TextTiling on random docs
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=0, max_size=100),
+    min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_lexical_cohesion_matches_python(spark, docs):
+    from nonconsumptive_spark.operators.textstats import (
+        TILE_SCALE,
+        TILE_W,
+        lexical_cohesion_gaps,
+    )
+
+    w = TILE_W
+
+    def brute(toks):
+        if len(toks) < 2 * w:
+            return []
+        n_gaps = int(len(toks) / w - 1)
+        out = []
+        for i in range(1, n_gaps + 1):
+            a = toks[(i - 1) * w: i * w]
+            b = toks[i * w: (i + 1) * w]
+            dot = sum(a.count(t) * b.count(t) for t in set(a) | set(b))
+            na2 = sum(a.count(t) ** 2 for t in set(a))
+            nb2 = sum(b.count(t) ** 2 for t in set(b))
+            q = (dot * dot * TILE_SCALE) // (na2 * nb2) if na2 * nb2 else 0
+            out.append((i, q))
+        return out
+
+    expected = {}
+    for d, toks in enumerate(docs):
+        gaps = brute(toks)
+        for j, (i, q) in enumerate(gaps):
+            boundary = (0 < j < len(gaps) - 1
+                        and q < gaps[j - 1][1] and q < gaps[j + 1][1])
+            expected[(d, i)] = (q, boundary)
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(docs)],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["gap_idx"]): (r["cos2_q"], r["is_boundary"])
+           for r in lexical_cohesion_gaps(df).collect()}
+    assert got == expected
