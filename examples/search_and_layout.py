@@ -46,6 +46,13 @@ def main() -> None:
     for r in bm25_topk(docs, ["table", "scan"], k=5).collect():
         print(f"  doc {r['doc_id']}: score {r['score']}")
 
+    print("== query likelihood top-5 for ['table', 'scan'] ==")
+    from nonconsumptive_spark.operators.retrieval import query_likelihood_topk
+
+    for r in query_likelihood_topk(docs, ["table", "scan"], k=5).collect():
+        print(f"  doc {r['doc_id']}: score {r['score']} "
+              f"({r['n_terms_matched']} terms)")
+
     print("== skyline: longest AND most-diverse docs ==")
     from pyspark.sql import functions as F
 
