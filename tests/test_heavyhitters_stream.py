@@ -84,7 +84,9 @@ def test_replay_is_refused(spark, tmp_path):
     assert sorted(map(tuple, heavy_hitters(spark, table).collect())) == before
 
 
-def test_crash_before_commit_replays_exactly(spark, tmp_path, monkeypatch):
+@pytest.mark.parametrize("crash_epoch", [0, 1, 2])
+def test_crash_before_commit_replays_exactly(spark, tmp_path, monkeypatch,
+                                             crash_epoch):
     import nonconsumptive_spark.streaming.heavyhitters as hh
 
     clean = str(tmp_path / "clean")
@@ -93,7 +95,7 @@ def test_crash_before_commit_replays_exactly(spark, tmp_path, monkeypatch):
 
     real = cp._commit_epoch
     for e, epoch in enumerate(EPOCHS):
-        if e == 1:
+        if e == crash_epoch:
             monkeypatch.setattr(
                 hh, "_commit_epoch",
                 lambda *a: (_ for _ in ()).throw(RuntimeError("crash")))

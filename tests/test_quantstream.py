@@ -4,7 +4,7 @@ refusal."""
 
 from __future__ import annotations
 
-import math
+import pytest
 
 from nonconsumptive_spark.queries import load
 from nonconsumptive_spark.streaming.quantstream import (
@@ -77,3 +77,34 @@ def test_replay_is_refused(spark, tmp_path):
     after = {(r["bin"], r["n"]) for r in
              spark.read.parquet(f"{table}/v0").collect()}
     assert before == after
+
+
+@pytest.mark.parametrize("crash_epoch", [0, 1, 2])
+def test_crash_before_commit_replays_exactly(spark, tmp_path, monkeypatch,
+                                             crash_epoch):
+    import nonconsumptive_spark.streaming.quantstream as qst
+    from nonconsumptive_spark.streaming import corpus as cp
+
+    ev = _events(spark)
+    chunks = [(0, 300), (300, 700), (700, 10**9)]
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    for e, (lo, hi) in enumerate(chunks):
+        part = ev.filter((ev.event_id >= lo) & (ev.event_id < hi))
+        merge_histogram(bin_counts(part, EDGES), clean, epoch_id=e)
+
+    real = cp._commit_epoch
+    for e, (lo, hi) in enumerate(chunks):
+        part = ev.filter((ev.event_id >= lo) & (ev.event_id < hi))
+        if e == crash_epoch:
+            monkeypatch.setattr(
+                qst, "_commit_epoch",
+                lambda *a: (_ for _ in ()).throw(RuntimeError("crash")))
+            with pytest.raises(RuntimeError):
+                merge_histogram(bin_counts(part, EDGES), crashed, epoch_id=e)
+            monkeypatch.setattr(qst, "_commit_epoch", real)
+        assert merge_histogram(bin_counts(part, EDGES), crashed,
+                               epoch_id=e) is True
+    a = sorted(map(tuple, spark.read.parquet(f"{clean}/v2").collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{crashed}/v2").collect()))
+    assert a == b
