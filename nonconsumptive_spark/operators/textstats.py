@@ -29,7 +29,10 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 def ws_token_count(text_col: str) -> Column:
     """Whitespace token count as a column expression (reusable inside other
     operators without forcing a join back to the source frame)."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    # NULL text counts as empty: size() of a NULL split is legacy -1
+    toks = F.filter(F.split(F.coalesce(c, F.lit("")), r"\s+"),
+                    lambda x: x != F.lit(""))
     return F.size(toks).cast("long")
 
 
@@ -41,10 +44,11 @@ def token_count_ws(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality features: length, mean word length, alpha ratio,
     stopword ratio, all-caps ratio.  Deterministic and SQL-expressible."""
-    toks = tokenize(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
+    toks = tokenize(t)
     n_tokens = F.size(toks)
-    n_chars = F.length(text_col)
-    n_alpha = F.length(F.regexp_replace(text_col, r"[^\p{L}]", ""))
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
     en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
     return df.select(
@@ -60,8 +64,9 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: score = share of tokens in each language's
     stopword list; predict the argmax with deterministic (alphabetical)
-    tie-break; 'und' (undetermined) when no stopwords hit at all."""
-    toks = tokenize(text_col)
+    tie-break; 'und' (undetermined) when no stopwords hit at all.
+    NULL text counts as empty (-> 'und', 0 hits)."""
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     scores = []
     for lang in sorted(LANG_STOPWORDS):
         arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
@@ -485,10 +490,11 @@ def _quality_rule_exprs(text_col: str, min_tokens: int, min_alpha_ratio: float,
     definition both the batch filter and the streaming gate build from,
     so a threshold or tokenization tweak can never diverge the two (the
     stream==batch parity test depends on that)."""
-    toks = tokenize(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
+    toks = tokenize(t)
     n_tokens = F.size(toks)
-    n_chars = F.length(text_col)
-    n_alpha = F.length(F.regexp_replace(text_col, r"[^\p{L}]", ""))
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))

@@ -164,7 +164,13 @@ def document_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """A8: token count per document, read off the array length — no explode,
     no shuffle (reference transformations.py:113-132 reads Arrow offsets)."""
     return docs.select(
-        id_col, F.size(tokenize(text_col)).cast("long").alias("nwords")
+        id_col,
+        # NULL text counts as empty (hygiene convention): without the
+        # coalesce, size(tokenize(NULL)) is Spark's legacy -1 while the
+        # oracle yields NULL — invisible on NULL-free fixtures, red row
+        # on the first corpus with one
+        F.size(tokenize(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long").alias("nwords"),
     )
 
 

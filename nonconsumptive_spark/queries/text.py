@@ -47,9 +47,10 @@ def q_doc_token_counts(spark, sf_dir):
     "q_document_lengths",
     oracle=f"""
     SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS nwords
-    FROM documents
+    FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) documents
     """,
-    doc="A8: doc length via array size — no explode, no shuffle.",
+    doc="A8: doc length via array size — no explode, no shuffle; NULL "
+        "text counts as empty (mirrors the Spark-side coalesce).",
 )
 def q_document_lengths(spark, sf_dir):
     return wc.document_lengths(load(spark, sf_dir, "documents"))

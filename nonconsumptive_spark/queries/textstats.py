@@ -22,9 +22,10 @@ _DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\pL]+'), x -> x <> '')
     SELECT doc_id,
            CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)
              AS n_ws_tokens
-    FROM documents
+    FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) documents
     """,
-    doc="Whitespace token counting (training-data pipeline op).",
+    doc="Whitespace token counting (training-data pipeline op); NULL text "
+        "counts as empty.",
 )
 def q_token_count_ws(spark, sf_dir):
     return ts.token_count_ws(load(spark, sf_dir, "documents"))
@@ -206,9 +207,10 @@ def q_temperature_mix(spark, sf_dir):
                  THEN len(list_filter({_DUCK_TOKS}, t -> list_contains({_stoplist_sql("en")}, lower(t)))) * 1.0
                       / len({_DUCK_TOKS})
                  ELSE 0.0 END, 4) AS stopword_ratio
-    FROM documents
+    FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) documents
     """,
-    doc="Quality-scoring features: length, alpha ratio, stopword ratio.",
+    doc="Quality-scoring features: length, alpha ratio, stopword ratio; "
+        "NULL text counts as empty.",
 )
 def q_quality_score(spark, sf_dir):
     return ts.quality_score(load(spark, sf_dir, "documents"))
@@ -237,10 +239,11 @@ _CASE_PRED = "CASE WHEN m = 0 THEN 'und' " + " ".join(
       FROM (
         SELECT doc_id,
 {_HIT_EXPRS}
-        FROM documents))
+        FROM (SELECT doc_id, coalesce(text, '') AS text
+              FROM documents) documents))
     """,
     doc="Stopword-vote language ID with alphabetical tie-break; 'und' when "
-        "no stopwords hit.",
+        "no stopwords hit; NULL text counts as empty.",
 )
 def q_lang_id(spark, sf_dir):
     return ts.lang_id(load(spark, sf_dir, "documents"))
