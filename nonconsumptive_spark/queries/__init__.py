@@ -107,6 +107,13 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,
 # streaming/bottomk; textstats.compression_ratio has no SQL oracle
 # (zlib).
+# NULL-text coalesce (session 3): document_lengths / token_count_ws /
+# quality_score / lang_id changed on BOTH engines simultaneously
+# (NULL-text rows only — inactive on every fixture; re-verified green at
+# sf0.01 post-change, and tests/test_unicode_parity.py pins the NULL
+# row).  They stay OUT of the full r4 window (displacing never-verified
+# entries would breach the backlog governor); r5 rotation should swap
+# them in once the window drains.
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite
