@@ -474,7 +474,10 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame | None = None,
     from nonconsumptive_spark.functions.text import tokenize
 
     clusters = dedup_clusters(docs, pairs, threshold, id_col, text_col)
-    lens = docs.select(id_col, F.size(tokenize(text_col)).alias("n_tokens"))
+    lens = docs.select(
+        id_col,
+        F.size(tokenize(F.coalesce(F.col(text_col), F.lit(""))))
+        .alias("n_tokens"))  # NULL text = empty
     w = Window.partitionBy("cluster").orderBy(
         F.desc("n_tokens"), F.asc(id_col)
     )
@@ -691,7 +694,9 @@ def remove_repeated_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
-    n_toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")))
+    n_toks = F.size(F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit("")))  # NULL text = empty
     return (
         docs.select(id_col, n_toks.cast("long").alias("n_tokens"))
         .join(rebuilt, id_col, "left")

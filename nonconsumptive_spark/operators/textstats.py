@@ -103,14 +103,15 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
     shuffle, so it runs at scan throughput at any corpus size.  The
     explode→groupBy formulation the oracle uses would shuffle every bigram
     in the corpus."""
-    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
+    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
     n_lines = F.size(lines)
     dup_line_frac = F.when(
         n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines
     ).otherwise(F.lit(0.0))
 
     grams = F.transform(
-        ngram_structs(tokenize(text_col), 2),
+        ngram_structs(tokenize(t), 2),
         lambda s: F.concat_ws(" ", s["w0"], s["w1"]),
     )
     n_bg = F.size(grams)
@@ -867,7 +868,8 @@ def corpus_profile(df: DataFrame, stratum_col: str = "source",
     row_number over doc-level rows anywhere."""
     base = df.select(
         stratum_col, lang_col,
-        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
+        F.size(tokenize(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long").alias("n_tokens"),  # NULL text = empty
     )
     stats = base.groupBy(stratum_col).agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -107,13 +107,23 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,
 # streaming/bottomk; textstats.compression_ratio has no SQL oracle
 # (zlib).
-# NULL-text coalesce (session 3): document_lengths / token_count_ws /
-# quality_score / lang_id changed on BOTH engines simultaneously
-# (NULL-text rows only — inactive on every fixture; re-verified green at
-# sf0.01 post-change, and tests/test_unicode_parity.py pins the NULL
-# row).  They stay OUT of the full r4 window (displacing never-verified
-# entries would breach the backlog governor); r5 rotation should swap
-# them in once the window drains.
+# NULL-text coalesce (session 3): an adversarial-text parity sweep
+# (tests/test_unicode_parity.py — CJK/RTL/emoji/NULL rows through the
+# driver-grade compare) surfaced a 23-query latent class: Spark's legacy
+# size(NULL array) = -1 / NULL-propagating splits vs the oracles' NULL
+# arithmetic.  Fixed on BOTH engines simultaneously (NULL text counts as
+# empty) in: document_lengths, token_count_ws, quality_score, lang_id,
+# repetition_scores, redact_pii, tokenize_fallback, corpus_profile,
+# quality_filter, length_quantiles_by_lang, spearman_len_tokens,
+# langid_vs_labels, canonical_docs, remove_repeated_spans,
+# struct_roundtrip, renest_roundtrip, pack_sequences, packing_stats,
+# arrow_batch_stats, vocab_growth_curve, skyline_docs, skyline_kd,
+# srp_stats.  All inactive on the NULL-free fixtures (full sf0.01 sweep
+# re-verified green post-change); the parity test sweeps every
+# documents-reachable query so the class cannot recur.  These stay OUT
+# of the full r4 window (displacing never-verified entries would breach
+# the backlog governor); r5 rotation swaps the touched ones in as the
+# window drains.
 PRIORITY: tuple[str, ...] = (
     # -- changed this round (r4): DSIR integer-quantized log-ratio sums
     #    (the one red r3 row), dedup_against tie-break rewrite

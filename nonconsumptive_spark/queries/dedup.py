@@ -195,7 +195,7 @@ def q_dedup_clusters(spark, sf_dir):
     asg AS (
       SELECT d.doc_id,
              coalesce(c.cluster, d.doc_id) AS cluster,
-             len({_DUCK_TOKS}) AS n_tokens
+             len(coalesce({_DUCK_TOKS}, [])) AS n_tokens
       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
     SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
            CAST(n_tokens AS BIGINT) AS n_tokens,

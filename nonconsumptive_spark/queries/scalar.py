@@ -121,7 +121,8 @@ def q_posexplode_provenance(spark, sf_dir):
       SELECT doc_id,
              CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
              {_DUCK_TOKS}[1] AS first_token
-      FROM documents)
+      FROM (SELECT doc_id, coalesce(text, '') AS text
+            FROM documents) documents)
     """,
     doc="F13: struct assembly + disassembly (struct(...) then s.*) — output "
         "equals computing the fields directly.",
@@ -130,9 +131,10 @@ def q_struct_roundtrip(spark, sf_dir):
     from nonconsumptive_spark.functions.text import tokenize
 
     docs = load(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))  # NULL text = empty
     s = F.struct(
-        F.size(tokenize("text")).cast("long").alias("n_tokens"),
-        F.element_at(tokenize("text"), 1).alias("first_token"),
+        F.size(tokenize(t)).cast("long").alias("n_tokens"),
+        F.element_at(tokenize(t), 1).alias("first_token"),
     )
     return docs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
 
@@ -203,17 +205,21 @@ def q_approx_distinct(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "q_srp_stats",
-    oracle="""
+    oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_nonzero_norm,
+           CAST(sum(CASE WHEN len({_DUCK_TOKS}) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonzero_norm,
            CAST(count(*) AS BIGINT) AS n_bits_match
-    FROM documents
+    FROM (SELECT doc_id, coalesce(text, '') AS text
+          FROM documents) documents
     """,
     doc="F15/F16 invariants: the SRP values come from a Python-side seeded "
         "RNG (not SQL-recomputable), but their invariants are — every doc "
-        "with text embeds to a nonzero-norm vector, and the sign bit-pack "
-        "(F16) must satisfy bit_count(packed bytes) == count of positive "
-        "floats for every row.  Both counts must equal count(*).",
+        "with AT LEAST ONE TOKEN embeds to a nonzero-norm vector (token-"
+        "less docs — NULL/empty/whitespace text — embed to the zero "
+        "vector by construction), and the sign bit-pack (F16) must "
+        "satisfy bit_count(packed bytes) == count of positive floats for "
+        "every row.",
 )
 def q_srp_stats(spark, sf_dir):
     from nonconsumptive_spark.functions.embeddings import (

@@ -301,7 +301,8 @@ def q_nfc_normalize(spark, sf_dir):
            toks[1] AS first_token
     FROM (
       SELECT doc_id,
-             regexp_extract_all(text, '[\p{L}\p{N}^_]+|[^\p{L}\p{N}_\s]+') AS toks
+             regexp_extract_all(coalesce(text, ''),
+                                '[\p{L}\p{N}^_]+|[^\p{L}\p{N}_\s]+') AS toks
       FROM documents)
     """,
     doc="F3: the reference's words+punctuation fallback tokenizer "
@@ -316,7 +317,7 @@ def q_tokenize_fallback(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     stats = let(
-        tokenize_fallback("text"),
+        tokenize_fallback(F.coalesce(F.col("text"), F.lit(""))),
         lambda toks: F.struct(
             F.size(toks).cast("long").alias("n_tokens"),
             F.size(
@@ -333,7 +334,7 @@ def q_tokenize_fallback(spark, sf_dir):
     "q_renest_roundtrip",
     oracle=f"""
     WITH orig AS (
-      SELECT doc_id, {_DUCK_TOKS} AS orig FROM documents),
+      SELECT doc_id, coalesce({_DUCK_TOKS}, []) AS orig FROM documents),
     child AS (
       SELECT doc_id, generate_subscripts(orig, 1) AS pos, unnest(orig) AS token
       FROM orig),
@@ -356,7 +357,9 @@ def q_renest_roundtrip(spark, sf_dir):
     from nonconsumptive_spark.sources.writers import renest_lists
 
     docs = load(spark, sf_dir, "documents")
-    orig = docs.select("doc_id", tokenize("text").alias("orig"))
+    orig = docs.select(
+        "doc_id",
+        tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("orig"))
     child = tokens_with_pos(docs, "doc_id", "text")
     renested = renest_lists(child, "doc_id", "token", "pos", out_col="toks")
     empty = F.array().cast("array<string>")

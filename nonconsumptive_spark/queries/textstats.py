@@ -35,10 +35,12 @@ def q_token_count_ws(spark, sf_dir):
 @register(
     "q_repetition_scores",
     oracle=f"""
-    WITH lines AS (
+    WITH docs0 AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    lines AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\n'), x -> x <> '') AS ls
-      FROM documents),
+      FROM docs0),
     line_stats AS (
       SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
              CASE WHEN len(ls) > 0
@@ -48,7 +50,7 @@ def q_token_count_ws(spark, sf_dir):
     tokpos AS (
       SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
              unnest({_DUCK_TOKS}) AS token
-      FROM documents),
+      FROM docs0),
     bg AS (
       SELECT doc_id, w0 || ' ' || w1 AS gram FROM (
         SELECT doc_id, token AS w0,
@@ -277,7 +279,8 @@ def q_fingerprint(spark, sf_dir):
         FROM (
           SELECT doc_id, lang,
 {_HIT_EXPRS}
-          FROM documents)))
+          FROM (SELECT doc_id, lang, coalesce(text, '') AS text
+                FROM documents) documents)))
     SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
     FROM pred
     GROUP BY lang, pred_lang
@@ -310,7 +313,8 @@ _DUCK_PACKED = f"""
       SELECT doc_id,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                % {_PACK_SHARDS} AS shard,
-             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+             CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                        '\\s+'),
                                   x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents),
     ordered AS (
@@ -385,7 +389,8 @@ def q_packing_stats(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+           CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                      '\\s+'),
                                 x -> x <> '')) AS BIGINT) AS n_ws_tokens
     FROM documents
     """,
@@ -405,7 +410,7 @@ def q_arrow_batch_stats(spark, sf_dir):
 # synthetic contact block per doc (identically on both engines) and then
 # redacts it — the redaction chain is exercised on every row instead of
 # vacuously passing text through.
-_PII_AUG = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+_PII_AUG = ("coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) || "
             "'@mail.example.org see https://ex.org/u/' || "
             "CAST(doc_id AS VARCHAR) || '?s=1 acct ' || "
             "CAST(1000000 + doc_id AS VARCHAR)")
@@ -442,7 +447,8 @@ def q_redact_pii(spark, sf_dir):
     aug = docs.select(
         "doc_id",
         F.concat(
-            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("")),  # NULL text = empty
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
             F.lit("@mail.example.org see https://ex.org/u/"),
             F.col("doc_id").cast("string"), F.lit("?s=1 acct "),
             (F.col("doc_id") + 1_000_000).cast("string"),
@@ -624,7 +630,8 @@ def q_cap_per_source(spark, sf_dir):
                       SELECT unnest({_DUCK_TOKS}[1:len({_DUCK_TOKS})-1]) AS w0,
                              unnest({_DUCK_TOKS}[2:len({_DUCK_TOKS})]) AS w1)) z
              ) AS dup_bg
-      FROM documents)
+      FROM (SELECT doc_id, coalesce(text, '') AS text
+            FROM documents) documents)
     SELECT doc_id,
            n_tokens < 20 AS too_short,
            alpha_ratio < 0.5 AS low_alpha,
@@ -833,7 +840,8 @@ def q_training_order(spark, sf_dir):
     oracle=f"""
     WITH base AS (
       SELECT source, lang, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
-      FROM documents),
+      FROM (SELECT source, lang, coalesce(text, '') AS text
+            FROM documents) documents),
     stats AS (
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
@@ -1584,18 +1592,20 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
 @register(
     "q_vocab_growth_curve",
     oracle=f"""
-    WITH bdocs AS (
+    WITH docsg AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    bdocs AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                   AS BIGINT) % 10 AS b,
              len({_DUCK_TOKS}) AS n_toks
-      FROM documents),
+      FROM docsg),
     tokb AS (
       SELECT w AS token, min(b) AS b_min FROM (
         SELECT unnest({_DUCK_TOKS}) AS w,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                     AS BIGINT) % 10 AS b
-        FROM documents) z
+        FROM docsg) z
       GROUP BY w),
     ks AS (SELECT unnest(range(1, 11)) AS k)
     SELECT k,
@@ -1621,7 +1631,9 @@ def q_vocab_growth_curve(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     b = F.pmod(_md5_long(F.col("doc_id").cast("string")), F.lit(10))
     bdocs = docs.select(
-        b.alias("b"), F.size(tokenize("text")).cast("long").alias("n_toks"))
+        b.alias("b"),
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("n_toks"))
     per_bucket = bdocs.groupBy("b").agg(
         F.count("*").cast("long").alias("d"),
         F.sum("n_toks").cast("long").alias("t"))
@@ -1651,7 +1663,8 @@ def q_vocab_growth_curve(spark, sf_dir):
     oracle=f"""
     WITH q AS (
       SELECT lang, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
-      FROM documents),
+      FROM (SELECT lang, coalesce(text, '') AS text
+            FROM documents) documents),
     n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY lang),
     dist AS (SELECT lang, n_toks, CAST(count(*) AS BIGINT) AS c
              FROM q GROUP BY lang, n_toks),
@@ -1679,8 +1692,10 @@ def q_length_quantiles_by_lang(spark, sf_dir):
     from nonconsumptive_spark.functions.text import tokenize
 
     docs = load(spark, sf_dir, "documents")
-    q = docs.select("lang", F.size(tokenize("text")).cast("long")
-                    .alias("n_toks"))
+    q = docs.select(
+        "lang",
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("n_toks"))
     n = q.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
     dist = q.groupBy("lang", "n_toks").agg(
         F.count("*").cast("long").alias("c"))
@@ -2706,8 +2721,8 @@ _SPEARMAN_RHO = (
     "  + 0.0"
     " ELSE CAST(0.0 AS DOUBLE) END"
 )
-_DUCK_NTOK = ("len(list_filter(regexp_split_to_array(text, '[^\\pL]+'),"
-              " x -> x <> ''))")
+_DUCK_NTOK = ("len(list_filter(regexp_split_to_array(coalesce(text, ''),"
+              " '[^\\pL]+'), x -> x <> ''))")
 
 
 @register(
@@ -2755,7 +2770,8 @@ def q_spearman_len_tokens(spark, sf_dir):
     vals = materialize_once(
         load(spark, sf_dir, "documents").select(
             F.col("n_chars").alias("x"),
-            F.size(tokenize("text")).cast("long").alias("y"),
+            F.size(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+            .cast("long").alias("y"),
         ),
         "spearman_vals",
     )
@@ -2866,7 +2882,8 @@ def q_gini_tokens(spark, sf_dir):
     oracle=f"""
     WITH pts AS (
       SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
-             CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS y
+             CAST(len(list_distinct(coalesce({_DUCK_TOKS}, []))) AS BIGINT)
+               AS y
       FROM documents)
     SELECT p.doc_id, p.x AS n_chars, p.y AS n_types
     FROM pts p
@@ -2891,7 +2908,9 @@ def q_skyline_docs(spark, sf_dir):
     pts = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("n_chars").cast("long").alias("x"),
-        F.size(F.array_distinct(tokenize("text"))).cast("long").alias("y"),
+        F.size(F.array_distinct(
+            tokenize(F.coalesce(F.col("text"), F.lit("")))))
+        .cast("long").alias("y"),
     )
     return skyline(pts, "x", "y").select(
         "doc_id", F.col("x").alias("n_chars"), F.col("y").alias("n_types")
@@ -3026,7 +3045,8 @@ _SKY_STRICT = " OR ".join(f"q.{c} > p.{c}" for c, _ in _SKY_DIMS)
 @register(
     "q_skyline_kd",
     oracle=f"""
-    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    WITH base AS (SELECT doc_id, coalesce({_DUCK_TOKS}, []) AS t
+                  FROM documents),
     pts AS (SELECT doc_id, {_SKY_PTS} FROM base)
     SELECT p.* FROM pts p
     WHERE NOT EXISTS (
@@ -3048,7 +3068,7 @@ def q_skyline_kd(spark, sf_dir):
     from nonconsumptive_spark.operators.skyline import skyline_kd
 
     docs = load(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+    toks = tokenize(F.coalesce(F.col("text"), F.lit("")))
 
     def term_count(word):
         # closure factory, NOT a default-arg lambda: a 2-param HOF lambda

@@ -1,9 +1,13 @@
 """Driver-grade oracle parity on ADVERSARIAL text the ASCII fixtures never
 exercise: CJK, accented Latin, RTL Arabic, emoji, empty, NULL,
-whitespace-only, and case/ligature oddities.  This is the probe that
-caught the size(NULL) = -1 vs NULL divergence in four registered
-queries (fixed by the NULL-text-counts-as-empty coalesce on both
-engines)."""
+whitespace-only, and case/ligature oddities — swept across EVERY
+registered and staged query reachable from the documents table alone.
+
+This probe caught (and now pins the fix for) a 23-query latent class:
+Spark's legacy size(NULL array) = -1 / NULL-propagating splits versus
+the oracles' NULL arithmetic — invisible on NULL-free fixtures, a red
+driver row on the first corpus with a NULL or exotic row.  Convention
+established: NULL text counts as empty, on BOTH engines."""
 
 from __future__ import annotations
 
@@ -26,23 +30,9 @@ ROWS = [
     (7, "MiXeD CaSe ÅÄÖ ß ǅ ﬁ ligatures", "de", "mixed", 30),
 ]
 
-# documents-only queries whose tokenization / counting / hashing paths
-# could drift on non-ASCII or NULL text
-QUERIES = [
-    "q_document_lengths",
-    "q_token_count_ws",
-    "q_quality_score",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_code_score",
-    "q_phrase_search",
-    "q_min_span_proximity",
-    "q_lexical_cohesion",
-    "q_dedup_exact",
-    "q_char_diversity",
-    "q_strip_markup",
-    "q_sentence_stats",
-]
+# Queries needing tables beyond documents cannot run on this fixture and
+# are skipped by the error probe below; everything else MUST match.
+MIN_COVERED = 130
 
 
 @pytest.fixture(scope="module")
@@ -59,14 +49,19 @@ def uni_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.fixture(scope="module")
-def uni_duck(uni_dir):
-    return duck_connection(uni_dir)
-
-
-@pytest.mark.parametrize("name", QUERIES)
-def test_unicode_oracle_parity(spark, uni_dir, uni_duck, name):
-    reg = all_queries()
-    q = reg.get(name) or Query(name, STAGED[name][0], STAGED[name][1])
-    res = compare_query(spark, uni_duck, name, q, uni_dir)
-    assert res["status"] == "ok", res
+def test_adversarial_text_oracle_parity_sweep(spark, uni_dir):
+    duck = duck_connection(uni_dir)
+    entries = dict(all_queries())
+    for n, (fn, o) in STAGED.items():
+        entries.setdefault(n, Query(n, fn, o))
+    covered, failures = 0, []
+    for n, q in sorted(entries.items()):
+        try:
+            r = compare_query(spark, duck, n, q, uni_dir, verbose=False)
+        except Exception:
+            continue  # needs tables the fixture does not carry
+        covered += 1
+        if r["status"] != "ok":
+            failures.append((n, r.get("problems")))
+    assert covered >= MIN_COVERED, f"only {covered} queries covered"
+    assert not failures, failures
