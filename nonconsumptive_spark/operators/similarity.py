@@ -190,6 +190,19 @@ def _lsh_table_buckets(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+MIN_ANN_CORPUS = 100
+"""Below this corpus size the ANN entry points degrade to the exact scan
+(FAISS does the same): the probabilistic recall guarantees are statements
+about collision statistics and need a population to hold — on a handful of
+vectors a single structural miss (an antipode, a zero vector) craters
+recall while brute force is trivially cheap.  The size probe is one
+parquet-metadata count; at scale the branch always takes the ANN path."""
+
+
+def _small_corpus(emb: DataFrame) -> bool:
+    return emb.limit(MIN_ANN_CORPUS).count() < MIN_ANN_CORPUS
+
+
 def knn_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 4,
             n_tables: int = 12, dim: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -204,7 +217,11 @@ def knn_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 4,
     corpora the same construction prunes aggressively.  At 100 TB the
     bucket join replaces the quadratic cross join: candidates are generated
     by an equi-join on (table, bucket), so work scales with collisions,
-    not with |corpus| × |queries|."""
+    not with |corpus| × |queries|.
+
+    Corpora under MIN_ANN_CORPUS rows fall back to the exact scan."""
+    if _small_corpus(emb):
+        return knn_bruteforce(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
     cb = _lsh_table_buckets(emb, id_col, vec_col, n_planes, n_tables, dim)
     qb = _lsh_table_buckets(queries, id_col, vec_col, n_planes, n_tables, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "table", "bucket"
@@ -355,7 +372,11 @@ def knn_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
     adapts to the query's actual position relative to the centroids, so
     recall degrades gracefully as n_probe shrinks.  Centroids here are
     pseudo-random unit vectors — a k-means refinement would only change
-    the literal, not the plan shape."""
+    the literal, not the plan shape.
+
+    Corpora under MIN_ANN_CORPUS rows fall back to the exact scan."""
+    if _small_corpus(emb):
+        return knn_bruteforce(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
     c = ivf_assign(emb, n_centroids, dim, id_col, vec_col, seed).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
     )

@@ -129,6 +129,17 @@ PRIORITY: tuple[str, ...] = (
     #    (the one red r3 row), dedup_against tie-break rewrite
     "q_dsir_weights",
     "q_dedup_incremental",
+    # -- changed by the r4 adversarial-fixture sweep fixes: kwic empty-
+    #    array sequence guard, GK rank-bound (was value-bound) quantile
+    #    check, json_valid oracle guard, ANN small-corpus exact fallback.
+    #    Displaces q_event_transitions/q_vocab_growth_curve/
+    #    q_lsh_dedup_recall/q_length_quantiles_by_lang past slot 50 —
+    #    they head the r5 window instead.
+    "q_kwic",
+    "q_approx_quantiles",
+    "q_events_json",
+    "q_knn_cosine_lsh",
+    "q_knn_cosine_ivf",
     # -- round-4h late registrations promoted into the window (freshest
     #    code: new fold + new applyInPandas kernel)
     "q_min_span_proximity",
@@ -180,7 +191,6 @@ PRIORITY: tuple[str, ...] = (
     "q_vocab_growth_curve",
     "q_lsh_dedup_recall",
     "q_length_quantiles_by_lang",
-    "q_kwic",
     # q_heaps_fit / q_zipf_slope rotate out of the window this round:
     # both driver-verified green in r3, displaced by the round-4h
     # promotions so every never-verified query stays inside the window

@@ -121,12 +121,17 @@ def q_events_session(spark, sf_dir):
     "q_events_json",
     oracle="""
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(CASE WHEN json_valid(props)
+                              THEN json_extract_string(props, '$.k') END
+                         AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
     """,
-    doc="F18: JSON field extraction from a string column, then aggregate.",
+    doc="F18: JSON field extraction from a string column, then aggregate.  "
+        "Malformed JSON yields NULL in Spark's get_json_object; the oracle "
+        "needs an explicit json_valid guard because DuckDB's extractor "
+        "raises on bad input instead.",
 )
 def q_events_json(spark, sf_dir):
     return (

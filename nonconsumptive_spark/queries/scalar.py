@@ -311,9 +311,13 @@ def q_srp_hamming(spark, sf_dir):
     doc="A6 approximate mode: percentile_approx (Greenwald-Khanna sketch, "
         "accuracy 100) — the scale path where exact interpolated "
         "percentiles would buffer every value per group.  The sketch value "
-        "is engine-specific, so the oracle checks it lands within ±5% of "
-        "the exact percentile (TRUE on both sides) and hash-matches the "
-        "exact values themselves.",
+        "is engine-specific, so the oracle asserts the honest GK guarantee "
+        "— the sketch's RANK error is bounded, i.e. the returned value lies "
+        "between the exact DISCRETE percentiles at p±0.03 (ε=1/accuracy "
+        "plus margin) — and hash-matches the exact interpolated values "
+        "themselves.  A relative ±5%% VALUE bound would be wrong: on small "
+        "or skewed data the nearest data value can sit far from the "
+        "interpolated quantile, and a negative median flips the bounds.",
 )
 def q_approx_quantiles(spark, sf_dir):
     agg = load(spark, sf_dir, "orders").agg(
@@ -321,11 +325,19 @@ def q_approx_quantiles(spark, sf_dir):
         F.expr("percentile(o_totalprice, 0.50)").alias("e50"),
         F.expr("percentile_approx(o_totalprice, 0.95, 100)").alias("a95"),
         F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
+        F.expr("percentile_disc(0.47) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("lo50"),
+        F.expr("percentile_disc(0.53) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("hi50"),
+        F.expr("percentile_disc(0.92) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("lo95"),
+        F.expr("percentile_disc(0.98) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("hi95"),
     )
     return agg.select(
-        F.col("a50").between(0.95 * F.col("e50"), 1.05 * F.col("e50"))
+        F.col("a50").between(F.col("lo50"), F.col("hi50"))
         .alias("p50_in_bounds"),
-        F.col("a95").between(0.95 * F.col("e95"), 1.05 * F.col("e95"))
+        F.col("a95").between(F.col("lo95"), F.col("hi95"))
         .alias("p95_in_bounds"),
         F.round("e50", 3).alias("p50_exact"),
         F.round("e95", 3).alias("p95_exact"),

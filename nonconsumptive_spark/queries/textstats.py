@@ -1755,7 +1755,11 @@ def q_kwic(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     hits = let(tokenize("text"), lambda t: F.transform(
         F.filter(
-            F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(0))),
+            # sequence(1, 0) would DESCEND to [1, 0] and element_at(t, 0)
+            # throws — emit an empty positions array for empty/NULL token
+            # arrays instead.
+            F.when(F.size(t) >= 1, F.sequence(F.lit(1), F.size(t)))
+             .otherwise(F.array().cast("array<integer>")),
             lambda i: F.element_at(t, i) == F.lit(_KWIC_TERM),
         ),
         lambda i: F.struct(
