@@ -289,3 +289,129 @@ def semdedup(
             id_col, "cluster", F.coalesce("_p", F.lit(False)).alias("pruned")
         )
     )
+
+
+SIL_SCALE = 1_000_000
+"""Per-point silhouette values are quantized to this grid (floor-half-up)
+immediately after the single IEEE divide that produces them, so the
+per-cluster MEAN is an exact BIGINT sum divided once at output — the same
+float-ordering discipline as DSIR_LR_SCALE in operators/textstats.py."""
+
+
+def silhouette(
+    emb: DataFrame,
+    k: int = 10,
+    n_iter: int = 4,
+    grid: int = GRID,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster simplified silhouette over the k-means result:
+    (cluster, n, mean_silhouette).
+
+    The simplified (centroid-based) silhouette — a(i) = distance to own
+    centroid, b(i) = min distance to any OTHER centroid, s = (b−a)/max(a,b)
+    — is the scalable form (Spark MLlib's ClusteringEvaluator uses the same
+    family): exact silhouette needs all-pairs distances, this needs one
+    zero-shuffle scan against the constant-folded k×d centroid literal plus
+    a k-group hash agg.  Distances here are the EXACT integer squared grid
+    distances of the Lloyd loop, so a and b carry no float risk; each
+    point's s is one deterministic IEEE chain (long→double casts, one
+    divide, one multiply by SIL_SCALE, floor) quantized to a BIGINT,
+    summed exactly per cluster, divided once at output.
+
+    Degenerate points with a = b = 0 (on top of two coincident centroids)
+    score 0 by convention."""
+    assigned, cents = _kmeans_core(emb, k, n_iter, grid, id_col, vec_col)
+    cq_mat = F.from_json(F.lit(json.dumps(cents)), "array<array<long>>")
+    dists = F.transform(cq_mat, lambda cq: _sq_dist(F.col("xq"), cq))
+
+    rows = assigned.select(id_col, "cluster", dists.alias("d"))
+    a = F.element_at(F.col("d"), (F.col("cluster") + 1).cast("int"))
+    b = F.array_min(
+        F.filter(F.col("d"), lambda v, i: i.cast("long") != F.col("cluster"))
+    )
+    s = let(
+        F.struct(a.alias("a"), b.alias("b")),
+        lambda ab: F.when(
+            F.greatest(ab["a"], ab["b"]) > 0,
+            F.floor(
+                (ab["b"] - ab["a"]).cast("double")
+                / F.greatest(ab["a"], ab["b"]).cast("double")
+                * F.lit(float(SIL_SCALE))
+                + F.lit(0.5)
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        rows.select("cluster", s.alias("s"))
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"), F.sum("s").alias("ss"))
+        .select(
+            F.col("cluster").alias("cluster"),
+            F.col("n").alias("n"),
+            (
+                F.round(
+                    F.col("ss").cast("double")
+                    / (F.col("n") * F.lit(float(SIL_SCALE))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_silhouette"),
+        )
+    )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    m: int = 8,
+    grid: int = GRID,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection (Gonzalez 1985):
+    pick ``m`` vectors, each round taking the point with the LARGEST
+    squared grid distance to its nearest already-selected point — the
+    2-approximation for the k-center cover and the classic coverage-first
+    data-selection rule (vs MMR's relevance−redundancy).  Returns
+    (step, id, mind) in selection order; mind is the exact integer squared
+    distance that made the point the farthest (0 for the step-1 seed,
+    which is the lowest-id vector).
+
+    Plan shape mirrors ``mmr_select``: each round is ONE zero-shuffle scan
+    of the materialized quantized frame with the selected set riding as a
+    constant-folded literal, plus TakeOrdered(1) and a bounded 1-row
+    collect.  All distances are exact integers, so the greedy argmax
+    (mind DESC, id ASC) replays bit-for-bit in the unrolled-CTE oracle."""
+    spark = emb.sparkSession
+    q = materialize_once(
+        emb.select(id_col, quantize_grid(vec_col, grid).alias("xq")), "kc_q"
+    )
+
+    picked: list[tuple] = []
+    sel_vecs: list[list[int]] = []
+    for step in range(1, m + 1):
+        if not sel_vecs:
+            top = q.orderBy(id_col).limit(1).collect()  # bounded: seed row
+            r = top[0]
+            picked.append((1, r[id_col], 0))
+            sel_vecs.append(list(r["xq"]))
+            continue
+        sel = F.from_json(F.lit(json.dumps(sel_vecs)), "array<array<long>>")
+        cand = q.where(~F.col(id_col).isin([p[1] for p in picked])).withColumn(
+            "mind",
+            F.array_min(F.transform(sel, lambda s: _sq_dist(F.col("xq"), s))),
+        )
+        top = (
+            cand.orderBy(F.desc("mind"), F.asc(id_col))
+            .limit(1)
+            .collect()  # bounded: one row per round
+        )
+        if not top:
+            break
+        r = top[0]
+        picked.append((step, r[id_col], int(r["mind"])))
+        sel_vecs.append(list(r["xq"]))
+    return spark.createDataFrame(
+        picked, f"step long, {id_col} long, mind long"
+    )

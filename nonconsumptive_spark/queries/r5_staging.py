@@ -1054,3 +1054,83 @@ def q_lexical_cohesion(spark, sf_dir):
     )
 
     return lexical_cohesion_gaps(load(spark, sf_dir, "documents"))
+
+
+# -- simplified silhouette over the k-means result --------------------------
+def _silhouette_oracle(k: int, n_iter: int, grid: int, scale: int) -> str:
+    from nonconsumptive_spark.queries.clustering import _kmeans_cte
+
+    fin = f"a{n_iter + 1}"
+    return (
+        _kmeans_cte(k, n_iter, grid)
+        + f""",
+    ds AS (
+      SELECT a.vec_id, a.cid AS own, c.cid AS ocid,
+             list_sum(list_transform(list_zip(a.xq, c.cq),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM {fin} a CROSS JOIN c{n_iter} c),
+    ab AS (
+      SELECT vec_id, own AS cid,
+             min(CASE WHEN ocid = own THEN d2 END) AS a,
+             min(CASE WHEN ocid <> own THEN d2 END) AS b
+      FROM ds GROUP BY vec_id, own),
+    sq AS (
+      SELECT vec_id, cid,
+             CASE WHEN greatest(a, b) > 0
+                  THEN CAST(floor(CAST(b - a AS DOUBLE)
+                                  / CAST(greatest(a, b) AS DOUBLE)
+                                  * {scale}.0 + 0.5) AS BIGINT)
+                  ELSE 0 END AS s
+      FROM ab)
+    SELECT CAST(cid AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(s) AS DOUBLE) / (count(*) * {scale}.0), 6) + 0.0
+             AS mean_silhouette
+    FROM sq GROUP BY cid"""
+    )
+
+
+@_stage("q_silhouette", _silhouette_oracle(10, 4, 1 << 20, 1_000_000))
+def q_silhouette(spark, sf_dir):
+    from nonconsumptive_spark.operators import clustering as cl
+
+    return cl.silhouette(load(spark, sf_dir, "embeddings"), k=10, n_iter=4)
+
+
+# -- greedy k-center (farthest-point) coreset -------------------------------
+def _kcenter_oracle(m: int, grid: int) -> str:
+    parts = [f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {grid}.0 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS step, vec_id, xq, CAST(0 AS BIGINT) AS mind
+      FROM q ORDER BY vec_id LIMIT 1)"""]
+    for t in range(2, m + 1):
+        parts.append(f"""
+    pick{t} AS MATERIALIZED (
+      SELECT {t} AS step, q.vec_id, q.xq,
+             min(list_sum(list_transform(list_zip(q.xq, s.xq),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS mind
+      FROM q JOIN sel{t - 1} s ON true
+      WHERE q.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY q.vec_id, q.xq
+      ORDER BY mind DESC, q.vec_id
+      LIMIT 1),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM pick{t})""")
+    return (
+        "WITH" + ",".join(parts)
+        + f"""
+    SELECT CAST(step AS BIGINT) AS step, vec_id, mind
+    FROM sel{m}"""
+    )
+
+
+@_stage("q_kcenter_select", _kcenter_oracle(8, 1 << 20))
+def q_kcenter_select(spark, sf_dir):
+    from nonconsumptive_spark.operators import clustering as cl
+
+    return cl.kcenter_select(load(spark, sf_dir, "embeddings"), m=8)
