@@ -969,3 +969,89 @@ def remove_top_component(emb: DataFrame, n_iter: int = PCA_ITERS,
         (F.round("p", 4) + F.lit(0.0)).alias("proj"),
         (F.round(F.sqrt(F.col("r2")), 4) + F.lit(0.0)).alias("resid_norm"),
     )
+
+
+BITEXT_SCALE = 1_000_000_000
+"""Pair cosines are quantized to this grid the instant they are produced
+(one deterministic IEEE chain: exact-integer dot and norms cast to double,
+two correctly-rounded sqrts, one divide, one multiply, floor-half-up), so
+every downstream margin statistic is exact BIGINT arithmetic — the same
+float-ordering discipline as clustering.SIL_SCALE."""
+
+
+def bitext_margin_pairs(src: DataFrame, tgt: DataFrame, k: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix pair miner): for every source vector, the best target
+    by MARGIN score — cosine minus the mean cosine to each side's k
+    nearest neighbours — rather than raw cosine, which suppresses hub
+    vectors that are close to everything.  Returns
+    (src_id, tgt_id, cos_scaled, margin_scaled); margin_scaled is the
+    exact integer ``2k·cos − Σknn(src) − Σknn(tgt)`` on the BITEXT_SCALE
+    grid (the 'distance' margin variant, scaled by 2k·SCALE).
+
+    The src side is a bounded query batch (like ``knn_bruteforce``):
+    broadcast src × one scan of tgt builds the pair frame once, and both
+    kNN sums plus the candidate top-k read it via two partitioned
+    row_number windows.  At 100 TB the cross pair frame is replaced by
+    ANN candidates (``knn_ivf``/``knn_lsh`` buckets) feeding the same
+    margin algebra; neighbour sums then come from the candidate lists,
+    the standard x2y/y2x approximation in the paper.  Zero-norm vectors
+    cannot be cosine-scored and are dropped."""
+    from nonconsumptive_spark.operators.clustering import (
+        GRID, _dot as _idot, quantize_grid,
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    def prep(df, side):
+        q = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            quantize_grid(vec_col, GRID).alias(f"x_{side}"),
+        ).withColumn(f"n_{side}", _idot(F.col(f"x_{side}"), F.col(f"x_{side}")))
+        return q.where(F.col(f"n_{side}") > 0)
+
+    s, t = prep(src, "src"), prep(tgt, "tgt")
+    qc = F.floor(
+        _idot(F.col("x_src"), F.col("x_tgt")).cast("double")
+        / (F.sqrt(F.col("n_src").cast("double"))
+           * F.sqrt(F.col("n_tgt").cast("double")))
+        * F.lit(float(BITEXT_SCALE))
+        + F.lit(0.5)
+    )
+    pairs = materialize_once(
+        F.broadcast(s).crossJoin(t).select("src_id", "tgt_id", qc.alias("qc")),
+        "bitext_pairs",
+    )
+    wf = Window.partitionBy("src_id").orderBy(F.desc("qc"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("qc"), F.asc("src_id"))
+    r = pairs.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    snn_x = r.where(F.col("rf") <= k).groupBy("src_id").agg(
+        F.sum("qc").alias("snn_x")
+    )
+    snn_y = r.where(F.col("rb") <= k).groupBy("tgt_id").agg(
+        F.sum("qc").alias("snn_y")
+    )
+    m = (
+        r.where(F.col("rf") <= k)
+        .join(F.broadcast(snn_x), "src_id")
+        .join(F.broadcast(snn_y), "tgt_id")
+        .withColumn(
+            "margin_scaled",
+            F.lit(2 * k) * F.col("qc") - F.col("snn_x") - F.col("snn_y"),
+        )
+    )
+    best = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_scaled"), F.asc("tgt_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            "src_id", "tgt_id",
+            F.col("qc").alias("cos_scaled"),
+            "margin_scaled",
+        )
+    )

@@ -1134,3 +1134,66 @@ def q_kcenter_select(spark, sf_dir):
     from nonconsumptive_spark.operators import clustering as cl
 
     return cl.kcenter_select(load(spark, sf_dir, "embeddings"), m=8)
+
+
+# -- margin-based bitext mining (Artetxe & Schwenk 2019) ---------------------
+_BT_K = 4
+_BT_CAP = 128  # src batch: even vec_id below this (64 query vectors)
+_BT_GRID = 1 << 20
+_BT_SCALE = 1_000_000_000
+
+
+def _bitext_oracle(k: int, cap: int, grid: int, scale: int) -> str:
+    quant = (f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+             f"* {grid}.0 + 0.5) AS BIGINT))")
+    return f"""
+    WITH sn AS (
+      SELECT vec_id AS src_id, xq,
+             list_sum(list_transform(xq, v -> v * v)) AS nq
+      FROM (SELECT vec_id, {quant} AS xq FROM embeddings
+            WHERE vec_id % 2 = 0 AND vec_id < {cap})),
+    tn AS (
+      SELECT vec_id AS tgt_id, xq,
+             list_sum(list_transform(xq, v -> v * v)) AS nq
+      FROM (SELECT vec_id, {quant} AS xq FROM embeddings
+            WHERE vec_id % 2 = 1)),
+    p AS (
+      SELECT sn.src_id, tn.tgt_id,
+             CAST(floor(CAST(list_sum(list_transform(list_zip(sn.xq, tn.xq),
+                                z -> z[1] * z[2])) AS DOUBLE)
+                        / (sqrt(CAST(sn.nq AS DOUBLE))
+                           * sqrt(CAST(tn.nq AS DOUBLE)))
+                        * {scale}.0 + 0.5) AS BIGINT) AS qc
+      FROM sn CROSS JOIN tn
+      WHERE sn.nq > 0 AND tn.nq > 0),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY qc DESC, tgt_id) AS rf,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY qc DESC, src_id) AS rb
+      FROM p),
+    sx AS (SELECT src_id, sum(qc) AS snn_x FROM r WHERE rf <= {k}
+           GROUP BY src_id),
+    sy AS (SELECT tgt_id, sum(qc) AS snn_y FROM r WHERE rb <= {k}
+           GROUP BY tgt_id),
+    m AS (
+      SELECT r.src_id, r.tgt_id, r.qc,
+             2 * {k} * r.qc - sx.snn_x - sy.snn_y AS margin_scaled
+      FROM r JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+      WHERE r.rf <= {k})
+    SELECT src_id, tgt_id, CAST(qc AS BIGINT) AS cos_scaled,
+           CAST(margin_scaled AS BIGINT) AS margin_scaled
+    FROM m
+    QUALIFY row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin_scaled DESC, tgt_id) = 1"""
+
+
+@_stage("q_bitext_margin", _bitext_oracle(_BT_K, _BT_CAP, _BT_GRID, _BT_SCALE))
+def q_bitext_margin(spark, sf_dir):
+    from nonconsumptive_spark.operators import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings")
+    src = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < _BT_CAP))
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    return sim.bitext_margin_pairs(src, tgt, k=_BT_K)
