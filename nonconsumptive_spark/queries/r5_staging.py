@@ -1197,3 +1197,52 @@ def q_bitext_margin(spark, sf_dir):
     src = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < _BT_CAP))
     tgt = emb.where(F.col("vec_id") % 2 == 1)
     return sim.bitext_margin_pairs(src, tgt, k=_BT_K)
+
+
+# -- Fellegi–Sunter record-linkage scoring -----------------------------------
+_FS_SCALE = 1_000_000
+_FS_M = 0.9
+
+
+def _fs_oracle(m: float, scale: int, min_agree: int) -> str:
+    fields = """SELECT c_custkey AS key, c_nationkey AS blk,
+             c_mktsegment AS seg,
+             floor(c_acctbal / 1000.0) AS bal,
+             substr(c_name, length(c_name), 1) AS dig
+      FROM customer"""
+    wq = []
+    for j in (1, 2, 3):
+        wq.append(f"""
+        CAST(round(CASE WHEN g{j}
+               THEN log2({m} * CAST(n AS DOUBLE) / CAST(cc{j} AS DOUBLE))
+               ELSE log2((1.0 - {m}) * CAST(n AS DOUBLE)
+                         / (CAST(n AS DOUBLE) - CAST(cc{j} AS DOUBLE)))
+             END * {scale}.0) AS BIGINT)""")
+    return f"""
+    WITH c AS ({fields}),
+    p AS (
+      SELECT a.key AS key_a, b.key AS key_b,
+             a.seg = b.seg AS g1, a.bal = b.bal AS g2, a.dig = b.dig AS g3
+      FROM c a JOIN c b ON a.blk = b.blk AND a.key < b.key),
+    st AS (
+      SELECT count(*) AS n,
+             greatest(least(sum(CASE WHEN g1 THEN 1 ELSE 0 END), count(*) - 1), 1) AS cc1,
+             greatest(least(sum(CASE WHEN g2 THEN 1 ELSE 0 END), count(*) - 1), 1) AS cc2,
+             greatest(least(sum(CASE WHEN g3 THEN 1 ELSE 0 END), count(*) - 1), 1) AS cc3
+      FROM p)
+    SELECT key_a, key_b,
+           CAST((CASE WHEN g1 THEN 1 ELSE 0 END)
+                + (CASE WHEN g2 THEN 1 ELSE 0 END)
+                + (CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           {" + ".join(wq)} AS weight_scaled
+    FROM p CROSS JOIN st
+    WHERE (CASE WHEN g1 THEN 1 ELSE 0 END)
+          + (CASE WHEN g2 THEN 1 ELSE 0 END)
+          + (CASE WHEN g3 THEN 1 ELSE 0 END) >= {min_agree}"""
+
+
+@_stage("q_fs_link_scores", _fs_oracle(_FS_M, _FS_SCALE, 2))
+def q_fs_link_scores(spark, sf_dir):
+    from nonconsumptive_spark.operators import linkage
+
+    return linkage.fs_link_scores(load(spark, sf_dir, "customer"))
