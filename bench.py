@@ -155,6 +155,11 @@ EXTRA = {
     "q_cusum_by_type": _staged("q_cusum_by_type"),
     "q_kaplan_meier_cohorts": _staged("q_kaplan_meier_cohorts"),
     "q_lexical_cohesion": _staged("q_lexical_cohesion"),
+    # round-4 continuation additions
+    "q_silhouette": _staged("q_silhouette"),
+    "q_kcenter_select": _staged("q_kcenter_select"),
+    "q_bitext_margin": _staged("q_bitext_margin"),
+    "q_fs_link_scores": _staged("q_fs_link_scores"),
 }
 
 

@@ -75,3 +75,62 @@ def curate(docs: DataFrame, eval_docs: DataFrame,
             F.when(selected, F.col("_split")).alias("split"),
         )
     )
+
+
+def quality_retention_curve(docs: DataFrame, n_buckets: int = 10,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Filter-tuning curve: per alpha-ratio bucket, how many documents and
+    tokens survive a "keep bucket ≥ threshold" cut — (bucket, n_docs,
+    n_tokens, cum_docs, cum_tokens, retained_frac), cumulative from the
+    TOP bucket down.  The quantity-side complement to quality_filter:
+    before fixing thresholds, curation pipelines read this curve to see
+    what fraction of the token budget each candidate cut price-tags (the
+    C4/Gopher papers report exactly this table).
+
+    The bucket key is EXACT integer arithmetic — n_alpha·B DIV n_chars,
+    clamped to B−1 — so bucket membership can never drift between
+    engines.  One zero-shuffle per-row scan, one B-group agg; the
+    cumulative window runs over the B aggregated rows (bounded, not a
+    data-sized window); retained_frac divides two exact BIGINTs once."""
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", "")).cast("long")
+    n_tokens = F.size(ts.tokenize(t)).cast("long")
+    bucket = F.when(
+        n_chars > 0,
+        F.least(
+            F.floor(n_alpha * n_buckets / n_chars).cast("long"),
+            F.lit(n_buckets - 1).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+
+    per_bucket = (
+        docs.select(bucket.alias("bucket"), n_tokens.alias("nt"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_bucket.select(
+        F.col("bucket"),
+        F.col("n_docs"),
+        F.col("n_tokens"),
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        (
+            F.round(
+                F.sum("n_tokens").over(w).cast("double")
+                / F.sum("n_tokens").over(tot).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("retained_frac"),
+    )

@@ -2524,3 +2524,62 @@ def lexical_cohesion_gaps(df: DataFrame, block_w: int = TILE_W,
          & (F.col("cos2_q") < prev) & (F.col("cos2_q") < nxt))
         .alias("is_boundary"),
     )
+
+
+def bigram_conditional_entropy(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """One-row corpus statistic (n_bigrams, n_contexts, h_cond_bits): the
+    conditional entropy H(W₂|W₁) of the corpus bigram distribution — how
+    predictable the next token is given the current one.  Low values flag
+    templated/boilerplate-heavy corpora; the H(W)−H(W₂|W₁) gap is the
+    first-order redundancy a training run can exploit (complements the
+    per-doc token-entropy operator above).
+
+    Identity used: H(W₂|W₁) = (Σ c₁·log₂c₁ − Σ c₁₂·log₂c₁₂) / N, where c₁
+    are CONTEXT counts (bigram lefts, not raw unigrams — last tokens of
+    documents have no successor).  log₂ terms quantize to ENT_SCALE units
+    immediately; the weighted sums run in decimal(38,0) (Spark) / HUGEINT
+    (DuckDB) so they stay exact far past the 2⁶³ overflow point a 100-TB
+    corpus would hit — one fused zero-shuffle per-doc count, one global
+    bigram agg, two 1-row aggregate attaches."""
+    from nonconsumptive_spark.operators.wordcount import ngram_counts
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    bg = materialize_once(
+        ngram_counts(docs, 2, id_col, text_col)
+        .groupBy("w0", "w1")
+        .agg(F.sum("count").alias("c12")),
+        "ce_bigrams",
+    )
+
+    def lg(c):
+        return F.round(F.log2(c) * F.lit(ENT_SCALE)).cast("long")
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,0)"))
+
+    hb = bg.agg(
+        dsum(F.col("c12") * lg(F.col("c12"))).alias("hq_bi"),
+        F.sum("c12").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )
+    hc = (
+        bg.groupBy("w0")
+        .agg(F.sum("c12").alias("c1"))
+        .agg(
+            dsum(F.col("c1") * lg(F.col("c1"))).alias("hq_ctx"),
+            F.count("*").cast("long").alias("n_contexts"),
+        )
+    )
+    return hb.crossJoin(hc).select(  # two 1-row aggregates
+        "n_bigrams",
+        "n_contexts",
+        (
+            F.round(
+                (F.col("hq_ctx") - F.col("hq_bi")).cast("double")
+                / (F.col("n").cast("double") * F.lit(float(ENT_SCALE))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("h_cond_bits"),
+    )

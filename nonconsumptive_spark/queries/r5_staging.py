@@ -1246,3 +1246,76 @@ def q_fs_link_scores(spark, sf_dir):
     from nonconsumptive_spark.operators import linkage
 
     return linkage.fs_link_scores(load(spark, sf_dir, "customer"))
+
+
+# -- corpus bigram conditional entropy ---------------------------------------
+_ENT_SCALE = 1_000_000_000
+
+
+@_stage(
+    "q_conditional_entropy",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS w
+      FROM documents),
+    bg AS (
+      SELECT w0, w1, count(*) AS c12 FROM (
+        SELECT w AS w0,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM toks)
+      WHERE w1 IS NOT NULL GROUP BY w0, w1),
+    hb AS (
+      SELECT sum(CAST(c12 AS HUGEINT)
+                 * CAST(round(log2(c12) * {_ENT_SCALE}) AS HUGEINT)) AS hq_bi,
+             CAST(sum(c12) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM bg),
+    hc AS (
+      SELECT sum(CAST(c1 AS HUGEINT)
+                 * CAST(round(log2(c1) * {_ENT_SCALE}) AS HUGEINT)) AS hq_ctx,
+             CAST(count(*) AS BIGINT) AS n_contexts
+      FROM (SELECT w0, sum(c12) AS c1 FROM bg GROUP BY w0))
+    SELECT n_bigrams, n_contexts,
+           round(CAST(hq_ctx - hq_bi AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * {_ENT_SCALE}.0), 6) + 0.0
+             AS h_cond_bits
+    FROM hb CROSS JOIN hc""",
+)
+def q_conditional_entropy(spark, sf_dir):
+    from nonconsumptive_spark.operators import textstats as ts
+
+    return ts.bigram_conditional_entropy(load(spark, sf_dir, "documents"))
+
+
+# -- quality retention curve (filter-tuning table) ---------------------------
+@_stage(
+    "q_quality_retention",
+    f"""
+    WITH pd AS (
+      SELECT CASE WHEN length(coalesce(text, '')) > 0
+                  THEN least(CAST(floor(
+                         length(regexp_replace(coalesce(text, ''),
+                                               '[^\\pL]', '', 'g')) * 10
+                         / length(coalesce(text, ''))) AS BIGINT), 9)
+                  ELSE 0 END AS bucket,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS nt
+      FROM documents),
+    pb AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM pd GROUP BY bucket)
+    SELECT bucket, n_docs, n_tokens,
+           CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           round(CAST(sum(n_tokens) OVER w AS DOUBLE)
+                 / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) + 0.0
+             AS retained_frac
+    FROM pb
+    WINDOW w AS (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def q_quality_retention(spark, sf_dir):
+    from nonconsumptive_spark.operators import pipeline as pl
+
+    return pl.quality_retention_curve(load(spark, sf_dir, "documents"))
