@@ -2583,3 +2583,56 @@ def bigram_conditional_entropy(docs: DataFrame, id_col: str = "doc_id",
             + F.lit(0.0)
         ).alias("h_cond_bits"),
     )
+
+
+def shuffle_quality(docs: DataFrame, seed: int = 42, n_shards: int = 16,
+                    id_col: str = "doc_id",
+                    label_col: str = "source") -> DataFrame:
+    """One-row shuffle diagnostic for the deterministic training order:
+    (n_pairs, n_same, same_rate, expected_rate, clumping).
+
+    A bad shuffle feeds the optimizer runs of same-source documents and
+    training quality degrades (the motivation for training_order in the
+    first place) — this measures it: among within-shard ADJACENT pairs of
+    the order, how often do both docs share ``label_col``, versus the
+    independence baseline Σ nₛ(nₛ−1)/(N(N−1)) a truly random permutation
+    would give?  ``clumping`` ≈ 1 means the order mixes sources as well
+    as random; ≫ 1 means source runs survived the shuffle.
+
+    All counts are exact integers off two aggregates (one over lag pairs
+    in the shard windows the order already uses, one over the source
+    histogram); the three output ratios are each a fixed chain of IEEE
+    divides of exact integers, rounded at emit."""
+    ordered = training_order(docs, seed=seed, n_shards=n_shards,
+                             id_col=id_col)
+    from pyspark.sql.window import Window
+
+    lab = docs.select(id_col, F.col(label_col).alias("_lab"))
+    w = Window.partitionBy("shard").orderBy("pos")
+    pairs = (
+        ordered.join(lab, id_col)
+        .select("shard", "pos", "_lab",
+                F.lag("_lab").over(w).alias("_prev"))
+        .where(F.col("_prev").isNotNull())
+    )
+    obs = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("_lab") == F.col("_prev")).cast("long")).alias("n_same"),
+    )
+    hist = lab.groupBy("_lab").agg(F.count("*").alias("ns"))
+    exp = hist.agg(
+        F.sum(F.col("ns") * (F.col("ns") - 1)).alias("same_ways"),
+        F.sum("ns").alias("n"),
+    )
+    same_rate = F.col("n_same").cast("double") / F.col("n_pairs").cast("double")
+    exp_rate = (
+        F.col("same_ways").cast("double")
+        / (F.col("n").cast("double") * (F.col("n").cast("double") - F.lit(1.0)))
+    )
+    return obs.crossJoin(exp).select(  # two 1-row aggregates
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_same").cast("long").alias("n_same"),
+        (F.round(same_rate, 6) + F.lit(0.0)).alias("same_rate"),
+        (F.round(exp_rate, 6) + F.lit(0.0)).alias("expected_rate"),
+        (F.round(same_rate / exp_rate, 4) + F.lit(0.0)).alias("clumping"),
+    )

@@ -1319,3 +1319,46 @@ def q_quality_retention(spark, sf_dir):
     from nonconsumptive_spark.operators import pipeline as pl
 
     return pl.quality_retention_curve(load(spark, sf_dir, "documents"))
+
+
+# -- shuffle-quality diagnostic over the training order ----------------------
+@_stage(
+    "q_shuffle_quality",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, md5('42:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS INTEGER) AS shard
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, source, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+      FROM keyed),
+    pairs AS (
+      SELECT source, lag(source) OVER (PARTITION BY shard ORDER BY pos) AS prev
+      FROM ordered),
+    obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN source = prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same
+      FROM pairs WHERE prev IS NOT NULL),
+    ex AS (
+      SELECT CAST(sum(ns * (ns - 1)) AS BIGINT) AS same_ways,
+             CAST(sum(ns) AS BIGINT) AS n
+      FROM (SELECT count(*) AS ns FROM documents GROUP BY source))
+    SELECT n_pairs, n_same,
+           round(CAST(n_same AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) + 0.0
+             AS same_rate,
+           round(CAST(same_ways AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) + 0.0
+             AS expected_rate,
+           round((CAST(n_same AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                 / (CAST(same_ways AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 4) + 0.0
+             AS clumping
+    FROM obs CROSS JOIN ex""",
+)
+def q_shuffle_quality(spark, sf_dir):
+    from nonconsumptive_spark.operators import textstats as ts
+
+    return ts.shuffle_quality(load(spark, sf_dir, "documents"))

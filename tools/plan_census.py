@@ -96,6 +96,10 @@ BNLJ_WHITELIST = {
     "q_query_likelihood",     # 1-row corpus-size + query-constant attaches
     "q_top_component",        # 1-row mean/eigenvector-frame attaches per round
     "q_abtt_residuals",       # same power-iteration attaches + final v attach
+    "q_bitext_margin",        # bounded broadcast query batch, by design
+    "q_fs_link_scores",       # 1-row u-estimate attach
+    "q_conditional_entropy",  # two 1-row aggregate attaches
+    "q_shuffle_quality",      # two 1-row aggregate attaches
 }
 
 
