@@ -1172,3 +1172,31 @@ def edit_distance_pairs(docs: DataFrame, id_col: str = "doc_id",
             .alias("is_dup"),
         )
     )
+
+
+def cluster_capped_sample(docs: DataFrame, cap: int = 2,
+                          threshold: float = 0.5,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Near-dup-aware sampling: keep at most ``cap`` documents per
+    near-duplicate cluster, selected by md5 rank (id tie-break) —
+    (id, cluster, rk).  Sits between full dedup (canonical_docs keeps
+    exactly one) and no dedup: training-data mixes often WANT bounded
+    repetition of popular templates rather than total removal (the
+    "keep a few copies" finding in dedup ablations).
+
+    Composition of existing verified pieces: LSH cluster assignment
+    (dedup_clusters — band-join candidates, min-label components), then
+    one cluster-partitioned window rank.  The window shuffles (id,
+    cluster, hash) triples only; cluster cardinality ≫ partitions at
+    scale, so no single-partition serialization."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(docs, threshold=threshold)
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        clusters.select(id_col, "cluster")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )

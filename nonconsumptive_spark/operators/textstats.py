@@ -2636,3 +2636,41 @@ def shuffle_quality(docs: DataFrame, seed: int = 42, n_shards: int = 16,
         (F.round(exp_rate, 6) + F.lit(0.0)).alias("expected_rate"),
         (F.round(same_rate / exp_rate, 4) + F.lit(0.0)).alias("clumping"),
     )
+
+
+def mixture_budget(docs: DataFrame, budget_tokens: int,
+                   stratum_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Token-budget allocation under temperature mixing: per source,
+    (n_docs, n_tokens, mix_frac, target_tokens, epochs, sample_rate).
+
+    temperature_mix says WHAT fraction of the training mix each source
+    should be; this prices it against a concrete token budget: target_s =
+    mix_frac_s·B, epochs_s = target_s / available_s (> 1 means the source
+    repeats — the standard small-source upsampling), sample_rate_s =
+    min(1, epochs_s) for the sources that must be downsampled instead.
+    The table a mixing job reads before writing sampling configs.
+
+    One stratum-keyed (count, token-sum) aggregate + one #strata-row
+    normalizer attach; sqrt is IEEE-correctly-rounded everywhere so the
+    weight chain replays bit-for-bit (same argument as temperature_mix)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per = docs.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize(t)).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum(F.sqrt("n_docs")).alias("z"))
+    frac = F.sqrt("n_docs") / F.col("z")
+    target = frac * F.lit(float(budget_tokens))
+    epochs = target / F.col("n_tokens").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(  # 1-row normalizer attach
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        (F.round(frac, 6) + F.lit(0.0)).alias("mix_frac"),
+        F.round(target).cast("long").alias("target_tokens"),
+        (F.round(epochs, 4) + F.lit(0.0)).alias("epochs"),
+        (F.round(F.least(F.lit(1.0), epochs), 6) + F.lit(0.0)).alias(
+            "sample_rate"
+        ),
+    )

@@ -130,16 +130,15 @@ PRIORITY: tuple[str, ...] = (
     "q_dsir_weights",
     "q_dedup_incremental",
     # -- changed by the r4 adversarial-fixture sweep fixes: kwic empty-
-    #    array sequence guard, GK rank-bound (was value-bound) quantile
-    #    check, json_valid oracle guard, ANN small-corpus exact fallback.
-    #    Displaces q_event_transitions/q_vocab_growth_curve/
-    #    q_lsh_dedup_recall/q_length_quantiles_by_lang past slot 50 —
-    #    they head the r5 window instead.
+    #    array sequence guard (q_kwic is never-verified, so it stays in
+    #    the window).  The OTHER four sweep-touched queries
+    #    (q_approx_quantiles / q_events_json / q_knn_cosine_lsh /
+    #    q_knn_cosine_ivf) queue at the r5 head instead: their r4 changes
+    #    are fixture-inactive (the ANN small-corpus fallback only fires
+    #    below 100 rows) or oracle-side-only, all were re-verified by the
+    #    local full-sweep, and keeping them in-window would push four
+    #    never-verified queries past the backlog governor's bound.
     "q_kwic",
-    "q_approx_quantiles",
-    "q_events_json",
-    "q_knn_cosine_lsh",
-    "q_knn_cosine_ivf",
     # -- round-4h late registrations promoted into the window (freshest
     #    code: new fold + new applyInPandas kernel)
     "q_min_span_proximity",
@@ -191,9 +190,14 @@ PRIORITY: tuple[str, ...] = (
     "q_vocab_growth_curve",
     "q_lsh_dedup_recall",
     "q_length_quantiles_by_lang",
-    # q_heaps_fit / q_zipf_slope rotate out of the window this round:
-    # both driver-verified green in r3, displaced by the round-4h
-    # promotions so every never-verified query stays inside the window
+    # r5 head: the four sweep-touched re-verification entries displaced
+    # from the r4 window by the backlog governor (see note at q_kwic),
+    # then q_heaps_fit / q_zipf_slope (green r3, displaced by the
+    # round-4h promotions).
+    "q_approx_quantiles",
+    "q_events_json",
+    "q_knn_cosine_lsh",
+    "q_knn_cosine_ivf",
     "q_heaps_fit",
     "q_zipf_slope",
     "q_logdice_collocations",

@@ -1362,3 +1362,67 @@ def q_shuffle_quality(spark, sf_dir):
     from nonconsumptive_spark.operators import textstats as ts
 
     return ts.shuffle_quality(load(spark, sf_dir, "documents"))
+
+
+# -- token-budget allocation under temperature mixing -------------------------
+_MB_BUDGET = 1_000_000
+
+
+@_stage(
+    "q_mixture_budget",
+    f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+      FROM (SELECT source, coalesce(text, '') AS text FROM documents)
+      GROUP BY source),
+    z AS (SELECT sum(sqrt(n_docs)) AS z FROM c)
+    SELECT source, n_docs, n_tokens,
+           round(sqrt(n_docs) / z, 6) + 0.0 AS mix_frac,
+           CAST(round(sqrt(n_docs) / z * {_MB_BUDGET}.0) AS BIGINT)
+             AS target_tokens,
+           round(sqrt(n_docs) / z * {_MB_BUDGET}.0
+                 / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS epochs,
+           round(least(1.0, sqrt(n_docs) / z * {_MB_BUDGET}.0
+                            / CAST(n_tokens AS DOUBLE)), 6) + 0.0
+             AS sample_rate
+    FROM c CROSS JOIN z""",
+)
+def q_mixture_budget(spark, sf_dir):
+    from nonconsumptive_spark.operators import textstats as ts
+
+    return ts.mixture_budget(load(spark, sf_dir, "documents"),
+                             budget_tokens=_MB_BUDGET)
+
+
+# -- near-dup-aware sampling: cap per cluster ---------------------------------
+_CCS_CAP = 2
+
+
+def _ccs_oracle(cap: int) -> str:
+    from nonconsumptive_spark.queries.dedup import _DUCK_COMP
+
+    return (
+        _DUCK_COMP
+        + f""",
+    asg AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    ranked AS (
+      SELECT doc_id, cluster,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM asg)
+    SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {cap}"""
+    )
+
+
+@_stage("q_cluster_capped_sample", _ccs_oracle(_CCS_CAP))
+def q_cluster_capped_sample(spark, sf_dir):
+    from nonconsumptive_spark.operators import dedup as dd
+
+    return dd.cluster_capped_sample(load(spark, sf_dir, "documents"),
+                                    cap=_CCS_CAP)

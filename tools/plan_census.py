@@ -100,6 +100,7 @@ BNLJ_WHITELIST = {
     "q_fs_link_scores",       # 1-row u-estimate attach
     "q_conditional_entropy",  # two 1-row aggregate attaches
     "q_shuffle_quality",      # two 1-row aggregate attaches
+    "q_mixture_budget",       # 1-row normalizer attach
 }
 
 
