@@ -1,0 +1,243 @@
+"""Model- and data-quality EVALUATION operators: rank-based ROC AUC,
+Benford first-digit deviation, and BLEU-lite pair scoring.
+
+A training-data pipeline doesn't just transform data — it has to grade
+the classifiers and heuristics steering it (quality filters, language
+ID, dedup scorers) and audit numeric columns for fabrication.  These
+are the distributed, oracle-checkable versions of those gradings.
+
+Shared exactness discipline (same as textstats/graph): every cross-row
+float SUM is replaced by an exact BIGINT sum of pre-quantized terms, and
+transcendental constants (log10, ln) enter as Python-computed LITERALS
+identical on both engines — so the 6-decimal output rounding is safe
+under any aggregation order.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+AUC_SCALE = 10**6
+CHI2_SCALE = 10**6
+
+# Benford's first-digit law, as shared literals: P(d) = log10(1 + 1/d),
+# rounded once in Python so Spark and the DuckDB oracle multiply the
+# *identical* double (java Math.log10 vs libm log10 differ in the last
+# ulp — never let either engine compute the constant).
+BENFORD_P = {d: round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+
+
+def auc_one_vs_rest(df: DataFrame, label_col: str = "label",
+                    score_col: str = "score",
+                    scale: int = AUC_SCALE) -> DataFrame:
+    """(label, n_pos, n_neg, auc) — one-vs-rest ROC AUC of ``score_col``
+    for every distinct class, via the Mann–Whitney rank identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with midrank tie
+    handling (ties are the normal case once scores are quantized).
+
+    Exact-integer formulation: scores quantize to ``floor(s*scale+0.5)``
+    BIGINT keys; per (class, score-bucket) the doubled rank-sum
+    contribution  n_pos_b * (2*cum_before + cnt + 1)  is an exact BIGINT,
+    so AUC = (S2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg) involves exactly
+    ONE float op (the final division) — bit-stable across engines and
+    aggregation orders.
+
+    Scale shape: rows collapse to a (label, score-bucket) histogram
+    FIRST (one agg keyed on short pairs); the class spine (#distinct
+    labels, tiny) is broadcast onto the histogram; the cumulative count
+    runs in a window PARTITIONED BY class over score buckets — bounded
+    by the quantization range (scale * score span), never by row count.
+    Nothing row-sized crosses the network after the first agg."""
+    sq = F.floor(F.col(score_col).cast("double") * scale + F.lit(0.5)) \
+        .cast("long")
+    hist = (
+        df.select(F.col(label_col).alias("lbl"), sq.alias("sq"))
+        .groupBy("lbl", "sq")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    spine = hist.select(F.col("lbl").alias(label_col)).distinct()
+    per_bucket = (
+        hist.join(F.broadcast(spine),
+                  F.lit(True))  # histogram x tiny class spine
+        .groupBy(label_col, "sq")
+        .agg(
+            F.sum("c").cast("long").alias("cnt"),
+            F.sum(F.when(F.col("lbl") == F.col(label_col), F.col("c"))
+                  .otherwise(F.lit(0))).cast("long").alias("np_b"),
+        )
+    )
+    w = (
+        Window.partitionBy(label_col).orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_bucket.withColumn(
+        "cum_before", F.sum("cnt").over(w) - F.col("cnt"))
+    agg = ranked.groupBy(label_col).agg(
+        F.sum(F.col("np_b")
+              * (F.lit(2) * F.col("cum_before") + F.col("cnt") + F.lit(1)))
+        .cast("long").alias("s2"),
+        F.sum("np_b").cast("long").alias("n_pos"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    nn = F.col("n") - F.col("n_pos")
+    auc = (
+        (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
+        .cast("double")
+        / (F.lit(2.0) * F.col("n_pos") * nn)
+    )
+    return agg.select(
+        label_col,
+        "n_pos",
+        nn.alias("n_neg"),
+        F.when((F.col("n_pos") > 0) & (nn > 0),
+               F.round(auc, 6) + F.lit(0.0)).alias("auc"),
+    )
+
+
+def benford_deviation(df: DataFrame, group_col: str,
+                      value_col: str = "value") -> DataFrame:
+    """(group, n, chi2) — chi-squared deviation of the first significant
+    digit of ``value_col`` from Benford's law, per group (the classic
+    fabricated-numbers audit: organically grown magnitudes follow
+    log10(1+1/d); invented ones don't).
+
+    Digit extraction is integer-exact: values quantize to cents
+    (floor(v*100+0.5)), rows with a non-positive quantized value drop,
+    and the leading digit is the first character of the BIGINT's decimal
+    string — integer-to-string is portable where double log10/formatting
+    is not.  Expected counts multiply the shared BENFORD_P literals; each
+    digit's (o-e)^2/e term quantizes to a BIGINT before the 9-term sum.
+
+    Scale shape: one (group, digit) count agg, one group count agg, a
+    broadcast 9-row digit spine, one final group agg."""
+    spark = df.sparkSession
+    spine = F.broadcast(spark.createDataFrame(
+        sorted(BENFORD_P.items()), "digit long, p double"))
+    vq = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)) \
+        .cast("long")
+    base = (
+        df.select(F.col(group_col).alias("g"), vq.alias("vq"))
+        .filter(F.col("vq") >= 1)
+        .select("g", F.substring(F.col("vq").cast("string"), 1, 1)
+                .cast("long").alias("digit"))
+    )
+    obs = base.groupBy("g", "digit").agg(
+        F.count("*").cast("long").alias("o"))
+    totals = base.groupBy("g").agg(F.count("*").cast("long").alias("n"))
+    full = (
+        totals.join(spine, F.lit(True))  # 9-row broadcast spine
+        .join(obs, ["g", "digit"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)).cast("long"))
+    )
+    e = F.col("n").cast("double") * F.col("p")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    tq = F.floor(term * CHI2_SCALE + F.lit(0.5)).cast("long")
+    return (
+        full.select("g", "n", tq.alias("tq"))
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("n").alias("n"),
+            (F.round(F.sum("tq").cast("double") / CHI2_SCALE, 6)
+             + F.lit(0.0)).alias("chi2"),
+        )
+    )
+
+
+BLEU_BLOCK_MOD = 37
+
+
+def bleu_pairs(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", lang_col: str = "lang",
+               block_mod: int = BLEU_BLOCK_MOD) -> DataFrame:
+    """(doc_a, doc_b, p1, p2, bleu2) — BLEU-lite between blocked document
+    pairs: clipped unigram/bigram precision of the higher-id doc (the
+    "candidate") against the lower-id doc (the "reference"), combined as
+    bp * sqrt(p1*p2) with a LINEAR brevity penalty min(1, len_b/len_a).
+
+    Why linear bp and a sqrt mean: exp() and fractional pow() are not
+    bit-reproducible across engines; every float op here (two precision
+    divisions, one product, one sqrt, one bp division, one final product)
+    is a single correctly-rounded IEEE op over exact integer inputs, so
+    the result is engine-independent before the 6-decimal rounding.
+    Clipped counts are the standard modified-precision: per n-gram,
+    min(count_in_candidate, count_in_reference), summed exactly.
+
+    Scale shape: pair generation is an equi-join on the (lang, id mod
+    ``block_mod``) block key — never all-pairs; n-gram overlap joins key
+    on (doc, gram) against pre-aggregated per-doc count tables, so the
+    wide text column never joins anything."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(lang_col).alias("lang"),
+        tokenize(F.col(text_col)).alias("t"),
+    )
+    uni = (
+        toks.select("doc", F.explode("t").alias("g"))
+        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c"))
+    )
+    big = (
+        toks.select(
+            "doc",
+            F.explode(F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )).alias("g"),
+        )
+        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c"))
+    )
+    lens = toks.select(
+        "doc", "lang",
+        F.size("t").cast("long").alias("l1"),
+        F.greatest(F.size("t") - 1, F.lit(0)).cast("long").alias("l2"),
+        (F.col("doc") % block_mod).alias("blk"),
+    )
+    a = lens.select(F.col("doc").alias("doc_a"), "lang", "blk",
+                    F.col("l1").alias("l1_a"))
+    b = lens.select(F.col("doc").alias("doc_b"), "lang", "blk",
+                    F.col("l1").alias("l1_b"), F.col("l2").alias("l2_b"))
+    pairs = (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "l1_a", "l1_b", "l2_b")
+    )
+
+    def _clip(cnt: DataFrame, name: str) -> DataFrame:
+        xa = cnt.select(F.col("doc").alias("doc_a"), "g",
+                        F.col("c").alias("ca"))
+        xb = cnt.select(F.col("doc").alias("doc_b"), "g",
+                        F.col("c").alias("cb"))
+        return (
+            pairs.select("doc_a", "doc_b")
+            .join(xa, "doc_a")
+            .join(xb, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias(name))
+        )
+    out = (
+        pairs
+        .join(_clip(uni, "clip1"), ["doc_a", "doc_b"], "left")
+        .join(_clip(big, "clip2"), ["doc_a", "doc_b"], "left")
+        .withColumn("clip1", F.coalesce("clip1", F.lit(0)).cast("long"))
+        .withColumn("clip2", F.coalesce("clip2", F.lit(0)).cast("long"))
+    )
+    p1 = F.col("clip1").cast("double") / F.col("l1_b")
+    p2 = F.col("clip2").cast("double") / F.col("l2_b")
+    bp = F.least(F.lit(1.0), F.col("l1_b").cast("double") / F.col("l1_a"))
+    ok = (F.col("l1_b") > 0) & (F.col("l2_b") > 0) & (F.col("l1_a") > 0)
+    scored = (F.col("clip1") > 0) & (F.col("clip2") > 0)
+    return out.select(
+        "doc_a", "doc_b",
+        F.when(F.col("l1_b") > 0, F.round(p1, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0)).alias("p1"),
+        F.when(F.col("l2_b") > 0, F.round(p2, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0)).alias("p2"),
+        F.when(ok & scored,
+               F.round(bp * F.sqrt(p1 * p2), 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0)).alias("bleu2"),
+    )

@@ -299,3 +299,121 @@ def hits_scores(edges: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
             (F.round("authority", 6) + F.lit(0.0)).alias("authority"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int = 3, n_rounds: int = 12) -> DataFrame:
+    """(node, core_deg) — the nodes surviving ``n_rounds`` of synchronous
+    k-core peeling over the UNDIRECTED graph beneath a directed edge list
+    (Seidman 1983): repeatedly drop every node whose degree in the current
+    subgraph is < k.  The k-core is the classic dense-substructure filter
+    (on the token graph: the stable phrase vocabulary; on an interaction
+    graph: the engaged user core).
+
+    Determinism: peeling is confluent — the k-core is unique regardless of
+    removal order — but a FIXED round count keeps the intermediate state
+    replayable in the DuckDB oracle (an unrolled CTE chain with the same
+    ``n_rounds``); components this size converge in far fewer rounds, and
+    the final round's degrees are emitted so a non-converged run would
+    visibly disagree.
+
+    Scale shape: per round ONE degree agg (keyed on node) and TWO
+    semi-joins filtering the edge list on surviving endpoints — all
+    shuffles keyed on node ids, no wide rows; the edge frame re-
+    materializes per round (lineage-cut discipline shared with pagerank /
+    bfs / label_propagation).  No driver collect."""
+    und = materialize_once(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        "kcore_edges",
+    )
+    for r in range(n_rounds):
+        deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("src")
+        und = materialize_once(
+            und.join(alive, "src", "left_semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi"),
+            f"kcore_e{r}",
+        )
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )
+
+
+AA_MAX_MIDDLE_DEG = 50
+AA_SCALE = 10**6
+
+
+def adamic_adar(edges: DataFrame, max_middle_deg: int = AA_MAX_MIDDLE_DEG,
+                min_common: int = 2) -> DataFrame:
+    """(node_a, node_b, common_neighbors, aa_score) — Adamic–Adar link
+    prediction over the UNDIRECTED graph beneath a directed edge list:
+    for every non-adjacent pair sharing >= ``min_common`` neighbors,
+    aa = Σ_{m in common} 1 / ln(deg(m)) — rare shared neighbors count
+    more (Adamic & Adar 2003).
+
+    Exactness: 1/ln(d) is NOT reproducible across engines at the last ulp
+    (libm vs java.lang.Math), so middle-node weights come from a LITERAL
+    table computed once in Python — round(AA_SCALE/ln(d)) for d in
+    [2, max_middle_deg] — joined identically on both engines; scores sum
+    as exact BIGINTs and divide by AA_SCALE once at output.
+
+    Scale shape: wedges are generated by a self-join keyed on the MIDDLE
+    node, whose fan-out is bounded by ``max_middle_deg`` (the standard
+    skew guard for wedge enumeration — a celebrity node with degree 10^6
+    would otherwise emit 10^12 wedges; AA weights 1/ln(d) also vanish for
+    such hubs, so dropping them changes scores negligibly and is
+    mirrored exactly in the oracle).  Per-pair work: one groupBy on the
+    (a, b) pair key + one anti-join against the edge list."""
+    import math
+
+    und = materialize_once(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        "aa_edges",
+    )
+    spark = edges.sparkSession
+    wt = F.broadcast(spark.createDataFrame(
+        [(d, int(round(AA_SCALE / math.log(d)))) for d in
+         range(2, max_middle_deg + 1)],
+        "deg long, w long",
+    ))
+    deg = und.groupBy(F.col("src").alias("mid")).agg(
+        F.count("*").cast("long").alias("deg"))
+    mids = (
+        deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_middle_deg))
+        .join(wt, "deg")
+        .select("mid", "w")
+    )
+    adj = materialize_once(
+        und.join(mids, und["src"] == mids["mid"])
+        .select("mid", F.col("dst").alias("leaf"), "w"),
+        "aa_adj",
+    )
+    a = adj.select("mid", F.col("leaf").alias("node_a"), "w")
+    b = adj.select("mid", F.col("leaf").alias("node_b"))
+    pairs = (
+        a.join(b, "mid")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").cast("long").alias("common_neighbors"),
+             F.sum("w").cast("long").alias("ws"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    linked = und.select(F.col("src").alias("node_a"),
+                        F.col("dst").alias("node_b"))
+    return (
+        pairs.join(linked, ["node_a", "node_b"], "left_anti")
+        .select(
+            "node_a", "node_b", "common_neighbors",
+            (F.round(F.col("ws").cast("double") / AA_SCALE, 6)
+             + F.lit(0.0)).alias("aa_score"),
+        )
+    )

@@ -55,3 +55,77 @@ def user_value_trend(events: DataFrame, min_points: int = 3,
         .groupBy(key_col)
         .applyInPandas(trend, schema=schema)
     )
+
+
+EWMA_ALPHA = 0.25
+EWMA_SPIKE = 50.0
+
+
+def ewma_anomalies(events: DataFrame, alpha: float = EWMA_ALPHA,
+                   spike: float = EWMA_SPIKE, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value") -> DataFrame:
+    """(event_id, user_id, value, ewma, is_spike) — per-user exponentially
+    weighted moving average of ``value`` over the (ts, id) total order,
+    plus a spike flag where |value - previous ewma| > ``spike`` (the
+    streaming-monitor recurrence, run as a batch backfill).
+
+    Why grouped-map: the recurrence e_i = a*v_i + (1-a)*e_{i-1} is
+    inherently sequential per key — no built-in window expresses it
+    without an O(n)-term power expansion that under/overflows and whose
+    cross-row float SUM is aggregation-order dependent.  The sequential
+    form is deterministic: with a = 0.25 (exact binary), each step is two
+    correctly-rounded multiplies and one add over the SAME operand
+    sequence in any engine, so results are bit-identical to the oracle's
+    recursive-CTE replay before the output rounding (applied Spark-side,
+    not in pandas, so both engines share one rounding rule).
+
+    Scale shape: ONE shuffle on the user key, then a linear numpy pass
+    per group — state is one double per user; the per-group cost is the
+    group's event count (the same bound every sessionization already
+    accepts)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    schema = (f"{id_col} long, {key_col} long, {value_col} double, "
+              "raw_ewma double, prev double")
+    one_minus = 1.0 - alpha
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        v = pdf[value_col].astype("float64").to_numpy()
+        e = np.empty_like(v)
+        prev = np.empty_like(v)
+        acc = float("nan")
+        for i, x in enumerate(v):
+            prev[i] = acc
+            acc = x if i == 0 else alpha * x + one_minus * acc
+            e[i] = acc
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            key_col: pdf[key_col].to_numpy(),
+            value_col: v,
+            "raw_ewma": e,
+            "prev": prev,
+        })
+
+    out = (
+        events.select(key_col, id_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(run, schema=schema)
+    )
+    # NOT F.round: with cent-precision inputs and a power-of-two alpha the
+    # recurrence lands EXACTLY on half-way decimals (e.g. 77.2034375), where
+    # Spark's decimal HALF_UP and DuckDB's float round disagree.  The
+    # explicit floor(x*1e6 + 0.5)/1e6 quantization is three correctly-
+    # rounded IEEE ops — bit-identical on both engines, half-way cases
+    # included (values are positive; floor is the right half-up there).
+    return out.select(
+        id_col, key_col, value_col,
+        (F.floor(F.col("raw_ewma") * 1_000_000 + F.lit(0.5))
+         / F.lit(1_000_000.0)).alias("ewma"),
+        F.when(F.col("prev").isNull() | F.isnan("prev"), F.lit(False))
+        .otherwise(F.abs(F.col(value_col) - F.col("prev")) > spike)
+        .alias("is_spike"),
+    )

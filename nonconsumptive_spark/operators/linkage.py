@@ -31,6 +31,7 @@ operators/skew.py), not a different algorithm.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,4 +99,105 @@ def fs_link_scores(cust: DataFrame, m_prob: float = FS_M,
             (wq(1) + wq(2) + wq(3)).alias("weight_scaled"),
         )
         .where(F.col("n_agree") >= min_agree)
+    )
+
+
+JW_PREFIX_WEIGHT = 0.1
+JW_BOOST_THRESHOLD = 0.7
+JW_KEY_CHARS = 24
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Jaro–Winkler similarity, mirroring DuckDB's vendored
+    jarowinkler-cpp implementation operation-for-operation (same
+    association of the float ops, 0.7 boost threshold, 0.1 prefix
+    weight, prefix capped at 4) so the oracle's built-in
+    ``jaro_winkler_similarity`` reproduces it bit-for-bit."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    flags1 = [False] * l1
+    flags2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags1[i] = True
+                flags2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    sim = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if sim > JW_BOOST_THRESHOLD:
+        prefix = 0
+        for c1, c2 in zip(s1[:4], s2[:4]):
+            if c1 != c2:
+                break
+            prefix += 1
+        sim += (prefix * JW_PREFIX_WEIGHT) * (1.0 - sim)
+    return sim
+
+
+def jaro_winkler_pairs(docs: DataFrame, threshold: float = 0.8,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       lang_col: str = "lang", block_mod: int = 23,
+                       key_chars: int = JW_KEY_CHARS) -> DataFrame:
+    """(doc_a, doc_b, jw) — Jaro–Winkler similarity over blocked pairs of
+    document key strings (first ``key_chars`` lowercased chars), keeping
+    pairs with round(jw, 6) >= ``threshold`` — the fuzzy-string linkage
+    primitive (names, titles, short keys) complementing the token-set
+    measures in operators/dedup.py.
+
+    Spark has no Jaro–Winkler builtin, so the kernel is an Arrow-batched
+    pandas UDF (per-pair O(key_chars^2) worst case, constant-bounded by
+    ``key_chars``); DuckDB's builtin checks it bit-for-bit.  Candidate
+    pairs come from a (lang, id mod ``block_mod``) blocking equi-join —
+    never all-pairs — and the UDF sees only the two short key columns,
+    never full text."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler_py(x, y) if x is not None and y is not None
+             else None
+             for x, y in zip(a, b)],
+            dtype="float64",
+        )
+
+    keyed = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(lang_col).alias("lang"),
+        (F.col(id_col) % block_mod).alias("blk"),
+        F.substring(F.lower(F.col(text_col)), 1, key_chars).alias("k"),
+    )
+    a = keyed.select(F.col("doc").alias("doc_a"), "lang", "blk",
+                     F.col("k").alias("ka"))
+    b = keyed.select(F.col("doc").alias("doc_b"), "lang", "blk",
+                     F.col("k").alias("kb"))
+    return (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                (F.round(jw(F.col("ka"), F.col("kb")), 6)
+                 + F.lit(0.0)).alias("jw"))
+        .filter(F.col("jw") >= threshold)
     )

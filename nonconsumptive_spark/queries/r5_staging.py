@@ -1426,3 +1426,411 @@ def q_cluster_capped_sample(spark, sf_dir):
 
     return dd.cluster_capped_sample(load(spark, sf_dir, "documents"),
                                     cap=_CCS_CAP)
+
+
+# ===========================================================================
+# round-4 fourth-session batch: evaluation metrics, link prediction,
+# dense-core extraction, sequential anomalies, fuzzy-string linkage,
+# leakage-safe splits.
+# ===========================================================================
+
+# Shared undirected token-graph CTE (distinct bigram edges, symmetrized).
+_DUCK_UND = f"""
+    pairs0 AS (
+      SELECT doc_id, token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM (SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+                   unnest({_DUCK_TOKS}) AS token FROM documents)),
+    dedges AS (SELECT DISTINCT src, dst FROM pairs0 WHERE dst IS NOT NULL),
+    und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM dedges
+        UNION ALL
+        SELECT dst, src FROM dedges)
+      WHERE src <> dst)"""
+
+
+# -- per-user event-type trigram sequences ----------------------------------
+@_stage(
+    "q_event_sequences",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM ordered WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_event_sequences(spark, sf_dir):
+    """Length-3 behavioral sequence support counts (the trigram extension
+    of q_event_transitions — sequential pattern mining's k=3 pass).  One
+    user-partitioned window over the (ts, event_id) total order + one
+    short-key agg."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# -- Benford first-digit audit ----------------------------------------------
+def _benford_oracle() -> str:
+    from nonconsumptive_spark.operators.evaluation import (
+        BENFORD_P, CHI2_SCALE)
+
+    spine = ", ".join(f"({d}, CAST({p!r} AS DOUBLE))"
+                      for d, p in sorted(BENFORD_P.items()))
+    return f"""
+    WITH q AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM events),
+    base AS (
+      SELECT g, CAST(substr(CAST(vq AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM q WHERE vq >= 1),
+    obs AS (SELECT g, digit, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY g, digit),
+    tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY g),
+    spine(digit, p) AS (VALUES {spine}),
+    filled AS (
+      SELECT t.g, t.n, s.digit, s.p,
+             CAST(coalesce(o.o, 0) AS BIGINT) AS o
+      FROM tot t CROSS JOIN spine s
+      LEFT JOIN obs o ON o.g = t.g AND o.digit = s.digit),
+    terms AS (
+      SELECT g, n,
+             CAST(floor(
+               (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+               * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+               / (CAST(n AS DOUBLE) * p) * {CHI2_SCALE} + 0.5)
+             AS BIGINT) AS tq
+      FROM filled)
+    SELECT g AS event_type, max(n) AS n,
+           round(CAST(sum(tq) AS DOUBLE) / {CHI2_SCALE}, 6) + 0.0 AS chi2
+    FROM terms GROUP BY g
+    """
+
+
+@_stage("q_benford_deviation", _benford_oracle())
+def q_benford_deviation(spark, sf_dir):
+    from nonconsumptive_spark.operators.evaluation import benford_deviation
+
+    return benford_deviation(load(spark, sf_dir, "events"),
+                             group_col="event_type", value_col="value")
+
+
+# -- one-vs-rest ROC AUC over the embedding table ---------------------------
+def _auc_oracle() -> str:
+    from nonconsumptive_spark.operators.evaluation import AUC_SCALE
+
+    return f"""
+    WITH base AS (
+      SELECT label AS lbl,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * {AUC_SCALE} + 0.5)
+                  AS BIGINT) AS sq
+      FROM embeddings),
+    hist AS (SELECT lbl, sq, CAST(count(*) AS BIGINT) AS c
+             FROM base GROUP BY lbl, sq),
+    spine AS (SELECT DISTINCT lbl AS label FROM hist),
+    pb AS (
+      SELECT s.label, h.sq,
+             CAST(sum(h.c) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN h.lbl = s.label THEN h.c ELSE 0 END)
+                  AS BIGINT) AS np_b
+      FROM hist h CROSS JOIN spine s
+      GROUP BY s.label, h.sq),
+    rk AS (
+      SELECT label, cnt, np_b,
+             sum(cnt) OVER (PARTITION BY label ORDER BY sq
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt AS cum_before
+      FROM pb),
+    agg AS (
+      SELECT label,
+             CAST(sum(np_b * (2 * cum_before + cnt + 1)) AS BIGINT) AS s2,
+             CAST(sum(np_b) AS BIGINT) AS n_pos,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM rk GROUP BY label)
+    SELECT label, n_pos, n - n_pos AS n_neg,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+             round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                   / (2.0 * n_pos * (n - n_pos)), 6) + 0.0
+           END AS auc
+    FROM agg
+    """
+
+
+@_stage("q_auc_eval", _auc_oracle())
+def q_auc_eval(spark, sf_dir):
+    """One-vs-rest ROC AUC of the first embedding coordinate against each
+    class label — the grading primitive for every scorer in the curation
+    pipeline (quality filters, langid, dedup scorers)."""
+    from nonconsumptive_spark.operators.evaluation import auc_one_vs_rest
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").getItem(0).alias("score"))
+    return auc_one_vs_rest(emb, label_col="label", score_col="score")
+
+
+# -- Adamic-Adar link prediction over the token graph -----------------------
+def _aa_oracle() -> str:
+    import math
+
+    from nonconsumptive_spark.operators.graph import (
+        AA_MAX_MIDDLE_DEG, AA_SCALE)
+
+    wt = ", ".join(
+        f"({d}, {int(round(AA_SCALE / math.log(d)))})"
+        for d in range(2, AA_MAX_MIDDLE_DEG + 1))
+    return f"""
+    WITH {_DUCK_UND},
+    wt(deg, w) AS (VALUES {wt}),
+    mids AS (
+      SELECT g.mid, w.w
+      FROM (SELECT src AS mid, CAST(count(*) AS BIGINT) AS deg
+            FROM und GROUP BY src) g
+      JOIN wt w ON w.deg = g.deg),
+    adj AS (
+      SELECT u.src AS mid, u.dst AS leaf, m.w
+      FROM und u JOIN mids m ON u.src = m.mid),
+    p AS (
+      SELECT a.leaf AS node_a, b.leaf AS node_b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(a.w) AS BIGINT) AS ws
+      FROM adj a JOIN adj b ON a.mid = b.mid AND a.leaf < b.leaf
+      GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT node_a, node_b, common_neighbors,
+           round(CAST(ws AS DOUBLE) / {AA_SCALE}, 6) + 0.0 AS aa_score
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM und u
+                      WHERE u.src = p.node_a AND u.dst = p.node_b)
+    """
+
+
+@_stage("q_adamic_adar", _aa_oracle())
+def q_adamic_adar(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import adamic_adar, bigram_edges
+
+    return adamic_adar(bigram_edges(load(spark, sf_dir, "documents")))
+
+
+# -- k-core of the token graph ----------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # Every e{r} is referenced twice by round r+1's two semi-joins; DuckDB
+    # inlines plain CTEs per reference, so without MATERIALIZED the chain
+    # re-expands 2^rounds times.
+    chain = []
+    for r in range(rounds):
+        chain.append(f"""
+    d{r} AS (SELECT src, count(*) AS c FROM e{r} GROUP BY src),
+    a{r} AS MATERIALIZED (SELECT src FROM d{r} WHERE c >= {k}),
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r} e
+      JOIN a{r} x ON e.src = x.src
+      JOIN a{r} y ON e.dst = y.src)""")
+    return f"""
+    WITH {_DUCK_UND},
+    e0 AS MATERIALIZED (SELECT src, dst FROM und),{",".join(chain)}
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{rounds} GROUP BY src HAVING count(*) >= {k}
+    """
+
+
+@_stage("q_kcore", _kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def q_kcore(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import bigram_edges, kcore
+
+    return kcore(bigram_edges(load(spark, sf_dir, "documents")),
+                 k=_KCORE_K, n_rounds=_KCORE_ROUNDS)
+
+
+# -- per-user EWMA anomaly flags --------------------------------------------
+def _ewma_oracle() -> str:
+    from nonconsumptive_spark.operators.grouped import EWMA_ALPHA, EWMA_SPIKE
+
+    a, om = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    e(user_id, event_id, value, rn, ewma, prev) AS (
+      SELECT user_id, event_id, value, rn, value, CAST(NULL AS DOUBLE)
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             CAST({a!r} AS DOUBLE) * s.value
+               + CAST({om!r} AS DOUBLE) * e.ewma,
+             e.ewma
+      FROM e JOIN seq s ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+    SELECT event_id, user_id, value,
+           floor(ewma * 1000000 + 0.5) / 1000000.0 AS ewma,
+           CASE WHEN prev IS NULL THEN FALSE
+                ELSE abs(value - prev) > {EWMA_SPIKE!r} END AS is_spike
+    FROM e
+    """
+
+
+@_stage("q_ewma_anomalies", _ewma_oracle())
+def q_ewma_anomalies(spark, sf_dir):
+    from nonconsumptive_spark.operators.grouped import ewma_anomalies
+
+    return ewma_anomalies(load(spark, sf_dir, "events"))
+
+
+# -- BLEU-lite pair scoring --------------------------------------------------
+def _bleu_oracle() -> str:
+    from nonconsumptive_spark.operators.evaluation import BLEU_BLOCK_MOD
+
+    return f"""
+    WITH base AS (SELECT doc_id AS doc, lang, {_DUCK_TOKS} AS t
+                  FROM documents),
+    lens AS (
+      SELECT doc, lang, CAST(len(t) AS BIGINT) AS l1,
+             CAST(greatest(len(t) - 1, 0) AS BIGINT) AS l2,
+             doc % {BLEU_BLOCK_MOD} AS blk
+      FROM base),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             a.l1 AS l1_a, b.l1 AS l1_b, b.l2 AS l2_b
+      FROM lens a JOIN lens b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc < b.doc),
+    uni AS (
+      SELECT doc, g, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc, unnest(t) AS g FROM base) GROUP BY doc, g),
+    big AS (
+      SELECT doc, g, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc, t[i] || ' ' || t[i + 1] AS g
+            FROM base,
+                 unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i))
+      GROUP BY doc, g),
+    c1 AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(sum(least(xa.c, xb.c)) AS BIGINT) AS clip1
+      FROM pairs p
+      JOIN uni xa ON xa.doc = p.doc_a
+      JOIN uni xb ON xb.doc = p.doc_b AND xb.g = xa.g
+      GROUP BY p.doc_a, p.doc_b),
+    c2 AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(sum(least(xa.c, xb.c)) AS BIGINT) AS clip2
+      FROM pairs p
+      JOIN big xa ON xa.doc = p.doc_a
+      JOIN big xb ON xb.doc = p.doc_b AND xb.g = xa.g
+      GROUP BY p.doc_a, p.doc_b),
+    j AS (
+      SELECT p.doc_a, p.doc_b, p.l1_a, p.l1_b, p.l2_b,
+             CAST(coalesce(c1.clip1, 0) AS BIGINT) AS clip1,
+             CAST(coalesce(c2.clip2, 0) AS BIGINT) AS clip2
+      FROM pairs p
+      LEFT JOIN c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b
+      LEFT JOIN c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b)
+    SELECT doc_a, doc_b,
+           CASE WHEN l1_b > 0
+                THEN round(CAST(clip1 AS DOUBLE) / l1_b, 6) + 0.0
+                ELSE 0.0 END AS p1,
+           CASE WHEN l2_b > 0
+                THEN round(CAST(clip2 AS DOUBLE) / l2_b, 6) + 0.0
+                ELSE 0.0 END AS p2,
+           CASE WHEN l1_a > 0 AND l1_b > 0 AND l2_b > 0
+                     AND clip1 > 0 AND clip2 > 0
+                THEN round(
+                  least(CAST(1.0 AS DOUBLE),
+                        CAST(l1_b AS DOUBLE) / l1_a)
+                  * sqrt((CAST(clip1 AS DOUBLE) / l1_b)
+                         * (CAST(clip2 AS DOUBLE) / l2_b)), 6) + 0.0
+                ELSE 0.0 END AS bleu2
+    FROM j
+    """
+
+
+@_stage("q_bleu_pairs", _bleu_oracle())
+def q_bleu_pairs(spark, sf_dir):
+    from nonconsumptive_spark.operators.evaluation import bleu_pairs
+
+    return bleu_pairs(load(spark, sf_dir, "documents"))
+
+
+# -- leakage-safe train/val/test split --------------------------------------
+def _lss_oracle() -> str:
+    from nonconsumptive_spark.queries.dedup import _DUCK_COMP
+    from nonconsumptive_spark.queries.textstats import _SPLIT_CASE
+
+    return (
+        _DUCK_COMP
+        + f""",
+    asg AS (
+      SELECT d.doc_id,
+             CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, cluster, {_SPLIT_CASE} AS split
+    FROM (SELECT doc_id, cluster,
+                 CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 10000 AS b
+          FROM asg)"""
+    )
+
+
+@_stage("q_leakage_safe_split", _lss_oracle())
+def q_leakage_safe_split(spark, sf_dir):
+    """Split assignment keyed on the near-dup CLUSTER id, not the doc id —
+    the split that cannot leak a near-duplicate of a test document into
+    train (the failure mode a doc-keyed hash split has by construction).
+    Components come from the verified LSH pair graph (q_dedup_clusters);
+    the band edges are the same exact integer bands as q_dataset_split."""
+    from nonconsumptive_spark.operators import dedup as dd
+    from nonconsumptive_spark.operators import textstats as ts
+
+    cl = dd.dedup_clusters(load(spark, sf_dir, "documents"), threshold=0.5)
+    return cl.select("doc_id", "cluster",
+                     ts.split_expr("cluster").alias("split"))
+
+
+# -- Jaro-Winkler fuzzy-key linkage -----------------------------------------
+_JW_THRESHOLD = 0.8
+_JW_BLOCK_MOD = 23
+
+
+def _jw_oracle() -> str:
+    from nonconsumptive_spark.operators.linkage import JW_KEY_CHARS
+
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id AS doc, lang, doc_id % {_JW_BLOCK_MOD} AS blk,
+             substr(lower(text), 1, {JW_KEY_CHARS}) AS k
+      FROM documents),
+    p AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             round(jaro_winkler_similarity(a.k, b.k), 6) + 0.0 AS jw
+      FROM keyed a JOIN keyed b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc < b.doc)
+    SELECT doc_a, doc_b, jw FROM p WHERE jw >= {_JW_THRESHOLD!r}
+    """
+
+
+@_stage("q_jaro_winkler_links", _jw_oracle())
+def q_jaro_winkler_links(spark, sf_dir):
+    from nonconsumptive_spark.operators.linkage import jaro_winkler_pairs
+
+    return jaro_winkler_pairs(load(spark, sf_dir, "documents"),
+                              threshold=_JW_THRESHOLD,
+                              block_mod=_JW_BLOCK_MOD)
