@@ -160,6 +160,16 @@ EXTRA = {
     "q_kcenter_select": _staged("q_kcenter_select"),
     "q_bitext_margin": _staged("q_bitext_margin"),
     "q_fs_link_scores": _staged("q_fs_link_scores"),
+    # round-4k additions (evaluation / link prediction / anomalies)
+    "q_auc_eval": _staged("q_auc_eval"),
+    "q_benford_deviation": _staged("q_benford_deviation"),
+    "q_bleu_pairs": _staged("q_bleu_pairs"),
+    "q_adamic_adar": _staged("q_adamic_adar"),
+    "q_kcore": _staged("q_kcore"),
+    "q_ewma_anomalies": _staged("q_ewma_anomalies"),
+    "q_event_sequences": _staged("q_event_sequences"),
+    "q_leakage_safe_split": _staged("q_leakage_safe_split"),
+    "q_jaro_winkler_links": _staged("q_jaro_winkler_links"),
 }
 
 

@@ -170,17 +170,24 @@ def bleu_pairs(docs: DataFrame, id_col: str = "doc_id",
     on (doc, gram) against pre-aggregated per-doc count tables, so the
     wide text column never joins anything."""
     from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
 
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.col(lang_col).alias("lang"),
         tokenize(F.col(text_col)).alias("t"),
     )
-    uni = (
+    # uni / big / pairs are each consumed 2-3 times downstream (candidate
+    # and reference sides of both clip joins); materializing them cuts the
+    # plan from re-tokenizing the corpus per consumer (census: 24 -> ~1/3
+    # the exchanges) and is the standard shared-frame discipline
+    # (dedup.minhash_dedup_pairs does the same with its signature table).
+    uni = materialize_once(
         toks.select("doc", F.explode("t").alias("g"))
-        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c"))
+        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c")),
+        "bleu_uni",
     )
-    big = (
+    big = materialize_once(
         toks.select(
             "doc",
             F.explode(F.zip_with(
@@ -189,7 +196,8 @@ def bleu_pairs(docs: DataFrame, id_col: str = "doc_id",
                 lambda a, b: F.concat_ws(" ", a, b),
             )).alias("g"),
         )
-        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c"))
+        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c")),
+        "bleu_big",
     )
     lens = toks.select(
         "doc", "lang",
@@ -201,10 +209,11 @@ def bleu_pairs(docs: DataFrame, id_col: str = "doc_id",
                     F.col("l1").alias("l1_a"))
     b = lens.select(F.col("doc").alias("doc_b"), "lang", "blk",
                     F.col("l1").alias("l1_b"), F.col("l2").alias("l2_b"))
-    pairs = (
+    pairs = materialize_once(
         a.join(b, ["lang", "blk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "l1_a", "l1_b", "l2_b")
+        .select("doc_a", "doc_b", "l1_a", "l1_b", "l2_b"),
+        "bleu_pairs",
     )
 
     def _clip(cnt: DataFrame, name: str) -> DataFrame:

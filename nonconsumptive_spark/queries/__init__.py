@@ -101,7 +101,10 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # percentile_filter, normalize_unicode, repeated_regions,
 # query_likelihood, cusum_daily, kaplan_meier, ndcg_eval, code_score,
 # label_propagation, top_component, abtt_residuals, hits_scores,
-# markov_stationary, cusum_by_type, kaplan_meier_cohorts, lexical_cohesion.  Promotion
+# markov_stationary, cusum_by_type, kaplan_meier_cohorts, lexical_cohesion,
+# and the round-4k batch: auc_eval, benford_deviation, bleu_pairs,
+# adamic_adar, kcore, ewma_anomalies, event_sequences,
+# leakage_safe_split, jaro_winkler_links.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

@@ -1,0 +1,287 @@
+"""Property tests for the round-4k operators (evaluation / link
+prediction / anomalies): each operator's defining identity checked
+against plain-Python brute force on random inputs, plus the
+cross-engine contracts the oracles rely on (the repo's hypothesis
+discipline — SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler: the Python kernel the pandas UDF runs must equal DuckDB's
+# builtin BIT-FOR-BIT (that is the whole oracle contract).
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(alphabet="abcde fg", max_size=24),
+       st.text(alphabet="abcde fg", max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_matches_duckdb_bitwise(duck, a, b):
+    from nonconsumptive_spark.operators.linkage import _jaro_winkler_py
+
+    want = duck.execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+    assert _jaro_winkler_py(a, b) == want
+
+
+def test_jaro_winkler_bounds_and_symmetry():
+    from nonconsumptive_spark.operators.linkage import _jaro_winkler_py
+
+    rng = random.Random(11)
+    for _ in range(200):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 12)))
+        s = _jaro_winkler_py(a, b)
+        assert 0.0 <= s <= 1.0
+        assert s == _jaro_winkler_py(b, a)
+    assert _jaro_winkler_py("same", "same") == 1.0
+
+
+# ---------------------------------------------------------------------------
+# AUC: the exact-integer midrank formulation equals the pairwise
+# definition P(s_pos > s_neg) + 0.5 * P(s_pos == s_neg)
+# ---------------------------------------------------------------------------
+
+
+def _brute_auc(pos, neg):
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_matches_pairwise_definition(spark):
+    from nonconsumptive_spark.operators.evaluation import auc_one_vs_rest
+
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 2), round(rng.uniform(-1, 1), 3))
+            for _ in range(120)]
+    got = {r["label"]: r["auc"]
+           for r in auc_one_vs_rest(
+               spark.createDataFrame(rows, "label int, score double")
+           ).collect()}
+    for cls in (0, 1, 2):
+        pos = [s for l, s in rows if l == cls]
+        neg = [s for l, s in rows if l != cls]
+        assert abs(got[cls] - _brute_auc(pos, neg)) < 1e-6, cls
+
+
+def test_auc_perfect_and_random_separation(spark):
+    from nonconsumptive_spark.operators.evaluation import auc_one_vs_rest
+
+    rows = [(1, float(i) + 100.0) for i in range(20)] + \
+           [(0, float(i)) for i in range(20)]
+    got = {r["label"]: r["auc"]
+           for r in auc_one_vs_rest(
+               spark.createDataFrame(rows, "label int, score double")
+           ).collect()}
+    assert got[1] == 1.0
+    assert got[0] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# k-core: Spark's fixed-round peel reaches the unique k-core fixpoint
+# (brute peel-until-stable in Python) on random sparse graphs
+# ---------------------------------------------------------------------------
+
+
+def _brute_kcore(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_kcore_matches_brute_fixpoint(spark):
+    from nonconsumptive_spark.operators.graph import kcore
+
+    rng = random.Random(7)
+    edges = list({(f"n{rng.randint(0, 25)}", f"n{rng.randint(0, 25)}")
+                  for _ in range(70)})
+    got = {r["node"]: r["core_deg"]
+           for r in kcore(spark.createDataFrame(edges, "src string, dst string"),
+                          k=3, n_rounds=10).collect()}
+    assert got == _brute_kcore(edges, 3)
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar: equals the brute definition (shared-neighbor weight sum
+# over non-adjacent pairs) under the same degree cap / min_common /
+# literal weight table
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_matches_brute(spark):
+    from nonconsumptive_spark.operators.graph import (
+        AA_SCALE, adamic_adar)
+
+    rng = random.Random(5)
+    edges = list({(f"n{rng.randint(0, 15)}", f"n{rng.randint(0, 15)}")
+                  for _ in range(45)})
+    got = {(r["node_a"], r["node_b"]): (r["common_neighbors"], r["aa_score"])
+           for r in adamic_adar(
+               spark.createDataFrame(edges, "src string, dst string"),
+               max_middle_deg=50, min_common=2).collect()}
+
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if y in adj[x]:
+                continue
+            common = [m for m in adj[x] & adj[y] if 2 <= len(adj[m]) <= 50]
+            if len(common) >= 2:
+                ws = sum(int(round(AA_SCALE / math.log(len(adj[m]))))
+                         for m in common)
+                want[(x, y)] = (len(common), round(ws / AA_SCALE, 6))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# EWMA: the grouped-map recurrence equals the plain-Python recurrence,
+# and the spike flag fires exactly where |v - prev_ewma| exceeds the
+# threshold
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_python_recurrence(spark):
+    import datetime as dt
+
+    from nonconsumptive_spark.operators.grouped import (
+        EWMA_ALPHA, ewma_anomalies)
+
+    rng = random.Random(13)
+    rows = []
+    for uid in (1, 2):
+        for i in range(40):
+            rows.append((uid * 1000 + i, uid,
+                         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                         round(rng.uniform(0, 200), 2)))
+    got = {r["event_id"]: (r["ewma"], r["is_spike"])
+           for r in ewma_anomalies(
+               spark.createDataFrame(
+                   rows, "event_id long, user_id long, ts timestamp, "
+                         "value double")).collect()}
+    for uid in (1, 2):
+        acc = None
+        for i in range(40):
+            eid = uid * 1000 + i
+            v = rows[[r[0] for r in rows].index(eid)][3]
+            spike = acc is not None and abs(v - acc) > 50.0
+            acc = v if acc is None else EWMA_ALPHA * v + 0.75 * acc
+            want = math.floor(acc * 1_000_000 + 0.5) / 1_000_000
+            assert got[eid] == (want, spike), eid
+
+
+# ---------------------------------------------------------------------------
+# BLEU-lite: Spark pair scores equal plain-Python clipped-precision BLEU
+# ---------------------------------------------------------------------------
+
+
+def _brute_bleu(ref, cand):
+    r1, c1 = Counter(ref), Counter(cand)
+    r2 = Counter(zip(ref, ref[1:]))
+    c2 = Counter(zip(cand, cand[1:]))
+    clip1 = sum(min(c, r1[g]) for g, c in c1.items())
+    clip2 = sum(min(c, r2[g]) for g, c in c2.items())
+    l1a, l1b, l2b = len(ref), len(cand), max(len(cand) - 1, 0)
+    p1 = clip1 / l1b if l1b else 0.0
+    p2 = clip2 / l2b if l2b else 0.0
+    if not (l1a and l1b and l2b and clip1 and clip2):
+        bleu = 0.0
+    else:
+        bleu = round(min(1.0, l1b / l1a) * math.sqrt(p1 * p2), 6)
+    return (round(p1, 6), round(p2, 6), bleu)
+
+
+def test_bleu_pairs_matches_brute(spark):
+    from nonconsumptive_spark.operators.evaluation import bleu_pairs
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        37: "the quick brown fox leaps over a lazy dog today",
+        74: "completely different words entirely here",
+        111: "the quick brown fox jumps over the lazy dog",
+    }
+    rows = [(i, t, "en") for i, t in texts.items()]
+    got = {(r["doc_a"], r["doc_b"]): (r["p1"], r["p2"], r["bleu2"])
+           for r in bleu_pairs(
+               spark.createDataFrame(
+                   rows, "doc_id long, text string, lang string")).collect()}
+    ids = sorted(texts)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            want[(a, b)] = _brute_bleu(texts[a].split(), texts[b].split())
+    assert got == want
+    assert got[(0, 111)] == (1.0, 1.0, 1.0)  # identical docs
+    assert got[(0, 74)][2] == 0.0            # disjoint docs
+
+
+# ---------------------------------------------------------------------------
+# Benford: chi2 equals the brute computation with the shared literal
+# expectations; digit extraction is integer-exact
+# ---------------------------------------------------------------------------
+
+
+def test_benford_matches_brute(spark):
+    from nonconsumptive_spark.operators.evaluation import (
+        BENFORD_P, CHI2_SCALE, benford_deviation)
+
+    rng = random.Random(23)
+    rows = [("a", round(math.exp(rng.uniform(0, 8)), 2))
+            for _ in range(300)] + \
+           [("b", float(rng.randint(50, 59)) + 0.01) for _ in range(100)]
+    got = {r["grp"]: (r["n"], r["chi2"])
+           for r in benford_deviation(
+               spark.createDataFrame(rows, "grp string, value double"),
+               group_col="grp").collect()}
+    for grp in ("a", "b"):
+        vals = [v for g, v in rows if g == grp]
+        digs = [int(str(int(math.floor(v * 100 + 0.5)))[0]) for v in vals
+                if math.floor(v * 100 + 0.5) >= 1]
+        n = len(digs)
+        cnt = Counter(digs)
+        chi2 = sum(
+            int(math.floor((cnt.get(d, 0) - n * p) ** 2 / (n * p)
+                           * CHI2_SCALE + 0.5))
+            for d, p in BENFORD_P.items()) / CHI2_SCALE
+        assert got[grp] == (n, round(chi2, 6)), grp
+    # log-uniform data hugs Benford; constant-leading-digit data does not
+    assert got["a"][1] < got["b"][1]
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: near-dup cluster members NEVER straddle splits
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from nonconsumptive_spark.queries.r5_staging import STAGED
+
+    fn, _ = STAGED["q_leakage_safe_split"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(len([r for r in rows if r["cluster"] == c]) > 1
+               for c in by_cluster)  # fixture really has clusters

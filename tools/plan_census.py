@@ -101,6 +101,8 @@ BNLJ_WHITELIST = {
     "q_conditional_entropy",  # two 1-row aggregate attaches
     "q_shuffle_quality",      # two 1-row aggregate attaches
     "q_mixture_budget",       # 1-row normalizer attach
+    "q_auc_eval",             # #labels-row class spine onto the score histogram
+    "q_benford_deviation",    # 9-row digit spine onto per-group totals
 }
 
 
