@@ -170,6 +170,11 @@ EXTRA = {
     "q_event_sequences": _staged("q_event_sequences"),
     "q_leakage_safe_split": _staged("q_leakage_safe_split"),
     "q_jaro_winkler_links": _staged("q_jaro_winkler_links"),
+    "q_mrr_map_eval": _staged("q_mrr_map_eval"),
+    "q_good_turing": _staged("q_good_turing"),
+    "q_token_burstiness": _staged("q_token_burstiness"),
+    "q_calibration_bins": _staged("q_calibration_bins"),
+    "q_l_diversity": _staged("q_l_diversity"),
 }
 
 

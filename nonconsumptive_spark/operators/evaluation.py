@@ -250,3 +250,48 @@ def bleu_pairs(docs: DataFrame, id_col: str = "doc_id",
                F.round(bp * F.sqrt(p1 * p2), 6) + F.lit(0.0))
         .otherwise(F.lit(0.0)).alias("bleu2"),
     )
+
+
+CAL_SCALE = 10**6
+CAL_BINS = 10
+
+
+def calibration_bins(df: DataFrame, label_col: str = "label",
+                     score_col: str = "score", pos_value: int = 0,
+                     n_bins: int = CAL_BINS) -> DataFrame:
+    """(bin, n, n_pos, avg_conf, pos_rate, gap) — the reliability-diagram
+    table behind Expected Calibration Error: scores map to a pseudo-
+    probability (clip to [-1,1], shift to [0,1]), bin into ``n_bins``
+    equal-width bins, and each bin reports its mean confidence vs its
+    empirical positive rate; gap = |avg_conf - pos_rate| is the per-bin
+    ECE contribution (weight n/N left to the reader so the table stays
+    re-aggregatable).
+
+    Exactness: per-row confidence quantizes to a CAL_SCALE BIGINT before
+    the per-bin sum, so avg_conf is exact-integer-sum / (n * CAL_SCALE)
+    — one float division; pos_rate and gap are one division and one
+    subtraction.  Scale: one n_bins-group agg; nothing after it scales
+    with rows."""
+    clipped = F.greatest(F.lit(-1.0),
+                         F.least(F.lit(1.0),
+                                 F.col(score_col).cast("double")))
+    p_hat = (clipped + F.lit(1.0)) / F.lit(2.0)
+    b = F.least(F.floor(p_hat * n_bins).cast("long"), F.lit(n_bins - 1))
+    pq = F.floor(p_hat * CAL_SCALE + F.lit(0.5)).cast("long")
+    base = df.select(
+        b.alias("bin"), pq.alias("pq"),
+        (F.col(label_col) == pos_value).cast("long").alias("pos"),
+    )
+    agg = base.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("pq").cast("long").alias("spq"),
+    )
+    avg_conf = F.col("spq").cast("double") / (F.col("n") * CAL_SCALE)
+    pos_rate = F.col("n_pos").cast("double") / F.col("n")
+    return agg.select(
+        "bin", "n", "n_pos",
+        (F.round(avg_conf, 6) + F.lit(0.0)).alias("avg_conf"),
+        (F.round(pos_rate, 6) + F.lit(0.0)).alias("pos_rate"),
+        (F.round(F.abs(avg_conf - pos_rate), 6) + F.lit(0.0)).alias("gap"),
+    )

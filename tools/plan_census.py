@@ -103,6 +103,8 @@ BNLJ_WHITELIST = {
     "q_mixture_budget",       # 1-row normalizer attach
     "q_auc_eval",             # #labels-row class spine onto the score histogram
     "q_benford_deviation",    # 9-row digit spine onto per-group totals
+    "q_token_burstiness",     # 1-row doc-count attach
+    "q_mrr_map_eval",         # knn_bruteforce's <=n_queries broadcast side
 }
 
 
