@@ -175,6 +175,11 @@ EXTRA = {
     "q_token_burstiness": _staged("q_token_burstiness"),
     "q_calibration_bins": _staged("q_calibration_bins"),
     "q_l_diversity": _staged("q_l_diversity"),
+    "q_ams_f2": _staged("q_ams_f2"),
+    "q_ppr_tokens": _staged("q_ppr_tokens"),
+    "q_clustering_coefficient": _staged("q_clustering_coefficient"),
+    "q_lm_hit_at_k": _staged("q_lm_hit_at_k"),
+    "q_rbp_eval": _staged("q_rbp_eval"),
 }
 
 

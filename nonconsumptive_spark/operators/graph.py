@@ -417,3 +417,129 @@ def adamic_adar(edges: DataFrame, max_middle_deg: int = AA_MAX_MIDDLE_DEG,
              + F.lit(0.0)).alias("aa_score"),
         )
     )
+
+
+PPR_DAMPING = 0.85
+PPR_SCALE = 10**9
+
+
+def personalized_pagerank(edges: DataFrame, seeds: list[str],
+                          n_iter: int = 6,
+                          damping: float = PPR_DAMPING) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous personalized-PageRank
+    rounds: the teleport mass returns to the ``seeds`` set instead of
+    spreading uniformly (Haveliwala 2002) — the "what's near THESE
+    tokens/documents" primitive behind graph-based recommendation and
+    seed-expanded vocabulary mining.
+
+    Exactness (unlike the plain q_token_pagerank float recurrence, this
+    uses the HITS integer discipline): each round quantizes ranks to
+    floor(rank * PPR_SCALE) BIGINTs, splits them by integer out-degree
+    division, and sums BIGINTs — so rounds replay identically in the
+    oracle under any aggregation order; the teleport constant
+    (1-d)/|seeds| is a Python literal shared with the oracle.
+
+    Scale shape: identical to pagerank — per round ONE ranks⋈edges
+    equi-join + ONE dst-keyed agg, lineage cut per round."""
+    ed = materialize_once(
+        edges.select("src", "dst").distinct(), "ppr_edges")
+    out_deg = ed.groupBy("src").agg(F.count("*").alias("out_deg"))
+    edo = materialize_once(ed.join(out_deg, "src"), "ppr_edges_deg")
+    nodes = materialize_once(
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct(),
+        "ppr_nodes",
+    )
+    teleport = repr((1.0 - damping) / len(seeds))
+    restart = F.when(
+        F.col("node").isin(list(seeds)), F.expr(f"CAST({teleport} AS DOUBLE)")
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", restart.alias("rank"))
+    for i in range(n_iter):
+        q = ranks.select(
+            "node",
+            F.floor(F.col("rank") * PPR_SCALE).cast("long").alias("q"),
+        )
+        contrib = (
+            edo.join(q.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                # q < 2^53, so the double division is exact before floor
+                F.floor(F.col("q").cast("double") / F.col("out_deg"))
+                .cast("long").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").cast("long").alias("sq"))
+        )
+        ranks = materialize_once(
+            nodes.join(contrib, "node", "left").select(
+                "node",
+                (restart
+                 + F.lit(damping)
+                 * (F.coalesce("sq", F.lit(0)).cast("double") / PPR_SCALE))
+                .alias("rank"),
+            ),
+            f"ppr_r{i}",
+        )
+    return ranks.select(
+        "node", (F.round("rank", 9) + F.lit(0.0)).alias("rank")
+    ).filter(F.col("rank") > 0.0)
+
+
+CC_MAX_DEG = 50
+
+
+def clustering_coefficient(edges: DataFrame,
+                           max_deg: int = CC_MAX_DEG) -> DataFrame:
+    """(node, deg, triangles, cc) — local clustering coefficient over the
+    UNDIRECTED graph beneath a directed edge list: cc_v = 2 T_v /
+    (deg_v (deg_v - 1)), the per-node companion to the global
+    q_token_triangles count ("how clique-like is this node's
+    neighborhood").
+
+    Every triangle {a, v, c} appears exactly once as a closed wedge with
+    middle v (pairs ordered a < c), so T_v is ONE wedge self-join keyed
+    on the middle node + ONE semi-join against the edge list + ONE count
+    — the adamic_adar machinery pointed at closure instead of openness.
+    The same ``max_deg`` cap guards wedge skew (a 10^6-degree hub emits
+    10^12 wedges); capped-out nodes are EXCLUDED, mirrored in the
+    oracle.  cc is exact integers until one division."""
+    und = materialize_once(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        "cc_edges",
+    )
+    deg = und.groupBy(F.col("src").alias("mid")).agg(
+        F.count("*").cast("long").alias("deg"))
+    mids = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_deg))
+    adj = materialize_once(
+        und.join(mids, und["src"] == mids["mid"])
+        .select("mid", F.col("dst").alias("leaf"), "deg"),
+        "cc_adj",
+    )
+    a = adj.select("mid", "deg", F.col("leaf").alias("na"))
+    b = adj.select("mid", F.col("leaf").alias("nb"))
+    closed = (
+        a.join(b, "mid")
+        .filter(F.col("na") < F.col("nb"))
+        .join(und.select(F.col("src").alias("na"),
+                         F.col("dst").alias("nb")),
+              ["na", "nb"], "left_semi")
+        .groupBy("mid", "deg")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        mids.join(closed, ["mid", "deg"], "left")
+        .select(
+            F.col("mid").alias("node"), "deg",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            (F.round(
+                (F.lit(2) * F.coalesce("triangles", F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)), 6) + F.lit(0.0))
+            .alias("cc"),
+        )
+    )

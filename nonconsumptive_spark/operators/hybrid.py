@@ -405,3 +405,59 @@ def mrr_map_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
                 F.lit(0.0)).alias("ap"),
         )
     )
+
+
+RBP_P = 0.8
+
+
+def rbp_weights(k: int = NDCG_K, p: float = RBP_P,
+                scale: int = MAP_SCALE) -> list[int]:
+    """Quantized rank-biased-precision weights (1-p) p^(i-1) for ranks
+    1..k, computed ONCE in Python and shared with the oracle as integer
+    literals (fractional pow is not bit-reproducible across engines —
+    the ndcg_discounts discipline)."""
+    return [int(round((1.0 - p) * (p ** (i - 1)) * scale))
+            for i in range(1, k + 1)]
+
+
+def rbp_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
+             k: int = NDCG_K) -> DataFrame:
+    """(query_id, n_rel, rbp) — rank-biased precision (Moffat &
+    Zobel 2008) of the lexical ranking against the semantic
+    pseudo-relevance set: RBP = (1-p) sum p^(i-1) rel_i models a user
+    scanning down with persistence p; unlike MRR/MAP it needs no recall
+    base, so it is the metric of choice when the relevant set is
+    uncertain.  Weights are shared integer literals; the per-query sum
+    is an exact BIGINT with ONE division at output.  Same broadcast
+    post-ranker shape as ndcg_eval / mrr_map_eval."""
+    wts = rbp_weights(k)
+    warr = F.array(*[F.lit(w).cast("long") for w in wts])
+    lex = lexical_topn(docs, n_queries, LEX_TOP)
+    rel = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < n_queries), k=SEM_TOP
+    ).select("query_id", F.col("neighbor_id").alias("cand_id"),
+             F.lit(1).alias("hit"))
+    rel = materialize_once(rel, "rbp_rel")
+    per_q = (
+        lex.filter(F.col("lex_rank") <= k)
+        .join(F.broadcast(rel.select("query_id", "cand_id", "hit")),
+              ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            (F.coalesce("hit", F.lit(0))
+             * F.element_at(warr, F.col("lex_rank").cast("int")))
+            .alias("w"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("w").cast("long").alias("wq"))
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel"))
+    return (
+        nrel.join(F.broadcast(per_q), "query_id", "left")
+        .select(
+            "query_id", "n_rel",
+            (F.round(F.coalesce("wq", F.lit(0)).cast("double")
+                     / MAP_SCALE, 6) + F.lit(0.0)).alias("rbp"),
+        )
+    )

@@ -864,3 +864,59 @@ def hll_estimate_by_group(df: DataFrame, group_col: str,
             f"round(abs(({HLL_EST_SQL}) - n_exact)"
             " / greatest(n_exact, 1), 4) AS rel_err")
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch — the second-frequency-moment
+# estimator that completes the classic sketch family next to count-min
+# (counts), HLL (cardinality), and bloom (membership).  F2 = sum c_w^2 is
+# the corpus "self-join size" / repeat-rate; the sketch estimates it in
+# O(R) counters: X_r = sum_w c_w * s_r(w) with 4-wise signs s_r in {-1,+1},
+# E[X_r^2] = F2.  Deterministic md5-derived signs, so sketch AND estimate
+# replay bit-for-bit in the DuckDB oracle (the countmin discipline).
+# ---------------------------------------------------------------------------
+AMS_R = 16
+
+
+def ams_f2(docs: DataFrame, n_estimators: int = AMS_R,
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row (f2_exact, f2_est, rel_err): exact second frequency moment
+    vs the mean of ``n_estimators`` AMS sketch estimates.  Sign r of
+    token w is bit r of the portable 60-bit md5 hash.
+
+    Exactness: every X_r is an exact BIGINT sum over the (token, count)
+    frame; the estimate stays the exact integer sum(X_r^2) until ONE
+    division at output; rel_err derives from integers the same way.
+
+    Scale shape: the exact vocabulary agg (the A3 barrier), then one
+    1-row agg carrying R+1 integer sums — sketch state is R counters
+    regardless of corpus size, which is the entire point at 100 TB."""
+    from nonconsumptive_spark.operators.dedup import _md5_long
+
+    counts = global_wordcount(docs, id_col, text_col)
+    h = _md5_long(F.col("token"))
+    # integer shift, NOT floor(h / 2^r): h is 60 bits, beyond double
+    # precision — a float division would corrupt the low bits AND
+    # diverge from the oracle's integer >> operator
+    signs = [
+        (F.shiftright(h, r) % 2) * 2 - 1
+        for r in range(n_estimators)
+    ]
+    agg = counts.agg(
+        F.sum(F.col("count") * F.col("count")).cast("long").alias("f2"),
+        *[F.sum(F.col("count") * s).cast("long").alias(f"x{r}")
+          for r, s in enumerate(signs)],
+    )
+    sumsq = None
+    for r in range(n_estimators):
+        t = F.col(f"x{r}") * F.col(f"x{r}")
+        sumsq = t if sumsq is None else sumsq + t
+    return agg.select(
+        F.col("f2").alias("f2_exact"),
+        (F.round(sumsq.cast("double") / n_estimators, 4) + F.lit(0.0))
+        .alias("f2_est"),
+        (F.round(
+            (sumsq - F.lit(n_estimators) * F.col("f2")).cast("double")
+            / (F.lit(float(n_estimators)) * F.col("f2")), 6) + F.lit(0.0))
+        .alias("rel_err"),
+    )

@@ -105,7 +105,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # and the round-4k batch: auc_eval, benford_deviation, bleu_pairs,
 # adamic_adar, kcore, ewma_anomalies, event_sequences,
 # leakage_safe_split, jaro_winkler_links, mrr_map_eval, good_turing,
-# token_burstiness, calibration_bins, l_diversity.  Promotion
+# token_burstiness, calibration_bins, l_diversity, ams_f2, ppr_tokens,
+# clustering_coefficient, lm_hit_at_k, rbp_eval.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

@@ -2063,3 +2063,267 @@ def q_l_diversity(spark, sf_dir):
              F.countDistinct("user_id").cast("long").alias("l_div"))
         .withColumn("is_risky", F.col("l_div") < _LDIV_L)
     )
+
+
+# -- AMS F2 sketch -----------------------------------------------------------
+def _ams_oracle() -> str:
+    from nonconsumptive_spark.operators.wordcount import AMS_R
+
+    xs = ", ".join(
+        f"CAST(sum(c * (((h >> {r}) & 1) * 2 - 1)) AS BIGINT) AS x{r}"
+        for r in range(AMS_R))
+    sumsq = " + ".join(f"x{r} * x{r}" for r in range(AMS_R))
+    return f"""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY token),
+    sgn AS (
+      SELECT c, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM counts),
+    agg AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS f2, {xs}
+      FROM sgn)
+    SELECT f2 AS f2_exact,
+           round(CAST(({sumsq}) AS DOUBLE) / {AMS_R}, 4) + 0.0 AS f2_est,
+           round(CAST(({sumsq}) - {AMS_R} * f2 AS DOUBLE)
+                 / (CAST({AMS_R} AS DOUBLE) * f2), 6) + 0.0 AS rel_err
+    FROM agg
+    """
+
+
+@_stage("q_ams_f2", _ams_oracle())
+def q_ams_f2(spark, sf_dir):
+    from nonconsumptive_spark.operators.wordcount import ams_f2
+
+    return ams_f2(load(spark, sf_dir, "documents"))
+
+
+# -- personalized PageRank ---------------------------------------------------
+_PPR_SEEDS = ["table", "data", "query"]
+_PPR_ITERS = 6
+
+
+def _ppr_oracle() -> str:
+    from nonconsumptive_spark.operators.graph import PPR_DAMPING, PPR_SCALE
+
+    teleport = repr((1.0 - PPR_DAMPING) / len(_PPR_SEEDS))
+    seeds = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    cte = [f"""
+    pairs0 AS (
+      SELECT doc_id, token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM (SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+                   unnest({_DUCK_TOKS}) AS token FROM documents)),
+    dedges AS (SELECT DISTINCT src, dst FROM pairs0 WHERE dst IS NOT NULL),
+    odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+             FROM dedges GROUP BY src),
+    ed AS MATERIALIZED (
+      SELECT e.src, e.dst, d.out_deg FROM dedges e JOIN odeg d USING (src)),
+    nodesr AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node IN ({seeds})
+                  THEN CAST({teleport} AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS restart
+      FROM (SELECT src AS node FROM dedges
+            UNION SELECT dst FROM dedges)),
+    r0 AS (SELECT node, restart AS rank FROM nodesr)"""]
+    for i in range(1, _PPR_ITERS + 1):
+        cte.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT nd.node,
+             nd.restart + CAST({PPR_DAMPING!r} AS DOUBLE)
+               * (CAST(coalesce(c.sq, 0) AS DOUBLE) / {PPR_SCALE}) AS rank
+      FROM nodesr nd LEFT JOIN (
+        SELECT ed.dst AS node,
+               CAST(sum(CAST(floor(
+                 CAST(CAST(floor(r.rank * {PPR_SCALE}) AS BIGINT) AS DOUBLE)
+                 / ed.out_deg) AS BIGINT)) AS BIGINT) AS sq
+        FROM ed JOIN r{i - 1} r ON ed.src = r.node
+        GROUP BY ed.dst) c USING (node))""")
+    return ("WITH" + ",".join(cte) + f"""
+    SELECT * FROM (
+      SELECT node, round(rank, 9) + 0.0 AS rank FROM r{_PPR_ITERS})
+    WHERE rank > 0.0""")
+
+
+@_stage("q_ppr_tokens", _ppr_oracle())
+def q_ppr_tokens(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import (
+        bigram_edges, personalized_pagerank)
+
+    return personalized_pagerank(
+        bigram_edges(load(spark, sf_dir, "documents")),
+        seeds=_PPR_SEEDS, n_iter=_PPR_ITERS)
+
+
+# -- local clustering coefficient -------------------------------------------
+def _cc_oracle() -> str:
+    from nonconsumptive_spark.operators.graph import CC_MAX_DEG
+
+    return f"""
+    WITH {_DUCK_UND},
+    degs AS (SELECT src AS mid, CAST(count(*) AS BIGINT) AS deg
+             FROM und GROUP BY src),
+    mids AS (SELECT mid, deg FROM degs
+             WHERE deg BETWEEN 2 AND {CC_MAX_DEG}),
+    adj AS (SELECT u.src AS mid, u.dst AS leaf
+            FROM und u JOIN mids m ON u.src = m.mid),
+    closed AS (
+      SELECT a.mid, CAST(count(*) AS BIGINT) AS triangles
+      FROM adj a JOIN adj b ON a.mid = b.mid AND a.leaf < b.leaf
+      WHERE EXISTS (SELECT 1 FROM und u
+                    WHERE u.src = a.leaf AND u.dst = b.leaf)
+      GROUP BY a.mid)
+    SELECT m.mid AS node, m.deg,
+           CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+           round(CAST(2 * coalesce(c.triangles, 0) AS DOUBLE)
+                 / (m.deg * (m.deg - 1)), 6) + 0.0 AS cc
+    FROM mids m LEFT JOIN closed c ON c.mid = m.mid
+    """
+
+
+@_stage("q_clustering_coefficient", _cc_oracle())
+def q_clustering_coefficient(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import (
+        bigram_edges, clustering_coefficient)
+
+    return clustering_coefficient(
+        bigram_edges(load(spark, sf_dir, "documents")))
+
+
+# -- bigram LM hit@k on a held-out split ------------------------------------
+_LMH_K = 3
+
+
+@_stage(
+    "q_lm_hit_at_k",
+    f"""
+    WITH split AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10000 < 9800 AS is_train
+      FROM documents),
+    big AS (
+      SELECT doc_id, is_train, t[i] AS w1, t[i + 1] AS w2
+      FROM split,
+           unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)),
+    train AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM big WHERE is_train GROUP BY w1, w2),
+    topk AS (
+      SELECT w1, w2 FROM (
+        SELECT w1, w2,
+               row_number() OVER (PARTITION BY w1
+                                  ORDER BY c DESC, w2 ASC) AS rk
+        FROM train)
+      WHERE rk <= {_LMH_K}),
+    held AS (SELECT w1, w2 FROM big WHERE NOT is_train),
+    scored AS (
+      SELECT h.w1, h.w2,
+             EXISTS (SELECT 1 FROM train t WHERE t.w1 = h.w1) AS covered,
+             EXISTS (SELECT 1 FROM topk k
+                     WHERE k.w1 = h.w1 AND k.w2 = h.w2) AS hit
+      FROM held h)
+    SELECT CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           round(CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) + 0.0 AS coverage,
+           round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN covered THEN 1 ELSE 0 END), 6) + 0.0
+             AS hit_rate
+    FROM scored
+    """,
+)
+def q_lm_hit_at_k(spark, sf_dir):
+    """Next-token hit@k backtest of the corpus bigram LM: train bigram
+    counts on the hash-split train docs, then ask — for each held-out
+    bigram whose head was seen in training — whether the true
+    continuation sits in the head's top-{k} by count.  The deployment-
+    shaped LM eval beside perplexity (it measures the ranking the model
+    would actually serve).  Plan: one train-bigram agg, a head-
+    partitioned top-k window (vocab-bounded), two left semi-ish joins;
+    one summary row."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.operators.textstats import split_expr
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("t"),
+        (split_expr("doc_id") == "train").alias("is_train"))
+    big = docs.select(
+        "is_train",
+        F.explode(F.zip_with(
+            F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+            F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )).alias("g"),
+    ).select("is_train", "g.w1", "g.w2")
+    train = (
+        big.filter("is_train").groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    topk = (
+        train.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _LMH_K).select("w1", "w2")
+    )
+    held = big.filter(~F.col("is_train")).select("w1", "w2")
+    heads = train.select("w1").distinct().withColumn("cv", F.lit(1))
+    hits = topk.withColumn("ht", F.lit(1))
+    scored = (
+        held.join(F.broadcast(heads), "w1", "left")
+        .join(F.broadcast(hits), ["w1", "w2"], "left")
+        .select(F.coalesce("cv", F.lit(0)).alias("covered"),
+                F.coalesce("ht", F.lit(0)).alias("hit"))
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum("covered").cast("long").alias("n_covered"),
+        F.sum("hit").cast("long").alias("hits"),
+    ).select(
+        "n_eval", "n_covered", "hits",
+        (F.round(F.col("n_covered").cast("double") / F.col("n_eval"), 6)
+         + F.lit(0.0)).alias("coverage"),
+        (F.round(F.col("hits").cast("double") / F.col("n_covered"), 6)
+         + F.lit(0.0)).alias("hit_rate"),
+    )
+
+
+# -- rank-biased precision ---------------------------------------------------
+def _rbp_oracle() -> str:
+    from nonconsumptive_spark.operators import hybrid as hy
+    from nonconsumptive_spark.queries.hybrid import _LEX_CTES, _SEM_CTES
+
+    k = hy.NDCG_K
+    warr = "[" + ", ".join(f"{w}::BIGINT" for w in hy.rbp_weights(k)) + "]"
+    return f"""
+    WITH {_LEX_CTES},
+    {_SEM_CTES},
+    rel AS (SELECT query_id, cand_id FROM semt),
+    wq AS (
+      SELECT l.query_id,
+             CAST(sum(CASE WHEN r.cand_id IS NULL THEN 0
+                           ELSE {warr}[l.lex_rank] END) AS BIGINT) AS wq
+      FROM lext l LEFT JOIN rel r
+        ON r.query_id = l.query_id AND r.cand_id = l.cand_id
+      WHERE l.lex_rank <= {k} GROUP BY 1),
+    nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+             FROM rel GROUP BY 1)
+    SELECT n.query_id, n.n_rel,
+           round(CAST(coalesce(w.wq, 0) AS DOUBLE) / {hy.MAP_SCALE}, 6)
+             + 0.0 AS rbp
+    FROM nrel n LEFT JOIN wq w USING (query_id)
+    """
+
+
+@_stage("q_rbp_eval", _rbp_oracle())
+def q_rbp_eval(spark, sf_dir):
+    from nonconsumptive_spark.operators.hybrid import rbp_eval
+    from nonconsumptive_spark.queries.hybrid import _N_Q
+
+    return rbp_eval(load(spark, sf_dir, "documents"),
+                    load(spark, sf_dir, "embeddings"), n_queries=_N_Q)

@@ -383,3 +383,147 @@ def test_good_turing_on_hand_corpus(spark):
                 (r + 1) * rows[r + 1]["n_r"] / row["n_r"], 6)
         else:
             assert row["r_star"] is None
+
+
+# ---------------------------------------------------------------------------
+# AMS F2: estimate equals brute md5-sign recomputation, exact F2 equals
+# the sum of squared counts
+# ---------------------------------------------------------------------------
+
+
+def test_ams_f2_matches_brute(spark):
+    import hashlib
+
+    from nonconsumptive_spark.operators.wordcount import AMS_R, ams_f2
+
+    texts = ["alpha beta alpha gamma", "beta beta delta", "alpha delta"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = ams_f2(spark.createDataFrame(
+        rows, "doc_id long, text string")).collect()[0]
+    cnt = Counter(w for t in texts for w in t.split())
+    f2 = sum(c * c for c in cnt.values())
+    xs = [0] * AMS_R
+    for w, c in cnt.items():
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        for r in range(AMS_R):
+            xs[r] += c * (((h >> r) & 1) * 2 - 1)
+    sumsq = sum(x * x for x in xs)
+    assert got["f2_exact"] == f2
+    assert got["f2_est"] == round(sumsq / AMS_R, 4)
+    assert got["rel_err"] == round((sumsq - AMS_R * f2) / (AMS_R * f2), 6)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: brute replay of the quantized recurrence, plus
+# the mass invariants (seeds dominate, total mass <= 1)
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_matches_brute_quantized_replay(spark):
+    from nonconsumptive_spark.operators.graph import (
+        PPR_DAMPING, PPR_SCALE, personalized_pagerank)
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("c", "d"), ("d", "a"), ("e", "a")]
+    seeds = ["a"]
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(
+               spark.createDataFrame(edges, "src string, dst string"),
+               seeds=seeds, n_iter=6).collect()}
+
+    teleport = (1.0 - PPR_DAMPING) / len(seeds)
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = {n: (teleport if n in seeds else 0.0) for n in nodes}
+    for _ in range(6):
+        sq = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            share = math.floor(
+                float(math.floor(rank[s] * PPR_SCALE)) / len(ds))
+            for d in ds:
+                sq[d] += share
+        rank = {n: (teleport if n in seeds else 0.0)
+                + PPR_DAMPING * (sq[n] / PPR_SCALE) for n in nodes}
+    want = {n: round(r, 9) for n, r in rank.items() if round(r, 9) > 0.0}
+    assert got == want
+    assert got["a"] >= teleport        # seed keeps its teleport mass
+    assert sum(got.values()) <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficient: brute wedge closure on a random graph; the
+# triangle graph scores cc=1 everywhere
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_matches_brute(spark):
+    from nonconsumptive_spark.operators.graph import clustering_coefficient
+
+    rng = random.Random(17)
+    edges = list({(f"n{rng.randint(0, 12)}", f"n{rng.randint(0, 12)}")
+                  for _ in range(40)})
+    got = {r["node"]: (r["deg"], r["triangles"], r["cc"])
+           for r in clustering_coefficient(
+               spark.createDataFrame(edges, "src string, dst string"),
+               max_deg=50).collect()}
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nb in adj.items():
+        if not (2 <= len(nb) <= 50):
+            continue
+        ns = sorted(nb)
+        t = sum(1 for i, x in enumerate(ns) for y in ns[i + 1:]
+                if y in adj[x])
+        want[v] = (len(nb), t,
+                   round(2 * t / (len(nb) * (len(nb) - 1)), 6))
+    assert got == want
+
+
+def test_clustering_coefficient_triangle_is_one(spark):
+    from nonconsumptive_spark.operators.graph import clustering_coefficient
+
+    tri = [("x", "y"), ("y", "z"), ("z", "x")]
+    got = clustering_coefficient(
+        spark.createDataFrame(tri, "src string, dst string")).collect()
+    assert {r["cc"] for r in got} == {1.0}
+
+
+# ---------------------------------------------------------------------------
+# RBP: weights are the geometric (1-p) p^(i-1) ladder and the score
+# equals brute recomputation from the two rankings
+# ---------------------------------------------------------------------------
+
+
+def test_rbp_matches_brute(spark):
+    from nonconsumptive_spark.operators.hybrid import (
+        LEX_TOP, NDCG_K, RBP_P, SEM_TOP, lexical_topn, rbp_eval,
+        rbp_weights)
+    from nonconsumptive_spark.operators.similarity import knn_bruteforce
+    from nonconsumptive_spark.queries import load
+    from pyspark.sql import functions as F
+
+    wts = rbp_weights(NDCG_K)
+    assert wts[0] == round((1 - RBP_P) * 1e9)
+    for i in range(1, len(wts)):
+        assert abs(wts[i] / wts[i - 1] - RBP_P) < 1e-6
+
+    sf = "/root/testdata/sf0.001"
+    docs, emb = load(spark, sf, "documents"), load(spark, sf, "embeddings")
+    got = {r["query_id"]: r["rbp"]
+           for r in rbp_eval(docs, emb, n_queries=5).collect()}
+    lex = lexical_topn(docs, 5, LEX_TOP).collect()
+    rel = {}
+    for r in knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5),
+                            k=SEM_TOP).collect():
+        rel.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in range(5):
+        wq = sum(wts[r["lex_rank"] - 1] for r in lex
+                 if r["query_id"] == q and r["lex_rank"] <= NDCG_K
+                 and r["cand_id"] in rel[q])
+        assert got[q] == round(wq / 1e9, 6)

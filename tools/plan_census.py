@@ -105,6 +105,7 @@ BNLJ_WHITELIST = {
     "q_benford_deviation",    # 9-row digit spine onto per-group totals
     "q_token_burstiness",     # 1-row doc-count attach
     "q_mrr_map_eval",         # knn_bruteforce's <=n_queries broadcast side
+    "q_rbp_eval",             # same knn_bruteforce broadcast query side
 }
 
 
