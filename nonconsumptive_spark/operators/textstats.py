@@ -2674,3 +2674,66 @@ def mixture_budget(docs: DataFrame, budget_tokens: int,
             "sample_rate"
         ),
     )
+
+
+def source_kl_divergence(df, stratum_col: str = "source",
+                         text_col: str = "text"):
+    """(stratum, n_tokens, v, kl) — KL(p_stratum || p_corpus) of the
+    add-1-smoothed unigram distributions, per stratum: the one-number
+    "how far does this source's language drift from the mixture" signal
+    that ranks sources for curation attention (the directional companion
+    to pairwise unigram_js_divergence).
+
+    Same hash-parity discipline as JSD: per-token contributions
+    p*ln(p/q) come from exact integer counts with a verbatim-mirrored
+    expression, quantize to 1e-12-nat integers, and sum as BIGINTs —
+    order-independent, so the 6-decimal output rounding is safe.
+
+    Plan: ONE (stratum, token) agg over the corpus (the only
+    corpus-sized shuffle); corpus totals re-derive from it by a
+    vocabulary-sized re-agg; per-stratum scalars re-attach by broadcast.
+    Nothing bigger than the vocabulary moves after the first agg."""
+    from pyspark.sql import functions as F
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    cnt = materialize_once(
+        df.select(F.col(stratum_col).alias("s"),
+                  F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("s", "w")
+        .agg(F.count("*").cast("bigint").alias("c")),
+        "skl_counts",
+    )
+    corpus = cnt.groupBy("w").agg(F.sum("c").cast("bigint").alias("c_all"))
+    vocab_tot = corpus.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("c_all").cast("bigint").alias("n_all"),
+    )
+    strata = cnt.groupBy("s").agg(F.sum("c").cast("bigint").alias("n_s"))
+    # stratum x corpus-vocab frame (zero-count tokens still contribute)
+    full = (
+        corpus.join(F.broadcast(strata.select("s")), F.lit(True))
+        .join(cnt, ["s", "w"], "left")
+        .select("s", "w", "c_all",
+                F.coalesce("c", F.lit(0)).cast("bigint").alias("c_s"))
+        .join(F.broadcast(strata), "s")
+        .join(F.broadcast(vocab_tot), F.lit(True))
+    )
+    p = (F.col("c_s") + 1) / (F.col("n_s") + F.col("v"))
+    q = (F.col("c_all") + 1) / (F.col("n_all") + F.col("v"))
+    term = p * F.log(p / q)
+    return (
+        full.groupBy(F.col("s").alias(stratum_col))
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.max("v").alias("v"),
+            F.sum(F.round(term * F.lit(JSD_SCALE)).cast("bigint"))
+            .alias("sum_q"),
+        )
+        .select(
+            stratum_col, "n_tokens", "v",
+            (F.round(F.col("sum_q").cast("double") / F.lit(JSD_SCALE), 6)
+             + F.lit(0.0)).alias("kl"),
+        )
+    )

@@ -2327,3 +2327,253 @@ def q_rbp_eval(spark, sf_dir):
 
     return rbp_eval(load(spark, sf_dir, "documents"),
                     load(spark, sf_dir, "embeddings"), n_queries=_N_Q)
+
+
+# -- per-source KL divergence from the corpus mixture ------------------------
+def _skl_oracle() -> str:
+    from nonconsumptive_spark.operators.textstats import JSD_SCALE
+
+    return f"""
+    WITH cnt AS (
+      SELECT source AS s, w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents) z
+      GROUP BY source, w),
+    corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS c_all
+               FROM cnt GROUP BY w),
+    vt AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                  CAST(sum(c_all) AS BIGINT) AS n_all FROM corpus),
+    strata AS (SELECT s, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY s),
+    filled AS (
+      SELECT st.s, co.w, co.c_all, st.n_s, vt.v, vt.n_all,
+             CAST(coalesce(c.c, 0) AS BIGINT) AS c_s
+      FROM corpus co CROSS JOIN strata st CROSS JOIN vt
+      LEFT JOIN cnt c ON c.s = st.s AND c.w = co.w),
+    terms AS (
+      SELECT s, n_s, v,
+             CAST(round(((c_s + 1) / (n_s + v))
+                        * ln(((c_s + 1) / (n_s + v))
+                             / ((c_all + 1) / (n_all + v)))
+                        * {JSD_SCALE}) AS BIGINT) AS tq
+      FROM filled)
+    SELECT s AS source, max(n_s) AS n_tokens, max(v) AS v,
+           round(CAST(sum(tq) AS BIGINT) * 1.0 / {JSD_SCALE}, 6) + 0.0 AS kl
+    FROM terms GROUP BY s
+    """
+
+
+@_stage("q_source_kl", _skl_oracle())
+def q_source_kl(spark, sf_dir):
+    from nonconsumptive_spark.operators.textstats import source_kl_divergence
+
+    return source_kl_divergence(load(spark, sf_dir, "documents"))
+
+
+# -- Mann-Kendall trend test + Sen's slope per event type --------------------
+_MK_SCALE = 10**6
+
+
+@_stage(
+    "q_mann_kendall",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    prs AS (
+      SELECT a.event_type,
+             CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END
+               AS sg,
+             CAST(floor({_MK_SCALE} * (b.c - a.c)
+                        / date_diff('day', a.d, b.d) + 0.5) AS BIGINT)
+               AS slope_q
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d),
+    sstat AS (
+      SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+      FROM prs GROUP BY event_type),
+    ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie18
+      FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, c) g
+      WHERE t > 1 GROUP BY event_type),
+    med AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN rn = (m + 1) // 2 OR rn = m // 2 + 1
+                           THEN slope_q ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN rn = (m + 1) // 2 OR rn = m // 2 + 1
+                          THEN 1 ELSE 0 END) AS med_q
+      FROM (SELECT event_type, slope_q,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slope_q) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS m
+            FROM prs) r
+      GROUP BY event_type)
+    SELECT b.event_type, b.n AS n_days, s.s_stat,
+           b.raw18 - coalesce(t.tie18, 0) AS var18,
+           round(CASE WHEN s.s_stat > 0 THEN
+                   (s.s_stat - 1)
+                   / sqrt(CAST(b.raw18 - coalesce(t.tie18, 0) AS DOUBLE)
+                          / 18.0)
+                 WHEN s.s_stat < 0 THEN
+                   (s.s_stat + 1)
+                   / sqrt(CAST(b.raw18 - coalesce(t.tie18, 0) AS DOUBLE)
+                          / 18.0)
+                 ELSE CAST(0.0 AS DOUBLE) END, 6) + 0.0 AS z,
+           round(m.med_q / {_MK_SCALE}, 6) + 0.0 AS sen_slope
+    FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) * (count(*) - 1) * (2 * count(*) + 5)
+                      AS BIGINT) AS raw18
+          FROM daily GROUP BY event_type) b
+    JOIN sstat s USING (event_type)
+    LEFT JOIN ties t USING (event_type)
+    JOIN med m USING (event_type)
+    """,
+)
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test + Sen's slope per event type over the
+    daily count series: S = sum of pairwise sign(c_j - c_i), tie-
+    corrected variance, the +-1-continuity z statistic, and the median
+    pairwise slope (Sen 1968) — the nonparametric is-this-metric-
+    drifting detector beside CUSUM (which finds WHEN it changed).
+
+    Exactness: S, the variance terms, and the 1e6-quantized slopes are
+    all BIGINTs; the median averages at most two integers; z is a
+    3-float-op chain mirrored verbatim.  Plan: daily agg first (spine-
+    sized), then an O(days^2)-per-type self-join — bounded by the day
+    spine, never the event count (document the 10-year bound: 3650 days
+    -> 6.7M pairs per type)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    a = daily.select("event_type", F.col("d").alias("da"),
+                     F.col("c").alias("ca"))
+    b = daily.select("event_type", F.col("d").alias("db"),
+                     F.col("c").alias("cb"))
+    prs = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1).otherwise(0).alias("sg"),
+            F.floor(F.lit(_MK_SCALE) * (F.col("cb") - F.col("ca"))
+                    / F.datediff("db", "da") + F.lit(0.5))
+            .cast("long").alias("slope_q"),
+        )
+    )
+    base = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"))
+    raw18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+             .cast("long").alias("tie18"))
+    )
+    sstat = prs.groupBy("event_type").agg(
+        F.sum("sg").cast("long").alias("s_stat"))
+    w = Window.partitionBy("event_type").orderBy("slope_q")
+    mid = (
+        prs.select("event_type", "slope_q",
+                   F.row_number().over(w).alias("rn"),
+                   F.count("*").over(
+                       Window.partitionBy("event_type")).alias("m"))
+        .filter((F.col("rn") == F.floor((F.col("m") + 1) / 2))
+                | (F.col("rn") == F.floor(F.col("m") / 2) + 1))
+        .groupBy("event_type")
+        .agg((F.sum("slope_q").cast("double") / F.count("*"))
+             .alias("med_q"))
+    )
+    var18 = (raw18 - F.coalesce("tie18", F.lit(0))).cast("long")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        base.join(sstat, "event_type")
+        .join(ties, "event_type", "left")
+        .join(mid, "event_type")
+        .select(
+            "event_type", F.col("n").alias("n_days"), "s_stat",
+            var18.alias("var18"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+            (F.round(F.col("med_q") / _MK_SCALE, 6) + F.lit(0.0))
+            .alias("sen_slope"),
+        )
+    )
+
+
+# -- Neyman optimal sample allocation ----------------------------------------
+_NEY_BUDGET = 100
+_NEY_SCALE = 10**6
+
+
+@_stage(
+    "q_neyman_allocation",
+    f"""
+    WITH mom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS sm,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq
+      FROM documents GROUP BY source),
+    wq AS (
+      SELECT source, n_rows,
+             round(sqrt(CAST(n_rows * ssq - sm * sm AS DOUBLE)
+                        / (CAST(n_rows AS DOUBLE) * n_rows)), 6) + 0.0
+               AS sigma,
+             CAST(floor(n_rows
+                        * sqrt(CAST(n_rows * ssq - sm * sm AS DOUBLE)
+                               / (CAST(n_rows AS DOUBLE) * n_rows))
+                        * {_NEY_SCALE} + 0.5) AS BIGINT) AS w
+      FROM mom),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM wq)
+    SELECT source, n_rows, sigma,
+           CAST(floor({_NEY_BUDGET} * CAST(w AS DOUBLE) / wt + 0.5)
+                AS BIGINT) AS alloc
+    FROM wq CROSS JOIN tot
+    """,
+)
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman optimal allocation of a {budget}-row sample across sources:
+    n_s proportional to N_s * sigma_s (minimum-variance stratified
+    sampling for a fixed budget — the statistically-grounded upgrade to
+    proportional allocation; Neyman 1934).  Population sigma comes from
+    exact BIGINT moments with one division + one sqrt; the N*sigma
+    weights quantize to BIGINTs before the normalizing sum, so the
+    allocation replays exactly.  Plan: one stratum moment agg + a 1-row
+    broadcast total."""
+    docs = load(spark, sf_dir, "documents")
+    mom = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sm"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ssq"),
+    )
+    sigma = F.sqrt(
+        (F.col("n_rows") * F.col("ssq") - F.col("sm") * F.col("sm"))
+        .cast("double")
+        / (F.col("n_rows").cast("double") * F.col("n_rows"))
+    )
+    wq = mom.select(
+        "source", "n_rows",
+        (F.round(sigma, 6) + F.lit(0.0)).alias("sigma"),
+        F.floor(F.col("n_rows") * sigma * _NEY_SCALE + F.lit(0.5))
+        .cast("long").alias("w"),
+    )
+    tot = wq.agg(F.sum("w").cast("long").alias("wt"))
+    return (
+        wq.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_rows", "sigma",
+            F.floor(F.lit(_NEY_BUDGET) * F.col("w").cast("double")
+                    / F.col("wt") + F.lit(0.5)).cast("long").alias("alloc"),
+        )
+    )

@@ -527,3 +527,117 @@ def test_rbp_matches_brute(spark):
                  if r["query_id"] == q and r["lex_rank"] <= NDCG_K
                  and r["cand_id"] in rel[q])
         assert got[q] == round(wq / 1e9, 6)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall + Sen's slope: brute recomputation per type from the
+# daily series
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_matches_brute(spark):
+    import datetime as dt
+
+    from nonconsumptive_spark.queries.r5_staging import STAGED, _MK_SCALE
+
+    rng = random.Random(31)
+    rows, eid = [], 0
+    for typ, drift in (("up", 1.0), ("flat", 0.0)):
+        for day in range(12):
+            for _ in range(3 + int(drift * day) + rng.randint(0, 1)):
+                eid += 1
+                rows.append((eid,
+                             dt.datetime(2024, 5, 1 + day, 12, 0, 0),
+                             1, typ, 1.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        spark.read.parquet(f"{d}/events.parquet")  # materialize layout
+        fn, _ = STAGED["q_mann_kendall"]
+        got = {r["event_type"]: r for r in fn(spark, d).collect()}
+
+    daily = {}
+    for _, ts, _, typ, _, _ in rows:
+        daily.setdefault(typ, Counter())[ts.date()] += 1
+    for typ, cnt in daily.items():
+        days = sorted(cnt)
+        n = len(days)
+        s = sum((cnt[dj] > cnt[di]) - (cnt[dj] < cnt[di])
+                for i, di in enumerate(days) for dj in days[i + 1:])
+        tie18 = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(cnt[d] for d in days).values() if t > 1)
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        slopes = sorted(
+            math.floor(_MK_SCALE * (cnt[dj] - cnt[di])
+                       / (dj - di).days + 0.5)
+            for i, di in enumerate(days) for dj in days[i + 1:])
+        m = len(slopes)
+        mids = {slopes[(m + 1) // 2 - 1], slopes[m // 2]}
+        med = sum(mids) / len(mids)
+        g = got[typ]
+        assert (g["n_days"], g["s_stat"], g["var18"]) == (n, s, var18)
+        assert g["sen_slope"] == round(med / _MK_SCALE, 6)
+        sd = math.sqrt(var18 / 18.0)
+        z = 0.0 if s == 0 else (s - 1) / sd if s > 0 else (s + 1) / sd
+        assert g["z"] == round(z, 6)
+    assert got["up"]["z"] > 1.5        # the drifting series trips the test
+    assert abs(got["flat"]["z"]) < 1.5
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: brute recomputation; equal-sigma strata reduce to
+# proportional allocation
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_matches_brute(spark):
+    from nonconsumptive_spark.queries.r5_staging import (
+        STAGED, _NEY_BUDGET, _NEY_SCALE)
+
+    fn, _ = STAGED["q_neyman_allocation"]
+    got = {r["source"]: r for r in fn(spark,
+                                      "/root/testdata/sf0.001").collect()}
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT source, count(*), sum(n_chars), sum(n_chars * n_chars) "
+        "FROM '/root/testdata/sf0.001/documents.parquet' GROUP BY source"
+    ).fetchall()
+    ws = {}
+    for s, n, sm, ssq in rows:
+        sigma = math.sqrt((n * ssq - sm * sm) / (float(n) * n))
+        ws[s] = (n, sigma, math.floor(n * sigma * _NEY_SCALE + 0.5))
+    wt = sum(w for _, _, w in ws.values())
+    for s, (n, sigma, w) in ws.items():
+        g = got[s]
+        assert g["n_rows"] == n
+        assert g["sigma"] == round(sigma, 6)
+        assert g["alloc"] == math.floor(_NEY_BUDGET * w / wt + 0.5)
+    # allocations are near-budget (floor rounding can drift by #strata)
+    assert abs(sum(g["alloc"] for g in got.values()) - _NEY_BUDGET) <= len(got)
+
+
+# ---------------------------------------------------------------------------
+# Source KL: nonnegative, and a uniform stratum-free corpus gives ~0
+# ---------------------------------------------------------------------------
+
+
+def test_source_kl_invariants(spark):
+    from nonconsumptive_spark.operators.textstats import source_kl_divergence
+    from nonconsumptive_spark.queries import load
+
+    got = source_kl_divergence(
+        load(spark, "/root/testdata/sf0.001", "documents")).collect()
+    assert len(got) > 1
+    for r in got:
+        assert r["kl"] >= -1e-6       # KL >= 0 up to quantization slack
+    rows = [(i, "same text every doc", "s%d" % (i % 2)) for i in range(20)]
+    zero = source_kl_divergence(
+        spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ).collect()
+    for r in zero:
+        assert abs(r["kl"]) < 1e-5    # identical distributions -> KL ~ 0
