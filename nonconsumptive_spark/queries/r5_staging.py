@@ -2455,7 +2455,9 @@ def q_mann_kendall(spark, sf_dir):
     b = daily.select("event_type", F.col("d").alias("db"),
                      F.col("c").alias("cb"))
     prs = (
-        a.join(b, "event_type")
+        # broadcast the day spine: daily is bounded by #types x #days,
+        # never the event count, so the pair build needs no shuffle
+        a.join(F.broadcast(b), "event_type")
         .filter(F.col("da") < F.col("db"))
         .select(
             "event_type",

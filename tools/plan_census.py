@@ -106,6 +106,8 @@ BNLJ_WHITELIST = {
     "q_token_burstiness",     # 1-row doc-count attach
     "q_mrr_map_eval",         # knn_bruteforce's <=n_queries broadcast side
     "q_rbp_eval",             # same knn_bruteforce broadcast query side
+    "q_source_kl",            # <=#strata key spine onto vocab + 1-row vt attach
+    "q_neyman_allocation",    # 1-row weight-total attach
 }
 
 
