@@ -180,6 +180,18 @@ EXTRA = {
     "q_clustering_coefficient": _staged("q_clustering_coefficient"),
     "q_lm_hit_at_k": _staged("q_lm_hit_at_k"),
     "q_rbp_eval": _staged("q_rbp_eval"),
+    "q_source_kl": _staged("q_source_kl"),
+    "q_mann_kendall": _staged("q_mann_kendall"),
+    "q_neyman_allocation": _staged("q_neyman_allocation"),
+    "q_kendall_tau_b": _staged("q_kendall_tau_b"),
+    "q_cohens_kappa": _staged("q_cohens_kappa"),
+    "q_yules_k": _staged("q_yules_k"),
+    "q_chao1_richness": _staged("q_chao1_richness"),
+    "q_flesch_reading": _staged("q_flesch_reading"),
+    "q_kruskal_wallis": _staged("q_kruskal_wallis"),
+    "q_levene_bf": _staged("q_levene_bf"),
+    "q_t_closeness": _staged("q_t_closeness"),
+    "q_jackknife_ratio": _staged("q_jackknife_ratio"),
 }
 
 

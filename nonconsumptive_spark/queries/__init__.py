@@ -106,7 +106,11 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # adamic_adar, kcore, ewma_anomalies, event_sequences,
 # leakage_safe_split, jaro_winkler_links, mrr_map_eval, good_turing,
 # token_burstiness, calibration_bins, l_diversity, ams_f2, ppr_tokens,
-# clustering_coefficient, lm_hit_at_k, rbp_eval.  Promotion
+# clustering_coefficient, lm_hit_at_k, rbp_eval, source_kl,
+# mann_kendall, neyman_allocation, and the round-4m batch:
+# kendall_tau_b, cohens_kappa, yules_k, chao1_richness,
+# flesch_reading, kruskal_wallis, levene_bf, t_closeness,
+# jackknife_ratio.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

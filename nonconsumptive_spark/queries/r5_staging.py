@@ -2579,3 +2579,843 @@ def q_neyman_allocation(spark, sf_dir):
                     / F.col("wt") + F.lit(0.5)).cast("long").alias("alloc"),
         )
     )
+
+
+# -- Kendall tau-b over bucketized (length, token-count) ----------------------
+# Cells bound the pair build: documents aggregate to (x_bucket, y_bucket,
+# count) first, so the concordance join touches #cells^2 rows (a few
+# hundred), never n^2 document pairs.  Doc counts per cell keep nc/nd/
+# tie sums exact BIGINTs; tau-b itself is the one mirrored float.
+_KT_XW = 50   # n_chars bucket width
+_KT_YW = 10   # token-count bucket width
+
+
+@_stage(
+    "q_kendall_tau_b",
+    f"""
+    WITH cells AS (
+      SELECT n_chars // {_KT_XW} AS xb,
+             len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                   '[^\\pL]+'),
+                             x -> x <> '')) // {_KT_YW} AS yb,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    xt AS (
+      SELECT CAST(sum(nx * (nx - 1) // 2) AS BIGINT) AS n1
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS nx FROM cells GROUP BY xb)),
+    yt AS (
+      SELECT CAST(sum(ny * (ny - 1) // 2) AS BIGINT) AS n2
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS ny FROM cells GROUP BY yb)),
+    cd AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN b.yb > a.yb
+                               THEN a.c * b.c END), 0) AS BIGINT) AS nc,
+        CAST(coalesce(sum(CASE WHEN b.yb < a.yb
+                               THEN a.c * b.c END), 0) AS BIGINT) AS nd
+      FROM cells a JOIN cells b ON a.xb < b.xb AND a.yb <> b.yb)
+    SELECT n, CAST(n * (n - 1) // 2 AS BIGINT) AS n0, n1, n2, nc, nd,
+           CASE WHEN (n * (n - 1) // 2 - n1) * (n * (n - 1) // 2 - n2) > 0
+                THEN round((nc - nd) / sqrt(
+                       CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                       * (n * (n - 1) // 2 - n2)), 6) + 0.0
+                ELSE CAST(0.0 AS DOUBLE) END AS tau_b
+    FROM tot CROSS JOIN xt CROSS JOIN yt CROSS JOIN cd
+    """,
+)
+def q_kendall_tau_b(spark, sf_dir):
+    """Kendall tau-b rank correlation between document length and token
+    count (bucketized).  tau-b handles the heavy ties bucketing creates:
+    nc/nd count concordant/discordant CELL pairs weighted by c_a*c_b, and
+    the marginal tie terms n1/n2 come off the bucket histograms — all
+    exact BIGINT sums, with one mirrored sqrt at the end.  Plan: one
+    cell agg, then everything runs on the <=#cells frame (tiny); the
+    strict-inequality self-join is a whitelisted bounded BNLJ."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            (F.col("n_chars") / _KT_XW).cast("long").alias("xb"),
+            (F.size(tokenize(F.coalesce("text", F.lit(""))))
+             / _KT_YW).cast("long").alias("yb"),
+        )
+        .groupBy("xb", "yb")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    xt = (
+        cells.groupBy("xb").agg(F.sum("c").cast("long").alias("nx"))
+        .agg(F.sum(F.expr("nx * (nx - 1) div 2")).cast("long").alias("n1"))
+    )
+    yt = (
+        cells.groupBy("yb").agg(F.sum("c").cast("long").alias("ny"))
+        .agg(F.sum(F.expr("ny * (ny - 1) div 2")).cast("long").alias("n2"))
+    )
+    a = cells.select(F.col("xb").alias("xa"), F.col("yb").alias("ya"),
+                     F.col("c").alias("ca"))
+    b = cells.select(F.col("xb").alias("xbb"), F.col("yb").alias("ybb"),
+                     F.col("c").alias("cb"))
+    cd = (
+        a.join(F.broadcast(b),
+               (F.col("xa") < F.col("xbb")) & (F.col("ya") != F.col("ybb")))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ybb") > F.col("ya"),
+                             F.col("ca") * F.col("cb"))), F.lit(0))
+            .cast("long").alias("nc"),
+            F.coalesce(
+                F.sum(F.when(F.col("ybb") < F.col("ya"),
+                             F.col("ca") * F.col("cb"))), F.lit(0))
+            .cast("long").alias("nd"),
+        )
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    denom = (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    return (
+        tot.crossJoin(F.broadcast(xt))
+        .crossJoin(F.broadcast(yt))
+        .crossJoin(F.broadcast(cd))
+        .select(
+            "n", n0.cast("long").alias("n0"), "n1", "n2", "nc", "nd",
+            F.when(denom > 0,
+                   F.round((F.col("nc") - F.col("nd"))
+                           / F.sqrt(denom.cast("double")), 6) + F.lit(0.0))
+            .otherwise(F.lit(0.0)).alias("tau_b"),
+        )
+    )
+
+
+# -- Cohen's kappa: lang-id prediction vs labeled lang ------------------------
+def _kappa_oracle() -> str:
+    from nonconsumptive_spark.queries.textstats import (
+        _CASE_PRED, _HIT_EXPRS, _LANGS)
+
+    hits = ", ".join("hits_" + lg for lg in _LANGS)
+    return f"""
+    WITH pred AS (
+      SELECT doc_id, lang, {_CASE_PRED} AS pred_lang
+      FROM (
+        SELECT doc_id, lang, greatest({hits}) AS m, {hits}
+        FROM (
+          SELECT doc_id, lang,
+{_HIT_EXPRS}
+          FROM (SELECT doc_id, lang, coalesce(text, '') AS text
+                FROM documents) documents))),
+    conf AS (
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, pred_lang),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN lang = pred_lang THEN n END), 0)
+                  AS BIGINT) AS n_agree
+      FROM conf),
+    rows_ AS (SELECT lang AS lbl, CAST(sum(n) AS BIGINT) AS r
+              FROM conf GROUP BY lang),
+    cols_ AS (SELECT pred_lang AS lbl, CAST(sum(n) AS BIGINT) AS c
+              FROM conf GROUP BY pred_lang),
+    pe AS (
+      SELECT CAST(coalesce(sum(r * c), 0) AS BIGINT) AS pe_num
+      FROM rows_ JOIN cols_ USING (lbl))
+    SELECT n_docs, n_agree, pe_num,
+           round(CAST(n_agree AS DOUBLE) / n_docs, 6) + 0.0 AS po,
+           round(CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs),
+                 6) + 0.0 AS pe,
+           CASE WHEN n_docs * n_docs - pe_num <> 0
+                THEN round(CAST(n_docs * n_agree - pe_num AS DOUBLE)
+                           / (CAST(n_docs AS DOUBLE) * n_docs - pe_num), 6)
+                     + 0.0
+                ELSE CAST(0.0 AS DOUBLE) END AS kappa
+    FROM tot CROSS JOIN pe
+    """
+
+
+@_stage("q_cohens_kappa", _kappa_oracle())
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the stopword-vote language-ID prediction and
+    the labeled lang column: chance-corrected agreement, the standard
+    upgrade to raw accuracy when the label distribution is skewed.
+    kappa = (N*agree - sum_l row_l*col_l) / (N^2 - sum_l row_l*col_l) —
+    every input is an exact BIGINT off the <=|langs|^2 confusion matrix,
+    so the single mirrored division is the only float.  Plan: one lang-id
+    scan + confusion agg; all downstream frames are label-sized."""
+    from nonconsumptive_spark.operators import textstats as ts
+
+    docs = load(spark, sf_dir, "documents")
+    conf = (
+        docs.select("doc_id", "lang")
+        .join(ts.lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))),
+            F.lit(0)).cast("long").alias("n_agree"),
+    )
+    rows_ = conf.groupBy(F.col("lang").alias("lbl")).agg(
+        F.sum("n").cast("long").alias("r"))
+    cols_ = conf.groupBy(F.col("pred_lang").alias("lbl")).agg(
+        F.sum("n").cast("long").alias("c"))
+    pe = (
+        rows_.join(cols_, "lbl")
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+             .cast("long").alias("pe_num"))
+    )
+    nn = F.col("n_docs").cast("double") * F.col("n_docs")
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            "n_docs", "n_agree", "pe_num",
+            (F.round(F.col("n_agree").cast("double") / F.col("n_docs"), 6)
+             + F.lit(0.0)).alias("po"),
+            (F.round(F.col("pe_num").cast("double") / nn, 6)
+             + F.lit(0.0)).alias("pe"),
+            F.when(
+                F.col("n_docs") * F.col("n_docs") - F.col("pe_num") != 0,
+                F.round(
+                    (F.col("n_docs") * F.col("n_agree") - F.col("pe_num"))
+                    .cast("double") / (nn - F.col("pe_num")), 6)
+                + F.lit(0.0))
+            .otherwise(F.lit(0.0)).alias("kappa"),
+        )
+    )
+
+
+# -- lexical-diversity estimators: Yule's K / Simpson, Chao1 / coverage ------
+@_stage(
+    "q_yules_k",
+    f"""
+    WITH counts AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY source, token),
+    mom AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM counts GROUP BY source)
+    SELECT source, n_tokens, n_types, s2,
+           round(10000.0 * (s2 - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 4) + 0.0
+             AS yules_k,
+           CASE WHEN n_tokens > 1
+                THEN round(CAST(s2 - n_tokens AS DOUBLE)
+                           / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+                     + 0.0 END AS simpson_d
+    FROM mom
+    """,
+)
+def q_yules_k(spark, sf_dir):
+    """Yule's K and Simpson's D lexical diversity per source, both pure
+    functions of the frequency spectrum: K = 1e4*(S2 - N)/N^2 and
+    D = (S2 - N)/(N*(N-1)) with N = token count, S2 = sum of squared
+    type frequencies.  N and S2 are exact BIGINT aggregates off the
+    (source, token) counts, so each output is one mirrored division.
+    Plan: tokenize scan -> (source, token) agg -> per-source moment agg;
+    two shuffles on short keys, nothing pairwise."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokenize("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    mom = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return mom.select(
+        "source", "n_tokens", "n_types", "s2",
+        (F.round(1e4 * (F.col("s2") - F.col("n_tokens")) / (nt * nt), 4)
+         + F.lit(0.0)).alias("yules_k"),
+        F.when(F.col("n_tokens") > 1,
+               F.round((F.col("s2") - F.col("n_tokens"))
+                       / (nt * (F.col("n_tokens") - 1)), 6) + F.lit(0.0))
+        .alias("simpson_d"),
+    )
+
+
+@_stage(
+    "q_chao1_richness",
+    f"""
+    WITH counts AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY source, token),
+    spec AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+               AS f1,
+             CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT)
+               AS f2
+      FROM counts GROUP BY source)
+    SELECT source, n_types, n_tokens, f1, f2,
+           round(n_types + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)),
+                 4) + 0.0 AS chao1,
+           round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) + 0.0 AS coverage
+    FROM spec
+    """,
+)
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 vocabulary-richness estimate and Good-Turing sample coverage
+    per source: chao1 = V + f1*(f1-1)/(2*(f2+1)) (bias-corrected form,
+    Chao 1984) and coverage = 1 - f1/N, both pure functions of the hapax
+    (f1) and dis-legomena (f2) spectrum — the how-much-vocabulary-is-
+    unseen companion to q_heaps_fit.  All inputs are exact BIGINTs; one
+    mirrored division each.  Plan: identical shape to q_yules_k — two
+    short-key aggs, no joins."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokenize("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    spec = counts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("c") == 1, 1)), F.lit(0))
+        .cast("long").alias("f1"),
+        F.coalesce(F.sum(F.when(F.col("c") == 2, 1)), F.lit(0))
+        .cast("long").alias("f2"),
+    )
+    return spec.select(
+        "source", "n_types", "n_tokens", "f1", "f2",
+        (F.round(
+            F.col("n_types")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)), 4) + F.lit(0.0)).alias("chao1"),
+        (F.round(1.0 - F.col("f1").cast("double") / F.col("n_tokens"), 6)
+         + F.lit(0.0)).alias("coverage"),
+    )
+
+
+# -- Flesch readability -------------------------------------------------------
+# Counting RUNS via two regexp_replace passes is engine-portable: the
+# first collapses every target run to a single marker char (any original
+# marker chars were themselves part of a run, so none survive
+# independently), the second strips everything else, and length() is the
+# run count.  No regexp_count dependency, no split-edge-case drift.
+def _runs_duck(expr: str, cls: str, marker: str) -> str:
+    return (f"length(regexp_replace(regexp_replace({expr}, '{cls}', "
+            f"'{marker}', 'g'), '[^{marker}]', '', 'g'))")
+
+
+@_stage(
+    "q_flesch_reading",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(
+                    coalesce(text, ''), '[^\\pL]+'), x -> x <> ''))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(1, {_runs_duck("coalesce(text, '')",
+                                          "[.!?]+", ".")})
+                  AS BIGINT) AS n_sentences,
+             CAST({_runs_duck("lower(coalesce(text, ''))",
+                              "[aeiouy]+", "a")} AS BIGINT) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0
+                THEN round(206.835
+                           - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+                           - 84.6 * CAST(n_syllables AS DOUBLE) / n_words,
+                           3) + 0.0 END AS flesch,
+           CASE WHEN n_words > 0
+                THEN round(0.39 * CAST(n_words AS DOUBLE) / n_sentences
+                           + 11.8 * CAST(n_syllables AS DOUBLE) / n_words
+                           - 15.59, 3) + 0.0 END AS fk_grade
+    FROM base
+    """,
+)
+def q_flesch_reading(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per document, the
+    classic readability quality signal for corpus curation.  Syllables
+    are approximated as vowel-group runs and sentences as terminal-
+    punctuation runs (clamped to >=1), both counted with the portable
+    collapse-then-strip regexp_replace pair (see _runs_duck); NULL text
+    counts as empty and yields NULL scores.  All three counts are exact
+    integers, so the two score formulas are single mirrored float
+    expressions.  Plan: zero-shuffle per-row scan."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    def runs(col, cls, marker):
+        return F.length(F.regexp_replace(
+            F.regexp_replace(col, cls, marker), "[^" + marker + "]", ""))
+
+    txt = F.coalesce("text", F.lit(""))
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokenize(txt)).cast("long").alias("n_words"),
+        F.greatest(F.lit(1), runs(txt, "[.!?]+", ".")).cast("long")
+        .alias("n_sentences"),
+        runs(F.lower(txt), "[aeiouy]+", "a").cast("long")
+        .alias("n_syllables"),
+    )
+    ws = F.col("n_words").cast("double") / F.col("n_sentences")
+    sw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.when(F.col("n_words") > 0,
+               F.round(206.835 - 1.015 * ws - 84.6 * sw, 3) + F.lit(0.0))
+        .alias("flesch"),
+        F.when(F.col("n_words") > 0,
+               F.round(0.39 * ws + 11.8 * sw - 15.59, 3) + F.lit(0.0))
+        .alias("fk_grade"),
+    )
+
+
+# -- Kruskal-Wallis H across sources ------------------------------------------
+# k-group generalization of q_mann_whitney_sources, same doubled-midrank
+# exactness: per distinct value v with combined tie size t and prior
+# cumulative C, 2*midrank = 2C + t + 1, so 2R_g is a pure BIGINT.  The
+# per-group (2R_g)^2/n_g terms quantize to integer 1e-3 units through ONE
+# mirrored double expression before the cross-group sum, which makes the
+# H statistic summation-order independent.
+_KW_SCALE = 1000
+
+
+@_stage(
+    "q_kruskal_wallis",
+    f"""
+    WITH counts AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars),
+    spine AS (
+      SELECT v, t,
+             CAST(coalesce(sum(t) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t
+            FROM counts GROUP BY v)),
+    grp AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_g,
+             CAST(sum(c * (2 * s.cum + s.t + 1)) AS BIGINT) AS r2
+      FROM counts JOIN spine s USING (v)
+      GROUP BY source),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(CAST(r2 AS DOUBLE) * r2 / n_g
+                                 * {_KW_SCALE}) AS BIGINT)) AS BIGINT) AS sq
+      FROM grp),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM spine)
+    SELECT k AS n_groups, n AS n_total, sq AS s_q, tsum AS tie_q,
+           round(3.0 * sq / {_KW_SCALE} / (CAST(n AS DOUBLE) * (n + 1))
+                 - 3.0 * (n + 1), 4) + 0.0 AS h_stat,
+           CASE WHEN tsum < CAST(n AS BIGINT) * n * n - n
+                THEN round((3.0 * sq / {_KW_SCALE}
+                            / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+                           / (1.0 - CAST(tsum AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * n * n - n)), 4) + 0.0
+                END AS h_corrected
+    FROM agg CROSS JOIN ties
+    """,
+)
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H test on document length across ALL sources at
+    once (the k-group rank test; Welch/MWU/KS cover the pairwise family).
+    Doubled midranks keep every per-group rank sum an exact BIGINT; see
+    the _KW_SCALE note for how the squared-rank terms stay order-
+    independent.  Plan: (source, v) agg, a value-spine window bounded by
+    #distinct lengths (never document rows), one broadcast spine join,
+    and two tiny aggregates."""
+    from pyspark.sql import Window
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # unpartitioned window over DISTINCT length values only (bounded by
+    # the value domain, ~500 at test SF; lengths are capped in practice)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    spine = (
+        counts.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+        .select("v", "t",
+                F.coalesce(F.sum("t").over(w), F.lit(0))
+                .cast("long").alias("cum"))
+    )
+    grp = (
+        counts.join(F.broadcast(spine), "v")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c")
+                  * (2 * F.col("cum") + F.col("t") + 1))
+            .cast("long").alias("r2"),
+        )
+    )
+    agg = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("r2").cast("double") * F.col("r2") / F.col("n_g")
+                    * _KW_SCALE).cast("long")
+        ).cast("long").alias("sq"),
+    )
+    ties = spine.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("tsum"))
+    nd = F.col("n").cast("double")
+    h = (3.0 * F.col("sq") / _KW_SCALE / (nd * (F.col("n") + 1))
+         - 3.0 * (F.col("n") + 1))
+    n3n = F.col("n").cast("long") * F.col("n") * F.col("n") - F.col("n")
+    return (
+        agg.crossJoin(F.broadcast(ties))
+        .select(
+            F.col("k").alias("n_groups"), F.col("n").alias("n_total"),
+            F.col("sq").alias("s_q"), F.col("tsum").alias("tie_q"),
+            (F.round(h, 4) + F.lit(0.0)).alias("h_stat"),
+            F.when(F.col("tsum") < n3n,
+                   F.round(h / (1.0 - F.col("tsum").cast("double")
+                                / n3n.cast("double")), 4) + F.lit(0.0))
+            .alias("h_corrected"),
+        )
+    )
+
+
+# -- Brown-Forsythe (median-based Levene) variance-homogeneity test -----------
+_BF_SCALE = 100
+
+
+@_stage(
+    "q_levene_bf",
+    f"""
+    WITH counts AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars),
+    cdf AS (
+      SELECT source, v, c,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM counts),
+    med AS (
+      SELECT source, n,
+             CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                  + min(CASE WHEN cum >= (n + 2) // 2 THEN v END)
+                  AS BIGINT) AS med2
+      FROM cdf GROUP BY source, n),
+    dev AS (
+      SELECT c.source, m.n,
+             CAST(sum(c.c * abs(2 * c.v - m.med2)) AS BIGINT) AS a_q,
+             CAST(sum(c.c * abs(2 * c.v - m.med2)
+                          * abs(2 * c.v - m.med2)) AS BIGINT) AS b_q,
+             m.med2
+      FROM counts c JOIN med m USING (source)
+      GROUP BY c.source, m.n, m.med2),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(a_q) AS BIGINT) AS t,
+             CAST(sum(b_q) AS BIGINT) AS bt,
+             CAST(sum(CAST(floor(CAST(a_q AS DOUBLE) * a_q / n
+                                 * {_BF_SCALE}) AS BIGINT)) AS BIGINT) AS q1
+      FROM dev)
+    SELECT d.source, d.n AS n_docs,
+           round(d.med2 / 2.0, 1) + 0.0 AS median,
+           d.a_q, d.b_q,
+           round(CAST(d.a_q AS DOUBLE) / (2 * d.n), 6) + 0.0 AS z_mean,
+           CASE WHEN t.bt * {_BF_SCALE} - t.q1 > 0 AND t.k > 1
+                THEN round(CAST(t.nt - t.k AS DOUBLE) / (t.k - 1)
+                           * (t.q1 - floor(CAST(t.t AS DOUBLE) * t.t / t.nt
+                                           * {_BF_SCALE}))
+                           / (t.bt * {_BF_SCALE} - t.q1), 4) + 0.0
+                END AS w_stat
+    FROM dev d CROSS JOIN tot t
+    """,
+)
+def q_levene_bf(spark, sf_dir):
+    """Brown-Forsythe test (median-based Levene) for homogeneity of
+    document-length variance across sources.  Exact per-source medians
+    come off the length histogram as the two central order statistics
+    (med2 = their sum, an integer), absolute deviations are kept in
+    doubled units so A_g/B_g are exact BIGINTs, and the cross-group sums
+    behind the W statistic quantize per group through one mirrored
+    floor() (same trick as q_kruskal_wallis) — W is order-independent.
+    Plan: histogram agg, per-source bounded windows, broadcast join back,
+    1-row totals attach."""
+    from pyspark.sql import Window
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w_cum = (Window.partitionBy("source").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("source")
+    cdf = counts.select(
+        "source", "v", "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    med = (
+        cdf.groupBy("source", "n")
+        .agg(
+            (F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"),
+                          F.col("v")))
+             + F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 2"),
+                            F.col("v"))))
+            .cast("long").alias("med2"))
+    )
+    z2 = F.abs(2 * F.col("v") - F.col("med2"))
+    dev = (
+        counts.join(F.broadcast(med), "source")
+        .groupBy("source", "n", "med2")
+        .agg(F.sum(F.col("c") * z2).cast("long").alias("a_q"),
+             F.sum(F.col("c") * z2 * z2).cast("long").alias("b_q"))
+    )
+    tot = dev.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("a_q").cast("long").alias("t"),
+        F.sum("b_q").cast("long").alias("bt"),
+        F.sum(F.floor(F.col("a_q").cast("double") * F.col("a_q")
+                      / F.col("n") * _BF_SCALE).cast("long"))
+        .cast("long").alias("q1"),
+    )
+    ssw = F.col("bt") * _BF_SCALE - F.col("q1")
+    ssb = (F.col("q1")
+           - F.floor(F.col("t").cast("double") * F.col("t") / F.col("nt")
+                     * _BF_SCALE))
+    return (
+        dev.crossJoin(F.broadcast(tot))
+        .select(
+            "source", F.col("n").alias("n_docs"),
+            (F.round(F.col("med2") / 2.0, 1) + F.lit(0.0)).alias("median"),
+            "a_q", "b_q",
+            (F.round(F.col("a_q").cast("double") / (2 * F.col("n")), 6)
+             + F.lit(0.0)).alias("z_mean"),
+            F.when((ssw > 0) & (F.col("k") > 1),
+                   F.round((F.col("nt") - F.col("k")).cast("double")
+                           / (F.col("k") - 1) * ssb / ssw, 4) + F.lit(0.0))
+            .alias("w_stat"),
+        )
+    )
+
+
+# -- t-closeness over (event_type, day) quasi-identifier classes --------------
+# Completes the privacy trio (q_k_anonymity, q_l_diversity): a class can
+# be k-anonymous AND l-diverse while its sensitive-value DISTRIBUTION
+# still differs enough from the global one to leak.  For an ordered
+# attribute the EMD is the mean absolute cumulative-probability gap; with
+# per-bucket counts the cumulative gap numerator cum_cb*N - cum_b*n_class
+# is an exact BIGINT, so only the final normalization is float.
+_TC_BUCKETS = 10
+_TC_WIDTH = 50
+_TC_T = 0.2
+
+
+@_stage(
+    "q_t_closeness",
+    f"""
+    WITH ev AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             least(CAST(floor(value / {_TC_WIDTH}) AS BIGINT),
+                   {_TC_BUCKETS - 1}) AS b
+      FROM events),
+    cls AS (
+      SELECT event_type, day, b, CAST(count(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2, 3),
+    classes AS (
+      SELECT event_type, day, CAST(sum(c) AS BIGINT) AS n_class
+      FROM cls GROUP BY 1, 2),
+    gtot AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS gc FROM ev GROUP BY b),
+    tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n FROM gtot),
+    spine AS (
+      SELECT k.event_type, k.day, k.n_class, s.b,
+             coalesce(c.c, 0) AS c, coalesce(g.gc, 0) AS gc
+      FROM classes k
+      CROSS JOIN (SELECT unnest(range({_TC_BUCKETS})) AS b) s
+      LEFT JOIN cls c ON c.event_type = k.event_type
+                     AND c.day = k.day AND c.b = s.b
+      LEFT JOIN gtot g ON g.b = s.b),
+    cum AS (
+      SELECT event_type, day, n_class, b,
+             CAST(sum(c) OVER (PARTITION BY event_type, day ORDER BY b)
+                  AS BIGINT) AS cum_c,
+             CAST(sum(gc) OVER (PARTITION BY event_type, day ORDER BY b)
+                  AS BIGINT) AS cum_g
+      FROM spine),
+    emd AS (
+      SELECT event_type, day, n_class,
+             CAST(sum(abs(cum_c * t.n - cum_g * n_class)) AS BIGINT)
+               AS emd_num,
+             any_value(t.n) AS n
+      FROM cum CROSS JOIN tot t
+      GROUP BY event_type, day, n_class)
+    SELECT event_type, day, n_class,
+           round(CAST(emd_num AS DOUBLE)
+                 / (CAST({_TC_BUCKETS - 1} AS DOUBLE) * n_class * n), 6)
+             + 0.0 AS emd,
+           CAST(emd_num AS DOUBLE)
+             / (CAST({_TC_BUCKETS - 1} AS DOUBLE) * n_class * n)
+             > {_TC_T} AS is_risky
+    FROM emd
+    """,
+)
+def q_t_closeness(spark, sf_dir):
+    """t-closeness of each (event_type, day) quasi-identifier class:
+    ordered-attribute earth-mover's distance between the class's bucketed
+    `value` distribution and the global one (Li et al. 2007).  See the
+    header note for the BIGINT cumulative-gap form.  Plan: one class+
+    bucket agg, a broadcast 10-row bucket spine fill, per-class 10-row
+    windows, 1-row global-count attach — nothing pairwise, nothing
+    proportional to event rows after the first agg."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.least(F.floor(F.col("value") / _TC_WIDTH).cast("long"),
+                F.lit(_TC_BUCKETS - 1)).alias("b"),
+    )
+    cls = ev.groupBy("event_type", "day", "b").agg(
+        F.count("*").cast("long").alias("c"))
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    cls = materialize_once(cls, "tclose_cls")
+    classes = cls.groupBy("event_type", "day").agg(
+        F.sum("c").cast("long").alias("n_class"))
+    glob = cls.groupBy("b").agg(F.sum("c").cast("long").alias("gc"))
+    tot = glob.agg(F.sum("gc").cast("long").alias("n"))
+    buckets = spark.range(_TC_BUCKETS).select(F.col("id").alias("b"))
+    spine = (
+        classes.crossJoin(F.broadcast(buckets))
+        .join(cls, ["event_type", "day", "b"], "left")
+        .join(F.broadcast(glob), "b", "left")
+        .select("event_type", "day", "n_class", "b",
+                F.coalesce("c", F.lit(0)).alias("c"),
+                F.coalesce("gc", F.lit(0)).alias("gc"))
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("b")
+    cum = spine.select(
+        "event_type", "day", "n_class", "b",
+        F.sum("c").over(w).cast("long").alias("cum_c"),
+        F.sum("gc").over(w).cast("long").alias("cum_g"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "day", "n_class")
+        .agg(
+            F.sum(F.abs(F.col("cum_c") * F.col("n")
+                        - F.col("cum_g") * F.col("n_class")))
+            .cast("long").alias("emd_num"),
+            F.first("n").alias("n"),
+        )
+    )
+    emd_val = (F.col("emd_num").cast("double")
+               / (F.lit(float(_TC_BUCKETS - 1)) * F.col("n_class")
+                  * F.col("n")))
+    return emd.select(
+        "event_type", "day", "n_class",
+        (F.round(emd_val, 6) + F.lit(0.0)).alias("emd"),
+        (emd_val > _TC_T).alias("is_risky"),
+    )
+
+
+# -- delete-one-source jackknife for the tokens-per-doc ratio ------------------
+_JK_SCALE = 10**6
+
+
+@_stage(
+    "q_jackknife_ratio",
+    f"""
+    WITH grp AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS d_g,
+             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS t_g
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS g,
+             CAST(sum(d_g) AS BIGINT) AS d, CAST(sum(t_g) AS BIGINT) AS t
+      FROM grp),
+    theta AS (
+      SELECT g, d, t,
+             CAST(floor(CAST(t.t - grp.t_g AS DOUBLE) / (t.d - grp.d_g)
+                        * {_JK_SCALE}) AS BIGINT) AS th_q
+      FROM grp CROSS JOIN tot t),
+    mom AS (
+      SELECT any_value(g) AS g, any_value(d) AS d, any_value(t) AS t,
+             CAST(sum(th_q) AS BIGINT) AS s1,
+             CAST(sum((th_q - (SELECT sum(th_q) // count(*) FROM theta))
+                      * (th_q - (SELECT sum(th_q) // count(*) FROM theta)))
+               AS BIGINT) AS s2
+      FROM theta)
+    SELECT g AS n_groups, d AS n_docs, t AS n_tokens,
+           round(CAST(t AS DOUBLE) / d, 6) + 0.0 AS theta_hat,
+           round(CAST(s1 AS DOUBLE) / g / {_JK_SCALE}, 6) + 0.0
+             AS theta_bar,
+           round(sqrt(CAST(g - 1 AS DOUBLE) / g * s2)
+                 / {_JK_SCALE}, 6) + 0.0 AS jk_se,
+           round((g - 1) * (CAST(s1 AS DOUBLE) / g / {_JK_SCALE}
+                            - CAST(t AS DOUBLE) / d), 6) + 0.0 AS jk_bias
+    FROM mom
+    """,
+)
+def q_jackknife_ratio(spark, sf_dir):
+    """Delete-one-source jackknife for the corpus tokens-per-document
+    ratio: standard error + bias of a ratio estimator under source-level
+    resampling — the honest uncertainty for "how many tokens does a doc
+    contribute", where docs within a source are correlated.  Leave-one-
+    out thetas quantize to 1e-6 BIGINT units before any cross-group sum,
+    and the squared deviations use the INTEGER mean (s1 div g), so every
+    aggregate replays exactly.  Plan: one per-source agg, a 1-row totals
+    attach, then arithmetic on a #sources-row frame."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    grp = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("d_g"),
+             F.sum(F.size(tokenize("text"))).cast("long").alias("t_g"))
+    )
+    tot = grp.agg(F.count("*").cast("long").alias("g"),
+                  F.sum("d_g").cast("long").alias("d"),
+                  F.sum("t_g").cast("long").alias("t"))
+    theta = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "g", "d", "t",
+            F.floor((F.col("t") - F.col("t_g")).cast("double")
+                    / (F.col("d") - F.col("d_g")) * _JK_SCALE)
+            .cast("long").alias("th_q"),
+        )
+    )
+    mom = theta.agg(
+        F.first("g").alias("g"), F.first("d").alias("d"),
+        F.first("t").alias("t"),
+        F.sum("th_q").cast("long").alias("s1"),
+        F.sum(F.col("th_q") * F.col("th_q")).cast("long").alias("ssq"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    # sum of squared deviations from the INTEGER mean, computed exactly
+    # from (ssq, s1, mean_q): sum((x - m)^2) = ssq - 2*m*s1 + g*m^2
+    mean_q = F.expr("s1 div cnt")
+    s2 = (F.col("ssq") - 2 * mean_q * F.col("s1")
+          + F.col("cnt") * mean_q * mean_q)
+    return mom.select(
+        F.col("g").alias("n_groups"), F.col("d").alias("n_docs"),
+        F.col("t").alias("n_tokens"),
+        (F.round(F.col("t").cast("double") / F.col("d"), 6) + F.lit(0.0))
+        .alias("theta_hat"),
+        (F.round(F.col("s1").cast("double") / F.col("g") / _JK_SCALE, 6)
+         + F.lit(0.0)).alias("theta_bar"),
+        (F.round(F.sqrt((F.col("g") - 1).cast("double") / F.col("g")
+                        * s2.cast("double")) / _JK_SCALE, 6) + F.lit(0.0))
+        .alias("jk_se"),
+        (F.round((F.col("g") - 1)
+                 * (F.col("s1").cast("double") / F.col("g") / _JK_SCALE
+                    - F.col("t").cast("double") / F.col("d")), 6)
+         + F.lit(0.0)).alias("jk_bias"),
+    )

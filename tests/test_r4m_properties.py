@@ -1,0 +1,348 @@
+"""Property tests for the round-4m staged operators (rank/agreement
+statistics, privacy t-closeness, lexical-diversity estimators,
+readability): each formula's exact-integer formulation — the one both
+engines execute — checked against the textbook O(n^2)/float definition
+on random inputs (the repo's hypothesis discipline, SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+from collections import Counter
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b: the cell-aggregated BIGINT formulation equals the
+# O(n^2) pairwise definition.
+# ---------------------------------------------------------------------------
+
+
+def _tau_b_cells(xy):
+    cells = Counter(xy)
+    n = len(xy)
+    n0 = n * (n - 1) // 2
+    xm, ym = Counter(), Counter()
+    for (x, y), c in cells.items():
+        xm[x] += c
+        ym[y] += c
+    n1 = sum(v * (v - 1) // 2 for v in xm.values())
+    n2 = sum(v * (v - 1) // 2 for v in ym.values())
+    nc = nd = 0
+    items = list(cells.items())
+    for i, ((xa, ya), ca) in enumerate(items):
+        for (xb, yb), cb in items:
+            if xa < xb and ya != yb:
+                if yb > ya:
+                    nc += ca * cb
+                else:
+                    nd += ca * cb
+    denom = (n0 - n1) * (n0 - n2)
+    return (nc - nd) / math.sqrt(denom) if denom > 0 else 0.0
+
+
+def _tau_b_pairs(xy):
+    nc = nd = tx = ty = 0
+    for i in range(len(xy)):
+        for j in range(i + 1, len(xy)):
+            (xa, ya), (xb, yb) = xy[i], xy[j]
+            if xa == xb and ya == yb:
+                tx += 1
+                ty += 1
+            elif xa == xb:
+                tx += 1
+            elif ya == yb:
+                ty += 1
+            elif (xb - xa) * (yb - ya) > 0:
+                nc += 1
+            else:
+                nd += 1
+    n = len(xy)
+    n0 = n * (n - 1) // 2
+    denom = (n0 - tx) * (n0 - ty)
+    return (nc - nd) / math.sqrt(denom) if denom > 0 else 0.0
+
+
+def test_tau_b_cell_form_matches_pairwise():
+    rng = random.Random(7)
+    for _ in range(50):
+        n = rng.randint(2, 40)
+        xy = [(rng.randint(0, 4), rng.randint(0, 4)) for _ in range(n)]
+        assert abs(_tau_b_cells(xy) - _tau_b_pairs(xy)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis: doubled-midrank histogram form equals the textbook
+# rank-based H (with tie correction).
+# ---------------------------------------------------------------------------
+
+
+def _kw_hist(groups):
+    spine = Counter()
+    for g in groups:
+        spine.update(g)
+    vals = sorted(spine)
+    cum, c_prior = {}, 0
+    for v in vals:
+        cum[v] = c_prior
+        c_prior += spine[v]
+    n = sum(len(g) for g in groups)
+    sq = 0
+    for g in groups:
+        cnt = Counter(g)
+        r2 = sum(c * (2 * cum[v] + spine[v] + 1) for v, c in cnt.items())
+        sq += math.floor(float(r2) * r2 / len(g) * 1000)
+    h = 3.0 * sq / 1000 / (n * (n + 1)) - 3.0 * (n + 1)
+    tsum = sum(t ** 3 - t for t in spine.values())
+    return h / (1.0 - tsum / (n ** 3 - n)) if tsum < n ** 3 - n else None
+
+
+def _kw_textbook(groups):
+    allv = sorted(v for g in groups for v in g)
+    n = len(allv)
+    # midranks
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and allv[j] == allv[i]:
+            j += 1
+        for k in range(i, j):
+            rank[allv[i]] = (i + j + 1) / 2.0
+        i = j
+    h = 12.0 / (n * (n + 1)) * sum(
+        len(g) * (sum(rank[v] for v in g) / len(g)) ** 2 for g in groups
+    ) - 3 * (n + 1)
+    ties = Counter(allv)
+    tsum = sum(t ** 3 - t for t in ties.values())
+    corr = 1.0 - tsum / (n ** 3 - n)
+    return h / corr if corr > 0 else None
+
+
+def test_kruskal_wallis_hist_form_matches_textbook():
+    rng = random.Random(13)
+    for _ in range(50):
+        groups = [
+            [rng.randint(0, 8) for _ in range(rng.randint(2, 25))]
+            for _ in range(rng.randint(2, 5))
+        ]
+        a, b = _kw_hist(groups), _kw_textbook(groups)
+        if a is None or b is None:
+            assert a == b
+        else:
+            # the 1e-3 quantization bounds the gap by k/(1000*N(N+1))*3
+            assert abs(a - b) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe: histogram med2 median + quantized W vs direct floats.
+# ---------------------------------------------------------------------------
+
+
+def _bf_hist(groups):
+    devs = []
+    for g in groups:
+        s = sorted(g)
+        n = len(g)
+        med2 = s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+        z2 = [abs(2 * v - med2) for v in g]
+        devs.append((sum(z2), sum(z * z for z in z2), n))
+    k = len(devs)
+    nt = sum(d[2] for d in devs)
+    t = sum(d[0] for d in devs)
+    bt = sum(d[1] for d in devs)
+    q1 = sum(math.floor(float(a) * a / n * 100) for a, _, n in devs)
+    ssw = bt * 100 - q1
+    ssb = q1 - math.floor(float(t) * t / nt * 100)
+    if ssw <= 0 or k < 2:
+        return None
+    return (nt - k) / (k - 1) * ssb / ssw
+
+
+def _bf_direct(groups):
+    import statistics
+
+    zs = [
+        [abs(v - statistics.median(g)) for v in g]
+        for g in groups
+    ]
+    k = len(zs)
+    nt = sum(len(z) for z in zs)
+    zbar = sum(sum(z) for z in zs) / nt
+    ssb = sum(len(z) * (sum(z) / len(z) - zbar) ** 2 for z in zs)
+    ssw = sum(sum((v - sum(z) / len(z)) ** 2 for v in z) for z in zs)
+    if ssw == 0 or k < 2:
+        return None
+    return (nt - k) / (k - 1) * ssb / ssw
+
+
+def test_brown_forsythe_hist_form_matches_direct():
+    rng = random.Random(29)
+    for _ in range(50):
+        groups = [
+            [rng.randint(0, 40) for _ in range(rng.randint(3, 30))]
+            for _ in range(rng.randint(2, 5))
+        ]
+        a, b = _bf_hist(groups), _bf_direct(groups)
+        if a is None or b is None:
+            assert a == b
+        else:
+            assert abs(a - b) < 0.05 + abs(b) * 1e-2
+
+
+# ---------------------------------------------------------------------------
+# t-closeness: BIGINT cumulative-gap EMD equals the float p/q definition.
+# ---------------------------------------------------------------------------
+
+
+def test_tcloseness_integer_emd_matches_float_definition():
+    rng = random.Random(41)
+    m = 10
+    for _ in range(100):
+        glob = [rng.randint(1, 20) for _ in range(m)]
+        cls = [rng.randint(0, 5) for _ in range(m)]
+        if sum(cls) == 0:
+            cls[0] = 1
+        n, nc = sum(glob), sum(cls)
+        # integer form (what both engines run)
+        num = 0
+        cc = cg = 0
+        for b in range(m):
+            cc += cls[b]
+            cg += glob[b]
+            num += abs(cc * n - cg * nc)
+        emd_int = num / ((m - 1) * nc * n)
+        # float textbook form: mean |cumulative p - cumulative q|
+        p = [c / nc for c in cls]
+        q = [g / n for g in glob]
+        acc = d = 0.0
+        for b in range(m):
+            d += p[b] - q[b]
+            acc += abs(d)
+        emd_float = acc / (m - 1)
+        assert abs(emd_int - emd_float) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Jackknife: integer-mean deviation identity sum((x-m)^2) = ssq - 2*m*s1
+# + g*m^2, and the quantized SE is within quantization error of direct.
+# ---------------------------------------------------------------------------
+
+
+def test_jackknife_quantized_identity_and_error_bound():
+    rng = random.Random(53)
+    for _ in range(100):
+        g = rng.randint(2, 20)
+        thetas = [rng.uniform(50, 150) for _ in range(g)]
+        th_q = [math.floor(t * 10**6) for t in thetas]
+        s1, ssq = sum(th_q), sum(t * t for t in th_q)
+        m = s1 // g
+        s2 = ssq - 2 * m * s1 + g * m * m
+        assert s2 == sum((t - m) ** 2 for t in th_q)
+        se_q = math.sqrt((g - 1) / g * s2) / 10**6
+        tb = sum(thetas) / g
+        se = math.sqrt((g - 1) / g * sum((t - tb) ** 2 for t in thetas))
+        assert abs(se_q - se) < 1e-4 * g
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: integer confusion-matrix form vs float definition.
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_integer_form_matches_definition():
+    rng = random.Random(61)
+    labels = "abcd"
+    for _ in range(100):
+        n = rng.randint(2, 60)
+        pairs = [(rng.choice(labels), rng.choice(labels)) for _ in range(n)]
+        agree = sum(a == b for a, b in pairs)
+        rows = Counter(a for a, _ in pairs)
+        cols = Counter(b for _, b in pairs)
+        pe_num = sum(rows[x] * cols[x] for x in set(rows) | set(cols))
+        if n * n == pe_num:
+            continue
+        kappa_int = (n * agree - pe_num) / (n * n - pe_num)
+        po = agree / n
+        pe = pe_num / (n * n)
+        kappa_float = (po - pe) / (1 - pe)
+        assert abs(kappa_int - kappa_float) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Simpson's D off the frequency spectrum equals the sampling definition:
+# probability two draws WITHOUT replacement are the same type.
+# ---------------------------------------------------------------------------
+
+
+def test_simpson_d_matches_sampling_definition():
+    rng = random.Random(71)
+    for _ in range(50):
+        toks = [rng.choice("abcdef") for _ in range(rng.randint(2, 30))]
+        c = Counter(toks)
+        n, s2 = len(toks), sum(v * v for v in c.values())
+        d_spec = (s2 - n) / (n * (n - 1))
+        same = sum(
+            toks[i] == toks[j]
+            for i in range(n) for j in range(n) if i != j
+        )
+        assert abs(d_spec - same / (n * (n - 1))) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Chao1 / coverage sanity: estimator >= observed richness; coverage in
+# [0, 1]; no-hapax sample estimates zero unseen mass.
+# ---------------------------------------------------------------------------
+
+
+def test_chao1_bounds():
+    rng = random.Random(83)
+    for _ in range(100):
+        c = Counter(
+            rng.choice("abcdefghij")
+            for _ in range(rng.randint(1, 50))
+        )
+        v = len(c)
+        n = sum(c.values())
+        f1 = sum(1 for x in c.values() if x == 1)
+        f2 = sum(1 for x in c.values() if x == 2)
+        chao1 = v + f1 * (f1 - 1) / (2 * (f2 + 1))
+        cov = 1 - f1 / n
+        assert chao1 >= v
+        assert 0.0 <= cov <= 1.0
+        if f1 == 0:
+            assert chao1 == v and cov == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Flesch run counting: collapse-then-strip regex form equals a direct
+# run scan, and the original-marker-chars-can't-survive claim holds.
+# ---------------------------------------------------------------------------
+
+
+def _runs_regex(s, cls, marker):
+    collapsed = re.sub(cls, marker, s)
+    return len(re.sub(f"[^{re.escape(marker)}]", "", collapsed))
+
+
+def _runs_scan(s, charset):
+    runs, inside = 0, False
+    for ch in s:
+        if ch in charset:
+            if not inside:
+                runs += 1
+            inside = True
+        else:
+            inside = False
+    return runs
+
+
+def test_run_counting_regex_equals_scan():
+    rng = random.Random(97)
+    for _ in range(300):
+        s = "".join(
+            rng.choice("aeiouy bcd.!?xz")
+            for _ in range(rng.randint(0, 40))
+        )
+        assert _runs_regex(s, "[aeiouy]+", "a") == _runs_scan(s, "aeiouy")
+        assert _runs_regex(s, "[.!?]+", ".") == _runs_scan(s, ".!?")

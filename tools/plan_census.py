@@ -108,6 +108,12 @@ BNLJ_WHITELIST = {
     "q_rbp_eval",             # same knn_bruteforce broadcast query side
     "q_source_kl",            # <=#strata key spine onto vocab + 1-row vt attach
     "q_neyman_allocation",    # 1-row weight-total attach
+    "q_kendall_tau_b",        # <=#cells^2 bucket-grid self-join + 1-row attaches
+    "q_cohens_kappa",         # <=|langs|^2 confusion frame, 1-row pe attach
+    "q_kruskal_wallis",       # 1-row ties attach onto the 1-row H aggregate
+    "q_levene_bf",            # 1-row totals attach onto the #sources frame
+    "q_t_closeness",          # 10-row bucket spine + 1-row global-count attach
+    "q_jackknife_ratio",      # 1-row totals attach onto the #sources frame
 }
 
 
