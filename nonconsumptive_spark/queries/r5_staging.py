@@ -3334,7 +3334,9 @@ _JK_SCALE = 10**6
     f"""
     WITH grp AS (
       SELECT source, CAST(count(*) AS BIGINT) AS d_g,
-             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS t_g
+             CAST(sum(len(list_filter(regexp_split_to_array(
+                    coalesce(text, ''), '[^\\pL]+'), x -> x <> '')))
+                  AS BIGINT) AS t_g
       FROM documents GROUP BY source),
     tot AS (
       SELECT CAST(count(*) AS BIGINT) AS g,
@@ -3378,7 +3380,8 @@ def q_jackknife_ratio(spark, sf_dir):
         load(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(F.count("*").cast("long").alias("d_g"),
-             F.sum(F.size(tokenize("text"))).cast("long").alias("t_g"))
+             F.sum(F.size(tokenize(F.coalesce("text", F.lit("")))))
+             .cast("long").alias("t_g"))
     )
     tot = grp.agg(F.count("*").cast("long").alias("g"),
                   F.sum("d_g").cast("long").alias("d"),
