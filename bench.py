@@ -192,6 +192,10 @@ EXTRA = {
     "q_levene_bf": _staged("q_levene_bf"),
     "q_t_closeness": _staged("q_t_closeness"),
     "q_jackknife_ratio": _staged("q_jackknife_ratio"),
+    "q_rouge2_pairs": _staged("q_rouge2_pairs"),
+    "q_modularity": _staged("q_modularity"),
+    "q_wilson_ci": _staged("q_wilson_ci"),
+    "q_theil_index": _staged("q_theil_index"),
 }
 
 

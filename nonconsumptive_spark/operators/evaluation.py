@@ -295,3 +295,82 @@ def calibration_bins(df: DataFrame, label_col: str = "label",
         (F.round(pos_rate, 6) + F.lit(0.0)).alias("pos_rate"),
         (F.round(F.abs(avg_conf - pos_rate), 6) + F.lit(0.0)).alias("gap"),
     )
+
+
+def rouge2_pairs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", lang_col: str = "lang",
+                 block_mod: int = BLEU_BLOCK_MOD) -> DataFrame:
+    """(doc_a, doc_b, clip2, rouge2_p, rouge2_r, rouge2_f1) — ROUGE-2
+    between blocked document pairs: clipped bigram overlap scored as
+    recall against the lower-id doc (the "reference"), the summary-eval
+    complement to ``bleu_pairs``'s precision view.
+
+    The harmonic mean needs no intermediate floats: with both precision
+    and recall sharing the clip2 numerator, F1 = 2*clip2/(l2_a + l2_b)
+    — ONE division of exact BIGINTs, like P and R themselves, so every
+    score replays bit-for-bit cross-engine before the 6-decimal round.
+
+    Scale shape: identical to bleu_pairs — (lang, id mod ``block_mod``)
+    block equi-join for pairs, one pre-aggregated (doc, gram) count
+    table joined per side; the text column never reaches a join."""
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(lang_col).alias("lang"),
+        tokenize(F.col(text_col)).alias("t"),
+    )
+    big = materialize_once(
+        toks.select(
+            "doc",
+            F.explode(F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )).alias("g"),
+        )
+        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c")),
+        "rouge_big",
+    )
+    lens = toks.select(
+        "doc", "lang",
+        F.greatest(F.size("t") - 1, F.lit(0)).cast("long").alias("l2"),
+        (F.col("doc") % block_mod).alias("blk"),
+    )
+    a = lens.select(F.col("doc").alias("doc_a"), "lang", "blk",
+                    F.col("l2").alias("l2_a"))
+    b = lens.select(F.col("doc").alias("doc_b"), "lang", "blk",
+                    F.col("l2").alias("l2_b"))
+    pairs = materialize_once(
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "l2_a", "l2_b"),
+        "rouge_pairs",
+    )
+    xa = big.select(F.col("doc").alias("doc_a"), "g", F.col("c").alias("ca"))
+    xb = big.select(F.col("doc").alias("doc_b"), "g", F.col("c").alias("cb"))
+    clip = (
+        pairs.select("doc_a", "doc_b")
+        .join(xa, "doc_a")
+        .join(xb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("clip2"))
+    )
+    out = (
+        pairs.join(clip, ["doc_a", "doc_b"], "left")
+        .withColumn("clip2", F.coalesce("clip2", F.lit(0)).cast("long"))
+    )
+    return out.select(
+        "doc_a", "doc_b", "clip2",
+        F.when(F.col("l2_b") > 0,
+               F.round(F.col("clip2").cast("double") / F.col("l2_b"), 6)
+               + F.lit(0.0)).otherwise(F.lit(0.0)).alias("rouge2_p"),
+        F.when(F.col("l2_a") > 0,
+               F.round(F.col("clip2").cast("double") / F.col("l2_a"), 6)
+               + F.lit(0.0)).otherwise(F.lit(0.0)).alias("rouge2_r"),
+        F.when(F.col("l2_a") + F.col("l2_b") > 0,
+               F.round((2 * F.col("clip2")).cast("double")
+                       / (F.col("l2_a") + F.col("l2_b")), 6)
+               + F.lit(0.0)).otherwise(F.lit(0.0)).alias("rouge2_f1"),
+    )

@@ -543,3 +543,79 @@ def clustering_coefficient(edges: DataFrame,
             .alias("cc"),
         )
     )
+
+
+MOD_SCALE = 10**12
+
+
+def modularity(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """Newman modularity of the label-propagation partition over the
+    undirected graph beneath ``edges``: per community c,
+    Q_c = in_c/M2 - (d_c/M2)^2 with M2 = 2m (the symmetric edge count),
+    in_c = symmetric within-community edge count, d_c = total degree —
+    the standard how-good-are-these-communities score for the LPA result.
+
+    Cross-engine exactness: in_c, d_c, M2 are BIGINT counts; each Q_c is
+    two divisions + one square + one subtract (a fixed IEEE chain), and
+    the GLOBAL modularity sums floor(Q_c * 1e12) BIGINTs so it is
+    aggregation-order independent (the HITS/PPR quantization discipline).
+
+    Scale shape: label_propagation's per-round join+agg, then ONE degree
+    agg, ONE two-sided label join over the symmetric edge list (both
+    sides keyed on node), two label-keyed aggs, and a 1-row M2/global
+    attach.  Nothing is ever pairwise in communities or nodes."""
+    und = materialize_once(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        "mod_edges",
+    )
+    labels = materialize_once(
+        label_propagation(edges, n_iter=n_iter), "mod_labels")
+    m2 = und.agg(F.count("*").cast("long").alias("m2"))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg"))
+    lab = (
+        labels.join(deg, "node", "left")
+        .select("node", "label",
+                F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+    )
+    grp = lab.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("deg_sum"),
+    )
+    la = labels.select(F.col("node").alias("src"),
+                       F.col("label").alias("label_a"))
+    lb = labels.select(F.col("node").alias("dst"),
+                       F.col("label").alias("label_b"))
+    inn = (
+        und.join(la, "src").join(lb, "dst")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count("*").cast("long").alias("in2"))
+    )
+    per = (
+        grp.join(inn, "label", "left")
+        .withColumn("in2", F.coalesce("in2", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(m2))
+    )
+    contrib = (F.col("in2").cast("double") / F.col("m2")
+               - (F.col("deg_sum").cast("double") / F.col("m2"))
+               * (F.col("deg_sum").cast("double") / F.col("m2")))
+    per = per.withColumn(
+        "cq", F.when(F.col("m2") > 0,
+                     F.floor(contrib * MOD_SCALE).cast("long"))
+        .otherwise(F.lit(0)))
+    glob = per.agg(F.sum("cq").cast("long").alias("gq"))
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "label", "n_nodes", "in2", "deg_sum",
+            (F.round(F.col("cq") / F.lit(float(MOD_SCALE)), 9)
+             + F.lit(0.0)).alias("q_contrib"),
+            (F.round(F.col("gq") / F.lit(float(MOD_SCALE)), 6)
+             + F.lit(0.0)).alias("modularity"),
+        )
+    )

@@ -583,7 +583,9 @@ def q_code_score(spark, sf_dir):
 _LPA_ITERS = 4
 
 
-def _lpa_oracle(k: int) -> str:
+def _lpa_ctes(k: int) -> list[str]:
+    """The shared LPA CTE chain (und / nodes / l0..l{k}) — reused by the
+    label-propagation oracle itself and by q_modularity's oracle."""
     cte = [f"""
     tokpos AS (
       SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
@@ -615,7 +617,11 @@ def _lpa_oracle(k: int) -> str:
       SELECT n.node, coalesce(w.label, p.label) AS label
       FROM nodes n LEFT JOIN w{i} w USING (node)
       JOIN l{i - 1} p ON p.node = n.node)""")
-    return ("WITH" + ",".join(cte)
+    return cte
+
+
+def _lpa_oracle(k: int) -> str:
+    return ("WITH" + ",".join(_lpa_ctes(k))
             + f"\n    SELECT node, label FROM l{k}")
 
 
@@ -3421,4 +3427,244 @@ def q_jackknife_ratio(spark, sf_dir):
                  * (F.col("s1").cast("double") / F.col("g") / _JK_SCALE
                     - F.col("t").cast("double") / F.col("d")), 6)
          + F.lit(0.0)).alias("jk_bias"),
+    )
+
+
+# -- ROUGE-2 between blocked pairs --------------------------------------------
+def _rouge_oracle() -> str:
+    from nonconsumptive_spark.operators.evaluation import BLEU_BLOCK_MOD
+
+    return f"""
+    WITH base AS (SELECT doc_id AS doc, lang, {_DUCK_TOKS} AS t
+                  FROM documents),
+    lens AS (
+      SELECT doc, lang, CAST(greatest(len(t) - 1, 0) AS BIGINT) AS l2,
+             doc % {BLEU_BLOCK_MOD} AS blk
+      FROM base),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             a.l2 AS l2_a, b.l2 AS l2_b
+      FROM lens a JOIN lens b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc < b.doc),
+    big AS (
+      SELECT doc, g, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc, t[i] || ' ' || t[i + 1] AS g
+            FROM base,
+                 unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i))
+      GROUP BY doc, g),
+    c2 AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(sum(least(xa.c, xb.c)) AS BIGINT) AS clip2
+      FROM pairs p
+      JOIN big xa ON xa.doc = p.doc_a
+      JOIN big xb ON xb.doc = p.doc_b AND xb.g = xa.g
+      GROUP BY p.doc_a, p.doc_b)
+    SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(c2.clip2, 0) AS BIGINT) AS clip2,
+           CASE WHEN p.l2_b > 0
+                THEN round(CAST(coalesce(c2.clip2, 0) AS DOUBLE) / p.l2_b,
+                           6) + 0.0 ELSE 0.0 END AS rouge2_p,
+           CASE WHEN p.l2_a > 0
+                THEN round(CAST(coalesce(c2.clip2, 0) AS DOUBLE) / p.l2_a,
+                           6) + 0.0 ELSE 0.0 END AS rouge2_r,
+           CASE WHEN p.l2_a + p.l2_b > 0
+                THEN round(CAST(2 * coalesce(c2.clip2, 0) AS DOUBLE)
+                           / (p.l2_a + p.l2_b), 6) + 0.0
+                ELSE 0.0 END AS rouge2_f1
+    FROM pairs p
+    LEFT JOIN c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b
+    """
+
+
+@_stage("q_rouge2_pairs", _rouge_oracle())
+def q_rouge2_pairs(spark, sf_dir):
+    from nonconsumptive_spark.operators.evaluation import rouge2_pairs
+
+    return rouge2_pairs(load(spark, sf_dir, "documents"))
+
+
+# -- modularity of the label-propagation partition ----------------------------
+def _modularity_oracle() -> str:
+    from nonconsumptive_spark.operators.graph import MOD_SCALE
+
+    k = _LPA_ITERS
+    return ("WITH" + ",".join(_lpa_ctes(k)) + f""",
+    m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM und GROUP BY src),
+    lab AS (
+      SELECT l.node, l.label, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg
+      FROM l{k} l LEFT JOIN deg d USING (node)),
+    grp AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg) AS BIGINT) AS deg_sum
+      FROM lab GROUP BY label),
+    inn AS (
+      SELECT la.label AS label, CAST(count(*) AS BIGINT) AS in2
+      FROM und u JOIN l{k} la ON la.node = u.src
+                 JOIN l{k} lb ON lb.node = u.dst
+      WHERE la.label = lb.label GROUP BY la.label),
+    perq AS (
+      SELECT g.label, g.n_nodes, g.deg_sum,
+             CAST(coalesce(i.in2, 0) AS BIGINT) AS in2,
+             CASE WHEN m.m2 > 0 THEN CAST(floor(
+               (CAST(coalesce(i.in2, 0) AS DOUBLE) / m.m2
+                - (CAST(g.deg_sum AS DOUBLE) / m.m2)
+                  * (CAST(g.deg_sum AS DOUBLE) / m.m2))
+               * {MOD_SCALE}) AS BIGINT) ELSE 0 END AS cq
+      FROM grp g LEFT JOIN inn i USING (label) CROSS JOIN m2t m),
+    gtot AS (SELECT CAST(sum(cq) AS BIGINT) AS gq FROM perq)
+    SELECT label, n_nodes, in2, deg_sum,
+           round(cq / {float(MOD_SCALE)!r}, 9) + 0.0 AS q_contrib,
+           round(gq / {float(MOD_SCALE)!r}, 6) + 0.0 AS modularity
+    FROM perq CROSS JOIN gtot""")
+
+
+@_stage("q_modularity", _modularity_oracle())
+def q_modularity(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import bigram_edges, modularity
+
+    return modularity(bigram_edges(load(spark, sf_dir, "documents")),
+                      n_iter=_LPA_ITERS)
+
+
+# -- Wilson score interval for per-source pass proportions ---------------------
+_WILSON_Z = 1.96
+_WILSON_Z2 = 3.8416
+_WILSON_MIN_CHARS = 200
+
+
+@_stage(
+    "q_wilson_ci",
+    f"""
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN n_chars >= {_WILSON_MIN_CHARS}
+                                    THEN 1 END), 0) AS BIGINT) AS k
+      FROM documents GROUP BY source)
+    SELECT source, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) + 0.0 AS p_hat,
+           greatest(0.0, round((CAST(k AS DOUBLE) / n + {_WILSON_Z2} / (2 * n)
+                  - {_WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {_WILSON_Z2} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z2} / n), 6) + 0.0) AS wilson_lo,
+           least(1.0, round((CAST(k AS DOUBLE) / n + {_WILSON_Z2} / (2 * n)
+                  + {_WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {_WILSON_Z2} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z2} / n), 6) + 0.0) AS wilson_hi
+    FROM g
+    """,
+)
+def q_wilson_ci(spark, sf_dir):
+    """Wilson 95% score interval for the per-source proportion of
+    documents passing a length gate — the proportion CI that behaves at
+    k=0/k=n and small n, where the Wald interval collapses (Wilson 1927;
+    the standard for per-slice pass-rate dashboards).  Both bounds are
+    one fixed IEEE chain over the exact BIGINT (k, n) with z and z^2 as
+    shared DECIMAL literals, mirrored token-for-token in the oracle.
+    Plan: one groupBy(source) — nothing else."""
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.coalesce(F.sum(F.when(
+                 F.col("n_chars") >= _WILSON_MIN_CHARS, 1)), F.lit(0))
+             .cast("long").alias("k"))
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    center = p + _WILSON_Z2 / (2 * F.col("n"))
+    half = _WILSON_Z * F.sqrt(p * (1 - p) / F.col("n")
+                              + _WILSON_Z2 / (4.0 * F.col("n") * F.col("n")))
+    denom = 1 + _WILSON_Z2 / F.col("n")
+    return g.select(
+        "source", "n", "k",
+        (F.round(p, 6) + F.lit(0.0)).alias("p_hat"),
+        F.greatest(F.lit(0.0),
+                   F.round((center - half) / denom, 6) + F.lit(0.0))
+        .alias("wilson_lo"),
+        F.least(F.lit(1.0),
+                F.round((center + half) / denom, 6) + F.lit(0.0))
+        .alias("wilson_hi"),
+    )
+
+
+# -- Theil-T inequality of token counts within each source --------------------
+_THEIL_SCALE = 10**12
+
+
+@_stage(
+    "q_theil_index",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(
+                    coalesce(text, ''), '[^\\pL]+'), x -> x <> ''))
+                  AS BIGINT) AS x
+      FROM documents),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS xt,
+             CAST(coalesce(sum(CASE WHEN x = 0 THEN 1 END), 0) AS BIGINT)
+               AS n_zero
+      FROM per GROUP BY source),
+    terms AS (
+      SELECT p.source, t.n, t.xt, t.n_zero,
+             CASE WHEN p.x > 0 AND t.xt > 0
+                  THEN CAST(floor((CAST(p.x AS DOUBLE) / t.xt)
+                                  * ln(CAST(p.x AS DOUBLE) * t.n / t.xt)
+                                  * {_THEIL_SCALE}) AS BIGINT)
+                  ELSE 0 END AS tq
+      FROM per p JOIN tot t USING (source))
+    SELECT source, any_value(n) AS n_docs, any_value(xt) AS n_tokens,
+           any_value(n_zero) AS n_zero,
+           round(CAST(sum(tq) AS BIGINT) / {float(_THEIL_SCALE)!r}, 6)
+             + 0.0 AS theil_t
+    FROM terms GROUP BY source
+    """,
+)
+def q_theil_index(spark, sf_dir):
+    """Theil-T inequality of per-document token counts within each
+    source: T = sum_i (x_i/X) * ln(x_i * n / X) — 0 for perfectly even
+    contribution, ln(n) when one doc holds everything; the
+    decomposable inequality measure that complements q_gini_tokens.
+    Zero-token docs contribute 0 to T by the x*ln(x) -> 0 convention
+    (NULL text counts as empty).  Per-doc terms quantize to 1e-12
+    BIGINT units through one mirrored float chain, so the per-source
+    sum is aggregation-order independent.  Plan: per-doc scan, one
+    source agg, one broadcast totals join back, one source agg."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    per = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(tokenize(F.coalesce("text", F.lit("")))).cast("long")
+        .alias("x"),
+    )
+    tot = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("xt"),
+        F.coalesce(F.sum(F.when(F.col("x") == 0, 1)), F.lit(0))
+        .cast("long").alias("n_zero"),
+    )
+    terms = per.join(F.broadcast(tot), "source").select(
+        "source", "n", "xt", "n_zero",
+        F.when((F.col("x") > 0) & (F.col("xt") > 0),
+               F.floor((F.col("x").cast("double") / F.col("xt"))
+                       * F.log(F.col("x").cast("double") * F.col("n")
+                               / F.col("xt"))
+                       * _THEIL_SCALE).cast("long"))
+        .otherwise(F.lit(0)).alias("tq"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.first("n").alias("n_docs"),
+             F.first("xt").alias("n_tokens"),
+             F.first("n_zero").alias("n_zero"),
+             F.sum("tq").cast("long").alias("sq"))
+        .select(
+            "source", "n_docs", "n_tokens", "n_zero",
+            (F.round(F.col("sq") / F.lit(float(_THEIL_SCALE)), 6)
+             + F.lit(0.0)).alias("theil_t"),
+        )
     )

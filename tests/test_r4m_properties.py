@@ -346,3 +346,137 @@ def test_run_counting_regex_equals_scan():
         )
         assert _runs_regex(s, "[aeiouy]+", "a") == _runs_scan(s, "aeiouy")
         assert _runs_regex(s, "[.!?]+", ".") == _runs_scan(s, ".!?")
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2 F1: the single-division form 2*clip/(la+lb) equals the
+# harmonic mean of precision and recall.
+# ---------------------------------------------------------------------------
+
+
+def test_rouge_f1_single_division_equals_harmonic_mean():
+    rng = random.Random(101)
+    for _ in range(200):
+        la, lb = rng.randint(1, 50), rng.randint(1, 50)
+        clip = rng.randint(0, min(la, lb))
+        if clip == 0:
+            continue
+        p, r = clip / lb, clip / la
+        f1 = 2 * p * r / (p + r)
+        assert abs(2 * clip / (la + lb) - f1) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Modularity: the per-community in/deg formulation matches the textbook
+# edge-pair definition Q = (1/2m) sum_ij (A_ij - k_i k_j / 2m) δ(c_i,c_j),
+# and singleton-partition modularity of a graph is <= 0.
+# ---------------------------------------------------------------------------
+
+
+def _mod_counts(und, labels):
+    m2 = len(und)
+    deg = Counter(s for s, _ in und)
+    comm = {}
+    for n, l in labels.items():
+        comm.setdefault(l, []).append(n)
+    q = 0.0
+    for nodes in comm.values():
+        ns = set(nodes)
+        in2 = sum(1 for s, d in und if s in ns and d in ns)
+        dc = sum(deg.get(n, 0) for n in nodes)
+        q += in2 / m2 - (dc / m2) ** 2
+    return q
+
+
+def _mod_textbook(und, labels):
+    m2 = len(und)
+    deg = Counter(s for s, _ in und)
+    a = set(und)
+    nodes = list(labels)
+    q = 0.0
+    for i in nodes:
+        for j in nodes:
+            if labels[i] != labels[j]:
+                continue
+            aij = 1.0 if (i, j) in a else 0.0
+            q += aij - deg.get(i, 0) * deg.get(j, 0) / m2
+    return q / m2
+
+
+def test_modularity_community_form_matches_textbook():
+    rng = random.Random(113)
+    for _ in range(30):
+        n = rng.randint(3, 10)
+        edges = set()
+        for _ in range(rng.randint(2, 20)):
+            a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        if not edges:
+            continue
+        und = list(edges) + [(b, a) for a, b in edges]
+        present = sorted({x for e in und for x in e})
+        labels = {x: rng.randint(0, 2) for x in present}
+        assert abs(_mod_counts(und, labels)
+                   - _mod_textbook(und, labels)) < 1e-9
+        singletons = {x: x for x in present}
+        assert _mod_counts(und, singletons) <= 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Wilson interval: contains p_hat, stays in [0,1], behaves at k=0 / k=n
+# (nonzero width, unlike Wald), and narrows with n.
+# ---------------------------------------------------------------------------
+
+
+def _wilson(k, n, z=1.96, z2=3.8416):
+    p = k / n
+    center = p + z2 / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    denom = 1 + z2 / n
+    # the engines clamp after rounding (z2 literal != z*z in binary can
+    # push k=0's lower bound to -3e-18); mirror that here
+    return (max(0.0, (center - half) / denom),
+            min(1.0, (center + half) / denom))
+
+
+def test_wilson_interval_properties():
+    rng = random.Random(127)
+    for _ in range(300):
+        n = rng.randint(1, 500)
+        k = rng.randint(0, n)
+        lo, hi = _wilson(k, n)
+        assert 0.0 <= lo <= hi <= 1.0
+        assert lo - 1e-12 <= k / n <= hi + 1e-12
+    lo0, hi0 = _wilson(0, 10)
+    assert lo0 == 0.0 and hi0 > 0.0
+    lon, hin = _wilson(10, 10)
+    assert hin == 1.0 and lon < 1.0
+    w_small = _wilson(5, 10)
+    w_big = _wilson(500, 1000)
+    assert (w_big[1] - w_big[0]) < (w_small[1] - w_small[0])
+
+
+# ---------------------------------------------------------------------------
+# Theil-T: 0 for perfectly equal counts, ln(n) when one doc holds all,
+# scale-invariant, and matches the direct definition.
+# ---------------------------------------------------------------------------
+
+
+def _theil(xs):
+    xt, n = sum(xs), len(xs)
+    return sum(x / xt * math.log(x * n / xt) for x in xs if x > 0)
+
+
+def test_theil_bounds_and_invariance():
+    rng = random.Random(131)
+    assert abs(_theil([7] * 12)) < 1e-12
+    n = 9
+    assert abs(_theil([100] + [0] * (n - 1)) - math.log(n)) < 1e-12
+    for _ in range(100):
+        xs = [rng.randint(0, 50) for _ in range(rng.randint(2, 20))]
+        if sum(xs) == 0:
+            continue
+        t = _theil(xs)
+        assert -1e-12 <= t <= math.log(len(xs)) + 1e-12
+        assert abs(_theil([3 * x for x in xs]) - t) < 1e-9
