@@ -196,6 +196,10 @@ EXTRA = {
     "q_modularity": _staged("q_modularity"),
     "q_wilson_ci": _staged("q_wilson_ci"),
     "q_theil_index": _staged("q_theil_index"),
+    "q_truncation_loss": _staged("q_truncation_loss"),
+    "q_span_corruption": _staged("q_span_corruption"),
+    "q_binseg_daily": _staged("q_binseg_daily"),
+    "q_runs_test": _staged("q_runs_test"),
 }
 
 

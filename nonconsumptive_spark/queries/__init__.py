@@ -111,7 +111,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # kendall_tau_b, cohens_kappa, yules_k, chao1_richness,
 # flesch_reading, kruskal_wallis, levene_bf, t_closeness,
 # jackknife_ratio, rouge2_pairs, modularity, wilson_ci,
-# theil_index.  Promotion
+# theil_index, truncation_loss, span_corruption, binseg_daily,
+# runs_test.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

@@ -3668,3 +3668,335 @@ def q_theil_index(spark, sf_dir):
              + F.lit(0.0)).alias("theil_t"),
         )
     )
+
+
+# -- context-window truncation loss -------------------------------------------
+_TRUNC_LENS = [128, 256, 512, 1024]
+
+
+@_stage(
+    "q_truncation_loss",
+    f"""
+    WITH per AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(
+               coalesce(text, ''), '[^\\pL]+'), x -> x <> '')) AS BIGINT)
+             AS x
+      FROM documents),
+    spine AS (SELECT unnest({_TRUNC_LENS}) AS max_len)
+    SELECT CAST(max_len AS BIGINT) AS max_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN x > max_len THEN 1 END), 0)
+                AS BIGINT) AS n_truncated,
+           CAST(sum(x) AS BIGINT) AS total_tokens,
+           CAST(sum(least(x, max_len)) AS BIGINT) AS kept_tokens,
+           CASE WHEN sum(x) > 0
+                THEN round(1.0 - CAST(sum(least(x, max_len)) AS DOUBLE)
+                                 / sum(x), 6) + 0.0
+                ELSE 0.0 END AS loss_frac
+    FROM per CROSS JOIN spine GROUP BY max_len
+    """,
+)
+def q_truncation_loss(spark, sf_dir):
+    """Token loss from truncating every document at a context window of
+    L, for a spine of candidate L values — the first question any
+    pretraining-data pipeline asks before choosing max_seq_len (kept =
+    sum min(x, L); complement of q_pack_sequences' packing view).  NULL
+    text counts as empty.  All counts are exact BIGINTs; the loss
+    fraction is one mirrored division per spine row.  Plan: one per-doc
+    scan crossed with a 4-row literal spine, one 4-group agg."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    per = load(spark, sf_dir, "documents").select(
+        F.size(tokenize(F.coalesce("text", F.lit("")))).cast("long")
+        .alias("x"))
+    spine = spark.range(0).sparkSession.createDataFrame(
+        [(v,) for v in _TRUNC_LENS], "max_len long")
+    return (
+        per.crossJoin(F.broadcast(spine))
+        .groupBy("max_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.when(F.col("x") > F.col("max_len"), 1)),
+                       F.lit(0)).cast("long").alias("n_truncated"),
+            F.sum("x").cast("long").alias("total_tokens"),
+            F.sum(F.least("x", "max_len")).cast("long").alias("kept_tokens"),
+        )
+        .select(
+            "max_len", "n_docs", "n_truncated", "total_tokens",
+            "kept_tokens",
+            F.when(F.col("total_tokens") > 0,
+                   F.round(1.0 - F.col("kept_tokens").cast("double")
+                           / F.col("total_tokens"), 6) + F.lit(0.0))
+            .otherwise(F.lit(0.0)).alias("loss_frac"),
+        )
+    )
+
+
+# -- T5-style span-corruption statistics ---------------------------------------
+# Mask positions chosen by an engine-portable hash (md5 of doc_id:pos,
+# first 60 bits, mod _SPAN_RATE == 0 -> ~1/_SPAN_RATE mask ratio);
+# adjacent masked positions merge into spans, T5-style.  Pure in-row
+# array math — the mask decision replays bit-for-bit in both engines.
+_SPAN_RATE = 5
+
+
+@_stage(
+    "q_span_corruption",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(
+               coalesce(text, ''), '[^\\pL]+'), x -> x <> '')) AS BIGINT)
+             AS x
+      FROM documents),
+    bits AS (
+      SELECT doc_id, x,
+             list_transform(range(1, x + 1),
+               p -> (CAST(('0x' || substr(md5(doc_id || ':' || p), 1, 15))
+                          AS BIGINT) % {_SPAN_RATE}) = 0) AS b
+      FROM base)
+    SELECT doc_id, x AS n_tokens,
+           CAST(len(list_filter(b, v -> v)) AS BIGINT) AS n_masked,
+           CAST(len(list_filter(range(1, x + 1),
+                    p -> b[p] AND (p = 1 OR NOT b[p - 1]))) AS BIGINT)
+             AS n_spans,
+           CASE WHEN x > 0
+                THEN round(CAST(len(list_filter(b, v -> v)) AS DOUBLE) / x,
+                           6) + 0.0 END AS mask_ratio
+    FROM bits
+    """,
+)
+def q_span_corruption(spark, sf_dir):
+    """T5-style span-corruption statistics per document: which positions
+    a deterministic hash masks (~20% at rate 5), how many contiguous
+    spans they merge into, and the realized mask ratio — the
+    denoising-objective shape check a pretraining pipeline runs before
+    committing a corruption config (Raffel et al. 2020).  See the
+    header note for the portable hash; NULL text counts as empty.
+    Plan: zero-shuffle per-row scan; all span math is in-row array
+    folds over the position sequence."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokenize(F.coalesce("text", F.lit("")))).cast("long")
+        .alias("x"),
+    )
+    seq = F.when(F.col("x") > 0,
+                 F.sequence(F.lit(1).cast("long"), F.col("x"))
+                 ).otherwise(F.array().cast("array<long>"))
+    mask_bit = lambda p: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            p.cast("string"))), 1, 15), 16, 10).cast("long")
+        % _SPAN_RATE) == 0
+    bits = base.select(
+        "doc_id", "x",
+        F.transform(seq, mask_bit).alias("b"),
+        seq.alias("ps"),
+    )
+    n_masked = F.size(F.filter("b", lambda v: v)).cast("long")
+    n_spans = F.size(F.filter(
+        F.col("ps"),
+        lambda p: F.element_at(F.col("b"), p.cast("int"))
+        & ((p == 1) | ~F.element_at(F.col("b"), (p - 1).cast("int"))),
+    )).cast("long")
+    return bits.select(
+        "doc_id", F.col("x").alias("n_tokens"),
+        n_masked.alias("n_masked"), n_spans.alias("n_spans"),
+        F.when(F.col("x") > 0,
+               F.round(n_masked.cast("double") / F.col("x"), 6)
+               + F.lit(0.0)).alias("mask_ratio"),
+    )
+
+
+# -- binary-segmentation changepoint on the daily series ----------------------
+# One exact binary-segmentation round: the split s maximizing the
+# between-segment gain sl^2/nl + sr^2/nr (equivalently the SSE drop —
+# the Sigma-y^2 term cancels), scored on a floor(x*1000) BIGINT so the
+# argmax is total-order deterministic with an earliest-day tie-break.
+_BINSEG_SCALE = 1000
+
+
+@_stage(
+    "q_binseg_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, d, y,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(y) OVER w AS BIGINT) AS sl,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    scored AS (
+      SELECT event_type, d, i, n, sl, s,
+             CAST(floor((CAST(sl AS DOUBLE) * sl / i
+                         + CAST(s - sl AS DOUBLE) * (s - sl) / (n - i))
+                        * {_BINSEG_SCALE}) AS BIGINT) AS score_q
+      FROM cum WHERE i < n),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY score_q DESC, d ASC) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT event_type, n AS n_days, d AS split_day, score_q,
+           round(CAST(sl AS DOUBLE) * sl / i
+                 + CAST(s - sl AS DOUBLE) * (s - sl) / (n - i)
+                 - CAST(s AS DOUBLE) * s / n, 4) + 0.0 AS gain,
+           round(CAST(sl AS DOUBLE) / i, 4) + 0.0 AS mean_left,
+           round(CAST(s - sl AS DOUBLE) / (n - i), 4) + 0.0 AS mean_right
+    FROM best
+    """,
+)
+def q_binseg_daily(spark, sf_dir):
+    """Exact single-changepoint detection (one binary-segmentation
+    round, Scott & Knott 1974) on each event type's daily count series:
+    the day boundary that maximizes the between-segment SSE reduction —
+    the offline complement to the online CUSUM queries.  Cumulative
+    sums make every candidate split O(1), the gain quantizes to a
+    BIGINT for a deterministic argmax (earliest-day tie-break), and the
+    reported gain/means are mirrored float chains on the single winning
+    row.  Plan: one daily agg, two bounded per-type windows over #days
+    rows, one top-1 window."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wp = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type", "d", "y",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("d"))
+        .cast("long").alias("i"),
+        F.sum("y").over(w).cast("long").alias("sl"),
+        F.count("*").over(wp).cast("long").alias("n"),
+        F.sum("y").over(wp).cast("long").alias("s"),
+    )
+    sr = (F.col("s") - F.col("sl")).cast("double")
+    score = (F.col("sl").cast("double") * F.col("sl") / F.col("i")
+             + sr * (F.col("s") - F.col("sl")) / (F.col("n") - F.col("i")))
+    scored = cum.filter(F.col("i") < F.col("n")).withColumn(
+        "score_q", F.floor(score * _BINSEG_SCALE).cast("long"))
+    best = (
+        scored.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("event_type")
+                .orderBy(F.desc("score_q"), F.asc("d"))))
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        "event_type", F.col("n").alias("n_days"),
+        F.col("d").alias("split_day"), "score_q",
+        (F.round(score - F.col("s").cast("double") * F.col("s")
+                 / F.col("n"), 4) + F.lit(0.0)).alias("gain"),
+        (F.round(F.col("sl").cast("double") / F.col("i"), 4)
+         + F.lit(0.0)).alias("mean_left"),
+        (F.round(sr / (F.col("n") - F.col("i")), 4) + F.lit(0.0))
+        .alias("mean_right"),
+    )
+
+
+# -- Wald-Wolfowitz runs test on daily up/down moves ---------------------------
+@_stage(
+    "q_runs_test",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    moves AS (
+      SELECT event_type, d, sgn FROM (
+        SELECT event_type, d,
+               CASE WHEN y > lag(y) OVER w THEN 1
+                    WHEN y < lag(y) OVER w THEN -1 END AS sgn
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
+      WHERE sgn IS NOT NULL),
+    runs AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN sgn = 1 THEN 1 END), 0)
+                  AS BIGINT) AS n_up,
+             CAST(coalesce(sum(CASE WHEN sgn = -1 THEN 1 END), 0)
+                  AS BIGINT) AS n_down,
+             CAST(coalesce(sum(CASE WHEN prev IS NULL OR sgn <> prev
+                                    THEN 1 END), 0) AS BIGINT) AS n_runs
+      FROM (SELECT event_type, sgn,
+                   lag(sgn) OVER (PARTITION BY event_type ORDER BY d)
+                     AS prev
+            FROM moves)
+      GROUP BY event_type)
+    SELECT event_type, n AS n_moves, n_up, n_down, n_runs,
+           CASE WHEN n_up > 0 AND n_down > 0 AND n > 1
+                     AND (2.0 * n_up * n_down / n)
+                         * (2.0 * n_up * n_down / n - 1) / (n - 1) > 0
+                THEN round((n_runs - (2.0 * n_up * n_down / n + 1))
+                           / sqrt((2.0 * n_up * n_down / n)
+                                  * (2.0 * n_up * n_down / n - 1)
+                                  / (n - 1)), 4) + 0.0
+                END AS z_stat
+    FROM runs
+    """,
+)
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of each event type's
+    daily up/down moves: too FEW runs = trending, too MANY =
+    oscillating — the nonparametric is-this-series-random check that
+    complements q_mann_kendall's monotone-trend view.  Run and sign
+    counts are exact BIGINTs off two bounded per-type windows; z uses
+    the sigma^2 = (mu-1)(mu-2)/(n-1) identity as one mirrored float
+    chain with a zero-variance guard.  Plan: one daily agg + two
+    #days-bounded windows per type."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    moves = (
+        daily.select(
+            "event_type", "d",
+            F.when(F.col("y") > F.lag("y").over(w), 1)
+            .when(F.col("y") < F.lag("y").over(w), -1).alias("sgn"))
+        .filter(F.col("sgn").isNotNull())
+    )
+    runs = (
+        moves.select("event_type", "sgn",
+                     F.lag("sgn").over(w).alias("prev"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum(F.when(F.col("sgn") == 1, 1)), F.lit(0))
+            .cast("long").alias("n_up"),
+            F.coalesce(F.sum(F.when(F.col("sgn") == -1, 1)), F.lit(0))
+            .cast("long").alias("n_down"),
+            F.coalesce(
+                F.sum(F.when(F.col("prev").isNull()
+                             | (F.col("sgn") != F.col("prev")), 1)),
+                F.lit(0)).cast("long").alias("n_runs"),
+        )
+    )
+    mu1 = 2.0 * F.col("n_up") * F.col("n_down") / F.col("n")
+    var = mu1 * (mu1 - 1) / (F.col("n") - 1)
+    return runs.select(
+        F.col("event_type"), F.col("n").alias("n_moves"),
+        "n_up", "n_down", "n_runs",
+        F.when((F.col("n_up") > 0) & (F.col("n_down") > 0)
+               & (F.col("n") > 1) & (var > 0),
+               F.round((F.col("n_runs") - (mu1 + 1)) / F.sqrt(var), 4)
+               + F.lit(0.0)).alias("z_stat"),
+    )

@@ -480,3 +480,100 @@ def test_theil_bounds_and_invariance():
         t = _theil(xs)
         assert -1e-12 <= t <= math.log(len(xs)) + 1e-12
         assert abs(_theil([3 * x for x in xs]) - t) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Binary segmentation: the sl^2/nl + sr^2/nr gain form equals the SSE
+# reduction SSE_total - (SSE_left + SSE_right) for every split (the
+# sum-of-squares term cancels), so maximizing one maximizes the other.
+# ---------------------------------------------------------------------------
+
+
+def test_binseg_gain_equals_sse_reduction():
+    rng = random.Random(139)
+
+    def sse(ys):
+        mu = sum(ys) / len(ys)
+        return sum((y - mu) ** 2 for y in ys)
+
+    for _ in range(100):
+        ys = [rng.randint(0, 30) for _ in range(rng.randint(3, 25))]
+        n, s = len(ys), sum(ys)
+        for i in range(1, n):
+            sl = sum(ys[:i])
+            gain = sl * sl / i + (s - sl) ** 2 / (n - i) - s * s / n
+            red = sse(ys) - (sse(ys[:i]) + sse(ys[i:]))
+            assert abs(gain - red) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Runs test: the lag-based run count equals a direct scan, and the
+# (mu-1)(mu-2)/(n-1) variance identity equals the textbook form.
+# ---------------------------------------------------------------------------
+
+
+def test_runs_count_and_variance_identity():
+    rng = random.Random(149)
+    for _ in range(200):
+        signs = [rng.choice([1, -1]) for _ in range(rng.randint(2, 40))]
+        lag_runs = sum(
+            1 for i, s in enumerate(signs)
+            if i == 0 or s != signs[i - 1]
+        )
+        direct = 1 + sum(
+            1 for a, b in zip(signs, signs[1:]) if a != b)
+        assert lag_runs == direct
+        a = signs.count(1)
+        b = signs.count(-1)
+        n = a + b
+        if a == 0 or b == 0 or n < 2:
+            continue
+        mu = 2 * a * b / n + 1
+        var_id = (mu - 1) * (mu - 2) / (n - 1)
+        var_tb = 2 * a * b * (2 * a * b - n) / (n * n * (n - 1))
+        assert abs(var_id - var_tb) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Span corruption: first-of-run span count equals a direct run scan on
+# random masks, and merging is the only way n_spans <= n_masked.
+# ---------------------------------------------------------------------------
+
+
+def test_span_count_first_of_run_equals_scan():
+    rng = random.Random(151)
+    for _ in range(300):
+        bits = [rng.random() < 0.3 for _ in range(rng.randint(0, 40))]
+        first_of_run = sum(
+            1 for p in range(len(bits))
+            if bits[p] and (p == 0 or not bits[p - 1])
+        )
+        runs, inside = 0, False
+        for b in bits:
+            if b and not inside:
+                runs += 1
+            inside = b
+        assert first_of_run == runs
+        assert runs <= sum(bits)
+
+
+# ---------------------------------------------------------------------------
+# Truncation loss: kept tokens monotone nondecreasing in L, loss
+# fraction nonincreasing, exact at the extremes.
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_loss_monotone():
+    rng = random.Random(157)
+    for _ in range(100):
+        xs = [rng.randint(0, 2000) for _ in range(rng.randint(1, 50))]
+        total = sum(xs)
+        prev_kept, prev_loss = -1, 2.0
+        for L in (128, 256, 512, 1024):
+            kept = sum(min(x, L) for x in xs)
+            loss = 1 - kept / total if total else 0.0
+            assert kept >= prev_kept
+            assert loss <= prev_loss + 1e-12
+            prev_kept, prev_loss = kept, loss
+        if max(xs) <= 1024:
+            assert prev_loss == 0.0

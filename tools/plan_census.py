@@ -115,6 +115,7 @@ BNLJ_WHITELIST = {
     "q_t_closeness",          # 10-row bucket spine + 1-row global-count attach
     "q_jackknife_ratio",      # 1-row totals attach onto the #sources frame
     "q_modularity",           # 1-row M2 + 1-row global-Q attaches
+    "q_truncation_loss",      # 4-row max-len literal spine, by design
 }
 
 
