@@ -200,6 +200,10 @@ EXTRA = {
     "q_span_corruption": _staged("q_span_corruption"),
     "q_binseg_daily": _staged("q_binseg_daily"),
     "q_runs_test": _staged("q_runs_test"),
+    "q_dedup_rate_by_source": _staged("q_dedup_rate_by_source"),
+    "q_cooks_distance": _staged("q_cooks_distance"),
+    "q_sax_daily": _staged("q_sax_daily"),
+    "q_seasonality_strength": _staged("q_seasonality_strength"),
 }
 
 

@@ -4000,3 +4000,360 @@ def q_runs_test(spark, sf_dir):
                F.round((F.col("n_runs") - (mu1 + 1)) / F.sqrt(var), 4)
                + F.lit(0.0)).alias("z_stat"),
     )
+
+
+# -- dedup survivorship by source ----------------------------------------------
+def _dedup_rate_oracle() -> str:
+    from nonconsumptive_spark.queries.dedup import _DUCK_COMP
+
+    return _DUCK_COMP + """,
+    asg AS (
+      SELECT d.doc_id, d.source,
+             CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    canon AS (
+      SELECT cluster, source AS canon_source FROM asg
+      WHERE doc_id = cluster)
+    SELECT a.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN a.doc_id = a.cluster THEN 1 END), 0)
+                AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN a.doc_id <> a.cluster THEN 1 END), 0)
+                AS BIGINT) AS n_removed,
+           CAST(coalesce(sum(CASE WHEN a.doc_id <> a.cluster
+                                   AND k.canon_source <> a.source
+                             THEN 1 END), 0) AS BIGINT) AS n_cross_source,
+           round(CAST(coalesce(sum(CASE WHEN a.doc_id <> a.cluster
+                                        THEN 1 END), 0) AS DOUBLE)
+                 / count(*), 6) + 0.0 AS removal_rate
+    FROM asg a JOIN canon k USING (cluster)
+    GROUP BY a.source"""
+
+
+@_stage("q_dedup_rate_by_source", _dedup_rate_oracle())
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Near-dup survivorship per source: how many of each source's
+    documents the MinHash-cluster dedup removes, and how many of those
+    removals are CROSS-source (this source's docs losing to another
+    source's canonical copy) — the "which feed is a mirror of which"
+    diagnostic that the corpus-level q_dedup_stats histogram can't
+    answer.  Keeper = the cluster's min-id member (dedup_clusters'
+    convention), so the canonical's source comes from one equi-join on
+    the cluster label.  Plan: the shared LSH cluster machinery, then
+    two label/source-keyed joins + one source agg — nothing pairwise
+    beyond the banded candidate join."""
+    from nonconsumptive_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    cl = dd.dedup_clusters(docs, threshold=0.5)
+    asg = docs.select("doc_id", "source").join(cl, "doc_id")
+    canon = (
+        asg.filter(F.col("doc_id") == F.col("cluster"))
+        .select("cluster", F.col("source").alias("canon_source"))
+    )
+    removed = F.col("doc_id") != F.col("cluster")
+    return (
+        asg.join(canon, "cluster")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.when(~removed, 1)), F.lit(0))
+            .cast("long").alias("n_kept"),
+            F.coalesce(F.sum(F.when(removed, 1)), F.lit(0))
+            .cast("long").alias("n_removed"),
+            F.coalesce(
+                F.sum(F.when(
+                    removed & (F.col("canon_source") != F.col("source")),
+                    1)), F.lit(0)).cast("long").alias("n_cross_source"),
+        )
+        .select(
+            "source", "n_docs", "n_kept", "n_removed", "n_cross_source",
+            (F.round(F.col("n_removed").cast("double") / F.col("n_docs"),
+                     6) + F.lit(0.0)).alias("removal_rate"),
+        )
+    )
+
+
+# -- OLS influence diagnostics (Cook's distance) -------------------------------
+_COOKS_SCALE = 10**6
+
+
+@_stage(
+    "q_cooks_distance",
+    f"""
+    WITH per AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_filter(regexp_split_to_array(
+               coalesce(text, ''), '[^\\pL]+'), t -> t <> '')) AS BIGINT)
+               AS y
+      FROM documents),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM per),
+    fit AS (
+      SELECT p.doc_id, p.x, p.y, m.n, m.sx, m.sxx,
+             p.y - ((CAST(m.sy AS DOUBLE)
+                     - CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                       / (m.n * m.sxx - m.sx * m.sx) * m.sx) / m.n
+                    + CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                      / (m.n * m.sxx - m.sx * m.sx) * p.x) AS e,
+             1.0 / m.n
+               + (p.x - CAST(m.sx AS DOUBLE) / m.n)
+                 * (p.x - CAST(m.sx AS DOUBLE) / m.n)
+                 / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+               AS h
+      FROM per p CROSS JOIN mom m),
+    sse AS (
+      SELECT CAST(sum(CAST(floor(e * e * {_COOKS_SCALE}) AS BIGINT))
+                  AS BIGINT) AS sse_q
+      FROM fit)
+    SELECT f.doc_id,
+           round(f.e, 4) + 0.0 AS resid,
+           round(f.h, 6) + 0.0 AS leverage,
+           CASE WHEN f.n > 2 AND s.sse_q > 0 AND f.h < 1.0
+                THEN round(f.e * f.e * f.h
+                           / (2.0 * (CAST(s.sse_q AS DOUBLE)
+                                     / {_COOKS_SCALE} / (f.n - 2))
+                              * (1.0 - f.h) * (1.0 - f.h)), 6) + 0.0
+                END AS cooks_d
+    FROM fit f CROSS JOIN sse s
+    """,
+)
+def q_cooks_distance(spark, sf_dir):
+    """OLS influence diagnostics for the corpus length-vs-tokens
+    regression: per-document residual, leverage h_i, and Cook's
+    distance — the which-documents-drive-the-fit check behind outlier
+    triage (complements q_zscore/mad_outliers with a MODEL-based
+    notion of anomalous).  Slope/intercept come from exact BIGINT
+    moments; the SSE behind the MSE quantizes per-doc squared
+    residuals to 1e-6 BIGINTs so it is order-independent; NULL text
+    counts as empty.  Plan: per-doc scan + a 1-row moment attach + a
+    1-row SSE attach — nothing beyond two tiny broadcasts."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    per = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("x"),
+        F.size(tokenize(F.coalesce("text", F.lit("")))).cast("long")
+        .alias("y"),
+    )
+    mom = per.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    beta = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    alpha = (F.col("sy").cast("double") - beta * F.col("sx")) / F.col("n")
+    xc = F.col("x") - F.col("sx").cast("double") / F.col("n")
+    h = (1.0 / F.col("n")
+         + xc * xc / (F.col("sxx").cast("double")
+                      - F.col("sx").cast("double") * F.col("sx")
+                      / F.col("n")))
+    fit = per.crossJoin(F.broadcast(mom)).select(
+        "doc_id", "x", "y", "n",
+        (F.col("y") - (alpha + beta * F.col("x"))).alias("e"),
+        h.alias("h"),
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    fit = materialize_once(fit, "cooks_fit")
+    sse = fit.agg(
+        F.sum(F.floor(F.col("e") * F.col("e") * _COOKS_SCALE)
+              .cast("long")).cast("long").alias("sse_q"))
+    mse = (F.col("sse_q").cast("double") / _COOKS_SCALE
+           / (F.col("n") - 2))
+    return (
+        fit.crossJoin(F.broadcast(sse))
+        .select(
+            "doc_id",
+            (F.round(F.col("e"), 4) + F.lit(0.0)).alias("resid"),
+            (F.round(F.col("h"), 6) + F.lit(0.0)).alias("leverage"),
+            F.when((F.col("n") > 2) & (F.col("sse_q") > 0)
+                   & (F.col("h") < 1.0),
+                   F.round(F.col("e") * F.col("e") * F.col("h")
+                           / (2.0 * mse * (1.0 - F.col("h"))
+                              * (1.0 - F.col("h"))), 6) + F.lit(0.0))
+            .alias("cooks_d"),
+        )
+    )
+
+
+# -- SAX symbolization of the daily series -------------------------------------
+# Gaussian 4-letter breakpoints at z = ±0.6745 and 0, applied to the
+# per-type z-score QUANTIZED to integer 1e-6 units — the letter decision
+# compares BIGINTs against integer thresholds, so the symbol stream
+# replays identically cross-engine even at breakpoint boundaries.
+_SAX_SCALE = 10**6
+_SAX_BP = 674500  # 0.6745 in 1e-6 units
+
+
+@_stage(
+    "q_sax_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ssq
+      FROM daily GROUP BY event_type),
+    z AS (
+      SELECT d.event_type, d.d, d.y, m.n,
+             CASE WHEN m.n * m.ssq - m.s * m.s > 0
+                  THEN CAST(floor((d.y - CAST(m.s AS DOUBLE) / m.n)
+                         / sqrt((CAST(m.ssq AS DOUBLE)
+                                 - CAST(m.s AS DOUBLE) * m.s / m.n) / m.n)
+                         * {_SAX_SCALE}) AS BIGINT)
+                  ELSE 0 END AS zq
+      FROM daily d JOIN mom m USING (event_type))
+    SELECT event_type, d AS day, y, zq,
+           CASE WHEN zq < -{_SAX_BP} THEN 'a'
+                WHEN zq < 0 THEN 'b'
+                WHEN zq < {_SAX_BP} THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z
+    """,
+)
+def q_sax_daily(spark, sf_dir):
+    """SAX symbolization (Lin et al. 2003) of each event type's daily
+    count series: z-normalize against the type's own mean/std (exact
+    BIGINT moments, population variance) and map to a 4-letter alphabet
+    at the Gaussian quartile breakpoints — the discretization under
+    symbolic motif/anomaly mining.  See the header note for why the
+    letter decision is boundary-safe.  Plan: one daily agg, one
+    per-type moment agg, one broadcast join back — no windows at all."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ssq"),
+    )
+    var_num = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    zq = F.floor(
+        (F.col("y") - F.col("s").cast("double") / F.col("n"))
+        / F.sqrt((F.col("ssq").cast("double")
+                  - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                 / F.col("n"))
+        * _SAX_SCALE).cast("long")
+    z = (
+        daily.join(F.broadcast(mom), "event_type")
+        .select("event_type", "d", "y",
+                F.when(var_num > 0, zq).otherwise(F.lit(0)).alias("zq"))
+    )
+    return z.select(
+        "event_type", F.col("d").alias("day"), "y", "zq",
+        F.when(F.col("zq") < -_SAX_BP, "a")
+        .when(F.col("zq") < 0, "b")
+        .when(F.col("zq") < _SAX_BP, "c")
+        .otherwise("d").alias("symbol"),
+    )
+
+
+# -- day-of-week seasonality strength ------------------------------------------
+_SEAS_SCALE = 10**6
+
+
+@_stage(
+    "q_seasonality_strength",
+    f"""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    dowd AS (
+      SELECT event_type, dayofweek(CAST(d AS DATE)) AS dow, y
+      FROM daily),
+    bydow AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(y) AS BIGINT) AS s_d
+      FROM dowd GROUP BY event_type, dow),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ssq
+      FROM dowd GROUP BY event_type),
+    agg AS (
+      SELECT b.event_type,
+             CAST(sum(s_d * s_d * {_SEAS_SCALE} // n_d) AS BIGINT) AS ssb_r,
+             any_value(m.n) AS n, any_value(m.s) AS s,
+             any_value(m.ssq) AS ssq,
+             CAST(count(*) AS BIGINT) AS n_dows
+      FROM bydow b JOIN mom m USING (event_type)
+      GROUP BY b.event_type)
+    SELECT event_type, n AS n_days, n_dows,
+           CAST(ssb_r - s * s * {_SEAS_SCALE} // n AS BIGINT) AS ssb_q,
+           CAST(ssq * {_SEAS_SCALE} - s * s * {_SEAS_SCALE} // n AS BIGINT)
+             AS sst_q,
+           CASE WHEN ssq * {_SEAS_SCALE} - s * s * {_SEAS_SCALE} // n > 0
+                THEN round(CAST(ssb_r - s * s * {_SEAS_SCALE} // n
+                                AS DOUBLE)
+                           / (ssq * {_SEAS_SCALE}
+                              - s * s * {_SEAS_SCALE} // n), 6) + 0.0
+                ELSE 0.0 END AS eta_sq
+    FROM agg
+    """,
+)
+def q_seasonality_strength(spark, sf_dir):
+    """Day-of-week seasonality strength per event type: eta-squared of
+    the daily counts grouped by weekday (between-dow sum of squares
+    over total) — 0 for a flat week, 1 when weekday alone determines
+    volume; the is-there-a-weekly-cycle screen before seasonal
+    adjustment (complements q_seasonal_residuals, which REMOVES the
+    cycle).  Every sum of squares is exact integer arithmetic scaled
+    by 1e6 with floor division, so eta^2 is one mirrored division of
+    BIGINTs.  Plan: daily agg -> 7-row-per-type dow agg + moment agg
+    -> one join; nothing past the dow histogram."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    dowd = daily.select(
+        "event_type",
+        (F.dayofweek(F.to_date("d")) - 1).cast("long").alias("dow"),
+        "y",
+    )
+    bydow = dowd.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum("y").cast("long").alias("s_d"),
+    )
+    mom = dowd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ssq"),
+    )
+    agg = (
+        bydow.join(mom, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr(f"s_d * s_d * {_SEAS_SCALE} div n_d"))
+            .cast("long").alias("ssb_r"),
+            F.first("n").alias("n"), F.first("s").alias("s"),
+            F.first("ssq").alias("ssq"),
+            F.count("*").cast("long").alias("n_dows"),
+        )
+    )
+    corr = F.expr(f"s * s * {_SEAS_SCALE} div n")
+    ssb = (F.col("ssb_r") - corr).cast("long")
+    sst = (F.col("ssq") * _SEAS_SCALE - corr).cast("long")
+    return agg.select(
+        "event_type", F.col("n").alias("n_days"), "n_dows",
+        ssb.alias("ssb_q"), sst.alias("sst_q"),
+        F.when(sst > 0,
+               F.round(ssb.cast("double") / sst, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0)).alias("eta_sq"),
+    )

@@ -577,3 +577,133 @@ def test_truncation_loss_monotone():
             prev_kept, prev_loss = kept, loss
         if max(xs) <= 1024:
             assert prev_loss == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance: the closed form e^2 h / (p*MSE*(1-h)^2) equals the
+# definition sum_j (yhat_j - yhat_j(i))^2 / (p*MSE) under delete-one
+# refit, on random regressions.
+# ---------------------------------------------------------------------------
+
+
+def _ols(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    alpha = (sy - beta * sx) / n
+    return alpha, beta
+
+
+def test_cooks_distance_closed_form_matches_refit():
+    rng = random.Random(163)
+    for _ in range(30):
+        n = rng.randint(5, 20)
+        xs = [rng.randint(1, 100) for _ in range(n)]
+        if len(set(xs)) < 2:
+            continue
+        ys = [2 * x + rng.randint(-20, 20) for x in xs]
+        a, b = _ols(xs, ys)
+        resid = [y - (a + b * x) for x, y in zip(xs, ys)]
+        sse = sum(e * e for e in resid)
+        mse = sse / (n - 2)
+        if mse == 0:
+            continue
+        xbar = sum(xs) / n
+        sxx_c = sum(x * x for x in xs) - sum(xs) ** 2 / n
+        for i in range(n):
+            h = 1 / n + (xs[i] - xbar) ** 2 / sxx_c
+            closed = resid[i] ** 2 * h / (2 * mse * (1 - h) ** 2)
+            xs2 = xs[:i] + xs[i + 1:]
+            ys2 = ys[:i] + ys[i + 1:]
+            if len(set(xs2)) < 2:
+                continue
+            a2, b2 = _ols(xs2, ys2)
+            num = sum(((a + b * x) - (a2 + b2 * x)) ** 2 for x in xs)
+            assert abs(closed - num / (2 * mse)) < 1e-6 * max(1.0, closed)
+
+
+# ---------------------------------------------------------------------------
+# SAX: the quantized-z letter decision equals the float decision away
+# from exact breakpoints, and the explicit boundary cases land by floor
+# semantics.
+# ---------------------------------------------------------------------------
+
+
+def _sax_float(z):
+    if z < -0.6745:
+        return "a"
+    if z < 0:
+        return "b"
+    if z < 0.6745:
+        return "c"
+    return "d"
+
+
+def _sax_quant(z):
+    zq = math.floor(z * 10**6)
+    if zq < -674500:
+        return "a"
+    if zq < 0:
+        return "b"
+    if zq < 674500:
+        return "c"
+    return "d"
+
+
+def test_sax_quantized_letters_match_float():
+    rng = random.Random(167)
+    for _ in range(2000):
+        z = rng.uniform(-3, 3)
+        assert _sax_quant(z) == _sax_float(z)
+    # boundaries: the strict < puts the breakpoint value itself in the
+    # UPPER letter in both forms (floor(-674500.0) = -674500 is not
+    # < -674500), so they agree there too
+    for z in (-0.6745, 0.0, 0.6745):
+        assert _sax_quant(z) == _sax_float(z)
+    assert _sax_quant(-0.6745) == "b"
+    assert _sax_quant(0.0) == "c"
+    assert _sax_quant(0.6745) == "d"
+
+
+# ---------------------------------------------------------------------------
+# Seasonality eta^2: integer-scaled SSB/SST matches float eta^2, flat
+# weeks give exactly 0, and the ratio stays in [0, 1].
+# ---------------------------------------------------------------------------
+
+
+def test_seasonality_eta_sq_integer_form():
+    rng = random.Random(173)
+    sc = 10**6
+    for _ in range(100):
+        days = [(rng.randint(0, 6), rng.randint(0, 50))
+                for _ in range(rng.randint(7, 40))]
+        n = len(days)
+        s = sum(y for _, y in days)
+        ssq = sum(y * y for _, y in days)
+        bydow = Counter()
+        cnts = Counter()
+        for d, y in days:
+            bydow[d] += y
+            cnts[d] += 1
+        ssb_r = sum(bydow[d] ** 2 * sc // cnts[d] for d in bydow)
+        corr = s * s * sc // n
+        ssb_q, sst_q = ssb_r - corr, ssq * sc - corr
+        if sst_q <= 0:
+            continue
+        eta_int = ssb_q / sst_q
+        mu = s / n
+        sst = ssq - n * mu * mu
+        ssb = sum(cnts[d] * (bydow[d] / cnts[d] - mu) ** 2 for d in bydow)
+        assert abs(eta_int - ssb / sst) < 1e-4
+        assert -1e-9 <= eta_int <= 1.0 + 1e-9
+    flat = [(d % 7, 10) for d in range(14)]
+    s = sum(y for _, y in flat)
+    ssq = sum(y * y for _, y in flat)
+    bydow, cnts = Counter(), Counter()
+    for d, y in flat:
+        bydow[d] += y
+        cnts[d] += 1
+    ssb_r = sum(bydow[d] ** 2 * sc // cnts[d] for d in bydow)
+    assert ssb_r - s * s * sc // len(flat) == 0

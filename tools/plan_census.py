@@ -116,6 +116,7 @@ BNLJ_WHITELIST = {
     "q_jackknife_ratio",      # 1-row totals attach onto the #sources frame
     "q_modularity",           # 1-row M2 + 1-row global-Q attaches
     "q_truncation_loss",      # 4-row max-len literal spine, by design
+    "q_cooks_distance",       # 1-row moment + 1-row SSE attaches
 }
 
 
