@@ -204,6 +204,9 @@ EXTRA = {
     "q_cooks_distance": _staged("q_cooks_distance"),
     "q_sax_daily": _staged("q_sax_daily"),
     "q_seasonality_strength": _staged("q_seasonality_strength"),
+    "q_mattr": _staged("q_mattr"),
+    "q_interarrival_stats": _staged("q_interarrival_stats"),
+    "q_embedding_isotropy": _staged("q_embedding_isotropy"),
 }
 
 

@@ -113,7 +113,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # jackknife_ratio, rouge2_pairs, modularity, wilson_ci,
 # theil_index, truncation_loss, span_corruption, binseg_daily,
 # runs_test, dedup_rate_by_source, cooks_distance, sax_daily,
-# seasonality_strength.  Promotion
+# seasonality_strength, mattr, interarrival_stats,
+# embedding_isotropy.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

@@ -4357,3 +4357,269 @@ def q_seasonality_strength(spark, sf_dir):
                F.round(ssb.cast("double") / sst, 6) + F.lit(0.0))
         .otherwise(F.lit(0.0)).alias("eta_sq"),
     )
+
+
+# -- moving-average type-token ratio (MATTR) -----------------------------------
+# Plain TTR falls with document length (Heaps); MATTR (Covington &
+# McFall 2010) fixes the window so diversity is comparable across
+# lengths: the mean TTR over all W-token sliding windows, i.e.
+# sum(distinct-per-window) / (n_windows * W) — one division of exact
+# BIGINTs.  Docs shorter than W fall back to plain TTR.
+_MATTR_W = 25
+
+
+@_stage(
+    "q_mattr",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '[^\\pL]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    per AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS x,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+             CASE WHEN len(t) >= {_MATTR_W}
+                  THEN CAST(list_sum(list_transform(
+                         range(1, len(t) - {_MATTR_W} + 2),
+                         p -> len(list_distinct(
+                                list_slice(t, p, p + {_MATTR_W} - 1)))))
+                       AS BIGINT) END AS wsum
+      FROM base)
+    SELECT doc_id, x AS n_tokens, n_types,
+           CASE WHEN x > 0
+                THEN round(CAST(n_types AS DOUBLE) / x, 6) + 0.0
+                END AS ttr,
+           CASE WHEN x >= {_MATTR_W}
+                THEN round(CAST(wsum AS DOUBLE)
+                           / ((x - {_MATTR_W} + 1) * {_MATTR_W}), 6) + 0.0
+                WHEN x > 0
+                THEN round(CAST(n_types AS DOUBLE) / x, 6) + 0.0
+                END AS mattr
+    FROM per
+    """,
+)
+def q_mattr(spark, sf_dir):
+    """Moving-average type-token ratio per document (see header note) —
+    the length-robust lexical-diversity score, alongside plain TTR and
+    the distinct-type count.  NULL text counts as empty (NULL scores).
+    All window distinct-counts are in-row integer array math; one
+    mirrored division per score.  Plan: zero-shuffle per-row scan;
+    per-row cost is O(tokens * W), embarrassingly parallel."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.coalesce("text", F.lit(""))).alias("t"))
+    x = F.size("t").cast("long")
+    wins = F.sequence(F.lit(1), F.size("t") - _MATTR_W + 1)
+    wsum = F.aggregate(
+        F.transform(wins, lambda p: F.size(F.array_distinct(
+            F.slice("t", p.cast("int"), _MATTR_W)))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    per = base.select(
+        "doc_id", x.alias("x"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_types"),
+        F.when(x >= _MATTR_W, wsum.cast("long")).alias("wsum"),
+    )
+    ttr = F.round(F.col("n_types").cast("double") / F.col("x"), 6) + F.lit(0.0)
+    return per.select(
+        "doc_id", F.col("x").alias("n_tokens"), "n_types",
+        F.when(F.col("x") > 0, ttr).alias("ttr"),
+        F.when(F.col("x") >= _MATTR_W,
+               F.round(F.col("wsum").cast("double")
+                       / ((F.col("x") - _MATTR_W + 1) * _MATTR_W), 6)
+               + F.lit(0.0))
+        .when(F.col("x") > 0, ttr).alias("mattr"),
+    )
+
+
+# -- inter-arrival gap statistics + burstiness ---------------------------------
+@_stage(
+    "q_interarrival_stats",
+    """
+    WITH es AS (
+      SELECT event_type, event_id,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000
+               AS t
+      FROM events),
+    gaps AS (
+      SELECT event_type,
+             t - lag(t) OVER (PARTITION BY event_type
+                              ORDER BY t, event_id) AS g
+      FROM es QUALIFY g IS NOT NULL),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS s,
+             CAST(sum(g * g) AS BIGINT) AS ssq,
+             CAST(min(g) AS BIGINT) AS min_gap_s,
+             CAST(max(g) AS BIGINT) AS max_gap_s
+      FROM gaps GROUP BY event_type)
+    SELECT event_type, n AS n_gaps, min_gap_s, max_gap_s,
+           round(CAST(s AS DOUBLE) / n, 3) + 0.0 AS mean_gap_s,
+           CASE WHEN sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                          / n) + CAST(s AS DOUBLE) / n > 0
+                THEN round((sqrt((CAST(ssq AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / n) / n)
+                            - CAST(s AS DOUBLE) / n)
+                           / (sqrt((CAST(ssq AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * s / n) / n)
+                              + CAST(s AS DOUBLE) / n), 6) + 0.0
+                END AS burstiness
+    FROM mom
+    """,
+)
+def q_interarrival_stats(spark, sf_dir):
+    """Inter-arrival gap statistics per event type, with the Goh-
+    Barabasi burstiness B = (sigma - mu)/(sigma + mu): -1 for a
+    metronome, ~0 for a Poisson stream, ->1 for heavy bursts — the
+    event-stream twin of q_token_burstiness.  Gaps are exact integer
+    seconds (epoch microseconds floor-divided on both engines), the
+    moments are BIGINTs, and B is one mirrored float chain.  Plan: one
+    per-type ordered window for the lag, one moment agg."""
+    from pyspark.sql import Window
+
+    es = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+               " div 1000000").alias("t"))
+    w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    gaps = (
+        es.select("event_type",
+                  (F.col("t") - F.lag("t").over(w)).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    mom = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("ssq"),
+        F.min("g").cast("long").alias("min_gap_s"),
+        F.max("g").cast("long").alias("max_gap_s"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt((F.col("ssq").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                   / F.col("n"))
+    return mom.select(
+        "event_type", F.col("n").alias("n_gaps"),
+        "min_gap_s", "max_gap_s",
+        (F.round(mu, 3) + F.lit(0.0)).alias("mean_gap_s"),
+        F.when(sigma + mu > 0,
+               F.round((sigma - mu) / (sigma + mu), 6) + F.lit(0.0))
+        .alias("burstiness"),
+    )
+
+
+# -- embedding-space isotropy --------------------------------------------------
+# Components quantize to integer 1e-4 units BEFORE any sum, so the
+# per-dimension moments are exact BIGINTs at any row count; per-dim
+# variances and the entropy terms then quantize to 1e-12 BIGINTs so the
+# cross-dimension sums are order-independent.
+_ISO_Q = 10**4
+_ISO_SCALE = 10**12
+
+
+@_stage(
+    "q_embedding_isotropy",
+    f"""
+    WITH comp AS (
+      SELECT generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_ISO_Q})
+                  AS BIGINT) AS vq
+      FROM embeddings),
+    mom AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vq) AS BIGINT) AS s,
+             CAST(sum(vq * vq) AS BIGINT) AS ssq
+      FROM comp GROUP BY d),
+    vars_ AS (
+      SELECT d, n,
+             CAST(floor((CAST(ssq AS DOUBLE)
+                         - CAST(s AS DOUBLE) * s / n) / n
+                        / {_ISO_Q * _ISO_Q} * {_ISO_SCALE}) AS BIGINT)
+               AS var_q
+      FROM mom),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dims,
+             any_value(n) AS n_vecs,
+             CAST(sum(var_q) AS BIGINT) AS vt,
+             CAST(min(var_q) AS BIGINT) AS var_min_q,
+             CAST(max(var_q) AS BIGINT) AS var_max_q
+      FROM vars_),
+    ent AS (
+      SELECT CAST(sum(CASE WHEN var_q > 0 THEN CAST(floor(
+               (CAST(var_q AS DOUBLE) / t.vt)
+               * ln(CAST(var_q AS DOUBLE) / t.vt) * {_ISO_SCALE})
+               AS BIGINT) ELSE 0 END) AS BIGINT) AS hq
+      FROM vars_ CROSS JOIN tot t)
+    SELECT n_vecs, n_dims,
+           round(var_min_q / {float(_ISO_SCALE)!r}, 8) + 0.0 AS var_min,
+           round(var_max_q / {float(_ISO_SCALE)!r}, 8) + 0.0 AS var_max,
+           CASE WHEN var_max_q > 0
+                THEN round(CAST(var_min_q AS DOUBLE) / var_max_q, 6) + 0.0
+                END AS var_ratio,
+           round(-hq / {float(_ISO_SCALE)!r}, 6) + 0.0 AS entropy,
+           round(-hq / {float(_ISO_SCALE)!r} / ln(CAST(n_dims AS DOUBLE)),
+                 6) + 0.0 AS isotropy
+    FROM tot CROSS JOIN ent
+    """,
+)
+def q_embedding_isotropy(spark, sf_dir):
+    """Isotropy of the embedding space: per-dimension variance spread
+    (min/max/ratio) and the entropy of the normalized variance
+    distribution, scaled by ln(D) to [0, 1] — 1 means every dimension
+    carries equal variance, low values mean a few rogue dimensions
+    dominate (the anisotropy problem ABTT post-processing fixes; see
+    q_abtt_residuals).  See the header note for the two quantization
+    layers that keep every cross-row and cross-dimension sum exact.
+    Plan: one posexplode + per-dim agg (64 groups), then all frames are
+    dimension-sized; two 1-row attaches."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("p", "v")).select(
+        (F.col("p") + 1).alias("d"),
+        F.floor(F.col("v").cast("double") * _ISO_Q).cast("long")
+        .alias("vq"))
+    mom = comp.groupBy("d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vq").cast("long").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).cast("long").alias("ssq"),
+    )
+    var_q = F.floor(
+        (F.col("ssq").cast("double")
+         - F.col("s").cast("double") * F.col("s") / F.col("n")) / F.col("n")
+        / (_ISO_Q * _ISO_Q) * _ISO_SCALE).cast("long")
+    vars_ = mom.select("d", "n", var_q.alias("var_q"))
+    tot = vars_.agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.first("n").alias("n_vecs"),
+        F.sum("var_q").cast("long").alias("vt"),
+        F.min("var_q").cast("long").alias("var_min_q"),
+        F.max("var_q").cast("long").alias("var_max_q"),
+    )
+    p = F.col("var_q").cast("double") / F.col("vt")
+    ent = (
+        vars_.crossJoin(F.broadcast(tot.select("vt")))
+        .agg(F.sum(F.when(F.col("var_q") > 0,
+                          F.floor(p * F.log(p) * _ISO_SCALE).cast("long"))
+                   .otherwise(F.lit(0))).cast("long").alias("hq"))
+    )
+    sc = float(_ISO_SCALE)
+    return (
+        tot.crossJoin(F.broadcast(ent))
+        .select(
+            "n_vecs", "n_dims",
+            (F.round(F.col("var_min_q") / sc, 8) + F.lit(0.0))
+            .alias("var_min"),
+            (F.round(F.col("var_max_q") / sc, 8) + F.lit(0.0))
+            .alias("var_max"),
+            F.when(F.col("var_max_q") > 0,
+                   F.round(F.col("var_min_q").cast("double")
+                           / F.col("var_max_q"), 6) + F.lit(0.0))
+            .alias("var_ratio"),
+            (F.round(-F.col("hq") / sc, 6) + F.lit(0.0)).alias("entropy"),
+            (F.round(-F.col("hq") / sc
+                     / F.log(F.col("n_dims").cast("double")), 6)
+             + F.lit(0.0)).alias("isotropy"),
+        )
+    )

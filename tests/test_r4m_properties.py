@@ -707,3 +707,76 @@ def test_seasonality_eta_sq_integer_form():
         cnts[d] += 1
     ssb_r = sum(bydow[d] ** 2 * sc // cnts[d] for d in bydow)
     assert ssb_r - s * s * sc // len(flat) == 0
+
+
+# ---------------------------------------------------------------------------
+# MATTR: the summed-window form equals the mean of window TTRs, MATTR of
+# a constant-token doc is 1/W, and MATTR <= 1.
+# ---------------------------------------------------------------------------
+
+
+def test_mattr_summed_form_matches_mean_of_windows():
+    rng = random.Random(179)
+    w = 25
+    for _ in range(100):
+        n = rng.randint(w, 80)
+        toks = [rng.choice("abcdefgh") for _ in range(n)]
+        wins = [toks[p:p + w] for p in range(n - w + 1)]
+        mean_ttr = sum(len(set(win)) / w for win in wins) / len(wins)
+        summed = sum(len(set(win)) for win in wins) / ((n - w + 1) * w)
+        assert abs(mean_ttr - summed) < 1e-12
+        assert summed <= 1.0 + 1e-12
+    const = ["x"] * 40
+    wins = [const[p:p + w] for p in range(len(const) - w + 1)]
+    assert sum(len(set(win)) for win in wins) / (len(wins) * w) == 1 / w
+
+
+# ---------------------------------------------------------------------------
+# Burstiness: B = (sigma - mu)/(sigma + mu) is -1 for a metronome,
+# bounded in (-1, 1), and ~0 for exponential gaps.
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_bounds_and_signatures():
+    rng = random.Random(181)
+    gaps = [60] * 50
+    mu = sum(gaps) / len(gaps)
+    sigma = math.sqrt(sum((g - mu) ** 2 for g in gaps) / len(gaps))
+    assert (sigma - mu) / (sigma + mu) == -1.0
+    for _ in range(50):
+        gs = [rng.randint(1, 1000) for _ in range(rng.randint(5, 200))]
+        mu = sum(gs) / len(gs)
+        sigma = math.sqrt(sum((g - mu) ** 2 for g in gs) / len(gs))
+        b = (sigma - mu) / (sigma + mu)
+        assert -1.0 <= b < 1.0
+    exp_gaps = [rng.expovariate(1 / 100) for _ in range(20000)]
+    mu = sum(exp_gaps) / len(exp_gaps)
+    sigma = math.sqrt(sum((g - mu) ** 2 for g in exp_gaps) / len(exp_gaps))
+    assert abs((sigma - mu) / (sigma + mu)) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Isotropy: entropy of the normalized variance distribution is ln(D)
+# exactly for equal variances (isotropy 1), lower when concentrated,
+# and the quantized-term sum tracks the float entropy.
+# ---------------------------------------------------------------------------
+
+
+def test_isotropy_entropy_properties():
+    rng = random.Random(191)
+    d = 64
+    eq = [1.0] * d
+    h = -sum(v / d * math.log(v / d) for v in eq)
+    assert abs(h - math.log(d)) < 1e-12
+    for _ in range(50):
+        vs = [rng.uniform(0.1, 10) for _ in range(d)]
+        vt = sum(vs)
+        h_float = -sum(v / vt * math.log(v / vt) for v in vs)
+        hq = sum(math.floor(v / vt * math.log(v / vt) * 10**12)
+                 for v in vs)
+        assert abs(-hq / 10**12 - h_float) < 1e-9
+        assert 0 < h_float <= math.log(d) + 1e-12
+    spiky = [100.0] + [0.001] * (d - 1)
+    vt = sum(spiky)
+    h_spiky = -sum(v / vt * math.log(v / vt) for v in spiky)
+    assert h_spiky < 0.2 * math.log(d)

@@ -117,6 +117,7 @@ BNLJ_WHITELIST = {
     "q_modularity",           # 1-row M2 + 1-row global-Q attaches
     "q_truncation_loss",      # 4-row max-len literal spine, by design
     "q_cooks_distance",       # 1-row moment + 1-row SSE attaches
+    "q_embedding_isotropy",   # 1-row vt + entropy attaches on 64-dim frame
 }
 
 
