@@ -207,6 +207,9 @@ EXTRA = {
     "q_mattr": _staged("q_mattr"),
     "q_interarrival_stats": _staged("q_interarrival_stats"),
     "q_embedding_isotropy": _staged("q_embedding_isotropy"),
+    "q_cohort_value": _staged("q_cohort_value"),
+    "q_rfm_segments": _staged("q_rfm_segments"),
+    "q_split_balance": _staged("q_split_balance"),
 }
 
 

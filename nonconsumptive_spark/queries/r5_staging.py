@@ -4623,3 +4623,313 @@ def q_embedding_isotropy(spark, sf_dir):
              + F.lit(0.0)).alias("isotropy"),
         )
     )
+
+
+# -- cohort cumulative value (LTV curve) ---------------------------------------
+@_stage(
+    "q_cohort_value",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    cohort_sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort),
+    wk AS (
+      SELECT f.cohort,
+             CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort))
+                  // 604800 AS BIGINT) AS week_offset,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+             CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM events e JOIN firsts f USING (user_id)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, week_offset, n_active, value_cents,
+             CAST(sum(value_cents) OVER (
+               PARTITION BY cohort ORDER BY week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_value_cents
+      FROM wk)
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+           c.week_offset, s.cohort_users, c.n_active, c.value_cents,
+           c.cum_value_cents,
+           round(c.cum_value_cents / 100.0 / s.cohort_users, 4) + 0.0
+             AS cum_value_per_user
+    FROM cum c JOIN cohort_sizes s USING (cohort)
+    """,
+)
+def q_cohort_value(spark, sf_dir):
+    """Cohort lifetime-value curve: cumulative event value per first-seen
+    week cohort across week offsets, normalized per cohort user — the
+    money twin of q_retention_cohorts' activity matrix.  Values quantize
+    to integer cents at the row level (the established cents discipline),
+    so every aggregate including the running cumulative is an exact
+    BIGINT; the per-user normalization is one mirrored division.  Plan:
+    two user/cohort aggs + a cohort-size broadcast + one #offsets-bounded
+    window per cohort."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_users"))
+    offset = (
+        F.datediff(F.date_trunc("week", "ts").cast("date"),
+                   F.col("cohort").cast("date")) / 7
+    ).cast("long")
+    wk = (
+        ev.join(firsts, "user_id")
+        .groupBy("cohort", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"),
+             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+             .cast("long").alias("value_cents"))
+    )
+    w = (Window.partitionBy("cohort").orderBy("week_offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = wk.withColumn(
+        "cum_value_cents", F.sum("value_cents").over(w).cast("long"))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset", "cohort_users", "n_active", "value_cents",
+            "cum_value_cents",
+            (F.round(F.col("cum_value_cents") / 100.0
+                     / F.col("cohort_users"), 4) + F.lit(0.0))
+            .alias("cum_value_per_user"),
+        )
+    )
+
+
+# -- RFM segmentation ----------------------------------------------------------
+# Quintile edges are ORDER STATISTICS off per-metric value histograms
+# (k_j-th smallest with k_j = ceil(j*n/5)), found as min(v) where the
+# cumulative count reaches k_j — the same exact-median discipline as
+# q_levene_bf generalized to 4 cut points.  score(v) = 1 + #edges < v,
+# a pure integer comparison, so segments replay exactly.
+def _rfm_edges_sql(metric: str) -> str:
+    return f"""
+      SELECT {", ".join(
+        f"min(CASE WHEN cum >= (({j} * n + 4) // 5) THEN v END) AS e{j}"
+        for j in range(1, 5))}
+      FROM (
+        SELECT v, CAST(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM (SELECT {metric} AS v, CAST(count(*) AS BIGINT) AS c
+              FROM rfm GROUP BY 1))"""
+
+
+def _rfm_oracle() -> str:
+    return f"""
+    WITH mx AS (SELECT max(ts) AS mt FROM events),
+    rfm AS (
+      SELECT user_id,
+             CAST(datediff('day', CAST(max(ts) AS DATE),
+                           CAST(any_value(mx.mt) AS DATE)) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events CROSS JOIN mx GROUP BY user_id),
+    re AS ({_rfm_edges_sql("recency_days")}),
+    fe AS ({_rfm_edges_sql("frequency")}),
+    me AS ({_rfm_edges_sql("monetary_cents")})
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(frequency) AS BIGINT) AS total_events,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+    FROM (
+      SELECT CAST(1 + (recency_days > re_.e1)::INT + (recency_days > re_.e2)::INT
+                  + (recency_days > re_.e3)::INT + (recency_days > re_.e4)::INT
+                  AS BIGINT) AS r_score,
+             CAST(1 + (frequency > fe_.e1)::INT + (frequency > fe_.e2)::INT
+                  + (frequency > fe_.e3)::INT + (frequency > fe_.e4)::INT
+                  AS BIGINT) AS f_score,
+             CAST(1 + (monetary_cents > me_.e1)::INT
+                  + (monetary_cents > me_.e2)::INT
+                  + (monetary_cents > me_.e3)::INT
+                  + (monetary_cents > me_.e4)::INT AS BIGINT) AS m_score,
+             frequency, monetary_cents
+      FROM rfm CROSS JOIN re re_ CROSS JOIN fe fe_ CROSS JOIN me me_)
+    GROUP BY 1, 2, 3
+    """
+
+
+@_stage("q_rfm_segments", _rfm_oracle())
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation of the user base: recency (days since last
+    event, against the corpus max), frequency (event count), monetary
+    (cent-quantized value sum), each scored 1-5 by exact order-statistic
+    quintile edges (see header note) and aggregated to segment counts —
+    the classic behavioral-cohort table.  Scores are ascending-value
+    quintiles on all three axes.  Plan: one user agg, three bounded
+    value-histogram windows for the edges, three 1-row edge broadcasts,
+    one segment agg."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mt"))
+    rfm = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("mt").cast("date"),
+                       F.max("ts").cast("date"))
+            .cast("long").alias("recency_days"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long").alias("monetary_cents"),
+        )
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    rfm = materialize_once(rfm, "rfm_users")
+
+    def edges(metric):
+        hist = rfm.groupBy(F.col(metric).alias("v")).agg(
+            F.count("*").cast("long").alias("c"))
+        w = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cdf = hist.select(
+            "v", F.sum("c").over(w).cast("long").alias("cum"),
+            F.sum("c").over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing))
+            .cast("long").alias("n"))
+        return cdf.agg(*[
+            F.min(F.when(
+                F.col("cum") >= F.expr(f"({j} * n + 4) div 5"),
+                F.col("v"))).alias(f"e{j}")
+            for j in range(1, 5)])
+
+    def score(metric, e):
+        s = F.lit(1)
+        for j in range(1, 5):
+            s = s + F.when(F.col(metric) > e[f"e{j}"], 1).otherwise(0)
+        return s.cast("long")
+
+    re_, fe, me = edges("recency_days"), edges("frequency"), edges(
+        "monetary_cents")
+    re_ = re_.select(*[F.col(f"e{j}").alias(f"re{j}") for j in range(1, 5)])
+    fe = fe.select(*[F.col(f"e{j}").alias(f"fe{j}") for j in range(1, 5)])
+    me = me.select(*[F.col(f"e{j}").alias(f"me{j}") for j in range(1, 5)])
+    scored = (
+        rfm.crossJoin(F.broadcast(re_))
+        .crossJoin(F.broadcast(fe))
+        .crossJoin(F.broadcast(me))
+        .select(
+            score("recency_days",
+                  {f"e{j}": F.col(f"re{j}") for j in range(1, 5)})
+            .alias("r_score"),
+            score("frequency",
+                  {f"e{j}": F.col(f"fe{j}") for j in range(1, 5)})
+            .alias("f_score"),
+            score("monetary_cents",
+                  {f"e{j}": F.col(f"me{j}") for j in range(1, 5)})
+            .alias("m_score"),
+            "frequency", "monetary_cents",
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("frequency").cast("long").alias("total_events"),
+        F.sum("monetary_cents").cast("long").alias("total_cents"),
+    )
+
+
+# -- split sample-ratio-mismatch (SRM) check -----------------------------------
+# chi2 of observed split sizes against the configured 98/1/1 weights:
+# the guard experimentation platforms run on every assignment hash.
+# Per-split terms (o*W - n*w)^2 / (n*w*W) have an exact BIGINT
+# numerator; each term quantizes to 1e-6 before the 3-term sum.
+_SRM_SCALE = 10**6
+_SRM_CRIT = 5.991  # chi2(df=2) at 5%
+
+
+def _srm_oracle() -> str:
+    from nonconsumptive_spark.queries.textstats import (
+        _SPLIT_CASE, _SPLIT_WEIGHTS)
+
+    wtot = sum(w for _, w in _SPLIT_WEIGHTS)
+    wcase = ("CASE " + " ".join(
+        f"WHEN split = '{n}' THEN {w}" for n, w in _SPLIT_WEIGHTS)
+        + " END")
+    return f"""
+    WITH asg AS (
+      SELECT {_SPLIT_CASE} AS split
+      FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 10000 AS b
+            FROM documents)),
+    obs AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS o FROM asg GROUP BY split),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    terms AS (
+      SELECT split, o, {wcase} AS w, t.n,
+             CAST(floor(
+               CAST((o * {wtot} - t.n * {wcase})
+                    * (o * {wtot} - t.n * {wcase}) AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * {wcase} * {wtot})
+               * {_SRM_SCALE}) AS BIGINT) AS tq
+      FROM obs CROSS JOIN tot t)
+    SELECT any_value(n) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN split = 'train' THEN o END), 0)
+                AS BIGINT) AS n_train,
+           CAST(coalesce(sum(CASE WHEN split = 'val' THEN o END), 0)
+                AS BIGINT) AS n_val,
+           CAST(coalesce(sum(CASE WHEN split = 'test' THEN o END), 0)
+                AS BIGINT) AS n_test,
+           round(CAST(sum(tq) AS BIGINT) / {float(_SRM_SCALE)!r}, 6) + 0.0
+             AS chi2,
+           CAST(sum(tq) AS BIGINT)
+             > CAST({_SRM_CRIT} * {_SRM_SCALE} AS BIGINT) AS srm_flag
+    FROM terms
+    """
+
+
+@_stage("q_split_balance", _srm_oracle())
+def q_split_balance(spark, sf_dir):
+    """Sample-ratio-mismatch check on the deterministic dataset split:
+    chi2 of the observed train/val/test counts against the configured
+    98/1/1 weights, flagged at the 5% critical value — the assignment-
+    hash health check every experimentation platform runs (a biased
+    hash silently skews every downstream eval).  See the header note
+    for the exact-integer chi2 terms.  Plan: one split agg (3 rows),
+    then constant-sized arithmetic."""
+    from nonconsumptive_spark.operators import textstats as ts
+    from nonconsumptive_spark.queries.textstats import _SPLIT_WEIGHTS
+
+    wtot = sum(w for _, w in _SPLIT_WEIGHTS)
+    wmap = dict(_SPLIT_WEIGHTS)
+    obs = (
+        ts.dataset_split(load(spark, sf_dir, "documents"), _SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    wcol = F.when(F.col("split") == "train", F.lit(wmap["train"]))
+    for name, w in _SPLIT_WEIGHTS[1:]:
+        wcol = wcol.when(F.col("split") == name, F.lit(w))
+    num = F.col("o") * wtot - F.col("n") * wcol
+    tq = F.floor(
+        (num * num).cast("double")
+        / (F.col("n").cast("double") * wcol * wtot) * _SRM_SCALE
+    ).cast("long")
+    terms = obs.crossJoin(F.broadcast(tot)).select(
+        "split", "o", "n", tq.alias("tq"))
+    return terms.agg(
+        F.first("n").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("split") == "train", F.col("o"))),
+                   F.lit(0)).cast("long").alias("n_train"),
+        F.coalesce(F.sum(F.when(F.col("split") == "val", F.col("o"))),
+                   F.lit(0)).cast("long").alias("n_val"),
+        F.coalesce(F.sum(F.when(F.col("split") == "test", F.col("o"))),
+                   F.lit(0)).cast("long").alias("n_test"),
+        (F.round(F.sum("tq").cast("long") / F.lit(float(_SRM_SCALE)), 6)
+         + F.lit(0.0)).alias("chi2"),
+        (F.sum("tq").cast("long")
+         > int(_SRM_CRIT * _SRM_SCALE)).alias("srm_flag"),
+    )

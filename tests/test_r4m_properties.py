@@ -780,3 +780,64 @@ def test_isotropy_entropy_properties():
     vt = sum(spiky)
     h_spiky = -sum(v / vt * math.log(v / vt) for v in spiky)
     assert h_spiky < 0.2 * math.log(d)
+
+
+# ---------------------------------------------------------------------------
+# RFM quintile edges: the order-statistic histogram form (min v with
+# cum >= ceil(j*n/5)) equals direct indexing into the sorted multiset,
+# and the resulting 1-5 scores partition near-evenly without ties.
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_edges_match_sorted_order_statistics():
+    rng = random.Random(197)
+    for _ in range(100):
+        xs = [rng.randint(0, 30) for _ in range(rng.randint(5, 120))]
+        n = len(xs)
+        s = sorted(xs)
+        cnt = Counter(xs)
+        vals = sorted(cnt)
+        for j in range(1, 5):
+            k = (j * n + 4) // 5  # ceil(j*n/5)
+            cum = 0
+            hist_edge = None
+            for v in vals:
+                cum += cnt[v]
+                if cum >= k:
+                    hist_edge = v
+                    break
+            assert hist_edge == s[k - 1]
+        edges = [s[((j * n + 4) // 5) - 1] for j in range(1, 5)]
+        scores = Counter(1 + sum(x > e for e in edges) for x in xs)
+        assert set(scores) <= {1, 2, 3, 4, 5}
+        # each bucket holds at most its quintile plus the tie mass at
+        # its upper edge; all n accounted for
+        assert sum(scores.values()) == n
+
+
+# ---------------------------------------------------------------------------
+# SRM chi2: integer-numerator form equals the textbook sum((o-e)^2/e),
+# and a perfectly proportional split scores ~0.
+# ---------------------------------------------------------------------------
+
+
+def test_srm_chi2_integer_form():
+    rng = random.Random(199)
+    weights = [98, 1, 1]
+    wtot = sum(weights)
+    for _ in range(200):
+        os_ = [rng.randint(0, 2000) for _ in weights]
+        n = sum(os_)
+        if n == 0:
+            continue
+        chi_int = sum(
+            (o * wtot - n * w) ** 2 / (n * w * wtot)
+            for o, w in zip(os_, weights))
+        chi_tb = sum(
+            (o - n * w / wtot) ** 2 / (n * w / wtot)
+            for o, w in zip(os_, weights))
+        assert abs(chi_int - chi_tb) < 1e-9 * max(1.0, chi_tb)
+    exact = [9800, 100, 100]
+    n = sum(exact)
+    assert sum((o * wtot - n * w) ** 2 / (n * w * wtot)
+               for o, w in zip(exact, weights)) == 0.0

@@ -118,6 +118,8 @@ BNLJ_WHITELIST = {
     "q_truncation_loss",      # 4-row max-len literal spine, by design
     "q_cooks_distance",       # 1-row moment + 1-row SSE attaches
     "q_embedding_isotropy",   # 1-row vt + entropy attaches on 64-dim frame
+    "q_rfm_segments",         # three 1-row quintile-edge attaches + max-ts attach
+    "q_split_balance",        # 1-row total attach onto the 3-row split frame
 }
 
 
