@@ -210,6 +210,9 @@ EXTRA = {
     "q_cohort_value": _staged("q_cohort_value"),
     "q_rfm_segments": _staged("q_rfm_segments"),
     "q_split_balance": _staged("q_split_balance"),
+    "q_anova_oneway": _staged("q_anova_oneway"),
+    "q_cramers_v": _staged("q_cramers_v"),
+    "q_vocab_coverage": _staged("q_vocab_coverage"),
 }
 
 

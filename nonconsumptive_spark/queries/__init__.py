@@ -114,8 +114,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # theil_index, truncation_loss, span_corruption, binseg_daily,
 # runs_test, dedup_rate_by_source, cooks_distance, sax_daily,
 # seasonality_strength, mattr, interarrival_stats,
-# embedding_isotropy, cohort_value, rfm_segments, split_balance.
-# Promotion
+# embedding_isotropy, cohort_value, rfm_segments, split_balance,
+# anova_oneway, cramers_v, vocab_coverage.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

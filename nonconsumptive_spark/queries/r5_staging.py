@@ -4933,3 +4933,253 @@ def q_split_balance(spark, sf_dir):
         (F.sum("tq").cast("long")
          > int(_SRM_CRIT * _SRM_SCALE)).alias("srm_flag"),
     )
+
+
+# -- one-way ANOVA on document length across sources ---------------------------
+# The parametric twin of q_kruskal_wallis, sharing its quantized-term
+# discipline: per-group squared-sum terms pass through ONE mirrored
+# floor(x*SCALE) before the cross-group sum, so F / eta^2 / omega^2
+# replay under any aggregation order.
+_ANOVA_SCALE = 1000
+
+
+@_stage(
+    "q_anova_oneway",
+    f"""
+    WITH grp AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(n_chars) AS BIGINT) AS s_g,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq_g
+      FROM documents GROUP BY source),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(ssq_g) AS BIGINT) AS ssq,
+             CAST(sum(CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g
+                                 * {_ANOVA_SCALE}) AS BIGINT)) AS BIGINT)
+               AS q1
+      FROM grp)
+    SELECT k AS n_groups, n AS n_total,
+           round((q1 / {float(_ANOVA_SCALE)!r}
+                  - CAST(s AS DOUBLE) * s / n)
+                 / (k - 1)
+                 / ((CAST(ssq AS DOUBLE) - q1 / {float(_ANOVA_SCALE)!r})
+                    / (n - k)), 4) + 0.0 AS f_stat,
+           round((q1 / {float(_ANOVA_SCALE)!r}
+                  - CAST(s AS DOUBLE) * s / n)
+                 / (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+             + 0.0 AS eta_sq,
+           round((q1 / {float(_ANOVA_SCALE)!r}
+                  - CAST(s AS DOUBLE) * s / n
+                  - (k - 1) * ((CAST(ssq AS DOUBLE)
+                                - q1 / {float(_ANOVA_SCALE)!r}) / (n - k)))
+                 / (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n
+                    + (CAST(ssq AS DOUBLE) - q1 / {float(_ANOVA_SCALE)!r})
+                      / (n - k)), 6) + 0.0 AS omega_sq
+    FROM agg
+    """,
+)
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA of document length across sources: F statistic plus
+    the eta^2 and bias-corrected omega^2 effect sizes — the parametric
+    twin of q_kruskal_wallis (see header note for the shared quantized-
+    term exactness).  Plan: one per-source moment agg + one 1-row agg;
+    nothing scales past the source count."""
+    grp = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_g"),
+             F.sum("n_chars").cast("long").alias("s_g"),
+             F.sum(F.col("n_chars") * F.col("n_chars")).cast("long")
+             .alias("ssq_g"))
+    )
+    agg = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ssq_g").cast("long").alias("ssq"),
+        F.sum(F.floor(F.col("s_g").cast("double") * F.col("s_g")
+                      / F.col("n_g") * _ANOVA_SCALE).cast("long"))
+        .cast("long").alias("q1"),
+    )
+    sc = float(_ANOVA_SCALE)
+    ssb = F.col("q1") / sc - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("ssq").cast("double") - F.col("q1") / sc
+    sst = (F.col("ssq").cast("double")
+           - F.col("s").cast("double") * F.col("s") / F.col("n"))
+    msw = ssw / (F.col("n") - F.col("k"))
+    return agg.select(
+        F.col("k").alias("n_groups"), F.col("n").alias("n_total"),
+        (F.round(ssb / (F.col("k") - 1) / msw, 4) + F.lit(0.0))
+        .alias("f_stat"),
+        (F.round(ssb / sst, 6) + F.lit(0.0)).alias("eta_sq"),
+        (F.round((ssb - (F.col("k") - 1) * msw) / (sst + msw), 6)
+         + F.lit(0.0)).alias("omega_sq"),
+    )
+
+
+# -- Cramér's V for lang x source association ----------------------------------
+_CV_SCALE = 10**6
+
+
+@_stage(
+    "q_cramers_v",
+    f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    ml AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+    ms AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+           FROM cells GROUP BY source),
+    nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+      SELECT ml.lang, ms.source, ml.r, ms.c, nt.n,
+             CAST(coalesce(x.o, 0) AS BIGINT) AS o
+      FROM ml CROSS JOIN ms CROSS JOIN nt
+      LEFT JOIN cells x ON x.lang = ml.lang AND x.source = ms.source),
+    terms AS (
+      SELECT n,
+             CAST(floor(CAST(o * n - r * c AS DOUBLE)
+                        * (o * n - r * c)
+                        / (CAST(n AS DOUBLE) * r * c)
+                        * {_CV_SCALE}) AS BIGINT) AS tq
+      FROM grid),
+    dims AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM ml) AS nl,
+             (SELECT CAST(count(*) AS BIGINT) FROM ms) AS ns)
+    SELECT any_value(t.n) AS n_docs, d.nl AS n_langs, d.ns AS n_sources,
+           round(CAST(sum(t.tq) AS BIGINT) / {float(_CV_SCALE)!r}, 4) + 0.0
+             AS chi2,
+           round(sqrt(CAST(sum(t.tq) AS BIGINT) / {float(_CV_SCALE)!r}
+                      / any_value(t.n)
+                      / least(d.nl - 1, d.ns - 1)), 6) + 0.0 AS cramers_v
+    FROM terms t CROSS JOIN dims d
+    GROUP BY d.nl, d.ns
+    """,
+)
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V for the lang x source contingency: the normalized
+    [0, 1] association strength (how strongly does source determine
+    language), the effect-size companion to q_lang_source_chi2's test
+    statistic.  Per-cell chi2 terms use the exact BIGINT numerator
+    (o*N - r*c)^2 over the full grid including empty cells, quantized
+    before the sum.  Plan: one cell agg, then everything is
+    #langs x #sources-sized with 1-row attaches."""
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    cells = materialize_once(cells, "cv_cells")
+    ml = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    ms = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    nt = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        ml.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(nt))
+        .join(cells, ["lang", "source"], "left")
+        .select("lang", "source", "r", "c", "n",
+                F.coalesce("o", F.lit(0)).cast("long").alias("o"))
+    )
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    tq = F.floor(
+        num.cast("double") * num
+        / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+        * _CV_SCALE).cast("long")
+    dims = ml.agg(F.count("*").cast("long").alias("nl")).crossJoin(
+        F.broadcast(ms.agg(F.count("*").cast("long").alias("ns"))))
+    terms = grid.select("n", tq.alias("tq"))
+    sc = float(_CV_SCALE)
+    return (
+        terms.crossJoin(F.broadcast(dims))
+        .groupBy("nl", "ns")
+        .agg(F.first("n").alias("n_docs"),
+             F.sum("tq").cast("long").alias("sq"))
+        .select(
+            "n_docs", F.col("nl").alias("n_langs"),
+            F.col("ns").alias("n_sources"),
+            (F.round(F.col("sq") / sc, 4) + F.lit(0.0)).alias("chi2"),
+            (F.round(F.sqrt(F.col("sq") / sc / F.col("n_docs")
+                            / F.least(F.col("nl") - 1, F.col("ns") - 1)),
+                     6) + F.lit(0.0)).alias("cramers_v"),
+        )
+    )
+
+
+# -- top-k vocabulary coverage curve -------------------------------------------
+_COV_KS = [100, 1000, 10000]
+
+
+@_stage(
+    "q_vocab_coverage",
+    f"""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY token),
+    ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c DESC, token ASC)
+                     AS BIGINT) AS rk
+      FROM counts),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM ranked)
+    SELECT CAST(k AS BIGINT) AS top_k, t.n_types, t.n_tokens,
+           CAST(coalesce(sum(CASE WHEN rk <= k THEN c END), 0) AS BIGINT)
+             AS covered_tokens,
+           round(CAST(coalesce(sum(CASE WHEN rk <= k THEN c END), 0)
+                      AS DOUBLE) / t.n_tokens, 6) + 0.0 AS coverage
+    FROM ranked CROSS JOIN (SELECT unnest({_COV_KS}) AS k)
+    CROSS JOIN tot t
+    GROUP BY k, t.n_types, t.n_tokens
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Top-k vocabulary coverage curve: the fraction of all corpus
+    tokens covered by the k most frequent types, for a spine of k —
+    the Zipf-head table behind every vocabulary-size decision
+    (q_vocabulary picks the cap; this prices it).  Rank ties break on
+    the token string, so the curve replays exactly.  Plan: one global
+    wordcount agg, one vocab-bounded rank window, a 3-row literal
+    spine, one 3-group agg."""
+    from pyspark.sql import Window
+    from nonconsumptive_spark.functions.text import tokenize
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # vocab-bounded global rank window (same class as q_vocabulary's cap)
+    ranked = counts.select(
+        "c",
+        F.row_number().over(
+            Window.orderBy(F.desc("c"), F.asc("token")))
+        .cast("long").alias("rk"),
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ranked = materialize_once(ranked, "cov_ranked")
+    tot = ranked.agg(F.sum("c").cast("long").alias("n_tokens"),
+                     F.count("*").cast("long").alias("n_types"))
+    spine = spark.createDataFrame([(k,) for k in _COV_KS], "k long")
+    return (
+        ranked.crossJoin(F.broadcast(spine))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_types", "n_tokens")
+        .agg(F.coalesce(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c"))),
+            F.lit(0)).cast("long").alias("covered_tokens"))
+        .select(
+            F.col("k").alias("top_k"), "n_types", "n_tokens",
+            "covered_tokens",
+            (F.round(F.col("covered_tokens").cast("double")
+                     / F.col("n_tokens"), 6) + F.lit(0.0))
+            .alias("coverage"),
+        )
+    )

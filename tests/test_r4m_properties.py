@@ -841,3 +841,59 @@ def test_srm_chi2_integer_form():
     n = sum(exact)
     assert sum((o * wtot - n * w) ** 2 / (n * w * wtot)
                for o, w in zip(exact, weights)) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ANOVA: the quantized-term F equals the textbook F on random groups,
+# and Cramér's V integer-numerator chi2 equals the (o-e)^2/e form.
+# ---------------------------------------------------------------------------
+
+
+def test_anova_quantized_f_matches_textbook():
+    rng = random.Random(211)
+    for _ in range(50):
+        groups = [
+            [rng.randint(0, 100) for _ in range(rng.randint(3, 30))]
+            for _ in range(rng.randint(2, 6))
+        ]
+        k = len(groups)
+        n = sum(len(g) for g in groups)
+        s = sum(sum(g) for g in groups)
+        ssq = sum(v * v for g in groups for v in g)
+        q1 = sum(math.floor(sum(g) ** 2 / len(g) * 1000) for g in groups)
+        ssb = q1 / 1000 - s * s / n
+        ssw = ssq - q1 / 1000
+        if ssw <= 0:
+            continue
+        f_q = ssb / (k - 1) / (ssw / (n - k))
+        mu = s / n
+        ssb_t = sum(len(g) * (sum(g) / len(g) - mu) ** 2 for g in groups)
+        ssw_t = sum((v - sum(g) / len(g)) ** 2 for g in groups for v in g)
+        f_t = ssb_t / (k - 1) / (ssw_t / (n - k))
+        assert abs(f_q - f_t) < 0.02 + 1e-3 * abs(f_t)
+
+
+def test_cramers_v_integer_numerator_chi2():
+    rng = random.Random(223)
+    for _ in range(100):
+        nl, ns = rng.randint(2, 5), rng.randint(2, 6)
+        grid = [[rng.randint(0, 40) for _ in range(ns)] for _ in range(nl)]
+        n = sum(map(sum, grid))
+        if n == 0:
+            continue
+        rows = [sum(g) for g in grid]
+        cols = [sum(grid[i][j] for i in range(nl)) for j in range(ns)]
+        if 0 in rows or 0 in cols:
+            continue
+        # (o*N - r*c)^2 / (N*r*c) IS (o-e)^2/e — no further /n
+        chi_int = sum(
+            (grid[i][j] * n - rows[i] * cols[j]) ** 2
+            / (n * rows[i] * cols[j])
+            for i in range(nl) for j in range(ns))
+        chi_tb = sum(
+            (grid[i][j] - rows[i] * cols[j] / n) ** 2
+            / (rows[i] * cols[j] / n)
+            for i in range(nl) for j in range(ns))
+        assert abs(chi_int - chi_tb) < 1e-9 * max(1.0, chi_tb)
+        v = math.sqrt(chi_tb / n / min(nl - 1, ns - 1))
+        assert -1e-12 <= v <= 1.0 + 1e-9

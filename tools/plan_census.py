@@ -120,6 +120,8 @@ BNLJ_WHITELIST = {
     "q_embedding_isotropy",   # 1-row vt + entropy attaches on 64-dim frame
     "q_rfm_segments",         # three 1-row quintile-edge attaches + max-ts attach
     "q_split_balance",        # 1-row total attach onto the 3-row split frame
+    "q_cramers_v",            # langs x sources grid build + 1-row attaches
+    "q_vocab_coverage",       # 3-row k spine + 1-row totals attach
 }
 
 
