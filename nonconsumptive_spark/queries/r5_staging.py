@@ -4732,16 +4732,16 @@ def _rfm_oracle() -> str:
                            CAST(any_value(mx.mt) AS DATE)) AS BIGINT)
                AS recency_days,
              CAST(count(*) AS BIGINT) AS frequency,
-             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS monetary_cents
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100
+                  AS BIGINT) AS monetary_usd
       FROM events CROSS JOIN mx GROUP BY user_id),
     re AS ({_rfm_edges_sql("recency_days")}),
     fe AS ({_rfm_edges_sql("frequency")}),
-    me AS ({_rfm_edges_sql("monetary_cents")})
+    me AS ({_rfm_edges_sql("monetary_usd")})
     SELECT r_score, f_score, m_score,
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(frequency) AS BIGINT) AS total_events,
-           CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+           CAST(sum(monetary_usd) AS BIGINT) AS total_usd
     FROM (
       SELECT CAST(1 + (recency_days > re_.e1)::INT + (recency_days > re_.e2)::INT
                   + (recency_days > re_.e3)::INT + (recency_days > re_.e4)::INT
@@ -4749,11 +4749,11 @@ def _rfm_oracle() -> str:
              CAST(1 + (frequency > fe_.e1)::INT + (frequency > fe_.e2)::INT
                   + (frequency > fe_.e3)::INT + (frequency > fe_.e4)::INT
                   AS BIGINT) AS f_score,
-             CAST(1 + (monetary_cents > me_.e1)::INT
-                  + (monetary_cents > me_.e2)::INT
-                  + (monetary_cents > me_.e3)::INT
-                  + (monetary_cents > me_.e4)::INT AS BIGINT) AS m_score,
-             frequency, monetary_cents
+             CAST(1 + (monetary_usd > me_.e1)::INT
+                  + (monetary_usd > me_.e2)::INT
+                  + (monetary_usd > me_.e3)::INT
+                  + (monetary_usd > me_.e4)::INT AS BIGINT) AS m_score,
+             frequency, monetary_usd
       FROM rfm CROSS JOIN re re_ CROSS JOIN fe fe_ CROSS JOIN me me_)
     GROUP BY 1, 2, 3
     """
@@ -4766,7 +4766,9 @@ def q_rfm_segments(spark, sf_dir):
     (cent-quantized value sum), each scored 1-5 by exact order-statistic
     quintile edges (see header note) and aggregated to segment counts —
     the classic behavioral-cohort table.  Scores are ascending-value
-    quintiles on all three axes.  Plan: one user agg, three bounded
+    quintiles on all three axes; monetary quantizes to whole dollars
+    (cents div 100) so the edge histogram's value domain stays bounded
+    at any user count (cent sums are near-unique per user at scale).  Plan: one user agg, three bounded
     value-histogram windows for the edges, three 1-row edge broadcasts,
     one segment agg."""
     from pyspark.sql import Window
@@ -4781,8 +4783,8 @@ def q_rfm_segments(spark, sf_dir):
                        F.max("ts").cast("date"))
             .cast("long").alias("recency_days"),
             F.count("*").cast("long").alias("frequency"),
-            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
-            .cast("long").alias("monetary_cents"),
+            F.expr("sum(CAST(floor(value * 100 + 0.5) AS LONG)) div 100")
+            .cast("long").alias("monetary_usd"),
         )
     )
     from nonconsumptive_spark.plans.checkpoint import materialize_once
@@ -4813,7 +4815,7 @@ def q_rfm_segments(spark, sf_dir):
         return s.cast("long")
 
     re_, fe, me = edges("recency_days"), edges("frequency"), edges(
-        "monetary_cents")
+        "monetary_usd")
     re_ = re_.select(*[F.col(f"e{j}").alias(f"re{j}") for j in range(1, 5)])
     fe = fe.select(*[F.col(f"e{j}").alias(f"fe{j}") for j in range(1, 5)])
     me = me.select(*[F.col(f"e{j}").alias(f"me{j}") for j in range(1, 5)])
@@ -4828,16 +4830,16 @@ def q_rfm_segments(spark, sf_dir):
             score("frequency",
                   {f"e{j}": F.col(f"fe{j}") for j in range(1, 5)})
             .alias("f_score"),
-            score("monetary_cents",
+            score("monetary_usd",
                   {f"e{j}": F.col(f"me{j}") for j in range(1, 5)})
             .alias("m_score"),
-            "frequency", "monetary_cents",
+            "frequency", "monetary_usd",
         )
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("frequency").cast("long").alias("total_events"),
-        F.sum("monetary_cents").cast("long").alias("total_cents"),
+        F.sum("monetary_usd").cast("long").alias("total_usd"),
     )
 
 
@@ -5148,24 +5150,26 @@ def q_vocab_coverage(spark, sf_dir):
     spine, one 3-group agg."""
     from pyspark.sql import Window
     from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
 
-    counts = (
+    counts = materialize_once(
         load(spark, sf_dir, "documents")
         .select(F.explode(tokenize("text")).alias("token"))
         .groupBy("token")
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.count("*").cast("long").alias("c")),
+        "cov_counts",
     )
-    # vocab-bounded global rank window (same class as q_vocabulary's cap)
-    ranked = counts.select(
+    # distributed TakeOrderedAndProject for the head, then rank INSIDE
+    # the <=max(k)-row frame — no unpartitioned window ever sees the
+    # full vocabulary (the q_vocabulary dense-id lesson)
+    top = counts.orderBy(F.desc("c"), F.asc("token")).limit(max(_COV_KS))
+    ranked = top.select(
         "c",
         F.row_number().over(
             Window.orderBy(F.desc("c"), F.asc("token")))
         .cast("long").alias("rk"),
     )
-    from nonconsumptive_spark.plans.checkpoint import materialize_once
-
-    ranked = materialize_once(ranked, "cov_ranked")
-    tot = ranked.agg(F.sum("c").cast("long").alias("n_tokens"),
+    tot = counts.agg(F.sum("c").cast("long").alias("n_tokens"),
                      F.count("*").cast("long").alias("n_types"))
     spine = spark.createDataFrame([(k,) for k in _COV_KS], "k long")
     return (
