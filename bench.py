@@ -213,6 +213,8 @@ EXTRA = {
     "q_anova_oneway": _staged("q_anova_oneway"),
     "q_cramers_v": _staged("q_cramers_v"),
     "q_vocab_coverage": _staged("q_vocab_coverage"),
+    "q_ktruss": _staged("q_ktruss"),
+    "q_event_type_overlap": _staged("q_event_type_overlap"),
 }
 
 

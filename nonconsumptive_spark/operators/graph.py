@@ -619,3 +619,61 @@ def modularity(edges: DataFrame, n_iter: int = 4) -> DataFrame:
              + F.lit(0.0)).alias("modularity"),
         )
     )
+
+
+def ktruss(edges: DataFrame, k: int = 4, n_rounds: int = 3) -> DataFrame:
+    """(src, dst, support) — the edges surviving ``n_rounds`` of
+    synchronous k-truss peeling over the undirected graph (Cohen 2008):
+    repeatedly drop every edge lying in fewer than k-2 triangles of the
+    CURRENT subgraph.  The truss is the edge-level tightening of the
+    k-core (every k-truss edge joins nodes of a (k-1)-core) — on the
+    token graph it isolates the cohesive phrase clusters that survive
+    even after weak co-occurrences peel away.
+
+    Determinism: truss peeling is confluent (the maximal k-truss is
+    unique), and the FIXED round count keeps intermediate state
+    replayable by the oracle's unrolled CTE chain; the final round's
+    support is emitted so a non-converged run visibly disagrees.
+
+    Scale shape: per round one adjacency union + ONE wedge equi-join
+    keyed on the common-neighbor node + one edge-keyed count agg + one
+    filter — the same middle-node join discipline as
+    clustering_coefficient (add the degree cap there if token-graph
+    hubs skew; here the edge frame re-materializes per round so no
+    round replays prior lineage)."""
+    canon = materialize_once(
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        "truss_edges",
+    )
+
+    def support(frame: DataFrame) -> DataFrame:
+        adj = frame.select(F.col("a").alias("node"), F.col("b").alias("nbr")) \
+            .union(frame.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr")))
+        xa = adj.select(F.col("nbr").alias("m"), F.col("node").alias("a"))
+        xb = adj.select(F.col("nbr").alias("m"), F.col("node").alias("b"))
+        wedge = xa.join(xb, "m").filter(F.col("a") < F.col("b"))
+        return (
+            wedge.join(frame, ["a", "b"], "left_semi")
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("support"))
+        )
+
+    for r in range(n_rounds):
+        sup = support(canon)
+        canon = materialize_once(
+            canon.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("a", "b"),
+            f"truss_e{r}",
+        )
+    final = support(canon)
+    return (
+        canon.join(final, ["a", "b"], "left")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                F.coalesce("support", F.lit(0)).cast("long")
+                .alias("support"))
+    )

@@ -115,7 +115,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # runs_test, dedup_rate_by_source, cooks_distance, sax_daily,
 # seasonality_strength, mattr, interarrival_stats,
 # embedding_isotropy, cohort_value, rfm_segments, split_balance,
-# anova_oneway, cramers_v, vocab_coverage.  Promotion
+# anova_oneway, cramers_v, vocab_coverage, ktruss,
+# event_type_overlap.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

@@ -4476,7 +4476,12 @@ def q_interarrival_stats(spark, sf_dir):
     event-stream twin of q_token_burstiness.  Gaps are exact integer
     seconds (epoch microseconds floor-divided on both engines), the
     moments are BIGINTs, and B is one mirrored float chain.  Plan: one
-    per-type ordered window for the lag, one moment agg."""
+    per-type ordered window for the lag, one moment agg.  Scale note:
+    event_type is low-cardinality, so this window concentrates a type's
+    events in one partition; at 100-TB scale the same gaps come from a
+    two-pass form — diff inside (type, day) buckets, then stitch bucket
+    boundaries with per-bucket min/max ts — which shuffles on the
+    composite key instead.  The moments are identical either way."""
     from pyspark.sql import Window
 
     es = load(spark, sf_dir, "events").select(
@@ -5185,5 +5190,127 @@ def q_vocab_coverage(spark, sf_dir):
             (F.round(F.col("covered_tokens").cast("double")
                      / F.col("n_tokens"), 6) + F.lit(0.0))
             .alias("coverage"),
+        )
+    )
+
+
+# -- k-truss of the token graph ------------------------------------------------
+_TRUSS_K = 4
+_TRUSS_ROUNDS = 3
+
+
+def _truss_oracle() -> str:
+    k, rounds = _TRUSS_K, _TRUSS_ROUNDS
+    cte = [f"""
+    tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    dedges AS (
+      SELECT DISTINCT token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM tokpos QUALIFY dst IS NOT NULL),
+    c0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM dedges WHERE src <> dst)"""]
+    for r in range(1, rounds + 1):
+        cte.append(f"""
+    adj{r} AS MATERIALIZED (
+      SELECT a AS node, b AS nbr FROM c{r - 1}
+      UNION ALL SELECT b, a FROM c{r - 1}),
+    sup{r} AS MATERIALIZED (
+      SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS support
+      FROM (SELECT xa.node AS a, xb.node AS b
+            FROM adj{r} xa JOIN adj{r} xb
+              ON xa.nbr = xb.nbr AND xa.node < xb.node) w
+      SEMI JOIN c{r - 1} e ON e.a = w.a AND e.b = w.b
+      GROUP BY w.a, w.b),
+    c{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM c{r - 1} e
+      LEFT JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+      WHERE coalesce(s.support, 0) >= {k - 2})""")
+    cte.append(f"""
+    adjF AS MATERIALIZED (
+      SELECT a AS node, b AS nbr FROM c{rounds}
+      UNION ALL SELECT b, a FROM c{rounds}),
+    supF AS (
+      SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS support
+      FROM (SELECT xa.node AS a, xb.node AS b
+            FROM adjF xa JOIN adjF xb
+              ON xa.nbr = xb.nbr AND xa.node < xb.node) w
+      SEMI JOIN c{rounds} e ON e.a = w.a AND e.b = w.b
+      GROUP BY w.a, w.b)""")
+    return ("WITH" + ",".join(cte) + f"""
+    SELECT e.a AS src, e.b AS dst,
+           CAST(coalesce(s.support, 0) AS BIGINT) AS support
+    FROM c{rounds} e LEFT JOIN supF s ON s.a = e.a AND s.b = e.b""")
+
+
+@_stage("q_ktruss", _truss_oracle())
+def q_ktruss(spark, sf_dir):
+    from nonconsumptive_spark.operators.graph import bigram_edges, ktruss
+
+    return ktruss(bigram_edges(load(spark, sf_dir, "documents")),
+                  k=_TRUSS_K, n_rounds=_TRUSS_ROUNDS)
+
+
+# -- event-type user-overlap matrix ---------------------------------------------
+@_stage(
+    "q_event_type_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM tu GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           round(CAST(i.n_both AS DOUBLE)
+                 / (sa.n + sb.n - i.n_both), 6) + 0.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def q_event_type_overlap(spark, sf_dir):
+    """User-base overlap between every pair of event types: exact
+    intersection counts off the distinct (type, user) frame and the
+    Jaccard of the user sets — the feature-co-usage matrix (which
+    behaviors share an audience).  Plan: one distinct agg, a user-keyed
+    self-join producing #types^2-bounded pairs, two broadcast size
+    joins; one mirrored division."""
+    tu = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id").distinct()
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    tu = materialize_once(tu, "eto_tu")
+    sizes = tu.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            (F.round(F.col("n_both").cast("double")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6)
+             + F.lit(0.0)).alias("jaccard"),
         )
     )

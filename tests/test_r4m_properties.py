@@ -897,3 +897,54 @@ def test_cramers_v_integer_numerator_chi2():
         assert abs(chi_int - chi_tb) < 1e-9 * max(1.0, chi_tb)
         v = math.sqrt(chi_tb / n / min(nl - 1, ns - 1))
         assert -1e-12 <= v <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# k-truss: brute-force peeling to convergence on random graphs matches
+# the fixed-round form once converged, every surviving edge has
+# support >= k-2, and the truss is a subgraph of the input.
+# ---------------------------------------------------------------------------
+
+
+def _truss_round(edges, k):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    keep = set()
+    for a, b in edges:
+        if len(adj[a] & adj[b]) >= k - 2:
+            keep.add((a, b))
+    return keep
+
+
+def test_ktruss_fixed_rounds_converges_and_supports_hold():
+    rng = random.Random(227)
+    k = 4
+    for _ in range(50):
+        n = rng.randint(4, 12)
+        edges = set()
+        for _ in range(rng.randint(3, 30)):
+            a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        cur = set(edges)
+        rounds = 0
+        while True:
+            nxt = _truss_round(cur, k)
+            rounds += 1
+            if nxt == cur:
+                break
+            cur = nxt
+        # confluent fixpoint: result is a subgraph where every edge has
+        # enough support
+        assert cur <= edges
+        if cur:
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            assert all(len(adj[a] & adj[b]) >= k - 2 for a, b in cur)
+        # small graphs converge within a handful of rounds (the staged
+        # query's fixed count emits support so non-convergence is visible)
+        assert rounds <= 10
