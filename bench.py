@@ -215,6 +215,8 @@ EXTRA = {
     "q_vocab_coverage": _staged("q_vocab_coverage"),
     "q_ktruss": _staged("q_ktruss"),
     "q_event_type_overlap": _staged("q_event_type_overlap"),
+    "q_higher_moments": _staged("q_higher_moments"),
+    "q_daily_mix_entropy": _staged("q_daily_mix_entropy"),
 }
 
 

@@ -5314,3 +5314,167 @@ def q_event_type_overlap(spark, sf_dir):
              + F.lit(0.0)).alias("jaccard"),
         )
     )
+
+
+# -- skewness / kurtosis by source ----------------------------------------------
+@_stage(
+    "q_higher_moments",
+    """
+    WITH mom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+             CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+             CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT)
+               AS s4
+      FROM documents GROUP BY source)
+    SELECT source, n,
+           round(CAST(s1 AS DOUBLE) / n, 4) + 0.0 AS mean,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                      / n), 4) + 0.0 AS std_pop,
+           CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n
+                     > 0
+                THEN round((CAST(s3 AS DOUBLE) / n
+                            - 3 * (CAST(s1 AS DOUBLE) / n)
+                              * ((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * s1 / n) / n)
+                            - (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n))
+                           / pow(sqrt((CAST(s2 AS DOUBLE)
+                                       - CAST(s1 AS DOUBLE) * s1 / n) / n),
+                                 3), 4) + 0.0 END AS skewness,
+           CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n
+                     > 0
+                THEN round((CAST(s4 AS DOUBLE) / n
+                            - 4 * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s3 AS DOUBLE) / n)
+                            + 6 * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s2 AS DOUBLE) / n)
+                            - 3 * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n))
+                           / (((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * s1 / n) / n)
+                              * ((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * s1 / n) / n))
+                           - 3.0, 4) + 0.0 END AS excess_kurtosis
+    FROM mom
+    """,
+)
+def q_higher_moments(spark, sf_dir):
+    """Population skewness and excess kurtosis of document length per
+    source, from exact BIGINT raw moments (s1..s4) via the central-
+    moment expansions m3 = E[x^3] - 3*mu*var - mu^3 and m4 = E[x^4]
+    - 4*mu*E[x^3] + 6*mu^2*E[x^2] - 3*mu^4 — the shape diagnostics
+    behind "is this source's length distribution heavy-tailed", one
+    mirrored float chain each.  Plan: one per-source moment agg;
+    nothing scales past the source count."""
+    mom = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("long")
+            .alias("s2"),
+            F.sum(F.col("n_chars") * F.col("n_chars") * F.col("n_chars"))
+            .cast("long").alias("s3"),
+            F.sum(F.col("n_chars") * F.col("n_chars") * F.col("n_chars")
+                  * F.col("n_chars")).cast("long").alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double")
+           - F.col("s1").cast("double") * F.col("s1") / n) / n
+    m3 = (F.col("s3").cast("double") / n - 3 * mu * var - mu * mu * mu)
+    m4 = (F.col("s4").cast("double") / n
+          - 4 * mu * (F.col("s3").cast("double") / n)
+          + 6 * mu * mu * (F.col("s2").cast("double") / n)
+          - 3 * mu * mu * mu * mu)
+    return mom.select(
+        "source", "n",
+        (F.round(mu, 4) + F.lit(0.0)).alias("mean"),
+        (F.round(F.sqrt(var), 4) + F.lit(0.0)).alias("std_pop"),
+        F.when(var > 0,
+               F.round(m3 / F.pow(F.sqrt(var), 3), 4) + F.lit(0.0))
+        .alias("skewness"),
+        F.when(var > 0,
+               F.round(m4 / (var * var) - 3.0, 4) + F.lit(0.0))
+        .alias("excess_kurtosis"),
+    )
+
+
+# -- daily event-mix entropy ------------------------------------------------------
+_MIX_SCALE = 10**12
+
+
+@_stage(
+    "q_daily_mix_entropy",
+    f"""
+    WITH cells AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    days AS (
+      SELECT day, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM cells GROUP BY day),
+    terms AS (
+      SELECT c.day, d.n, d.n_types,
+             CAST(floor((CAST(c.c AS DOUBLE) / d.n)
+                        * ln(CAST(c.c AS DOUBLE) / d.n)
+                        * {_MIX_SCALE}) AS BIGINT) AS tq
+      FROM cells c JOIN days d USING (day))
+    SELECT day, any_value(n) AS n_events, any_value(n_types) AS n_types,
+           round(-CAST(sum(tq) AS BIGINT) / {float(_MIX_SCALE)!r}, 6)
+             + 0.0 AS mix_entropy,
+           CASE WHEN any_value(n_types) > 1
+                THEN round(-CAST(sum(tq) AS BIGINT) / {float(_MIX_SCALE)!r}
+                           / ln(CAST(any_value(n_types) AS DOUBLE)), 6)
+                     + 0.0 END AS evenness
+    FROM terms GROUP BY day
+    """,
+)
+def q_daily_mix_entropy(spark, sf_dir):
+    """Entropy of the event-type mix per day, with Pielou evenness
+    (entropy / ln(#types)) — the one-number drift signal for "did the
+    traffic composition change today" (complements q_psi_drift's
+    bucket-level view).  Per-cell p*ln(p) terms quantize to 1e-12
+    BIGINTs so the per-day sum is order-independent.  Plan: one
+    (day, type) agg + one day agg + a broadcast-size join back."""
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                 "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    cells = materialize_once(cells, "mix_cells")
+    days = cells.groupBy("day").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = cells.join(F.broadcast(days), "day").select(
+        "day", "n", "n_types",
+        F.floor(p * F.log(p) * _MIX_SCALE).cast("long").alias("tq"))
+    sc = float(_MIX_SCALE)
+    return (
+        terms.groupBy("day")
+        .agg(F.first("n").alias("n_events"),
+             F.first("n_types").alias("n_types"),
+             F.sum("tq").cast("long").alias("sq"))
+        .select(
+            "day", "n_events", "n_types",
+            (F.round(-F.col("sq") / sc, 6) + F.lit(0.0))
+            .alias("mix_entropy"),
+            F.when(F.col("n_types") > 1,
+                   F.round(-F.col("sq") / sc
+                           / F.log(F.col("n_types").cast("double")), 6)
+                   + F.lit(0.0)).alias("evenness"),
+        )
+    )

@@ -948,3 +948,44 @@ def test_ktruss_fixed_rounds_converges_and_supports_hold():
         # small graphs converge within a handful of rounds (the staged
         # query's fixed count emits support so non-convergence is visible)
         assert rounds <= 10
+
+
+# ---------------------------------------------------------------------------
+# Higher moments: the raw-moment expansions equal direct central-moment
+# computation, and known shapes land where they should.
+# ---------------------------------------------------------------------------
+
+
+def test_higher_moments_raw_expansion_matches_direct():
+    rng = random.Random(229)
+    for _ in range(100):
+        xs = [rng.randint(0, 100) for _ in range(rng.randint(3, 60))]
+        n = len(xs)
+        mu = sum(xs) / n
+        var = sum((x - mu) ** 2 for x in xs) / n
+        if var == 0:
+            continue
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        s1, s2 = sum(xs), sum(x * x for x in xs)
+        s3, s4 = sum(x ** 3 for x in xs), sum(x ** 4 for x in xs)
+        m3_raw = s3 / n - 3 * mu * var - mu ** 3
+        m4_raw = (s4 / n - 4 * mu * (s3 / n)
+                  + 6 * mu * mu * (s2 / n) - 3 * mu ** 4)
+        assert abs(m3 - m3_raw) < 1e-6 * max(1.0, abs(m3))
+        assert abs(m4 - m4_raw) < 1e-6 * max(1.0, abs(m4))
+    sym = [1, 2, 3, 4, 5] * 10
+    mu = sum(sym) / len(sym)
+    m3 = sum((x - mu) ** 3 for x in sym) / len(sym)
+    assert abs(m3) < 1e-9  # symmetric -> zero skew
+
+
+def test_mix_entropy_evenness_bounds():
+    rng = random.Random(233)
+    for _ in range(100):
+        cs = [rng.randint(1, 50) for _ in range(rng.randint(1, 8))]
+        n = sum(cs)
+        h = -sum(c / n * math.log(c / n) for c in cs)
+        assert -1e-12 <= h <= math.log(len(cs)) + 1e-12
+        if len(cs) > 1 and len(set(cs)) == 1:
+            assert abs(h - math.log(len(cs))) < 1e-12
