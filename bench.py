@@ -217,6 +217,9 @@ EXTRA = {
     "q_event_type_overlap": _staged("q_event_type_overlap"),
     "q_higher_moments": _staged("q_higher_moments"),
     "q_daily_mix_entropy": _staged("q_daily_mix_entropy"),
+    "q_lorenz_curve": _staged("q_lorenz_curve"),
+    "q_event_entropy_rate": _staged("q_event_entropy_rate"),
+    "q_hhi_concentration": _staged("q_hhi_concentration"),
 }
 
 

@@ -116,7 +116,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # seasonality_strength, mattr, interarrival_stats,
 # embedding_isotropy, cohort_value, rfm_segments, split_balance,
 # anova_oneway, cramers_v, vocab_coverage, ktruss,
-# event_type_overlap, higher_moments, daily_mix_entropy.
+# event_type_overlap, higher_moments, daily_mix_entropy,
+# lorenz_curve, event_entropy_rate, hhi_concentration.
 # Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:

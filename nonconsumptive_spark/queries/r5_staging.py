@@ -5478,3 +5478,252 @@ def q_daily_mix_entropy(spark, sf_dir):
                    + F.lit(0.0)).alias("evenness"),
         )
     )
+
+
+# -- Lorenz concentration curve of token mass over documents --------------------
+# Deciles are value-based: a doc's decile = 1 + #edges below its token
+# count, with the 9 edges as exact order statistics off the count
+# histogram (the RFM edge machinery) — ties share a decile, so the
+# assignment replays exactly on both engines.
+@_stage(
+    "q_lorenz_curve",
+    f"""
+    WITH per AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(
+               coalesce(text, ''), '[^\\pL]+'), t -> t <> '')) AS BIGINT)
+               AS x
+      FROM documents),
+    hist AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+             FROM per GROUP BY x),
+    cdf AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM hist),
+    ed AS (
+      SELECT {", ".join(
+        f"min(CASE WHEN cum >= (({j} * n + 9) // 10) THEN v END) AS e{j}"
+        for j in range(1, 10))}
+      FROM cdf),
+    dec AS (
+      SELECT CAST(1 {" ".join(
+        f"+ CASE WHEN h.v > ed.e{j} THEN 1 ELSE 0 END"
+        for j in range(1, 10))} AS BIGINT) AS decile,
+             CAST(sum(h.c) AS BIGINT) AS n_docs,
+             CAST(sum(h.v * h.c) AS BIGINT) AS tokens
+      FROM hist h CROSS JOIN ed GROUP BY 1),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM dec)
+    SELECT decile, n_docs, tokens,
+           CAST(sum(tokens) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens,
+           CASE WHEN t.tt > 0
+                THEN round(CAST(sum(tokens) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / t.tt, 6) + 0.0
+                ELSE 0.0 END AS cum_share
+    FROM dec CROSS JOIN tot t
+    """,
+)
+def q_lorenz_curve(spark, sf_dir):
+    """Lorenz concentration curve of token mass over documents: docs
+    bucketed into value-based deciles of their token count (see header
+    note), with each decile's token mass and the cumulative share — the
+    table behind "the longest 10% of documents hold X% of the corpus"
+    (the distributional view q_gini_tokens summarizes to one number).
+    All masses are exact BIGINTs; the share is one mirrored division.
+    Plan: per-doc scan -> count histogram -> bounded-value windows ->
+    <=10-row frames."""
+    from pyspark.sql import Window
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    per = load(spark, sf_dir, "documents").select(
+        F.size(tokenize(F.coalesce("text", F.lit(""))))
+        .cast("long").alias("x"))
+    hist = materialize_once(
+        per.groupBy(F.col("x").alias("v"))
+        .agg(F.count("*").cast("long").alias("c")),
+        "lorenz_hist",
+    )
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = hist.select(
+        "v", "c", F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("c").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long").alias("n"))
+    ed = cdf.agg(*[
+        F.min(F.when(F.col("cum") >= F.expr(f"({j} * n + 9) div 10"),
+                     F.col("v"))).alias(f"e{j}")
+        for j in range(1, 10)])
+    decile = F.lit(1)
+    for j in range(1, 10):
+        decile = decile + F.when(F.col("v") > F.col(f"e{j}"), 1).otherwise(0)
+    dec = (
+        hist.crossJoin(F.broadcast(ed))
+        .groupBy(decile.cast("long").alias("decile"))
+        .agg(F.sum("c").cast("long").alias("n_docs"),
+             F.sum(F.col("v") * F.col("c")).cast("long").alias("tokens"))
+    )
+    tot = dec.agg(F.sum("tokens").cast("long").alias("tt"))
+    wd = (Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_docs", "tokens",
+            F.sum("tokens").over(wd).cast("long").alias("cum_tokens"),
+            F.when(F.col("tt") > 0,
+                   F.round(F.sum("tokens").over(wd).cast("double")
+                           / F.col("tt"), 6) + F.lit(0.0))
+            .otherwise(F.lit(0.0)).alias("cum_share"),
+        )
+    )
+
+
+# -- entropy rate of the event-type Markov chain ---------------------------------
+@_stage(
+    "q_event_entropy_rate",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events QUALIFY b IS NOT NULL),
+    tr AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c12
+      FROM seq GROUP BY a, b),
+    hb AS (
+      SELECT sum(CAST(c12 AS HUGEINT)
+                 * CAST(round(log2(c12) * {_ENT_SCALE}) AS HUGEINT))
+               AS hq_bi,
+             CAST(sum(c12) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM tr),
+    hc AS (
+      SELECT sum(CAST(c1 AS HUGEINT)
+                 * CAST(round(log2(c1) * {_ENT_SCALE}) AS HUGEINT))
+               AS hq_ctx,
+             CAST(count(*) AS BIGINT) AS n_states
+      FROM (SELECT a, sum(c12) AS c1 FROM tr GROUP BY a))
+    SELECT n AS n_transitions, n_states, n_pairs,
+           round(CAST(hq_ctx - hq_bi AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * {_ENT_SCALE}.0), 6) + 0.0
+             AS h_rate_bits
+    FROM hb CROSS JOIN hc
+    """,
+)
+def q_event_entropy_rate(spark, sf_dir):
+    """Entropy rate of the user-behavior Markov chain: H(next type |
+    current type) over all per-user consecutive event pairs — how
+    predictable the NEXT action is given the current one (0 =
+    deterministic flows, log2(#types) = uniform wandering); the event
+    twin of the corpus bigram conditional entropy, same exact HUGEINT/
+    decimal(38,0) identity H = (Σ c1·log2 c1 − Σ c12·log2 c12)/N.
+    Plan: one user-ordered window for the transitions, one (a, b) agg,
+    two 1-row attaches."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("user_id", F.col("event_type").alias("a"),
+                  F.lead("event_type").over(w).alias("b"))
+        .filter(F.col("b").isNotNull())
+    )
+    tr = seq.groupBy("a", "b").agg(F.count("*").cast("long").alias("c12"))
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    tr = materialize_once(tr, "eer_tr")
+
+    def lg(c):
+        return F.round(F.log2(c) * F.lit(_ENT_SCALE)).cast("long")
+
+    hb = tr.agg(
+        F.sum((F.col("c12") * lg(F.col("c12"))).cast("decimal(38,0)"))
+        .alias("hq_bi"),
+        F.sum("c12").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    hc = (
+        tr.groupBy("a").agg(F.sum("c12").alias("c1"))
+        .agg(F.sum((F.col("c1") * lg(F.col("c1")))
+                   .cast("decimal(38,0)")).alias("hq_ctx"),
+             F.count("*").cast("long").alias("n_states"))
+    )
+    return (
+        hb.crossJoin(F.broadcast(hc))
+        .select(
+            F.col("n").alias("n_transitions"), "n_states", "n_pairs",
+            (F.round((F.col("hq_ctx") - F.col("hq_bi")).cast("double")
+                     / (F.col("n").cast("double") * _ENT_SCALE), 6)
+             + F.lit(0.0)).alias("h_rate_bits"),
+        )
+    )
+
+
+# -- Herfindahl source concentration ----------------------------------------------
+@_stage(
+    "q_hhi_concentration",
+    f"""
+    WITH grp AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(len(list_filter(regexp_split_to_array(
+               coalesce(text, ''), '[^\\pL]+'), t -> t <> '')))
+               AS BIGINT) AS t
+      FROM documents GROUP BY source),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(d) AS BIGINT) AS nd, CAST(sum(t) AS BIGINT) AS nt,
+             CAST(sum(d * d) AS BIGINT) AS sd2,
+             CAST(sum(t * t) AS BIGINT) AS st2
+      FROM grp)
+    SELECT k AS n_sources, nd AS n_docs, nt AS n_tokens,
+           round(CAST(sd2 AS DOUBLE) / nd / nd, 6) + 0.0 AS hhi_docs,
+           round(CAST(st2 AS DOUBLE) / nt / nt, 6) + 0.0 AS hhi_tokens,
+           round(CAST(nd AS DOUBLE) * nd / sd2, 4) + 0.0
+             AS effective_sources_docs,
+           round(CAST(nt AS DOUBLE) * nt / st2, 4) + 0.0
+             AS effective_sources_tokens
+    FROM agg
+    """,
+)
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of the corpus over sources,
+    by document count and by token mass, with the effective-source
+    count 1/HHI — the one-number "is this corpus really 20 sources or
+    3 big ones" check (complements q_temperature_mix, which FIXES the
+    imbalance).  HHI = sum share^2 = sum n_i^2 / N^2, exact BIGINTs
+    and one mirrored division each; NULL text counts as empty.  Plan:
+    one source agg + one 1-row agg."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    grp = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("d"),
+             F.sum(F.size(tokenize(F.coalesce("text", F.lit("")))))
+             .cast("long").alias("t"))
+    )
+    agg = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("d").cast("long").alias("nd"),
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sd2"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("st2"),
+    )
+    return agg.select(
+        F.col("k").alias("n_sources"), F.col("nd").alias("n_docs"),
+        F.col("nt").alias("n_tokens"),
+        (F.round(F.col("sd2").cast("double") / F.col("nd") / F.col("nd"),
+                 6) + F.lit(0.0)).alias("hhi_docs"),
+        (F.round(F.col("st2").cast("double") / F.col("nt") / F.col("nt"),
+                 6) + F.lit(0.0)).alias("hhi_tokens"),
+        (F.round(F.col("nd").cast("double") * F.col("nd") / F.col("sd2"),
+                 4) + F.lit(0.0)).alias("effective_sources_docs"),
+        (F.round(F.col("nt").cast("double") * F.col("nt") / F.col("st2"),
+                 4) + F.lit(0.0)).alias("effective_sources_tokens"),
+    )

@@ -989,3 +989,68 @@ def test_mix_entropy_evenness_bounds():
         assert -1e-12 <= h <= math.log(len(cs)) + 1e-12
         if len(cs) > 1 and len(set(cs)) == 1:
             assert abs(h - math.log(len(cs))) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Lorenz / HHI: cumulative shares are monotone and end at 1; HHI of an
+# even split is 1/k and 1/HHI recovers k; entropy rate is bounded by
+# the state-count log and zero for deterministic chains.
+# ---------------------------------------------------------------------------
+
+
+def test_lorenz_shares_monotone_to_one():
+    rng = random.Random(239)
+    for _ in range(100):
+        xs = sorted(rng.randint(0, 200)
+                    for _ in range(rng.randint(10, 80)))
+        n = len(xs)
+        edges = [xs[((j * n + 9) // 10) - 1] for j in range(1, 10)]
+        buckets = Counter(1 + sum(x > e for e in edges) for x in xs)
+        mass = Counter()
+        for x in xs:
+            mass[1 + sum(x > e for e in edges)] += x
+        tt = sum(mass.values())
+        if tt == 0:
+            continue
+        cum = 0.0
+        prev = 0.0
+        for d in sorted(mass):
+            cum += mass[d] / tt
+            assert cum >= prev - 1e-12
+            prev = cum
+        assert abs(cum - 1.0) < 1e-9
+        assert sum(buckets.values()) == n
+
+
+def test_hhi_even_split_and_effective_count():
+    for k in (2, 5, 20):
+        ns = [37] * k
+        n = sum(ns)
+        hhi = sum(x * x for x in ns) / (n * n)
+        assert abs(hhi - 1 / k) < 1e-12
+        assert abs(n * n / sum(x * x for x in ns) - k) < 1e-9
+
+
+def test_entropy_rate_bounds():
+    rng = random.Random(241)
+    # deterministic chain: every a always goes to the same b
+    tr = Counter({("a", "b"): 10, ("b", "c"): 9, ("c", "a"): 9})
+    ctx = Counter()
+    for (a, _), c in tr.items():
+        ctx[a] += c
+    n = sum(tr.values())
+    h = (sum(c * math.log2(c) for c in ctx.values())
+         - sum(c * math.log2(c) for c in tr.values())) / n
+    assert abs(h) < 1e-12
+    for _ in range(50):
+        states = "abcd"
+        tr = Counter()
+        for _ in range(rng.randint(5, 100)):
+            tr[(rng.choice(states), rng.choice(states))] += 1
+        ctx = Counter()
+        for (a, _), c in tr.items():
+            ctx[a] += c
+        n = sum(tr.values())
+        h = (sum(c * math.log2(c) for c in ctx.values())
+             - sum(c * math.log2(c) for c in tr.values())) / n
+        assert -1e-12 <= h <= math.log2(len(states)) + 1e-12

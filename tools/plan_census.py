@@ -122,6 +122,8 @@ BNLJ_WHITELIST = {
     "q_split_balance",        # 1-row total attach onto the 3-row split frame
     "q_cramers_v",            # langs x sources grid build + 1-row attaches
     "q_vocab_coverage",       # 3-row k spine + 1-row totals attach
+    "q_lorenz_curve",         # 1-row edge + totals attaches on the histogram
+    "q_event_entropy_rate",   # two 1-row aggregate attaches
 }
 
 
