@@ -220,6 +220,8 @@ EXTRA = {
     "q_lorenz_curve": _staged("q_lorenz_curve"),
     "q_event_entropy_rate": _staged("q_event_entropy_rate"),
     "q_hhi_concentration": _staged("q_hhi_concentration"),
+    "q_jaccard_histogram": _staged("q_jaccard_histogram"),
+    "q_growth_accounting": _staged("q_growth_accounting"),
 }
 
 

@@ -117,8 +117,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # embedding_isotropy, cohort_value, rfm_segments, split_balance,
 # anova_oneway, cramers_v, vocab_coverage, ktruss,
 # event_type_overlap, higher_moments, daily_mix_entropy,
-# lorenz_curve, event_entropy_rate, hhi_concentration.
-# Promotion
+# lorenz_curve, event_entropy_rate, hhi_concentration,
+# jaccard_histogram, growth_accounting.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

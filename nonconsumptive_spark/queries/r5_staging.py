@@ -5727,3 +5727,173 @@ def q_hhi_concentration(spark, sf_dir):
         (F.round(F.col("nt").cast("double") * F.col("nt") / F.col("st2"),
                  4) + F.lit(0.0)).alias("effective_sources_tokens"),
     )
+
+
+# -- verified-Jaccard histogram over LSH candidates ------------------------------
+# The threshold-tuning table for near-dedup: every LSH candidate pair is
+# verified once, then bucketed by exact Jaccard — read it to pick the
+# dedup threshold instead of guessing (the pair counts above each bin
+# floor are the "how much would we remove at t" curve).
+def _jhist_oracle() -> str:
+    from nonconsumptive_spark.queries.dedup import _DUCK_BANDS
+
+    return _DUCK_BANDS + """,
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cands c
+      JOIN shingles x ON x.doc_id = c.doc_a
+      JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    jac AS (
+      SELECT least(CAST(floor(round(coalesce(i.i, 0) * 1.0
+                                    / (sa.n + sb.n - coalesce(i.i, 0)), 4)
+                              * 10) AS BIGINT), 9) AS bin
+      FROM cands c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b),
+    hist AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM jac GROUP BY bin)
+    SELECT bin,
+           round(bin / 10.0, 1) + 0.0 AS bin_floor,
+           n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS pairs_at_or_above
+    FROM hist"""
+
+
+@_stage("q_jaccard_histogram", _jhist_oracle())
+def q_jaccard_histogram(spark, sf_dir):
+    """Exact-Jaccard histogram of every LSH candidate pair (see header
+    note) — bin floors at 0.1 steps with the cumulative
+    pairs-at-or-above curve.  Reuses the shared banding machinery; the
+    verify stage runs once at threshold 0.  Plan: band equi-join ->
+    survivor verify -> 10-row frames; windows never exceed 10 rows."""
+    from pyspark.sql import Window
+    from nonconsumptive_spark.operators import dedup as dd
+
+    pairs = dd.minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.0)
+    hist = (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 10).cast("long"),
+                    F.lit(9)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    w = (Window.orderBy(F.desc("bin"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return hist.select(
+        "bin",
+        (F.round(F.col("bin") / 10.0, 1) + F.lit(0.0)).alias("bin_floor"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
+    )
+
+
+# -- weekly growth accounting -----------------------------------------------------
+@_stage(
+    "q_growth_accounting",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    firsts AS (
+      SELECT user_id, min(wk) AS first_wk FROM activity GROUP BY user_id),
+    flags AS (
+      SELECT a.user_id, a.wk,
+             a.wk = f.first_wk AS is_new,
+             p.user_id IS NOT NULL AS was_prev
+      FROM activity a
+      JOIN firsts f USING (user_id)
+      LEFT JOIN activity p
+        ON p.user_id = a.user_id AND p.wk = a.wk - INTERVAL 7 DAY),
+    weekly AS (
+      SELECT strftime(wk, '%Y-%m-%d') AS week,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(coalesce(sum(CASE WHEN is_new THEN 1 END), 0) AS BIGINT)
+               AS n_new,
+             CAST(coalesce(sum(CASE WHEN was_prev THEN 1 END), 0)
+                  AS BIGINT) AS n_retained,
+             CAST(coalesce(sum(CASE WHEN NOT is_new AND NOT was_prev
+                               THEN 1 END), 0) AS BIGINT) AS n_resurrected
+      FROM flags GROUP BY 1),
+    churn AS (
+      SELECT strftime(a.wk + INTERVAL 7 DAY, '%Y-%m-%d') AS week,
+             CAST(count(*) AS BIGINT) AS n_churned
+      FROM activity a
+      LEFT JOIN activity nx
+        ON nx.user_id = a.user_id AND nx.wk = a.wk + INTERVAL 7 DAY
+      WHERE nx.user_id IS NULL
+      GROUP BY 1)
+    SELECT w.week, w.n_active, w.n_new, w.n_retained, w.n_resurrected,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned_into
+    FROM weekly w LEFT JOIN churn c USING (week)
+    """,
+)
+def q_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting of the user base: active = new +
+    retained + resurrected, plus the churn flowing INTO each week
+    (users active the prior week who did not return) — the standard
+    decomposition behind every growth dashboard (n_churned_into for a
+    week beyond the observed range is simply not emitted; rows exist
+    only for observed activity weeks).  Pure set logic on the distinct
+    (user, week) frame, all BIGINT counts.  Plan: one distinct agg +
+    user/week-keyed self-joins; nothing wider than (user, week)."""
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    activity = materialize_once(activity, "ga_activity")
+    firsts = activity.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = activity.select(
+        "user_id",
+        (F.col("wk").cast("date") + F.expr("INTERVAL 7 DAY"))
+        .cast("timestamp").alias("wk"),
+        F.lit(True).alias("was_prev"))
+    flags = (
+        activity.join(firsts, "user_id")
+        .join(prev, ["user_id", "wk"], "left")
+        .select(
+            "wk",
+            (F.col("wk") == F.col("first_wk")).alias("is_new"),
+            F.coalesce("was_prev", F.lit(False)).alias("was_prev"))
+    )
+    weekly = (
+        flags.groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.coalesce(F.sum(F.when(F.col("is_new"), 1)), F.lit(0))
+            .cast("long").alias("n_new"),
+            F.coalesce(F.sum(F.when(F.col("was_prev"), 1)), F.lit(0))
+            .cast("long").alias("n_retained"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_new") & ~F.col("was_prev"), 1)),
+                F.lit(0)).cast("long").alias("n_resurrected"),
+        )
+    )
+    nxt = activity.select(
+        "user_id",
+        (F.col("wk").cast("date") + F.expr("INTERVAL 7 DAY"))
+        .cast("timestamp").alias("nwk"))
+    churn = (
+        nxt.join(activity.withColumnRenamed("wk", "nwk"),
+                 ["user_id", "nwk"], "left_anti")
+        .groupBy(F.date_format("nwk", "yyyy-MM-dd").alias("week"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    return (
+        weekly.join(churn, "week", "left")
+        .select("week", "n_active", "n_new", "n_retained",
+                "n_resurrected",
+                F.coalesce("n_churned", F.lit(0)).cast("long")
+                .alias("n_churned_into"))
+    )
