@@ -222,6 +222,8 @@ EXTRA = {
     "q_hhi_concentration": _staged("q_hhi_concentration"),
     "q_jaccard_histogram": _staged("q_jaccard_histogram"),
     "q_growth_accounting": _staged("q_growth_accounting"),
+    "q_stickiness": _staged("q_stickiness"),
+    "q_return_time_hist": _staged("q_return_time_hist"),
 }
 
 

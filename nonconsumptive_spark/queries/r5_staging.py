@@ -5897,3 +5897,116 @@ def q_growth_accounting(spark, sf_dir):
                 F.coalesce("n_churned", F.lit(0)).cast("long")
                 .alias("n_churned_into"))
     )
+
+
+# -- DAU/WAU stickiness -----------------------------------------------------------
+@_stage(
+    "q_stickiness",
+    """
+    WITH daily AS (
+      SELECT date_trunc('week', ts) AS wk, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2),
+    weekly AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY 1)
+    SELECT strftime(d.wk, '%Y-%m-%d') AS week, w.wau,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d.dau) AS BIGINT) AS dau_sum,
+           round(CAST(sum(d.dau) AS DOUBLE) / count(*) / w.wau, 6) + 0.0
+             AS stickiness
+    FROM daily d JOIN weekly w USING (wk)
+    GROUP BY d.wk, w.wau
+    """,
+)
+def q_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per week: mean daily actives over weekly
+    actives — the canonical engagement-frequency ratio (1.0 = everyone
+    active every day).  Distinct counts are exact BIGINTs; one
+    mirrored division.  Plan: two distinct-count aggs + one week-keyed
+    join; nothing wider than (week, day)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("week", "ts").alias("wk"),
+                   F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("dau"))
+    )
+    weekly = (
+        ev.groupBy(F.date_trunc("week", "ts").alias("wk"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        daily.join(weekly, "wk")
+        .groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week"), "wau")
+        .agg(F.count("*").cast("long").alias("n_days"),
+             F.sum("dau").cast("long").alias("dau_sum"))
+        .select(
+            "week", "wau", "n_days", "dau_sum",
+            (F.round(F.col("dau_sum").cast("double") / F.col("n_days")
+                     / F.col("wau"), 6) + F.lit(0.0)).alias("stickiness"),
+        )
+    )
+
+
+# -- return-time histogram ----------------------------------------------------------
+@_stage(
+    "q_return_time_hist",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    gaps AS (
+      SELECT user_id,
+             datediff('day', lag(d) OVER (PARTITION BY user_id ORDER BY d),
+                      d) AS gap
+      FROM days QUALIFY gap IS NOT NULL),
+    hist AS (
+      SELECT CAST(gap AS BIGINT) AS gap_days,
+             CAST(count(*) AS BIGINT) AS n_returns
+      FROM gaps GROUP BY gap),
+    tot AS (SELECT CAST(sum(n_returns) AS BIGINT) AS n FROM hist)
+    SELECT gap_days, n_returns,
+           round(CAST(n_returns AS DOUBLE) / t.n, 6) + 0.0 AS frac,
+           round(CAST(sum(n_returns) OVER (ORDER BY gap_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / t.n, 6) + 0.0 AS cum_frac
+    FROM hist CROSS JOIN tot t
+    """,
+)
+def q_return_time_hist(spark, sf_dir):
+    """Return-time histogram: days between a user's consecutive ACTIVE
+    days, with the cumulative "returned within g days" curve — the
+    distribution behind retention-window choices (the user-granular
+    twin of q_interarrival_stats' per-type gaps).  Gaps are exact
+    integer day differences; fractions are mirrored divisions.  Plan:
+    one distinct (user, day) agg, one user-ordered window, a
+    #distinct-gaps-bounded histogram."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")) \
+        .distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    gaps = (
+        days.select("user_id",
+                    F.datediff("d", F.lag("d").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    hist = gaps.groupBy(F.col("gap").cast("long").alias("gap_days")) \
+        .agg(F.count("*").cast("long").alias("n_returns"))
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    hist = materialize_once(hist, "rth_hist")
+    tot = hist.agg(F.sum("n_returns").cast("long").alias("n"))
+    wc = (Window.orderBy("gap_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "gap_days", "n_returns",
+            (F.round(F.col("n_returns").cast("double") / F.col("n"), 6)
+             + F.lit(0.0)).alias("frac"),
+            (F.round(F.sum("n_returns").over(wc).cast("double")
+                     / F.col("n"), 6) + F.lit(0.0)).alias("cum_frac"),
+        )
+    )

@@ -124,6 +124,7 @@ BNLJ_WHITELIST = {
     "q_vocab_coverage",       # 3-row k spine + 1-row totals attach
     "q_lorenz_curve",         # 1-row edge + totals attaches on the histogram
     "q_event_entropy_rate",   # two 1-row aggregate attaches
+    "q_return_time_hist",     # 1-row total attach onto the gap histogram
 }
 
 
