@@ -224,6 +224,9 @@ EXTRA = {
     "q_growth_accounting": _staged("q_growth_accounting"),
     "q_stickiness": _staged("q_stickiness"),
     "q_return_time_hist": _staged("q_return_time_hist"),
+    "q_char_entropy": _staged("q_char_entropy"),
+    "q_word_length_profile": _staged("q_word_length_profile"),
+    "q_oov_by_source": _staged("q_oov_by_source"),
 }
 
 

@@ -119,7 +119,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # event_type_overlap, higher_moments, daily_mix_entropy,
 # lorenz_curve, event_entropy_rate, hhi_concentration,
 # jaccard_histogram, growth_accounting, stickiness,
-# return_time_hist.  Promotion
+# return_time_hist, char_entropy, word_length_profile,
+# oov_by_source.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

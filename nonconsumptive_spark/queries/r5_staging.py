@@ -6010,3 +6010,206 @@ def q_return_time_hist(spark, sf_dir):
                      / F.col("n"), 6) + F.lit(0.0)).alias("cum_frac"),
         )
     )
+
+
+# -- character-level entropy by source ------------------------------------------
+_CHENT_SCALE = 10**12
+
+
+@_stage(
+    "q_char_entropy",
+    f"""
+    WITH chars AS (
+      SELECT source, unnest(regexp_split_to_array(
+               lower(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')),
+               '')) AS ch
+      FROM documents),
+    counts AS (
+      SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars WHERE ch <> '' GROUP BY source, ch),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_chars_distinct
+      FROM counts GROUP BY source),
+    terms AS (
+      SELECT c.source, t.n, t.n_chars_distinct,
+             CAST(floor((CAST(c.c AS DOUBLE) / t.n)
+                        * ln(CAST(c.c AS DOUBLE) / t.n)
+                        * {_CHENT_SCALE}) AS BIGINT) AS tq
+      FROM counts c JOIN tot t USING (source))
+    SELECT source, any_value(n) AS n_chars_total,
+           any_value(n_chars_distinct) AS n_distinct,
+           round(-CAST(sum(tq) AS BIGINT) / {float(_CHENT_SCALE)!r}
+                 / ln(2.0), 6) + 0.0 AS char_entropy_bits
+    FROM terms GROUP BY source
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Character-level entropy per source (whitespace stripped,
+    lowercased), in bits — the alphabet-granular diversity signal that
+    flags encoding damage and boilerplate before any tokenizer runs
+    (English prose sits near 4.1 bits; mojibake and repeated templates
+    fall far outside).  Per-char p*ln(p) terms quantize to 1e-12
+    BIGINTs so per-source sums are order-independent; the bit
+    conversion is one mirrored /ln(2).  Plan: char explode -> (source,
+    char) agg (alphabet-bounded) -> source agg."""
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select(
+        "source",
+        F.explode(F.split(
+            F.lower(F.regexp_replace(
+                F.coalesce("text", F.lit("")), r"\s+", "")), ""))
+        .alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("source", "ch").agg(
+        F.count("*").cast("long").alias("c"))
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    counts = materialize_once(counts, "chent_counts")
+    tot = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_chars_distinct"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = counts.join(F.broadcast(tot), "source").select(
+        "source", "n", "n_chars_distinct",
+        F.floor(p * F.log(p) * _CHENT_SCALE).cast("long").alias("tq"))
+    import math as _math
+
+    return (
+        terms.groupBy("source")
+        .agg(F.first("n").alias("n_chars_total"),
+             F.first("n_chars_distinct").alias("n_distinct"),
+             F.sum("tq").cast("long").alias("sq"))
+        .select(
+            "source", "n_chars_total", "n_distinct",
+            (F.round(-F.col("sq") / float(_CHENT_SCALE)
+                     / F.lit(_math.log(2.0)), 6) + F.lit(0.0))
+            .alias("char_entropy_bits"),
+        )
+    )
+
+
+# -- word-length profile by source ------------------------------------------------
+@_stage(
+    "q_word_length_profile",
+    f"""
+    WITH toks AS (
+      SELECT source, length(t) AS l
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS t FROM documents)),
+    mom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(l) AS BIGINT) AS s,
+             CAST(sum(l * l) AS BIGINT) AS ssq,
+             CAST(coalesce(sum(CASE WHEN l >= 10 THEN 1 END), 0)
+                  AS BIGINT) AS n_long
+      FROM toks GROUP BY source)
+    SELECT source, n AS n_tokens,
+           round(CAST(s AS DOUBLE) / n, 4) + 0.0 AS mean_len,
+           round(sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / n), 4) + 0.0 AS std_len,
+           round(CAST(n_long AS DOUBLE) / n, 6) + 0.0 AS long_frac
+    FROM mom
+    """,
+)
+def q_word_length_profile(spark, sf_dir):
+    """Word-length profile per source: mean/std token length and the
+    fraction of long (>=10-char) tokens — the cheap stylometric
+    fingerprint that separates technical prose from chat (complements
+    q_char_diversity and the Burrows' Delta machinery).  Exact BIGINT
+    moments, mirrored divisions.  Plan: token explode -> one source
+    moment agg."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize("text")).alias("t"))
+    mom = toks.select("source", F.length("t").alias("l")).groupBy(
+        "source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("l").cast("long").alias("s"),
+        F.sum(F.col("l") * F.col("l")).cast("long").alias("ssq"),
+        F.coalesce(F.sum(F.when(F.col("l") >= 10, 1)), F.lit(0))
+        .cast("long").alias("n_long"),
+    )
+    return mom.select(
+        "source", F.col("n").alias("n_tokens"),
+        (F.round(F.col("s").cast("double") / F.col("n"), 4) + F.lit(0.0))
+        .alias("mean_len"),
+        (F.round(F.sqrt((F.col("ssq").cast("double")
+                         - F.col("s").cast("double") * F.col("s")
+                         / F.col("n")) / F.col("n")), 4) + F.lit(0.0))
+        .alias("std_len"),
+        (F.round(F.col("n_long").cast("double") / F.col("n"), 6)
+         + F.lit(0.0)).alias("long_frac"),
+    )
+
+
+# -- OOV rate per source against the top-K corpus vocabulary -----------------------
+_OOV_K = 1000
+
+
+@_stage(
+    "q_oov_by_source",
+    f"""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY token),
+    vocab AS (
+      SELECT token FROM counts
+      ORDER BY c DESC, token ASC LIMIT {_OOV_K}),
+    st AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY source, token),
+    agg AS (
+      SELECT st.source, CAST(sum(st.c) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(CASE WHEN v.token IS NULL THEN st.c END),
+                           0) AS BIGINT) AS oov_tokens,
+             CAST(coalesce(sum(CASE WHEN v.token IS NULL THEN 1 END), 0)
+                  AS BIGINT) AS oov_types
+      FROM st LEFT JOIN vocab v USING (token)
+      GROUP BY st.source)
+    SELECT source, n_tokens, oov_tokens, oov_types,
+           round(CAST(oov_tokens AS DOUBLE) / n_tokens, 6) + 0.0
+             AS oov_rate
+    FROM agg
+    """,
+)
+def q_oov_by_source(spark, sf_dir):
+    """Out-of-vocabulary rate per source against the corpus top-K
+    vocabulary: which feeds the vocab cap hurts most — the per-source
+    refinement of q_vocab_coverage's corpus curve (and the fairness
+    check before committing a tokenizer vocab).  Vocabulary selection
+    uses the distributed sort+limit head with the deterministic
+    (count desc, token) tie-break; OOV mass is an exact BIGINT.  Plan:
+    one global wordcount agg + top-K head, one (source, token) agg, a
+    broadcast vocab anti-membership join, one source agg."""
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokenize("text")).alias("token"))
+    toks = materialize_once(toks, "oov_toks")
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("c"))
+    vocab = (counts.orderBy(F.desc("c"), F.asc("token")).limit(_OOV_K)
+             .select("token", F.lit(True).alias("in_vocab")))
+    st = toks.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("c"))
+    agg = (
+        st.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum(F.when(F.col("in_vocab").isNull(),
+                                    F.col("c"))), F.lit(0))
+            .cast("long").alias("oov_tokens"),
+            F.coalesce(F.sum(F.when(F.col("in_vocab").isNull(), 1)),
+                       F.lit(0)).cast("long").alias("oov_types"),
+        )
+    )
+    return agg.select(
+        "source", "n_tokens", "oov_tokens", "oov_types",
+        (F.round(F.col("oov_tokens").cast("double") / F.col("n_tokens"),
+                 6) + F.lit(0.0)).alias("oov_rate"),
+    )
