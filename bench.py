@@ -227,6 +227,8 @@ EXTRA = {
     "q_char_entropy": _staged("q_char_entropy"),
     "q_word_length_profile": _staged("q_word_length_profile"),
     "q_oov_by_source": _staged("q_oov_by_source"),
+    "q_hill_tail": _staged("q_hill_tail"),
+    "q_daily_bands": _staged("q_daily_bands"),
 }
 
 

@@ -6213,3 +6213,154 @@ def q_oov_by_source(spark, sf_dir):
         (F.round(F.col("oov_tokens").cast("double") / F.col("n_tokens"),
                  6) + F.lit(0.0)).alias("oov_rate"),
     )
+
+
+# -- Hill tail-index estimator over the token-frequency head -----------------------
+_HILL_K = 50
+_HILL_SCALE = 10**12
+
+
+@_stage(
+    "q_hill_tail",
+    f"""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY token),
+    head AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c DESC, token ASC)
+                     AS BIGINT) AS rk
+      FROM counts ORDER BY c DESC, token ASC LIMIT {_HILL_K + 1}),
+    ref AS (
+      SELECT c AS c_ref, rk AS rk_ref FROM head
+      WHERE rk = (SELECT max(rk) FROM head)),
+    terms AS (
+      SELECT CAST(floor(ln(CAST(h.c AS DOUBLE) / r.c_ref)
+                        * {_HILL_SCALE}) AS BIGINT) AS tq
+      FROM head h CROSS JOIN ref r WHERE h.rk < r.rk_ref),
+    agg AS (SELECT CAST(sum(tq) AS BIGINT) AS sq,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM terms)
+    SELECT a.k, r.c_ref,
+           CASE WHEN a.sq > 0
+                THEN round(CAST(a.k AS DOUBLE)
+                           / (a.sq / {float(_HILL_SCALE)!r}), 6) + 0.0
+                END AS hill_alpha
+    FROM agg a CROSS JOIN ref r
+    """,
+)
+def q_hill_tail(spark, sf_dir):
+    """Hill maximum-likelihood tail-index of the token-frequency
+    distribution: alpha = k / sum ln(c_i / c_(k+1)) over the k largest
+    type frequencies — the MLE twin of q_zipf_slope's regression
+    estimate (a Zipf exponent s corresponds to alpha ~ 1/s on the
+    frequency tail).  The head comes from the distributed sort+limit
+    (deterministic (count, token) tie-break), per-term logs quantize to
+    1e-12 BIGINTs before the k-term sum.  When the vocabulary has
+    fewer than k+1 types the reference falls back to the smallest
+    available order statistic (k shrinks with it).  Plan: one
+    wordcount agg + TakeOrdered(k+1); everything after is a
+    <=k+1-row frame."""
+    from pyspark.sql import Window
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    head = materialize_once(
+        counts.orderBy(F.desc("c"), F.asc("token")).limit(_HILL_K + 1)
+        .select("c", F.row_number().over(
+            Window.orderBy(F.desc("c"), F.asc("token")))
+            .cast("long").alias("rk")),
+        "hill_head",
+    )
+    mx = head.agg(F.max("rk").alias("rk_ref"))
+    ref = (head.crossJoin(F.broadcast(mx))
+           .filter(F.col("rk") == F.col("rk_ref"))
+           .select(F.col("c").alias("c_ref"), "rk_ref"))
+    terms = (
+        head.crossJoin(F.broadcast(ref))
+        .filter(F.col("rk") < F.col("rk_ref"))
+        .select(F.floor(F.log(F.col("c").cast("double") / F.col("c_ref"))
+                        * _HILL_SCALE).cast("long").alias("tq"))
+    )
+    agg = terms.agg(F.sum("tq").cast("long").alias("sq"),
+                    F.count("*").cast("long").alias("k"))
+    return (
+        agg.crossJoin(F.broadcast(ref.select("c_ref")))
+        .select(
+            "k", "c_ref",
+            F.when(F.col("sq") > 0,
+                   F.round(F.col("k").cast("double")
+                           / (F.col("sq") / float(_HILL_SCALE)), 6)
+                   + F.lit(0.0)).alias("hill_alpha"),
+        )
+    )
+
+
+# -- daily control bands (exact P10/P50/P90 per event type) -------------------------
+@_stage(
+    "q_daily_bands",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    hist AS (
+      SELECT event_type, y AS v, CAST(count(*) AS BIGINT) AS c
+      FROM daily GROUP BY event_type, y),
+    cdf AS (
+      SELECT event_type, v,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist)
+    SELECT event_type, any_value(n) AS n_days,
+           CAST(min(CASE WHEN cum >= (1 * n + 9) // 10 THEN v END)
+                AS BIGINT) AS p10,
+           CAST(min(CASE WHEN cum >= (5 * n + 9) // 10 THEN v END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END)
+                AS BIGINT) AS p90
+    FROM cdf GROUP BY event_type
+    """,
+)
+def q_daily_bands(spark, sf_dir):
+    """Exact P10/P50/P90 control bands of the daily count per event
+    type — the dashboard bands behind "is today's volume unusual"
+    (reads against q_sax_daily/q_cusum_by_type, which flag points; this
+    draws the envelope).  Percentiles are order statistics at
+    ceil(q*n) off the per-type day histogram — pure integers, no
+    interpolation, replays exactly.  Plan: daily agg -> per-type
+    bounded histogram windows -> one agg."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    hist = daily.groupBy("event_type", F.col("y").alias("v")).agg(
+        F.count("*").cast("long").alias("c"))
+    w = (Window.partitionBy("event_type").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = hist.select(
+        "event_type", "v",
+        F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type"))
+        .cast("long").alias("n"))
+
+    def pct(q):
+        return F.min(F.when(
+            F.col("cum") >= F.expr(f"({q} * n + 9) div 10"),
+            F.col("v"))).cast("long")
+
+    return cdf.groupBy("event_type").agg(
+        F.first("n").alias("n_days"),
+        pct(1).alias("p10"), pct(5).alias("p50"), pct(9).alias("p90"))
