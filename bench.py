@@ -229,6 +229,8 @@ EXTRA = {
     "q_oov_by_source": _staged("q_oov_by_source"),
     "q_hill_tail": _staged("q_hill_tail"),
     "q_daily_bands": _staged("q_daily_bands"),
+    "q_nn_label_agreement": _staged("q_nn_label_agreement"),
+    "q_common_prefix": _staged("q_common_prefix"),
 }
 
 

@@ -120,7 +120,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # lorenz_curve, event_entropy_rate, hhi_concentration,
 # jaccard_histogram, growth_accounting, stickiness,
 # return_time_hist, char_entropy, word_length_profile,
-# oov_by_source, hill_tail, daily_bands.  Promotion
+# oov_by_source, hill_tail, daily_bands, nn_label_agreement,
+# common_prefix.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

@@ -6364,3 +6364,123 @@ def q_daily_bands(spark, sf_dir):
     return cdf.groupBy("event_type").agg(
         F.first("n").alias("n_days"),
         pct(1).alias("p10"), pct(5).alias("p50"), pct(9).alias("p90"))
+
+
+# -- 1-NN label agreement (embedding-quality probe) ---------------------------------
+def _nn_label_oracle() -> str:
+    from nonconsumptive_spark.queries.similarity import _N_QUERIES
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS own_label,
+             CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (
+      SELECT vec_id AS neighbor_id, label AS nn_label,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings),
+    scored AS (
+      SELECT q.query_id, q.own_label, c.neighbor_id, c.nn_label,
+             round(list_dot_product(q.qvec, c.cvec) /
+                   (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))), 4)
+               AS cosine_sim
+      FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    SELECT query_id, CAST(own_label AS BIGINT) AS own_label,
+           neighbor_id AS nn_id, CAST(nn_label AS BIGINT) AS nn_label,
+           cosine_sim, own_label = nn_label AS agree
+    FROM ranked WHERE rk = 1
+    """
+
+
+@_stage("q_nn_label_agreement", _nn_label_oracle())
+def q_nn_label_agreement(spark, sf_dir):
+    """1-nearest-neighbor label agreement for the standard 10-vector
+    query set: does each query vector's closest OTHER vector carry the
+    same label — the cheapest leave-one-out probe of whether the
+    embedding space respects the labeling (the precursor to the full
+    kNN-classifier eval).  Reuses knn_bruteforce (broadcast query side,
+    deterministic rounded-sim/id ranking).  Plan: the documented
+    intentional BNLJ against the <=10-row query side + two label
+    joins."""
+    from nonconsumptive_spark.operators import similarity as sim
+    from nonconsumptive_spark.queries.similarity import _N_QUERIES
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    nn = sim.knn_bruteforce(emb, queries, k=1)
+    own = emb.select(F.col("vec_id").alias("query_id"),
+                     F.col("label").cast("long").alias("own_label"))
+    other = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("label").cast("long").alias("nn_label"))
+    return (
+        nn.join(F.broadcast(own), "query_id")
+        .join(other, "neighbor_id")
+        .select(
+            "query_id", "own_label",
+            F.col("neighbor_id").alias("nn_id"), "nn_label",
+            "cosine_sim",
+            (F.col("own_label") == F.col("nn_label")).alias("agree"),
+        )
+    )
+
+
+# -- boilerplate prefix detection per source ------------------------------------------
+# LCP(all docs of a source) = LCP(min(text), max(text)) — the classic
+# ordered-set identity: the lexicographic extremes bound every other
+# string, so any prefix they share is shared by all.
+@_stage(
+    "q_common_prefix",
+    """
+    WITH ext AS (
+      SELECT source, min(coalesce(text, '')) AS lo,
+             max(coalesce(text, '')) AS hi,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    lcp AS (
+      SELECT source, n_docs,
+             CAST(len(list_filter(
+               range(1, least(length(lo), length(hi)) + 1),
+               p -> substr(lo, 1, p) = substr(hi, 1, p))) AS BIGINT)
+               AS prefix_len,
+             lo
+      FROM ext)
+    SELECT source, n_docs, prefix_len,
+           substr(lo, 1, least(prefix_len, 24)) AS prefix_sample,
+           prefix_len >= 12 AS is_templated
+    FROM lcp
+    """,
+)
+def q_common_prefix(spark, sf_dir):
+    """Boilerplate-prefix detector per source: the longest common
+    prefix of ALL the source's documents, via the ordered-set identity
+    LCP(all) = LCP(min, max) (see header note) — two string aggregates
+    replace any all-pairs comparison, so the check is one groupBy at
+    any corpus size.  A long shared prefix is the signature of
+    templated/boilerplate feeds that near-dedup misses when bodies
+    differ.  NULL text counts as empty (forcing LCP 0 for that
+    source).  Plan: one (min, max) string agg + in-row prefix
+    comparison bounded by the shorter extreme."""
+    docs = load(spark, sf_dir, "documents")
+    txt = F.coalesce("text", F.lit(""))
+    ext = docs.groupBy("source").agg(
+        F.min(txt).alias("lo"), F.max(txt).alias("hi"),
+        F.count("*").cast("long").alias("n_docs"))
+    out = ext.selectExpr(
+        "source", "n_docs",
+        "CAST(size(filter(CASE WHEN least(length(lo), length(hi)) > 0 "
+        "  THEN sequence(1, least(length(lo), length(hi))) "
+        "  ELSE array() END, "
+        "  p -> substr(lo, 1, CAST(p AS INT)) = "
+        "       substr(hi, 1, CAST(p AS INT)))) AS LONG) AS prefix_len",
+        "lo",
+    )
+    return out.selectExpr(
+        "source", "n_docs", "prefix_len",
+        "substr(lo, 1, CAST(least(prefix_len, 24) AS INT)) AS prefix_sample",
+        "prefix_len >= 12 AS is_templated",
+    )

@@ -1054,3 +1054,52 @@ def test_entropy_rate_bounds():
         h = (sum(c * math.log2(c) for c in ctx.values())
              - sum(c * math.log2(c) for c in tr.values())) / n
         assert -1e-12 <= h <= math.log2(len(states)) + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# LCP identity: the common prefix of the lexicographic min and max of a
+# string set equals the common prefix of the whole set.
+# ---------------------------------------------------------------------------
+
+
+def _lcp2(a, b):
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+def test_lcp_min_max_identity():
+    rng = random.Random(251)
+    for _ in range(300):
+        k = rng.randint(1, 10)
+        base = "".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+        strs = [base + "".join(rng.choice("abcd")
+                               for _ in range(rng.randint(0, 8)))
+                for _ in range(k)]
+        lo, hi = min(strs), max(strs)
+        via_extremes = _lcp2(lo, hi)
+        direct = len(strs[0])
+        for s in strs[1:]:
+            direct = min(direct, _lcp2(strs[0][:direct], s))
+        assert via_extremes == direct
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator: on exact Pareto tails c_i = C * i^(-1/alpha), the
+# estimator recovers alpha as k grows.
+# ---------------------------------------------------------------------------
+
+
+def test_hill_recovers_pareto_exponent():
+    for alpha in (0.5, 1.0, 2.0):
+        k = 200
+        cs = [(i ** (-1.0 / alpha)) for i in range(1, k + 2)]
+        ref = cs[k]
+        s = sum(math.log(c / ref) for c in cs[:k])
+        est = k / s
+        # Hill on an exact power law: k / sum ln(i_ref/i)^(1/alpha)
+        # converges to alpha within a few percent at k=200
+        assert abs(est - alpha) / alpha < 0.1

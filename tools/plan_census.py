@@ -126,6 +126,7 @@ BNLJ_WHITELIST = {
     "q_event_entropy_rate",   # two 1-row aggregate attaches
     "q_return_time_hist",     # 1-row total attach onto the gap histogram
     "q_hill_tail",            # 1-row ref/max-rank attaches on the k+1 head
+    "q_nn_label_agreement",   # knn_bruteforce broadcast <=10-row query side
 }
 
 
