@@ -231,6 +231,8 @@ EXTRA = {
     "q_daily_bands": _staged("q_daily_bands"),
     "q_nn_label_agreement": _staged("q_nn_label_agreement"),
     "q_common_prefix": _staged("q_common_prefix"),
+    "q_term_position_bias": _staged("q_term_position_bias"),
+    "q_type_user_hhi": _staged("q_type_user_hhi"),
 }
 
 

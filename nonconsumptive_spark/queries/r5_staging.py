@@ -6484,3 +6484,127 @@ def q_common_prefix(spark, sf_dir):
         "substr(lo, 1, CAST(least(prefix_len, 24) AS INT)) AS prefix_sample",
         "prefix_len >= 12 AS is_templated",
     )
+
+
+# -- positional bias of the top terms ------------------------------------------------
+# Where do frequent terms sit inside documents?  Front-loaded terms
+# (mean normalized position well under 0.5) are the lead-bias signal
+# summarization corpora must report.  Per-occurrence normalized
+# positions quantize to integer 1e-6 units (pos*1e6 div len) BEFORE the
+# cross-occurrence sum, so the mean replays exactly.
+_TPB_K = 20
+_TPB_SCALE = 10**6
+
+
+@_stage(
+    "q_term_position_bias",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS token,
+             len(t) AS l
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token FROM counts ORDER BY c DESC, token ASC LIMIT {_TPB_K}),
+    occ AS (
+      SELECT t.token,
+             CAST((t.pos * {_TPB_SCALE}) // t.l AS BIGINT) AS npos_q
+      FROM toks t SEMI JOIN vocab v ON v.token = t.token),
+    agg AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(sum(npos_q) AS BIGINT) AS s
+      FROM occ GROUP BY token)
+    SELECT token, n_occ,
+           round(CAST(s AS DOUBLE) / n_occ / {_TPB_SCALE}, 6) + 0.0
+             AS mean_norm_pos,
+           CAST(s AS DOUBLE) / n_occ / {_TPB_SCALE} < 0.4 AS front_loaded
+    FROM agg
+    """,
+)
+def q_term_position_bias(spark, sf_dir):
+    """Mean normalized in-document position for the top-K corpus terms
+    (see header note) — terms that always appear early flag lead bias
+    and templated openings; terms pinned late flag boilerplate
+    footers.  Vocabulary selection is the deterministic sort+limit
+    head; membership rides a broadcast semi-join.  Plan: one positional
+    explode, one wordcount agg + TakeOrdered(K), one K-term agg."""
+    from pyspark.sql import Window
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.coalesce("text", F.lit(""))).alias("t"))
+    toks = materialize_once(
+        base.select(F.posexplode("t").alias("p", "token"),
+                    F.size("t").alias("l"))
+        .select("token", (F.col("p") + 1).alias("pos"), "l"),
+        "tpb_toks",
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(_TPB_K) \
+        .select("token")
+    occ = (
+        toks.join(F.broadcast(vocab), "token", "left_semi")
+        .select("token",
+                F.expr(f"(pos * {_TPB_SCALE}) div l").cast("long")
+                .alias("npos_q"))
+    )
+    agg = occ.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.sum("npos_q").cast("long").alias("s"))
+    mean = F.col("s").cast("double") / F.col("n_occ") / _TPB_SCALE
+    return agg.select(
+        "token", "n_occ",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_norm_pos"),
+        (mean < 0.4).alias("front_loaded"),
+    )
+
+
+# -- user concentration per event type --------------------------------------------------
+@_stage(
+    "q_type_user_hhi",
+    """
+    WITH grp AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM grp GROUP BY event_type)
+    SELECT event_type, n_users, n_events,
+           round(CAST(s2 AS DOUBLE) / n_events / n_events, 6) + 0.0
+             AS hhi,
+           round(CAST(n_events AS DOUBLE) * n_events / s2, 4) + 0.0
+             AS effective_users
+    FROM agg
+    """,
+)
+def q_type_user_hhi(spark, sf_dir):
+    """Herfindahl concentration of each event type over its users: is
+    the type's volume broad-based or driven by a handful of heavy
+    accounts (effective_users = 1/HHI) — the per-type refinement of
+    q_hhi_concentration's corpus view, and the bot-traffic smell test.
+    Exact BIGINT share sums, one mirrored division each.  Plan: one
+    (type, user) agg + one type agg."""
+    grp = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = grp.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    ne = F.col("n_events").cast("double")
+    return agg.select(
+        "event_type", "n_users", "n_events",
+        (F.round(F.col("s2") / ne / F.col("n_events"), 6) + F.lit(0.0))
+        .alias("hhi"),
+        (F.round(ne * F.col("n_events") / F.col("s2"), 4) + F.lit(0.0))
+        .alias("effective_users"),
+    )
