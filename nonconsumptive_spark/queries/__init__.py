@@ -96,8 +96,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # queries/r5_staging.py as a (spark_fn, oracle) pair, continuously
 # verified by tests/test_r5_staging.py with the driver-grade compare
 # (sf0.001 in the suite; `python tools/check_staged.py` for sf0.01) and
-# censused pre-promotion by tools/plan_census.py.  19 staged entries at
-# round-4 close: blocklist_match, postings_size_stats, min_span_indexed,
+# censused pre-promotion by tools/plan_census.py.  100 staged entries
+# by the round-4 fifth session: blocklist_match, postings_size_stats, min_span_indexed,
 # percentile_filter, normalize_unicode, repeated_regions,
 # query_likelihood, cusum_daily, kaplan_meier, ndcg_eval, code_score,
 # label_propagation, top_component, abtt_residuals, hits_scores,
