@@ -233,6 +233,7 @@ EXTRA = {
     "q_common_prefix": _staged("q_common_prefix"),
     "q_term_position_bias": _staged("q_term_position_bias"),
     "q_type_user_hhi": _staged("q_type_user_hhi"),
+    "q_cluster_representatives": _staged("q_cluster_representatives"),
 }
 
 

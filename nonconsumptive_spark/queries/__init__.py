@@ -121,7 +121,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # jaccard_histogram, growth_accounting, stickiness,
 # return_time_hist, char_entropy, word_length_profile,
 # oov_by_source, hill_tail, daily_bands, nn_label_agreement,
-# common_prefix, term_position_bias, type_user_hhi.  Promotion
+# common_prefix, term_position_bias, type_user_hhi,
+# cluster_representatives.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

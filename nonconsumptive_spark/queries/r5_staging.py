@@ -6608,3 +6608,56 @@ def q_type_user_hhi(spark, sf_dir):
         (F.round(ne * F.col("n_events") / F.col("s2"), 4) + F.lit(0.0))
         .alias("effective_users"),
     )
+
+
+# -- cluster representatives (closest-to-centroid) -----------------------------------
+def _reps_oracle() -> str:
+    from nonconsumptive_spark.queries.clustering import (
+        _GRID, _ITERS, _K, _kmeans_cte)
+
+    fin = f"a{_ITERS + 1}"
+    return (
+        _kmeans_cte(_K, _ITERS, _GRID)
+        + f""",
+    best AS (
+      SELECT cid, min(dist) AS min_dist FROM {fin} GROUP BY cid),
+    reps AS (
+      SELECT a.cid, b.min_dist, min(a.vec_id) AS rep_id
+      FROM {fin} a JOIN best b ON b.cid = a.cid AND a.dist = b.min_dist
+      GROUP BY a.cid, b.min_dist),
+    sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+              FROM {fin} GROUP BY cid)
+    SELECT CAST(r.cid AS BIGINT) AS cluster,
+           CAST(r.rep_id AS BIGINT) AS rep_id,
+           CAST(r.min_dist AS BIGINT) AS dist_sq,
+           s.n_members
+    FROM reps r JOIN sizes s USING (cid)"""
+    )
+
+
+@_stage("q_cluster_representatives", _reps_oracle())
+def q_cluster_representatives(spark, sf_dir):
+    """One representative vector per k-means cluster: the member
+    closest to its centroid (exact integer grid distance, min-id
+    tie-break) plus the cluster size — the "show me an example of each
+    cluster" selector behind dataset cards and cluster labeling (the
+    centroid-based stand-in for the O(size^2) medoid).  Plan: the
+    shared Lloyd loop, then one cluster agg of min(struct(dist, id)) —
+    nothing pairwise."""
+    from nonconsumptive_spark.operators import clustering as cl
+    from nonconsumptive_spark.queries.clustering import _ITERS, _K
+
+    km = cl.kmeans(load(spark, sf_dir, "embeddings"),
+                   k=_K, n_iter=_ITERS)
+    return (
+        km.groupBy("cluster")
+        .agg(F.min(F.struct(F.col("dist_sq"), F.col("vec_id")))
+             .alias("b"),
+             F.count("*").cast("long").alias("n_members"))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("b.vec_id").cast("long").alias("rep_id"),
+            F.col("b.dist_sq").cast("long").alias("dist_sq"),
+            "n_members",
+        )
+    )
