@@ -234,6 +234,8 @@ EXTRA = {
     "q_term_position_bias": _staged("q_term_position_bias"),
     "q_type_user_hhi": _staged("q_type_user_hhi"),
     "q_cluster_representatives": _staged("q_cluster_representatives"),
+    "q_kmeans_elbow": _staged("q_kmeans_elbow"),
+    "q_xcorr_types": _staged("q_xcorr_types"),
 }
 
 

@@ -122,7 +122,7 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # return_time_hist, char_entropy, word_length_profile,
 # oov_by_source, hill_tail, daily_bands, nn_label_agreement,
 # common_prefix, term_position_bias, type_user_hhi,
-# cluster_representatives.  Promotion
+# cluster_representatives, kmeans_elbow, xcorr_types.  Promotion
 # = re-home with @register, add to PRIORITY head, delete the staging
 # module + test.  Stream-only surfaces remain pytest-only:
 # streaming/blocklist, streaming/cusum, streaming/heavyhitters,

@@ -6661,3 +6661,132 @@ def q_cluster_representatives(spark, sf_dir):
             "n_members",
         )
     )
+
+
+# -- k-means elbow table -------------------------------------------------------------
+_ELBOW_KS = [5, 10, 20]
+_ELBOW_ITERS = 4
+
+
+def _elbow_oracle() -> str:
+    from nonconsumptive_spark.queries.clustering import _GRID, _kmeans_cte
+
+    parts = []
+    for k in _ELBOW_KS:
+        inner = (_kmeans_cte(k, _ELBOW_ITERS, _GRID)
+                 + f"\n    SELECT dist FROM a{_ELBOW_ITERS + 1}")
+        parts.append(f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(dist) AS BIGINT) AS inertia_q
+    FROM ({inner})""")
+    return (" UNION ALL ".join(parts))
+
+
+@_stage("q_kmeans_elbow", _elbow_oracle())
+def q_kmeans_elbow(spark, sf_dir):
+    """The k-means elbow table: total within-cluster squared grid
+    distance (inertia) for a spine of k values — the how-many-clusters
+    decision input, each point an independent Lloyd run with the shared
+    exact-integer machinery (distances are BIGINTs, so every inertia
+    replays bit-for-bit).  Plan: one Lloyd loop per k (zero-shuffle
+    assignment scans + k-group update aggs), one 1-row inertia agg
+    each; runs are independent and could execute concurrently."""
+    from nonconsumptive_spark.operators import clustering as cl
+
+    emb = load(spark, sf_dir, "embeddings")
+    frames = []
+    for k in _ELBOW_KS:
+        km = cl.kmeans(emb, k=k, n_iter=_ELBOW_ITERS)
+        frames.append(km.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("dist_sq").cast("long").alias("inertia_q")))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# -- cross-correlation between event-type daily series --------------------------------
+_XCORR_LAGS = [0, 1, 2, 3]
+
+
+@_stage(
+    "q_xcorr_types",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    lags AS (SELECT unnest({_XCORR_LAGS}) AS lag),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             a.y AS x, b.y AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b
+        ON b.event_type > a.event_type
+       AND b.d = a.d + CAST(l.lag AS INTEGER)),
+    mom AS (
+      SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2, 3)
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n AS n_days,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * (n * syy - sy * sy)), 6) + 0.0
+                END AS pearson_r
+    FROM mom
+    """,
+)
+def q_xcorr_types(spark, sf_dir):
+    """Lagged cross-correlation between every event-type pair's daily
+    series: Pearson r of (x_t, y_(t+lag)) for a small lag spine — does
+    one behavior lead another (lag 0 = co-movement, positive lags =
+    type_a leads type_b).  Exact BIGINT moments off the day-aligned
+    join, one mirrored float per cell, zero-variance guard.  Plan: one
+    daily agg, a 4-row lag spine, a day-keyed equi-join bounded by
+    #types^2 x #days x #lags, one moment agg."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    daily = materialize_once(daily, "xcorr_daily")
+    lags = spark.createDataFrame([(l,) for l in _XCORR_LAGS], "lag int")
+    a = daily.select(F.col("event_type").alias("type_a"),
+                     F.col("d").alias("da"), F.col("y").alias("x"))
+    b = daily.select(F.col("event_type").alias("type_b"),
+                     F.col("d").alias("db"), F.col("y").alias("yy"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, (F.col("type_b") > F.col("type_a"))
+              & (F.col("db") == F.expr("date_add(da, lag)")))
+    )
+    mom = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yy").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("yy") * F.col("yy")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("yy")).cast("long").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        "type_a", "type_b", F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.when((vx > 0) & (vy > 0),
+               F.round((F.col("n") * F.col("sxy")
+                        - F.col("sx") * F.col("sy")).cast("double")
+                       / F.sqrt(vx.cast("double") * vy), 6) + F.lit(0.0))
+        .alias("pearson_r"),
+    )

@@ -127,6 +127,7 @@ BNLJ_WHITELIST = {
     "q_return_time_hist",     # 1-row total attach onto the gap histogram
     "q_hill_tail",            # 1-row ref/max-rank attaches on the k+1 head
     "q_nn_label_agreement",   # knn_bruteforce broadcast <=10-row query side
+    "q_xcorr_types",          # 4-row lag-spine broadcast, by design
 }
 
 
