@@ -257,7 +257,7 @@ CAL_BINS = 10
 
 
 def calibration_bins(df: DataFrame, label_col: str = "label",
-                     score_col: str = "score", pos_value: int = 0,
+                     score_col: str = "score", pos_value: int = 1,
                      n_bins: int = CAL_BINS) -> DataFrame:
     """(bin, n, n_pos, avg_conf, pos_rate, gap) — the reliability-diagram
     table behind Expected Calibration Error: scores map to a pseudo-
@@ -266,6 +266,13 @@ def calibration_bins(df: DataFrame, label_col: str = "label",
     empirical positive rate; gap = |avg_conf - pos_rate| is the per-bin
     ECE contribution (weight n/N left to the reader so the table stays
     re-aggregatable).
+
+    Convention: a row is POSITIVE iff ``label_col == pos_value``;
+    the default follows the usual label=1-is-positive convention — pass
+    ``pos_value`` explicitly when the positive class is encoded
+    otherwise (the registry's q_calibration_bins uses pos_value=0
+    because the synthetic embeddings table marks its positives that
+    way).
 
     Exactness: per-row confidence quantizes to a CAL_SCALE BIGINT before
     the per-bin sum, so avg_conf is exact-integer-sum / (n * CAL_SCALE)

@@ -622,18 +622,22 @@ def modularity(edges: DataFrame, n_iter: int = 4) -> DataFrame:
 
 
 def ktruss(edges: DataFrame, k: int = 4, n_rounds: int = 3) -> DataFrame:
-    """(src, dst, support) — the edges surviving ``n_rounds`` of
-    synchronous k-truss peeling over the undirected graph (Cohen 2008):
-    repeatedly drop every edge lying in fewer than k-2 triangles of the
-    CURRENT subgraph.  The truss is the edge-level tightening of the
-    k-core (every k-truss edge joins nodes of a (k-1)-core) — on the
+    """(src, dst, support, converged) — the edges surviving ``n_rounds``
+    of synchronous k-truss peeling over the undirected graph (Cohen
+    2008): repeatedly drop every edge lying in fewer than k-2 triangles
+    of the CURRENT subgraph.  The truss is the edge-level tightening of
+    the k-core (every k-truss edge joins nodes of a (k-1)-core) — on the
     token graph it isolates the cohesive phrase clusters that survive
     even after weak co-occurrences peel away.
 
     Determinism: truss peeling is confluent (the maximal k-truss is
     unique), and the FIXED round count keeps intermediate state
-    replayable by the oracle's unrolled CTE chain; the final round's
-    support is emitted so a non-converged run visibly disagrees.
+    replayable by the oracle's unrolled CTE chain.  ``converged`` is a
+    table-constant flag: TRUE iff one more peeling round would drop no
+    edge (every surviving edge has support >= k-2 in the final
+    subgraph), so a non-fixpoint result — a SUPERSET of the true
+    k-truss — is detectable programmatically, not only by inspecting
+    the emitted support column.
 
     Scale shape: per round one adjacency union + ONE wedge equi-join
     keyed on the common-neighbor node + one edge-keyed count agg + one
@@ -671,9 +675,20 @@ def ktruss(edges: DataFrame, k: int = 4, n_rounds: int = 3) -> DataFrame:
             f"truss_e{r}",
         )
     final = support(canon)
-    return (
+    scored = materialize_once(
         canon.join(final, ["a", "b"], "left")
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+        .select("a", "b",
                 F.coalesce("support", F.lit(0)).cast("long")
-                .alias("support"))
+                .alias("support")),
+        "truss_final",
+    )
+    # converged <=> a further round is a no-op: min over the (tiny)
+    # surviving edge set of (support >= k-2), TRUE on an empty truss.
+    conv = scored.agg(
+        F.coalesce(F.min((F.col("support") >= k - 2).cast("int")),
+                   F.lit(1)).alias("c"))
+    return (
+        scored.crossJoin(F.broadcast(conv))  # 1-row aggregate attach
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                "support", (F.col("c") == 1).alias("converged"))
     )

@@ -105,6 +105,7 @@ def fs_link_scores(cust: DataFrame, m_prob: float = FS_M,
 JW_PREFIX_WEIGHT = 0.1
 JW_BOOST_THRESHOLD = 0.7
 JW_KEY_CHARS = 24
+JW_WINDOW = 12
 
 
 def _jaro_winkler_py(s1: str, s2: str) -> float:
@@ -158,21 +159,34 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
 
 def jaro_winkler_pairs(docs: DataFrame, threshold: float = 0.8,
                        id_col: str = "doc_id", text_col: str = "text",
-                       lang_col: str = "lang", block_mod: int = 23,
+                       lang_col: str = "lang", window: int = JW_WINDOW,
                        key_chars: int = JW_KEY_CHARS) -> DataFrame:
-    """(doc_a, doc_b, jw) — Jaro–Winkler similarity over blocked pairs of
-    document key strings (first ``key_chars`` lowercased chars), keeping
-    pairs with round(jw, 6) >= ``threshold`` — the fuzzy-string linkage
-    primitive (names, titles, short keys) complementing the token-set
-    measures in operators/dedup.py.
+    """(doc_a, doc_b, jw) — Jaro–Winkler similarity over sorted-
+    neighborhood candidate pairs of document key strings (first
+    ``key_chars`` lowercased chars), keeping pairs with
+    round(jw, 6) >= ``threshold`` — the fuzzy-string linkage primitive
+    (names, titles, short keys) complementing the token-set measures in
+    operators/dedup.py.
+
+    Candidate generation is SNM (sorted neighborhood, Hernández &
+    Stolfo 1995): rank every doc by (lang, key, id) — the content sort
+    puts near-identical keys adjacent, which is exactly where the
+    Winkler prefix boost puts high-similarity pairs — and compare only
+    pairs within ``window`` rank positions in the same lang.  Candidates
+    are therefore <= N*window (LINEAR in the corpus), unlike an id-mod
+    block whose population grows quadratically within blocks as N grows.
+    The rank comes from ``assign_dense_ids`` (range partition +
+    per-partition offsets, never a single-reducer sort) and the
+    rank-distance self-join is realized as TWO equi-joins on the rank
+    bucket ``rank DIV window`` — the snm_pairs discipline.
 
     Spark has no Jaro–Winkler builtin, so the kernel is an Arrow-batched
     pandas UDF (per-pair O(key_chars^2) worst case, constant-bounded by
-    ``key_chars``); DuckDB's builtin checks it bit-for-bit.  Candidate
-    pairs come from a (lang, id mod ``block_mod``) blocking equi-join —
-    never all-pairs — and the UDF sees only the two short key columns,
-    never full text."""
+    ``key_chars``); DuckDB's builtin checks it bit-for-bit.  The UDF
+    sees only the two short key columns, never full text."""
     from pyspark.sql.functions import pandas_udf
+
+    from nonconsumptive_spark.sources.readers import assign_dense_ids
 
     @pandas_udf("double")
     def jw(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -186,18 +200,31 @@ def jaro_winkler_pairs(docs: DataFrame, threshold: float = 0.8,
     keyed = docs.select(
         F.col(id_col).alias("doc"),
         F.col(lang_col).alias("lang"),
-        (F.col(id_col) % block_mod).alias("blk"),
-        F.substring(F.lower(F.col(text_col)), 1, key_chars).alias("k"),
+        F.substring(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    1, key_chars).alias("k"),
     )
-    a = keyed.select(F.col("doc").alias("doc_a"), "lang", "blk",
-                     F.col("k").alias("ka"))
-    b = keyed.select(F.col("doc").alias("doc_b"), "lang", "blk",
-                     F.col("k").alias("kb"))
+    ranked = assign_dense_ids(
+        keyed, ["lang", "k", "doc"], id_name="rnk"
+    ).withColumn("bkt", (F.col("rnk") / window).cast("long"))
+    a = ranked.select(F.col("doc").alias("doc_a"),
+                      F.col("lang").alias("lang_a"),
+                      F.col("rnk").alias("ra"), F.col("bkt").alias("ba"),
+                      F.col("k").alias("ka"))
+    b = ranked.select(F.col("doc").alias("doc_b"),
+                      F.col("lang").alias("lang_b"),
+                      F.col("rnk").alias("rb"), F.col("bkt").alias("bb"),
+                      F.col("k").alias("kb"))
+    same = a.join(b, a["ba"] == b["bb"])
+    nxt = a.join(b, a["ba"] + 1 == b["bb"])
     return (
-        a.join(b, ["lang", "blk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b",
-                (F.round(jw(F.col("ka"), F.col("kb")), 6)
-                 + F.lit(0.0)).alias("jw"))
+        same.unionByName(nxt)
+        .filter((F.col("rb") > F.col("ra"))
+                & (F.col("rb") - F.col("ra") < window)
+                & (F.col("lang_a") == F.col("lang_b")))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            (F.round(jw(F.col("ka"), F.col("kb")), 6)
+             + F.lit(0.0)).alias("jw"))
         .filter(F.col("jw") >= threshold)
     )

@@ -882,7 +882,9 @@ def ams_f2(docs: DataFrame, n_estimators: int = AMS_R,
            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row (f2_exact, f2_est, rel_err): exact second frequency moment
     vs the mean of ``n_estimators`` AMS sketch estimates.  Sign r of
-    token w is bit r of the portable 60-bit md5 hash.
+    token w is bit r of the portable 60-bit md5 hash.  rel_err is the
+    ABSOLUTE relative error |est - exact| / exact — the same convention
+    as hll_estimate_by_group, so the sketch family reads uniformly.
 
     Exactness: every X_r is an exact BIGINT sum over the (token, count)
     frame; the estimate stays the exact integer sum(X_r^2) until ONE
@@ -916,7 +918,7 @@ def ams_f2(docs: DataFrame, n_estimators: int = AMS_R,
         (F.round(sumsq.cast("double") / n_estimators, 4) + F.lit(0.0))
         .alias("f2_est"),
         (F.round(
-            (sumsq - F.lit(n_estimators) * F.col("f2")).cast("double")
+            F.abs((sumsq - F.lit(n_estimators) * F.col("f2")).cast("double"))
             / (F.lit(float(n_estimators)) * F.col("f2")), 6) + F.lit(0.0))
         .alias("rel_err"),
     )

@@ -1813,33 +1813,41 @@ def q_leakage_safe_split(spark, sf_dir):
 
 # -- Jaro-Winkler fuzzy-key linkage -----------------------------------------
 _JW_THRESHOLD = 0.8
-_JW_BLOCK_MOD = 23
 
 
 def _jw_oracle() -> str:
-    from nonconsumptive_spark.operators.linkage import JW_KEY_CHARS
+    from nonconsumptive_spark.operators.linkage import JW_KEY_CHARS, JW_WINDOW
 
     return f"""
     WITH keyed AS (
-      SELECT doc_id AS doc, lang, doc_id % {_JW_BLOCK_MOD} AS blk,
-             substr(lower(text), 1, {JW_KEY_CHARS}) AS k
+      SELECT doc_id AS doc, lang,
+             substr(lower(coalesce(text, '')), 1, {JW_KEY_CHARS}) AS k
       FROM documents),
+    ranked AS (
+      SELECT doc, lang, k,
+             row_number() OVER (ORDER BY lang, k, doc) AS rnk
+      FROM keyed),
     p AS (
-      SELECT a.doc AS doc_a, b.doc AS doc_b,
+      SELECT least(a.doc, b.doc) AS doc_a,
+             greatest(a.doc, b.doc) AS doc_b,
              round(jaro_winkler_similarity(a.k, b.k), 6) + 0.0 AS jw
-      FROM keyed a JOIN keyed b
-        ON a.lang = b.lang AND a.blk = b.blk AND a.doc < b.doc)
+      FROM ranked a JOIN ranked b
+        ON a.lang = b.lang AND b.rnk > a.rnk
+           AND b.rnk - a.rnk < {JW_WINDOW})
     SELECT doc_a, doc_b, jw FROM p WHERE jw >= {_JW_THRESHOLD!r}
     """
 
 
 @_stage("q_jaro_winkler_links", _jw_oracle())
 def q_jaro_winkler_links(spark, sf_dir):
+    """SNM-window Jaro-Winkler linkage: candidates bounded to N*window
+    by a (lang, key, id) sorted-neighborhood rank join (see
+    operators/linkage.jaro_winkler_pairs), scored by the DuckDB-bit-
+    parity JW kernel."""
     from nonconsumptive_spark.operators.linkage import jaro_winkler_pairs
 
     return jaro_winkler_pairs(load(spark, sf_dir, "documents"),
-                              threshold=_JW_THRESHOLD,
-                              block_mod=_JW_BLOCK_MOD)
+                              threshold=_JW_THRESHOLD)
 
 
 # -- MRR / MAP ranker evaluation --------------------------------------------
@@ -2037,7 +2045,10 @@ def q_calibration_bins(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").getItem(0).alias("score"))
-    return calibration_bins(emb, label_col="label", score_col="score")
+    # pos_value=0 explicitly: the synthetic embeddings table encodes its
+    # positive class as label 0 (the operator default is the usual 1)
+    return calibration_bins(emb, label_col="label", score_col="score",
+                            pos_value=0)
 
 
 # -- l-diversity privacy diagnostic -----------------------------------------
@@ -2092,7 +2103,7 @@ def _ams_oracle() -> str:
       FROM sgn)
     SELECT f2 AS f2_exact,
            round(CAST(({sumsq}) AS DOUBLE) / {AMS_R}, 4) + 0.0 AS f2_est,
-           round(CAST(({sumsq}) - {AMS_R} * f2 AS DOUBLE)
+           round(abs(CAST(({sumsq}) - {AMS_R} * f2 AS DOUBLE))
                  / (CAST({AMS_R} AS DOUBLE) * f2), 6) + 0.0 AS rel_err
     FROM agg
     """
@@ -5240,10 +5251,17 @@ def _truss_oracle() -> str:
               ON xa.nbr = xb.nbr AND xa.node < xb.node) w
       SEMI JOIN c{rounds} e ON e.a = w.a AND e.b = w.b
       GROUP BY w.a, w.b)""")
-    return ("WITH" + ",".join(cte) + f"""
-    SELECT e.a AS src, e.b AS dst,
-           CAST(coalesce(s.support, 0) AS BIGINT) AS support
-    FROM c{rounds} e LEFT JOIN supF s ON s.a = e.a AND s.b = e.b""")
+    cte.append(f"""
+    fin AS MATERIALIZED (
+      SELECT e.a, e.b, CAST(coalesce(s.support, 0) AS BIGINT) AS support
+      FROM c{rounds} e LEFT JOIN supF s ON s.a = e.a AND s.b = e.b),
+    conv AS (
+      SELECT coalesce(min(CASE WHEN support >= {k - 2} THEN 1 ELSE 0 END),
+                      1) = 1 AS converged
+      FROM fin)""")
+    return ("WITH" + ",".join(cte) + """
+    SELECT f.a AS src, f.b AS dst, f.support, c.converged
+    FROM fin f CROSS JOIN conv c""")
 
 
 @_stage("q_ktruss", _truss_oracle())

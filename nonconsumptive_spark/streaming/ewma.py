@@ -47,7 +47,13 @@ OUT_COLS = ("event_id", "user_id", "ts", "value",
 def _fold_chunk(fresh: DataFrame, alpha: float, spike: float) -> DataFrame:
     """Run the per-user recurrence over new rows, seeded by the joined
     ``raw0`` state column (NaN/absent for first-seen users).  Arithmetic
-    is the exact op sequence of the batch operator."""
+    is the exact op sequence of the batch operator: the recurrence
+    restarts ONLY at the first row of an unseeded (first-seen) user —
+    the chunk-level mirror of the batch kernel's ``i == 0`` restart.  A
+    NaN *value* therefore poisons every subsequent ewma for that user,
+    exactly as the batch backfill propagates it (restarting on
+    ``isnan(acc)`` would silently re-seed mid-stream and break the
+    documented chunked==batch bit-exact equivalence)."""
     one_minus = 1.0 - alpha
     schema = ("event_id long, user_id long, ts timestamp, value double, "
               "raw_ewma double, prev double")
@@ -58,10 +64,12 @@ def _fold_chunk(fresh: DataFrame, alpha: float, spike: float) -> DataFrame:
         e = np.empty_like(v)
         prev = np.empty_like(v)
         r0 = pdf["raw0"].iloc[0]
-        acc = float(r0) if pd.notna(r0) else float("nan")
+        seeded = bool(pd.notna(r0))
+        acc = float(r0) if seeded else float("nan")
         for i, x in enumerate(v):
             prev[i] = acc
-            acc = x if np.isnan(acc) else alpha * x + one_minus * acc
+            acc = x if (i == 0 and not seeded) \
+                else alpha * x + one_minus * acc
             e[i] = acc
         return pd.DataFrame({
             "event_id": pdf["event_id"].to_numpy(),
@@ -95,6 +103,11 @@ def merge_ewma(batch: DataFrame, table_dir: str,
     ``epoch_id`` was already applied."""
     if epoch_id <= applied_epoch(table_dir):
         return False
+    # The epoch guard only drops CROSS-epoch replays; an at-least-once
+    # source can also duplicate a row WITHIN one micro-batch, and the
+    # fold would count it twice — event_id is the series key, so one
+    # row per id.
+    batch = batch.dropDuplicates(["event_id"])
     current = committed_table(batch.sparkSession, table_dir)
     if current is not None:
         state = (

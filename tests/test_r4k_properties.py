@@ -410,7 +410,7 @@ def test_ams_f2_matches_brute(spark):
     sumsq = sum(x * x for x in xs)
     assert got["f2_exact"] == f2
     assert got["f2_est"] == round(sumsq / AMS_R, 4)
-    assert got["rel_err"] == round((sumsq - AMS_R * f2) / (AMS_R * f2), 6)
+    assert got["rel_err"] == round(abs(sumsq - AMS_R * f2) / (AMS_R * f2), 6)
 
 
 # ---------------------------------------------------------------------------

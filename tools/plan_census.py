@@ -128,6 +128,7 @@ BNLJ_WHITELIST = {
     "q_hill_tail",            # 1-row ref/max-rank attaches on the k+1 head
     "q_nn_label_agreement",   # knn_bruteforce broadcast <=10-row query side
     "q_xcorr_types",          # 4-row lag-spine broadcast, by design
+    "q_ktruss",               # 1-row converged-flag attach onto the truss
 }
 
 
