@@ -95,9 +95,9 @@ def _postings_stats(spark, sf_dir):
 
 
 def _staged(name):
-    """Timed-but-not-judged r5-staged entry (see queries/r5_staging.py)."""
+    """Timed-but-not-judged staged entry (see queries/staging.py)."""
     def run(spark, sf_dir):
-        from nonconsumptive_spark.queries.r5_staging import STAGED
+        from nonconsumptive_spark.queries.staging import STAGED
         return STAGED[name][0](spark, sf_dir)
     return run
 
@@ -141,101 +141,101 @@ EXTRA = {
     "q_priority_sample_group": _registry("q_priority_sample_group"),
     "q_blocklist_match[indexed]": _blocklist_indexed,
     "q_postings_size_stats": _postings_stats,
-    # round-4j additions (r5-staged: timed now, judged on promotion)
-    "q_query_likelihood": _staged("q_query_likelihood"),
-    "q_cusum_daily": _staged("q_cusum_daily"),
-    "q_kaplan_meier": _staged("q_kaplan_meier"),
-    "q_ndcg_eval": _staged("q_ndcg_eval"),
-    "q_code_score": _staged("q_code_score"),
-    "q_label_propagation": _staged("q_label_propagation"),
-    "q_top_component": _staged("q_top_component"),
-    "q_abtt_residuals": _staged("q_abtt_residuals"),
-    "q_hits_scores": _staged("q_hits_scores"),
-    "q_markov_stationary": _staged("q_markov_stationary"),
-    "q_cusum_by_type": _staged("q_cusum_by_type"),
-    "q_kaplan_meier_cohorts": _staged("q_kaplan_meier_cohorts"),
-    "q_lexical_cohesion": _staged("q_lexical_cohesion"),
+    # round-4j..4m additions (promoted to the registry in round 5)
+    "q_query_likelihood": _registry("q_query_likelihood"),
+    "q_cusum_daily": _registry("q_cusum_daily"),
+    "q_kaplan_meier": _registry("q_kaplan_meier"),
+    "q_ndcg_eval": _registry("q_ndcg_eval"),
+    "q_code_score": _registry("q_code_score"),
+    "q_label_propagation": _registry("q_label_propagation"),
+    "q_top_component": _registry("q_top_component"),
+    "q_abtt_residuals": _registry("q_abtt_residuals"),
+    "q_hits_scores": _registry("q_hits_scores"),
+    "q_markov_stationary": _registry("q_markov_stationary"),
+    "q_cusum_by_type": _registry("q_cusum_by_type"),
+    "q_kaplan_meier_cohorts": _registry("q_kaplan_meier_cohorts"),
+    "q_lexical_cohesion": _registry("q_lexical_cohesion"),
     # round-4 continuation additions
-    "q_silhouette": _staged("q_silhouette"),
-    "q_kcenter_select": _staged("q_kcenter_select"),
-    "q_bitext_margin": _staged("q_bitext_margin"),
-    "q_fs_link_scores": _staged("q_fs_link_scores"),
+    "q_silhouette": _registry("q_silhouette"),
+    "q_kcenter_select": _registry("q_kcenter_select"),
+    "q_bitext_margin": _registry("q_bitext_margin"),
+    "q_fs_link_scores": _registry("q_fs_link_scores"),
     # round-4k additions (evaluation / link prediction / anomalies)
-    "q_auc_eval": _staged("q_auc_eval"),
-    "q_benford_deviation": _staged("q_benford_deviation"),
-    "q_bleu_pairs": _staged("q_bleu_pairs"),
-    "q_adamic_adar": _staged("q_adamic_adar"),
-    "q_kcore": _staged("q_kcore"),
-    "q_ewma_anomalies": _staged("q_ewma_anomalies"),
-    "q_event_sequences": _staged("q_event_sequences"),
-    "q_leakage_safe_split": _staged("q_leakage_safe_split"),
-    "q_jaro_winkler_links": _staged("q_jaro_winkler_links"),
-    "q_mrr_map_eval": _staged("q_mrr_map_eval"),
-    "q_good_turing": _staged("q_good_turing"),
-    "q_token_burstiness": _staged("q_token_burstiness"),
-    "q_calibration_bins": _staged("q_calibration_bins"),
-    "q_l_diversity": _staged("q_l_diversity"),
-    "q_ams_f2": _staged("q_ams_f2"),
-    "q_ppr_tokens": _staged("q_ppr_tokens"),
-    "q_clustering_coefficient": _staged("q_clustering_coefficient"),
-    "q_lm_hit_at_k": _staged("q_lm_hit_at_k"),
-    "q_rbp_eval": _staged("q_rbp_eval"),
-    "q_source_kl": _staged("q_source_kl"),
-    "q_mann_kendall": _staged("q_mann_kendall"),
-    "q_neyman_allocation": _staged("q_neyman_allocation"),
-    "q_kendall_tau_b": _staged("q_kendall_tau_b"),
-    "q_cohens_kappa": _staged("q_cohens_kappa"),
-    "q_yules_k": _staged("q_yules_k"),
-    "q_chao1_richness": _staged("q_chao1_richness"),
-    "q_flesch_reading": _staged("q_flesch_reading"),
-    "q_kruskal_wallis": _staged("q_kruskal_wallis"),
-    "q_levene_bf": _staged("q_levene_bf"),
-    "q_t_closeness": _staged("q_t_closeness"),
-    "q_jackknife_ratio": _staged("q_jackknife_ratio"),
-    "q_rouge2_pairs": _staged("q_rouge2_pairs"),
-    "q_modularity": _staged("q_modularity"),
-    "q_wilson_ci": _staged("q_wilson_ci"),
-    "q_theil_index": _staged("q_theil_index"),
-    "q_truncation_loss": _staged("q_truncation_loss"),
-    "q_span_corruption": _staged("q_span_corruption"),
-    "q_binseg_daily": _staged("q_binseg_daily"),
-    "q_runs_test": _staged("q_runs_test"),
-    "q_dedup_rate_by_source": _staged("q_dedup_rate_by_source"),
-    "q_cooks_distance": _staged("q_cooks_distance"),
-    "q_sax_daily": _staged("q_sax_daily"),
-    "q_seasonality_strength": _staged("q_seasonality_strength"),
-    "q_mattr": _staged("q_mattr"),
-    "q_interarrival_stats": _staged("q_interarrival_stats"),
-    "q_embedding_isotropy": _staged("q_embedding_isotropy"),
-    "q_cohort_value": _staged("q_cohort_value"),
-    "q_rfm_segments": _staged("q_rfm_segments"),
-    "q_split_balance": _staged("q_split_balance"),
-    "q_anova_oneway": _staged("q_anova_oneway"),
-    "q_cramers_v": _staged("q_cramers_v"),
-    "q_vocab_coverage": _staged("q_vocab_coverage"),
-    "q_ktruss": _staged("q_ktruss"),
-    "q_event_type_overlap": _staged("q_event_type_overlap"),
-    "q_higher_moments": _staged("q_higher_moments"),
-    "q_daily_mix_entropy": _staged("q_daily_mix_entropy"),
-    "q_lorenz_curve": _staged("q_lorenz_curve"),
-    "q_event_entropy_rate": _staged("q_event_entropy_rate"),
-    "q_hhi_concentration": _staged("q_hhi_concentration"),
-    "q_jaccard_histogram": _staged("q_jaccard_histogram"),
-    "q_growth_accounting": _staged("q_growth_accounting"),
-    "q_stickiness": _staged("q_stickiness"),
-    "q_return_time_hist": _staged("q_return_time_hist"),
-    "q_char_entropy": _staged("q_char_entropy"),
-    "q_word_length_profile": _staged("q_word_length_profile"),
-    "q_oov_by_source": _staged("q_oov_by_source"),
-    "q_hill_tail": _staged("q_hill_tail"),
-    "q_daily_bands": _staged("q_daily_bands"),
-    "q_nn_label_agreement": _staged("q_nn_label_agreement"),
-    "q_common_prefix": _staged("q_common_prefix"),
-    "q_term_position_bias": _staged("q_term_position_bias"),
-    "q_type_user_hhi": _staged("q_type_user_hhi"),
-    "q_cluster_representatives": _staged("q_cluster_representatives"),
-    "q_kmeans_elbow": _staged("q_kmeans_elbow"),
-    "q_xcorr_types": _staged("q_xcorr_types"),
+    "q_auc_eval": _registry("q_auc_eval"),
+    "q_benford_deviation": _registry("q_benford_deviation"),
+    "q_bleu_pairs": _registry("q_bleu_pairs"),
+    "q_adamic_adar": _registry("q_adamic_adar"),
+    "q_kcore": _registry("q_kcore"),
+    "q_ewma_anomalies": _registry("q_ewma_anomalies"),
+    "q_event_sequences": _registry("q_event_sequences"),
+    "q_leakage_safe_split": _registry("q_leakage_safe_split"),
+    "q_jaro_winkler_links": _registry("q_jaro_winkler_links"),
+    "q_mrr_map_eval": _registry("q_mrr_map_eval"),
+    "q_good_turing": _registry("q_good_turing"),
+    "q_token_burstiness": _registry("q_token_burstiness"),
+    "q_calibration_bins": _registry("q_calibration_bins"),
+    "q_l_diversity": _registry("q_l_diversity"),
+    "q_ams_f2": _registry("q_ams_f2"),
+    "q_ppr_tokens": _registry("q_ppr_tokens"),
+    "q_clustering_coefficient": _registry("q_clustering_coefficient"),
+    "q_lm_hit_at_k": _registry("q_lm_hit_at_k"),
+    "q_rbp_eval": _registry("q_rbp_eval"),
+    "q_source_kl": _registry("q_source_kl"),
+    "q_mann_kendall": _registry("q_mann_kendall"),
+    "q_neyman_allocation": _registry("q_neyman_allocation"),
+    "q_kendall_tau_b": _registry("q_kendall_tau_b"),
+    "q_cohens_kappa": _registry("q_cohens_kappa"),
+    "q_yules_k": _registry("q_yules_k"),
+    "q_chao1_richness": _registry("q_chao1_richness"),
+    "q_flesch_reading": _registry("q_flesch_reading"),
+    "q_kruskal_wallis": _registry("q_kruskal_wallis"),
+    "q_levene_bf": _registry("q_levene_bf"),
+    "q_t_closeness": _registry("q_t_closeness"),
+    "q_jackknife_ratio": _registry("q_jackknife_ratio"),
+    "q_rouge2_pairs": _registry("q_rouge2_pairs"),
+    "q_modularity": _registry("q_modularity"),
+    "q_wilson_ci": _registry("q_wilson_ci"),
+    "q_theil_index": _registry("q_theil_index"),
+    "q_truncation_loss": _registry("q_truncation_loss"),
+    "q_span_corruption": _registry("q_span_corruption"),
+    "q_binseg_daily": _registry("q_binseg_daily"),
+    "q_runs_test": _registry("q_runs_test"),
+    "q_dedup_rate_by_source": _registry("q_dedup_rate_by_source"),
+    "q_cooks_distance": _registry("q_cooks_distance"),
+    "q_sax_daily": _registry("q_sax_daily"),
+    "q_seasonality_strength": _registry("q_seasonality_strength"),
+    "q_mattr": _registry("q_mattr"),
+    "q_interarrival_stats": _registry("q_interarrival_stats"),
+    "q_embedding_isotropy": _registry("q_embedding_isotropy"),
+    "q_cohort_value": _registry("q_cohort_value"),
+    "q_rfm_segments": _registry("q_rfm_segments"),
+    "q_split_balance": _registry("q_split_balance"),
+    "q_anova_oneway": _registry("q_anova_oneway"),
+    "q_cramers_v": _registry("q_cramers_v"),
+    "q_vocab_coverage": _registry("q_vocab_coverage"),
+    "q_ktruss": _registry("q_ktruss"),
+    "q_event_type_overlap": _registry("q_event_type_overlap"),
+    "q_higher_moments": _registry("q_higher_moments"),
+    "q_daily_mix_entropy": _registry("q_daily_mix_entropy"),
+    "q_lorenz_curve": _registry("q_lorenz_curve"),
+    "q_event_entropy_rate": _registry("q_event_entropy_rate"),
+    "q_hhi_concentration": _registry("q_hhi_concentration"),
+    "q_jaccard_histogram": _registry("q_jaccard_histogram"),
+    "q_growth_accounting": _registry("q_growth_accounting"),
+    "q_stickiness": _registry("q_stickiness"),
+    "q_return_time_hist": _registry("q_return_time_hist"),
+    "q_char_entropy": _registry("q_char_entropy"),
+    "q_word_length_profile": _registry("q_word_length_profile"),
+    "q_oov_by_source": _registry("q_oov_by_source"),
+    "q_hill_tail": _registry("q_hill_tail"),
+    "q_daily_bands": _registry("q_daily_bands"),
+    "q_nn_label_agreement": _registry("q_nn_label_agreement"),
+    "q_common_prefix": _registry("q_common_prefix"),
+    "q_term_position_bias": _registry("q_term_position_bias"),
+    "q_type_user_hhi": _registry("q_type_user_hhi"),
+    "q_cluster_representatives": _registry("q_cluster_representatives"),
+    "q_kmeans_elbow": _registry("q_kmeans_elbow"),
+    "q_xcorr_types": _registry("q_xcorr_types"),
 }
 
 
@@ -268,28 +268,51 @@ def main():
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
-    # Extras are non-judged trend rows; with 125 of them the old
-    # warm+min-of-2 protocol (3 executions each) pushed the whole bench
-    # past 10 minutes.  ONE timed pass each keeps the run ~3x cheaper;
-    # extras therefore carry first-touch cost and are comparable only to
-    # other single-pass extras rows (the headline protocol is unchanged).
+    # Extras are non-judged trend rows, single-pass timed (first-touch
+    # cost included — comparable only to other extras rows).  With 125+
+    # of them a full pass is ~3.5 min, so extras ROTATE: a deterministic
+    # third of the sorted name list per round (round index = count of
+    # recorded BENCH_r*.json files), plus the always-on sentinels.  Every
+    # extra is therefore re-measured at least every third round while the
+    # whole bench stays under the driver's window as the registry grows.
+    # Override: SPARK_GRAFT_BENCH_EXTRAS=all | none | <comma-list>.
+    always_on = ["q_minhash_dedup_pairs[xxhash64]"]
+    sel = os.environ.get("SPARK_GRAFT_BENCH_EXTRAS", "")
+    if sel == "all":
+        extra_names = list(EXTRA)
+    elif sel == "none":
+        extra_names = []
+    elif sel:
+        extra_names = [n for n in sel.split(",") if n in EXTRA]
+    else:
+        rnd = len(list(Path(__file__).resolve().parent.glob("BENCH_r*.json")))
+        rotating = sorted(n for n in EXTRA if n not in always_on)
+        extra_names = always_on + rotating[rnd % 3::3]
     extra: dict[str, float] = {}
-    for name, fn in EXTRA.items():
+    for name in extra_names:
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        EXTRA[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         extra[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Extras go on their OWN line first: the driver's tail capture of the
+    # final line is bounded (~2000 chars; BENCH_r04 overflowed it), so
+    # the FINAL line carries only the compact headline record.
+    print(json.dumps({
+        "metric": "extra_queries_single_pass",
+        "extra_queries": extra,
+        "extras_rotation": f"{len(extra)}/{len(EXTRA)} this round",
+        "sf": sf,
+    }))
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "extra_queries": extra,
         # headline protocol: untimed warm-up pass, then per-query MIN of
         # two timed passes in one warm JVM (adopted in round 3 — earlier
         # rounds were single-pass; see BASELINE.md)
-        "methodology": "warm-jvm, warmup pass + min-of-2 timed passes; extras single-pass (changed this session, see BASELINE.md)",
+        "methodology": "warm-jvm, warmup + min-of-2; extras on prior line",
         "registry_size": len(all_queries()),
         "sf": sf,
     }))

@@ -57,12 +57,12 @@ def main() -> None:
         print(f"- size {r['cluster_size']}: {r['n_clusters']} clusters, "
               f"{r['n_removable']} removable docs")
     print(f"\n## Quality filter\n- keep: {kept}/{len(quality)}")
-    from nonconsumptive_spark.queries.r5_staging import STAGED
+    from nonconsumptive_spark.queries import all_queries
 
-    codey = STAGED["q_code_score"][0](spark, sf_dir).collect()
+    codey = all_queries()["q_code_score"].spark_fn(spark, sf_dir).collect()
     n_codey = sum(1 for r in codey if r["is_codey"])
     print(f"\n## Code-likeness\n- code-looking docs: {n_codey}/{len(codey)}")
-    top = STAGED["q_top_component"][0](spark, sf_dir).collect()
+    top = all_queries()["q_top_component"].spark_fn(spark, sf_dir).collect()
     peak = max(top, key=lambda r: abs(r["loading"]))
     print("\n## Embedding anisotropy (top principal component)")
     print(f"- strongest loading: dim {peak['dim']} at {peak['loading']}")

@@ -18,8 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from nonconsumptive_spark.queries import load
-    from nonconsumptive_spark.queries.r5_staging import STAGED
+    from nonconsumptive_spark.queries import all_queries, load
     from nonconsumptive_spark.session import get_spark
     from nonconsumptive_spark.streaming.cusum import (
         cusum_series,
@@ -31,19 +30,20 @@ def main() -> None:
     spark = get_spark("event-analytics")
 
     # 1. CUSUM control chart over daily volume (batch form)
-    cusum = STAGED["q_cusum_daily"][0](spark, sf_dir)
+    reg = all_queries()
+    cusum = reg["q_cusum_daily"].spark_fn(spark, sf_dir)
     flagged = cusum.filter("flagged").count()
     print(f"== CUSUM daily control chart ({cusum.count()} days, "
           f"{flagged} flagged) ==")
     cusum.orderBy("d").show(8, truncate=False)
 
     # 2. Kaplan-Meier survival over user lifetimes
-    km = STAGED["q_kaplan_meier"][0](spark, sf_dir)
+    km = reg["q_kaplan_meier"].spark_fn(spark, sf_dir)
     print("== Kaplan-Meier user-lifetime survival ==")
     km.orderBy("dur").show(10, truncate=False)
 
     # 2b. the same survival analysis per signup cohort
-    kmc = STAGED["q_kaplan_meier_cohorts"][0](spark, sf_dir)
+    kmc = reg["q_kaplan_meier_cohorts"].spark_fn(spark, sf_dir)
     print("== Kaplan-Meier per signup cohort ==")
     kmc.orderBy("cohort", "dur").show(8, truncate=False)
 

@@ -78,7 +78,7 @@ QUERIES = [
     "q_hll_by_group",
     "q_priority_sample_group",
     "q_k_anonymity",
-    # r4j additions (r5-staged ops resolve through queries/r5_staging)
+    # r4j additions (formerly r5-staged ops, promoted to queries/promoted)
     "q_query_likelihood",
     "q_cusum_daily",
     "q_kaplan_meier",
@@ -194,7 +194,7 @@ def main():
     if not (scaled_dir / "documents.parquet").exists():
         build(spark, k, scaled_dir)
 
-    from nonconsumptive_spark.queries.r5_staging import STAGED
+    from nonconsumptive_spark.queries.staging import STAGED
 
     reg = all_queries()
     results = {}

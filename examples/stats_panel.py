@@ -24,13 +24,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
-    from nonconsumptive_spark.queries.r5_staging import STAGED
+    from nonconsumptive_spark.queries import all_queries
     from nonconsumptive_spark.session import get_spark
 
     spark = get_spark("stats-panel", cpus=8, shuffle_partitions=8)
 
     def staged(name):
-        return STAGED[name][0](spark, sf_dir).collect()
+        return all_queries()[name].spark_fn(spark, sf_dir).collect()
 
     print(f"# Corpus statistics panel — {sf_dir}\n")
 

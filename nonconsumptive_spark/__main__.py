@@ -71,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "query":
         from nonconsumptive_spark.queries import all_queries
-        from nonconsumptive_spark.queries.r5_staging import STAGED
+        from nonconsumptive_spark.queries.staging import STAGED
         from nonconsumptive_spark.session import get_spark
 
         registry = all_queries()

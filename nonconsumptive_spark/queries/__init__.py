@@ -86,141 +86,24 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # fills the remaining slots.  Goal: no green row older than two rounds
 # for any code-touched file.
 #
-# The round-4h operator backlog (min_span_proximity, skyline_kd,
-# hll_estimate_by_group, priority_sample_by_group, k_anonymity_summary)
-# registered late in r4 once head re-ordering freed governor slots; all
-# five are locally oracle-verified and queued at the PRIORITY tail for
-# the r5 driver window.
+# ROUND-5 WINDOW (the first 50 below): the 25 registered-but-never-
+# driver-checked queries (r1-r4 union = 174/199; these close the gap),
+# then the four promoted entries whose code changed this round
+# (jaro_winkler SNM rewrite, calibration_bins pos_value, ams_f2 abs
+# rel_err, ktruss converged flag), the four sweep-touched r4
+# re-verification entries displaced by the r4 backlog governor, the new
+# q_encoded_quadgrams, and 16 representatives of the 103-entry promoted
+# cohort (queries/promoted.py) spanning its families: suffix-array
+# repeated regions, query likelihood, CUSUM, Kaplan-Meier, the IR-eval
+# triple, LPA/HITS/components, ABTT, silhouette/k-center, Markov
+# stationary, and the positional-index pair.
 #
-# ROUND-5 PROMOTION QUEUE: every candidate now lives in
-# queries/r5_staging.py as a (spark_fn, oracle) pair, continuously
-# verified by tests/test_r5_staging.py with the driver-grade compare
-# (sf0.001 in the suite; `python tools/check_staged.py` for sf0.01) and
-# censused pre-promotion by tools/plan_census.py.  100 staged entries
-# by the round-4 fifth session: blocklist_match, postings_size_stats, min_span_indexed,
-# percentile_filter, normalize_unicode, repeated_regions,
-# query_likelihood, cusum_daily, kaplan_meier, ndcg_eval, code_score,
-# label_propagation, top_component, abtt_residuals, hits_scores,
-# markov_stationary, cusum_by_type, kaplan_meier_cohorts, lexical_cohesion,
-# and the round-4k batch: auc_eval, benford_deviation, bleu_pairs,
-# adamic_adar, kcore, ewma_anomalies, event_sequences,
-# leakage_safe_split, jaro_winkler_links, mrr_map_eval, good_turing,
-# token_burstiness, calibration_bins, l_diversity, ams_f2, ppr_tokens,
-# clustering_coefficient, lm_hit_at_k, rbp_eval, source_kl,
-# mann_kendall, neyman_allocation, and the round-4m batch:
-# kendall_tau_b, cohens_kappa, yules_k, chao1_richness,
-# flesch_reading, kruskal_wallis, levene_bf, t_closeness,
-# jackknife_ratio, rouge2_pairs, modularity, wilson_ci,
-# theil_index, truncation_loss, span_corruption, binseg_daily,
-# runs_test, dedup_rate_by_source, cooks_distance, sax_daily,
-# seasonality_strength, mattr, interarrival_stats,
-# embedding_isotropy, cohort_value, rfm_segments, split_balance,
-# anova_oneway, cramers_v, vocab_coverage, ktruss,
-# event_type_overlap, higher_moments, daily_mix_entropy,
-# lorenz_curve, event_entropy_rate, hhi_concentration,
-# jaccard_histogram, growth_accounting, stickiness,
-# return_time_hist, char_entropy, word_length_profile,
-# oov_by_source, hill_tail, daily_bands, nn_label_agreement,
-# common_prefix, term_position_bias, type_user_hhi,
-# cluster_representatives, kmeans_elbow, xcorr_types.  Promotion
-# = re-home with @register, add to PRIORITY head, delete the staging
-# module + test.  Stream-only surfaces remain pytest-only:
-# streaming/blocklist, streaming/cusum, streaming/heavyhitters,
-# streaming/bottomk; textstats.compression_ratio has no SQL oracle
-# (zlib).
-# NULL-text coalesce (session 3): an adversarial-text parity sweep
-# (tests/test_unicode_parity.py — CJK/RTL/emoji/NULL rows through the
-# driver-grade compare) surfaced a 23-query latent class: Spark's legacy
-# size(NULL array) = -1 / NULL-propagating splits vs the oracles' NULL
-# arithmetic.  Fixed on BOTH engines simultaneously (NULL text counts as
-# empty) in: document_lengths, token_count_ws, quality_score, lang_id,
-# repetition_scores, redact_pii, tokenize_fallback, corpus_profile,
-# quality_filter, length_quantiles_by_lang, spearman_len_tokens,
-# langid_vs_labels, canonical_docs, remove_repeated_spans,
-# struct_roundtrip, renest_roundtrip, pack_sequences, packing_stats,
-# arrow_batch_stats, vocab_growth_curve, skyline_docs, skyline_kd,
-# srp_stats.  All inactive on the NULL-free fixtures (full sf0.01 sweep
-# re-verified green post-change); the parity test sweeps every
-# documents-reachable query so the class cannot recur.  These stay OUT
-# of the full r4 window (displacing never-verified entries would breach
-# the backlog governor); r5 rotation swaps the touched ones in as the
-# window drains.
+# R6+ QUEUE (positions 51+): the remaining 82 promoted entries in file
+# order — every one already green under the driver-grade compare at two
+# SFs (test_oracle_parity + tools/check_staged) — then the longest-
+# unverified re-check tail.
 PRIORITY: tuple[str, ...] = (
-    # -- changed this round (r4): DSIR integer-quantized log-ratio sums
-    #    (the one red r3 row), dedup_against tie-break rewrite
-    "q_dsir_weights",
-    "q_dedup_incremental",
-    # -- changed by the r4 adversarial-fixture sweep fixes: kwic empty-
-    #    array sequence guard (q_kwic is never-verified, so it stays in
-    #    the window).  The OTHER four sweep-touched queries
-    #    (q_approx_quantiles / q_events_json / q_knn_cosine_lsh /
-    #    q_knn_cosine_ivf) queue at the r5 head instead: their r4 changes
-    #    are fixture-inactive (the ANN small-corpus fallback only fires
-    #    below 100 rows) or oracle-side-only, all were re-verified by the
-    #    local full-sweep, and keeping them in-window would push four
-    #    never-verified queries past the backlog governor's bound.
-    "q_kwic",
-    # -- round-4h late registrations promoted into the window (freshest
-    #    code: new fold + new applyInPandas kernel)
-    "q_min_span_proximity",
-    "q_skyline_kd",
-    # -- new round-4 queries (newest first: these have never faced the
-    #    driver gate and carry the freshest code)
-    "q_phrase_search",
-    "q_phrase_search_indexed",
-    "q_bfs_distances",
-    "q_degree_assortativity",
-    "q_weighted_sample",
-    "q_skyline_docs",
-    "q_burrows_delta",
-    "q_seasonal_residuals",
-    "q_gini_tokens",
-    "q_zorder_curve",
-    "q_nb_lang_confusion",
-    "q_bloom_novelty",
-    "q_cdc_duplicate_chunks",
-    "q_rake_keywords",
-    "q_psi_drift",
-    "q_edit_distance_pairs",
-    "q_logreg_train",
-    "q_hll_distinct",
-    "q_containment_pairs",
-    "q_ngram_novelty",
-    "q_perplexity_buckets",
-    "q_stratified_sample",
-    "q_knn_pq_adc",
-    "q_snm_pairs",
-    "q_char_diversity",
-    "q_stupid_backoff",
-    "q_range_join_events",
-    "q_zscore_outliers",
-    "q_backoff_cross_corpus",
-    "q_js_divergence",
-    "q_cooccurrence_window",
-    "q_winsorize",
-    "q_value_histogram",
-    "q_label_centroid_distances",
-    "q_ppjoin_pairs",
-    "q_distinctive_terms",
-    "q_negative_sampling",
-    "q_bootstrap_mean_ci",
-    "q_cumulative_users",
-    "q_tfidf_cosine_pairs",
-    "q_event_type_lift",
-    "q_event_transitions",
-    "q_vocab_growth_curve",
-    "q_lsh_dedup_recall",
-    "q_length_quantiles_by_lang",
-    # r5 head: the four sweep-touched re-verification entries displaced
-    # from the r4 window by the backlog governor (see note at q_kwic),
-    # then q_heaps_fit / q_zipf_slope (green r3, displaced by the
-    # round-4h promotions).
-    "q_approx_quantiles",
-    "q_events_json",
-    "q_knn_cosine_lsh",
-    "q_knn_cosine_ivf",
-    "q_heaps_fit",
-    "q_zipf_slope",
+    # -- never driver-checked registered queries (25)
     "q_logdice_collocations",
     "q_hapax_stats",
     "q_token_entropy",
@@ -229,23 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "q_embedding_decontamination",
     "q_embedding_dim_corr",
     "q_source_overlap_matrix",
-    # -- touched by r3 post-gate commits (simhash let-binding revert,
-    #    skew outer-join rejection, reader @id tie-break): their r3/r1
-    #    rows predate the code at HEAD
-    "q_simhash",
-    "q_simhash_near_pairs",
-    "q_salted_join_revenue",
-    "q_id_resolution",
-    # -- longest-unverified tail: every remaining r1-only row (driver
-    #    last saw these two windows ago)
-    "q1_pricing_summary",
-    "q_click_attribution",
-    "q_events_sliding",
-    "q_events_user_running",
-    "q_distinct_cardinality",
-    "q_events_json",
-    # -- added after the r4 window filled (the 50-slot budget above is
-    #    spoken for by never-verified r4 queries): HEAD of the r5 window.
     "q_rrf_fusion",
     "q_hard_negatives",
     "q_rbo_rankers",
@@ -260,11 +126,135 @@ PRIORITY: tuple[str, ...] = (
     "q_spearman_len_tokens",
     "q_daily_autocorr",
     "q_bpe_fertility",
-    # -- round-4 late registrations (past the 50-slot window; first in
-    #    line for the r5 head alongside the remaining backlog)
     "q_hll_by_group",
     "q_priority_sample_group",
     "q_k_anonymity",
+    # -- promoted entries whose code changed this round (4)
+    "q_jaro_winkler_links",
+    "q_calibration_bins",
+    "q_ams_f2",
+    "q_ktruss",
+    # -- sweep-touched r4 re-verifications (4)
+    "q_approx_quantiles",
+    "q_events_json",
+    "q_knn_cosine_lsh",
+    "q_knn_cosine_ivf",
+    # -- new this round (1)
+    "q_encoded_quadgrams",
+    # -- promoted-cohort representatives (16)
+    "q_repeated_regions",
+    "q_query_likelihood",
+    "q_cusum_daily",
+    "q_kaplan_meier",
+    "q_ndcg_eval",
+    "q_mrr_map_eval",
+    "q_rbp_eval",
+    "q_label_propagation",
+    "q_hits_scores",
+    "q_top_component",
+    "q_abtt_residuals",
+    "q_silhouette",
+    "q_kcenter_select",
+    "q_markov_stationary",
+    "q_blocklist_match",
+    "q_min_span_indexed",
+    # ------- end of the 50-slot r5 window -------
+    # -- r6+ queue: remaining promoted cohort (82)
+    "q_postings_size_stats",
+    "q_percentile_filter",
+    "q_normalize_unicode",
+    "q_code_score",
+    "q_cusum_by_type",
+    "q_kaplan_meier_cohorts",
+    "q_lexical_cohesion",
+    "q_bitext_margin",
+    "q_fs_link_scores",
+    "q_conditional_entropy",
+    "q_quality_retention",
+    "q_shuffle_quality",
+    "q_mixture_budget",
+    "q_cluster_capped_sample",
+    "q_event_sequences",
+    "q_benford_deviation",
+    "q_auc_eval",
+    "q_adamic_adar",
+    "q_kcore",
+    "q_ewma_anomalies",
+    "q_bleu_pairs",
+    "q_leakage_safe_split",
+    "q_good_turing",
+    "q_token_burstiness",
+    "q_l_diversity",
+    "q_ppr_tokens",
+    "q_clustering_coefficient",
+    "q_lm_hit_at_k",
+    "q_source_kl",
+    "q_mann_kendall",
+    "q_neyman_allocation",
+    "q_kendall_tau_b",
+    "q_cohens_kappa",
+    "q_yules_k",
+    "q_chao1_richness",
+    "q_flesch_reading",
+    "q_kruskal_wallis",
+    "q_levene_bf",
+    "q_t_closeness",
+    "q_jackknife_ratio",
+    "q_rouge2_pairs",
+    "q_modularity",
+    "q_wilson_ci",
+    "q_theil_index",
+    "q_truncation_loss",
+    "q_span_corruption",
+    "q_binseg_daily",
+    "q_runs_test",
+    "q_dedup_rate_by_source",
+    "q_cooks_distance",
+    "q_sax_daily",
+    "q_seasonality_strength",
+    "q_mattr",
+    "q_interarrival_stats",
+    "q_embedding_isotropy",
+    "q_cohort_value",
+    "q_rfm_segments",
+    "q_split_balance",
+    "q_anova_oneway",
+    "q_cramers_v",
+    "q_vocab_coverage",
+    "q_event_type_overlap",
+    "q_higher_moments",
+    "q_daily_mix_entropy",
+    "q_lorenz_curve",
+    "q_event_entropy_rate",
+    "q_hhi_concentration",
+    "q_jaccard_histogram",
+    "q_growth_accounting",
+    "q_stickiness",
+    "q_return_time_hist",
+    "q_char_entropy",
+    "q_word_length_profile",
+    "q_oov_by_source",
+    "q_hill_tail",
+    "q_daily_bands",
+    "q_nn_label_agreement",
+    "q_common_prefix",
+    "q_term_position_bias",
+    "q_type_user_hhi",
+    "q_cluster_representatives",
+    "q_kmeans_elbow",
+    "q_xcorr_types",
+    # -- longest-unverified re-check tail
+    "q_heaps_fit",
+    "q_zipf_slope",
+    "q_simhash",
+    "q_simhash_near_pairs",
+    "q_salted_join_revenue",
+    "q_id_resolution",
+    "q1_pricing_summary",
+    "q_click_attribution",
+    "q_events_sliding",
+    "q_events_user_running",
+    "q_distinct_cardinality",
 )
 
 
@@ -276,6 +266,7 @@ def all_queries() -> dict[str, Query]:
         events,
         hybrid,
         multimodal,
+        promoted,
         relational,
         retrieval,
         scalar,

@@ -1,33 +1,160 @@
-"""Round-5 registration staging: (spark_fn, oracle_sql) pairs for the
-operators the backlog governor kept out of the registry this round.
+"""The round-5 promotion cohort: 103 (spark_fn, oracle_sql) pairs built
+and oracle-verified during round 4 (then called ``r5_staging``), now
+REGISTERED — imported by ``queries/__init__.all_queries`` so the driver
+gate sees every entry.
 
-NOT imported by ``queries/__init__`` — the driver never sees these until
-they are promoted — but continuously verified against DuckDB by
-``tests/test_r5_staging.py`` with the exact compare the driver gate
-uses, so promotion in round 5 is a mechanical move:
+Promoted in place rather than re-homed into the topic modules: each
+entry already lives next to its oracle builder and shared CTE constants,
+and a 6,800-line cross-module move would churn every line the round-4
+history explains.  Topic grouping inside this file follows the section
+headers; new work stages in ``queries/staging.py`` and is appended to a
+topic module or here on promotion.
 
-  1. re-home each entry into its topic module with ``@register``,
-  2. add the names to PRIORITY (head: freshest first),
-  3. delete this module + its test.
+Every entry was verified with the driver-grade compare at sf0.001
+(suite) AND sf0.01 (tools/check_staged.py) before promotion, and is
+censused by tools/plan_census.py like any registered query.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nonconsumptive_spark.queries import load
+from nonconsumptive_spark.queries import load, register
 
 _DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\pL]+'), x -> x <> '')"
 
+# Kept for the round-4 property tests and examples that resolve these
+# entries by name; registration happens in the decorator below.
 STAGED: dict[str, tuple] = {}
 
 
 def _stage(name: str, oracle: str):
     def deco(fn):
         STAGED[name] = (fn, oracle)
+        register(name, oracle, doc=_doc_for(name, fn))(fn)
         return fn
 
     return deco
+
+
+def _doc_for(name: str, fn) -> str:
+    """Registry doc line: the function docstring when present, else the
+    one-liner from _DOC (every entry must document itself — the registry
+    test enforces it)."""
+    if fn.__doc__:
+        return fn.__doc__
+    return _DOC[name]
+
+
+_DOC = {
+    "q_blocklist_match": "Multi-phrase decontamination matches over the "
+        "positional index (see operators/retrieval.blocklist_match): only "
+        "blocklist-term postings move, anchor-vote equi-joins per phrase.",
+    "q_postings_size_stats": "Delta-varint postings storage accounting per "
+        "term (operators/retrieval.postings_size_stats): exact byte sizes "
+        "from integer gap folds, one term-keyed agg.",
+    "q_min_span_indexed": "Minimal multi-term span via the positional "
+        "index — same result as q_min_span_proximity but reading only the "
+        "query terms' postings (the production path).",
+    "q_percentile_filter": "Rows above a per-group exact percentile cut, "
+        "order-statistics from a value histogram (no percentile_disc "
+        "float divergence).",
+    "q_normalize_unicode": "NFC-normalized text profile (length deltas, "
+        "changed-row flags) via a vectorized pandas UDF; DuckDB nfc_"
+        "normalize checks it bit-for-bit.",
+    "q_repeated_regions": "Repeated substring regions from the distributed "
+        "suffix array (operators/suffix.py): prefix-doubling rank rounds, "
+        "adjacent-rank LCP, no quadratic scan.",
+    "q_query_likelihood": "Dirichlet-smoothed query-likelihood ranking "
+        "(operators/retrieval.py): only query-term postings shuffle; "
+        "corpus stats attach as 1-row broadcasts.",
+    "q_cusum_daily": "Page's CUSUM over the daily event series: one "
+        "day-keyed agg then a linear fold on the (tiny) day spine, "
+        "integer-quantized increments.",
+    "q_kaplan_meier": "Kaplan-Meier survival over user inter-event gaps: "
+        "risk sets from one cumulative window over the (gap-day) spine, "
+        "product-limit via exact log-sum quantization.",
+    "q_ndcg_eval": "nDCG@k of the lexical ranker against semantic truth: "
+        "per-query rank joins on the bounded k-row frame, exact "
+        "integer-quantized gain sums.",
+    "q_code_score": "Code-likeness scoring (brace/indent/keyword "
+        "densities) — zero-shuffle per-row scan in builtin expressions.",
+    "q_label_propagation": "Community labels after fixed synchronous LPA "
+        "rounds (operators/graph.label_propagation): per-round one "
+        "adjacency join + min-label agg, lineage cut per round.",
+    "q_top_component": "Largest connected component of the token graph: "
+        "iterative min-label rounds then one size agg; lineage cut per "
+        "round.",
+    "q_abtt_residuals": "All-but-the-top embedding residuals: mean + top "
+        "principal direction via power iteration (1-row/64-dim attaches), "
+        "residual norms per doc.",
+    "q_hits_scores": "HITS hub/authority scores over the token bigraph: "
+        "per-round degree-normalized joins with integer-quantized "
+        "normalization (operators/graph.hits).",
+    "q_markov_stationary": "Stationary distribution of the token Markov "
+        "chain by quantized power iteration over the transition edges.",
+    "q_cusum_by_type": "Per-event-type CUSUM changepoints: type-keyed "
+        "day aggs, fold on each type's day spine.",
+    "q_kaplan_meier_cohorts": "Kaplan-Meier survival stratified by signup "
+        "cohort: the q_kaplan_meier fold per cohort key.",
+    "q_lexical_cohesion": "Adjacent-chunk lexical cohesion per document: "
+        "chunked token sets, intra-doc adjacent-pair Jaccard (positional "
+        "zip, no self-join).",
+    "q_silhouette": "Mean-distance silhouette over k-means clusters: "
+        "within/between sums from cluster-keyed aggregates, never "
+        "pairwise across the corpus.",
+    "q_kcenter_select": "Greedy k-center (farthest-first) seed selection: "
+        "k bounded rounds, one max-distance agg per round.",
+    "q_bitext_margin": "Margin-based bitext mining scores (forward/"
+        "backward nearest-neighbor ratio) over a bounded query batch.",
+    "q_fs_link_scores": "Fellegi-Sunter record-linkage weights over "
+        "nation-blocked customer pairs (operators/linkage.fs_link_scores): "
+        "u-rates from one corpus agg, FS_SCALE integer weights.",
+    "q_conditional_entropy": "H(event_type | user activity band): "
+        "two-level integer-count aggs, entropy from exact counts with "
+        "one log per cell.",
+    "q_quality_retention": "Quality-score deciles vs doc retention under "
+        "the curation pipeline: decile edges from exact order statistics.",
+    "q_shuffle_quality": "Training-order shuffle quality: position-vs-"
+        "source rank correlation from exact integer rank sums.",
+    "q_mixture_budget": "Token-budget allocation across source mixtures "
+        "with exact integer proportional rounding (largest remainder).",
+    "q_cluster_capped_sample": "Per-cluster capped sampling via hash-"
+        "ranked row_number within cluster keys.",
+    "q_benford_deviation": "First-digit Benford deviation per event-type "
+        "group: 9-row digit spine vs exact digit counts.",
+    "q_adamic_adar": "Adamic-Adar link prediction over the token graph: "
+        "common-neighbor wedge joins with degree-capped middle nodes.",
+    "q_kcore": "k-core node set after fixed synchronous peeling rounds "
+        "(operators/graph.kcore).",
+    "q_ewma_anomalies": "Per-user EWMA + spike flags, the grouped-map "
+        "recurrence (operators/grouped.ewma_anomalies); bit-exact vs the "
+        "oracle's recursive CTE.",
+    "q_bleu_pairs": "Clipped-precision BLEU-2 over blocked same-lang doc "
+        "pairs: n-gram clip sums via count-frame joins.",
+    "q_mrr_map_eval": "MRR/MAP of the lexical ranker against semantic "
+        "truth on the bounded per-query candidate frame.",
+    "q_calibration_bins": "Reliability-diagram bins (operators/evaluation"
+        ".calibration_bins, pos_value=0 for the synthetic labels): "
+        "CAL_SCALE integer confidence sums, one 10-row agg.",
+    "q_ams_f2": "AMS second-moment sketch vs the exact F2 (operators/"
+        "wordcount.ams_f2): R sign-sums in one agg, abs rel_err.",
+    "q_ppr_tokens": "Personalized PageRank from seed tokens: quantized "
+        "push iterations over the out-degree-normalized edge list.",
+    "q_clustering_coefficient": "Per-node local clustering coefficient: "
+        "wedge count via middle-node join, closed by edge semi-join.",
+    "q_rbp_eval": "Rank-biased precision of the lexical ranker: geometric "
+        "weights on the bounded k-row rank frame.",
+    "q_source_kl": "Per-source KL divergence from the corpus unigram "
+        "distribution: vocab joins keyed on token, 1-row total attaches.",
+    "q_rouge2_pairs": "ROUGE-2 recall over blocked same-lang doc pairs "
+        "via bigram count-frame joins.",
+    "q_modularity": "Newman modularity of the LPA partition (operators/"
+        "graph.modularity): label-keyed aggs + quantized global sum.",
+    "q_ktruss": "k-truss edges after fixed peeling rounds with a "
+        "converged flag (operators/graph.ktruss): wedge equi-joins, "
+        "1-row convergence attach.",
+}
 
 
 # -- multi-phrase blocklist over the positional index ----------------------

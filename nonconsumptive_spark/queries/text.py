@@ -178,6 +178,42 @@ def q_quadgram_counts(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 @register(
+    "q_encoded_quadgrams",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 AS gram,
+             CAST(count(*) AS BIGINT) AS count
+      FROM (
+        SELECT doc_id, token AS w0,
+               lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+               lead(token, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        FROM ({_DUCK_TOKEN_POS_ROWS}))
+      WHERE w3 IS NOT NULL
+      GROUP BY doc_id, w0, w1, w2, w3),
+    vocab AS (
+      SELECT CAST(row_number() OVER (ORDER BY count DESC, gram ASC) - 1
+                  AS BIGINT) AS gramid,
+             gram
+      FROM (SELECT gram, CAST(sum(count) AS BIGINT) AS count
+            FROM counts GROUP BY gram)
+      LIMIT 1000000)
+    SELECT c.doc_id, v.gramid, c.count
+    FROM counts c JOIN vocab v ON c.gram = v.gram
+    """,
+    doc="J1 at n=4: vocabulary-encoded quadgram counts — the encode path "
+        "the reference's Quadgrams class advertised but never ran (its "
+        "ctor passes ngrams=3, transformations.py:282-289; SURVEY §2.11). "
+        "The oracle re-derives counts and vocabulary independently, so "
+        "the hash compare doubles as the count-sum-preservation invariant "
+        "(tests/test_throughput.py:100-108) extended to n=4.",
+)
+def q_encoded_quadgrams(spark, sf_dir):
+    return wc.encode_ngrams(load(spark, sf_dir, "documents"), 4)
+
+
+# --------------------------------------------------------------------------
+@register(
     "q_chunked_wordcounts",
     oracle=f"""
     SELECT doc_id, CAST(((pos - 1) * nchunks) // nwords AS BIGINT) AS chunk,

@@ -38,7 +38,7 @@ import pytest
 from datetime import datetime
 
 from nonconsumptive_spark.queries import all_queries, Query
-from nonconsumptive_spark.queries.r5_staging import STAGED
+from nonconsumptive_spark.queries.staging import STAGED
 from tools.check_oracle import compare_query, duck_connection
 
 

@@ -58,7 +58,7 @@ def test_cusum_spark_matches_python_recurrence(spark):
 
 
 def test_kaplan_meier_matches_product_estimator(spark, duck):
-    from nonconsumptive_spark.queries.r5_staging import STAGED
+    from nonconsumptive_spark.queries.promoted import STAGED
 
     fn, _ = STAGED["q_kaplan_meier"]
     rows = sorted((r["dur"], r) for r in

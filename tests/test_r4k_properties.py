@@ -275,7 +275,7 @@ def test_benford_matches_brute(spark):
 
 
 def test_leakage_safe_split_keeps_clusters_together(spark):
-    from nonconsumptive_spark.queries.r5_staging import STAGED
+    from nonconsumptive_spark.queries.promoted import STAGED
 
     fn, _ = STAGED["q_leakage_safe_split"]
     rows = fn(spark, "/root/testdata/sf0.001").collect()
@@ -372,7 +372,7 @@ def test_calibration_bins_matches_brute(spark):
 
 
 def test_good_turing_on_hand_corpus(spark):
-    from nonconsumptive_spark.queries.r5_staging import STAGED
+    from nonconsumptive_spark.queries.promoted import STAGED
 
     fn, _ = STAGED["q_good_turing"]
     rows = {r["r"]: r for r in fn(spark, "/root/testdata/sf0.001").collect()}
@@ -538,7 +538,7 @@ def test_rbp_matches_brute(spark):
 def test_mann_kendall_matches_brute(spark):
     import datetime as dt
 
-    from nonconsumptive_spark.queries.r5_staging import STAGED, _MK_SCALE
+    from nonconsumptive_spark.queries.promoted import STAGED, _MK_SCALE
 
     rng = random.Random(31)
     rows, eid = [], 0
@@ -595,7 +595,7 @@ def test_mann_kendall_matches_brute(spark):
 
 
 def test_neyman_allocation_matches_brute(spark):
-    from nonconsumptive_spark.queries.r5_staging import (
+    from nonconsumptive_spark.queries.promoted import (
         STAGED, _NEY_BUDGET, _NEY_SCALE)
 
     fn, _ = STAGED["q_neyman_allocation"]

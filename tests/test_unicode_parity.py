@@ -16,7 +16,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from nonconsumptive_spark.queries import Query, all_queries
-from nonconsumptive_spark.queries.r5_staging import STAGED
+from nonconsumptive_spark.queries.staging import STAGED
 from tools.check_oracle import compare_query, duck_connection
 
 ROWS = [

@@ -1,5 +1,5 @@
-"""Driver-grade compare for the r5-STAGED (spark_fn, oracle) pairs at an
-arbitrary sf directory — the sf0.01 companion to tests/test_r5_staging.py
+"""Driver-grade compare for the STAGED (spark_fn, oracle) pairs at an
+arbitrary sf directory — the sf0.01 companion to tests/test_staging.py
 (which pins sf0.001 in the suite).
 
 Usage:  python tools/check_staged.py [sf_dir] [name ...]
@@ -15,7 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     from nonconsumptive_spark.queries import Query
-    from nonconsumptive_spark.queries.r5_staging import STAGED
+    from nonconsumptive_spark.queries.staging import STAGED
     from nonconsumptive_spark.session import get_spark
     from tools.check_oracle import compare_query, duck_connection
 

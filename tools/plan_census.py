@@ -134,7 +134,7 @@ BNLJ_WHITELIST = {
 
 def census(spark, sf_dir: str, only=None):
     from nonconsumptive_spark.queries import all_queries
-    from nonconsumptive_spark.queries.r5_staging import STAGED
+    from nonconsumptive_spark.queries.staging import STAGED
 
     entries = {name: q.spark_fn for name, q in all_queries().items()}
     # staged-but-unregistered queries face the same structural gate, so
