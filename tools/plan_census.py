@@ -129,6 +129,10 @@ BNLJ_WHITELIST = {
     "q_nn_label_agreement",   # knn_bruteforce broadcast <=10-row query side
     "q_xcorr_types",          # 4-row lag-spine broadcast, by design
     "q_ktruss",               # 1-row converged-flag attach onto the truss
+    # r6-staged (censused pre-promotion):
+    "q_cohens_d_sources",     # #sources^2 broadcast self-join (welch pattern)
+    "q_g2_collocations",      # 1-row bigram-total attach onto the bigram frame
+    "q_permutation_test",     # 1-row observed-stat + 2-row source-frame attaches
 }
 
 
