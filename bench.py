@@ -243,6 +243,9 @@ EXTRA = {
     "q_permutation_test": _staged("q_permutation_test"),
     "q_holt_linear_daily": _staged("q_holt_linear_daily"),
     "q_seq_pattern_pairs": _staged("q_seq_pattern_pairs"),
+    "q_rm3_expansion": _staged("q_rm3_expansion"),
+    "q_gunning_fog": _staged("q_gunning_fog"),
+    "q_grubbs_outlier": _staged("q_grubbs_outlier"),
 }
 
 

@@ -91,6 +91,18 @@ QUERIES = [
     "q_cusum_by_type",
     "q_kaplan_meier_cohorts",
     "q_lexical_cohesion",
+    # r5 additions: the changed/new operators of the promotion round
+    "q_jaro_winkler_links",
+    "q_ktruss",
+    "q_encoded_quadgrams",
+    "q_g2_collocations",
+    "q_cohens_d_sources",
+    "q_permutation_test",
+    "q_holt_linear_daily",
+    "q_seq_pattern_pairs",
+    "q_rm3_expansion",
+    "q_gunning_fog",
+    "q_grubbs_outlier",
 ]
 
 

@@ -526,3 +526,71 @@ def query_likelihood_topk(docs: DataFrame, query_terms: list[str],
             (F.round(F.col("score_q") / q9, 4) + F.lit(0.0)).alias("score"),
         )
     )
+
+
+RM3_SCALE = 10**9
+
+
+def rm3_expansion(docs: DataFrame, query_terms: list[str], k: int = 10,
+                  m: int = 15, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(term, n_docs, rm3_weight) — RM3 pseudo-relevance-feedback query
+    expansion (Lavrenko & Croft 2001 relevance model, the Anserini/
+    Galago default): take the BM25 top-``k`` documents, estimate the
+    relevance model P(w|R) ∝ Σ_d P(w|d)·score_d over them, drop the
+    original query terms, and emit the top-``m`` expansion terms with
+    their normalized relevance-model weight.
+
+    Cross-engine exactness: the top-k frame is the deterministic BM25
+    cut (6-decimal sort key + id tiebreak) carrying the ROUNDED
+    4-decimal score both engines share; each (term, doc) contribution
+    tf/dl·score quantizes to an RM3_SCALE BIGINT the instant it is
+    produced, so the per-term sum (≤ k addends) and the normalizing
+    total are exact integers — one float division at emit.
+
+    Scale shape: the k-row top frame broadcasts onto the corpus (BHJ on
+    the id — only the k winning documents re-tokenize), one (term)
+    agg bounded by the k docs' vocabulary, a 1-row total attach, and a
+    TakeOrderedAndProject cut.  Nothing after the broadcast join scales
+    with the corpus."""
+    terms = sorted({t.lower() for t in query_terms})
+    top = bm25_topk(docs, terms, k=k, id_col=id_col, text_col=text_col)
+    rel = docs.join(
+        F.broadcast(top.select(id_col, "score")), id_col
+    ).select(
+        id_col, "score",
+        let(
+            tokenize(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+            lambda toks: F.struct(
+                F.size(toks).alias("dl"), toks.alias("toks")),
+        ).alias("s"),
+    ).select(id_col, "score", "s.dl", F.explode("s.toks").alias("term"))
+    tf = (
+        rel.groupBy(id_col, "term", "dl", "score")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    contrib = F.floor(
+        F.col("tf").cast("double") / F.col("dl") * F.col("score")
+        * RM3_SCALE
+    ).cast("long")
+    per_term = (
+        tf.filter(F.col("dl") > 0)
+        .select("term", id_col, contrib.alias("cq"))
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).cast("long").alias("n_docs"),
+             F.sum("cq").cast("long").alias("w"))
+        .filter(~F.col("term").isin(terms))
+    )
+    total = per_term.agg(F.sum("w").cast("long").alias("wt"))
+    return (
+        per_term.crossJoin(F.broadcast(total))  # 1-row normalizer attach
+        .select(
+            "term", "n_docs",
+            (F.round(F.col("w").cast("double") / F.col("wt"), 6)
+             + F.lit(0.0)).alias("rm3_weight"),
+            F.col("w").alias("_sk"),
+        )
+        .orderBy(F.desc("_sk"), F.asc("term"))
+        .limit(m)
+        .drop("_sk")
+    )

@@ -390,3 +390,213 @@ def q_seq_pattern_pairs(spark, sf_dir):
              + F.lit(0.0)).alias("ordered_ratio"),
         )
     )
+
+
+# -- RM3 pseudo-relevance-feedback query expansion ---------------------------
+_RM3_K = 10
+_RM3_M = 15
+
+
+def _rm3_oracle() -> str:
+    from nonconsumptive_spark.operators import retrieval as rt
+    from nonconsumptive_spark.queries.retrieval import (
+        _BM25_TERMS, _DUCK_TOKS_LOWER, _TERMS_SQL)
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_TOKS_LOWER} AS t FROM documents),
+    lens AS (SELECT doc_id, len(t) AS dl FROM base),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    qtf AS (
+      SELECT doc_id, dl, token, count(*) AS tf
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM base)
+      WHERE token IN {_TERMS_SQL}
+      GROUP BY doc_id, dl, token),
+    dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtf GROUP BY token),
+    top AS (
+      SELECT doc_id, round(raw, 4) + 0.0 AS score
+      FROM (
+        SELECT f.doc_id,
+               sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * f.tf * ({rt.K1} + 1)
+                   / (f.tf + {rt.K1} * (1 - {rt.B} + {rt.B} * f.dl / s.avgdl))) AS raw
+        FROM qtf f JOIN dfs d USING (token) CROSS JOIN stats s
+        GROUP BY f.doc_id)
+      ORDER BY round(raw, 6) DESC, doc_id ASC
+      LIMIT {_RM3_K}),
+    rel AS (
+      SELECT b.doc_id, p.score, len(b.t) AS dl, unnest(b.t) AS term
+      FROM base b JOIN top p USING (doc_id)),
+    tf AS (
+      SELECT doc_id, term, dl, score, CAST(count(*) AS BIGINT) AS tf
+      FROM rel GROUP BY doc_id, term, dl, score),
+    per_term AS (
+      SELECT term,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(floor(CAST(tf AS DOUBLE) / dl * score
+                                 * {rt.RM3_SCALE}) AS BIGINT)) AS BIGINT) AS w
+      FROM tf WHERE dl > 0
+      GROUP BY term
+      HAVING term NOT IN {_TERMS_SQL}),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM per_term)
+    SELECT term, n_docs,
+           round(CAST(w AS DOUBLE) / wt, 6) + 0.0 AS rm3_weight
+    FROM per_term CROSS JOIN tot
+    ORDER BY w DESC, term ASC
+    LIMIT {_RM3_M}
+    """
+
+
+@_stage("q_rm3_expansion", _rm3_oracle())
+def q_rm3_expansion(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback expansion terms for the shared BM25
+    query (operators/retrieval.rm3_expansion): the relevance model over
+    the deterministic BM25 top-k, contributions integer-quantized before
+    every cross-row sum, normalized by a 1-row total attach."""
+    from nonconsumptive_spark.operators.retrieval import rm3_expansion
+    from nonconsumptive_spark.queries.retrieval import _BM25_TERMS
+
+    return rm3_expansion(load(spark, sf_dir, "documents"), _BM25_TERMS,
+                         k=_RM3_K, m=_RM3_M)
+
+
+# -- Gunning fog index --------------------------------------------------------
+_FOG_RUNS = ("length(regexp_replace(regexp_replace({e}, '[aeiouy]+', 'a', "
+             "'g'), '[^a]', '', 'g'))")
+
+
+@_stage(
+    "q_gunning_fog",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                         '[^\\pL]+'), x -> x <> '') AS t,
+             coalesce(text, '') AS txt
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(greatest(1, length(regexp_replace(regexp_replace(txt,
+                    '[.!?]+', '.', 'g'), '[^.]', '', 'g'))) AS BIGINT)
+               AS n_sentences,
+             CAST(len(list_filter(t,
+                    x -> {_FOG_RUNS.format(e='x')} >= 3)) AS BIGINT)
+               AS n_complex
+      FROM base)
+    SELECT doc_id, n_words, n_sentences, n_complex,
+           CASE WHEN n_words > 0
+                THEN round(0.4 * (CAST(n_words AS DOUBLE) / n_sentences
+                           + 100.0 * CAST(n_complex AS DOUBLE) / n_words),
+                           3) + 0.0 END AS fog
+    FROM feat
+    """,
+)
+def q_gunning_fog(spark, sf_dir):
+    """Gunning fog readability per document — the second classic grade
+    formula beside Flesch-Kincaid, driven by the COMPLEX-word rate
+    (>= 3 vowel-group runs, the shared syllable proxy) instead of the
+    total syllable rate.  Sentence runs use the portable collapse-then-
+    strip regexp pair; NULL text counts as empty and scores NULL.  All
+    three counts are exact integers; zero-shuffle per-row scan."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    def runs(col, cls, marker):
+        return F.length(F.regexp_replace(
+            F.regexp_replace(col, cls, marker), "[^" + marker + "]", ""))
+
+    txt = F.coalesce("text", F.lit(""))
+    syl = lambda t: F.length(F.regexp_replace(
+        F.regexp_replace(t, "[aeiouy]+", "a"), "[^a]", ""))
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokenize(F.lower(txt))).cast("long").alias("n_words"),
+        F.greatest(F.lit(1), runs(txt, "[.!?]+", ".")).cast("long")
+        .alias("n_sentences"),
+        F.size(F.filter(tokenize(F.lower(txt)), lambda t: syl(t) >= 3))
+        .cast("long").alias("n_complex"),
+    )
+    return base.select(
+        "doc_id", "n_words", "n_sentences", "n_complex",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(0.4 * (F.col("n_words").cast("double")
+                           / F.col("n_sentences")
+                           + 100.0 * F.col("n_complex").cast("double")
+                           / F.col("n_words")), 3) + F.lit(0.0))
+        .alias("fog"),
+    )
+
+
+# -- Grubbs-style extreme outlier per source ----------------------------------
+_GRUBBS_FLAG = 3.0
+
+
+@_stage(
+    "q_grubbs_outlier",
+    f"""
+    WITH mom AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY source),
+    dev AS (
+      SELECT d.source, d.doc_id, CAST(d.n_chars AS BIGINT) AS x,
+             abs(CAST(d.n_chars AS BIGINT) * m.n - m.s) AS devq,
+             m.n, m.s, m.ss
+      FROM documents d JOIN mom m USING (source)),
+    top AS (
+      SELECT source, doc_id, x, devq, n, s, ss,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY devq DESC, doc_id ASC) AS rn
+      FROM dev)
+    SELECT source, n, doc_id, x,
+           round(CAST(devq AS DOUBLE) / n
+                 / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                        / (n - 1)), 6) + 0.0 AS g_stat,
+           CAST(devq AS DOUBLE) / n
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                    / (n - 1)) > {_GRUBBS_FLAG} AS is_extreme
+    FROM top WHERE rn = 1
+    """,
+)
+def q_grubbs_outlier(spark, sf_dir):
+    """Grubbs-style single-outlier statistic per source: the maximum
+    |x - mean|/sd of document length, with the arg-max document
+    identified.  The arg-max is located on the EXACT integer deviation
+    |x*n - s| (so ranking never touches a float), ties break on doc_id;
+    the G statistic divides once by n and once by the mirrored sample
+    SD at emit.  is_extreme flags G > 3 (a plain threshold, documented —
+    not the t-based critical value).  Plan: one moment agg + broadcast
+    moment join + one per-source top-1 window."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    mom = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss"),
+    )
+    dev = (
+        docs.join(F.broadcast(mom), "source")
+        .select(
+            "source", "doc_id", F.col("n_chars").cast("long").alias("x"),
+            F.abs(F.col("n_chars").cast("long") * F.col("n") - F.col("s"))
+            .alias("devq"),
+            "n", "s", "ss",
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("devq"), F.asc("doc_id"))
+    sd = F.sqrt((F.col("ss").cast("double")
+                 - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1))
+    g = F.col("devq").cast("double") / F.col("n") / sd
+    return (
+        dev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source", "n", "doc_id", "x",
+            (F.round(g, 6) + F.lit(0.0)).alias("g_stat"),
+            (g > _GRUBBS_FLAG).alias("is_extreme"),
+        )
+    )

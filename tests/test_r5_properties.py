@@ -267,3 +267,128 @@ def test_seq_pattern_matches_brute(spark):
                 if t_min < t_max:
                     want[(ta, tb)] += 1
     assert got == {k: (both[k], want[k]) for k in both}
+
+
+# ---------------------------------------------------------------------------
+# RM3: weights normalize to ~1, exclude the query terms, and match a brute
+# recomputation over the BM25 top-k
+# ---------------------------------------------------------------------------
+
+
+def test_rm3_matches_brute(spark):
+    from nonconsumptive_spark.operators.retrieval import (
+        RM3_SCALE, bm25_topk, rm3_expansion)
+    import tests.conftest as cf
+    from nonconsumptive_spark.queries import load as _load
+
+    terms = ["spark", "query", "dup"]
+    docs = _load(spark, cf.SF_SMALL, "documents")
+    got = rm3_expansion(docs, terms, k=10, m=15).collect()
+    assert got, "expansion must be non-empty"
+    assert all(r["term"] not in terms for r in got)
+    # weights are a normalized sub-distribution of the full candidate set
+    assert 0 < sum(r["rm3_weight"] for r in got) <= 1.0 + 1e-6
+
+    top = {r["doc_id"]: r["score"]
+           for r in bm25_topk(docs, terms, k=10).collect()}
+    texts = {r["doc_id"]: (r["text"] or "")
+             for r in docs.filter(docs.doc_id.isin(list(top))).collect()}
+    import math
+    import re
+    from collections import Counter
+    w: Counter = Counter()
+    nd: Counter = Counter()
+    for did, score in top.items():
+        toks = [t for t in re.split(r"[^\W\d_]*", texts[did].lower()) if t] \
+            if False else [t for t in re.findall(r"[^\W\d_]+",
+                                                 texts[did].lower()) if t]
+        if not toks:
+            continue
+        tf = Counter(toks)
+        for t, c in tf.items():
+            w[t] += math.floor(c / len(toks) * score * RM3_SCALE)
+            nd[t] += 1
+    for t in terms:
+        w.pop(t, None)
+        nd.pop(t, None)
+    total = sum(w.values())
+    want = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got_map = {r["term"]: (r["n_docs"], r["rm3_weight"]) for r in got}
+    assert set(got_map) == {t for t, _ in want}
+    for t, wt in want:
+        assert got_map[t] == (nd[t], round(wt / total, 6)), t
+
+
+# ---------------------------------------------------------------------------
+# Gunning fog: brute recomputation, and complex-word monotonicity
+# ---------------------------------------------------------------------------
+
+
+def test_gunning_fog_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import re
+    import tempfile
+
+    rows = [
+        (0, "Short words here. More tiny text now!"),
+        (1, "Extraordinary considerations necessitate comprehensive "
+            "documentation. Plain bit."),
+        (2, None),
+        (3, "noPunctuationAtAll just words meandering indefinitely"),
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    fn, _ = STAGED["q_gunning_fog"]
+    got = {r["doc_id"]: r for r in fn(spark, tmp).collect()}
+    for did, text in rows:
+        t = (text or "")
+        words = re.findall(r"[^\W\d_]+", t.lower())
+        sentences = max(1, len(re.findall(r"[.!?]+", t)))
+        def syl(word):
+            return len(re.findall(r"[aeiouy]+", word))
+        complex_w = sum(1 for w in words if syl(w) >= 3)
+        r = got[did]
+        assert r["n_words"] == len(words)
+        assert r["n_sentences"] == sentences
+        assert r["n_complex"] == complex_w
+        if words:
+            fog = round(0.4 * (len(words) / sentences
+                               + 100.0 * complex_w / len(words)), 3)
+            assert abs(r["fog"] - fog) < 1e-9
+        else:
+            assert r["fog"] is None
+
+
+# ---------------------------------------------------------------------------
+# Grubbs: the flagged row is the true arg-max deviation, and g matches the
+# brute max |x - mean| / sd
+# ---------------------------------------------------------------------------
+
+
+def test_grubbs_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import statistics
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_grubbs_outlier"]
+    got = {r["source"]: r for r in fn(spark, cf.SF_SMALL).collect()}
+
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, doc_id, n_chars FROM "
+        f"'{cf.SF_SMALL}/documents.parquet'").fetchall()
+    by_src: dict = {}
+    for s, d, x in rows:
+        by_src.setdefault(s, []).append((d, x))
+    for s, items in list(by_src.items())[:6]:
+        xs = [x for _, x in items]
+        m = sum(xs) / len(xs)
+        sd = statistics.stdev(xs)
+        best = max(items, key=lambda dx: (abs(dx[1] * len(xs) - sum(xs)),
+                                          -dx[0]))
+        g = abs(best[1] - m) / sd
+        r = got[s]
+        assert r["doc_id"] == best[0], s
+        assert abs(r["g_stat"] - g) < 1e-4, s

@@ -133,6 +133,7 @@ BNLJ_WHITELIST = {
     "q_cohens_d_sources",     # #sources^2 broadcast self-join (welch pattern)
     "q_g2_collocations",      # 1-row bigram-total attach onto the bigram frame
     "q_permutation_test",     # 1-row observed-stat + 2-row source-frame attaches
+    "q_rm3_expansion",        # BM25's 1-row (N, avgdl) + 1-row normalizer attaches
 }
 
 
