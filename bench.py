@@ -246,6 +246,8 @@ EXTRA = {
     "q_rm3_expansion": _staged("q_rm3_expansion"),
     "q_gunning_fog": _staged("q_gunning_fog"),
     "q_grubbs_outlier": _staged("q_grubbs_outlier"),
+    "q_keyness_terms": _staged("q_keyness_terms"),
+    "q_skew_report": _staged("q_skew_report"),
 }
 
 

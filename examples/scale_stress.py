@@ -103,6 +103,8 @@ QUERIES = [
     "q_rm3_expansion",
     "q_gunning_fog",
     "q_grubbs_outlier",
+    "q_keyness_terms",
+    "q_skew_report",
 ]
 
 

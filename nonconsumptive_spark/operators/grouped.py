@@ -157,12 +157,26 @@ def holt_linear_daily(events: DataFrame, alpha: float = HOLT_ALPHA,
     the one rule both engines share on negatives)."""
     from pyspark.sql import functions as F
 
-    one_minus_a = 1.0 - alpha
-    one_minus_b = 1.0 - beta
+    from pyspark.sql import functions as F
+
     days = (
         events.groupBy(F.date_format(ts_col, "yyyy-MM-dd").alias("day"))
         .agg(F.count("*").cast("long").alias("n_events"))
     )
+    return holt_from_day_counts(days, alpha=alpha, beta=beta)
+
+
+def holt_from_day_counts(days: DataFrame, alpha: float = HOLT_ALPHA,
+                         beta: float = HOLT_BETA) -> DataFrame:
+    """The Holt fold over a prepared (day, n_events) spine — shared by
+    the batch operator above and the streaming monitor
+    (streaming/holt.py), which re-folds the committed day table each
+    epoch (the spine is corpus-age-bounded, so a full refold is O(days)
+    and keeps chunked == batch equality trivial and bit-exact)."""
+    from pyspark.sql import functions as F
+
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
     schema = "day string, n_events long, l double, b double, fe double"
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:

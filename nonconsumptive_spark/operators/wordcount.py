@@ -1015,3 +1015,75 @@ def ams_f2(docs: DataFrame, n_estimators: int = AMS_R,
             / (F.lit(float(n_estimators)) * F.col("f2")), 6) + F.lit(0.0))
         .alias("rel_err"),
     )
+
+
+KEYNESS_TOPK = 10
+
+
+def keyness_terms(docs: DataFrame, min_count: int = 5,
+                  top_k: int = KEYNESS_TOPK, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """(source, token, c, g2, overused) — corpus-linguistics KEYNESS: the
+    Dunning G² of each term's frequency in one source vs the REST of the
+    corpus (Rayson & Garside 2000, the AntConc/WordSmith keyword
+    measure), top-``top_k`` terms per source.  ``overused`` is TRUE when
+    the term is relatively MORE frequent in the source than in the rest
+    — decided by the exact integer cross-multiplication
+    c·(N−r) > (ct−c)·r, never by a float ratio.
+
+    Same 2×2 G² kernel as g2_collocations (one ln per non-zero cell,
+    fixed fold order, margins exact BIGINTs); the contingency table here
+    is term-in-source vs term-in-rest.  Ranking is (round(g2,4) DESC,
+    token ASC) — both engines compute the identical double via the
+    mirrored chain, so the rounded sort key + token tiebreak is
+    engine-stable.
+
+    Plan: one (group, token) agg feeds the cell counts, the group and
+    term margins (two tiny re-aggs of THAT frame), and a 1-row N attach;
+    the cut is one per-group top-k window over rows already filtered to
+    c >= min_count."""
+    cells = materialize_once(
+        docs.select(group_col, F.explode(tokenize(text_col)).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count("*").cast("bigint").alias("c")),
+        "keyness_cells",
+    )
+    grp = cells.groupBy(group_col).agg(
+        F.sum("c").cast("bigint").alias("r_tot"))
+    term = cells.groupBy("token").agg(
+        F.sum("c").cast("bigint").alias("c_tot"))
+    n = cells.agg(F.sum("c").cast("bigint").alias("n_tot"))
+    joined = (
+        cells.filter(F.col("c") >= min_count)
+        .join(F.broadcast(grp), group_col)
+        .join(term, "token")
+        .crossJoin(F.broadcast(n))  # 1-row total attach
+    )
+
+    def t(k, row, col):
+        return F.when(
+            k > 0,
+            k.cast("double")
+            * F.log((k * F.col("n_tot")).cast("double") / (row * col)),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("c")
+    r, ct, nt = F.col("r_tot"), F.col("c_tot"), F.col("n_tot")
+    g2 = F.lit(2.0) * (
+        ((t(k11, r, ct) + t(r - k11, r, nt - ct))
+         + t(ct - k11, nt - r, ct))
+        + t(nt - r - ct + k11, nt - r, nt - ct)
+    )
+    scored = joined.select(
+        group_col, "token", "c",
+        (F.round(g2, 4) + F.lit(0.0)).alias("g2"),
+        (k11 * (nt - r) > (ct - k11) * r).alias("overused"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("g2"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )

@@ -600,3 +600,124 @@ def q_grubbs_outlier(spark, sf_dir):
             (g > _GRUBBS_FLAG).alias("is_extreme"),
         )
     )
+
+
+# -- keyness: per-source G2 keyword extraction -------------------------------
+def _keyness_oracle() -> str:
+    from nonconsumptive_spark.operators.wordcount import KEYNESS_TOPK
+
+    def t(k, row, col):
+        return (f"CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE)"
+                f" * ln(CAST(({k}) * n_tot AS DOUBLE) / (({row}) * ({col})))"
+                f" ELSE 0.0 END")
+
+    t11 = t("c", "r_tot", "c_tot")
+    t12 = t("(r_tot - c)", "r_tot", "(n_tot - c_tot)")
+    t21 = t("(c_tot - c)", "(n_tot - r_tot)", "c_tot")
+    t22 = t("(n_tot - r_tot - c_tot + c)",
+            "(n_tot - r_tot)", "(n_tot - c_tot)")
+    return f"""
+    WITH cells AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY source, token),
+    grp AS (SELECT source, CAST(sum(c) AS BIGINT) AS r_tot
+            FROM cells GROUP BY source),
+    term AS (SELECT token, CAST(sum(c) AS BIGINT) AS c_tot
+             FROM cells GROUP BY token),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM cells),
+    scored AS (
+      SELECT s.source, s.token, s.c,
+             round(2.0 * ((({t11} + {t12}) + {t21}) + {t22}), 4) + 0.0 AS g2,
+             s.c * (n_tot - r_tot) > (c_tot - s.c) * r_tot AS overused
+      FROM cells s
+      JOIN grp USING (source)
+      JOIN term USING (token)
+      CROSS JOIN nt
+      WHERE s.c >= 5)
+    SELECT source, token, c, g2, overused
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY g2 DESC, token ASC) <= {KEYNESS_TOPK}
+    """
+
+
+@_stage("q_keyness_terms", _keyness_oracle())
+def q_keyness_terms(spark, sf_dir):
+    """Per-source keyword extraction by Dunning G² keyness (operators/
+    wordcount.keyness_terms): term-in-source vs term-in-rest 2×2, the
+    corpus-linguistics keyword standard; overused decided by exact
+    integer cross-multiplication, top-10 per source."""
+    from nonconsumptive_spark.operators.wordcount import keyness_terms
+
+    return keyness_terms(load(spark, sf_dir, "documents"))
+
+
+# -- join-key skew report ------------------------------------------------------
+@_stage(
+    "q_skew_report",
+    """
+    WITH kc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM kc),
+    hot AS (
+      SELECT user_id AS hot_key, cnt AS max_rows
+      FROM kc ORDER BY cnt DESC, user_id ASC LIMIT 1),
+    hist AS (
+      SELECT cnt, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(count(*)) OVER (ORDER BY cnt ASC) AS BIGINT) AS cum
+      FROM kc GROUP BY cnt),
+    p99 AS (
+      SELECT min(cnt) AS p99_rows
+      FROM hist CROSS JOIN tot
+      WHERE cum >= (99 * n_keys + 99) // 100)
+    SELECT t.n_rows, t.n_keys, h.hot_key, h.max_rows, p.p99_rows,
+           round(CAST(h.max_rows * t.n_keys AS DOUBLE) / t.n_rows, 4) + 0.0
+             AS skew_factor
+    FROM tot t CROSS JOIN hot h CROSS JOIN p99 p
+    """,
+)
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis for events.user_id — the measurement step
+    BEFORE reaching for salting (operators/skew.py) or AQE skew joins:
+    one row with the key count, the hottest key (exact top-1, id
+    tiebreak), the exact p99 per-key row count (order statistic off the
+    count histogram), and skew_factor = max/avg rows per key.  Plan: one
+    key agg, then everything runs on the per-key count frame — a
+    count-valued histogram, a top-1 cut, and 1-row attaches; nothing
+    after the first agg scales with rows."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("cnt"))
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    kc = materialize_once(kc, "skew_kc")
+    tot = kc.agg(F.sum("cnt").cast("long").alias("n_rows"),
+                 F.count("*").cast("long").alias("n_keys"))
+    hot = (kc.orderBy(F.desc("cnt"), F.asc("user_id")).limit(1)
+           .select(F.col("user_id").alias("hot_key"),
+                   F.col("cnt").alias("max_rows")))
+    w = Window.orderBy(F.asc("cnt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    hist = (kc.groupBy("cnt").agg(F.count("*").cast("long").alias("n_at"))
+            .withColumn("cum", F.sum("n_at").over(w).cast("long")))
+    p99 = (
+        hist.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum")
+                >= F.expr("(99 * n_keys + 99) div 100"))  # ceil(.99*nk)
+        .agg(F.min("cnt").alias("p99_rows"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(hot))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_rows", "n_keys", "hot_key", "max_rows", "p99_rows",
+            (F.round((F.col("max_rows") * F.col("n_keys")).cast("double")
+                     / F.col("n_rows"), 4) + F.lit(0.0))
+            .alias("skew_factor"),
+        )
+    )

@@ -392,3 +392,93 @@ def test_grubbs_matches_brute(spark):
         r = got[s]
         assert r["doc_id"] == best[0], s
         assert abs(r["g_stat"] - g) < 1e-4, s
+
+
+# ---------------------------------------------------------------------------
+# Keyness: matches brute per-source 2x2 G2 with the overuse direction
+# decided by exact cross-multiplication
+# ---------------------------------------------------------------------------
+
+
+def test_keyness_matches_brute(spark):
+    from nonconsumptive_spark.operators.wordcount import keyness_terms
+
+    rng = random.Random(37)
+    vocab = ["red", "blue", "green", "onlyina", "common"]
+    rows = []
+    for i in range(40):
+        src = "A" if i % 2 == 0 else "B"
+        words = [rng.choice(vocab[:3]) for _ in range(30)] + ["common"] * 5
+        if src == "A":
+            words += ["onlyina"] * 6
+        rows.append((i, " ".join(words), src))
+    got = {(r["source"], r["token"]): (r["c"], r["g2"], r["overused"])
+           for r in keyness_terms(
+               spark.createDataFrame(
+                   rows, "doc_id long, text string, source string"),
+               min_count=5, top_k=3).collect()}
+
+    cells: Counter = Counter()
+    for _, text, src in rows:
+        for w in text.split():
+            cells[(src, w)] += 1
+    n = sum(cells.values())
+    r_tot = Counter()
+    c_tot = Counter()
+    for (s, w), c in cells.items():
+        r_tot[s] += c
+        c_tot[w] += c
+
+    def g2(c, r, ct):
+        parts = [(c, r, ct), (r - c, r, n - ct),
+                 (ct - c, n - r, ct), (n - r - ct + c, n - r, n - ct)]
+        tot = 0.0
+        for k, row, col in parts:
+            tot += k * math.log(k * n / (row * col)) if k > 0 else 0.0
+        return round(2.0 * tot, 4)
+
+    want = {}
+    for s in ("A", "B"):
+        scored = [(w, c, g2(c, r_tot[s], c_tot[w]),
+                   c * (n - r_tot[s]) > (c_tot[w] - c) * r_tot[s])
+                  for (ss, w), c in cells.items() if ss == s and c >= 5]
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        for w, c, g, over in scored[:3]:
+            want[(s, w)] = (c, g, over)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-3, k
+        assert got[k][2] == want[k][2], k
+    # the planted marker must top source A's list and be overused there
+    assert ("A", "onlyina") in got and got[("A", "onlyina")][2] is True
+
+
+# ---------------------------------------------------------------------------
+# Skew report: brute recomputation of max/p99/skew-factor
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_skew_report"]
+    row = fn(spark, cf.SF_SMALL).collect()[0]
+
+    import duckdb
+    con = duckdb.connect()
+    counts = dict(con.execute(
+        f"SELECT user_id, count(*) FROM "
+        f"'{cf.SF_SMALL}/events.parquet' GROUP BY user_id").fetchall())
+    n_rows = sum(counts.values())
+    n_keys = len(counts)
+    max_rows = max(counts.values())
+    hot = min(u for u, c in counts.items() if c == max_rows)
+    srt = sorted(counts.values())
+    cut = (99 * n_keys + 99) // 100
+    p99 = srt[cut - 1]
+    assert row["n_rows"] == n_rows and row["n_keys"] == n_keys
+    assert row["hot_key"] == hot and row["max_rows"] == max_rows
+    assert row["p99_rows"] == p99
+    assert row["skew_factor"] == round(max_rows * n_keys / n_rows, 4)

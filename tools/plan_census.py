@@ -134,6 +134,8 @@ BNLJ_WHITELIST = {
     "q_g2_collocations",      # 1-row bigram-total attach onto the bigram frame
     "q_permutation_test",     # 1-row observed-stat + 2-row source-frame attaches
     "q_rm3_expansion",        # BM25's 1-row (N, avgdl) + 1-row normalizer attaches
+    "q_keyness_terms",        # 1-row corpus-total attach onto the cell frame
+    "q_skew_report",          # 1-row totals/top-1/p99 attaches on the key-count frame
 }
 
 
