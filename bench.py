@@ -248,6 +248,9 @@ EXTRA = {
     "q_grubbs_outlier": _staged("q_grubbs_outlier"),
     "q_keyness_terms": _staged("q_keyness_terms"),
     "q_skew_report": _staged("q_skew_report"),
+    "q_zeta_markers": _staged("q_zeta_markers"),
+    "q_fk_integrity": _staged("q_fk_integrity"),
+    "q_mcnemar_langid": _staged("q_mcnemar_langid"),
 }
 
 

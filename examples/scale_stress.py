@@ -105,6 +105,9 @@ QUERIES = [
     "q_grubbs_outlier",
     "q_keyness_terms",
     "q_skew_report",
+    "q_zeta_markers",
+    "q_fk_integrity",
+    "q_mcnemar_langid",
 ]
 
 

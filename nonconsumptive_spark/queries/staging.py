@@ -721,3 +721,224 @@ def q_skew_report(spark, sf_dir):
             .alias("skew_factor"),
         )
     )
+
+
+# -- Craig's Zeta marker words -----------------------------------------------
+_ZETA_TOPK = 10
+_ZETA_MIN_DF = 3
+
+
+def _zeta_oracle() -> str:
+    return f"""
+    WITH srcs AS (
+      SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 2),
+    lab AS (SELECT min(source) AS sa, max(source) AS sb FROM srcs),
+    base AS (
+      SELECT d.doc_id, d.source,
+             unnest(list_distinct({_DUCK_TOKS})) AS token
+      FROM documents d SEMI JOIN srcs s ON d.source = s.source),
+    nd AS (
+      SELECT CAST(sum(CASE WHEN source = (SELECT sa FROM lab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN source <> (SELECT sa FROM lab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM (SELECT DISTINCT doc_id, source FROM base)),
+    dfs AS (
+      SELECT token,
+             CAST(sum(CASE WHEN source = (SELECT sa FROM lab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+             CAST(sum(CASE WHEN source <> (SELECT sa FROM lab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS df_b
+      FROM base GROUP BY token
+      HAVING count(*) >= {_ZETA_MIN_DF}),
+    scored AS (
+      SELECT token, df_a, df_b,
+             df_a * n_b - df_b * n_a AS zq,
+             round(CAST(df_a * n_b - df_b * n_a AS DOUBLE)
+                   / (n_a * n_b), 6) + 0.0 AS zeta
+      FROM dfs CROSS JOIN nd),
+    marked AS (
+      SELECT 'A' AS side, token, df_a, df_b, zeta,
+             row_number() OVER (ORDER BY zq DESC, token ASC) AS rn
+      FROM scored
+      UNION ALL
+      SELECT 'B' AS side, token, df_a, df_b, zeta,
+             row_number() OVER (ORDER BY zq ASC, token ASC) AS rn
+      FROM scored)
+    SELECT side, token, df_a, df_b, zeta
+    FROM marked WHERE rn <= {_ZETA_TOPK}
+    """
+
+
+@_stage("q_zeta_markers", _zeta_oracle())
+def q_zeta_markers(spark, sf_dir):
+    """Craig's Zeta marker words between the two lexicographically-first
+    sources (Burrows 2007 / Craig & Kinney): zeta(w) = the document-
+    presence rate difference df_A/n_A - df_B/n_B, the PRESENCE-based
+    stylometric discriminator beside the frequency-based keyness.  Top
+    markers of each side ranked on the EXACT integer numerator
+    df_a*n_b - df_b*n_a (no float ever orders rows), token tiebreak.
+    Plan: per-doc distinct tokens -> one (token) agg with conditional
+    sums + a 1-row (n_a, n_b) attach, materialized ONCE; each side's cut
+    is a TakeOrderedAndProject on the integer key (never a single-
+    partition window over the vocabulary-sized frame)."""
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    docs = load(spark, sf_dir, "documents")
+    srcs = (docs.groupBy("source").agg(F.lit(1).alias("__o"))
+            .orderBy("source").limit(2).select("source"))
+    lab = srcs.agg(F.min("source").alias("sa"))
+    base = (
+        docs.join(F.broadcast(srcs), "source", "left_semi")
+        .select("doc_id", "source",
+                F.explode(F.array_distinct(tokenize("text")))
+                .alias("token"))
+    )
+    base = base.crossJoin(F.broadcast(lab))
+    is_a = (F.col("source") == F.col("sa")).cast("long")
+    nd = (
+        base.select("doc_id", "source", "sa").distinct()
+        .agg(F.sum(is_a).cast("long").alias("n_a"),
+             F.sum(1 - is_a).cast("long").alias("n_b"))
+    )
+    dfs = (
+        base.groupBy("token")
+        .agg(F.sum(is_a).cast("long").alias("df_a"),
+             F.sum(1 - is_a).cast("long").alias("df_b"),
+             F.count("*").alias("n"))
+        .filter(F.col("n") >= _ZETA_MIN_DF)
+        .drop("n")
+    )
+    zq = F.col("df_a") * F.col("n_b") - F.col("df_b") * F.col("n_a")
+    scored = materialize_once(
+        dfs.crossJoin(F.broadcast(nd))  # 1-row (n_a, n_b) attach
+        .select("token", "df_a", "df_b", zq.alias("zq"),
+                (F.round(zq.cast("double") / (F.col("n_a") * F.col("n_b")),
+                         6) + F.lit(0.0)).alias("zeta")),
+        "zeta_scored",
+    )
+    a = (scored.orderBy(F.desc("zq"), F.asc("token")).limit(_ZETA_TOPK)
+         .select(F.lit("A").alias("side"), "token", "df_a", "df_b", "zeta"))
+    b = (scored.orderBy(F.asc("zq"), F.asc("token")).limit(_ZETA_TOPK)
+         .select(F.lit("B").alias("side"), "token", "df_a", "df_b", "zeta"))
+    return a.unionByName(b)
+
+
+# -- referential-integrity audit ----------------------------------------------
+@_stage(
+    "q_fk_integrity",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk_edge,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    """,
+)
+def q_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit over the warehouse FK edges
+    (orders->customer, lineitem->orders): child row count + orphan count
+    per edge — the classic load-validation check.  Each orphan count is
+    one LEFT ANTI join on the key (shuffle-keyed, no row ever widens);
+    the output is two 1-row frames unioned."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def edge(name, child, key_c, parent, key_p):
+        orphans = child.join(
+            parent.select(F.col(key_p).alias(key_c)), key_c, "left_anti")
+        return (
+            child.agg(F.count("*").cast("long").alias("n_child"))
+            .crossJoin(F.broadcast(
+                orphans.agg(F.count("*").cast("long").alias("n_orphans"))))
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+    return edge("orders.o_custkey->customer", orders, "o_custkey",
+                cust, "c_custkey").unionByName(
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+             orders, "o_orderkey"))
+
+
+# -- McNemar paired test: stopword lang-id vs majority baseline ---------------
+def _mcnemar_oracle() -> str:
+    from nonconsumptive_spark.queries.textstats import _CASE_PRED, _HIT_EXPRS, _LANGS
+
+    g = ", ".join("hits_" + lg for lg in _LANGS)
+    return f"""
+    WITH maj AS (
+      SELECT lang AS maj_lang FROM documents
+      GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1),
+    pred AS (
+      SELECT doc_id, lang, {_CASE_PRED} AS pred_lang
+      FROM (
+        SELECT doc_id, lang, greatest({g}) AS m, {g}
+        FROM (
+          SELECT doc_id, lang,
+{_HIT_EXPRS}
+          FROM (SELECT doc_id, lang, coalesce(text, '') AS text
+                FROM documents) documents))),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN pred_lang = lang
+                            AND maj_lang <> lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN pred_lang <> lang
+                            AND maj_lang = lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pred CROSS JOIN maj)
+    SELECT n, b, c,
+           CASE WHEN b + c > 0
+                THEN round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+                     + 0.0
+                ELSE 0.0 END AS mcnemar_chi2
+    FROM cells
+    """
+
+
+@_stage("q_mcnemar_langid", _mcnemar_oracle())
+def q_mcnemar_langid(spark, sf_dir):
+    """McNemar's paired test: does the stopword-vote language identifier
+    beat the majority-class baseline on the SAME documents?  b/c are the
+    exact discordant-pair counts (only-langid-right / only-baseline-
+    right) and chi2 = (b-c)^2/(b+c) is one integer-exact ratio — the
+    paired sibling of the independent-sample test battery.  Plan: the
+    zero-shuffle lang-id scan + a 1-row majority-label attach + one
+    1-row agg."""
+    from nonconsumptive_spark.operators import textstats as ts
+
+    docs = load(spark, sf_dir, "documents")
+    maj = (docs.groupBy("lang").agg(F.count("*").alias("n"))
+           .orderBy(F.desc("n"), F.asc("lang")).limit(1)
+           .select(F.col("lang").alias("maj_lang")))
+    pred = ts.lang_id(docs).select("doc_id", "pred_lang")
+    joined = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .crossJoin(F.broadcast(maj))
+    )
+    b = F.sum(F.when((F.col("pred_lang") == F.col("lang"))
+                     & (F.col("maj_lang") != F.col("lang")), 1)
+              .otherwise(0)).cast("long")
+    c = F.sum(F.when((F.col("pred_lang") != F.col("lang"))
+                     & (F.col("maj_lang") == F.col("lang")), 1)
+              .otherwise(0)).cast("long")
+    cells = joined.agg(F.count("*").cast("long").alias("n"),
+                       b.alias("b"), c.alias("c"))
+    return cells.select(
+        "n", "b", "c",
+        F.when(F.col("b") + F.col("c") > 0,
+               F.round(((F.col("b") - F.col("c"))
+                        * (F.col("b") - F.col("c"))).cast("double")
+                       / (F.col("b") + F.col("c")), 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0)).alias("mcnemar_chi2"),
+    )

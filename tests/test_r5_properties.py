@@ -482,3 +482,109 @@ def test_skew_report_matches_brute(spark):
     assert row["hot_key"] == hot and row["max_rows"] == max_rows
     assert row["p99_rows"] == p99
     assert row["skew_factor"] == round(max_rows * n_keys / n_rows, 4)
+
+
+# ---------------------------------------------------------------------------
+# Zeta: matches brute presence-rate difference; planted markers surface
+# ---------------------------------------------------------------------------
+
+
+def test_zeta_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import (
+        STAGED, _ZETA_MIN_DF, _ZETA_TOPK)
+    import re
+    import tempfile
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(60):
+        src = "aaa" if i % 2 == 0 else "bbb"
+        words = [rng.choice(["x", "y", "z", "w"]) for _ in range(20)]
+        if src == "aaa" and rng.random() < 0.9:
+            words.append("amarker")
+        if src == "bbb" and rng.random() < 0.9:
+            words.append("bmarker")
+        rows.append((i, " ".join(words), src, len(" ".join(words))))
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    fn, _ = STAGED["q_zeta_markers"]
+    got = {(r["side"], r["token"]): (r["df_a"], r["df_b"], r["zeta"])
+           for r in fn(spark, tmp).collect()}
+
+    pres: Counter = Counter()
+    na = nb = 0
+    for _, text, src, _n in rows:
+        toks = set(re.findall(r"[^\W\d_]+", text))
+        if src == "aaa":
+            na += 1
+        else:
+            nb += 1
+        for t in toks:
+            pres[(src, t)] += 1
+    scored = []
+    for t in {w for (_, w) in pres}:
+        da, db = pres[("aaa", t)], pres[("bbb", t)]
+        if da + db >= _ZETA_MIN_DF:
+            scored.append((t, da, db, da * nb - db * na))
+    top_a = sorted(scored, key=lambda s: (-s[3], s[0]))[:_ZETA_TOPK]
+    top_b = sorted(scored, key=lambda s: (s[3], s[0]))[:_ZETA_TOPK]
+    for side, rows_w in (("A", top_a), ("B", top_b)):
+        for t, da, db, zq in rows_w:
+            assert got[(side, t)] == (da, db, round(zq / (na * nb), 6)), t
+    assert ("A", "amarker") in got and ("B", "bmarker") in got
+
+
+# ---------------------------------------------------------------------------
+# FK integrity: planted orphans are counted exactly
+# ---------------------------------------------------------------------------
+
+
+def test_fk_integrity_counts_planted_orphans(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame([(i,) for i in range(10)], "c_custkey long") \
+        .write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+    orders = [(o, o % 12) for o in range(30)]  # custkeys 10, 11 orphaned
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long") \
+        .write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    li = [(i, i % 35) for i in range(70)]  # orderkeys 30..34 orphaned
+    spark.createDataFrame(li, "l_linenumber long, l_orderkey long") \
+        .write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    fn, _ = STAGED["q_fk_integrity"]
+    got = {r["fk_edge"]: (r["n_child"], r["n_orphans"])
+           for r in fn(spark, tmp).collect()}
+    assert got["orders.o_custkey->customer"] == (
+        30, sum(1 for _, c in orders if c >= 10))
+    assert got["lineitem.l_orderkey->orders"] == (
+        70, sum(1 for _, o in li if o >= 30))
+
+
+# ---------------------------------------------------------------------------
+# McNemar: brute discordant-pair recount
+# ---------------------------------------------------------------------------
+
+
+def test_mcnemar_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.operators.textstats import lang_id
+    from nonconsumptive_spark.queries import load as _load
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_mcnemar_langid"]
+    row = fn(spark, cf.SF_SMALL).collect()[0]
+
+    docs = _load(spark, cf.SF_SMALL, "documents")
+    langs = [(r["lang"], r["doc_id"]) for r in docs.collect()]
+    maj = Counter(l for l, _ in langs).most_common()
+    maj_lang = sorted(maj, key=lambda kv: (-kv[1], kv[0]))[0][0]
+    pred = {r["doc_id"]: r["pred_lang"]
+            for r in lang_id(docs).collect()}
+    b = sum(1 for l, d in langs if pred[d] == l and maj_lang != l)
+    c = sum(1 for l, d in langs if pred[d] != l and maj_lang == l)
+    assert (row["b"], row["c"], row["n"]) == (b, c, len(langs))
+    want = round((b - c) ** 2 / (b + c), 6) if b + c else 0.0
+    assert row["mcnemar_chi2"] == want

@@ -136,6 +136,8 @@ BNLJ_WHITELIST = {
     "q_rm3_expansion",        # BM25's 1-row (N, avgdl) + 1-row normalizer attaches
     "q_keyness_terms",        # 1-row corpus-total attach onto the cell frame
     "q_skew_report",          # 1-row totals/top-1/p99 attaches on the key-count frame
+    "q_fk_integrity",         # two 1-row orphan/child-count attaches
+    "q_mcnemar_langid",       # 1-row majority-label attach onto the scan
 }
 
 
