@@ -251,6 +251,7 @@ EXTRA = {
     "q_zeta_markers": _staged("q_zeta_markers"),
     "q_fk_integrity": _staged("q_fk_integrity"),
     "q_mcnemar_langid": _staged("q_mcnemar_langid"),
+    "q_audio_window_energy": _staged("q_audio_window_energy"),
 }
 
 

@@ -108,6 +108,7 @@ QUERIES = [
     "q_zeta_markers",
     "q_fk_integrity",
     "q_mcnemar_langid",
+    "q_audio_window_energy",
 ]
 
 

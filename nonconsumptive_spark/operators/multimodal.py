@@ -325,8 +325,12 @@ def audio_window_energy(media: DataFrame, frame_len: int = 1024,
                     if len(chunk) == 0:
                         continue
                     rms = float(np.sqrt(np.mean(chunk * chunk)))
+                    # explicit half-up floor(x + 0.5), NOT Python round():
+                    # banker's rounding has no portable SQL mirror, and
+                    # rms >= 0 so half-up is exact on both engines
                     out.append((int(row["media_id"]), i // frame_len,
-                                int(len(chunk)), int(round(rms * 10_000))))
+                                int(len(chunk)),
+                                int(np.floor(rms * 10_000 + 0.5))))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame", "n_samples", "rms_q"])
 

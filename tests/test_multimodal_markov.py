@@ -107,7 +107,8 @@ def test_audio_window_energy_matches_numpy(spark):
     x = pcm.astype(np.float64) / 128.0
     for f in range(3):
         chunk = x[f * 1024:(f + 1) * 1024]
-        expect = int(round(float(np.sqrt(np.mean(chunk * chunk))) * 10_000))
+        expect = int(np.floor(
+            float(np.sqrt(np.mean(chunk * chunk))) * 10_000 + 0.5))
         assert got[f]["rms_q"] == expect
 
 
