@@ -252,6 +252,9 @@ EXTRA = {
     "q_fk_integrity": _staged("q_fk_integrity"),
     "q_mcnemar_langid": _staged("q_mcnemar_langid"),
     "q_audio_window_energy": _staged("q_audio_window_energy"),
+    "q_log_odds_dirichlet": _staged("q_log_odds_dirichlet"),
+    "q_mantel_haenszel": _staged("q_mantel_haenszel"),
+    "q_juilland_dispersion": _staged("q_juilland_dispersion"),
 }
 
 

@@ -109,6 +109,9 @@ QUERIES = [
     "q_fk_integrity",
     "q_mcnemar_langid",
     "q_audio_window_energy",
+    "q_log_odds_dirichlet",
+    "q_mantel_haenszel",
+    "q_juilland_dispersion",
 ]
 
 

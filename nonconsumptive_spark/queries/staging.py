@@ -1006,3 +1006,293 @@ def q_audio_window_energy(spark, sf_dir):
         F.expr(_audio_payload_expr()).alias("content"),
     )
     return audio_window_energy(media, frame_len=_AU_FRAME)
+
+
+# -- Monroe et al. log-odds with informative Dirichlet prior ------------------
+_LO_TOPK = 15
+_LO_A0 = 1000.0
+_LO_MIN = 5
+
+
+def _logodds_oracle() -> str:
+    # delta and z are per-row fixed IEEE chains over exact BIGINT counts
+    # plus the prior alpha_w = c_w * (a0 / N) — one mul+div, mirrored.
+    d = ("(ln((a + aw) / (ta + {a0} - a - aw))"
+         " - ln((b + aw) / (tb + {a0} - b - aw)))").format(a0=_LO_A0)
+    z = f"({d} / sqrt(1.0 / (a + aw) + 1.0 / (b + aw)))"
+    return f"""
+    WITH srcs AS (
+      SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 2),
+    lab AS (SELECT min(source) AS sa FROM srcs),
+    toks AS (
+      SELECT d.source, unnest({_DUCK_TOKS}) AS token
+      FROM documents d SEMI JOIN srcs s ON d.source = s.source),
+    cnt AS (
+      SELECT token,
+             CAST(sum(CASE WHEN source = (SELECT sa FROM lab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN source <> (SELECT sa FROM lab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM toks GROUP BY token),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+             CAST(sum(a + b) AS BIGINT) AS n
+      FROM cnt),
+    scored AS (
+      SELECT token, a, b,
+             round({z}, 6) + 0.0 AS z
+      FROM (SELECT token, a, b, ta, tb,
+                   (a + b) * ({_LO_A0} / n) AS aw
+            FROM cnt CROSS JOIN tot
+            WHERE a + b >= {_LO_MIN})),
+    marked AS (
+      SELECT 'A' AS side, token, a, b, z,
+             row_number() OVER (ORDER BY z DESC, token ASC) AS rn
+      FROM scored
+      UNION ALL
+      SELECT 'B' AS side, token, a, b, z,
+             row_number() OVER (ORDER BY z ASC, token ASC) AS rn
+      FROM scored)
+    SELECT side, token, a, b, z FROM marked WHERE rn <= {_LO_TOPK}
+    """
+
+
+@_stage("q_log_odds_dirichlet", _logodds_oracle())
+def q_log_odds_dirichlet(spark, sf_dir):
+    """Monroe/Colaresi/Quinn 'fightin' words' (2008): log-odds-ratio
+    difference between two sources with an informative Dirichlet prior
+    drawn from the pooled counts, z-scored by the delta's approximate
+    variance — the Bayesian-shrinkage third of the source-comparison
+    trio beside frequency keyness and presence zeta (the prior tames
+    exactly the rare-word z-inflation those suffer).  Counts are exact
+    BIGINTs; prior, delta, variance, z are one mirrored float chain per
+    term; the two marker sides are TakeOrderedAndProject cuts on
+    (round(z,6), token).  Plan: one token agg + 1-row totals attach,
+    materialized once."""
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    docs = load(spark, sf_dir, "documents")
+    srcs = (docs.groupBy("source").agg(F.lit(1).alias("__o"))
+            .orderBy("source").limit(2).select("source"))
+    lab = srcs.agg(F.min("source").alias("sa"))
+    toks = (
+        docs.join(F.broadcast(srcs), "source", "left_semi")
+        .crossJoin(F.broadcast(lab))
+        .select((F.col("source") == F.col("sa")).alias("in_a"),
+                F.explode(tokenize("text")).alias("token"))
+    )
+    cnt = toks.groupBy("token").agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("a"),
+        F.sum((~F.col("in_a")).cast("long")).cast("long").alias("b"),
+    )
+    tot = cnt.agg(F.sum("a").cast("long").alias("ta"),
+                  F.sum("b").cast("long").alias("tb"),
+                  F.sum(F.col("a") + F.col("b")).cast("long").alias("n"))
+    base = (
+        cnt.filter(F.col("a") + F.col("b") >= _LO_MIN)
+        .crossJoin(F.broadcast(tot))  # 1-row totals attach
+        .withColumn("aw", (F.col("a") + F.col("b"))
+                    * (F.lit(_LO_A0) / F.col("n")))
+    )
+    delta = (
+        F.log((F.col("a") + F.col("aw"))
+              / (F.col("ta") + F.lit(_LO_A0) - F.col("a") - F.col("aw")))
+        - F.log((F.col("b") + F.col("aw"))
+                / (F.col("tb") + F.lit(_LO_A0) - F.col("b") - F.col("aw")))
+    )
+    z = delta / F.sqrt(1.0 / (F.col("a") + F.col("aw"))
+                       + 1.0 / (F.col("b") + F.col("aw")))
+    scored = materialize_once(
+        base.select("token", "a", "b",
+                    (F.round(z, 6) + F.lit(0.0)).alias("z")),
+        "logodds_scored",
+    )
+    a = (scored.orderBy(F.desc("z"), F.asc("token")).limit(_LO_TOPK)
+         .select(F.lit("A").alias("side"), "token", "a", "b", "z"))
+    b = (scored.orderBy(F.asc("z"), F.asc("token")).limit(_LO_TOPK)
+         .select(F.lit("B").alias("side"), "token", "a", "b", "z"))
+    return a.unionByName(b)
+
+
+# -- Mantel-Haenszel stratified odds ratio -------------------------------------
+_MH_SCALE = 1_000_000
+_MH_LONG_DOC = 500  # outcome: n_chars >= this literal
+
+
+def _mh_oracle() -> str:
+    return f"""
+    WITH lab AS (
+      SELECT min(source) AS sa
+      FROM (SELECT source FROM documents GROUP BY source
+            ORDER BY source LIMIT 1)),
+    cells AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN exposed AND long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN exposed AND NOT long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT exposed AND long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT exposed AND NOT long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM (SELECT d.lang, d.source = (SELECT sa FROM lab) AS exposed,
+                   coalesce(d.n_chars, 0) >= {_MH_LONG_DOC} AS long_doc
+            FROM documents d)
+      GROUP BY lang),
+    terms AS (
+      SELECT CAST(floor(CAST(a * d AS DOUBLE) / (a + b + c + d)
+                        * {_MH_SCALE}) AS BIGINT) AS adq,
+             CAST(floor(CAST(b * c AS DOUBLE) / (a + b + c + d)
+                        * {_MH_SCALE}) AS BIGINT) AS bcq
+      FROM cells WHERE a + b + c + d > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(adq) AS BIGINT) AS sum_ad_q,
+           CAST(sum(bcq) AS BIGINT) AS sum_bc_q,
+           CASE WHEN sum(bcq) > 0
+                THEN round(CAST(sum(adq) AS DOUBLE) / sum(bcq), 6) + 0.0
+                ELSE 0.0 END AS mh_odds_ratio
+    FROM terms
+    """
+
+
+@_stage("q_mantel_haenszel", _mh_oracle())
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel common odds ratio across lang strata: is the
+    first source's long-document rate elevated CONSISTENTLY once
+    language is controlled for?  The stratified 2x2 battery member
+    beside the marginal chi2/MI grid — Simpson's-paradox-proof where the
+    pooled table is not.  Each stratum's a*d/n and b*c/n term quantizes
+    to a 1e-6 BIGINT before the cross-stratum sums (strata counts bound
+    a*d < 2^53/scale — documented).  Plan: one (lang)-keyed agg over a
+    zero-shuffle scan + one #strata-row agg."""
+    docs = load(spark, sf_dir, "documents")
+    lab = (docs.groupBy("source").agg(F.lit(1).alias("__o"))
+           .orderBy("source").limit(1)
+           .select(F.col("source").alias("sa")))
+    base = docs.crossJoin(F.broadcast(lab)).select(
+        "lang",
+        (F.col("source") == F.col("sa")).alias("exposed"),
+        (F.coalesce(F.col("n_chars"), F.lit(0)) >= _MH_LONG_DOC)
+        .alias("long_doc"),
+    )
+    cells = base.groupBy("lang").agg(
+        F.sum((F.col("exposed") & F.col("long_doc")).cast("long"))
+        .cast("long").alias("a"),
+        F.sum((F.col("exposed") & ~F.col("long_doc")).cast("long"))
+        .cast("long").alias("b"),
+        F.sum((~F.col("exposed") & F.col("long_doc")).cast("long"))
+        .cast("long").alias("c"),
+        F.sum((~F.col("exposed") & ~F.col("long_doc")).cast("long"))
+        .cast("long").alias("d"),
+    )
+    n_i = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.filter(n_i > 0).select(
+        F.floor((F.col("a") * F.col("d")).cast("double") / n_i
+                * _MH_SCALE).cast("long").alias("adq"),
+        F.floor((F.col("b") * F.col("c")).cast("double") / n_i
+                * _MH_SCALE).cast("long").alias("bcq"),
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("adq").cast("long").alias("sum_ad_q"),
+        F.sum("bcq").cast("long").alias("sum_bc_q"),
+        F.when(F.sum("bcq") > 0,
+               F.round(F.sum("adq").cast("double") / F.sum("bcq"), 6)
+               + F.lit(0.0)).otherwise(F.lit(0.0)).alias("mh_odds_ratio"),
+    )
+
+
+# -- Juilland's D dispersion ----------------------------------------------------
+_JD_TOPK = 20
+_JD_SCALE = 10**8  # f*f must stay within INT64 even at per-part freq 1.0
+
+
+def _juilland_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents),
+    parts AS (SELECT source, CAST(count(*) AS BIGINT) AS t
+              FROM toks GROUP BY source),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM parts),
+    top AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY token
+      ORDER BY c DESC, token ASC LIMIT {_JD_TOPK}),
+    cell AS (
+      SELECT t.token, p.source, p.t,
+             CAST(count(x.token) AS BIGINT) AS c
+      FROM top t CROSS JOIN parts p
+      LEFT JOIN toks x ON x.token = t.token AND x.source = p.source
+      GROUP BY t.token, p.source, p.t),
+    fq AS (
+      SELECT token,
+             CAST(floor(CAST(c AS DOUBLE) / t * {_JD_SCALE}) AS BIGINT) AS f
+      FROM cell),
+    mom AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(f) AS BIGINT) AS s,
+             CAST(sum(f * f) AS BIGINT) AS ss
+      FROM fq GROUP BY token)
+    SELECT m.token, t.c,
+           CASE WHEN s > 0
+                THEN round(1.0 - sqrt((CAST(ss AS DOUBLE) * k
+                                       - CAST(s AS DOUBLE) * s)
+                                      / (k * CAST(s AS DOUBLE) * s
+                                         / (k * 1.0)))
+                           / sqrt(k - 1.0), 6) + 0.0
+                ELSE 0.0 END AS juilland_d
+    FROM mom m JOIN top t USING (token)
+    """
+
+
+@_stage("q_juilland_dispersion", _juilland_oracle())
+def q_juilland_dispersion(spark, sf_dir):
+    """Juilland's D dispersion of the corpus top-20 terms across the
+    source parts: D = 1 - CV/sqrt(k-1) over per-part relative
+    frequencies — the is-this-word-everywhere-or-one-subcorpus measure
+    behind dispersion-adjusted frequency lists.  Per-part frequencies
+    quantize to 1e-8 BIGINTs (squares must fit INT64 at freq 1.0), so the cross-part moments are exact
+    integers and CV is one mirrored chain.  Plan: one (source, token)
+    agg + a top-k head + a #parts-bounded grid join."""
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    docs = load(spark, sf_dir, "documents")
+    toks = materialize_once(
+        docs.select("source", F.explode(tokenize("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("c")),
+        "juilland_cells",
+    )
+    parts = toks.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    top = (toks.groupBy("token").agg(F.sum("c").cast("long").alias("c"))
+           .orderBy(F.desc("c"), F.asc("token")).limit(_JD_TOPK))
+    grid = (
+        F.broadcast(top).crossJoin(F.broadcast(parts))
+        .join(toks.select("source", F.col("token").alias("token"),
+                          F.col("c").alias("cs")),
+              ["token", "source"], "left")
+        .select("token", "c", "t",
+                F.coalesce("cs", F.lit(0)).cast("long").alias("cs"))
+    )
+    fq = grid.select(
+        "token", "c",
+        F.floor(F.col("cs").cast("double") / F.col("t") * _JD_SCALE)
+        .cast("long").alias("f"),
+    )
+    mom = fq.groupBy("token", "c").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("f").cast("long").alias("s"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("ss"),
+    )
+    cv = (F.sqrt((F.col("ss").cast("double") * F.col("k")
+                  - F.col("s").cast("double") * F.col("s"))
+                 / (F.col("k") * F.col("s").cast("double") * F.col("s")
+                    / (F.col("k") * F.lit(1.0)))))
+    return mom.select(
+        "token", "c",
+        F.when(F.col("s") > 0,
+               F.round(1.0 - cv / F.sqrt(F.col("k") - F.lit(1.0)), 6)
+               + F.lit(0.0)).otherwise(F.lit(0.0)).alias("juilland_d"),
+    )

@@ -588,3 +588,121 @@ def test_mcnemar_matches_brute(spark):
     assert (row["b"], row["c"], row["n"]) == (b, c, len(langs))
     want = round((b - c) ** 2 / (b + c), 6) if b + c else 0.0
     assert row["mcnemar_chi2"] == want
+
+
+# ---------------------------------------------------------------------------
+# Monroe log-odds: brute recomputation on a planted corpus; markers surface
+# on the right sides
+# ---------------------------------------------------------------------------
+
+
+def test_log_odds_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import (
+        STAGED, _LO_A0, _LO_MIN, _LO_TOPK)
+    import re
+    import tempfile
+
+    rng = random.Random(47)
+    rows = []
+    for i in range(40):
+        src = "aaa" if i % 2 == 0 else "bbb"
+        words = [rng.choice(["x", "y", "z"]) for _ in range(25)]
+        words += ["amark"] * (3 if src == "aaa" else 0)
+        words += ["bmark"] * (3 if src == "bbb" else 0)
+        rows.append((i, " ".join(words), src, 100))
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    fn, _ = STAGED["q_log_odds_dirichlet"]
+    got = {(r["side"], r["token"]): (r["a"], r["b"], r["z"])
+           for r in fn(spark, tmp).collect()}
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for _, text, src, _ in rows:
+        (ca if src == "aaa" else cb).update(re.findall(r"[^\W\d_]+", text))
+    ta, tb = sum(ca.values()), sum(cb.values())
+    n = ta + tb
+    scored = []
+    for t in set(ca) | set(cb):
+        a, b = ca[t], cb[t]
+        if a + b < _LO_MIN:
+            continue
+        aw = (a + b) * (_LO_A0 / n)
+        delta = (math.log((a + aw) / (ta + _LO_A0 - a - aw))
+                 - math.log((b + aw) / (tb + _LO_A0 - b - aw)))
+        z = delta / math.sqrt(1.0 / (a + aw) + 1.0 / (b + aw))
+        scored.append((t, a, b, round(z, 6)))
+    top_a = sorted(scored, key=lambda s: (-s[3], s[0]))[:_LO_TOPK]
+    top_b = sorted(scored, key=lambda s: (s[3], s[0]))[:_LO_TOPK]
+    for side, ws in (("A", top_a), ("B", top_b)):
+        for t, a, b, z in ws:
+            assert got[(side, t)][0] == a and got[(side, t)][1] == b, t
+            assert abs(got[(side, t)][2] - z) < 1e-5, t
+    assert ("A", "amark") in got and ("B", "bmark") in got
+
+
+# ---------------------------------------------------------------------------
+# Mantel-Haenszel: brute stratified recount; confounded-marginal sanity
+# ---------------------------------------------------------------------------
+
+
+def test_mantel_haenszel_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import (
+        STAGED, _MH_LONG_DOC, _MH_SCALE)
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_mantel_haenszel"]
+    row = fn(spark, cf.SF_SMALL).collect()[0]
+
+    import duckdb
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, source, coalesce(n_chars, 0) FROM "
+        f"'{cf.SF_SMALL}/documents.parquet'").fetchall()
+    sa = min(s for _, s, _ in docs)
+    strata: dict = {}
+    for lang, src, nc in docs:
+        a, b, c, d = strata.get(lang, (0, 0, 0, 0))
+        exp, long_d = src == sa, nc >= _MH_LONG_DOC
+        strata[lang] = (a + (exp and long_d), b + (exp and not long_d),
+                        c + ((not exp) and long_d),
+                        d + ((not exp) and not long_d))
+    s_ad = s_bc = 0
+    for a, b, c, d in strata.values():
+        n = a + b + c + d
+        if n:
+            s_ad += math.floor(a * d / n * _MH_SCALE)
+            s_bc += math.floor(b * c / n * _MH_SCALE)
+    assert row["n_strata"] == len(strata)
+    assert (row["sum_ad_q"], row["sum_bc_q"]) == (s_ad, s_bc)
+    want = round(s_ad / s_bc, 6) if s_bc else 0.0
+    assert row["mh_odds_ratio"] == want
+
+
+# ---------------------------------------------------------------------------
+# Juilland's D: uniform dispersion scores ~1, concentrated scores ~0
+# ---------------------------------------------------------------------------
+
+
+def test_juilland_extremes(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import tempfile
+
+    rows = []
+    # 'every' appears at the same rate in all 4 sources; 'onlyone' is
+    # confined to source s0
+    for i in range(40):
+        src = f"s{i % 4}"
+        filler = "onlyone" if src == "s0" else "filler"
+        text = "every " * 10 + (filler + " ") * 10
+        rows.append((i, text.strip(), src, len(text)))
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    fn, _ = STAGED["q_juilland_dispersion"]
+    got = {r["token"]: r["juilland_d"] for r in fn(spark, tmp).collect()}
+    assert got["every"] > 0.9
+    assert got["onlyone"] < 0.1

@@ -138,6 +138,8 @@ BNLJ_WHITELIST = {
     "q_skew_report",          # 1-row totals/top-1/p99 attaches on the key-count frame
     "q_fk_integrity",         # two 1-row orphan/child-count attaches
     "q_mcnemar_langid",       # 1-row majority-label attach onto the scan
+    "q_juilland_dispersion",  # top-k x #parts grid build (both sides tiny)
+    "q_mantel_haenszel",      # 1-row first-source-label attach onto the scan
 }
 
 
