@@ -255,6 +255,9 @@ EXTRA = {
     "q_log_odds_dirichlet": _staged("q_log_odds_dirichlet"),
     "q_mantel_haenszel": _staged("q_mantel_haenszel"),
     "q_juilland_dispersion": _staged("q_juilland_dispersion"),
+    "q_brier_decomposition": _staged("q_brier_decomposition"),
+    "q_langid_prf": _staged("q_langid_prf"),
+    "q_gain_chart": _staged("q_gain_chart"),
 }
 
 

@@ -112,6 +112,9 @@ QUERIES = [
     "q_log_odds_dirichlet",
     "q_mantel_haenszel",
     "q_juilland_dispersion",
+    "q_brier_decomposition",
+    "q_langid_prf",
+    "q_gain_chart",
 ]
 
 

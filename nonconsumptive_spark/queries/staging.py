@@ -1296,3 +1296,285 @@ def q_juilland_dispersion(spark, sf_dir):
                F.round(1.0 - cv / F.sqrt(F.col("k") - F.lit(1.0)), 6)
                + F.lit(0.0)).otherwise(F.lit(0.0)).alias("juilland_d"),
     )
+
+
+# -- Brier score + Murphy decomposition ----------------------------------------
+_BR_SCALE = 10**9
+
+
+def _brier_oracle() -> str:
+    from nonconsumptive_spark.operators.evaluation import CAL_BINS, CAL_SCALE
+
+    ph = ("((greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), "
+          "CAST(embedding[1] AS DOUBLE))) + CAST(1.0 AS DOUBLE)) "
+          "/ CAST(2.0 AS DOUBLE))")
+    return f"""
+    WITH base AS (
+      SELECT least(CAST(floor({ph} * {CAL_BINS}) AS BIGINT),
+                   {CAL_BINS - 1}) AS bin,
+             CAST(floor({ph} * {CAL_SCALE} + 0.5) AS BIGINT) AS pq,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+             CAST(floor(({ph} - CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END)
+                        * ({ph} - CASE WHEN label = 0
+                                       THEN 1.0 ELSE 0.0 END)
+                        * {_BR_SCALE}) AS BIGINT) AS bq
+      FROM embeddings),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(pq) AS BIGINT) AS spq
+      FROM base GROUP BY bin),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(n_pos) AS BIGINT) AS npt,
+             CAST((SELECT sum(bq) FROM base) AS BIGINT) AS sbq
+      FROM bins),
+    terms AS (
+      SELECT CAST(sum(CAST(floor(
+               n * (CAST(spq AS DOUBLE) / (n * {CAL_SCALE})
+                    - CAST(n_pos AS DOUBLE) / n)
+                 * (CAST(spq AS DOUBLE) / (n * {CAL_SCALE})
+                    - CAST(n_pos AS DOUBLE) / n) * {_BR_SCALE})
+               AS BIGINT)) AS BIGINT) AS rel_q,
+             CAST(sum(CAST(floor(
+               n * (CAST(n_pos AS DOUBLE) / n
+                    - CAST(npt AS DOUBLE) / nt)
+                 * (CAST(n_pos AS DOUBLE) / n
+                    - CAST(npt AS DOUBLE) / nt) * {_BR_SCALE})
+               AS BIGINT)) AS BIGINT) AS res_q
+      FROM bins CROSS JOIN tot)
+    SELECT nt AS n,
+           round(CAST(sbq AS DOUBLE) / nt / {_BR_SCALE}, 6) + 0.0 AS brier,
+           round(CAST(rel_q AS DOUBLE) / nt / {_BR_SCALE}, 6) + 0.0
+             AS reliability,
+           round(CAST(res_q AS DOUBLE) / nt / {_BR_SCALE}, 6) + 0.0
+             AS resolution,
+           round((CAST(npt AS DOUBLE) / nt)
+                 * (1.0 - CAST(npt AS DOUBLE) / nt), 6) + 0.0
+             AS uncertainty
+    FROM terms CROSS JOIN tot
+    """
+
+
+@_stage("q_brier_decomposition", _brier_oracle())
+def q_brier_decomposition(spark, sf_dir):
+    """Brier score + Murphy (1973) decomposition over the calibration
+    bins: brier (direct, per-row squared error), reliability (bin
+    confidence vs bin outcome), resolution (bin outcome vs base rate),
+    uncertainty (base-rate variance) — the one-number companions to the
+    q_calibration_bins table (brier ≈ rel - res + unc up to the
+    within-bin variance the binning hides).  Every squared term
+    quantizes to a 1e-9 BIGINT the instant it is produced, so all
+    cross-row/cross-bin sums are exact.  Plan: one 10-bin agg + two
+    1-row attaches on a zero-shuffle scan."""
+    from nonconsumptive_spark.operators.evaluation import CAL_BINS, CAL_SCALE
+
+    emb = load(spark, sf_dir, "embeddings")
+    clipped = F.greatest(F.lit(-1.0), F.least(
+        F.lit(1.0), F.col("embedding").getItem(0).cast("double")))
+    ph = (clipped + F.lit(1.0)) / F.lit(2.0)
+    y = F.when(F.col("label") == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    base = emb.select(
+        F.least(F.floor(ph * CAL_BINS).cast("long"),
+                F.lit(CAL_BINS - 1)).alias("bin"),
+        F.floor(ph * CAL_SCALE + F.lit(0.5)).cast("long").alias("pq"),
+        (F.col("label") == 0).cast("long").alias("pos"),
+        F.floor((ph - y) * (ph - y) * _BR_SCALE).cast("long").alias("bq"),
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    base = materialize_once(base, "brier_base")
+    bins = base.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("pq").cast("long").alias("spq"),
+    )
+    tot = (
+        bins.agg(F.sum("n").cast("long").alias("nt"),
+                 F.sum("n_pos").cast("long").alias("npt"))
+        .crossJoin(F.broadcast(
+            base.agg(F.sum("bq").cast("long").alias("sbq"))))
+    )
+    joined = bins.crossJoin(F.broadcast(tot))
+    conf = F.col("spq").cast("double") / (F.col("n") * CAL_SCALE)
+    orate = F.col("n_pos").cast("double") / F.col("n")
+    brate = F.col("npt").cast("double") / F.col("nt")
+    terms = joined.agg(
+        F.sum(F.floor(F.col("n") * (conf - orate) * (conf - orate)
+                      * _BR_SCALE).cast("long")).cast("long").alias("rel_q"),
+        F.sum(F.floor(F.col("n") * (orate - brate) * (orate - brate)
+                      * _BR_SCALE).cast("long")).cast("long").alias("res_q"),
+    )
+    out = terms.crossJoin(F.broadcast(tot))
+    brate2 = F.col("npt").cast("double") / F.col("nt")
+    return out.select(
+        F.col("nt").alias("n"),
+        (F.round(F.col("sbq").cast("double") / F.col("nt") / _BR_SCALE, 6)
+         + F.lit(0.0)).alias("brier"),
+        (F.round(F.col("rel_q").cast("double") / F.col("nt") / _BR_SCALE, 6)
+         + F.lit(0.0)).alias("reliability"),
+        (F.round(F.col("res_q").cast("double") / F.col("nt") / _BR_SCALE, 6)
+         + F.lit(0.0)).alias("resolution"),
+        (F.round(brate2 * (F.lit(1.0) - brate2), 6) + F.lit(0.0))
+        .alias("uncertainty"),
+    )
+
+
+# -- per-class precision / recall / F1 for the lang identifier ----------------
+def _prf_oracle() -> str:
+    from nonconsumptive_spark.queries.textstats import (
+        _CASE_PRED, _HIT_EXPRS, _LANGS)
+
+    g = ", ".join("hits_" + lg for lg in _LANGS)
+    return f"""
+    WITH pred AS (
+      SELECT doc_id, lang, {_CASE_PRED} AS pred_lang
+      FROM (
+        SELECT doc_id, lang, greatest({g}) AS m, {g}
+        FROM (
+          SELECT doc_id, lang,
+{_HIT_EXPRS}
+          FROM (SELECT doc_id, lang, coalesce(text, '') AS text
+                FROM documents) documents))),
+    classes AS (SELECT DISTINCT lang AS cls FROM pred),
+    per AS (
+      SELECT c.cls,
+             CAST(sum(CASE WHEN p.lang = c.cls AND p.pred_lang = c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN p.lang <> c.cls AND p.pred_lang = c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN p.lang = c.cls AND p.pred_lang <> c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM pred p CROSS JOIN classes c
+      GROUP BY c.cls)
+    SELECT cls AS lang, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) + 0.0
+                ELSE 0.0 END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) + 0.0
+                ELSE 0.0 END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+                     + 0.0
+                ELSE 0.0 END AS f1
+    FROM per
+    """
+
+
+@_stage("q_langid_prf", _prf_oracle())
+def q_langid_prf(spark, sf_dir):
+    """Per-class precision / recall / F1 of the stopword language
+    identifier against the labeled lang column — the summary layer over
+    the q_langid_vs_labels confusion matrix (tp/fp/fn are exact
+    integers; each score is one mirrored ratio; F1 uses the 2tp/(2tp+
+    fp+fn) integer form, never the harmonic-mean float chain).  Plan:
+    zero-shuffle lang-id scan + a #classes-row broadcast spine + one
+    class agg."""
+    from nonconsumptive_spark.operators import textstats as ts
+
+    docs = load(spark, sf_dir, "documents")
+    pred = (docs.select("doc_id", "lang")
+            .join(ts.lang_id(docs).select("doc_id", "pred_lang"), "doc_id"))
+    classes = pred.select(F.col("lang").alias("cls")).distinct()
+    per = (
+        pred.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(((F.col("lang") == F.col("cls"))
+                   & (F.col("pred_lang") == F.col("cls"))).cast("long"))
+            .cast("long").alias("tp"),
+            F.sum(((F.col("lang") != F.col("cls"))
+                   & (F.col("pred_lang") == F.col("cls"))).cast("long"))
+            .cast("long").alias("fp"),
+            F.sum(((F.col("lang") == F.col("cls"))
+                   & (F.col("pred_lang") != F.col("cls"))).cast("long"))
+            .cast("long").alias("fn"),
+        )
+    )
+    def ratio(num, den):
+        return F.when(den > 0,
+                      F.round(num.cast("double") / den, 6) + F.lit(0.0)) \
+            .otherwise(F.lit(0.0))
+    return per.select(
+        F.col("cls").alias("lang"), "tp", "fp", "fn",
+        ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        ratio(2 * F.col("tp"),
+              2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1"),
+    )
+
+
+# -- cumulative gains / lift chart by score decile ------------------------------
+@_stage(
+    "q_gain_chart",
+    """
+    WITH ranked AS (
+      SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+             row_number() OVER (
+               ORDER BY CAST(embedding[1] AS DOUBLE) DESC, vec_id ASC)
+               AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM embeddings),
+    bucketed AS (
+      SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+             pos, n
+      FROM ranked),
+    per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM bucketed GROUP BY decile),
+    tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pt,
+                   CAST(sum(n_rows) AS BIGINT) AS nt FROM per)
+    SELECT decile, n_rows, n_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           round(CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE) / pt,
+                 6) + 0.0 AS capture_rate,
+           round((CAST(n_pos AS DOUBLE) / n_rows)
+                 / (CAST(pt AS DOUBLE) / nt), 6) + 0.0 AS lift
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_gain_chart(spark, sf_dir):
+    """Cumulative-gains / lift table by score decile: rank everything by
+    the model score (embedding[0], vec_id tiebreak), split into 10
+    equal-count buckets with the explicit ((rn-1)*10) div n formula (no
+    engine-specific ntile semantics), and report per-decile positive
+    capture and lift — the triage-a-scored-corpus table.  The rank comes
+    from ``assign_dense_ids`` (range partition + offsets, never a
+    single-reducer sort); everything after the bucket agg is a 10-row
+    frame."""
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    from nonconsumptive_spark.sources.readers import assign_dense_ids
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (-F.col("embedding").getItem(0).cast("double")).alias("neg_s"),
+        (F.col("label") == 0).cast("long").alias("pos"),
+    )
+    ranked = assign_dense_ids(emb, ["neg_s", "vec_id"], id_name="rn")
+    n = ranked.agg(F.count("*").cast("long").alias("n"))
+    per = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(F.expr("(rn * 10) div n").alias("decile"), "pos")
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_rows"),
+             F.sum("pos").cast("long").alias("n_pos"))
+    )
+    per = materialize_once(per, "gain_deciles")
+    tot = per.agg(F.sum("n_pos").cast("long").alias("pt"),
+                  F.sum("n_rows").cast("long").alias("nt"))
+    from pyspark.sql import Window
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+        .select(
+            "decile", "n_rows", "n_pos", "cum_pos",
+            (F.round(F.col("cum_pos").cast("double") / F.col("pt"), 6)
+             + F.lit(0.0)).alias("capture_rate"),
+            (F.round((F.col("n_pos").cast("double") / F.col("n_rows"))
+                     / (F.col("pt").cast("double") / F.col("nt")), 6)
+             + F.lit(0.0)).alias("lift"),
+        )
+    )

@@ -706,3 +706,82 @@ def test_juilland_extremes(spark):
     got = {r["token"]: r["juilland_d"] for r in fn(spark, tmp).collect()}
     assert got["every"] > 0.9
     assert got["onlyone"] < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition: identity brier = rel - res + unc + within-bin-var
+# (within-bin variance >= 0), and a perfectly-calibrated degenerate case
+# ---------------------------------------------------------------------------
+
+
+def test_brier_decomposition_identity(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_brier_decomposition"]
+    r = fn(spark, cf.SF_SMALL).collect()[0]
+    assert 0.0 <= r["brier"] <= 1.0
+    assert r["reliability"] >= 0.0 and r["resolution"] >= 0.0
+    assert 0.0 <= r["uncertainty"] <= 0.25
+    # Murphy identity up to the within-bin variance/covariance terms the
+    # binning hides (wbv - 2*wbc, either sign, bounded by the bin width):
+    # |brier - (rel - res + unc)| stays within ~bin_width^2 + 2*bin_width
+    # * within-bin outcome spread — use a conservative 0.02 envelope
+    resid = r["brier"] - (r["reliability"] - r["resolution"]
+                          + r["uncertainty"])
+    assert abs(resid) <= 0.02, resid
+
+
+# ---------------------------------------------------------------------------
+# PRF: per-class scores match a brute confusion recount; micro-F1 bounds
+# ---------------------------------------------------------------------------
+
+
+def test_langid_prf_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.operators.textstats import lang_id
+    from nonconsumptive_spark.queries import load as _load
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_langid_prf"]
+    got = {r["lang"]: r for r in fn(spark, cf.SF_SMALL).collect()}
+    docs = _load(spark, cf.SF_SMALL, "documents")
+    pred = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    pairs = [(r["lang"], pred[r["doc_id"]])
+             for r in docs.select("doc_id", "lang").collect()]
+    for cls in got:
+        tp = sum(1 for l, p in pairs if l == cls and p == cls)
+        fp = sum(1 for l, p in pairs if l != cls and p == cls)
+        fn_ = sum(1 for l, p in pairs if l == cls and p != cls)
+        r = got[cls]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn_), cls
+        if tp + fp:
+            assert r["precision"] == round(tp / (tp + fp), 6)
+        if 2 * tp + fp + fn_:
+            assert r["f1"] == round(2 * tp / (2 * tp + fp + fn_), 6)
+
+
+# ---------------------------------------------------------------------------
+# Gain chart: deciles tile the corpus, capture is monotone, decile-0 lift
+# is the max
+# ---------------------------------------------------------------------------
+
+
+def test_gain_chart_invariants(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_gain_chart"]
+    rows = sorted(fn(spark, cf.SF_SMALL).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(10))
+    n = sum(r["n_rows"] for r in rows)
+    assert max(r["n_rows"] for r in rows) - min(
+        r["n_rows"] for r in rows) <= 1   # equal-count split
+    assert rows[-1]["capture_rate"] == 1.0
+    caps = [r["capture_rate"] for r in rows]
+    assert caps == sorted(caps)
+    assert rows[-1]["cum_pos"] == sum(r["n_pos"] for r in rows)
+    # weighted mean lift is 1 by construction
+    wmean = sum(r["lift"] * r["n_rows"] for r in rows) / n
+    assert abs(wmean - 1.0) < 0.01

@@ -140,6 +140,9 @@ BNLJ_WHITELIST = {
     "q_mcnemar_langid",       # 1-row majority-label attach onto the scan
     "q_juilland_dispersion",  # top-k x #parts grid build (both sides tiny)
     "q_mantel_haenszel",      # 1-row first-source-label attach onto the scan
+    "q_brier_decomposition",  # two 1-row totals attaches onto the 10-bin frame
+    "q_langid_prf",           # #classes-row spine fan-out onto the scan
+    "q_gain_chart",           # 1-row N + totals attaches; 10-row frame after
 }
 
 
