@@ -258,6 +258,7 @@ EXTRA = {
     "q_brier_decomposition": _staged("q_brier_decomposition"),
     "q_langid_prf": _staged("q_langid_prf"),
     "q_gain_chart": _staged("q_gain_chart"),
+    "q_ann_recall_curve": _staged("q_ann_recall_curve"),
 }
 
 

@@ -115,6 +115,7 @@ QUERIES = [
     "q_brier_decomposition",
     "q_langid_prf",
     "q_gain_chart",
+    "q_ann_recall_curve",
 ]
 
 

@@ -1578,3 +1578,67 @@ def q_gain_chart(spark, sf_dir):
              + F.lit(0.0)).alias("lift"),
         )
     )
+
+
+# -- IVF recall-vs-nprobe tuning curve -----------------------------------------
+# per-nprobe recall floors (measured 0.08-0.14 / 0.22-0.44 / 0.46-0.52 / 0.78 at
+# sf0.001/sf0.01, floors set below both;
+# probe sets are nested, so recall is structurally non-decreasing in
+# n_probe up to rounding-tie displacement)
+_CURVE_BOUNDS = {1: 0.05, 2: 0.15, 4: 0.4, 8: 0.6}
+
+
+def _curve_oracle() -> str:
+    from nonconsumptive_spark.queries.similarity import _DUCK_KNN
+
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({p} AS BIGINT) AS n_probe,
+               CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               TRUE AS recall_ok
+        FROM ({_DUCK_KNN})"""
+        for p in sorted(_CURVE_BOUNDS))
+    return rows
+
+
+@_stage("q_ann_recall_curve", _curve_oracle())
+def q_ann_recall_curve(spark, sf_dir):
+    """IVF recall-vs-n_probe tuning curve: one row per probe depth
+    (1, 2, 4, 8) with recall against the exact brute-force top-k —
+    the table that prices the ANN speed/recall dial before committing a
+    production n_probe.  The exact baseline materializes ONCE and feeds
+    all four probe levels; each level's recall must clear its measured
+    floor (the oracle asserts the flag + DuckDB-recomputed exact-side
+    counts, the q_knn_cosine_ivf discipline).  Probe cells are nested
+    across levels, so candidate sets are supersets and recall is
+    structurally non-decreasing up to rounded-cosine tie displacement."""
+    from nonconsumptive_spark.operators import similarity as sim
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    from nonconsumptive_spark.queries.similarity import _K, _N_QUERIES
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = materialize_once(
+        sim.knn_bruteforce(emb, queries, k=_K), "curve_exact")
+    agg = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+    out = None
+    for p, bound in sorted(_CURVE_BOUNDS.items()):
+        approx = sim.knn_ivf(emb, queries, k=_K, n_centroids=16, n_probe=p)
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"])
+        row = (
+            agg.crossJoin(F.broadcast(
+                hits.agg(F.count("*").cast("long").alias("n_hits"))))
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "n_queries", "n_exact",
+                (F.col("n_hits") / F.col("n_exact") >= bound)
+                .alias("recall_ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

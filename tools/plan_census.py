@@ -143,6 +143,8 @@ BNLJ_WHITELIST = {
     "q_brier_decomposition",  # two 1-row totals attaches onto the 10-bin frame
     "q_langid_prf",           # #classes-row spine fan-out onto the scan
     "q_gain_chart",           # 1-row N + totals attaches; 10-row frame after
+    "q_ann_recall_curve",     # knn_bruteforce's broadcast query side + 1-row
+                              # hit-count attaches, one per probe level
 }
 
 
