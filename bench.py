@@ -259,6 +259,7 @@ EXTRA = {
     "q_langid_prf": _staged("q_langid_prf"),
     "q_gain_chart": _staged("q_gain_chart"),
     "q_ann_recall_curve": _staged("q_ann_recall_curve"),
+    "q_isotonic_bins": _staged("q_isotonic_bins"),
 }
 
 

@@ -116,6 +116,7 @@ QUERIES = [
     "q_langid_prf",
     "q_gain_chart",
     "q_ann_recall_curve",
+    "q_isotonic_bins",
 ]
 
 

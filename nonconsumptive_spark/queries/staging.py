@@ -1642,3 +1642,118 @@ def q_ann_recall_curve(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -- isotonic calibration (PAVA via the minimax formula) -----------------------
+_ISO_SCALE = 10**9
+
+
+def _iso_oracle() -> str:
+    from nonconsumptive_spark.operators.evaluation import CAL_BINS, CAL_SCALE
+
+    ph = ("((greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), "
+          "CAST(embedding[1] AS DOUBLE))) + CAST(1.0 AS DOUBLE)) "
+          "/ CAST(2.0 AS DOUBLE))")
+    return f"""
+    WITH base AS (
+      SELECT least(CAST(floor({ph} * {CAL_BINS}) AS BIGINT),
+                   {CAL_BINS - 1}) AS bin,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM base GROUP BY bin),
+    pre AS (
+      SELECT bin, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      FROM bins),
+    grid AS (
+      SELECT a.bin AS i, b.bin AS j,
+             CAST(floor(CAST(b.cp - (a.cp - a.n_pos) AS DOUBLE)
+                        / (b.cn - (a.cn - a.n)) * {_ISO_SCALE}) AS BIGINT)
+               AS qd
+      FROM pre a JOIN pre b ON a.bin <= b.bin),
+    inner_min AS (
+      SELECT p.bin AS k, g.i, CAST(min(g.qd) AS BIGINT) AS mn
+      FROM pre p JOIN grid g ON g.i <= p.bin AND g.j >= p.bin
+      GROUP BY p.bin, g.i),
+    fit AS (
+      SELECT k AS bin, CAST(max(mn) AS BIGINT) AS iso_q
+      FROM inner_min GROUP BY k)
+    SELECT b.bin, b.n, b.n_pos,
+           round(CAST(b.n_pos AS DOUBLE) / b.n, 6) + 0.0 AS raw_rate,
+           round(CAST(f.iso_q AS DOUBLE) / {_ISO_SCALE}, 6) + 0.0
+             AS iso_rate
+    FROM bins b JOIN fit f USING (bin)
+    """
+
+
+@_stage("q_isotonic_bins", _iso_oracle())
+def q_isotonic_bins(spark, sf_dir):
+    """Isotonic (PAVA) calibration of the reliability-diagram bins via
+    the exact minimax formula r_k = max_{i<=k} min_{j>=k} rate(i..j) —
+    the monotone recalibration map a scorer would ship, computed without
+    the sequential pool-adjacent-violators loop (the minimax form is
+    order-free, so both engines replay it exactly).  Range rates come
+    from prefix sums of exact BIGINT bin counts and quantize to 1e-9
+    BIGINTs BEFORE min/max, so the fit is pure integer comparison.
+    Plan: one 10-bin agg, a 10-row prefix window, a <=55-row (i,j) grid
+    and a <=220-row (k,i,j) fan — everything after the first agg is
+    bin-bounded, corpus-size independent."""
+    from pyspark.sql import Window
+    from nonconsumptive_spark.operators.evaluation import CAL_BINS
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    emb = load(spark, sf_dir, "embeddings")
+    clipped = F.greatest(F.lit(-1.0), F.least(
+        F.lit(1.0), F.col("embedding").getItem(0).cast("double")))
+    ph = (clipped + F.lit(1.0)) / F.lit(2.0)
+    bins = materialize_once(
+        emb.select(
+            F.least(F.floor(ph * CAL_BINS).cast("long"),
+                    F.lit(CAL_BINS - 1)).alias("bin"),
+            (F.col("label") == 0).cast("long").alias("pos"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("pos").cast("long").alias("n_pos")),
+        "iso_bins",
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    pre = bins.select(
+        "bin", "n", "n_pos",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("n_pos").over(w).cast("long").alias("cp"),
+    )
+    a = pre.select(F.col("bin").alias("i"),
+                   (F.col("cp") - F.col("n_pos")).alias("cp0"),
+                   (F.col("cn") - F.col("n")).alias("cn0"))
+    b = pre.select(F.col("bin").alias("j"), F.col("cp").alias("cp1"),
+                   F.col("cn").alias("cn1"))
+    grid = (
+        a.crossJoin(b).filter(F.col("i") <= F.col("j"))
+        .select("i", "j",
+                F.floor((F.col("cp1") - F.col("cp0")).cast("double")
+                        / (F.col("cn1") - F.col("cn0")) * _ISO_SCALE)
+                .cast("long").alias("qd"))
+    )
+    spine = pre.select(F.col("bin").alias("k"))
+    inner = (
+        spine.crossJoin(grid)
+        .filter((F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")))
+        .groupBy("k", "i")
+        .agg(F.min("qd").cast("long").alias("mn"))
+    )
+    fit = inner.groupBy("k").agg(F.max("mn").cast("long").alias("iso_q"))
+    return (
+        bins.join(fit, bins["bin"] == fit["k"])
+        .select(
+            "bin", "n", "n_pos",
+            (F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+             + F.lit(0.0)).alias("raw_rate"),
+            (F.round(F.col("iso_q").cast("double") / _ISO_SCALE, 6)
+             + F.lit(0.0)).alias("iso_rate"),
+        )
+    )

@@ -785,3 +785,52 @@ def test_gain_chart_invariants(spark):
     # weighted mean lift is 1 by construction
     wmean = sum(r["lift"] * r["n_rows"] for r in rows) / n
     assert abs(wmean - 1.0) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Isotonic bins: the minimax formula equals classic sequential PAVA, and
+# the fit is monotone
+# ---------------------------------------------------------------------------
+
+
+def _brute_pava(ns, ps):
+    """Classic pool-adjacent-violators on (count, positives) blocks."""
+    blocks = [[n, p] for n, p in zip(ns, ps)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] * blocks[i + 1][0] > blocks[i + 1][1] * blocks[i][0]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    rates = []
+    for n, p in blocks:
+        rates.append((n, p / n))
+    expanded = []
+    k = iter(zip(ns, ps))
+    for n_blk, r in rates:
+        taken = 0
+        while taken < n_blk:
+            n_bin, _ = next(k)
+            expanded.append(r)
+            taken += n_bin
+    return expanded
+
+
+def test_isotonic_minimax_equals_classic_pava(spark):
+    from nonconsumptive_spark.queries.staging import STAGED, _ISO_SCALE
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_isotonic_bins"]
+    rows = sorted(fn(spark, cf.SF_SMALL).collect(), key=lambda r: r["bin"])
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)  # monotone fit
+    ns = [r["n"] for r in rows]
+    ps = [r["n_pos"] for r in rows]
+    want = _brute_pava(ns, ps)
+    for got, w in zip(iso, want):
+        # the query floors range rates at 1e-9 before min/max; allow
+        # one quantum plus the 1e-6 output rounding
+        assert abs(got - w) < 2e-6, (got, w)

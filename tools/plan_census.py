@@ -145,6 +145,7 @@ BNLJ_WHITELIST = {
     "q_gain_chart",           # 1-row N + totals attaches; 10-row frame after
     "q_ann_recall_curve",     # knn_bruteforce's broadcast query side + 1-row
                               # hit-count attaches, one per probe level
+    "q_isotonic_bins",        # 10-bin grid/spine builds, all bin-bounded
 }
 
 
