@@ -260,6 +260,8 @@ EXTRA = {
     "q_gain_chart": _staged("q_gain_chart"),
     "q_ann_recall_curve": _staged("q_ann_recall_curve"),
     "q_isotonic_bins": _staged("q_isotonic_bins"),
+    "q_von_neumann_ratio": _staged("q_von_neumann_ratio"),
+    "q_simpson_flip": _staged("q_simpson_flip"),
 }
 
 

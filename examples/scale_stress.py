@@ -117,6 +117,8 @@ QUERIES = [
     "q_gain_chart",
     "q_ann_recall_curve",
     "q_isotonic_bins",
+    "q_von_neumann_ratio",
+    "q_simpson_flip",
 ]
 
 

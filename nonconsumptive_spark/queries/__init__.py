@@ -102,6 +102,17 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # order — every one already green under the driver-grade compare at two
 # SFs (test_oracle_parity + tools/check_staged) — then the longest-
 # unverified re-check tail.
+#
+# ROUND-6 STAGING COHORT (queries/staging.py, verified at both SFs by
+# tests/test_staging.py + tools/check_staged.py, censused, benched as
+# extras, 10x-stressed): g2_collocations, cohens_d_sources,
+# permutation_test, holt_linear_daily, seq_pattern_pairs, rm3_expansion,
+# gunning_fog, grubbs_outlier, keyness_terms, skew_report, zeta_markers,
+# fk_integrity, mcnemar_langid, audio_window_energy, log_odds_dirichlet,
+# mantel_haenszel, juilland_dispersion, brier_decomposition, langid_prf,
+# gain_chart, ann_recall_curve, isotonic_bins.  Promotion = @register +
+# PRIORITY append, exactly like the r5 cohort.  Stream-only surface:
+# streaming/holt.py (pytest-only, chunked == batch structural).
 PRIORITY: tuple[str, ...] = (
     # -- never driver-checked registered queries (25)
     "q_logdice_collocations",

@@ -1757,3 +1757,144 @@ def q_isotonic_bins(spark, sf_dir):
              + F.lit(0.0)).alias("iso_rate"),
         )
     )
+
+
+# -- von Neumann successive-difference ratio ------------------------------------
+@_stage(
+    "q_von_neumann_ratio",
+    """
+    WITH days AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    seq AS (
+      SELECT x, lead(x) OVER (ORDER BY day) AS nx
+      FROM days),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS ss,
+             CAST(sum(CASE WHEN nx IS NOT NULL
+                           THEN (nx - x) * (nx - x) ELSE 0 END)
+                  AS BIGINT) AS sd2
+      FROM seq)
+    SELECT n, sd2,
+           CAST(n * ss - s * s AS BIGINT) AS ssq_n,
+           round(CAST(sd2 AS DOUBLE) / (n - 1)
+                 / (CAST(n * ss - s * s AS DOUBLE) / (n * CAST(n AS DOUBLE)
+                    - n)), 6) + 0.0 AS vn_ratio
+    FROM mom
+    """,
+)
+def q_von_neumann_ratio(spark, sf_dir):
+    """Von Neumann ratio of the daily event-count series: mean squared
+    successive difference over the sample variance — ~2 for a random
+    series, < 2 under positive trend/autocorrelation, > 2 under
+    oscillation; the classic third randomness screen beside the runs
+    test and Mann-Kendall.  Numerator and the n*ss - s^2 variance
+    kernel are exact BIGINTs off one day agg + one lead window over the
+    day spine; the ratio is one mirrored chain."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").cast("long").alias("x")))
+    w = Window.orderBy("day")
+    seq = days.select("x", F.lead("x").over(w).alias("nx"))
+    mom = seq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+        F.sum(F.when(F.col("nx").isNotNull(),
+                     (F.col("nx") - F.col("x"))
+                     * (F.col("nx") - F.col("x"))).otherwise(0))
+        .cast("long").alias("sd2"),
+    )
+    ssq_n = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return mom.select(
+        "n", "sd2", ssq_n.cast("long").alias("ssq_n"),
+        (F.round(F.col("sd2").cast("double") / (F.col("n") - 1)
+                 / (ssq_n.cast("double")
+                    / (F.col("n") * F.col("n").cast("double") - F.col("n"))),
+                 6) + F.lit(0.0)).alias("vn_ratio"),
+    )
+
+
+# -- Simpson's-paradox flip detector --------------------------------------------
+@_stage(
+    "q_simpson_flip",
+    f"""
+    WITH lab AS (
+      SELECT min(source) AS sa
+      FROM (SELECT source FROM documents GROUP BY source
+            ORDER BY source LIMIT 1)),
+    cells AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN exposed AND long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN exposed AND NOT long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT exposed AND long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT exposed AND NOT long_doc
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM (SELECT d.lang, d.source = (SELECT sa FROM lab) AS exposed,
+                   coalesce(d.n_chars, 0) >= 500 AS long_doc
+            FROM documents d)
+      GROUP BY lang),
+    marg AS (
+      SELECT CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
+             CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d
+      FROM cells)
+    SELECT s.lang, s.a, s.b, s.c, s.d,
+           s.a * (s.c + s.d) > s.c * (s.a + s.b) AS stratum_favors_exposed,
+           m.a * (m.c + m.d) > m.c * (m.a + m.b) AS marginal_favors_exposed,
+           (s.a * (s.c + s.d) > s.c * (s.a + s.b))
+             <> (m.a * (m.c + m.d) > m.c * (m.a + m.b)) AS flipped
+    FROM cells s CROSS JOIN marg m
+    """,
+)
+def q_simpson_flip(spark, sf_dir):
+    """Simpson's-paradox audit for the Mantel-Haenszel setup: per lang
+    stratum, does the long-document rate direction between the first
+    source and the rest DISAGREE with the pooled (marginal) direction?
+    Direction is decided by the exact integer cross-multiplication
+    a*(c+d) > c*(a+b) (rate comparison without a float), so a stratum
+    row flags `flipped` exactly when aggregation would mislead.  Plan:
+    one lang agg on a zero-shuffle scan + a 1-row marginal attach."""
+    docs = load(spark, sf_dir, "documents")
+    lab = (docs.groupBy("source").agg(F.lit(1).alias("__o"))
+           .orderBy("source").limit(1)
+           .select(F.col("source").alias("sa")))
+    base = docs.crossJoin(F.broadcast(lab)).select(
+        "lang",
+        (F.col("source") == F.col("sa")).alias("exposed"),
+        (F.coalesce(F.col("n_chars"), F.lit(0)) >= 500).alias("long_doc"),
+    )
+    cells = base.groupBy("lang").agg(
+        F.sum((F.col("exposed") & F.col("long_doc")).cast("long"))
+        .cast("long").alias("a"),
+        F.sum((F.col("exposed") & ~F.col("long_doc")).cast("long"))
+        .cast("long").alias("b"),
+        F.sum((~F.col("exposed") & F.col("long_doc")).cast("long"))
+        .cast("long").alias("c"),
+        F.sum((~F.col("exposed") & ~F.col("long_doc")).cast("long"))
+        .cast("long").alias("d"),
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    cells = materialize_once(cells, "simpson_cells")
+    marg = cells.agg(F.sum("a").cast("long").alias("ma"),
+                     F.sum("b").cast("long").alias("mb"),
+                     F.sum("c").cast("long").alias("mc"),
+                     F.sum("d").cast("long").alias("md"))
+    sdir = (F.col("a") * (F.col("c") + F.col("d"))
+            > F.col("c") * (F.col("a") + F.col("b")))
+    mdir = (F.col("ma") * (F.col("mc") + F.col("md"))
+            > F.col("mc") * (F.col("ma") + F.col("mb")))
+    return (
+        cells.crossJoin(F.broadcast(marg))  # 1-row marginal attach
+        .select("lang", "a", "b", "c", "d",
+                sdir.alias("stratum_favors_exposed"),
+                mdir.alias("marginal_favors_exposed"),
+                (sdir != mdir).alias("flipped"))
+    )

@@ -834,3 +834,78 @@ def test_isotonic_minimax_equals_classic_pava(spark):
         # the query floors range rates at 1e-9 before min/max; allow
         # one quantum plus the 1e-6 output rounding
         assert abs(got - w) < 2e-6, (got, w)
+
+
+# ---------------------------------------------------------------------------
+# Von Neumann ratio: ~2 on shuffled series, << 2 on a strong trend
+# ---------------------------------------------------------------------------
+
+
+def test_von_neumann_extremes(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import tempfile
+
+    fn, _ = STAGED["q_von_neumann_ratio"]
+
+    def series(counts):
+        rows = []
+        eid = 0
+        for d, n in enumerate(counts):
+            day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+            for i in range(n):
+                eid += 1
+                rows.append((eid, day + dt.timedelta(seconds=i)))
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, "event_id long, ts timestamp") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{tmp}/events.parquet")
+        return fn(spark, tmp).collect()[0]["vn_ratio"]
+
+    rng = random.Random(53)
+    noise = [rng.randint(5, 100) for _ in range(80)]
+    trend = [5 + 3 * d for d in range(80)]
+    assert series(trend) < 0.5          # strong trend: tiny ratio
+    assert 1.0 < series(noise) < 3.0    # iid-ish: near 2
+
+
+# ---------------------------------------------------------------------------
+# Simpson flip: a constructed paradox is detected
+# ---------------------------------------------------------------------------
+
+
+def test_simpson_flip_detects_planted_paradox(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import tempfile
+
+    # classic construction: exposed ('aaa', sorts first) wins INSIDE each
+    # stratum but loses in the pooled table because its mass sits in the
+    # low-rate stratum
+    rows = []
+    i = 0
+
+    def add(n, src, lang, long_doc):
+        nonlocal i
+        for _ in range(n):
+            rows.append((i, "t", lang, src, 1000 if long_doc else 10))
+            i += 1
+
+    # stratum L1 (high base rate): exposed 90/100 vs rest 80/100
+    add(90, "aaa", "L1", True); add(10, "aaa", "L1", False)
+    add(80, "zzz", "L1", True); add(20, "zzz", "L1", False)
+    # stratum L2 (low base rate): exposed 30/900 vs rest 10/400... keep
+    # exposed per-stratum rate HIGHER but pooled rate lower
+    add(30, "aaa", "L2", True); add(870, "aaa", "L2", False)
+    add(10, "zzz", "L2", True); add(390, "zzz", "L2", False)
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    fn, _ = STAGED["q_simpson_flip"]
+    got = {r["lang"]: r for r in fn(spark, tmp).collect()}
+    # exposed wins both strata...
+    assert got["L1"]["stratum_favors_exposed"] is True
+    assert got["L2"]["stratum_favors_exposed"] is True
+    # ...but loses the pooled comparison -> both rows flagged flipped
+    assert got["L1"]["marginal_favors_exposed"] is False
+    assert got["L1"]["flipped"] is True and got["L2"]["flipped"] is True

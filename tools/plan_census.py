@@ -146,6 +146,7 @@ BNLJ_WHITELIST = {
     "q_ann_recall_curve",     # knn_bruteforce's broadcast query side + 1-row
                               # hit-count attaches, one per probe level
     "q_isotonic_bins",        # 10-bin grid/spine builds, all bin-bounded
+    "q_simpson_flip",         # 1-row marginal + first-source-label attaches
 }
 
 
