@@ -262,6 +262,7 @@ EXTRA = {
     "q_isotonic_bins": _staged("q_isotonic_bins"),
     "q_von_neumann_ratio": _staged("q_von_neumann_ratio"),
     "q_simpson_flip": _staged("q_simpson_flip"),
+    "q_odds_ratio_ci": _staged("q_odds_ratio_ci"),
 }
 
 

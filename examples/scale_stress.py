@@ -119,6 +119,7 @@ QUERIES = [
     "q_isotonic_bins",
     "q_von_neumann_ratio",
     "q_simpson_flip",
+    "q_odds_ratio_ci",
 ]
 
 

@@ -1898,3 +1898,85 @@ def q_simpson_flip(spark, sf_dir):
                 mdir.alias("marginal_favors_exposed"),
                 (sdir != mdir).alias("flipped"))
     )
+
+
+# -- per-stratum odds ratios with Woolf CIs --------------------------------------
+_OR_Z = 1.959964  # ~N(0,1) 97.5% quantile, shared literal
+
+
+@_stage(
+    "q_odds_ratio_ci",
+    f"""
+    WITH lab AS (
+      SELECT min(source) AS sa
+      FROM (SELECT source FROM documents GROUP BY source
+            ORDER BY source LIMIT 1)),
+    cells AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN exposed AND long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) + 0.5 AS a,
+             CAST(sum(CASE WHEN exposed AND NOT long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) + 0.5 AS b,
+             CAST(sum(CASE WHEN NOT exposed AND long_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) + 0.5 AS c,
+             CAST(sum(CASE WHEN NOT exposed AND NOT long_doc
+                           THEN 1 ELSE 0 END) AS BIGINT) + 0.5 AS d
+      FROM (SELECT d.lang, d.source = (SELECT sa FROM lab) AS exposed,
+                   coalesce(d.n_chars, 0) >= 500 AS long_doc
+            FROM documents d)
+      GROUP BY lang)
+    SELECT lang,
+           CAST(a - 0.5 AS BIGINT) AS n_a, CAST(b - 0.5 AS BIGINT) AS n_b,
+           CAST(c - 0.5 AS BIGINT) AS n_c, CAST(d - 0.5 AS BIGINT) AS n_d,
+           round(ln(a * d / (b * c)), 6) + 0.0 AS log_or,
+           round(ln(a * d / (b * c))
+                 - {_OR_Z} * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d),
+                 6) + 0.0 AS ci_lo,
+           round(ln(a * d / (b * c))
+                 + {_OR_Z} * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d),
+                 6) + 0.0 AS ci_hi
+    FROM cells
+    """,
+)
+def q_odds_ratio_ci(spark, sf_dir):
+    """Per-lang-stratum log odds ratio of long-document rate (first
+    source vs rest) with Woolf confidence intervals under the Haldane-
+    Anscombe +0.5 continuity correction — the per-stratum detail table
+    behind q_mantel_haenszel's pooled number (and the CI companion the
+    Wilson intervals give proportions).  Cell counts are exact BIGINTs;
+    the corrected cells, ln, and the variance chain are token-mirrored;
+    zero cells stay finite by construction.  Plan: one lang agg over a
+    zero-shuffle scan."""
+    docs = load(spark, sf_dir, "documents")
+    lab = (docs.groupBy("source").agg(F.lit(1).alias("__o"))
+           .orderBy("source").limit(1)
+           .select(F.col("source").alias("sa")))
+    base = docs.crossJoin(F.broadcast(lab)).select(
+        "lang",
+        (F.col("source") == F.col("sa")).alias("exposed"),
+        (F.coalesce(F.col("n_chars"), F.lit(0)) >= 500).alias("long_doc"),
+    )
+
+    def cell(cond):
+        return (F.sum(cond.cast("long")).cast("long").cast("double")
+                + F.lit(0.5))
+
+    cells = base.groupBy("lang").agg(
+        cell(F.col("exposed") & F.col("long_doc")).alias("a"),
+        cell(F.col("exposed") & ~F.col("long_doc")).alias("b"),
+        cell(~F.col("exposed") & F.col("long_doc")).alias("c"),
+        cell(~F.col("exposed") & ~F.col("long_doc")).alias("d"),
+    )
+    lor = F.log(F.col("a") * F.col("d") / (F.col("b") * F.col("c")))
+    se = F.sqrt(1.0 / F.col("a") + 1.0 / F.col("b")
+                + 1.0 / F.col("c") + 1.0 / F.col("d"))
+    return cells.select(
+        "lang",
+        (F.col("a") - 0.5).cast("long").alias("n_a"),
+        (F.col("b") - 0.5).cast("long").alias("n_b"),
+        (F.col("c") - 0.5).cast("long").alias("n_c"),
+        (F.col("d") - 0.5).cast("long").alias("n_d"),
+        (F.round(lor, 6) + F.lit(0.0)).alias("log_or"),
+        (F.round(lor - _OR_Z * se, 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(lor + _OR_Z * se, 6) + F.lit(0.0)).alias("ci_hi"),
+    )

@@ -909,3 +909,40 @@ def test_simpson_flip_detects_planted_paradox(spark):
     # ...but loses the pooled comparison -> both rows flagged flipped
     assert got["L1"]["marginal_favors_exposed"] is False
     assert got["L1"]["flipped"] is True and got["L2"]["flipped"] is True
+
+
+# ---------------------------------------------------------------------------
+# Woolf CI: brute recomputation with the Haldane correction; CI covers the
+# point estimate and widens with sparsity
+# ---------------------------------------------------------------------------
+
+
+def test_odds_ratio_ci_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED, _OR_Z
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_odds_ratio_ci"]
+    got = {r["lang"]: r for r in fn(spark, cf.SF_SMALL).collect()}
+
+    import duckdb
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, source, coalesce(n_chars, 0) FROM "
+        f"'{cf.SF_SMALL}/documents.parquet'").fetchall()
+    sa = min(s for _, s, _ in docs)
+    strata: dict = {}
+    for lang, src, nc in docs:
+        a, b, c, d = strata.get(lang, (0, 0, 0, 0))
+        exp, ld = src == sa, nc >= 500
+        strata[lang] = (a + (exp and ld), b + (exp and not ld),
+                        c + ((not exp) and ld), d + ((not exp) and not ld))
+    for lang, (a, b, c, d) in strata.items():
+        ah, bh, ch, dh = a + 0.5, b + 0.5, c + 0.5, d + 0.5
+        lor = math.log(ah * dh / (bh * ch))
+        se = math.sqrt(1 / ah + 1 / bh + 1 / ch + 1 / dh)
+        r = got[lang]
+        assert (r["n_a"], r["n_b"], r["n_c"], r["n_d"]) == (a, b, c, d)
+        assert abs(r["log_or"] - lor) < 1e-5
+        assert abs(r["ci_lo"] - (lor - _OR_Z * se)) < 1e-5
+        assert abs(r["ci_hi"] - (lor + _OR_Z * se)) < 1e-5
+        assert r["ci_lo"] <= r["log_or"] <= r["ci_hi"]

@@ -147,6 +147,7 @@ BNLJ_WHITELIST = {
                               # hit-count attaches, one per probe level
     "q_isotonic_bins",        # 10-bin grid/spine builds, all bin-bounded
     "q_simpson_flip",         # 1-row marginal + first-source-label attaches
+    "q_odds_ratio_ci",        # 1-row first-source-label attach onto the scan
 }
 
 
