@@ -263,6 +263,8 @@ EXTRA = {
     "q_von_neumann_ratio": _staged("q_von_neumann_ratio"),
     "q_simpson_flip": _staged("q_simpson_flip"),
     "q_odds_ratio_ci": _staged("q_odds_ratio_ci"),
+    "q_cuped_abtest": _staged("q_cuped_abtest"),
+    "q_time_to_convert": _staged("q_time_to_convert"),
 }
 
 

@@ -120,6 +120,8 @@ QUERIES = [
     "q_von_neumann_ratio",
     "q_simpson_flip",
     "q_odds_ratio_ci",
+    "q_cuped_abtest",
+    "q_time_to_convert",
 ]
 
 

@@ -1980,3 +1980,197 @@ def q_odds_ratio_ci(spark, sf_dir):
         (F.round(lor - _OR_Z * se, 6) + F.lit(0.0)).alias("ci_lo"),
         (F.round(lor + _OR_Z * se, 6) + F.lit(0.0)).alias("ci_hi"),
     )
+
+
+# -- CUPED-adjusted A/B readout with MDE ------------------------------------------
+_CUPED_CUT = "2024-01-16 00:00:00"
+_Z_ALPHA = 1.959964  # 97.5%
+_Z_POWER = 0.841621  # 80%
+
+
+def _cuped_oracle() -> str:
+    # exact BIGINT kernels; every float is one mirrored chain
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS grp,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS sax,
+             CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT) AS say
+      FROM per_user),
+    d AS (
+      SELECT n, na, n - na AS nb,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy,
+             CAST(say AS DOUBLE) / na
+               - CAST(sy - say AS DOUBLE) / (n - na) AS diff_raw,
+             CAST(sax AS DOUBLE) / na
+               - CAST(sx - sax AS DOUBLE) / (n - na) AS dx
+      FROM mom)
+    SELECT n AS n_users, na AS n_a, nb AS n_b,
+           round(cxy / vx, 6) + 0.0 AS theta,
+           round(diff_raw, 6) + 0.0 AS diff_raw,
+           round(diff_raw - (cxy / vx) * dx, 6) + 0.0 AS diff_cuped,
+           round(cxy * cxy / (vx * vy), 6) + 0.0 AS rho2,
+           round(({_Z_ALPHA} + {_Z_POWER})
+                 * sqrt(vy / (n * CAST(n AS DOUBLE) - n)
+                        * (1.0 / na + 1.0 / nb)), 6) + 0.0 AS mde_raw,
+           round(({_Z_ALPHA} + {_Z_POWER})
+                 * sqrt(vy / (n * CAST(n AS DOUBLE) - n)
+                        * (1.0 - cxy * cxy / (vx * vy))
+                        * (1.0 / na + 1.0 / nb)), 6) + 0.0 AS mde_cuped
+    FROM d
+    """
+
+
+@_stage("q_cuped_abtest", _cuped_oracle())
+def q_cuped_abtest(spark, sf_dir):
+    """CUPED-adjusted A/B readout (Deng et al. 2013, the industry-
+    standard variance-reduction for online experiments): users split by
+    the portable md5 bit, metric = post-period event count, covariate =
+    pre-period count; theta = cov(x,y)/var(x) folds the pre-period out
+    of the effect, and the minimum detectable effect is reported both
+    raw and CUPED-reduced (x sqrt(1-rho^2)) — the why-bother number.
+    All kernels (n*Sxy - Sx*Sy etc.) are exact BIGINT integer moments
+    promoted to double only for the final mirrored chains.  Plan: one
+    user agg, one 1-row moment agg."""
+    ev = load(spark, sf_dir, "events")
+    grp = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 15), 16, 10).cast("long") % 2)
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("long").alias("y"),
+    ).select(grp.alias("grp"), "x", "y")
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(F.col("grp") == 0, F.col("x")).otherwise(0))
+        .cast("long").alias("sax"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y")).otherwise(0))
+        .cast("long").alias("say"),
+    )
+    n, na = F.col("n"), F.col("na")
+    nb = n - na
+    cxy = n.cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = n.cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    diff_raw = (F.col("say").cast("double") / na
+                - (F.col("sy") - F.col("say")).cast("double") / nb)
+    dx = (F.col("sax").cast("double") / na
+          - (F.col("sx") - F.col("sax")).cast("double") / nb)
+    rho2 = cxy * cxy / (vx * vy)
+    zsum = F.lit(_Z_ALPHA + _Z_POWER)
+    inv = 1.0 / na + 1.0 / nb
+    vyn = vy / (n * n.cast("double") - n)
+    return mom.select(
+        n.alias("n_users"), na.alias("n_a"), nb.cast("long").alias("n_b"),
+        (F.round(cxy / vx, 6) + F.lit(0.0)).alias("theta"),
+        (F.round(diff_raw, 6) + F.lit(0.0)).alias("diff_raw"),
+        (F.round(diff_raw - (cxy / vx) * dx, 6) + F.lit(0.0))
+        .alias("diff_cuped"),
+        (F.round(rho2, 6) + F.lit(0.0)).alias("rho2"),
+        (F.round(zsum * F.sqrt(vyn * inv), 6) + F.lit(0.0)).alias("mde_raw"),
+        (F.round(zsum * F.sqrt(vyn * (F.lit(1.0) - rho2) * inv), 6)
+         + F.lit(0.0)).alias("mde_cuped"),
+    )
+
+
+# -- funnel time-to-convert quantiles --------------------------------------------
+_TTC_FROM = "click"
+_TTC_TO = "purchase"
+
+
+def _ttc_oracle() -> str:
+    return f"""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = '{_TTC_FROM}' THEN ts END) AS t0
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT f.user_id,
+             (epoch_us(min(e.ts)) - epoch_us(f.t0)) // 1000000 AS secs
+      FROM firsts f
+      JOIN events e ON e.user_id = f.user_id
+                    AND e.event_type = '{_TTC_TO}' AND e.ts > f.t0
+      WHERE f.t0 IS NOT NULL
+      GROUP BY f.user_id, f.t0),
+    hist AS (
+      SELECT secs, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(count(*)) OVER (ORDER BY secs) AS BIGINT) AS cum
+      FROM conv GROUP BY secs),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM conv)
+    SELECT t.n AS n_converted,
+           (SELECT min(secs) FROM hist
+            WHERE cum >= (t.n + 1) // 2) AS median_s,
+           (SELECT min(secs) FROM hist
+            WHERE cum >= (9 * t.n + 9) // 10) AS p90_s
+    FROM tot t
+    """
+
+
+@_stage("q_time_to_convert", _ttc_oracle())
+def q_time_to_convert(spark, sf_dir):
+    """Funnel latency: per user, seconds from the FIRST '{from}' event to
+    the first subsequent '{to}' event, with the exact median and p90 as
+    order statistics off a seconds histogram (the repo's exact-quantile
+    discipline — no percentile float interpolation).  Durations come
+    from microsecond epoch differences floored to seconds with integer
+    division (second-truncation semantics differ across engines; the
+    micros route does not).  Plan: one user agg + one user-keyed join
+    narrowed to the target type + a histogram window over distinct
+    durations."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == _TTC_FROM,
+                                F.col("ts"))).alias("t0"))
+              .filter(F.col("t0").isNotNull()))
+    conv = (
+        ev.filter(F.col("event_type") == _TTC_TO)
+        .join(firsts, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t1"))
+        .select(F.expr("timestampdiff(MICROSECOND, t0, t1) div 1000000")
+                .alias("secs"))
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    conv = materialize_once(conv, "ttc_secs")
+    w = Window.orderBy("secs").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    hist = (conv.groupBy("secs").agg(F.count("*").cast("long").alias("c"))
+            .withColumn("cum", F.sum("c").over(w).cast("long")))
+    tot = conv.agg(F.count("*").cast("long").alias("n"))
+    hx = hist.crossJoin(F.broadcast(tot))
+    med = (hx.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+           .agg(F.min("secs").alias("median_s")))
+    p90 = (hx.filter(F.col("cum") >= F.expr("(9 * n + 9) div 10"))
+           .agg(F.min("secs").alias("p90_s")))
+    return (
+        tot.select(F.col("n").alias("n_converted"))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p90))
+    )

@@ -946,3 +946,87 @@ def test_odds_ratio_ci_matches_brute(spark):
         assert abs(r["ci_lo"] - (lor - _OR_Z * se)) < 1e-5
         assert abs(r["ci_hi"] - (lor + _OR_Z * se)) < 1e-5
         assert r["ci_lo"] <= r["log_or"] <= r["ci_hi"]
+
+
+# ---------------------------------------------------------------------------
+# CUPED: theta/diff match brute per-user recomputation, and the adjusted
+# MDE never exceeds the raw MDE
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED, _CUPED_CUT
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_cuped_abtest"]
+    row = fn(spark, cf.SF_SMALL).collect()[0]
+    assert row["mde_cuped"] <= row["mde_raw"] + 1e-9
+    assert 0.0 <= row["rho2"] <= 1.0
+
+    import duckdb
+    con = duckdb.connect()
+    users = con.execute(f"""
+        SELECT user_id,
+               sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                        THEN 1 ELSE 0 END),
+               sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                        THEN 1 ELSE 0 END)
+        FROM '{cf.SF_SMALL}/events.parquet' GROUP BY user_id""").fetchall()
+    xs, ys, grp = [], [], []
+    for uid, x, y in users:
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+        grp.append(h % 2)
+        xs.append(x)
+        ys.append(y)
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    cxy = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+    vx = n * sum(a * a for a in xs) - sx * sx
+    theta = cxy / vx
+    na = grp.count(0)
+    say = sum(y for g, y in zip(grp, ys) if g == 0)
+    sax = sum(x for g, x in zip(grp, xs) if g == 0)
+    diff_raw = say / na - (sy - say) / (n - na)
+    dx = sax / na - (sx - sax) / (n - na)
+    assert row["n_a"] == na
+    assert abs(row["theta"] - theta) < 1e-5
+    assert abs(row["diff_raw"] - diff_raw) < 1e-5
+    assert abs(row["diff_cuped"] - (diff_raw - theta * dx)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert: brute recount of first-click -> first-later-purchase
+# ---------------------------------------------------------------------------
+
+
+def test_time_to_convert_matches_brute(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+    import tests.conftest as cf
+
+    fn, _ = STAGED["q_time_to_convert"]
+    row = fn(spark, cf.SF_SMALL).collect()[0]
+
+    import duckdb
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, event_type, ts FROM "
+        f"'{cf.SF_SMALL}/events.parquet' ORDER BY ts").fetchall()
+    first_click: dict = {}
+    for uid, et, ts in evs:
+        if et == "click" and uid not in first_click:
+            first_click[uid] = ts
+    secs = []
+    conv: dict = {}
+    for uid, et, ts in evs:
+        if (et == "purchase" and uid in first_click
+                and ts > first_click[uid] and uid not in conv):
+            conv[uid] = ts
+            d = ts - first_click[uid]
+            micros = (d.days * 86400 * 10**6 + d.seconds * 10**6
+                      + d.microseconds)
+            secs.append(micros // 1_000_000)
+    secs.sort()
+    n = len(secs)
+    assert row["n_converted"] == n
+    assert row["median_s"] == secs[(n + 1) // 2 - 1]
+    assert row["p90_s"] == secs[(9 * n + 9) // 10 - 1]

@@ -148,6 +148,7 @@ BNLJ_WHITELIST = {
     "q_isotonic_bins",        # 10-bin grid/spine builds, all bin-bounded
     "q_simpson_flip",         # 1-row marginal + first-source-label attaches
     "q_odds_ratio_ci",        # 1-row first-source-label attach onto the scan
+    "q_time_to_convert",      # 1-row total + quantile attaches on the histogram
 }
 
 
