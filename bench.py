@@ -265,6 +265,7 @@ EXTRA = {
     "q_odds_ratio_ci": _staged("q_odds_ratio_ci"),
     "q_cuped_abtest": _staged("q_cuped_abtest"),
     "q_time_to_convert": _staged("q_time_to_convert"),
+    "q_sprt_daily": _staged("q_sprt_daily"),
 }
 
 

@@ -122,6 +122,7 @@ QUERIES = [
     "q_odds_ratio_ci",
     "q_cuped_abtest",
     "q_time_to_convert",
+    "q_sprt_daily",
 ]
 
 

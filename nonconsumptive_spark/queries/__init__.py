@@ -111,7 +111,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # fk_integrity, mcnemar_langid, audio_window_energy, log_odds_dirichlet,
 # mantel_haenszel, juilland_dispersion, brier_decomposition, langid_prf,
 # gain_chart, ann_recall_curve, isotonic_bins, von_neumann_ratio,
-# simpson_flip, odds_ratio_ci, cuped_abtest, time_to_convert.
+# simpson_flip, odds_ratio_ci, cuped_abtest, time_to_convert,
+# sprt_daily.
 # Promotion = @register +
 # PRIORITY append, exactly like the r5 cohort.  Stream-only surface:
 # streaming/holt.py (pytest-only, chunked == batch structural).

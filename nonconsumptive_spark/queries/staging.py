@@ -2174,3 +2174,88 @@ def q_time_to_convert(spark, sf_dir):
         .crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(p90))
     )
+
+
+# -- Poisson SPRT over the daily series -------------------------------------------
+# H0: rate = lambda0 (the observed mean), H1: rate = 1.5 * lambda0;
+# boundaries ln((1-beta)/alpha), ln(beta/(1-alpha)) at alpha=.05, beta=.2,
+# pre-quantized to 1e-6 integers so the decision compares BIGINTs.
+_SPRT_UP_Q = 2772588     # floor(ln(0.8/0.05) * 1e6)
+_SPRT_LO_Q = -1558145    # floor(ln(0.2/0.95) * 1e6)
+_SPRT_SCALE = 10**6
+_SPRT_BASE_DAYS = 7      # lambda0 comes from this leading baseline window
+
+
+@_stage(
+    "q_sprt_daily",
+    f"""
+    WITH days AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+      FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1)),
+    base AS (
+      SELECT CAST(sum(x) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d
+      FROM days WHERE rn <= {_SPRT_BASE_DAYS}),
+    terms AS (
+      SELECT day, x,
+             CAST(floor((x * ln(1.5)
+                         - 0.5 * (CAST(n AS DOUBLE) / d))
+                        * {_SPRT_SCALE}) AS BIGINT) AS lq
+      FROM days CROSS JOIN base
+      WHERE rn > {_SPRT_BASE_DAYS}),
+    cum AS (
+      SELECT day, x,
+             CAST(sum(lq) OVER (ORDER BY day) AS BIGINT) AS cum_q
+      FROM terms)
+    SELECT day, x,
+           round(CAST(cum_q AS DOUBLE) / {_SPRT_SCALE}, 6) + 0.0 AS cum_llr,
+           CASE WHEN cum_q >= {_SPRT_UP_Q} THEN 'accept_h1'
+                WHEN cum_q <= {_SPRT_LO_Q} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    """,
+)
+def q_sprt_daily(spark, sf_dir):
+    """Wald's sequential probability ratio test over the daily event
+    series (Poisson form): λ0 is the mean rate of the LEADING 7-day
+    baseline window, and the cumulative log-likelihood ratio of
+    rate = 1.5·λ0 vs λ0 runs over every later day with the classic
+    (α=.05, β=.2) decision boundaries — the SEQUENTIAL member of the
+    experimentation family beside the fixed-horizon Welch/permutation
+    tests and the CUPED readout (stop the moment the evidence crosses a
+    boundary instead of waiting out the horizon; a self-referential
+    full-series mean would make H1 unreachable by construction, which
+    is why the null is a baseline window).  Each day's LLR term
+    quantizes to a 1e-6 BIGINT (one ln(1.5) constant, one mean-rate
+    division — both mirrored), so the cumulative sum and the boundary
+    comparisons are exact integers.  Plan: one day agg + a 1-row
+    baseline attach + one window over the day spine."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    wd = Window.orderBy("day")
+    days = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").cast("long").alias("x"))
+            .withColumn("rn", F.row_number().over(wd)))
+    base = (days.filter(F.col("rn") <= _SPRT_BASE_DAYS)
+            .agg(F.sum("x").cast("long").alias("n"),
+                 F.count("*").cast("long").alias("d")))
+    terms = (days.filter(F.col("rn") > _SPRT_BASE_DAYS)
+             .crossJoin(F.broadcast(base)).select(
+        "day", "x",
+        F.floor((F.col("x") * F.log(F.lit(1.5))
+                 - F.lit(0.5) * (F.col("n").cast("double") / F.col("d")))
+                * _SPRT_SCALE).cast("long").alias("lq"),
+    ))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = terms.withColumn("cum_q", F.sum("lq").over(w).cast("long"))
+    return cum.select(
+        "day", "x",
+        (F.round(F.col("cum_q").cast("double") / _SPRT_SCALE, 6)
+         + F.lit(0.0)).alias("cum_llr"),
+        F.when(F.col("cum_q") >= _SPRT_UP_Q, F.lit("accept_h1"))
+        .when(F.col("cum_q") <= _SPRT_LO_Q, F.lit("accept_h0"))
+        .otherwise(F.lit("continue")).alias("decision"),
+    )

@@ -1030,3 +1030,54 @@ def test_time_to_convert_matches_brute(spark):
     assert row["n_converted"] == n
     assert row["median_s"] == secs[(n + 1) // 2 - 1]
     assert row["p90_s"] == secs[(9 * n + 9) // 10 - 1]
+
+
+# ---------------------------------------------------------------------------
+# SPRT: a stable series never crosses the H1 boundary; a sharp rate jump
+# triggers accept_h1; LLR matches brute recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_detects_rate_jump(spark):
+    from nonconsumptive_spark.queries.staging import (
+        STAGED, _SPRT_LO_Q, _SPRT_SCALE, _SPRT_UP_Q)
+    import tempfile
+
+    fn, _ = STAGED["q_sprt_daily"]
+
+    def run(counts):
+        rows = []
+        eid = 0
+        for d, n in enumerate(counts):
+            day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+            for i in range(n):
+                eid += 1
+                rows.append((eid, day + dt.timedelta(seconds=i)))
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, "event_id long, ts timestamp") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{tmp}/events.parquet")
+        return sorted(fn(spark, tmp).collect(), key=lambda r: r["day"])
+
+    from nonconsumptive_spark.queries.staging import _SPRT_BASE_DAYS
+
+    # brute LLR replay on a mixed series (baseline = first 7 days)
+    rng = random.Random(59)
+    counts = [rng.randint(20, 30) for _ in range(20)]
+    out = run(counts)
+    lam0 = sum(counts[:_SPRT_BASE_DAYS]) / _SPRT_BASE_DAYS
+    assert len(out) == len(counts) - _SPRT_BASE_DAYS
+    cum = 0
+    for r, x in zip(out, counts[_SPRT_BASE_DAYS:]):
+        cum += math.floor((x * math.log(1.5) - 0.5 * lam0) * _SPRT_SCALE)
+        assert r["cum_llr"] == round(cum / _SPRT_SCALE, 6), r["day"]
+        want = ("accept_h1" if cum >= _SPRT_UP_Q
+                else "accept_h0" if cum <= _SPRT_LO_Q else "continue")
+        assert r["decision"] == want
+
+    # a tripled post-baseline rate must eventually accept H1, and a
+    # stable continuation must accept H0
+    jump = [20] * _SPRT_BASE_DAYS + [60] * 10
+    assert any(r["decision"] == "accept_h1" for r in run(jump))
+    flat = [20] * _SPRT_BASE_DAYS + [20] * 10
+    assert any(r["decision"] == "accept_h0" for r in run(flat))

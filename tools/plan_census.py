@@ -149,6 +149,7 @@ BNLJ_WHITELIST = {
     "q_simpson_flip",         # 1-row marginal + first-source-label attaches
     "q_odds_ratio_ci",        # 1-row first-source-label attach onto the scan
     "q_time_to_convert",      # 1-row total + quantile attaches on the histogram
+    "q_sprt_daily",           # 1-row rate-totals attach onto the day spine
 }
 
 
