@@ -266,6 +266,10 @@ EXTRA = {
     "q_cuped_abtest": _staged("q_cuped_abtest"),
     "q_time_to_convert": _staged("q_time_to_convert"),
     "q_sprt_daily": _staged("q_sprt_daily"),
+    "q_theil_sen_slope": _staged("q_theil_sen_slope"),
+    "q_avg_precision": _staged("q_avg_precision"),
+    "q_bh_fdr": _staged("q_bh_fdr"),
+    "q_err_eval": _staged("q_err_eval"),
 }
 
 

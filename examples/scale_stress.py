@@ -123,6 +123,11 @@ QUERIES = [
     "q_cuped_abtest",
     "q_time_to_convert",
     "q_sprt_daily",
+    # r5 continuation batch A: eval/inference completions
+    "q_theil_sen_slope",
+    "q_avg_precision",
+    "q_bh_fdr",
+    "q_err_eval",
 ]
 
 

@@ -381,3 +381,79 @@ def rouge2_pairs(docs: DataFrame, id_col: str = "doc_id",
                        / (F.col("l2_a") + F.col("l2_b")), 6)
                + F.lit(0.0)).otherwise(F.lit(0.0)).alias("rouge2_f1"),
     )
+
+
+AP_SCALE = 10**9
+AP_LEVELS = 11  # 11-point interpolated AP recall levels 0.0, 0.1 .. 1.0
+
+
+def average_precision(df: DataFrame, label_col: str = "y",
+                      score_col: str = "score", id_col: str = "rid",
+                      scale: int = AP_SCALE) -> DataFrame:
+    """1-row (n, n_pos, ap, ap11) — exact average precision of
+    ``score_col`` against a BINARY 0/1 ``label_col``, plus the classic
+    PASCAL 11-point interpolated AP.  AP is THE ranking-quality summary
+    for heavily imbalanced gradings (dedup scorers, quality filters)
+    where ROC AUC saturates.
+
+    Ranking order is total and engine-portable: (quantized score DESC,
+    id ASC).  AP = mean over relevant ranks k of precision@k; each
+    precision@k = cum_rel/k floor-quantizes to ``scale`` units (ONE
+    division per row over exact integers), the sum is an exact BIGINT,
+    and the two output divisions are single float ops.  ap11 takes, for
+    each recall level L/10, the MAX quantized precision at any rank with
+    recall >= L/10 — the recall test ``cum_rel*10 >= L*n_pos`` is pure
+    integer arithmetic.
+
+    Scale shape: the global rank is one sort of (score, label, id)
+    triples — an eval operator runs over a scored sample, not the raw
+    corpus, so the single exchange is the honest cost of an
+    order-statistics metric; everything after it is the 11-row level
+    spine and 1-row aggregates."""
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    spark = df.sparkSession
+    sq = F.floor(F.col(score_col).cast("double") * AUC_SCALE
+                 + F.lit(0.5)).cast("long")
+    base = df.select(F.col(id_col).alias("rid"),
+                     F.col(label_col).cast("long").alias("y"),
+                     sq.alias("sq"))
+    w_rank = Window.orderBy(F.desc("sq"), F.asc("rid"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = base.select(
+        "y",
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.sum("y").over(w_cum).cast("long").alias("cum_rel"),
+    ).select(
+        "y", "rn", "cum_rel",
+        F.floor(F.lit(float(scale)) * F.col("cum_rel") / F.col("rn"))
+        .cast("long").alias("prec_q"),
+    )
+    pts = materialize_once(pts, "ap_points")  # feeds tot, ap AND interp
+    tot = pts.agg(F.count("*").cast("long").alias("n"),
+                  F.sum("y").cast("long").alias("n_pos"))
+    apq = pts.filter(F.col("y") == 1).agg(
+        F.sum("prec_q").cast("long").alias("ap_sum_q"))
+    levels = spark.range(0, AP_LEVELS).select(F.col("id").alias("lvl"))
+    interp = (
+        pts.crossJoin(F.broadcast(tot.select("n_pos")))
+        .join(F.broadcast(levels),
+              F.col("cum_rel") * 10 >= F.col("lvl") * F.col("n_pos"))
+        .groupBy("lvl")
+        .agg(F.max("prec_q").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("interp_sum_q"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(apq)).crossJoin(F.broadcast(interp))
+        .select(
+            "n", "n_pos",
+            F.when(F.col("n_pos") > 0,
+                   F.round(F.col("ap_sum_q")
+                           / (F.lit(scale) * F.col("n_pos")), 6)
+                   + F.lit(0.0)).alias("ap"),
+            F.when(F.col("n_pos") > 0,
+                   F.round(F.col("interp_sum_q")
+                           / F.lit(scale * AP_LEVELS), 6)
+                   + F.lit(0.0)).alias("ap11"),
+        )
+    )

@@ -461,3 +461,81 @@ def rbp_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
                      / MAP_SCALE, 6) + F.lit(0.0)).alias("rbp"),
         )
     )
+
+
+ERR_SCALE = 10**12
+ERR_DEN = 4  # stop probabilities R_i = (2^g - 1)/4 for grades g in {1, 2}
+
+
+def err_denoms(k: int = NDCG_K) -> list[int]:
+    """The ERR per-rank denominators r * 4^r for ranks 1..k — exact
+    integers precomputed once and interpolated into BOTH engines as
+    shared literals (the ndcg_discounts discipline), so each rank's term
+    is a single float division over exact-integer operands."""
+    return [i * (ERR_DEN ** i) for i in range(1, k + 1)]
+
+
+def err_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
+             k: int = NDCG_K) -> DataFrame:
+    """(query_id, n_rel, err_q, err) — Expected Reciprocal Rank
+    (Chapelle et al. 2009) of the lexical ranking against the semantic
+    pseudo-relevance set: ERR = sum_r (1/r) R_r prod_{i<r}(1 - R_i),
+    the cascade-model metric that (unlike nDCG/RBP) discounts a hit by
+    the probability the user was already satisfied above it.
+
+    Exactness: stop probabilities are dyadic rationals R = n/4 with
+    n in {0, 1, 3} (grade 2 for the semantic top quarter, else 1, the
+    ndcg_eval convention), so prod_{i<r}(1 - R_i) carries as the exact
+    integer product prod(4 - n_i) <= 4^(k-1) in a window ``product``
+    (exact in a double far below 2^53); each term does ONE division by
+    the shared r*4^r literal, floor-quantizes to ERR_SCALE, and the
+    per-query sum is an exact BIGINT.
+
+    Scale shape: identical to ndcg_eval — after the two rankers
+    everything is a broadcast join on the <= n_queries x k frame; the
+    window partitions by query over <= k rows."""
+    den_arr = F.array(*[F.lit(d).cast("long") for d in err_denoms(k)])
+    lex = lexical_topn(docs, n_queries, LEX_TOP)
+    sem = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < n_queries), k=SEM_TOP
+    ).select("query_id", F.col("neighbor_id").alias("cand_id"),
+             F.col("rank").alias("sem_rank"))
+    rel = sem.select(
+        "query_id", "cand_id",
+        F.when(F.col("sem_rank") <= NDCG_HI_CUT, F.lit(3))
+        .otherwise(F.lit(1)).cast("long").alias("num"),
+    )
+    rel = materialize_once(rel, "err_rel")  # feeds terms AND n_rel
+    w_prev = (Window.partitionBy("query_id").orderBy("lex_rank")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    base = (
+        lex.filter(F.col("lex_rank") <= k)
+        .join(F.broadcast(rel), ["query_id", "cand_id"], "left")
+        .select("query_id", "lex_rank",
+                F.coalesce("num", F.lit(0)).cast("long").alias("num"))
+    )
+    terms = base.select(
+        "query_id",
+        F.floor(
+            F.lit(float(ERR_SCALE))
+            * (F.col("num")
+               * F.coalesce(
+                   F.product((F.lit(ERR_DEN) - F.col("num"))
+                             .cast("double")).over(w_prev),
+                   F.lit(1.0)))
+            / F.element_at(den_arr, F.col("lex_rank").cast("int"))
+        ).cast("long").alias("tq"),
+    )
+    per_q = terms.groupBy("query_id").agg(
+        F.sum("tq").cast("long").alias("err_q"))
+    nrel = rel.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel"))
+    return (
+        nrel.join(F.broadcast(per_q), "query_id", "left")
+        .select(
+            "query_id", "n_rel",
+            F.coalesce("err_q", F.lit(0)).cast("long").alias("err_q"),
+            (F.round(F.coalesce("err_q", F.lit(0)) / F.lit(float(ERR_SCALE)),
+                     6) + F.lit(0.0)).alias("err"),
+        )
+    )

@@ -2259,3 +2259,380 @@ def q_sprt_daily(spark, sf_dir):
         .when(F.col("cum_q") <= _SPRT_LO_Q, F.lit("accept_h0"))
         .otherwise(F.lit("continue")).alias("decision"),
     )
+
+
+# -- Theil-Sen robust slope of the daily event series ------------------------
+@_stage(
+    "q_theil_sen_slope",
+    """
+    WITH days AS (
+      SELECT CAST(date_diff('day',
+                  (SELECT min(CAST(ts AS DATE)) FROM events),
+                  CAST(ts AS DATE)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT a.d AS d1, b.d AS d2,
+             CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS slope
+      FROM days a JOIN days b ON a.d < b.d),
+    ranked AS (
+      SELECT slope, d1, d2,
+             CAST(row_number() OVER (ORDER BY slope, d1, d2) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pairs),
+    sel AS (
+      SELECT slope, m FROM ranked
+      WHERE rn = CAST(floor((m + 1) / 2.0) AS BIGINT)
+         OR rn = CAST(floor((m + 2) / 2.0) AS BIGINT))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n_days,
+           CAST(max(m) AS BIGINT) AS n_pairs,
+           round(avg(slope), 6) + 0.0 AS ts_slope
+    FROM sel
+    """,
+)
+def q_theil_sen_slope(spark, sf_dir):
+    """Theil-Sen estimator for the daily event-count trend: the MEDIAN
+    of all pairwise slopes (c_j - c_i)/(d_j - d_i) — the robust
+    companion to q_mann_kendall (which tests trend DIRECTION; Theil-Sen
+    gives its magnitude, immune to ~29% outlier contamination where OLS
+    breaks).  Each slope is ONE float division over exact day/count
+    integers; the median picks positional middles under a total
+    (slope, d1, d2) order, so ties can't reorder the selected values.
+    Scale: the pair frame is #days^2 — a spine self-join, never
+    row-scaled; everything upstream is one day agg."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c"))
+    d0 = raw.agg(F.min("day").alias("d0"))
+    days = raw.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "d0").cast("long").alias("d"), "c")
+    a = days.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = days.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2")).select(
+        "d1", "d2",
+        ((F.col("c2") - F.col("c1")).cast("double")
+         / (F.col("d2") - F.col("d1"))).alias("slope"),
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long").alias("m"),
+    )
+    sel = ranked.filter(
+        (F.col("rn") == F.floor((F.col("m") + 1) / F.lit(2.0)))
+        | (F.col("rn") == F.floor((F.col("m") + 2) / F.lit(2.0))))
+    nd = raw.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        sel.agg(F.max("m").cast("long").alias("n_pairs"),
+                (F.round(F.avg("slope"), 6) + F.lit(0.0)).alias("ts_slope"))
+        .crossJoin(F.broadcast(nd))
+        .select("n_days", "n_pairs", "ts_slope")
+    )
+
+
+# -- exact average precision + 11-point interpolated AP ----------------------
+def _ap_oracle() -> str:
+    from nonconsumptive_spark.operators.evaluation import (
+        AP_LEVELS, AP_SCALE, AUC_SCALE)
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS rid,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * {AUC_SCALE} + 0.5)
+                  AS BIGINT) AS sq
+      FROM embeddings),
+    pts AS (
+      SELECT y, rn, cum_rel,
+             CAST(floor({AP_SCALE}.0 * cum_rel / rn) AS BIGINT) AS prec_q
+      FROM (
+        SELECT y,
+               CAST(row_number() OVER (ORDER BY sq DESC, rid ASC)
+                    AS BIGINT) AS rn,
+               CAST(sum(y) OVER (ORDER BY sq DESC, rid ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_rel
+        FROM base) z),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos FROM pts),
+    apq AS (SELECT CAST(sum(prec_q) AS BIGINT) AS ap_sum_q
+            FROM pts WHERE y = 1),
+    lv AS (SELECT unnest(range(0, {AP_LEVELS})) AS lvl),
+    interp AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS interp_sum_q FROM (
+        SELECT l.lvl, max(p.prec_q) AS mx
+        FROM lv l JOIN pts p
+          ON p.cum_rel * 10 >= l.lvl * (SELECT n_pos FROM tot)
+        GROUP BY l.lvl) z)
+    SELECT t.n, t.n_pos,
+           CASE WHEN t.n_pos > 0 THEN
+             round(a.ap_sum_q / ({AP_SCALE} * t.n_pos), 6) + 0.0
+           END AS ap,
+           CASE WHEN t.n_pos > 0 THEN
+             round(i.interp_sum_q / CAST({AP_SCALE * AP_LEVELS} AS BIGINT),
+                   6) + 0.0
+           END AS ap11
+    FROM tot t CROSS JOIN apq a CROSS JOIN interp i
+    """
+
+
+@_stage("q_avg_precision", _ap_oracle())
+def q_avg_precision(spark, sf_dir):
+    """Exact AP + 11-point interpolated AP of the first embedding
+    coordinate against class-0 membership (operators/evaluation.
+    average_precision) — the imbalance-robust ranking grade beside
+    q_auc_eval's ROC AUC, sharing its score/label frame so the two
+    metrics are directly comparable."""
+    from nonconsumptive_spark.operators.evaluation import average_precision
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("rid"),
+        (F.col("label") == 0).cast("long").alias("y"),
+        F.col("embedding").getItem(0).alias("score"),
+    )
+    return average_precision(emb, label_col="y", score_col="score",
+                             id_col="rid")
+
+
+# -- Benjamini-Hochberg FDR over per-type permutation tests ------------------
+_BH_R = 99            # replicas; p denominators are R + 1 = 100
+_BH_SCALE = 10**6     # |mean diff| quantization
+_BH_A_NUM, _BH_A_DEN = 1, 10   # alpha = 0.1
+
+
+def _bh_oracle() -> str:
+    wd = ("(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7")
+    diffq = (lambda sa, na, sb, nb:
+             f"CASE WHEN {na} > 0 AND {nb} > 0 THEN "
+             f"CAST(floor(abs(CAST({sa} AS DOUBLE) / {na}"
+             f" - CAST({sb} AS DOUBLE) / {nb}) * {_BH_SCALE}) AS BIGINT)"
+             f" ELSE NULL END")
+    return f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS xq,
+             CASE WHEN {wd} >= 5 THEN 1 ELSE 0 END AS wk
+      FROM events),
+    obs AS (
+      SELECT event_type,
+             CAST(sum(wk) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN wk = 1 THEN xq ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(count(*) AS BIGINT) AS n_t,
+             CAST(sum(xq) AS BIGINT) AS s_t
+      FROM base GROUP BY event_type),
+    obsq AS (
+      SELECT event_type, n_a AS n_wk, n_t - n_a AS n_wd,
+             {diffq('s_a', 'n_a', '(s_t - s_a)', '(n_t - n_a)')}
+               AS diff_obs_q
+      FROM obs),
+    reps AS (
+      SELECT event_type, r,
+             CAST(sum(CASE WHEN bit >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN bit >= 5 THEN xq ELSE 0 END) AS BIGINT)
+               AS s_a,
+             CAST(count(*) AS BIGINT) AS n_t,
+             CAST(sum(xq) AS BIGINT) AS s_t
+      FROM (
+        SELECT b.event_type, b.xq, t.r,
+               CAST(('0x' || substr(md5(CAST(b.event_id AS VARCHAR) || ':'
+                     || CAST(t.r AS VARCHAR)), 1, 15)) AS BIGINT) % 7 AS bit
+        FROM base b, range(1, {_BH_R} + 1) t(r))
+      GROUP BY event_type, r),
+    repq AS (
+      SELECT event_type,
+             {diffq('s_a', 'n_a', '(s_t - s_a)', '(n_t - n_a)')} AS diff_q
+      FROM reps),
+    pv AS (
+      SELECT o.event_type, o.n_wk, o.n_wd, o.diff_obs_q,
+             CAST(1 + sum(CASE WHEN r.diff_q >= o.diff_obs_q
+                               THEN 1 ELSE 0 END) AS BIGINT) AS p_num
+      FROM obsq o JOIN repq r USING (event_type)
+      WHERE o.diff_obs_q IS NOT NULL
+      GROUP BY 1, 2, 3, 4),
+    bh AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p_num, event_type)
+                  AS BIGINT) AS bh_rank,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv),
+    dec AS (
+      SELECT *,
+             max(CASE WHEN p_num * m * {_BH_A_DEN}
+                        <= bh_rank * {_BH_R + 1} * {_BH_A_NUM}
+                      THEN bh_rank END) OVER () AS imax
+      FROM bh)
+    SELECT event_type, n_wk, n_wd, diff_obs_q, p_num,
+           round(p_num / {_BH_R + 1}.0, 6) + 0.0 AS p_value,
+           bh_rank,
+           CAST(CASE WHEN bh_rank <= coalesce(imax, 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS rejected
+    FROM dec
+    """
+
+
+@_stage("q_bh_fdr", _bh_oracle())
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over a FAMILY of per-event-type
+    randomization tests (weekend-vs-weekday mean value), with
+    EXACT-INTEGER p-values: each test's p is (1 + #{replica diff >=
+    observed diff}) / (R+1) from the portable md5 pseudo-assignment
+    (marginal 2/7, matching the weekend share), so both the p-values
+    and the BH step-up comparisons p_(i) <= i*alpha/m are pure integer
+    arithmetic — no CDF approximation enters either engine.  The
+    multiple-testing gate every per-stratum test battery (Welch / MW /
+    KS families) feeds at scale.  Plan: events x R rows collapse in ONE
+    map-side-combined (type, r) agg; everything after is #types-bounded
+    windows."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100
+                + F.lit(0.5)).cast("long").alias("xq"),
+        F.when(
+            (F.datediff(F.to_date("ts"),
+                        F.to_date(F.lit("1970-01-01"))) + 3) % 7 >= 5,
+            F.lit(1)).otherwise(F.lit(0)).alias("wk"),
+    )
+
+    def diffq(sa, na, sb, nb):
+        return F.when(
+            (na > 0) & (nb > 0),
+            F.floor(F.abs(sa.cast("double") / na - sb.cast("double") / nb)
+                    * _BH_SCALE).cast("long"),
+        ).otherwise(F.lit(None).cast("long"))
+
+    obs = base.groupBy("event_type").agg(
+        F.sum("wk").cast("long").alias("n_a"),
+        F.sum(F.when(F.col("wk") == 1, F.col("xq")).otherwise(0))
+        .cast("long").alias("s_a"),
+        F.count("*").cast("long").alias("n_t"),
+        F.sum("xq").cast("long").alias("s_t"),
+    )
+    obsq = obs.select(
+        "event_type", F.col("n_a").alias("n_wk"),
+        (F.col("n_t") - F.col("n_a")).alias("n_wd"),
+        diffq(F.col("s_a"), F.col("n_a"),
+              F.col("s_t") - F.col("s_a"),
+              F.col("n_t") - F.col("n_a")).alias("diff_obs_q"),
+    ).filter(F.col("diff_obs_q").isNotNull())
+    bit = (
+        F.conv(F.substring(F.md5(F.concat(
+            F.col("event_id").cast("string"), F.lit(":"),
+            F.col("r").cast("string"))), 1, 15), 16, 10).cast("long") % 7
+    )
+    reps = (
+        base.select("event_id", "event_type", "xq",
+                    F.explode(F.sequence(F.lit(1), F.lit(_BH_R))).alias("r"))
+        .select("event_type", "xq", "r", bit.alias("bit"))
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.when(F.col("bit") >= 5, 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("bit") >= 5, F.col("xq")).otherwise(0))
+            .cast("long").alias("s_a"),
+            F.count("*").cast("long").alias("n_t"),
+            F.sum("xq").cast("long").alias("s_t"),
+        )
+    )
+    repq = reps.select(
+        "event_type",
+        diffq(F.col("s_a"), F.col("n_a"),
+              F.col("s_t") - F.col("s_a"),
+              F.col("n_t") - F.col("n_a")).alias("diff_q"),
+    )
+    pv = (
+        obsq.join(repq, "event_type")
+        .groupBy("event_type", "n_wk", "n_wd", "diff_obs_q")
+        .agg((F.lit(1) + F.sum(
+            F.when(F.col("diff_q") >= F.col("diff_obs_q"), 1).otherwise(0)))
+            .cast("long").alias("p_num"))
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    bh = pv.select(
+        "*",
+        F.row_number().over(Window.orderBy("p_num", "event_type"))
+        .cast("long").alias("bh_rank"),
+        F.count("*").over(w_all).cast("long").alias("m"),
+    )
+    dec = bh.withColumn(
+        "imax",
+        F.max(F.when(
+            F.col("p_num") * F.col("m") * _BH_A_DEN
+            <= F.col("bh_rank") * (_BH_R + 1) * _BH_A_NUM,
+            F.col("bh_rank"))).over(w_all),
+    )
+    return dec.select(
+        "event_type", "n_wk", "n_wd", "diff_obs_q", "p_num",
+        (F.round(F.col("p_num") / F.lit(float(_BH_R + 1)), 6)
+         + F.lit(0.0)).alias("p_value"),
+        "bh_rank",
+        F.when(F.col("bh_rank") <= F.coalesce(F.col("imax"), F.lit(0)),
+               F.lit(1)).otherwise(F.lit(0)).cast("long").alias("rejected"),
+    )
+
+
+# -- Expected Reciprocal Rank of the lexical ranker ---------------------------
+def _err_oracle() -> str:
+    from nonconsumptive_spark.operators import hybrid as hy
+    from nonconsumptive_spark.queries.hybrid import _LEX_CTES, _SEM_CTES
+
+    dens = ", ".join(f"({i + 1}, {d}::BIGINT)"
+                     for i, d in enumerate(hy.err_denoms()))
+    return f"""
+    WITH {_LEX_CTES},
+    {_SEM_CTES},
+    rel AS (
+      SELECT query_id, cand_id,
+             CASE WHEN sem_rank <= {hy.NDCG_HI_CUT} THEN 3 ELSE 1 END AS num
+      FROM semt),
+    den(r, d) AS (VALUES {dens}),
+    base AS (
+      SELECT l.query_id, l.lex_rank,
+             CAST(COALESCE(rl.num, 0) AS BIGINT) AS num
+      FROM lext l LEFT JOIN rel rl
+        ON rl.query_id = l.query_id AND rl.cand_id = l.cand_id
+      WHERE l.lex_rank <= {hy.NDCG_K}),
+    terms AS (
+      SELECT b.query_id,
+             CAST(floor({hy.ERR_SCALE}.0 * (b.num * COALESCE(
+                 product(CAST({hy.ERR_DEN} - b.num AS DOUBLE)) OVER (
+                   PARTITION BY b.query_id ORDER BY b.lex_rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 1.0)) / d.d) AS BIGINT) AS tq
+      FROM base b JOIN den d ON d.r = b.lex_rank),
+    perq AS (
+      SELECT query_id, CAST(sum(tq) AS BIGINT) AS err_q
+      FROM terms GROUP BY 1),
+    nrel AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1)
+    SELECT n.query_id, n.n_rel,
+           CAST(COALESCE(p.err_q, 0) AS BIGINT) AS err_q,
+           round(COALESCE(p.err_q, 0) / {hy.ERR_SCALE}.0, 6) + 0.0 AS err
+    FROM nrel n LEFT JOIN perq p USING (query_id)
+    """
+
+
+@_stage("q_err_eval", _err_oracle())
+def q_err_eval(spark, sf_dir):
+    """Expected Reciprocal Rank (cascade-model metric) of the lexical
+    ranker against semantic pseudo-relevance (operators/hybrid.
+    err_eval) — completes the IR-eval battery beside nDCG / MRR-MAP /
+    RBP with the one metric that models a user STOPPING at a satisfying
+    hit; the stop-probability products stay exact via dyadic integer
+    numerators in a window ``product``."""
+    from nonconsumptive_spark.operators.hybrid import err_eval
+    from nonconsumptive_spark.queries.hybrid import _N_Q
+
+    return err_eval(load(spark, sf_dir, "documents"),
+                    load(spark, sf_dir, "embeddings"), n_queries=_N_Q)
