@@ -270,6 +270,8 @@ EXTRA = {
     "q_avg_precision": _staged("q_avg_precision"),
     "q_bh_fdr": _staged("q_bh_fdr"),
     "q_err_eval": _staged("q_err_eval"),
+    "q_bradley_terry": _staged("q_bradley_terry"),
+    "q_lm_jm_topk": _staged("q_lm_jm_topk"),
 }
 
 

@@ -128,6 +128,9 @@ QUERIES = [
     "q_avg_precision",
     "q_bh_fdr",
     "q_err_eval",
+    # r5 continuation batch B: preference & retrieval
+    "q_bradley_terry",
+    "q_lm_jm_topk",
 ]
 
 

@@ -457,3 +457,110 @@ def average_precision(df: DataFrame, label_col: str = "y",
                    + F.lit(0.0)).alias("ap11"),
         )
     )
+
+
+BT_Q = 10**12       # per-round quantization of MM terms and strengths
+BT_ROUNDS = 5       # fixed unrolled minorize-maximize iterations
+BT_P_FLOOR = 1e-6   # strength floor: keeps 1/(p_i+p_j) bounded
+
+
+def bradley_terry(per_dir: DataFrame, item_col: str = "i",
+                  opp_col: str = "j", wins_col: str = "w",
+                  rounds: int = BT_ROUNDS) -> DataFrame:
+    """(item, n_wins, n_games, strength, bt_rank) — Bradley-Terry
+    strengths from directed pairwise win counts via ``rounds`` unrolled
+    MM iterations (Hunter 2004):
+
+        p_i <- W_i / sum_j n_ij / (p_i + p_j),  then normalize.
+
+    The preference-aggregation primitive of RLHF-style data work:
+    turns noisy pairwise comparisons into a global item ranking.
+
+    Exactness discipline: every cross-row float SUM is replaced by an
+    exact BIGINT sum of BT_Q-floored terms — per round, the MM
+    denominator sums floor(Q * (n_ij/N) / (p_i+p_j)) and the
+    normalizer sums floor(Q * p_raw) — so each round's strengths are
+    a SINGLE float division over two exact integers and the fixpoint
+    is bit-identical across engines and aggregation orders.  The
+    ``BT_P_FLOOR`` guard (mirrored greatest()) bounds every term.
+
+    Scale shape: the games frame is #items^2 and the per-round work is
+    two broadcast joins + one agg on it — spine-bounded; the corpus
+    appears only in whatever upstream agg built ``per_dir``."""
+    und = (
+        per_dir.select(
+            F.least(F.col(item_col), F.col(opp_col)).alias("lo"),
+            F.greatest(F.col(item_col), F.col(opp_col)).alias("hi"),
+            F.when(F.col(item_col) < F.col(opp_col), F.col(wins_col))
+            .otherwise(F.lit(0)).cast("long").alias("w_lh"),
+            F.when(F.col(item_col) > F.col(opp_col), F.col(wins_col))
+            .otherwise(F.lit(0)).cast("long").alias("w_hl"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.sum("w_lh").cast("long").alias("w_lh"),
+             F.sum("w_hl").cast("long").alias("w_hl"))
+    )
+    games = (
+        und.select(F.col("lo").alias("i"), F.col("hi").alias("j"),
+                   F.col("w_lh").alias("wij"),
+                   (F.col("w_lh") + F.col("w_hl")).alias("nij"))
+        .unionByName(
+            und.select(F.col("hi").alias("i"), F.col("lo").alias("j"),
+                       F.col("w_hl").alias("wij"),
+                       (F.col("w_lh") + F.col("w_hl")).alias("nij")))
+    )
+    ntot = und.agg(
+        F.sum(F.col("w_lh") + F.col("w_hl")).cast("long").alias("n_tot"))
+    games = games.crossJoin(F.broadcast(ntot))
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    games = materialize_once(games, "bt_games")  # feeds every MM round
+    wtot = games.groupBy("i").agg(
+        F.sum("wij").cast("long").alias("w_tot"),
+        F.sum("nij").cast("long").alias("n_games"),
+        F.max("n_tot").cast("long").alias("n_tot"),
+    )
+    items = wtot.select("i")
+    m = items.agg(F.count("*").cast("long").alias("m"))
+    p = items.crossJoin(F.broadcast(m)).select(
+        "i", (F.lit(1.0) / F.col("m")).alias("p"))
+    for rnd in range(rounds):
+        pi = p.select(F.col("i").alias("gi"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("i").alias("gj"), F.col("p").alias("p_j"))
+        s = (
+            games.join(F.broadcast(pi), games["i"] == pi["gi"])
+            .join(F.broadcast(pj), games["j"] == pj["gj"])
+            .groupBy("i")
+            .agg(F.sum(
+                F.floor(F.lit(float(BT_Q))
+                        * (F.col("nij").cast("double") / F.col("n_tot"))
+                        / (F.col("p_i") + F.col("p_j"))).cast("long"))
+                .cast("long").alias("s_q"))
+        )
+        praw = s.join(F.broadcast(wtot.select("i", "w_tot", "n_tot")), "i") \
+            .select(
+                "i",
+                F.floor(F.lit(float(BT_Q))
+                        * ((F.col("w_tot").cast("double") / F.col("n_tot"))
+                           / (F.col("s_q") / F.lit(float(BT_Q)))))
+                .cast("long").alias("praw_q"),
+        )
+        z = praw.agg(F.sum("praw_q").cast("long").alias("z_q"))
+        p = praw.crossJoin(F.broadcast(z)).select(
+            "i", "praw_q",
+            F.greatest(F.col("praw_q") / F.col("z_q"),
+                       F.lit(BT_P_FLOOR)).alias("p"),
+        )
+        # lineage cut per MM round: p is referenced TWICE next round, so
+        # an uncut plan doubles per iteration (the Lloyd-loop playbook)
+        p = materialize_once(p, f"bt_p{rnd}")
+    rank_w = Window.orderBy(F.desc("praw_q"), F.asc("i"))
+    return (
+        p.join(F.broadcast(wtot.select("i", "w_tot", "n_games")), "i")
+        .select(
+            F.col("i").alias("item"),
+            F.col("w_tot").alias("n_wins"),
+            "n_games",
+            (F.round(F.col("p"), 6) + F.lit(0.0)).alias("strength"),
+            F.row_number().over(rank_w).cast("long").alias("bt_rank"),
+        )
+    )

@@ -594,3 +594,95 @@ def rm3_expansion(docs: DataFrame, query_terms: list[str], k: int = 10,
         .limit(m)
         .drop("_sk")
     )
+
+
+JM_LAMBDA = 0.5
+
+
+def query_likelihood_jm_topk(docs: DataFrame, query_terms: list[str],
+                             k: int = 10, lam: float = JM_LAMBDA,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents under the Jelinek-Mercer-smoothed query
+    likelihood (Zhai & Lafferty 2001) — the interpolation sibling of
+    the Dirichlet ranker (``query_likelihood_topk``); JM's fixed
+    mixture weight makes it the standard choice for VERBOSE queries
+    where Dirichlet's length-adaptive smoothing over-penalizes:
+
+        score(d) = sum_t ln( (1-lam) tf_{t,d}/dl_d + lam cf_t/C )
+
+    Same decomposition discipline as the Dirichlet form: corpus-absent
+    terms drop on both engines; each ln() floor-quantizes to a 1e-9
+    BIGINT before any cross-row sum, so
+
+        score_q(d) = K + sum_{matched t}
+                     [q(ln((1-lam) tf/dl + lam cf/C)) - q(ln(lam cf/C))]
+
+    with K = sum_t q(ln(lam cf_t/C)) is exact integer arithmetic (note:
+    unlike Dirichlet there is NO per-doc length term — unmatched docs
+    score exactly K).  Scale shape identical to query_likelihood_topk:
+    one let-bound tokenize, O(matches) explode, |Q|-row and 1-row
+    broadcast attaches, TakeOrderedAndProject cut."""
+    terms = sorted({t.lower() for t in query_terms})
+    qset = F.array(*[F.lit(t) for t in terms])
+    q9 = F.lit(1e9)
+
+    base = docs.select(
+        id_col,
+        let(
+            tokenize(F.lower(F.col(text_col))),
+            lambda toks: F.struct(
+                F.size(toks).alias("dl"),
+                F.filter(toks, lambda x: F.array_contains(qset, x)).alias("qt"),
+            ),
+        ).alias("s"),
+    ).select(id_col, "s.dl", "s.qt")
+    base = materialize_once(base, "qljm_base")  # dl feeds C AND scoring
+
+    cc = base.agg(F.sum("dl").cast("long").alias("cc"))
+    tf = (
+        base.select(id_col, "dl", F.explode("qt").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cfq = (
+        tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+        .crossJoin(F.broadcast(cc))
+        .select(
+            "term", "cf", "cc",
+            F.floor(q9 * F.log(F.lit(lam) * F.col("cf") / F.col("cc")))
+            .cast("long").alias("bg_q"),
+        )
+    )
+    konst = cfq.agg(F.sum("bg_q").cast("long").alias("k_q"))
+    per_doc = (
+        tf.join(F.broadcast(cfq), "term")
+        .select(
+            id_col,
+            (F.floor(q9 * F.log(
+                F.lit(1.0 - lam) * F.col("tf") / F.col("dl")
+                + F.lit(lam) * F.col("cf") / F.col("cc")))
+             .cast("long") - F.col("bg_q")).alias("dq"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("dq").cast("long").alias("dq"),
+             F.count("*").cast("long").alias("n_terms_matched"))
+    )
+    scored = (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(konst))
+        .select(
+            id_col,
+            F.coalesce("n_terms_matched", F.lit(0)).cast("long")
+            .alias("n_terms_matched"),
+            (F.col("k_q") + F.coalesce("dq", F.lit(0))).alias("score_q"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_q"), F.asc(id_col)).limit(k)
+        .select(
+            id_col, "n_terms_matched",
+            (F.round(F.col("score_q") / q9, 4) + F.lit(0.0)).alias("score"),
+        )
+    )

@@ -2636,3 +2636,158 @@ def q_err_eval(spark, sf_dir):
 
     return err_eval(load(spark, sf_dir, "documents"),
                     load(spark, sf_dir, "embeddings"), n_queries=_N_Q)
+
+
+# -- Bradley-Terry preference strengths over sources -------------------------
+def _bt_oracle() -> str:
+    from nonconsumptive_spark.operators.evaluation import (
+        BT_P_FLOOR, BT_Q, BT_ROUNDS)
+
+    rounds = []
+    prev = "p0"
+    for t in range(1, BT_ROUNDS + 1):
+        rounds.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT g.i, CAST(sum(CAST(floor({BT_Q}.0
+                 * (CAST(g.nij AS DOUBLE) / g.n_tot)
+                 / (a.p + b.p)) AS BIGINT)) AS BIGINT) AS s_q
+      FROM games g JOIN {prev} a ON a.i = g.i JOIN {prev} b ON b.i = g.j
+      GROUP BY g.i),
+    r{t} AS MATERIALIZED (
+      SELECT s.i, CAST(floor({BT_Q}.0
+                 * ((CAST(w.w_tot AS DOUBLE) / w.n_tot)
+                    / (s.s_q / {BT_Q}.0))) AS BIGINT) AS praw_q
+      FROM s{t} s JOIN wtot w ON w.i = s.i),
+    z{t} AS MATERIALIZED (SELECT CAST(sum(praw_q) AS BIGINT) AS z_q
+      FROM r{t}),
+    p{t} AS MATERIALIZED (
+      SELECT i, praw_q, greatest(praw_q / z_q, {BT_P_FLOOR}) AS p
+      FROM r{t} CROSS JOIN z{t})""")
+        prev = f"p{t}"
+    return f"""
+    WITH hist AS (
+      SELECT source, CAST(floor(n_chars / 100.0) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    per_dir AS (
+      SELECT a.source AS i, b.source AS j,
+             CAST(sum(a.c * b.c) AS BIGINT) AS w
+      FROM hist a JOIN hist b ON a.b > b.b AND a.source <> b.source
+      GROUP BY 1, 2),
+    und AS (
+      SELECT least(i, j) AS lo, greatest(i, j) AS hi,
+             CAST(sum(CASE WHEN i < j THEN w ELSE 0 END) AS BIGINT) AS w_lh,
+             CAST(sum(CASE WHEN i > j THEN w ELSE 0 END) AS BIGINT) AS w_hl
+      FROM per_dir GROUP BY 1, 2),
+    ntot AS (SELECT CAST(sum(w_lh + w_hl) AS BIGINT) AS n_tot FROM und),
+    games AS MATERIALIZED (
+      SELECT lo AS i, hi AS j, w_lh AS wij,
+             w_lh + w_hl AS nij, n_tot
+      FROM und CROSS JOIN ntot
+      UNION ALL
+      SELECT hi, lo, w_hl, w_lh + w_hl, n_tot FROM und CROSS JOIN ntot),
+    wtot AS MATERIALIZED (
+      SELECT i, CAST(sum(wij) AS BIGINT) AS w_tot,
+             CAST(sum(nij) AS BIGINT) AS n_games,
+             CAST(max(n_tot) AS BIGINT) AS n_tot
+      FROM games GROUP BY i),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM wtot),
+    p0 AS MATERIALIZED (SELECT i, 1.0 / m AS p
+      FROM wtot CROSS JOIN mm),{','.join(rounds)}
+    SELECT p.i AS item, w.w_tot AS n_wins, w.n_games,
+           round(p.p, 6) + 0.0 AS strength,
+           CAST(row_number() OVER (ORDER BY p.praw_q DESC, p.i ASC)
+                AS BIGINT) AS bt_rank
+    FROM {prev} p JOIN wtot w ON w.i = p.i
+    """
+
+
+@_stage("q_bradley_terry", _bt_oracle())
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strengths over sources from exact pairwise
+    length-dominance wins (operators/evaluation.bradley_terry) — the
+    preference-aggregation primitive of RLHF data pipelines.  Win counts
+    come from a per-source LENGTH-BUCKET histogram join (sum over bucket
+    pairs b_a > b_b of c_a*c_b = exact #cross-pairs where a's doc is
+    longer), so the corpus collapses to #sources x #buckets rows before
+    any pairing; the MM fixpoint then runs on the #sources^2 spine with
+    BIGINT-quantized sums per round."""
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy(
+        "source",
+        F.floor(F.col("n_chars") / F.lit(100.0)).cast("long").alias("b"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    ha = hist.select(F.col("source").alias("i"), F.col("b").alias("ba"),
+                     F.col("c").alias("ca"))
+    hb = hist.select(F.col("source").alias("j"), F.col("b").alias("bb"),
+                     F.col("c").alias("cb"))
+    per_dir = (
+        ha.join(F.broadcast(hb),
+                (F.col("ba") > F.col("bb")) & (F.col("i") != F.col("j")))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("w"))
+    )
+    from nonconsumptive_spark.operators.evaluation import bradley_terry
+
+    return bradley_terry(per_dir, item_col="i", opp_col="j", wins_col="w")
+
+
+# -- Jelinek-Mercer query likelihood ----------------------------------------
+_JM_TERMS = ["table", "merge", "window"]
+_JM_K = 10
+
+
+def _jm_oracle() -> str:
+    from nonconsumptive_spark.operators.retrieval import JM_LAMBDA as lam
+
+    toks = ("list_filter(regexp_split_to_array(lower(text), '[^\\pL]+'),"
+            " x -> x <> '')")
+    terms_in = "(" + ", ".join(f"'{t}'" for t in sorted(_JM_TERMS)) + ")"
+    return f"""
+    WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+    cc AS (SELECT CAST(sum(dl) AS BIGINT) AS cc FROM lens),
+    tf AS (
+      SELECT z.doc_id, l.dl, z.token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS token FROM base) z
+      JOIN lens l ON l.doc_id = z.doc_id
+      WHERE z.token IN {terms_in}
+      GROUP BY 1, 2, 3),
+    cfq AS (
+      SELECT token, cf, cc,
+             CAST(floor(1000000000.0 * ln({lam} * cf / cc)) AS BIGINT)
+               AS bg_q
+      FROM (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+      CROSS JOIN cc),
+    konst AS (SELECT CAST(sum(bg_q) AS BIGINT) AS k_q FROM cfq),
+    per_doc AS (
+      SELECT f.doc_id,
+             CAST(sum(CAST(floor(1000000000.0
+                    * ln({1.0 - lam} * f.tf / f.dl + {lam} * c.cf / c.cc))
+                  AS BIGINT) - c.bg_q) AS BIGINT) AS dq,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM tf f JOIN cfq c USING (token) GROUP BY f.doc_id),
+    scored AS (
+      SELECT l.doc_id,
+             CAST(COALESCE(p.n_terms_matched, 0) AS BIGINT)
+               AS n_terms_matched,
+             k.k_q + COALESCE(p.dq, 0) AS score_q
+      FROM lens l LEFT JOIN per_doc p USING (doc_id) CROSS JOIN konst k)
+    SELECT doc_id, n_terms_matched,
+           round(score_q / 1000000000.0, 4) + 0.0 AS score
+    FROM scored ORDER BY score_q DESC, doc_id ASC LIMIT {_JM_K}
+    """
+
+
+@_stage("q_lm_jm_topk", _jm_oracle())
+def q_lm_jm_topk(spark, sf_dir):
+    """Jelinek-Mercer query-likelihood top-k (operators/retrieval.
+    query_likelihood_jm_topk) — completes the classic sparse-ranker
+    trio beside BM25 and Dirichlet QL; fixed-mixture smoothing, no
+    per-doc length penalty, same quantized-ln exactness and
+    TakeOrderedAndProject cut."""
+    from nonconsumptive_spark.operators.retrieval import (
+        query_likelihood_jm_topk)
+
+    return query_likelihood_jm_topk(load(spark, sf_dir, "documents"),
+                                    _JM_TERMS, k=_JM_K)
