@@ -272,6 +272,9 @@ EXTRA = {
     "q_err_eval": _staged("q_err_eval"),
     "q_bradley_terry": _staged("q_bradley_terry"),
     "q_lm_jm_topk": _staged("q_lm_jm_topk"),
+    "q_shapley_attribution": _staged("q_shapley_attribution"),
+    "q_nelson_aalen": _staged("q_nelson_aalen"),
+    "q_did_readout": _staged("q_did_readout"),
 }
 
 

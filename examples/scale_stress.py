@@ -131,6 +131,10 @@ QUERIES = [
     # r5 continuation batch B: preference & retrieval
     "q_bradley_terry",
     "q_lm_jm_topk",
+    # r5 continuation batch C: causal / survival / attribution
+    "q_shapley_attribution",
+    "q_nelson_aalen",
+    "q_did_readout",
 ]
 
 

@@ -2791,3 +2791,315 @@ def q_lm_jm_topk(spark, sf_dir):
 
     return query_likelihood_jm_topk(load(spark, sf_dir, "documents"),
                                     _JM_TERMS, k=_JM_K)
+
+
+# -- exact Shapley-value conversion attribution ------------------------------
+_SHAP_CONV = "purchase"
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]  # sorted; idx = pos
+
+
+def _shap_consts():
+    import math
+
+    n = len(_SHAP_CHANNELS)
+    spine = [(c, i, 1 << i) for i, c in enumerate(_SHAP_CHANNELS)]
+    weights = [(s, math.factorial(s) * math.factorial(n - 1 - s))
+               for s in range(n)]
+    return n, spine, weights, math.factorial(n), 1 << n
+
+
+def _shap_oracle() -> str:
+    n, spine, weights, nfact, ns = _shap_consts()
+    sp = ", ".join(f"('{c}', {i}, {b})" for c, i, b in spine)
+    wt = ", ".join(f"({s}, {w})" for s, w in weights)
+    return f"""
+    WITH ch(channel, idx, bit) AS (VALUES {sp}),
+    wt(sz, w) AS (VALUES {wt}),
+    conv AS (
+      SELECT user_id, min(ts) AS fp_ts FROM events
+      WHERE event_type = '{_SHAP_CONV}' GROUP BY user_id),
+    touched AS (
+      SELECT DISTINCT e.user_id, c.bit
+      FROM events e JOIN conv v ON v.user_id = e.user_id
+      JOIN ch c ON c.channel = e.event_type
+      WHERE e.ts < v.fp_ts),
+    masks AS (
+      SELECT v.user_id,
+             CAST(coalesce(t.m, 0) AS BIGINT) AS m
+      FROM conv v LEFT JOIN (
+        SELECT user_id, CAST(sum(bit) AS BIGINT) AS m
+        FROM touched GROUP BY user_id) t ON t.user_id = v.user_id),
+    cnt AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM masks GROUP BY m),
+    subs AS (SELECT unnest(range(0, {ns})) AS sm),
+    v AS (
+      SELECT s.sm, CAST(coalesce(sum(c.c), 0) AS BIGINT) AS val
+      FROM subs s LEFT JOIN cnt c ON (c.m & s.sm) = c.m
+      GROUP BY s.sm),
+    phi AS (
+      SELECT h.channel,
+             CAST(sum(w.w * (v1.val - v0.val)) AS BIGINT) AS phi_num
+      FROM ch h
+      JOIN subs s ON (s.sm & h.bit) = 0
+      JOIN wt w ON w.sz = bit_count(CAST(s.sm AS BIT))
+      JOIN v v0 ON v0.sm = s.sm
+      JOIN v v1 ON v1.sm = s.sm + h.bit
+      GROUP BY h.channel)
+    SELECT channel, phi_num,
+           round(phi_num / {nfact}.0, 6) + 0.0 AS phi
+    FROM phi
+    """
+
+
+@_stage("q_shapley_attribution", _shap_oracle())
+def q_shapley_attribution(spark, sf_dir):
+    """EXACT Shapley-value attribution of conversions to touch channels
+    — the game-theoretic gold standard last/first-touch heuristics
+    approximate.  Coalition value v(S) = #converting users whose
+    pre-conversion touched-channel set is within S (monotone by
+    construction); with #channels = 4 the 2^4 coalition lattice is an
+    enumerable spine, and phi_c * n! = sum over subsets of
+    |S|!(n-1-|S|)! * [v(S+c) - v(S)] is pure BIGINT arithmetic with
+    factorial weights entering as shared literals.  Scale: the corpus
+    collapses to per-user touch masks in one distinct+sum agg; every
+    frame after ``cnt`` is 2^n-bounded."""
+    n, spine, weights, nfact, ns = _shap_consts()
+    ch = F.broadcast(spark.createDataFrame(
+        spine, "channel string, idx int, bit long"))
+    wt = F.broadcast(spark.createDataFrame(weights, "sz int, w long"))
+    ev = load(spark, sf_dir, "events")
+    conv = (ev.filter(F.col("event_type") == _SHAP_CONV)
+            .groupBy("user_id").agg(F.min("ts").alias("fp_ts")))
+    touched = (
+        ev.join(conv, "user_id")
+        .join(ch, ev["event_type"] == ch["channel"])
+        .filter(F.col("ts") < F.col("fp_ts"))
+        .select("user_id", "bit").distinct()
+    )
+    masks = (
+        conv.join(touched.groupBy("user_id")
+                  .agg(F.sum("bit").cast("long").alias("m")),
+                  "user_id", "left")
+        .select("user_id", F.coalesce("m", F.lit(0)).cast("long").alias("m"))
+    )
+    cnt = masks.groupBy("m").agg(F.count("*").cast("long").alias("c"))
+    subs = spark.range(0, ns).select(F.col("id").cast("long").alias("sm"))
+    v = (
+        subs.join(F.broadcast(cnt),
+                  F.col("m").bitwiseAND(F.col("sm")) == F.col("m"), "left")
+        .groupBy("sm")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("val"))
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    v = materialize_once(v, "shap_v")  # joined twice below
+    v0 = v.select(F.col("sm").alias("sm0"), F.col("val").alias("val0"))
+    v1 = v.select(F.col("sm").alias("sm1"), F.col("val").alias("val1"))
+    phi = (
+        ch.join(F.broadcast(subs),
+                F.col("sm").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(wt), F.bit_count("sm") == F.col("sz"))
+        .join(F.broadcast(v0), F.col("sm0") == F.col("sm"))
+        .join(F.broadcast(v1), F.col("sm1") == F.col("sm") + F.col("bit"))
+        .groupBy("channel")
+        .agg(F.sum(F.col("w") * (F.col("val1") - F.col("val0")))
+             .cast("long").alias("phi_num"))
+    )
+    return phi.select(
+        "channel", "phi_num",
+        (F.round(F.col("phi_num") / F.lit(float(nfact)), 6)
+         + F.lit(0.0)).alias("phi"),
+    )
+
+
+# -- Nelson-Aalen cumulative hazard (companion to Kaplan-Meier) --------------
+_NA_CENS_DAYS = 7  # same censoring convention as q_kaplan_meier
+
+
+@_stage(
+    "q_nelson_aalen",
+    f"""
+    WITH pu AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    obs AS (SELECT max(ts) AS end_ts FROM events),
+    durs AS (
+      SELECT CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(last_ts AS DATE)) AS BIGINT) AS dur,
+             (last_ts < end_ts - INTERVAL {_NA_CENS_DAYS} DAY) AS observed
+      FROM pu CROSS JOIN obs),
+    tbl AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_event
+      FROM durs GROUP BY dur),
+    risk AS (
+      SELECT dur, n_all, n_event,
+             CAST((SELECT count(*) FROM durs)
+                  - COALESCE(sum(n_all) OVER (
+                      ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM tbl),
+    terms AS (
+      SELECT dur, n_risk, n_event,
+             CAST(floor(1000000000.0 * CAST(n_event AS DOUBLE) / n_risk)
+                  AS BIGINT) AS term
+      FROM risk),
+    haz AS (
+      SELECT dur, n_risk, n_event,
+             CAST(sum(term) OVER (ORDER BY dur) AS BIGINT) AS na_q
+      FROM terms)
+    SELECT dur, n_risk, n_event, na_q,
+           round(na_q / 1000000000.0, 6) + 0.0 AS cum_hazard,
+           round(exp(-(na_q / 1000000000.0)), 6) + 0.0 AS na_survival
+    FROM haz
+    """,
+)
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over user lifetimes (same
+    censoring convention as q_kaplan_meier): H(t) = sum d_i/n_i with
+    each increment floor-quantized to a 1e-9 BIGINT before the
+    cumulative window sum, plus the Breslow survival exp(-H) — the
+    hazard-scale companion the KM product-limit can't give (H is
+    additive, so per-cohort hazards subtract cleanly).  Plan: one user
+    agg, a 1-row end-of-observation attach, and windows over the
+    #distinct-durations spine."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"),
+                                   F.max("ts").alias("last_ts"))
+    obs = ev.agg(F.max("ts").alias("end_ts"))
+    durs = pu.crossJoin(F.broadcast(obs)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+        .cast("long").alias("dur"),
+        (F.col("last_ts")
+         < F.col("end_ts") - F.expr(f"INTERVAL {_NA_CENS_DAYS} DAYS"))
+        .alias("observed"),
+    )
+    durs = materialize_once(durs, "na_durs")  # feeds the table AND the total
+    tot = durs.agg(F.count("*").cast("long").alias("n_users"))
+    tbl = durs.groupBy("dur").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.col("observed").cast("long")).cast("long").alias("n_event"),
+    )
+    w_prev = (Window.orderBy("dur")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = tbl.crossJoin(F.broadcast(tot)).select(
+        "dur", "n_all", "n_event",
+        (F.col("n_users")
+         - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0)))
+        .cast("long").alias("n_risk"),
+    )
+    terms = risk.select(
+        "dur", "n_risk", "n_event",
+        F.floor(F.lit(1e9) * F.col("n_event").cast("double")
+                / F.col("n_risk")).cast("long").alias("term"),
+    )
+    haz = terms.select(
+        "dur", "n_risk", "n_event",
+        F.sum("term").over(w_cum).cast("long").alias("na_q"),
+    )
+    return haz.select(
+        "dur", "n_risk", "n_event", "na_q",
+        (F.round(F.col("na_q") / F.lit(1e9), 6) + F.lit(0.0))
+        .alias("cum_hazard"),
+        (F.round(F.exp(-(F.col("na_q") / F.lit(1e9))), 6) + F.lit(0.0))
+        .alias("na_survival"),
+    )
+
+
+# -- difference-in-differences readout ---------------------------------------
+def _did_cell(tag: str, cond: str) -> str:
+    return (f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{tag},\n"
+            f"             CAST(sum(CASE WHEN {cond} THEN xq ELSE 0 END)"
+            f" AS BIGINT) AS s_{tag},\n"
+            f"             CAST(sum(CASE WHEN {cond} THEN xq * xq ELSE 0 END)"
+            f" AS BIGINT) AS ss_{tag}")
+
+
+_DID_M = {t: f"(CAST(s_{t} AS DOUBLE) / n_{t})"
+          for t in ("tp", "t0", "cp", "c0")}
+_DID_V = {t: f"((CAST(ss_{t} AS DOUBLE)"
+             f" - CAST(s_{t} AS DOUBLE) * s_{t} / n_{t}) / (n_{t} - 1))"
+          for t in ("tp", "t0", "cp", "c0")}
+_DID_EST = (f"(({_DID_M['tp']} - {_DID_M['t0']})"
+            f" - ({_DID_M['cp']} - {_DID_M['c0']}))")
+_DID_SE = ("sqrt(((({v_tp} / n_tp + {v_t0} / n_t0) + {v_cp} / n_cp)"
+           " + {v_c0} / n_c0))".format(
+               v_tp=_DID_V["tp"], v_t0=_DID_V["t0"],
+               v_cp=_DID_V["cp"], v_c0=_DID_V["c0"]))
+
+
+@_stage(
+    "q_did_readout",
+    f"""
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+    base AS (
+      SELECT CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS xq,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+             CASE WHEN 2 * date_diff('day', d0, CAST(ts AS DATE))
+                       >= date_diff('day', d0, d1) + 1
+                  THEN 1 ELSE 0 END AS post
+      FROM events CROSS JOIN span),
+    cells AS (
+      SELECT {_did_cell('tp', 'treat = 1 AND post = 1')},
+             {_did_cell('t0', 'treat = 1 AND post = 0')},
+             {_did_cell('cp', 'treat = 0 AND post = 1')},
+             {_did_cell('c0', 'treat = 0 AND post = 0')}
+      FROM base)
+    SELECT n_tp, n_t0, n_cp, n_c0,
+           round({_DID_EST} / 100.0, 6) + 0.0 AS did,
+           round({_DID_SE} / 100.0, 6) + 0.0 AS se,
+           round({_DID_EST} / {_DID_SE}, 6) + 0.0 AS t_stat
+    FROM cells
+    """,
+)
+def q_did_readout(spark, sf_dir):
+    """Difference-in-differences readout over the events table:
+    treatment = odd user_id, post = second half of the observation
+    window (integer date arithmetic on both engines), outcome = event
+    value in exact cents.  The 2x2 cell moments are ONE conditional
+    BIGINT agg; the DiD point estimate, its Welch-style pooled SE
+    sqrt(sum v_i/n_i), and the t-statistic are mirrored float chains
+    over those integers — the quasi-experimental companion to
+    q_cuped_abtest (which removes pre-period variance; DiD removes
+    group-level level differences).  Plan: one scan, one 1-row agg."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("d0"),
+                  F.max(F.to_date("ts")).alias("d1"))
+    base = ev.crossJoin(F.broadcast(span)).select(
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100
+                + F.lit(0.5)).cast("long").alias("xq"),
+        F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(F.lit(0))
+        .alias("treat"),
+        F.when(
+            F.lit(2) * F.datediff(F.to_date("ts"), F.col("d0"))
+            >= F.datediff(F.col("d1"), F.col("d0")) + F.lit(1),
+            F.lit(1)).otherwise(F.lit(0)).alias("post"),
+    )
+
+    def cell(tag, t, p):
+        c = (F.col("treat") == t) & (F.col("post") == p)
+        return [
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(c, F.col("xq")).otherwise(0)).cast("long")
+            .alias(f"s_{tag}"),
+            F.sum(F.when(c, F.col("xq") * F.col("xq")).otherwise(0))
+            .cast("long").alias(f"ss_{tag}"),
+        ]
+
+    cells = base.agg(*(cell("tp", 1, 1) + cell("t0", 1, 0)
+                       + cell("cp", 0, 1) + cell("c0", 0, 0)))
+    return cells.selectExpr(
+        "n_tp", "n_t0", "n_cp", "n_c0",
+        f"round({_DID_EST} / 100.0, 6) + 0.0 AS did",
+        f"round({_DID_SE} / 100.0, 6) + 0.0 AS se",
+        f"round({_DID_EST} / {_DID_SE}, 6) + 0.0 AS t_stat",
+    )
