@@ -275,6 +275,9 @@ EXTRA = {
     "q_shapley_attribution": _staged("q_shapley_attribution"),
     "q_nelson_aalen": _staged("q_nelson_aalen"),
     "q_did_readout": _staged("q_did_readout"),
+    "q_link_prediction": _staged("q_link_prediction"),
+    "q_readability_panel": _staged("q_readability_panel"),
+    "q_gries_dp": _staged("q_gries_dp"),
 }
 
 

@@ -135,6 +135,10 @@ QUERIES = [
     "q_shapley_attribution",
     "q_nelson_aalen",
     "q_did_readout",
+    # r5 continuation batch D: text dispersion / readability / graph
+    "q_link_prediction",
+    "q_readability_panel",
+    "q_gries_dp",
 ]
 
 

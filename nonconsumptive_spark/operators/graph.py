@@ -692,3 +692,80 @@ def ktruss(edges: DataFrame, k: int = 4, n_rounds: int = 3) -> DataFrame:
         .select(F.col("a").alias("src"), F.col("b").alias("dst"),
                 "support", (F.col("c") == 1).alias("converged"))
     )
+
+
+RA_SCALE = 10**6
+
+
+def link_prediction_panel(edges: DataFrame,
+                          max_middle_deg: int = AA_MAX_MIDDLE_DEG,
+                          min_common: int = 2) -> DataFrame:
+    """(node_a, node_b, common_neighbors, ra_score, jaccard) — the two
+    classic link-prediction scores adamic_adar leaves out, on the same
+    candidate discipline: common-neighbor count, the Resource-Allocation
+    index sum 1/deg(m) (Zhou et al. 2009 — the empirically strongest
+    simple predictor), and neighborhood Jaccard |N_a ∩ N_b| /
+    |N_a ∪ N_b|.
+
+    Exactness: RA weights floor(RA_SCALE/deg) are ONE float division
+    over exact integers per middle node, summed as BIGINTs; Jaccard is
+    cn / (deg_a + deg_b - cn), a single division over exact degrees.
+
+    Scale shape identical to adamic_adar: wedge self-join keyed on the
+    middle node with fan-out capped at ``max_middle_deg`` (mirrored in
+    the oracle), pair-key groupBy, broadcast degree attaches, anti-join
+    against the edge list."""
+    und = materialize_once(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        "lp_edges",
+    )
+    deg = materialize_once(
+        und.groupBy(F.col("src").alias("mid")).agg(
+            F.count("*").cast("long").alias("deg")),
+        "lp_deg",
+    )  # feeds the middle filter AND the two leaf attaches
+    mids = (
+        deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_middle_deg))
+        .select("mid",
+                F.floor(F.lit(float(RA_SCALE)) / F.col("deg"))
+                .cast("long").alias("w"))
+    )
+    adj = materialize_once(
+        und.join(mids, und["src"] == mids["mid"])
+        .select("mid", F.col("dst").alias("leaf"), "w"),
+        "lp_adj",
+    )
+    a = adj.select("mid", F.col("leaf").alias("node_a"), "w")
+    b = adj.select("mid", F.col("leaf").alias("node_b"))
+    pairs = (
+        a.join(b, "mid")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").cast("long").alias("common_neighbors"),
+             F.sum("w").cast("long").alias("ws"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    linked = und.select(F.col("src").alias("node_a"),
+                        F.col("dst").alias("node_b"))
+    da = deg.select(F.col("mid").alias("node_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("mid").alias("node_b"),
+                    F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(linked, ["node_a", "node_b"], "left_anti")
+        .join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .select(
+            "node_a", "node_b", "common_neighbors",
+            (F.round(F.col("ws").cast("double") / RA_SCALE, 6)
+             + F.lit(0.0)).alias("ra_score"),
+            (F.round(F.col("common_neighbors").cast("double")
+                     / (F.col("deg_a") + F.col("deg_b")
+                        - F.col("common_neighbors")), 6)
+             + F.lit(0.0)).alias("jaccard"),
+        )
+    )

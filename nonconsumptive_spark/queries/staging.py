@@ -3103,3 +3103,230 @@ def q_did_readout(spark, sf_dir):
         f"round({_DID_SE} / 100.0, 6) + 0.0 AS se",
         f"round({_DID_EST} / {_DID_SE}, 6) + 0.0 AS t_stat",
     )
+
+
+# -- link-prediction panel: common neighbors / RA index / Jaccard ------------
+def _lp_oracle() -> str:
+    from nonconsumptive_spark.operators.graph import AA_MAX_MIDDLE_DEG, RA_SCALE
+    from nonconsumptive_spark.queries.promoted import _DUCK_UND
+
+    return f"""
+    WITH {_DUCK_UND},
+    deg AS MATERIALIZED (
+      SELECT src AS mid, CAST(count(*) AS BIGINT) AS deg
+      FROM und GROUP BY src),
+    mids AS (
+      SELECT mid, CAST(floor({RA_SCALE}.0 / deg) AS BIGINT) AS w
+      FROM deg WHERE deg >= 2 AND deg <= {AA_MAX_MIDDLE_DEG}),
+    adj AS MATERIALIZED (
+      SELECT u.src AS mid, u.dst AS leaf, m.w
+      FROM und u JOIN mids m ON u.src = m.mid),
+    p AS (
+      SELECT a.leaf AS node_a, b.leaf AS node_b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(a.w) AS BIGINT) AS ws
+      FROM adj a JOIN adj b ON a.mid = b.mid AND a.leaf < b.leaf
+      GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT p.node_a, p.node_b, p.common_neighbors,
+           round(CAST(p.ws AS DOUBLE) / {RA_SCALE}, 6) + 0.0 AS ra_score,
+           round(CAST(p.common_neighbors AS DOUBLE)
+                 / (da.deg + db.deg - p.common_neighbors), 6) + 0.0
+             AS jaccard
+    FROM p
+    JOIN deg da ON da.mid = p.node_a
+    JOIN deg db ON db.mid = p.node_b
+    WHERE NOT EXISTS (SELECT 1 FROM und u
+                      WHERE u.src = p.node_a AND u.dst = p.node_b)
+    """
+
+
+@_stage("q_link_prediction", _lp_oracle())
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbors / Resource-Allocation / neighborhood-Jaccard
+    link-prediction panel over the token graph (operators/graph.
+    link_prediction_panel) — the two classic predictors q_adamic_adar
+    leaves out, on its exact candidate discipline (degree-capped wedge
+    join, non-edge anti-join); RA weights are floor-quantized single
+    divisions, Jaccard one division over exact degrees."""
+    from nonconsumptive_spark.operators.graph import (
+        bigram_edges, link_prediction_panel)
+
+    return link_prediction_panel(bigram_edges(load(spark, sf_dir,
+                                                   "documents")))
+
+
+# -- ARI + Coleman-Liau readability panel ------------------------------------
+def _ari_oracle() -> str:
+    from nonconsumptive_spark.queries.promoted import _runs_duck
+
+    toks = ("len(list_filter(regexp_split_to_array(coalesce(text, ''),"
+            " '[^\\pL]+'), x -> x <> ''))")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(coalesce(text, ''),
+                  '[^\\pL\\pN]', '', 'g')) AS BIGINT) AS n_an,
+             CAST({toks} AS BIGINT) AS n_words,
+             CAST(greatest(1, {_runs_duck("coalesce(text, '')",
+                                          "[.!?]+", ".")})
+                  AS BIGINT) AS n_sentences
+      FROM documents)
+    SELECT doc_id, n_an, n_words, n_sentences,
+           CASE WHEN n_words > 0
+                THEN round((4.71 * CAST(n_an AS DOUBLE) / n_words
+                            + 0.5 * CAST(n_words AS DOUBLE) / n_sentences)
+                           - 21.43, 3) + 0.0 END AS ari,
+           CASE WHEN n_words > 0
+                THEN round((0.0588 * (100.0 * CAST(n_an AS DOUBLE) / n_words)
+                            - 0.296 * (100.0 * CAST(n_sentences AS DOUBLE)
+                                       / n_words))
+                           - 15.8, 3) + 0.0 END AS cli
+    FROM base
+    """
+
+
+@_stage("q_readability_panel", _ari_oracle())
+def q_readability_panel(spark, sf_dir):
+    """Automated Readability Index + Coleman-Liau per document — the two
+    SYLLABLE-FREE readability formulas (char/word/sentence counts only),
+    completing the panel beside Flesch/FK (vowel-run syllables) and
+    Gunning fog: ARI and CLI are the formulas of choice where syllable
+    approximation is unreliable (code-mixed or non-English text).  All
+    three counts are exact integers; both scores are single mirrored
+    float chains.  Plan: zero-shuffle per-row scan."""
+    from nonconsumptive_spark.functions.text import tokenize
+
+    def runs(col, cls, marker):
+        return F.length(F.regexp_replace(
+            F.regexp_replace(col, cls, marker), "[^" + marker + "]", ""))
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(F.regexp_replace(txt, "[^\\p{L}\\p{N}]", ""))
+        .cast("long").alias("n_an"),
+        F.size(tokenize(txt)).cast("long").alias("n_words"),
+        F.greatest(F.lit(1), runs(txt, "[.!?]+", ".")).cast("long")
+        .alias("n_sentences"),
+    )
+    nw = F.col("n_words").cast("double")
+    return base.select(
+        "doc_id", "n_an", "n_words", "n_sentences",
+        F.when(F.col("n_words") > 0, F.round(
+            (F.lit(4.71) * F.col("n_an").cast("double") / F.col("n_words")
+             + F.lit(0.5) * nw / F.col("n_sentences"))
+            - F.lit(21.43), 3) + F.lit(0.0)).alias("ari"),
+        F.when(F.col("n_words") > 0, F.round(
+            (F.lit(0.0588)
+             * (F.lit(100.0) * F.col("n_an").cast("double")
+                / F.col("n_words"))
+             - F.lit(0.296)
+             * (F.lit(100.0) * F.col("n_sentences").cast("double")
+                / F.col("n_words")))
+            - F.lit(15.8), 3) + F.lit(0.0)).alias("cli"),
+    )
+
+
+# -- Gries' DP (deviation of proportions) dispersion -------------------------
+_DP_TOP = 20
+_DP_SCALE = 10**9
+
+
+@_stage(
+    "q_gries_dp",
+    f"""
+    WITH counts AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS v
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents) z
+      GROUP BY 1, 2),
+    f AS (SELECT token, CAST(sum(v) AS BIGINT) AS f FROM counts
+          GROUP BY token),
+    top AS (
+      SELECT token, f FROM (
+        SELECT token, f,
+               row_number() OVER (ORDER BY f DESC, token ASC) AS rn
+        FROM f) z WHERE rn <= {_DP_TOP}),
+    parts AS (SELECT source, CAST(sum(v) AS BIGINT) AS p_toks
+              FROM counts GROUP BY source),
+    tot AS (SELECT CAST(sum(p_toks) AS BIGINT) AS t_toks,
+                   CAST(min(p_toks) AS BIGINT) AS min_toks FROM parts),
+    grid AS (
+      SELECT t.token, t.f, p.source, p.p_toks,
+             CAST(coalesce(c.v, 0) AS BIGINT) AS v
+      FROM top t CROSS JOIN parts p
+      LEFT JOIN counts c ON c.token = t.token AND c.source = p.source),
+    terms AS (
+      SELECT g.token, g.f, o.t_toks, o.min_toks,
+             CAST(floor({_DP_SCALE}.0
+                  * abs(CAST(g.v AS DOUBLE) / g.f
+                        - CAST(g.p_toks AS DOUBLE) / o.t_toks))
+                  AS BIGINT) AS tq
+      FROM grid g CROSS JOIN tot o),
+    agg AS (
+      SELECT token, f, t_toks, min_toks,
+             CAST(sum(tq) AS BIGINT) AS s_q
+      FROM terms GROUP BY 1, 2, 3, 4)
+    SELECT token, f,
+           round(s_q / {2 * _DP_SCALE}.0, 6) + 0.0 AS dp,
+           round((s_q / {2 * _DP_SCALE}.0)
+                 / (1.0 - CAST(min_toks AS DOUBLE) / t_toks), 6) + 0.0
+             AS dp_norm
+    FROM agg
+    """,
+)
+def q_gries_dp(spark, sf_dir):
+    """Gries' DP corpus dispersion for the top-{_DP_TOP} terms: DP =
+    0.5 * sum over parts |share-of-term-in-part - share-of-part-size|,
+    with the min-part normalization DPnorm — the modern standard beside
+    Juilland's D (q_juilland_dispersion): DP handles UNEQUAL part sizes
+    exactly, where Juilland assumes near-equal chunks.  Parts are
+    sources; every share is a single division over exact BIGINT counts
+    and the per-part deviations floor-quantize before the sum.  Plan:
+    one (source, token) agg feeds term totals, part totals AND the
+    grid; the grid itself is top-K x #sources — spine-bounded."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokenize(F.col("text")))
+                    .alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    counts = materialize_once(counts, "dp_counts")  # f, parts AND grid
+    f = counts.groupBy("token").agg(F.sum("v").cast("long").alias("f"))
+    top = (f.withColumn("rn", F.row_number().over(
+        Window.orderBy(F.desc("f"), F.asc("token"))))
+        .filter(F.col("rn") <= _DP_TOP).select("token", "f"))
+    parts = counts.groupBy("source").agg(
+        F.sum("v").cast("long").alias("p_toks"))
+    tot = parts.agg(F.sum("p_toks").cast("long").alias("t_toks"),
+                    F.min("p_toks").cast("long").alias("min_toks"))
+    grid = (
+        top.crossJoin(F.broadcast(parts))
+        .join(counts, ["token", "source"], "left")
+        .select("token", "f", "p_toks",
+                F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+        .crossJoin(F.broadcast(tot))
+    )
+    terms = grid.select(
+        "token", "f", "t_toks", "min_toks",
+        F.floor(F.lit(float(_DP_SCALE)) * F.abs(
+            F.col("v").cast("double") / F.col("f")
+            - F.col("p_toks").cast("double") / F.col("t_toks")))
+        .cast("long").alias("tq"),
+    )
+    agg = terms.groupBy("token", "f", "t_toks", "min_toks").agg(
+        F.sum("tq").cast("long").alias("s_q"))
+    return agg.select(
+        "token", "f",
+        (F.round(F.col("s_q") / F.lit(float(2 * _DP_SCALE)), 6)
+         + F.lit(0.0)).alias("dp"),
+        (F.round((F.col("s_q") / F.lit(float(2 * _DP_SCALE)))
+                 / (F.lit(1.0) - F.col("min_toks").cast("double")
+                    / F.col("t_toks")), 6) + F.lit(0.0)).alias("dp_norm"),
+    )
