@@ -278,6 +278,9 @@ EXTRA = {
     "q_link_prediction": _staged("q_link_prediction"),
     "q_readability_panel": _staged("q_readability_panel"),
     "q_gries_dp": _staged("q_gries_dp"),
+    "q_eb_shrinkage": _staged("q_eb_shrinkage"),
+    "q_covariate_balance": _staged("q_covariate_balance"),
+    "q_qini_curve": _staged("q_qini_curve"),
 }
 
 

@@ -139,6 +139,10 @@ QUERIES = [
     "q_link_prediction",
     "q_readability_panel",
     "q_gries_dp",
+    # r5 continuation batch E: experiment analytics completion
+    "q_eb_shrinkage",
+    "q_covariate_balance",
+    "q_qini_curve",
 ]
 
 

@@ -114,7 +114,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # simpson_flip, odds_ratio_ci, cuped_abtest, time_to_convert,
 # sprt_daily, theil_sen_slope, avg_precision, bh_fdr, err_eval,
 # bradley_terry, lm_jm_topk, shapley_attribution, nelson_aalen,
-# did_readout, link_prediction, readability_panel, gries_dp.
+# did_readout, link_prediction, readability_panel, gries_dp,
+# eb_shrinkage, covariate_balance, qini_curve.
 # Promotion = @register +
 # PRIORITY append, exactly like the r5 cohort.  Stream-only surface:
 # streaming/holt.py (pytest-only, chunked == batch structural).

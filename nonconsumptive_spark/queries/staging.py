@@ -3330,3 +3330,309 @@ def q_gries_dp(spark, sf_dir):
                  / (F.lit(1.0) - F.col("min_toks").cast("double")
                     / F.col("t_toks")), 6) + F.lit(0.0)).alias("dp_norm"),
     )
+
+
+# -- empirical-Bayes beta-binomial shrinkage of per-user rates ---------------
+_EB_SCALE = 10**6  # rate quantization; rq^2 sums stay far below 2^63
+
+
+@_stage(
+    "q_eb_shrinkage",
+    f"""
+    WITH pu AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY user_id),
+    q AS (SELECT user_id, n, x,
+                 CAST(floor({_EB_SCALE}.0 * x / n) AS BIGINT) AS rq
+          FROM pu),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(rq) AS BIGINT) AS s,
+             CAST(sum(rq * rq) AS BIGINT) AS ss
+      FROM q),
+    prior AS (
+      SELECT m,
+             (CAST(s AS DOUBLE) / m) / {_EB_SCALE}.0 AS mbar,
+             ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / m) / (m - 1))
+               / {_EB_SCALE * _EB_SCALE}.0 AS varr
+      FROM mom),
+    k AS (
+      SELECT m, mbar, varr,
+             CASE WHEN varr > 0
+                       AND mbar * (1.0 - mbar) / varr - 1.0 > 0
+                  THEN mbar * (1.0 - mbar) / varr - 1.0
+                  ELSE 1.0 END AS kap
+      FROM prior)
+    SELECT q.user_id, q.x, q.n,
+           round(CAST(q.x AS DOUBLE) / q.n, 6) + 0.0 AS raw_rate,
+           round((q.x + k.mbar * k.kap) / (q.n + k.kap), 6) + 0.0
+             AS shrunk_rate
+    FROM q CROSS JOIN k
+    """,
+)
+def q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates: the method-of-moments prior (alpha = mbar*kappa, kappa from
+    the mean/variance of quantized user rates) pulls small-sample user
+    rates toward the population mean — the estimator that makes
+    per-entity rate rankings usable (raw rates make 1/1 beat 95/100).
+    Rates quantize to 1e6 BIGINTs so the cross-user moment sums are
+    exact; every float after is a mirrored chain over the 1-row prior
+    attach.  Plan: one user agg, one 1-row moment agg, broadcast."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("x"),
+    )
+    q = pu.select(
+        "user_id", "n", "x",
+        F.floor(F.lit(float(_EB_SCALE)) * F.col("x") / F.col("n"))
+        .cast("long").alias("rq"),
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    q = materialize_once(q, "eb_q")  # feeds the moments AND the output
+    mom = q.agg(F.count("*").cast("long").alias("m"),
+                F.sum("rq").cast("long").alias("s"),
+                F.sum(F.col("rq") * F.col("rq")).cast("long").alias("ss"))
+    prior = mom.select(
+        "m",
+        ((F.col("s").cast("double") / F.col("m")) / F.lit(float(_EB_SCALE)))
+        .alias("mbar"),
+        (((F.col("ss").cast("double")
+           - F.col("s").cast("double") * F.col("s") / F.col("m"))
+          / (F.col("m") - 1)) / F.lit(float(_EB_SCALE * _EB_SCALE)))
+        .alias("varr"),
+    )
+    kraw = F.col("mbar") * (F.lit(1.0) - F.col("mbar")) / F.col("varr") \
+        - F.lit(1.0)
+    k = prior.select(
+        "mbar",
+        F.when((F.col("varr") > 0) & (kraw > 0), kraw)
+        .otherwise(F.lit(1.0)).alias("kap"),
+    )
+    return q.crossJoin(F.broadcast(k)).select(
+        "user_id", "x", "n",
+        (F.round(F.col("x").cast("double") / F.col("n"), 6)
+         + F.lit(0.0)).alias("raw_rate"),
+        (F.round((F.col("x") + F.col("mbar") * F.col("kap"))
+                 / (F.col("n") + F.col("kap")), 6)
+         + F.lit(0.0)).alias("shrunk_rate"),
+    )
+
+
+# -- covariate balance (standardized mean differences) -----------------------
+_CB_COVS = ("n_events", "total_value_c", "n_active_days", "n_types")
+
+
+@_stage(
+    "q_covariate_balance",
+    f"""
+    WITH pu AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(coalesce(value, 0) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS total_value_c,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS n_active_days,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY user_id),
+    long AS (
+      SELECT treat, 'n_events' AS covariate, n_events AS xq FROM pu
+      UNION ALL
+      SELECT treat, 'total_value_c', total_value_c FROM pu
+      UNION ALL
+      SELECT treat, 'n_active_days', n_active_days FROM pu
+      UNION ALL
+      SELECT treat, 'n_types', n_types FROM pu),
+    mom AS (
+      SELECT covariate,
+             CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(sum(CASE WHEN treat = 1 THEN xq ELSE 0 END) AS BIGINT)
+               AS s_t,
+             CAST(sum(CASE WHEN treat = 1 THEN xq * xq ELSE 0 END)
+                  AS BIGINT) AS ss_t,
+             CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(sum(CASE WHEN treat = 0 THEN xq ELSE 0 END) AS BIGINT)
+               AS s_c,
+             CAST(sum(CASE WHEN treat = 0 THEN xq * xq ELSE 0 END)
+                  AS BIGINT) AS ss_c
+      FROM long GROUP BY covariate)
+    SELECT covariate, n_t, n_c,
+           round(CAST(s_t AS DOUBLE) / n_t, 6) + 0.0 AS mean_t,
+           round(CAST(s_c AS DOUBLE) / n_c, 6) + 0.0 AS mean_c,
+           round((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+                 / sqrt((((CAST(ss_t AS DOUBLE)
+                           - CAST(s_t AS DOUBLE) * s_t / n_t) / (n_t - 1))
+                         + ((CAST(ss_c AS DOUBLE)
+                             - CAST(s_c AS DOUBLE) * s_c / n_c)
+                            / (n_c - 1))) / 2.0), 6) + 0.0 AS smd
+    FROM mom
+    """,
+)
+def q_covariate_balance(spark, sf_dir):
+    """Covariate balance audit for the synthetic A/B assignment
+    (treat = odd user_id): standardized mean difference (m_t - m_c) /
+    sqrt((v_t + v_c)/2) for four user-level covariates — the |SMD| <
+    0.1 randomization health check run before reading ANY experiment
+    (a broken bucketing hash shows up here first, not in the outcome).
+    Covariates are exact BIGINTs per user; one conditional moment agg
+    per covariate row; every float is a mirrored chain.  Plan: one
+    user agg, a 4-way unpivot union, one #covariates-row agg."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100
+                      + F.lit(0.5)).cast("long"))
+        .cast("long").alias("total_value_c"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_active_days"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    ).withColumn(
+        "treat",
+        F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(F.lit(0)),
+    )
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    pu = materialize_once(pu, "cb_pu")  # feeds all four unpivot branches
+    longf = None
+    for cov in _CB_COVS:
+        part = pu.select("treat", F.lit(cov).alias("covariate"),
+                         F.col(cov).cast("long").alias("xq"))
+        longf = part if longf is None else longf.unionByName(part)
+    mom = longf.groupBy("covariate").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("treat") == 1, F.col("xq")).otherwise(0))
+        .cast("long").alias("s_t"),
+        F.sum(F.when(F.col("treat") == 1, F.col("xq") * F.col("xq"))
+              .otherwise(0)).cast("long").alias("ss_t"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treat") == 0, F.col("xq")).otherwise(0))
+        .cast("long").alias("s_c"),
+        F.sum(F.when(F.col("treat") == 0, F.col("xq") * F.col("xq"))
+              .otherwise(0)).cast("long").alias("ss_c"),
+    )
+    vt = ((F.col("ss_t").cast("double")
+           - F.col("s_t").cast("double") * F.col("s_t") / F.col("n_t"))
+          / (F.col("n_t") - 1))
+    vc = ((F.col("ss_c").cast("double")
+           - F.col("s_c").cast("double") * F.col("s_c") / F.col("n_c"))
+          / (F.col("n_c") - 1))
+    return mom.select(
+        "covariate", "n_t", "n_c",
+        (F.round(F.col("s_t").cast("double") / F.col("n_t"), 6)
+         + F.lit(0.0)).alias("mean_t"),
+        (F.round(F.col("s_c").cast("double") / F.col("n_c"), 6)
+         + F.lit(0.0)).alias("mean_c"),
+        (F.round((F.col("s_t").cast("double") / F.col("n_t")
+                  - F.col("s_c").cast("double") / F.col("n_c"))
+                 / F.sqrt((vt + vc) / F.lit(2.0)), 6)
+         + F.lit(0.0)).alias("smd"),
+    )
+
+
+# -- Qini uplift curve by targeting-score decile ------------------------------
+@_stage(
+    "q_qini_curve",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+             CAST(count(*) AS BIGINT) AS score,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT treat, conv,
+             CAST(row_number() OVER (ORDER BY score DESC, user_id ASC)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pu),
+    dec AS (
+      SELECT CAST(floor(((rn - 1) * 10.0) / m) AS BIGINT) + 1 AS decile,
+             CAST(sum(treat) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_t,
+             CAST(sum(1 - treat) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_c
+      FROM ranked GROUP BY 1),
+    cum AS (
+      SELECT decile,
+             CAST(sum(n_t) OVER w AS BIGINT) AS n_t_cum,
+             CAST(sum(conv_t) OVER w AS BIGINT) AS conv_t_cum,
+             CAST(sum(n_c) OVER w AS BIGINT) AS n_c_cum,
+             CAST(sum(conv_c) OVER w AS BIGINT) AS conv_c_cum
+      FROM dec
+      WINDOW w AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT decile, n_t_cum, conv_t_cum, n_c_cum, conv_c_cum,
+           CASE WHEN n_c_cum > 0 THEN
+             round(conv_t_cum
+                   - CAST(conv_c_cum AS DOUBLE) * n_t_cum / n_c_cum, 6)
+             + 0.0 END AS qini
+    FROM cum
+    """,
+)
+def q_qini_curve(spark, sf_dir):
+    """Qini uplift curve: cumulative incremental conversions
+    conv_t - conv_c * n_t/n_c by targeting-score decile (score =
+    user activity, treat = odd user_id) — the standard read of WHO to
+    target, completing the experiment battery beside q_cuped_abtest
+    (average effect) and q_gain_chart (response ranking).  Deciles come
+    from an integer rank formula (not engine ntile), cumulative counts
+    are BIGINT window sums over the 10-row decile spine, and qini is
+    one mirrored float chain.  Plan: one user agg, one global rank of
+    the user frame (eval-sized), 10-row windows."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("conv"),
+    ).withColumn(
+        "treat",
+        F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = pu.select(
+        "treat", "conv",
+        F.row_number().over(Window.orderBy(F.desc("score"),
+                                           F.asc("user_id")))
+        .cast("long").alias("rn"),
+        F.count("*").over(w_all).cast("long").alias("m"),
+    )
+    dec = ranked.groupBy(
+        (F.floor(((F.col("rn") - 1) * F.lit(10.0)) / F.col("m"))
+         .cast("long") + 1).alias("decile")
+    ).agg(
+        F.sum("treat").cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treat") == 1, F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_t"),
+        F.sum(F.lit(1) - F.col("treat")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treat") == 0, F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    cum = dec.select(
+        "decile",
+        F.sum("n_t").over(w).cast("long").alias("n_t_cum"),
+        F.sum("conv_t").over(w).cast("long").alias("conv_t_cum"),
+        F.sum("n_c").over(w).cast("long").alias("n_c_cum"),
+        F.sum("conv_c").over(w).cast("long").alias("conv_c_cum"),
+    )
+    return cum.select(
+        "decile", "n_t_cum", "conv_t_cum", "n_c_cum", "conv_c_cum",
+        F.when(F.col("n_c_cum") > 0, F.round(
+            F.col("conv_t_cum")
+            - F.col("conv_c_cum").cast("double") * F.col("n_t_cum")
+            / F.col("n_c_cum"), 6) + F.lit(0.0)).alias("qini"),
+    )
