@@ -150,6 +150,15 @@ BNLJ_WHITELIST = {
     "q_odds_ratio_ci",        # 1-row first-source-label attach onto the scan
     "q_time_to_convert",      # 1-row total + quantile attaches on the histogram
     "q_sprt_daily",           # 1-row rate-totals attach onto the day spine
+    # r5-continuation staged (censused pre-promotion):
+    "q_theil_sen_slope",      # #days^2 pair spine + 1-row min-day/count attaches
+    "q_avg_precision",        # 11-row level spine + 1-row n_pos/ap attaches
+    "q_did_readout",          # 1-row observation-span attach onto the scan
+    "q_eb_shrinkage",         # 1-row MoM-prior attach onto the user frame
+    "q_gries_dp",             # top-k x #parts grid + 1-row totals attach
+    "q_lm_jm_topk",           # 1-row corpus-size + query-constant attaches
+    "q_nelson_aalen",         # 1-row obs-end + user-total attaches (KM pattern)
+    "q_shapley_attribution",  # 2^n coalition spine joins, all mask-bounded
 }
 
 
