@@ -281,6 +281,9 @@ EXTRA = {
     "q_eb_shrinkage": _staged("q_eb_shrinkage"),
     "q_covariate_balance": _staged("q_covariate_balance"),
     "q_qini_curve": _staged("q_qini_curve"),
+    "q_harmonic_centrality": _staged("q_harmonic_centrality"),
+    "q_markov_absorption": _staged("q_markov_absorption"),
+    "q_nearest_centroid_eval": _staged("q_nearest_centroid_eval"),
 }
 
 

@@ -143,6 +143,10 @@ QUERIES = [
     "q_eb_shrinkage",
     "q_covariate_balance",
     "q_qini_curve",
+    # r5 continuation batch F: graph / chains / embedding eval
+    "q_harmonic_centrality",
+    "q_markov_absorption",
+    "q_nearest_centroid_eval",
 ]
 
 

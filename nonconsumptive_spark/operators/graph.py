@@ -769,3 +769,84 @@ def link_prediction_panel(edges: DataFrame,
              + F.lit(0.0)).alias("jaccard"),
         )
     )
+
+
+HC_SEEDS = 5
+HC_MAX_DIST = 4
+HC_SCALE = 10**9
+
+
+def harmonic_centrality(edges: DataFrame, n_seeds: int = HC_SEEDS,
+                        max_dist: int = HC_MAX_DIST) -> DataFrame:
+    """(seed, deg, n_reached, harm_q, harmonic) — truncated harmonic
+    centrality sum_{v != s, d(s,v) <= max_dist} 1/d(s,v) for the
+    ``n_seeds`` highest-degree nodes of the UNDIRECTED graph — the
+    centrality that stays well-defined on disconnected graphs (where
+    closeness breaks), hop-bounded so both engines replay it exactly.
+
+    Exactness: distances are small integers, so each contribution
+    floor(HC_SCALE/d) is exact and the per-seed sum is a BIGINT.
+
+    Scale shape: ONE multi-source BFS — the frontier frame carries a
+    seed column, so all seeds expand in the same per-round equi-join +
+    (seed, node)-keyed anti-join with a lineage cut per round (the
+    bfs_distances discipline); rounds are bounded by ``max_dist``, and
+    the visited set is at most n_seeds x |V|."""
+    from pyspark.sql import Window
+
+    und = materialize_once(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        "hc_edges",
+    )
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    w = Window.orderBy(F.desc("deg"), F.asc("src"))
+    seeds = materialize_once(
+        deg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_seeds)
+        .select(F.col("src").alias("seed"), "deg"),
+        "hc_seeds",
+    )
+    visited = materialize_once(
+        seeds.select("seed", F.col("seed").alias("node"),
+                     F.lit(0).alias("dist")),
+        "hc_v0",
+    )
+    frontier = visited
+    for it in range(1, max_dist + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(it).alias("dist"))
+        )
+        nxt = materialize_once(nxt, f"hc_f{it}")
+        if nxt.isEmpty():
+            break
+        visited = materialize_once(visited.unionByName(nxt), f"hc_v{it}")
+        frontier = nxt
+    harm = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(F.floor(F.lit(float(HC_SCALE)) / F.col("dist"))
+                  .cast("long")).cast("long").alias("harm_q"),
+        )
+    )
+    return (
+        seeds.join(harm, "seed", "left")
+        .select(
+            "seed", "deg",
+            F.coalesce("n_reached", F.lit(0)).cast("long")
+            .alias("n_reached"),
+            F.coalesce("harm_q", F.lit(0)).cast("long").alias("harm_q"),
+            (F.round(F.coalesce("harm_q", F.lit(0))
+                     / F.lit(float(HC_SCALE)), 6)
+             + F.lit(0.0)).alias("harmonic"),
+        )
+    )

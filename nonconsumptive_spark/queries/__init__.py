@@ -115,7 +115,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # sprt_daily, theil_sen_slope, avg_precision, bh_fdr, err_eval,
 # bradley_terry, lm_jm_topk, shapley_attribution, nelson_aalen,
 # did_readout, link_prediction, readability_panel, gries_dp,
-# eb_shrinkage, covariate_balance, qini_curve.
+# eb_shrinkage, covariate_balance, qini_curve, harmonic_centrality,
+# markov_absorption, nearest_centroid_eval.
 # Promotion = @register +
 # PRIORITY append, exactly like the r5 cohort.  Stream-only surface:
 # streaming/holt.py (pytest-only, chunked == batch structural).

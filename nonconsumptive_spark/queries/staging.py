@@ -3636,3 +3636,263 @@ def q_qini_curve(spark, sf_dir):
             - F.col("conv_c_cum").cast("double") * F.col("n_t_cum")
             / F.col("n_c_cum"), 6) + F.lit(0.0)).alias("qini"),
     )
+
+
+# -- truncated harmonic centrality of top-degree tokens ----------------------
+def _hc_oracle() -> str:
+    from nonconsumptive_spark.operators.graph import (
+        HC_MAX_DIST, HC_SCALE, HC_SEEDS)
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_id, token AS src,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+      FROM (SELECT doc_id, generate_subscripts({_DUCK_TOKS}, 1) AS pos,
+                   unnest({_DUCK_TOKS}) AS token FROM documents)),
+    dedges AS (SELECT DISTINCT src, dst FROM pairs WHERE dst IS NOT NULL),
+    und AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM dedges
+        UNION ALL
+        SELECT dst, src FROM dedges)
+      WHERE src <> dst),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM und GROUP BY src),
+    seeds AS MATERIALIZED (
+      SELECT src AS seed, deg FROM (
+        SELECT src, deg,
+               row_number() OVER (ORDER BY deg DESC, src ASC) AS rn
+        FROM deg) z WHERE rn <= {HC_SEEDS}),
+    bfs(seed, node, dist) AS (
+      SELECT seed, seed AS node, 0 AS dist FROM seeds
+      UNION
+      SELECT b.seed, e.dst, b.dist + 1
+      FROM bfs b JOIN und e ON e.src = b.node
+      WHERE b.dist < {HC_MAX_DIST}),
+    md AS (
+      SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist
+      FROM bfs GROUP BY 1, 2),
+    harm AS (
+      SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+             CAST(sum(CAST(floor({HC_SCALE}.0 / dist) AS BIGINT))
+                  AS BIGINT) AS harm_q
+      FROM md WHERE dist > 0 GROUP BY seed)
+    SELECT s.seed, s.deg,
+           CAST(coalesce(h.n_reached, 0) AS BIGINT) AS n_reached,
+           CAST(coalesce(h.harm_q, 0) AS BIGINT) AS harm_q,
+           round(coalesce(h.harm_q, 0) / {HC_SCALE}.0, 6) + 0.0 AS harmonic
+    FROM seeds s LEFT JOIN harm h ON h.seed = s.seed
+    """
+
+
+@_stage("q_harmonic_centrality", _hc_oracle())
+def q_harmonic_centrality(spark, sf_dir):
+    """Hop-bounded harmonic centrality of the five highest-degree tokens
+    (operators/graph.harmonic_centrality) — the disconnected-graph-safe
+    closeness variant, via ONE multi-source BFS whose frontier carries
+    the seed key (per round: one equi-join + one (seed, node) anti-join,
+    lineage cut each round); contributions floor(1e9/d) sum as exact
+    BIGINTs.  Oracle: DuckDB WITH RECURSIVE with the same hop bound."""
+    from nonconsumptive_spark.operators.graph import (
+        bigram_edges, harmonic_centrality)
+
+    return harmonic_centrality(bigram_edges(load(spark, sf_dir,
+                                                 "documents")))
+
+
+# -- expected steps to conversion (absorbing Markov chain) -------------------
+_ABS_TARGET = "purchase"
+_ABS_ROUNDS = 8
+_ABS_Q = 10**9
+
+
+def _absorb_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for t in range(1, _ABS_ROUNDS + 1):
+        rounds.append(f"""
+    v{t} AS MATERIALIZED (
+      SELECT t.s,
+             1.0 + CAST(sum(CAST(floor({_ABS_Q}.0
+                      * ((CAST(t.c AS DOUBLE) / t.n_s)
+                         * coalesce(p.v, 0.0))) AS BIGINT)) AS BIGINT)
+                   / {_ABS_Q}.0 AS v
+      FROM trn t LEFT JOIN {prev} p ON p.s = t.s2
+      GROUP BY t.s)""")
+        prev = f"v{t}"
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t2
+      FROM events),
+    tr AS MATERIALIZED (
+      SELECT t1 AS s, t2 AS s2, CAST(count(*) AS BIGINT) AS c
+      FROM ordered
+      WHERE t2 IS NOT NULL AND t1 <> '{_ABS_TARGET}'
+      GROUP BY 1, 2),
+    ns AS MATERIALIZED (
+      SELECT s, CAST(sum(c) AS BIGINT) AS n_s FROM tr GROUP BY s),
+    trn AS MATERIALIZED (
+      SELECT t.s, t.s2, t.c, n.n_s FROM tr t JOIN ns n ON n.s = t.s),
+    v0 AS (SELECT s, 0.0 AS v FROM ns),{','.join(rounds)}
+    SELECT n.s AS state, n.n_s AS n_out,
+           round(coalesce(pd.c, 0) / CAST(n.n_s AS DOUBLE), 6) + 0.0
+             AS p_direct,
+           round(vf.v, 6) + 0.0 AS exp_steps
+    FROM ns n
+    JOIN {prev} vf ON vf.s = n.s
+    LEFT JOIN (SELECT s, c FROM tr WHERE s2 = '{_ABS_TARGET}') pd
+      ON pd.s = n.s
+    """
+
+
+@_stage("q_markov_absorption", _absorb_oracle())
+def q_markov_absorption(spark, sf_dir):
+    """Expected steps to '{target}' from each event-type state under the
+    empirical Markov chain (value iteration v <- 1 + P v, {rounds}
+    unrolled rounds, purchase absorbing at 0) — the funnel-depth read
+    q_markov_stationary's long-run mix can't give: HOW FAR each state
+    sits from conversion, conditional on chains that continue.  Each
+    round's expectation terms floor-quantize to 1e-9 BIGINTs before the
+    per-state sum, so the fixpoint replays bit-identically; all frames
+    after the transition agg are #states-bounded with a lineage cut per
+    round.""".format(target=_ABS_TARGET, rounds=_ABS_ROUNDS)
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select("user_id", F.col("event_type").alias("t1"),
+                        F.lead("event_type").over(w).alias("t2"))
+    tr = (ordered.filter(F.col("t2").isNotNull()
+                         & (F.col("t1") != _ABS_TARGET))
+          .groupBy(F.col("t1").alias("s"), F.col("t2").alias("s2"))
+          .agg(F.count("*").cast("long").alias("c")))
+    tr = materialize_once(tr, "abs_tr")  # feeds ns, trn AND p_direct
+    ns = tr.groupBy("s").agg(F.sum("c").cast("long").alias("n_s"))
+    ns = materialize_once(ns, "abs_ns")
+    trn = materialize_once(tr.join(ns, "s"), "abs_trn")
+    v = ns.select("s", F.lit(0.0).alias("v"))
+    for t in range(_ABS_ROUNDS):
+        pv = v.select(F.col("s").alias("ps"), F.col("v").alias("pv"))
+        v = (
+            trn.join(F.broadcast(pv), trn["s2"] == pv["ps"], "left")
+            .groupBy("s")
+            .agg((F.lit(1.0) + F.sum(
+                F.floor(F.lit(float(_ABS_Q))
+                        * ((F.col("c").cast("double") / F.col("n_s"))
+                           * F.coalesce(F.col("pv"), F.lit(0.0))))
+                .cast("long")).cast("long") / F.lit(float(_ABS_Q)))
+                .alias("v"))
+        )
+        v = materialize_once(v, f"abs_v{t}")
+    pd = tr.filter(F.col("s2") == _ABS_TARGET).select("s", "c")
+    return (
+        ns.join(v, "s")
+        .join(F.broadcast(pd), "s", "left")
+        .select(
+            F.col("s").alias("state"),
+            F.col("n_s").alias("n_out"),
+            (F.round(F.coalesce("c", F.lit(0))
+                     / F.col("n_s").cast("double"), 6)
+             + F.lit(0.0)).alias("p_direct"),
+            (F.round(F.col("v"), 6) + F.lit(0.0)).alias("exp_steps"),
+        )
+    )
+
+
+# -- nearest-centroid classifier evaluation ----------------------------------
+_NC_SCALE = 10**6
+
+
+@_stage(
+    "q_nearest_centroid_eval",
+    f"""
+    WITH dims AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings),
+    q AS MATERIALIZED (
+      SELECT vec_id, label, dim,
+             CAST(floor(CAST(x AS DOUBLE) * {_NC_SCALE} + 0.5) AS BIGINT)
+               AS xq
+      FROM dims),
+    cent AS MATERIALIZED (
+      SELECT label AS clabel, dim, CAST(sum(xq) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2),
+    dist AS (
+      SELECT a.vec_id, a.label, c.clabel,
+             CAST(sum(CAST(floor(
+                 (a.xq - CAST(c.sq AS DOUBLE) / c.n)
+                 * (a.xq - CAST(c.sq AS DOUBLE) / c.n)) AS BIGINT))
+                  AS BIGINT) AS distq
+      FROM q a JOIN cent c ON c.dim = a.dim
+      GROUP BY 1, 2, 3),
+    asg AS (
+      SELECT vec_id, label, clabel,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY distq, clabel) AS rn
+      FROM dist),
+    ev AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM asg WHERE rn = 1 GROUP BY label)
+    SELECT label, n, n_correct,
+           round(CAST(n_correct AS DOUBLE) / n, 6) + 0.0 AS acc
+    FROM ev
+    """,
+)
+def q_nearest_centroid_eval(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classifier accuracy per label over the
+    embedding table — the 5-line supervised baseline every embedding
+    space should beat chance on, and the quickest label-quality smoke
+    test for a curated dataset.  Coordinates quantize to 1e6 BIGINTs so
+    centroid sums are exact; per-dimension squared deviations floor to
+    BIGINTs before the 64-dim sum, making the argmin assignment (ties
+    broken by label) bit-stable.  Scale shape: one posexplode agg for
+    centroids (#labels x dims rows, broadcast back), distance terms
+    collapse in a map-side-combined (vec, label) agg, one bounded
+    window per vector."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id", "label", "dim",
+        F.floor(F.col("x").cast("double") * _NC_SCALE + F.lit(0.5))
+        .cast("long").alias("xq"),
+    )
+    q = materialize_once(q, "nc_q")  # feeds centroids AND distances
+    cent = q.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("xq").cast("long").alias("sq"),
+        F.count("*").cast("long").alias("n"),
+    )
+    d = F.col("xq") - F.col("sq").cast("double") / F.col("n")
+    dist = (
+        q.join(F.broadcast(cent), "dim")
+        .select("vec_id", "label", "clabel",
+                F.floor(d * d).cast("long").alias("tq"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum("tq").cast("long").alias("distq"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("distq", "clabel")
+    asg = dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1)
+    evl = asg.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("clabel") == F.col("label"), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+    )
+    return evl.select(
+        "label", "n", "n_correct",
+        (F.round(F.col("n_correct").cast("double") / F.col("n"), 6)
+         + F.lit(0.0)).alias("acc"),
+    )
