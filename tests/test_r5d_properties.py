@@ -1,0 +1,178 @@
+"""Property tests for the round-5 continuation batches E/F (EB
+shrinkage, covariate balance, Qini, harmonic centrality, Markov
+absorption, nearest-centroid eval): defining identities on constructed
+inputs plus invariants on the driver tables (SURVEY §5 discipline)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tb = pa.table({
+        "event_id": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+        "value": [r[4] for r in rows],
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(tb, str(tmp_path / "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# EB shrinkage: every shrunk rate lies strictly between the raw rate and
+# the prior mean (the definition of shrinkage), and ordering by rate is
+# preserved among users with equal n
+# ---------------------------------------------------------------------------
+
+
+def test_eb_shrinkage_pulls_toward_mean(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    rows = STAGED["q_eb_shrinkage"][0](spark, SF).collect()
+    assert rows
+    mbar = sum(r["x"] for r in rows) / sum(r["n"] for r in rows)
+    for r in rows:
+        raw, shr = r["raw_rate"], r["shrunk_rate"]
+        lo, hi = min(raw, mbar) - 1e-4, max(raw, mbar) + 1e-4
+        assert lo <= shr <= hi, (r, mbar)
+
+
+# ---------------------------------------------------------------------------
+# Covariate balance: one row per covariate, cells partition the users
+# ---------------------------------------------------------------------------
+
+
+def test_covariate_balance_partitions_users(spark):
+    import duckdb
+
+    from nonconsumptive_spark.queries.staging import STAGED, _CB_COVS
+
+    rows = STAGED["q_covariate_balance"][0](spark, SF).collect()
+    assert sorted(r["covariate"] for r in rows) == sorted(_CB_COVS)
+    n_users = duckdb.connect().execute(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    for r in rows:
+        assert r["n_t"] + r["n_c"] == n_users
+        assert abs(r["smd"]) < 10  # finite, sane
+
+
+# ---------------------------------------------------------------------------
+# Qini: cumulative columns are nondecreasing; the last decile recovers
+# the overall incremental-conversion identity
+# ---------------------------------------------------------------------------
+
+
+def test_qini_monotone_and_total(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    rows = sorted(STAGED["q_qini_curve"][0](spark, SF).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        for c in ("n_t_cum", "conv_t_cum", "n_c_cum", "conv_c_cum"):
+            assert b[c] >= a[c]
+    last = rows[-1]
+    expect = (last["conv_t_cum"]
+              - last["conv_c_cum"] * last["n_t_cum"] / last["n_c_cum"])
+    assert abs(last["qini"] - round(expect, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality: exact values on a constructed star graph
+# ---------------------------------------------------------------------------
+
+
+def test_harmonic_centrality_star_graph(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    text = "hub aa hub bb hub cc hub dd"
+    tb = pa.table({"doc_id": [0], "text": [text], "lang": ["en"],
+                   "source": ["s0"], "n_chars": [len(text)]})
+    pq.write_table(tb, str(tmp_path / "documents.parquet"))
+    got = {r["seed"]: r for r in
+           STAGED["q_harmonic_centrality"][0](spark,
+                                              str(tmp_path)).collect()}
+    assert set(got) == {"hub", "aa", "bb", "cc", "dd"}
+    assert got["hub"]["deg"] == 4 and got["hub"]["harmonic"] == 4.0
+    for leaf in ("aa", "bb", "cc", "dd"):
+        assert got[leaf]["deg"] == 1
+        assert got[leaf]["n_reached"] == 4
+        assert got[leaf]["harmonic"] == 2.5  # 1 + 3 * 1/2
+
+
+# ---------------------------------------------------------------------------
+# Markov absorption: deterministic view -> click -> purchase chains give
+# exp_steps(click) = 1 and exp_steps(view) = 2 exactly
+# ---------------------------------------------------------------------------
+
+
+def test_markov_absorption_deterministic_chain(spark, tmp_path):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    rows, eid = [], 0
+    for u in range(20):
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(hours=u)
+        for i, et in enumerate(["view", "click", "purchase"]):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, et, 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    got = {r["state"]: r for r in
+           STAGED["q_markov_absorption"][0](spark,
+                                            str(tmp_path)).collect()}
+    assert got["click"]["exp_steps"] == 1.0
+    assert got["click"]["p_direct"] == 1.0
+    assert got["view"]["exp_steps"] == 2.0
+    assert got["view"]["p_direct"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Nearest centroid: perfectly separated labels classify perfectly; the
+# real table's accuracies are valid rates
+# ---------------------------------------------------------------------------
+
+
+def test_nearest_centroid_separated_labels(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    vecs, labels = [], []
+    for i in range(40):
+        lbl = i % 2
+        base = [1.0, 0.0] if lbl == 0 else [0.0, 1.0]
+        jitter = (i % 5) * 0.01
+        vecs.append([base[0] + jitter, base[1] - jitter, 0.5, -0.5])
+        labels.append(lbl)
+    tb = pa.table({
+        "vec_id": list(range(40)),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(tb, str(tmp_path / "embeddings.parquet"))
+    got = STAGED["q_nearest_centroid_eval"][0](spark,
+                                               str(tmp_path)).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["acc"] == 1.0 and r["n_correct"] == r["n"] == 20
+
+
+def test_nearest_centroid_real_table_rates(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    got = STAGED["q_nearest_centroid_eval"][0](spark, SF).collect()
+    assert sum(r["n"] for r in got) == 500
+    for r in got:
+        assert 0.0 <= r["acc"] <= 1.0
+        assert r["n_correct"] <= r["n"]
