@@ -3466,12 +3466,18 @@ _CB_COVS = ("n_events", "total_value_c", "n_active_days", "n_types")
     SELECT covariate, n_t, n_c,
            round(CAST(s_t AS DOUBLE) / n_t, 6) + 0.0 AS mean_t,
            round(CAST(s_c AS DOUBLE) / n_c, 6) + 0.0 AS mean_c,
-           round((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
-                 / sqrt((((CAST(ss_t AS DOUBLE)
-                           - CAST(s_t AS DOUBLE) * s_t / n_t) / (n_t - 1))
-                         + ((CAST(ss_c AS DOUBLE)
-                             - CAST(s_c AS DOUBLE) * s_c / n_c)
-                            / (n_c - 1))) / 2.0), 6) + 0.0 AS smd
+           CASE WHEN (((CAST(ss_t AS DOUBLE)
+                        - CAST(s_t AS DOUBLE) * s_t / n_t) / (n_t - 1))
+                      + ((CAST(ss_c AS DOUBLE)
+                          - CAST(s_c AS DOUBLE) * s_c / n_c)
+                         / (n_c - 1))) > 0 THEN
+             round((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+                   / sqrt((((CAST(ss_t AS DOUBLE)
+                             - CAST(s_t AS DOUBLE) * s_t / n_t) / (n_t - 1))
+                           + ((CAST(ss_c AS DOUBLE)
+                               - CAST(s_c AS DOUBLE) * s_c / n_c)
+                              / (n_c - 1))) / 2.0), 6) + 0.0
+           END AS smd
     FROM mom
     """,
 )
@@ -3529,10 +3535,13 @@ def q_covariate_balance(spark, sf_dir):
          + F.lit(0.0)).alias("mean_t"),
         (F.round(F.col("s_c").cast("double") / F.col("n_c"), 6)
          + F.lit(0.0)).alias("mean_c"),
-        (F.round((F.col("s_t").cast("double") / F.col("n_t")
-                  - F.col("s_c").cast("double") / F.col("n_c"))
-                 / F.sqrt((vt + vc) / F.lit(2.0)), 6)
-         + F.lit(0.0)).alias("smd"),
+        # zero pooled variance (a constant covariate) has no SMD scale —
+        # explicit NULL on both engines instead of an implicit 0/0
+        F.when((vt + vc) > 0, F.round(
+            (F.col("s_t").cast("double") / F.col("n_t")
+             - F.col("s_c").cast("double") / F.col("n_c"))
+            / F.sqrt((vt + vc) / F.lit(2.0)), 6) + F.lit(0.0))
+        .alias("smd"),
     )
 
 

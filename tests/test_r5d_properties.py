@@ -61,7 +61,10 @@ def test_covariate_balance_partitions_users(spark):
     ).fetchone()[0]
     for r in rows:
         assert r["n_t"] + r["n_c"] == n_users
-        assert abs(r["smd"]) < 10  # finite, sane
+        if r["smd"] is None:  # constant covariate: no SMD scale
+            assert r["mean_t"] == r["mean_c"]
+        else:
+            assert abs(r["smd"]) < 10  # finite, sane
 
 
 # ---------------------------------------------------------------------------
