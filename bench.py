@@ -284,6 +284,8 @@ EXTRA = {
     "q_harmonic_centrality": _staged("q_harmonic_centrality"),
     "q_markov_absorption": _staged("q_markov_absorption"),
     "q_nearest_centroid_eval": _staged("q_nearest_centroid_eval"),
+    "q_keyphrase_cvalue": _staged("q_keyphrase_cvalue"),
+    "q_conformal_interval": _staged("q_conformal_interval"),
 }
 
 

@@ -147,6 +147,9 @@ QUERIES = [
     "q_harmonic_centrality",
     "q_markov_absorption",
     "q_nearest_centroid_eval",
+    # r5 continuation batch G: termhood + conformal uncertainty
+    "q_keyphrase_cvalue",
+    "q_conformal_interval",
 ]
 
 

@@ -116,7 +116,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # bradley_terry, lm_jm_topk, shapley_attribution, nelson_aalen,
 # did_readout, link_prediction, readability_panel, gries_dp,
 # eb_shrinkage, covariate_balance, qini_curve, harmonic_centrality,
-# markov_absorption, nearest_centroid_eval.
+# markov_absorption, nearest_centroid_eval, keyphrase_cvalue,
+# conformal_interval.
 # Promotion = @register +
 # PRIORITY append, exactly like the r5 cohort.  Stream-only surface:
 # streaming/holt.py (pytest-only, chunked == batch structural).

@@ -3905,3 +3905,238 @@ def q_nearest_centroid_eval(spark, sf_dir):
         (F.round(F.col("n_correct").cast("double") / F.col("n"), 6)
          + F.lit(0.0)).alias("acc"),
     )
+
+
+# -- C-value multiword termhood ----------------------------------------------
+_CV_MIN_F = 3
+_CV_TOP = 20
+_CV_Q = 10**6
+_CV_LOG2_3 = 1.584963  # log2(3), shared literal (rounded once in Python)
+
+
+def _cvalue_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    bi AS MATERIALIZED (
+      SELECT w0, w1, CAST(count(*) AS BIGINT) AS f FROM (
+        SELECT doc_id, t[i] AS w0, t[i + 1] AS w1
+        FROM toks, unnest(range(1, len(t))) u(i)) z
+      GROUP BY 1, 2 HAVING count(*) >= {_CV_MIN_F}),
+    tri AS MATERIALIZED (
+      SELECT w0, w1, w2, CAST(count(*) AS BIGINT) AS f FROM (
+        SELECT doc_id, t[i] AS w0, t[i + 1] AS w1, t[i + 2] AS w2
+        FROM toks, unnest(range(1, len(t) - 1)) u(i)) z
+      GROUP BY 1, 2, 3 HAVING count(*) >= {_CV_MIN_F}),
+    nests AS (
+      SELECT b.w0, b.w1,
+             CAST(sum(t.f) AS BIGINT) AS s_nest,
+             CAST(count(*) AS BIGINT) AS n_nest
+      FROM bi b JOIN tri t
+        ON (t.w0 = b.w0 AND t.w1 = b.w1) OR (t.w1 = b.w0 AND t.w2 = b.w1)
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT b.w0 || ' ' || b.w1 AS term, CAST(2 AS BIGINT) AS n_words,
+             b.f,
+             CASE WHEN n.n_nest IS NULL THEN CAST(b.f * {_CV_Q} AS BIGINT)
+                  ELSE CAST(floor({_CV_Q}.0
+                       * (b.f - CAST(n.s_nest AS DOUBLE) / n.n_nest))
+                       AS BIGINT) END AS cq
+      FROM bi b LEFT JOIN nests n ON n.w0 = b.w0 AND n.w1 = b.w1
+      UNION ALL
+      SELECT w0 || ' ' || w1 || ' ' || w2, CAST(3 AS BIGINT), f,
+             CAST(floor({_CV_Q}.0 * ({_CV_LOG2_3} * f)) AS BIGINT)
+      FROM tri),
+    ranked AS (
+      SELECT term, n_words, f, cq,
+             row_number() OVER (ORDER BY cq DESC, term ASC) AS rn
+      FROM cand)
+    SELECT term, n_words, f AS freq,
+           round(cq / {_CV_Q}.0, 6) + 0.0 AS cvalue
+    FROM ranked WHERE rn <= {_CV_TOP}
+    """
+
+
+@_stage("q_keyphrase_cvalue", _cvalue_oracle())
+def q_keyphrase_cvalue(spark, sf_dir):
+    """C-value multiword termhood (Frantzi et al. 2000) over bigram and
+    trigram candidates: nested bigrams are discounted by the mean
+    frequency of the trigrams containing them, so 'machine learning'
+    scores above 'of the' fragments that only occur inside longer
+    phrases — the statistical keyphrase extractor beside RAKE's
+    stopword-delimited one.  log2(n) enters as a shared literal;
+    nested-frequency means are single divisions floor-quantized before
+    the rank.  Plan: two n-gram count aggs, one bigram-in-trigram
+    containment join (n-gram-frame-sized, both sides frequency-pruned),
+    TakeOrderedAndProject cut."""
+    from nonconsumptive_spark.functions.text import ngram_structs, tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    bi = (docs.select(F.explode(ngram_structs(toks, 2)).alias("g"))
+          .groupBy(F.col("g.w0").alias("w0"), F.col("g.w1").alias("w1"))
+          .agg(F.count("*").cast("long").alias("f"))
+          .filter(F.col("f") >= _CV_MIN_F))
+    bi = materialize_once(bi, "cv_bi")
+    tri = (docs.select(F.explode(ngram_structs(toks, 3)).alias("g"))
+           .groupBy(F.col("g.w0").alias("w0"), F.col("g.w1").alias("w1"),
+                    F.col("g.w2").alias("w2"))
+           .agg(F.count("*").cast("long").alias("f"))
+           .filter(F.col("f") >= _CV_MIN_F))
+    tri = materialize_once(tri, "cv_tri")
+    t = tri.select(F.col("w0").alias("t0"), F.col("w1").alias("t1"),
+                   F.col("w2").alias("t2"), F.col("f").alias("tf"))
+    nests = (
+        bi.join(t, ((F.col("t0") == F.col("w0"))
+                    & (F.col("t1") == F.col("w1")))
+                | ((F.col("t1") == F.col("w0"))
+                   & (F.col("t2") == F.col("w1"))))
+        .groupBy("w0", "w1")
+        .agg(F.sum("tf").cast("long").alias("s_nest"),
+             F.count("*").cast("long").alias("n_nest"))
+    )
+    cand_bi = (
+        bi.join(nests, ["w0", "w1"], "left")
+        .select(
+            F.concat_ws(" ", "w0", "w1").alias("term"),
+            F.lit(2).cast("long").alias("n_words"), "f",
+            F.when(F.col("n_nest").isNull(),
+                   (F.col("f") * _CV_Q).cast("long"))
+            .otherwise(F.floor(F.lit(float(_CV_Q))
+                               * (F.col("f") - F.col("s_nest")
+                                  .cast("double") / F.col("n_nest")))
+                       .cast("long")).alias("cq"),
+        )
+    )
+    cand_tri = tri.select(
+        F.concat_ws(" ", "w0", "w1", "w2").alias("term"),
+        F.lit(3).cast("long").alias("n_words"), "f",
+        F.floor(F.lit(float(_CV_Q)) * (F.lit(_CV_LOG2_3) * F.col("f")))
+        .cast("long").alias("cq"),
+    )
+    cand = cand_bi.unionByName(cand_tri)
+    w = Window.orderBy(F.desc("cq"), F.asc("term"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CV_TOP)
+        .select("term", "n_words", F.col("f").alias("freq"),
+                (F.round(F.col("cq") / F.lit(float(_CV_Q)), 6)
+                 + F.lit(0.0)).alias("cvalue"))
+    )
+
+
+# -- split-conformal prediction interval for event values --------------------
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 0.9
+
+
+@_stage(
+    "q_conformal_interval",
+    f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS xq,
+             event_id % 2 AS half
+      FROM events),
+    mt AS (
+      SELECT event_type, CAST(sum(xq) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base WHERE half = 0 GROUP BY event_type),
+    calib AS (
+      SELECT b.event_id,
+             CAST(floor(abs(b.xq - CAST(m.s AS DOUBLE) / m.n) * 1000)
+                  AS BIGINT) AS rq
+      FROM base b JOIN mt m ON m.event_type = b.event_type
+      WHERE b.half = 0),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calib),
+    kq AS (
+      SELECT n_cal,
+             CAST(floor(((n_cal + 1) * {_CONF_ALPHA_NUM} + {_CONF_ALPHA_DEN}
+                         - 1) / {_CONF_ALPHA_DEN}.0) AS BIGINT) AS k
+      FROM nc),
+    ranked AS (
+      SELECT rq, row_number() OVER (ORDER BY rq, event_id) AS rn
+      FROM calib),
+    qhat AS (
+      SELECT k.n_cal, r.rq AS q_hat_q
+      FROM kq k JOIN ranked r ON r.rn = least(k.k, k.n_cal)),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN CAST(floor(abs(b.xq
+                        - CAST(m.s AS DOUBLE) / m.n) * 1000) AS BIGINT)
+                        <= q.q_hat_q THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered
+      FROM base b
+      JOIN mt m ON m.event_type = b.event_type
+      CROSS JOIN qhat q
+      WHERE b.half = 1)
+    SELECT q.n_cal, t.n_test, t.n_covered,
+           round(q.q_hat_q / 100000.0, 6) + 0.0 AS q_hat,
+           round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) + 0.0
+             AS coverage
+    FROM qhat q CROSS JOIN test t
+    """,
+)
+def q_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval around the per-type mean
+    predictor: the calibration half's residual order statistic at
+    ceil((n+1)(1-alpha)) gives a q_hat whose finite-sample coverage
+    guarantee (>= 90%) the test half then verifies empirically — the
+    distribution-free uncertainty primitive for ANY scorer in the
+    pipeline.  Residuals quantize to exact millicent BIGINTs, the rank
+    index is a pure integer ceil, coverage is one conditional sum.
+    Plan: one calib agg, one global rank of the calibration residuals
+    (eval-sized), broadcast 1-row q_hat attach onto the test scan."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100
+                + F.lit(0.5)).cast("long").alias("xq"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    base = materialize_once(base, "conf_base")  # calib AND test halves
+    mt = (base.filter(F.col("half") == 0).groupBy("event_type")
+          .agg(F.sum("xq").cast("long").alias("s"),
+               F.count("*").cast("long").alias("n")))
+    resid = F.floor(F.abs(F.col("xq")
+                          - F.col("s").cast("double") / F.col("n"))
+                    * 1000).cast("long")
+    calib = (base.filter(F.col("half") == 0)
+             .join(F.broadcast(mt), "event_type")
+             .select("event_id", resid.alias("rq")))
+    nc = calib.agg(F.count("*").cast("long").alias("n_cal"))
+    kq = nc.select(
+        "n_cal",
+        F.floor(((F.col("n_cal") + 1) * _CONF_ALPHA_NUM
+                 + _CONF_ALPHA_DEN - 1) / F.lit(float(_CONF_ALPHA_DEN)))
+        .cast("long").alias("k"),
+    )
+    ranked = calib.select(
+        "rq", F.row_number().over(Window.orderBy("rq", "event_id"))
+        .cast("long").alias("rn"))
+    qhat = (kq.join(ranked,
+                    F.col("rn") == F.least(F.col("k"), F.col("n_cal")))
+            .select("n_cal", F.col("rq").alias("q_hat_q")))
+    test = (
+        base.filter(F.col("half") == 1)
+        .join(F.broadcast(mt), "event_type")
+        .crossJoin(F.broadcast(qhat.select("q_hat_q")))
+        .agg(F.count("*").cast("long").alias("n_test"),
+             F.sum(F.when(resid <= F.col("q_hat_q"), 1).otherwise(0))
+             .cast("long").alias("n_covered"))
+    )
+    return (
+        qhat.crossJoin(F.broadcast(test))
+        .select(
+            "n_cal", "n_test", "n_covered",
+            (F.round(F.col("q_hat_q") / F.lit(100000.0), 6)
+             + F.lit(0.0)).alias("q_hat"),
+            (F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6)
+             + F.lit(0.0)).alias("coverage"),
+        )
+    )

@@ -179,3 +179,50 @@ def test_nearest_centroid_real_table_rates(spark):
     for r in got:
         assert 0.0 <= r["acc"] <= 1.0
         assert r["n_correct"] <= r["n"]
+
+
+# ---------------------------------------------------------------------------
+# C-value: trigram scores are exactly log2(3)*f; a bigram occurring ONLY
+# inside one trigram is fully discounted to f - f = 0
+# ---------------------------------------------------------------------------
+
+
+def test_cvalue_trigram_scale_and_full_nesting(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nonconsumptive_spark.queries.staging import (
+        STAGED, _CV_LOG2_3, _CV_MIN_F)
+
+    # "aa bb cc" x 5, separated by unique LETTER-ONLY fillers (digits are
+    # token separators) so no other n-gram repeats
+    fill = "qrstu"
+    docs = [" ".join(f"aa bb cc p{fill[i]}x k{fill[i]}m"
+                     for i in range(5))]
+    tb = pa.table({"doc_id": [0], "text": docs, "lang": ["en"],
+                   "source": ["s0"], "n_chars": [len(docs[0])]})
+    pq.write_table(tb, str(tmp_path / "documents.parquet"))
+    got = {r["term"]: r for r in
+           STAGED["q_keyphrase_cvalue"][0](spark, str(tmp_path)).collect()}
+    assert got["aa bb cc"]["cvalue"] == round(_CV_LOG2_3 * 5, 6)
+    # 'aa bb' and 'bb cc' occur only inside 'aa bb cc' -> discount to 0
+    assert got["aa bb"]["cvalue"] == 0.0
+    assert got["bb cc"]["cvalue"] == 0.0
+    for r in got.values():
+        assert r["freq"] >= _CV_MIN_F
+
+
+# ---------------------------------------------------------------------------
+# Conformal: the finite-sample coverage guarantee holds on the test half
+# (within binomial noise at this SF)
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_coverage_guarantee(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    got = STAGED["q_conformal_interval"][0](spark, SF).collect()[0]
+    assert got["q_hat"] > 0
+    assert got["n_covered"] <= got["n_test"]
+    # guarantee is >= 0.9 in expectation; allow exchange-half noise
+    assert got["coverage"] >= 0.85, got
