@@ -286,6 +286,7 @@ EXTRA = {
     "q_nearest_centroid_eval": _staged("q_nearest_centroid_eval"),
     "q_keyphrase_cvalue": _staged("q_keyphrase_cvalue"),
     "q_conformal_interval": _staged("q_conformal_interval"),
+    "q_weibull_fit": _staged("q_weibull_fit"),
 }
 
 

@@ -150,6 +150,7 @@ QUERIES = [
     # r5 continuation batch G: termhood + conformal uncertainty
     "q_keyphrase_cvalue",
     "q_conformal_interval",
+    "q_weibull_fit",
 ]
 
 

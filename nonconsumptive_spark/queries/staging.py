@@ -4140,3 +4140,168 @@ def q_conformal_interval(spark, sf_dir):
              + F.lit(0.0)).alias("coverage"),
         )
     )
+
+
+# -- Weibull survival fit from the KM product-limit table --------------------
+_WB_CENS_DAYS = 7       # same censoring convention as q_kaplan_meier
+_WB_Q = 10**6           # ln-point quantization: keeps OLS cross-products
+                        # far below 2^63 at any realistic spine size
+
+
+@_stage(
+    "q_weibull_fit",
+    f"""
+    WITH pu AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    obs AS (SELECT max(ts) AS end_ts FROM events),
+    durs AS (
+      SELECT CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(last_ts AS DATE)) AS BIGINT) AS dur,
+             (last_ts < end_ts - INTERVAL {_WB_CENS_DAYS} DAY) AS observed
+      FROM pu CROSS JOIN obs),
+    tbl AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_event
+      FROM durs GROUP BY dur),
+    risk AS (
+      SELECT dur, n_event,
+             CAST((SELECT count(*) FROM durs)
+                  - COALESCE(sum(n_all) OVER (
+                      ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM tbl),
+    terms AS (
+      SELECT dur,
+             CASE WHEN n_event = 0 THEN CAST(0 AS BIGINT)
+                  WHEN n_event < n_risk THEN
+                    CAST(floor(1000000000.0
+                         * ln(CAST(n_risk - n_event AS DOUBLE) / n_risk))
+                         AS BIGINT)
+                  ELSE CAST(-1000000000000000 AS BIGINT) END AS term
+      FROM risk),
+    surv AS (
+      SELECT dur, CAST(sum(term) OVER (ORDER BY dur) AS BIGINT)
+               AS log_surv_q
+      FROM terms),
+    pts AS (
+      SELECT CAST(floor({_WB_Q}.0 * ln(CAST(dur AS DOUBLE))) AS BIGINT)
+               AS xq,
+             CAST(floor({_WB_Q}.0 * ln(-(log_surv_q / 1000000000.0)))
+                  AS BIGINT) AS yq
+      FROM surv
+      WHERE dur > 0 AND log_surv_q < 0 AND log_surv_q > -100000000000000),
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx,
+             CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx
+      FROM pts),
+    fit AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx) AS shape
+      FROM ols),
+    out AS (
+      SELECT f.n, f.shape,
+             ((CAST(o.sy AS DOUBLE) - f.shape * o.sx) / o.n)
+               / {_WB_Q}.0 AS b
+      FROM fit f CROSS JOIN ols o)
+    SELECT n AS n_points,
+           round(shape, 6) + 0.0 AS shape,
+           round(exp(-(b / shape)), 6) + 0.0 AS scale_days
+    FROM out
+    """,
+)
+def q_weibull_fit(spark, sf_dir):
+    """Weibull (shape, scale) fitted to the Kaplan-Meier survival curve
+    by the classic log-log linearization ln(-ln S) = k ln t - k ln
+    lambda: shape < 1 reads as decreasing churn hazard, the single most
+    actionable retention number the raw KM table hides.  The KM fold is
+    the exact q_kaplan_meier recurrence (ln S is ALREADY the quantized
+    log_surv_q sum, so -ln S is exact); the ln-ln points quantize to
+    1e6 BIGINTs and the OLS runs on pure integer cross-products with
+    TWO float divisions (slope, intercept).  Plan: the KM spine
+    windows + one 1-row OLS agg."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"),
+                                   F.max("ts").alias("last_ts"))
+    obs = ev.agg(F.max("ts").alias("end_ts"))
+    durs = pu.crossJoin(F.broadcast(obs)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+        .cast("long").alias("dur"),
+        (F.col("last_ts")
+         < F.col("end_ts") - F.expr(f"INTERVAL {_WB_CENS_DAYS} DAYS"))
+        .alias("observed"),
+    )
+    durs = materialize_once(durs, "wb_durs")
+    tot = durs.agg(F.count("*").cast("long").alias("n_users"))
+    tbl = durs.groupBy("dur").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.col("observed").cast("long")).cast("long").alias("n_event"),
+    )
+    w_prev = (Window.orderBy("dur")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = tbl.crossJoin(F.broadcast(tot)).select(
+        "dur", "n_event",
+        (F.col("n_users")
+         - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0)))
+        .cast("long").alias("n_risk"),
+    )
+    terms = risk.select(
+        "dur",
+        F.when(F.col("n_event") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("n_event") < F.col("n_risk"),
+            F.floor(F.lit(1e9) * F.log(
+                (F.col("n_risk") - F.col("n_event")).cast("double")
+                / F.col("n_risk"))).cast("long"),
+        )
+        .otherwise(F.lit(-(10 ** 15)).cast("long")).alias("term"),
+    )
+    surv = terms.select(
+        "dur", F.sum("term").over(w_cum).cast("long").alias("log_surv_q"))
+    pts = surv.filter(
+        (F.col("dur") > 0) & (F.col("log_surv_q") < 0)
+        & (F.col("log_surv_q") > -(10 ** 14))
+    ).select(
+        F.floor(F.lit(float(_WB_Q)) * F.log(F.col("dur").cast("double")))
+        .cast("long").alias("xq"),
+        F.floor(F.lit(float(_WB_Q))
+                * F.log(-(F.col("log_surv_q") / F.lit(1e9))))
+        .cast("long").alias("yq"),
+    )
+    ols = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    fit = ols.select(
+        "n", "sx", "sy",
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         .cast("double")
+         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+        .alias("shape"),
+    )
+    out = fit.select(
+        "n", "shape",
+        (((F.col("sy").cast("double") - F.col("shape") * F.col("sx"))
+          / F.col("n")) / F.lit(float(_WB_Q))).alias("b"),
+    )
+    return out.select(
+        F.col("n").alias("n_points"),
+        (F.round(F.col("shape"), 6) + F.lit(0.0)).alias("shape"),
+        (F.round(F.exp(-(F.col("b") / F.col("shape"))), 6)
+         + F.lit(0.0)).alias("scale_days"),
+    )
