@@ -3945,7 +3945,10 @@ def _cvalue_oracle() -> str:
       FROM bi b LEFT JOIN nests n ON n.w0 = b.w0 AND n.w1 = b.w1
       UNION ALL
       SELECT w0 || ' ' || w1 || ' ' || w2, CAST(3 AS BIGINT), f,
-             CAST(floor({_CV_Q}.0 * ({_CV_LOG2_3} * f)) AS BIGINT)
+             -- CAST the literal: DuckDB parses 1.584963 as DECIMAL and
+             -- would multiply exactly where Spark rounds in binary
+             CAST(floor({_CV_Q}.0 * (CAST({_CV_LOG2_3} AS DOUBLE) * f))
+                  AS BIGINT)
       FROM tri),
     ranked AS (
       SELECT term, n_words, f, cq,
