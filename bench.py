@@ -287,6 +287,7 @@ EXTRA = {
     "q_keyphrase_cvalue": _staged("q_keyphrase_cvalue"),
     "q_conformal_interval": _staged("q_conformal_interval"),
     "q_weibull_fit": _staged("q_weibull_fit"),
+    "q_capture_recapture": _staged("q_capture_recapture"),
 }
 
 

@@ -151,6 +151,7 @@ QUERIES = [
     "q_keyphrase_cvalue",
     "q_conformal_interval",
     "q_weibull_fit",
+    "q_capture_recapture",
 ]
 
 

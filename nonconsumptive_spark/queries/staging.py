@@ -4308,3 +4308,79 @@ def q_weibull_fit(spark, sf_dir):
         (F.round(F.exp(-(F.col("b") / F.col("shape"))), 6)
          + F.lit(0.0)).alias("scale_days"),
     )
+
+
+# -- capture-recapture population estimate -----------------------------------
+@_stage(
+    "q_capture_recapture",
+    """
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+    occ AS (
+      SELECT user_id,
+             max(CASE WHEN 2 * date_diff('day', d0, CAST(ts AS DATE))
+                      < date_diff('day', d0, d1) + 1 THEN 1 ELSE 0 END)
+               AS in_a,
+             max(CASE WHEN 2 * date_diff('day', d0, CAST(ts AS DATE))
+                      >= date_diff('day', d0, d1) + 1 THEN 1 ELSE 0 END)
+               AS in_b
+      FROM events CROSS JOIN span GROUP BY user_id),
+    counts AS (
+      SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+             CAST(sum(in_b) AS BIGINT) AS n2,
+             CAST(sum(in_a * in_b) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n_seen
+      FROM occ)
+    SELECT n1, n2, m, n_seen,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0, 6)
+             + 0.0 AS n_chapman,
+           round(sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m)
+                       * (n2 - m))
+                      / ((CAST(m + 1 AS DOUBLE) * (m + 1)) * (m + 2))), 6)
+             + 0.0 AS se_chapman,
+           CASE WHEN m > 0 THEN
+             round(CAST(n1 AS DOUBLE) * n2 / m, 6) + 0.0 END
+             AS n_lincoln_petersen
+    FROM counts
+    """,
+)
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture estimate of the TOTAL user population
+    from two overlapping observation windows (first/second half of the
+    time span) — the mark-recapture estimator a data pipeline uses to
+    size an unseen population from overlapping crawls or dedup samples:
+    N_hat = (n1+1)(n2+1)/(m+1) - 1 with its closed-form SE, plus the
+    classic Lincoln-Petersen n1*n2/m for reference.  Occurrence flags
+    are one user agg over integer date arithmetic; every float is a
+    mirrored chain over four exact counts.  Plan: one 1-row span
+    attach, one user agg, one 1-row count agg."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("d0"),
+                  F.max(F.to_date("ts")).alias("d1"))
+    half = (F.lit(2) * F.datediff(F.to_date("ts"), F.col("d0"))
+            >= F.datediff(F.col("d1"), F.col("d0")) + F.lit(1))
+    occ = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(F.max(F.when(~half, 1).otherwise(0)).alias("in_a"),
+             F.max(F.when(half, 1).otherwise(0)).alias("in_b"))
+    )
+    counts = occ.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("n_seen"),
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    return counts.select(
+        "n1", "n2", "m", "n_seen",
+        (F.round((n1 + 1).cast("double") * (n2 + 1) / (m + 1) - F.lit(1.0),
+                 6) + F.lit(0.0)).alias("n_chapman"),
+        (F.round(F.sqrt(
+            ((n1 + 1).cast("double") * (n2 + 1) * (n1 - m) * (n2 - m))
+            / (((m + 1).cast("double") * (m + 1)) * (m + 2))), 6)
+         + F.lit(0.0)).alias("se_chapman"),
+        F.when(m > 0, F.round(n1.cast("double") * n2 / m, 6)
+               + F.lit(0.0)).alias("n_lincoln_petersen"),
+    )

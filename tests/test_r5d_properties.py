@@ -226,3 +226,30 @@ def test_conformal_coverage_guarantee(spark):
     assert got["n_covered"] <= got["n_test"]
     # guarantee is >= 0.9 in expectation; allow exchange-half noise
     assert got["coverage"] >= 0.85, got
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture: hand-computed Chapman / Lincoln-Petersen on a
+# constructed two-window population
+# ---------------------------------------------------------------------------
+
+
+def test_capture_recapture_hand_computed(spark, tmp_path):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    rows, eid = [], 0
+    day_a, day_b = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 21)
+    for u in range(10):           # A only
+        rows.append((eid, day_a, u, "view", 1.0)); eid += 1
+    for u in range(10, 20):       # B only
+        rows.append((eid, day_b, u, "view", 1.0)); eid += 1
+    for u in range(20, 25):       # both
+        rows.append((eid, day_a, u, "view", 1.0)); eid += 1
+        rows.append((eid, day_b, u, "view", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    got = STAGED["q_capture_recapture"][0](spark, str(tmp_path)).collect()[0]
+    assert (got["n1"], got["n2"], got["m"], got["n_seen"]) == (15, 15, 5, 25)
+    assert got["n_chapman"] == round(16 * 16 / 6 - 1, 6)
+    assert got["n_lincoln_petersen"] == 45.0
+    # estimator covers the true population (25) within 2 SE
+    assert abs(got["n_chapman"] - 25) <= 2 * got["se_chapman"] + 20
