@@ -163,6 +163,7 @@ BNLJ_WHITELIST = {
                               # sides frequency-pruned n-gram frames)
     "q_conformal_interval",   # 1-row q_hat + k-index attaches onto the scan
     "q_weibull_fit",          # KM's 1-row attaches + 1-row OLS-moment attach
+    "q_capture_recapture",    # 1-row observation-span attach onto the scan
 }
 
 
