@@ -2409,6 +2409,16 @@ _BH_A_NUM, _BH_A_DEN = 1, 10   # alpha = 0.1
 
 def _bh_oracle() -> str:
     wd = ("(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7")
+    # replica bits: 21 base-7 digits from EACH of ceil(R/21) 60-bit md5
+    # values per event (one hash yields 21 replicas, a ~20x hash-cost cut
+    # vs hashing per (event, replica)); digits of a uniform 60-bit int
+    # are uniform mod 7 up to a 2^-57 bias, and the scheme is mirrored
+    # digit-for-digit on both engines
+    n_h = (_BH_R + 20) // 21
+    hs = ", ".join(
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':s"
+        f"{i}'), 1, 15)) AS BIGINT)" for i in range(n_h))
+    pows = ", ".join(f"{7 ** d}::BIGINT" for d in range(21))
     diffq = (lambda sa, na, sb, nb:
              f"CASE WHEN {na} > 0 AND {nb} > 0 THEN "
              f"CAST(floor(abs(CAST({sa} AS DOUBLE) / {na}"
@@ -2432,6 +2442,8 @@ def _bh_oracle() -> str:
              {diffq('s_a', 'n_a', '(s_t - s_a)', '(n_t - n_a)')}
                AS diff_obs_q
       FROM obs),
+    hashed AS (
+      SELECT event_type, xq, [{hs}] AS hs FROM base),
     reps AS (
       SELECT event_type, r,
              CAST(sum(CASE WHEN bit >= 5 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2441,10 +2453,10 @@ def _bh_oracle() -> str:
              CAST(count(*) AS BIGINT) AS n_t,
              CAST(sum(xq) AS BIGINT) AS s_t
       FROM (
-        SELECT b.event_type, b.xq, t.r,
-               CAST(('0x' || substr(md5(CAST(b.event_id AS VARCHAR) || ':'
-                     || CAST(t.r AS VARCHAR)), 1, 15)) AS BIGINT) % 7 AS bit
-        FROM base b, range(1, {_BH_R} + 1) t(r))
+        SELECT h.event_type, h.xq, t.r,
+               ((h.hs[CAST(floor((t.r - 1) / 21.0) AS INT) + 1]
+                 // [{pows}][CAST((t.r - 1) % 21 AS INT) + 1]) % 7) AS bit
+        FROM hashed h, range(1, {_BH_R} + 1) t(r))
       GROUP BY event_type, r),
     repq AS (
       SELECT event_type,
@@ -2525,15 +2537,29 @@ def q_bh_fdr(spark, sf_dir):
               F.col("s_t") - F.col("s_a"),
               F.col("n_t") - F.col("n_a")).alias("diff_obs_q"),
     ).filter(F.col("diff_obs_q").isNotNull())
-    bit = (
+    n_h = (_BH_R + 20) // 21
+    hs = F.array(*[
         F.conv(F.substring(F.md5(F.concat(
-            F.col("event_id").cast("string"), F.lit(":"),
-            F.col("r").cast("string"))), 1, 15), 16, 10).cast("long") % 7
+            F.col("event_id").cast("string"), F.lit(f":s{i}"))), 1, 15),
+            16, 10).cast("long")
+        for i in range(n_h)])
+    pow7 = F.array(*[F.lit(7 ** d).cast("long") for d in range(21)])
+    hashed = base.select("event_type", "xq", hs.alias("hs"))
+    picked = (
+        hashed.select("event_type", "xq",
+                      F.explode(F.sequence(F.lit(1), F.lit(_BH_R)))
+                      .alias("r"), "hs")
+        .select(
+            "event_type", "xq", "r",
+            F.element_at("hs", (F.floor((F.col("r") - 1) / F.lit(21.0))
+                                .cast("int") + 1)).alias("h"),
+            F.element_at(pow7, ((F.col("r") - 1) % 21).cast("int") + 1)
+            .alias("p"),
+        )
     )
     reps = (
-        base.select("event_id", "event_type", "xq",
-                    F.explode(F.sequence(F.lit(1), F.lit(_BH_R))).alias("r"))
-        .select("event_type", "xq", "r", bit.alias("bit"))
+        picked.select("event_type", "xq", "r",
+                      F.expr("(h div p) % 7").alias("bit"))
         .groupBy("event_type", "r")
         .agg(
             F.sum(F.when(F.col("bit") >= 5, 1).otherwise(0))
