@@ -288,6 +288,9 @@ EXTRA = {
     "q_conformal_interval": _staged("q_conformal_interval"),
     "q_weibull_fit": _staged("q_weibull_fit"),
     "q_capture_recapture": _staged("q_capture_recapture"),
+    "q_abc_parts": _staged("q_abc_parts"),
+    "q_basket_rules": _staged("q_basket_rules"),
+    "q_price_elasticity": _staged("q_price_elasticity"),
 }
 
 

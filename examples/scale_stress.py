@@ -152,6 +152,10 @@ QUERIES = [
     "q_conformal_interval",
     "q_weibull_fit",
     "q_capture_recapture",
+    # r5 continuation batch J: retail analytics on the TPC-H star
+    "q_abc_parts",
+    "q_basket_rules",
+    "q_price_elasticity",
 ]
 
 

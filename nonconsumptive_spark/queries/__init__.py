@@ -117,7 +117,8 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # did_readout, link_prediction, readability_panel, gries_dp,
 # eb_shrinkage, covariate_balance, qini_curve, harmonic_centrality,
 # markov_absorption, nearest_centroid_eval, keyphrase_cvalue,
-# conformal_interval, weibull_fit, capture_recapture.
+# conformal_interval, weibull_fit, capture_recapture, abc_parts,
+# basket_rules, price_elasticity.
 # Stream-only surface this session: streaming/conformal.py (live
 # coverage monitor under a frozen calibration; pytest-only,
 # chunked == batch exact).

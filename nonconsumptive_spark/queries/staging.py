@@ -4410,3 +4410,248 @@ def q_capture_recapture(spark, sf_dir):
         F.when(m > 0, F.round(n1.cast("double") * n2 / m, 6)
                + F.lit(0.0)).alias("n_lincoln_petersen"),
     )
+
+
+# -- ABC (Pareto) inventory classification -----------------------------------
+@_stage(
+    "q_abc_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(100 * l_extendedprice
+                                 * (1 - l_discount) + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS t FROM rev),
+    ranked AS (
+      SELECT l_partkey, rev_c,
+             CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_c
+      FROM rev),
+    classed AS (
+      SELECT l_partkey, rev_c,
+             CASE WHEN cum_c * 100 <= t * 80 THEN 'A'
+                  WHEN cum_c * 100 <= t * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked CROSS JOIN tot)
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+           round(CAST(sum(rev_c) AS BIGINT)
+                 / CAST((SELECT t FROM tot) AS DOUBLE), 6) + 0.0
+             AS revenue_share
+    FROM classed GROUP BY abc
+    """,
+)
+def q_abc_parts(spark, sf_dir):
+    """ABC (Pareto) classification of parts by discounted revenue:
+    A = parts inside the first 80% of cumulative revenue, B to 95%,
+    C the tail — the inventory-analytics read of 'which 20% of SKUs
+    carry the business', here over the TPC-H star.  Revenue quantizes
+    to exact cents per row BEFORE any sum, the cumulative class test is
+    an integer cross-multiplication (cum*100 <= tot*80), and the only
+    float is the final share division.  Plan: one part-keyed agg, one
+    window over the #parts spine, a 1-row total attach."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(100 * F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")) + F.lit(0.5))
+              .cast("long")).cast("long").alias("rev_c"))
+    tot = rev.agg(F.sum("rev_c").cast("long").alias("t"))
+    w = (Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = rev.select(
+        "l_partkey", "rev_c",
+        F.sum("rev_c").over(w).cast("long").alias("cum_c"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev_c", "t",
+        F.when(F.col("cum_c") * 100 <= F.col("t") * 80, F.lit("A"))
+        .when(F.col("cum_c") * 100 <= F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C")).alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(F.count("*").cast("long").alias("n_parts"),
+             F.sum("rev_c").cast("long").alias("revenue_c"),
+             F.max("t").alias("t"))
+        .select("abc", "n_parts", "revenue_c",
+                (F.round(F.col("revenue_c") / F.col("t").cast("double"), 6)
+                 + F.lit(0.0)).alias("revenue_share"))
+    )
+
+
+# -- market-basket association rules over brand baskets ----------------------
+_MB_MIN_SUPP = 10
+_MB_TOP = 20
+
+
+@_stage(
+    "q_basket_rules",
+    f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+           FROM baskets),
+    supp1 AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS s
+      FROM baskets GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS supp_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MB_MIN_SUPP}),
+    scored AS (
+      SELECT p.brand_a, p.brand_b, p.supp_ab,
+             sa.s AS supp_a, sb.s AS supp_b,
+             CAST(floor(1000000.0 * ((CAST(p.supp_ab AS DOUBLE) * n.n_orders)
+                  / (CAST(sa.s AS DOUBLE) * sb.s))) AS BIGINT) AS lift_q
+      FROM pairs p
+      JOIN supp1 sa ON sa.p_brand = p.brand_a
+      JOIN supp1 sb ON sb.p_brand = p.brand_b
+      CROSS JOIN nb n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               ORDER BY lift_q DESC, brand_a ASC, brand_b ASC) AS rn
+      FROM scored)
+    SELECT brand_a, brand_b, supp_ab, supp_a, supp_b,
+           round(CAST(supp_ab AS DOUBLE) / supp_a, 6) + 0.0 AS confidence,
+           round(lift_q / 1000000.0, 6) + 0.0 AS lift
+    FROM ranked WHERE rn <= {_MB_TOP}
+    """,
+)
+def q_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order->brand baskets:
+    support / confidence / lift for the top-{top} brand pairs by lift —
+    the q_event_type_lift pattern applied to the TPC-H star (a brand
+    dimension join builds the baskets).  Lift floor-quantizes to 1e6
+    before the rank so the cut is deterministic; supports are exact
+    order counts.  Scale shape: baskets are one distinct projection;
+    the pair join keys on l_orderkey with fan-out bounded by basket
+    width (<= distinct brands per order); supports broadcast."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    baskets = (li.join(part, li["l_partkey"] == part["p_partkey"])
+               .select("l_orderkey", "p_brand").distinct())
+    baskets = materialize_once(baskets, "mb_baskets")  # pairs + supports
+    nb = baskets.agg(F.countDistinct("l_orderkey").cast("long")
+                     .alias("n_orders"))
+    supp1 = baskets.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("s"))
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= _MB_MIN_SUPP)
+    )
+    sa = supp1.select(F.col("p_brand").alias("brand_a"),
+                      F.col("s").alias("supp_a"))
+    sb = supp1.select(F.col("p_brand").alias("brand_b"),
+                      F.col("s").alias("supp_b"))
+    scored = (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a", "brand_b", "supp_ab", "supp_a", "supp_b",
+            F.floor(F.lit(1e6) * ((F.col("supp_ab").cast("double")
+                                   * F.col("n_orders"))
+                                  / (F.col("supp_a").cast("double")
+                                     * F.col("supp_b"))))
+            .cast("long").alias("lift_q"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift_q"), F.asc("brand_a"), F.asc("brand_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MB_TOP)
+        .select("brand_a", "brand_b", "supp_ab", "supp_a", "supp_b",
+                (F.round(F.col("supp_ab").cast("double")
+                         / F.col("supp_a"), 6) + F.lit(0.0))
+                .alias("confidence"),
+                (F.round(F.col("lift_q") / F.lit(1e6), 6) + F.lit(0.0))
+                .alias("lift"))
+    )
+
+
+# -- log-log price elasticity per return flag --------------------------------
+@_stage(
+    "q_price_elasticity",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(floor(100 * l_extendedprice + 0.5) AS BIGINT) AS pc,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qq
+      FROM lineitem
+      WHERE l_quantity > 0 AND l_extendedprice > 0),
+    pts AS (
+      SELECT l_returnflag,
+             CAST(floor(10000.0 * ln(CAST(pc AS DOUBLE) / qq)) AS BIGINT)
+               AS xq,
+             CAST(floor(10000.0 * ln(CAST(qq AS DOUBLE))) AS BIGINT)
+               AS yq
+      FROM base),
+    ols AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx
+      FROM pts GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) + 0.0 AS elasticity
+    FROM ols
+    """,
+)
+def q_price_elasticity(spark, sf_dir):
+    """Log-log OLS price elasticity of demand per return flag:
+    d ln(qty) / d ln(unit price) — the demand-curve slope read straight
+    off the lineitem fact table (elasticity ~ -1 means revenue-neutral
+    pricing).  ln-points floor-quantize to 1e6 BIGINTs (the weibull OLS
+    discipline: integer cross-products, ONE float division); rows with
+    zero quantity or price are excluded identically on both engines.
+    Plan: one zero-shuffle scan into a flag-keyed 1-agg."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter((F.col("l_quantity") > 0)
+                     & (F.col("l_extendedprice") > 0)).select(
+        "l_returnflag",
+        F.floor(100 * F.col("l_extendedprice") + F.lit(0.5)).cast("long")
+        .alias("pc"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qq"),
+    )
+    # 1e4 ln-quantization: xq^2 sums stay below 2^63 even at 100x the
+    # sf0.1 row count; the Cramer products then run in mirrored doubles
+    pts = base.select(
+        "l_returnflag",
+        F.floor(F.lit(1e4) * F.log(F.col("pc").cast("double")
+                                   / F.col("qq"))).cast("long").alias("xq"),
+        F.floor(F.lit(1e4) * F.log(F.col("qq").cast("double")))
+        .cast("long").alias("yq"),
+    )
+    ols = pts.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    return ols.select(
+        "l_returnflag", "n",
+        (F.round((F.col("n").cast("double") * F.col("sxy")
+                  - F.col("sx").cast("double") * F.col("sy"))
+                 / (F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")), 6)
+         + F.lit(0.0)).alias("elasticity"),
+    )

@@ -253,3 +253,81 @@ def test_capture_recapture_hand_computed(spark, tmp_path):
     assert got["n_lincoln_petersen"] == 45.0
     # estimator covers the true population (25) within 2 SE
     assert abs(got["n_chapman"] - 25) <= 2 * got["se_chapman"] + 20
+
+
+# ---------------------------------------------------------------------------
+# ABC: shares sum to 1, class revenue ordering A >= B-per-part >= C-per-part
+# ---------------------------------------------------------------------------
+
+
+def test_abc_parts_partition(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    rows = {r["abc"]: r for r in
+            STAGED["q_abc_parts"][0](spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-4
+    # Pareto shape: A has at least the revenue of B, B of C
+    assert rows["A"]["revenue_c"] >= rows["B"]["revenue_c"] \
+        >= rows["C"]["revenue_c"]
+
+
+# ---------------------------------------------------------------------------
+# Basket rules: confidence and lift recompute from the support columns
+# ---------------------------------------------------------------------------
+
+
+def test_basket_rules_identities(spark):
+    from nonconsumptive_spark.queries.staging import STAGED, _MB_MIN_SUPP
+    import duckdb
+
+    n_orders = duckdb.connect().execute(
+        f"""SELECT count(DISTINCT l_orderkey)
+            FROM '{SF}/lineitem.parquet'""").fetchone()[0]
+    rows = STAGED["q_basket_rules"][0](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["supp_ab"] >= _MB_MIN_SUPP
+        assert r["supp_ab"] <= min(r["supp_a"], r["supp_b"])
+        assert abs(r["confidence"] - round(r["supp_ab"] / r["supp_a"], 6)) \
+            < 1e-9
+        lift = r["supp_ab"] * n_orders / (r["supp_a"] * r["supp_b"])
+        assert abs(r["lift"] - lift) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Elasticity: a constructed exact power law qty = c * price^(-2) recovers
+# elasticity -2 (up to ln-quantization)
+# ---------------------------------------------------------------------------
+
+
+def test_price_elasticity_power_law(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    rows = []
+    # prices chosen so qty = 1600/p^2 is integral (qty is rounded to an
+    # integer in the operator, which would bend a non-integral law)
+    for i, unit_price in enumerate([1.0, 2.0, 4.0, 5.0, 10.0] * 4):
+        qty = 1600.0 / (unit_price ** 2)
+        rows.append((100 + i, i % 7, i % 3, 1, qty, unit_price * qty,
+                     0.0, 0.0, "N", "O", "2024-01-05 00:00:00"))
+    tb = pa.table({
+        "l_orderkey": [r[0] for r in rows],
+        "l_partkey": [r[1] for r in rows],
+        "l_suppkey": [r[2] for r in rows],
+        "l_linenumber": [r[3] for r in rows],
+        "l_quantity": [r[4] for r in rows],
+        "l_extendedprice": [r[5] for r in rows],
+        "l_discount": [r[6] for r in rows],
+        "l_tax": [r[7] for r in rows],
+        "l_returnflag": [r[8] for r in rows],
+        "l_linestatus": [r[9] for r in rows],
+        "l_shipdate": [r[10] for r in rows],
+    })
+    pq.write_table(tb, str(tmp_path / "lineitem.parquet"))
+    got = STAGED["q_price_elasticity"][0](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert abs(got[0]["elasticity"] - (-2.0)) < 0.01

@@ -164,6 +164,8 @@ BNLJ_WHITELIST = {
     "q_conformal_interval",   # 1-row q_hat + k-index attaches onto the scan
     "q_weibull_fit",          # KM's 1-row attaches + 1-row OLS-moment attach
     "q_capture_recapture",    # 1-row observation-span attach onto the scan
+    "q_abc_parts",            # 1-row revenue-total attach onto the part spine
+    "q_basket_rules",         # 1-row n_orders attach onto the pair frame
 }
 
 
