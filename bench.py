@@ -291,6 +291,8 @@ EXTRA = {
     "q_abc_parts": _staged("q_abc_parts"),
     "q_basket_rules": _staged("q_basket_rules"),
     "q_price_elasticity": _staged("q_price_elasticity"),
+    "q_logrank_test": _staged("q_logrank_test"),
+    "q_friedman_daily": _staged("q_friedman_daily"),
 }
 
 

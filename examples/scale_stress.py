@@ -156,6 +156,9 @@ QUERIES = [
     "q_abc_parts",
     "q_basket_rules",
     "q_price_elasticity",
+    # r5 continuation batch K: statistical-test family completions
+    "q_logrank_test",
+    "q_friedman_daily",
 ]
 
 

@@ -118,7 +118,7 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # eb_shrinkage, covariate_balance, qini_curve, harmonic_centrality,
 # markov_absorption, nearest_centroid_eval, keyphrase_cvalue,
 # conformal_interval, weibull_fit, capture_recapture, abc_parts,
-# basket_rules, price_elasticity.
+# basket_rules, price_elasticity, logrank_test, friedman_daily.
 # Stream-only surface this session: streaming/conformal.py (live
 # coverage monitor under a frozen calibration; pytest-only,
 # chunked == batch exact).

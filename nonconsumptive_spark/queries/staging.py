@@ -4655,3 +4655,263 @@ def q_price_elasticity(spark, sf_dir):
                     - F.col("sx").cast("double") * F.col("sx")), 6)
          + F.lit(0.0)).alias("elasticity"),
     )
+
+
+# -- log-rank test between user cohorts --------------------------------------
+_LR_CENS_DAYS = 7   # the q_kaplan_meier censoring convention
+_LR_Q = 10**9
+
+
+@_stage(
+    "q_logrank_test",
+    f"""
+    WITH pu AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    obs AS (SELECT max(ts) AS end_ts FROM events),
+    durs AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g,
+             CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(last_ts AS DATE)) AS BIGINT) AS dur,
+             CASE WHEN last_ts < end_ts - INTERVAL {_LR_CENS_DAYS} DAY
+                  THEN 1 ELSE 0 END AS ev
+      FROM pu CROSS JOIN obs),
+    gt AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_users FROM durs GROUP BY g),
+    tbl AS (
+      SELECT g, dur, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM durs GROUP BY g, dur),
+    grid AS (
+      SELECT gg.g, dd.dur,
+             CAST(coalesce(t.n_all, 0) AS BIGINT) AS n_all,
+             CAST(coalesce(t.d, 0) AS BIGINT) AS d
+      FROM (SELECT DISTINCT dur FROM tbl) dd
+      CROSS JOIN (SELECT DISTINCT g FROM gt) gg
+      LEFT JOIN tbl t ON t.g = gg.g AND t.dur = dd.dur),
+    risk AS (
+      SELECT g, dur, d,
+             CAST((SELECT n_users FROM gt WHERE gt.g = grid.g)
+                  - COALESCE(sum(n_all) OVER (
+                      PARTITION BY g ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM grid),
+    wide AS (
+      SELECT dur,
+             CAST(sum(CASE WHEN g = 1 THEN d ELSE 0 END) AS BIGINT) AS d_a,
+             CAST(sum(CASE WHEN g = 0 THEN d ELSE 0 END) AS BIGINT) AS d_b,
+             CAST(sum(CASE WHEN g = 1 THEN n_risk ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN g = 0 THEN n_risk ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM risk GROUP BY dur),
+    terms AS (
+      SELECT CAST(floor({_LR_Q}.0 * (d_a - (d_a + d_b)
+                   * (CAST(n_a AS DOUBLE) / (n_a + n_b)))) AS BIGINT)
+               AS oe_q,
+             CAST(floor({_LR_Q}.0 * (((d_a + d_b)
+                   * (CAST(n_a AS DOUBLE) / (n_a + n_b))
+                   * (CAST(n_b AS DOUBLE) / (n_a + n_b))
+                   * (n_a + n_b - d_a - d_b)) / (n_a + n_b - 1)))
+               AS BIGINT) AS v_q
+      FROM wide
+      WHERE d_a + d_b > 0 AND n_a + n_b > 1),
+    agg AS (
+      SELECT CAST(coalesce(sum(oe_q), 0) AS BIGINT) AS oe_s,
+             CAST(coalesce(sum(v_q), 0) AS BIGINT) AS v_s
+      FROM terms)
+    SELECT (SELECT n_users FROM gt WHERE g = 1) AS n_treat,
+           (SELECT n_users FROM gt WHERE g = 0) AS n_control,
+           oe_s, v_s,
+           CASE WHEN v_s > 0 THEN
+             round(((oe_s / {_LR_Q}.0) * (oe_s / {_LR_Q}.0))
+                   / (v_s / {_LR_Q}.0), 6) + 0.0
+           END AS chi2
+    FROM agg
+    """,
+)
+def q_logrank_test(spark, sf_dir):
+    """Log-rank (Mantel-Cox) test of survival-curve equality between the
+    odd/even user cohorts — the hypothesis test the KM / Nelson-Aalen /
+    Weibull descriptive battery was missing: at each event time the
+    observed-minus-expected treatment events and the hypergeometric
+    variance accumulate; chi2 = (sum O-E)^2 / sum V on 1 df.  Per-time
+    terms floor-quantize to 1e-9 BIGINTs (each is a mirrored chain over
+    exact risk-set integers), so the sums are order-free.  Plan: one
+    user agg, the KM duration-spine windows PARTITIONED BY cohort, one
+    1-row agg."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"),
+                                   F.max("ts").alias("last_ts"))
+    obs = ev.agg(F.max("ts").alias("end_ts"))
+    durs = pu.crossJoin(F.broadcast(obs)).select(
+        F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(F.lit(0))
+        .alias("g"),
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+        .cast("long").alias("dur"),
+        F.when(F.col("last_ts") < F.col("end_ts")
+               - F.expr(f"INTERVAL {_LR_CENS_DAYS} DAYS"), F.lit(1))
+        .otherwise(F.lit(0)).alias("ev"),
+    )
+    durs = materialize_once(durs, "lr_durs")  # totals AND the table
+    gt = durs.groupBy("g").agg(F.count("*").cast("long").alias("n_users"))
+    tbl = durs.groupBy("g", "dur").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum("ev").cast("long").alias("d"))
+    tbl = materialize_once(tbl, "lr_tbl")  # grid spine AND values
+    grid = (
+        tbl.select("dur").distinct()
+        .crossJoin(F.broadcast(gt.select("g")))
+        .join(tbl, ["g", "dur"], "left")
+        .select("g", "dur",
+                F.coalesce("n_all", F.lit(0)).cast("long").alias("n_all"),
+                F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+    )
+    w_prev = (Window.partitionBy("g").orderBy("dur")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    risk = (
+        grid.join(F.broadcast(gt), "g")
+        .select("g", "dur", "d",
+                (F.col("n_users")
+                 - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0)))
+                .cast("long").alias("n_risk"))
+    )
+    wide = risk.groupBy("dur").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0))
+        .cast("long").alias("d_a"),
+        F.sum(F.when(F.col("g") == 0, F.col("d")).otherwise(0))
+        .cast("long").alias("d_b"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_risk")).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("g") == 0, F.col("n_risk")).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    d = F.col("d_a") + F.col("d_b")
+    terms = wide.filter((d > 0) & (n > 1)).select(
+        F.floor(F.lit(float(_LR_Q))
+                * (F.col("d_a")
+                   - d * (F.col("n_a").cast("double") / n)))
+        .cast("long").alias("oe_q"),
+        F.floor(F.lit(float(_LR_Q))
+                * ((d * (F.col("n_a").cast("double") / n)
+                    * (F.col("n_b").cast("double") / n)
+                    * (n - d)) / (n - 1)))
+        .cast("long").alias("v_q"),
+    )
+    # fully-censored spines (no observed events) leave terms empty:
+    # coalesce to 0 and guard chi2 with an explicit mirrored NULL
+    agg = terms.agg(
+        F.coalesce(F.sum("oe_q"), F.lit(0)).cast("long").alias("oe_s"),
+        F.coalesce(F.sum("v_q"), F.lit(0)).cast("long").alias("v_s"))
+    nt = gt.filter(F.col("g") == 1).select(
+        F.col("n_users").alias("n_treat"))
+    nc = gt.filter(F.col("g") == 0).select(
+        F.col("n_users").alias("n_control"))
+    return (
+        agg.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nc))
+        .select(
+            "n_treat", "n_control", "oe_s", "v_s",
+            F.when(F.col("v_s") > 0, F.round(
+                ((F.col("oe_s") / F.lit(float(_LR_Q)))
+                 * (F.col("oe_s") / F.lit(float(_LR_Q))))
+                / (F.col("v_s") / F.lit(float(_LR_Q))), 6)
+                + F.lit(0.0)).alias("chi2"),
+        )
+    )
+
+
+# -- Friedman blocked rank test over the daily type mix ----------------------
+@_stage(
+    "q_friedman_daily",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT d.day, t.event_type, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+      FROM days d CROSS JOIN types t
+      LEFT JOIN cnt c ON c.day = d.day AND c.event_type = t.event_type),
+    rn AS (
+      SELECT day, event_type, c,
+             CAST(row_number() OVER (
+               PARTITION BY day ORDER BY c, event_type) AS BIGINT) AS r
+      FROM grid),
+    mid AS (
+      SELECT day, c, CAST(min(r) + max(r) AS BIGINT) AS mr2
+      FROM rn GROUP BY day, c),
+    ranked AS (
+      SELECT r.event_type, m.mr2
+      FROM rn r JOIN mid m ON m.day = r.day AND m.c = r.c),
+    rsum AS (
+      SELECT event_type, CAST(sum(mr2) AS BIGINT) AS r2
+      FROM ranked GROUP BY event_type),
+    dims AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM types) AS k),
+    agg AS (
+      SELECT CAST(sum(r2 * r2) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS k_chk
+      FROM rsum)
+    SELECT d.n AS n_days, d.k AS k_types,
+           round(3.0 * a.ss / (d.n * d.k * (d.k + 1))
+                 - 3.0 * d.n * (d.k + 1), 6) + 0.0 AS q_stat
+    FROM agg a CROSS JOIN dims d
+    """,
+)
+def q_friedman_daily(spark, sf_dir):
+    """Friedman blocked rank test: do the event types keep the SAME
+    volume ordering across days?  Blocks = days, treatments = types,
+    within-day MIDRANKS carried doubled (min_rank + max_rank per tied
+    count — exact integers), so the rank sums and the statistic
+    Q = 3*sum(R2_j^2)/(n k (k+1)) - 3 n (k+1) (the R = R2/2
+    substitution, no tie-correction denominator — documented) are pure
+    integer arithmetic with one mirrored float chain.  The blocked
+    companion to q_kruskal_wallis's one-way test.  Plan: one (day,
+    type) agg, day-partitioned windows over the #days x #types grid,
+    two 1-row attaches."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    cnt = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("c"))
+    cnt = materialize_once(cnt, "fr_cnt")  # spine dims AND values
+    days = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct()
+    grid = (days.crossJoin(F.broadcast(types))
+            .join(cnt, ["day", "event_type"], "left")
+            .select("day", "event_type",
+                    F.coalesce("c", F.lit(0)).cast("long").alias("c")))
+    w = Window.partitionBy("day").orderBy("c", "event_type")
+    rn = grid.select("day", "event_type", "c",
+                     F.row_number().over(w).cast("long").alias("r"))
+    rn = materialize_once(rn, "fr_rn")  # midranks AND the join back
+    mid = rn.groupBy("day", "c").agg(
+        (F.min("r") + F.max("r")).cast("long").alias("mr2"))
+    ranked = rn.join(mid, ["day", "c"])
+    rsum = ranked.groupBy("event_type").agg(
+        F.sum("mr2").cast("long").alias("r2"))
+    nd = days.agg(F.count("*").cast("long").alias("n"))
+    kt = types.agg(F.count("*").cast("long").alias("k"))
+    agg = rsum.agg(F.sum(F.col("r2") * F.col("r2")).cast("long")
+                   .alias("ss"))
+    return (
+        agg.crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(kt))
+        .select(
+            F.col("n").alias("n_days"), F.col("k").alias("k_types"),
+            (F.round(F.lit(3.0) * F.col("ss")
+                     / (F.col("n") * F.col("k") * (F.col("k") + 1))
+                     - F.lit(3.0) * F.col("n") * (F.col("k") + 1), 6)
+             + F.lit(0.0)).alias("q_stat"),
+        )
+    )

@@ -331,3 +331,83 @@ def test_price_elasticity_power_law(spark, tmp_path):
     got = STAGED["q_price_elasticity"][0](spark, str(tmp_path)).collect()
     assert len(got) == 1
     assert abs(got[0]["elasticity"] - (-2.0)) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Log-rank: identical cohort survival gives O-E ~ 0 and chi2 ~ 0; the
+# variance sum is positive
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_identical_cohorts_null(spark, tmp_path):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    # users u and u+1 (one odd, one even) get IDENTICAL lifetimes
+    rows, eid = [], 0
+    for pair in range(15):
+        span = pair % 9  # lifetime days
+        for u in (2 * pair, 2 * pair + 1):
+            t0 = dt.datetime(2024, 1, 1) + dt.timedelta(hours=u)
+            rows.append((eid, t0, u, "view", 1.0)); eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=span), u, "view", 1.0))
+            eid += 1
+    # observation tail so early pairs are uncensored
+    rows.append((eid, dt.datetime(2024, 2, 15), 998, "view", 1.0))
+    _write_events(tmp_path, rows)
+    got = STAGED["q_logrank_test"][0](spark, str(tmp_path)).collect()[0]
+    assert got["v_s"] > 0
+    # identical survival (up to the one tail-marker user) => |O-E| < 1
+    assert abs(got["oe_s"]) < 10**9
+    assert got["chi2"] < 0.05
+
+
+def test_logrank_real_table_sane(spark):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    got = STAGED["q_logrank_test"][0](spark, SF).collect()[0]
+    assert got["n_treat"] + got["n_control"] > 0
+    if got["v_s"] > 0:
+        assert got["chi2"] >= 0.0
+    else:  # fully censored at tiny SF: explicit NULL, not a crash
+        assert got["chi2"] is None
+
+
+# ---------------------------------------------------------------------------
+# Friedman: all-tied days give Q = 0 exactly; a perfectly consistent
+# ordering recovers the closed form 12n*sum(j^2)/(k(k+1)) - 3n(k+1)
+# ---------------------------------------------------------------------------
+
+
+def _friedman_events(tmp_path, day_counts):
+    rows, eid = [], 0
+    for d, per_type in enumerate(day_counts):
+        for t, (typ, c) in enumerate(per_type.items()):
+            for i in range(c):
+                rows.append((eid, dt.datetime(2024, 1, 1 + d, 1 + t, i),
+                             eid % 11, typ, 1.0))
+                eid += 1
+    _write_events(tmp_path, rows)
+
+
+def test_friedman_all_tied_is_zero(spark, tmp_path):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    days = [{"click": 3, "view": 3, "error": 3} for _ in range(6)]
+    _friedman_events(tmp_path, days)
+    got = STAGED["q_friedman_daily"][0](spark, str(tmp_path)).collect()[0]
+    assert (got["n_days"], got["k_types"]) == (6, 3)
+    assert got["q_stat"] == 0.0
+
+
+def test_friedman_perfect_ordering_closed_form(spark, tmp_path):
+    from nonconsumptive_spark.queries.staging import STAGED
+
+    n, k = 7, 4
+    types = ["a", "b", "c", "d"]
+    days = [{t: 10 * (j + 1) for j, t in enumerate(types)}
+            for _ in range(n)]
+    _friedman_events(tmp_path, days)
+    got = STAGED["q_friedman_daily"][0](spark, str(tmp_path)).collect()[0]
+    expect = round(12.0 * n * sum(j * j for j in range(1, k + 1))
+                   / (k * (k + 1)) - 3.0 * n * (k + 1), 6)
+    assert got["q_stat"] == expect

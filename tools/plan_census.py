@@ -166,6 +166,8 @@ BNLJ_WHITELIST = {
     "q_capture_recapture",    # 1-row observation-span attach onto the scan
     "q_abc_parts",            # 1-row revenue-total attach onto the part spine
     "q_basket_rules",         # 1-row n_orders attach onto the pair frame
+    "q_logrank_test",         # KM-style 1-row totals + cohort-spine attaches
+    "q_friedman_daily",       # #days x #types grid build + two 1-row attaches
 }
 
 
