@@ -238,67 +238,84 @@ EXTRA = {
     "q_xcorr_types": _registry("q_xcorr_types"),
     # round-5 additions
     "q_encoded_quadgrams": _registry("q_encoded_quadgrams"),
-    "q_g2_collocations": _staged("q_g2_collocations"),
-    "q_cohens_d_sources": _staged("q_cohens_d_sources"),
-    "q_permutation_test": _staged("q_permutation_test"),
-    "q_holt_linear_daily": _staged("q_holt_linear_daily"),
-    "q_seq_pattern_pairs": _staged("q_seq_pattern_pairs"),
-    "q_rm3_expansion": _staged("q_rm3_expansion"),
-    "q_gunning_fog": _staged("q_gunning_fog"),
-    "q_grubbs_outlier": _staged("q_grubbs_outlier"),
-    "q_keyness_terms": _staged("q_keyness_terms"),
-    "q_skew_report": _staged("q_skew_report"),
-    "q_zeta_markers": _staged("q_zeta_markers"),
-    "q_fk_integrity": _staged("q_fk_integrity"),
-    "q_mcnemar_langid": _staged("q_mcnemar_langid"),
-    "q_audio_window_energy": _staged("q_audio_window_energy"),
-    "q_log_odds_dirichlet": _staged("q_log_odds_dirichlet"),
-    "q_mantel_haenszel": _staged("q_mantel_haenszel"),
-    "q_juilland_dispersion": _staged("q_juilland_dispersion"),
-    "q_brier_decomposition": _staged("q_brier_decomposition"),
-    "q_langid_prf": _staged("q_langid_prf"),
-    "q_gain_chart": _staged("q_gain_chart"),
-    "q_ann_recall_curve": _staged("q_ann_recall_curve"),
-    "q_isotonic_bins": _staged("q_isotonic_bins"),
-    "q_von_neumann_ratio": _staged("q_von_neumann_ratio"),
-    "q_simpson_flip": _staged("q_simpson_flip"),
-    "q_odds_ratio_ci": _staged("q_odds_ratio_ci"),
-    "q_cuped_abtest": _staged("q_cuped_abtest"),
-    "q_time_to_convert": _staged("q_time_to_convert"),
-    "q_sprt_daily": _staged("q_sprt_daily"),
-    "q_theil_sen_slope": _staged("q_theil_sen_slope"),
-    "q_avg_precision": _staged("q_avg_precision"),
-    "q_bh_fdr": _staged("q_bh_fdr"),
-    "q_err_eval": _staged("q_err_eval"),
-    "q_bradley_terry": _staged("q_bradley_terry"),
-    "q_lm_jm_topk": _staged("q_lm_jm_topk"),
-    "q_shapley_attribution": _staged("q_shapley_attribution"),
-    "q_nelson_aalen": _staged("q_nelson_aalen"),
-    "q_did_readout": _staged("q_did_readout"),
-    "q_link_prediction": _staged("q_link_prediction"),
-    "q_readability_panel": _staged("q_readability_panel"),
-    "q_gries_dp": _staged("q_gries_dp"),
-    "q_eb_shrinkage": _staged("q_eb_shrinkage"),
-    "q_covariate_balance": _staged("q_covariate_balance"),
-    "q_qini_curve": _staged("q_qini_curve"),
-    "q_harmonic_centrality": _staged("q_harmonic_centrality"),
-    "q_markov_absorption": _staged("q_markov_absorption"),
-    "q_nearest_centroid_eval": _staged("q_nearest_centroid_eval"),
-    "q_keyphrase_cvalue": _staged("q_keyphrase_cvalue"),
-    "q_conformal_interval": _staged("q_conformal_interval"),
-    "q_weibull_fit": _staged("q_weibull_fit"),
-    "q_capture_recapture": _staged("q_capture_recapture"),
-    "q_abc_parts": _staged("q_abc_parts"),
-    "q_basket_rules": _staged("q_basket_rules"),
-    "q_price_elasticity": _staged("q_price_elasticity"),
-    "q_logrank_test": _staged("q_logrank_test"),
-    "q_friedman_daily": _staged("q_friedman_daily"),
+    "q_g2_collocations": _registry("q_g2_collocations"),
+    "q_cohens_d_sources": _registry("q_cohens_d_sources"),
+    "q_permutation_test": _registry("q_permutation_test"),
+    "q_holt_linear_daily": _registry("q_holt_linear_daily"),
+    "q_seq_pattern_pairs": _registry("q_seq_pattern_pairs"),
+    "q_rm3_expansion": _registry("q_rm3_expansion"),
+    "q_gunning_fog": _registry("q_gunning_fog"),
+    "q_grubbs_outlier": _registry("q_grubbs_outlier"),
+    "q_keyness_terms": _registry("q_keyness_terms"),
+    "q_skew_report": _registry("q_skew_report"),
+    "q_zeta_markers": _registry("q_zeta_markers"),
+    "q_fk_integrity": _registry("q_fk_integrity"),
+    "q_mcnemar_langid": _registry("q_mcnemar_langid"),
+    "q_audio_window_energy": _registry("q_audio_window_energy"),
+    "q_log_odds_dirichlet": _registry("q_log_odds_dirichlet"),
+    "q_mantel_haenszel": _registry("q_mantel_haenszel"),
+    "q_juilland_dispersion": _registry("q_juilland_dispersion"),
+    "q_brier_decomposition": _registry("q_brier_decomposition"),
+    "q_langid_prf": _registry("q_langid_prf"),
+    "q_gain_chart": _registry("q_gain_chart"),
+    "q_ann_recall_curve": _registry("q_ann_recall_curve"),
+    "q_isotonic_bins": _registry("q_isotonic_bins"),
+    "q_von_neumann_ratio": _registry("q_von_neumann_ratio"),
+    "q_simpson_flip": _registry("q_simpson_flip"),
+    "q_odds_ratio_ci": _registry("q_odds_ratio_ci"),
+    "q_cuped_abtest": _registry("q_cuped_abtest"),
+    "q_time_to_convert": _registry("q_time_to_convert"),
+    "q_sprt_daily": _registry("q_sprt_daily"),
+    "q_theil_sen_slope": _registry("q_theil_sen_slope"),
+    "q_avg_precision": _registry("q_avg_precision"),
+    "q_bh_fdr": _registry("q_bh_fdr"),
+    "q_err_eval": _registry("q_err_eval"),
+    "q_bradley_terry": _registry("q_bradley_terry"),
+    "q_lm_jm_topk": _registry("q_lm_jm_topk"),
+    "q_shapley_attribution": _registry("q_shapley_attribution"),
+    "q_nelson_aalen": _registry("q_nelson_aalen"),
+    "q_did_readout": _registry("q_did_readout"),
+    "q_link_prediction": _registry("q_link_prediction"),
+    "q_readability_panel": _registry("q_readability_panel"),
+    "q_gries_dp": _registry("q_gries_dp"),
+    "q_eb_shrinkage": _registry("q_eb_shrinkage"),
+    "q_covariate_balance": _registry("q_covariate_balance"),
+    "q_qini_curve": _registry("q_qini_curve"),
+    "q_harmonic_centrality": _registry("q_harmonic_centrality"),
+    "q_markov_absorption": _registry("q_markov_absorption"),
+    "q_nearest_centroid_eval": _registry("q_nearest_centroid_eval"),
+    "q_keyphrase_cvalue": _registry("q_keyphrase_cvalue"),
+    "q_conformal_interval": _registry("q_conformal_interval"),
+    "q_weibull_fit": _registry("q_weibull_fit"),
+    "q_capture_recapture": _registry("q_capture_recapture"),
+    "q_abc_parts": _registry("q_abc_parts"),
+    "q_basket_rules": _registry("q_basket_rules"),
+    "q_price_elasticity": _registry("q_price_elasticity"),
+    "q_logrank_test": _registry("q_logrank_test"),
+    "q_friedman_daily": _registry("q_friedman_daily"),
 }
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    # Box-load evidence (VERDICT r5 item 5): the r5 headline inflated
+    # +38% vs r3 uniformly across untouched queries — classic ambient
+    # load.  Capture 1/5/15-min loadavg and a python process census
+    # BEFORE Spark starts (ambient, not self-inflicted), so
+    # "environmental" is a measurement, not an assertion.
+    try:
+        ambient_load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        ambient_load = [-1.0, -1.0, -1.0]
+    try:
+        ambient_procs = sum(
+            1 for p in Path("/proc").iterdir() if p.name.isdigit()
+            and p.name != str(os.getpid())
+            and "python" in (p / "comm").read_text(errors="ignore")
+        )
+    except OSError:
+        ambient_procs = -1
     spark = get_spark("nc-spark-bench")
     registry = all_queries()
 
@@ -371,6 +388,8 @@ def main():
         # rounds were single-pass; see BASELINE.md)
         "methodology": "warm-jvm, warmup + min-of-2; extras on prior line",
         "registry_size": len(all_queries()),
+        "ambient_loadavg": ambient_load,
+        "ambient_python_procs": ambient_procs,
         "sf": sf,
     }))
 

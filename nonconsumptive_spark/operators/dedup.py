@@ -477,7 +477,8 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame | None = None,
     lens = docs.select(
         id_col,
         F.size(tokenize(F.coalesce(F.col(text_col), F.lit(""))))
-        .alias("n_tokens"))  # NULL text = empty
+        .cast("long").alias("n_tokens"))  # NULL text = empty; long, to
+    # match the oracle's BIGINT (the dtype-strict compare gate)
     w = Window.partitionBy("cluster").orderBy(
         F.desc("n_tokens"), F.asc(id_col)
     )

@@ -704,8 +704,14 @@ def link_prediction_panel(edges: DataFrame,
     classic link-prediction scores adamic_adar leaves out, on the same
     candidate discipline: common-neighbor count, the Resource-Allocation
     index sum 1/deg(m) (Zhou et al. 2009 — the empirically strongest
-    simple predictor), and neighborhood Jaccard |N_a ∩ N_b| /
-    |N_a ∪ N_b|.
+    simple predictor), and the degree-capped-wedge Jaccard variant:
+    the numerator counts only common neighbors reachable through middles
+    with deg in [2, max_middle_deg] (the adamic_adar candidate
+    discipline) while the denominator uses full degrees, so it
+    UNDERESTIMATES the exact |N_a ∩ N_b| / |N_a ∪ N_b| for pairs
+    sharing high-degree neighbors — the deliberate scale trade: hub
+    middles generate O(deg^2) wedges and carry near-zero predictive
+    signal.
 
     Exactness: RA weights floor(RA_SCALE/deg) are ONE float division
     over exact integers per middle node, summed as BIGINTs; Jaccard is

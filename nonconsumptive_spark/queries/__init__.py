@@ -86,103 +86,27 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # fills the remaining slots.  Goal: no green row older than two rounds
 # for any code-touched file.
 #
-# ROUND-5 WINDOW (the first 50 below): the 25 registered-but-never-
-# driver-checked queries (r1-r4 union = 174/199; these close the gap),
-# then the four promoted entries whose code changed this round
-# (jaro_winkler SNM rewrite, calibration_bins pos_value, ams_f2 abs
-# rel_err, ktruss converged flag), the four sweep-touched r4
-# re-verification entries displaced by the r4 backlog governor, the new
-# q_encoded_quadgrams, and 16 representatives of the 103-entry promoted
-# cohort (queries/promoted.py) spanning its families: suffix-array
-# repeated regions, query likelihood, CUSUM, Kaplan-Meier, the IR-eval
-# triple, LPA/HITS/components, ABTT, silhouette/k-center, Markov
-# stationary, and the positional-index pair.
+# ROUND-6 WINDOW (the first 50 below): q_kcenter_select (r5's only red
+# row — oracle HUGEINT→BIGINT cast landed, rows were already
+# bit-identical at 3 SFs), then 49 of the 82 registered-but-never-
+# driver-checked promoted-cohort entries in file order.  Cumulative
+# driver-checked after r6: 269 distinct + kcenter green = 270/303.
 #
-# R6+ QUEUE (positions 51+): the remaining 82 promoted entries in file
-# order — every one already green under the driver-grade compare at two
-# SFs (test_oracle_parity + tools/check_staged) — then the longest-
-# unverified re-check tail.
-#
-# ROUND-6 STAGING COHORT (queries/staging.py, verified at both SFs by
-# tests/test_staging.py + tools/check_staged.py, censused, benched as
-# extras, 10x-stressed): g2_collocations, cohens_d_sources,
-# permutation_test, holt_linear_daily, seq_pattern_pairs, rm3_expansion,
-# gunning_fog, grubbs_outlier, keyness_terms, skew_report, zeta_markers,
-# fk_integrity, mcnemar_langid, audio_window_energy, log_odds_dirichlet,
-# mantel_haenszel, juilland_dispersion, brier_decomposition, langid_prf,
-# gain_chart, ann_recall_curve, isotonic_bins, von_neumann_ratio,
-# simpson_flip, odds_ratio_ci, cuped_abtest, time_to_convert,
-# sprt_daily, theil_sen_slope, avg_precision, bh_fdr, err_eval,
-# bradley_terry, lm_jm_topk, shapley_attribution, nelson_aalen,
-# did_readout, link_prediction, readability_panel, gries_dp,
-# eb_shrinkage, covariate_balance, qini_curve, harmonic_centrality,
-# markov_absorption, nearest_centroid_eval, keyphrase_cvalue,
-# conformal_interval, weibull_fit, capture_recapture, abc_parts,
-# basket_rules, price_elasticity, logrank_test, friedman_daily.
-# Stream-only surface this session: streaming/conformal.py (live
-# coverage monitor under a frozen calibration; pytest-only,
-# chunked == batch exact).
-# Promotion = @register +
-# PRIORITY append, exactly like the r5 cohort.  Stream-only surface:
-# streaming/holt.py (pytest-only, chunked == batch structural).
+# R7 QUEUE (positions 51+): the remaining 33 never-checked promoted
+# entries, then the r6-promoted staging cohort (55, queries/promoted_r6
+# section below), then the longest-unverified re-check tail.  All
+# already green under the driver-grade dtype-strict compare at two SFs
+# (test_oracle_parity + tools/check_staged).
 PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked registered queries (25)
-    "q_logdice_collocations",
-    "q_hapax_stats",
-    "q_token_entropy",
-    "q_kn_bigram_logprob",
-    "q_mad_outliers",
-    "q_embedding_decontamination",
-    "q_embedding_dim_corr",
-    "q_source_overlap_matrix",
-    "q_rrf_fusion",
-    "q_hard_negatives",
-    "q_rbo_rankers",
-    "q_decayed_engagement",
-    "q_lang_source_mi",
-    "q_welch_ttest_sources",
-    "q_lang_source_chi2",
-    "q_ks_length_sources",
-    "q_mann_whitney_sources",
-    "q_user_behavior_pairs",
-    "q_sliding_chunks",
-    "q_spearman_len_tokens",
-    "q_daily_autocorr",
-    "q_bpe_fertility",
-    "q_hll_by_group",
-    "q_priority_sample_group",
-    "q_k_anonymity",
-    # -- promoted entries whose code changed this round (4)
-    "q_jaro_winkler_links",
-    "q_calibration_bins",
-    "q_ams_f2",
-    "q_ktruss",
-    # -- sweep-touched r4 re-verifications (4)
-    "q_approx_quantiles",
-    "q_events_json",
-    "q_knn_cosine_lsh",
-    "q_knn_cosine_ivf",
-    # -- new this round (1)
-    "q_encoded_quadgrams",
-    # -- promoted-cohort representatives (16)
-    "q_repeated_regions",
-    "q_query_likelihood",
-    "q_cusum_daily",
-    "q_kaplan_meier",
-    "q_ndcg_eval",
-    "q_mrr_map_eval",
-    "q_rbp_eval",
-    "q_label_propagation",
-    "q_hits_scores",
-    "q_top_component",
-    "q_abtt_residuals",
-    "q_silhouette",
+    # -- oracle dtype fix this round (1): r5's only red row.  Rows were
+    # bit-identical at 3 SFs (judge-verified); the oracle's mind column
+    # was DuckDB HUGEINT vs Spark int64.  Now CAST ... AS BIGINT per the
+    # registry convention, and tools/check_oracle.py is dtype-strict so
+    # this class reproduces as a local failure.
     "q_kcenter_select",
-    "q_markov_stationary",
-    "q_blocklist_match",
-    "q_min_span_indexed",
-    # ------- end of the 50-slot r5 window -------
-    # -- r6+ queue: remaining promoted cohort (82)
+    # -- never-driver-checked burn-down (49): first half of the promoted
+    # cohort queue, file order.  Every one green under the driver-grade
+    # dtype-strict compare at two SFs.
     "q_postings_size_stats",
     "q_percentile_filter",
     "q_normalize_unicode",
@@ -232,6 +156,9 @@ PRIORITY: tuple[str, ...] = (
     "q_binseg_daily",
     "q_runs_test",
     "q_dedup_rate_by_source",
+    # ------- end of the 50-slot r6 window -------
+    # -- r7 queue: remaining never-driver-checked promoted cohort (33),
+    # then the r6-promoted staging cohort appended below.
     "q_cooks_distance",
     "q_sax_daily",
     "q_seasonality_strength",
@@ -266,6 +193,64 @@ PRIORITY: tuple[str, ...] = (
     "q_cluster_representatives",
     "q_kmeans_elbow",
     "q_xcorr_types",
+    # -- r6-promoted staging cohort (55, queries/promoted_r6.py, file
+    # order) — never driver-checked; fills the r7/r8 windows after the
+    # 33 above.
+    "q_g2_collocations",
+    "q_cohens_d_sources",
+    "q_permutation_test",
+    "q_holt_linear_daily",
+    "q_seq_pattern_pairs",
+    "q_rm3_expansion",
+    "q_gunning_fog",
+    "q_grubbs_outlier",
+    "q_keyness_terms",
+    "q_skew_report",
+    "q_zeta_markers",
+    "q_fk_integrity",
+    "q_mcnemar_langid",
+    "q_audio_window_energy",
+    "q_log_odds_dirichlet",
+    "q_mantel_haenszel",
+    "q_juilland_dispersion",
+    "q_brier_decomposition",
+    "q_langid_prf",
+    "q_gain_chart",
+    "q_ann_recall_curve",
+    "q_isotonic_bins",
+    "q_von_neumann_ratio",
+    "q_simpson_flip",
+    "q_odds_ratio_ci",
+    "q_cuped_abtest",
+    "q_time_to_convert",
+    "q_sprt_daily",
+    "q_theil_sen_slope",
+    "q_avg_precision",
+    "q_bh_fdr",
+    "q_err_eval",
+    "q_bradley_terry",
+    "q_lm_jm_topk",
+    "q_shapley_attribution",
+    "q_nelson_aalen",
+    "q_did_readout",
+    "q_link_prediction",
+    "q_readability_panel",
+    "q_gries_dp",
+    "q_eb_shrinkage",
+    "q_covariate_balance",
+    "q_qini_curve",
+    "q_harmonic_centrality",
+    "q_markov_absorption",
+    "q_nearest_centroid_eval",
+    "q_keyphrase_cvalue",
+    "q_conformal_interval",
+    "q_weibull_fit",
+    "q_capture_recapture",
+    "q_abc_parts",
+    "q_basket_rules",
+    "q_price_elasticity",
+    "q_logrank_test",
+    "q_friedman_daily",
     # -- longest-unverified re-check tail
     "q_heaps_fit",
     "q_zipf_slope",
@@ -278,6 +263,56 @@ PRIORITY: tuple[str, ...] = (
     "q_events_sliding",
     "q_events_user_running",
     "q_distinct_cardinality",
+    # -- r5 window, all green in CORRECTNESS_r05 (most recently verified)
+    "q_logdice_collocations",
+    "q_hapax_stats",
+    "q_token_entropy",
+    "q_kn_bigram_logprob",
+    "q_mad_outliers",
+    "q_embedding_decontamination",
+    "q_embedding_dim_corr",
+    "q_source_overlap_matrix",
+    "q_rrf_fusion",
+    "q_hard_negatives",
+    "q_rbo_rankers",
+    "q_decayed_engagement",
+    "q_lang_source_mi",
+    "q_welch_ttest_sources",
+    "q_lang_source_chi2",
+    "q_ks_length_sources",
+    "q_mann_whitney_sources",
+    "q_user_behavior_pairs",
+    "q_sliding_chunks",
+    "q_spearman_len_tokens",
+    "q_daily_autocorr",
+    "q_bpe_fertility",
+    "q_hll_by_group",
+    "q_priority_sample_group",
+    "q_k_anonymity",
+    "q_jaro_winkler_links",
+    "q_calibration_bins",
+    "q_ams_f2",
+    "q_ktruss",
+    "q_approx_quantiles",
+    "q_events_json",
+    "q_knn_cosine_lsh",
+    "q_knn_cosine_ivf",
+    "q_encoded_quadgrams",
+    "q_repeated_regions",
+    "q_query_likelihood",
+    "q_cusum_daily",
+    "q_kaplan_meier",
+    "q_ndcg_eval",
+    "q_mrr_map_eval",
+    "q_rbp_eval",
+    "q_label_propagation",
+    "q_hits_scores",
+    "q_top_component",
+    "q_abtt_residuals",
+    "q_silhouette",
+    "q_markov_stationary",
+    "q_blocklist_match",
+    "q_min_span_indexed",
 )
 
 
@@ -290,6 +325,7 @@ def all_queries() -> dict[str, Query]:
         hybrid,
         multimodal,
         promoted,
+        promoted_r6,
         relational,
         retrieval,
         scalar,

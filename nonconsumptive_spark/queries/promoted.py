@@ -1257,7 +1257,8 @@ def _kcenter_oracle(m: int, grid: int) -> str:
     return (
         "WITH" + ",".join(parts)
         + f"""
-    SELECT CAST(step AS BIGINT) AS step, vec_id, mind
+    SELECT CAST(step AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(mind AS BIGINT) AS mind
     FROM sel{m}"""
     )
 

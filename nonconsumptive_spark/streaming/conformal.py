@@ -68,14 +68,20 @@ def calibrate(events: DataFrame,
 
 def coverage_counts(df: DataFrame, calib_rows, q_hat_q: int) -> DataFrame:
     """(event_type, n_test, n_covered) for one frame under the frozen
-    calibration — the batch kernel both paths share."""
+    calibration — the batch kernel both paths share.
+
+    LEFT join on the calibration table: an event type absent from the
+    frozen calibration (a distribution shift introducing a new type — a
+    key alarm scenario) still gets a counter row, with n_covered = 0
+    (null residual falls to the otherwise-branch), so ``monitor`` flags
+    it as breached instead of it silently vanishing from the counts."""
     spark = df.sparkSession
     mt = F.broadcast(spark.createDataFrame(
         calib_rows, "event_type string, s long, n long"))
     resid = F.floor(F.abs(_xq() - F.col("s").cast("double") / F.col("n"))
                     * 1000).cast("long")
     return (
-        df.join(mt, "event_type")
+        df.join(mt, "event_type", "left")
         .select("event_type", resid.alias("rq"))
         .groupBy("event_type")
         .agg(F.count("*").cast("long").alias("n_test"),

@@ -83,7 +83,7 @@ def test_g2_nonnegative_and_zero_under_exact_independence(spark):
 
 
 def test_cohens_d_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tests.conftest as cf
 
     fn, _ = STAGED["q_cohens_d_sources"]
@@ -119,7 +119,7 @@ def test_cohens_d_matches_brute(spark):
 
 
 def test_permutation_test_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED, _PERM_R
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED, _PERM_R
     import tests.conftest as cf
 
     fn, _ = STAGED["q_permutation_test"]
@@ -225,7 +225,7 @@ def test_holt_tracks_linear_series(spark):
 
 
 def test_seq_pattern_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rng = random.Random(23)
     rows = []
@@ -325,7 +325,7 @@ def test_rm3_matches_brute(spark):
 
 
 def test_gunning_fog_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import re
     import tempfile
 
@@ -367,7 +367,7 @@ def test_gunning_fog_matches_brute(spark):
 
 
 def test_grubbs_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import statistics
     import tests.conftest as cf
 
@@ -460,7 +460,7 @@ def test_keyness_matches_brute(spark):
 
 
 def test_skew_report_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tests.conftest as cf
 
     fn, _ = STAGED["q_skew_report"]
@@ -490,7 +490,7 @@ def test_skew_report_matches_brute(spark):
 
 
 def test_zeta_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import (
+    from nonconsumptive_spark.queries.promoted_r6 import (
         STAGED, _ZETA_MIN_DF, _ZETA_TOPK)
     import re
     import tempfile
@@ -542,7 +542,7 @@ def test_zeta_matches_brute(spark):
 
 
 def test_fk_integrity_counts_planted_orphans(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tempfile
 
     tmp = tempfile.mkdtemp()
@@ -569,7 +569,7 @@ def test_fk_integrity_counts_planted_orphans(spark):
 
 
 def test_mcnemar_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     from nonconsumptive_spark.operators.textstats import lang_id
     from nonconsumptive_spark.queries import load as _load
     import tests.conftest as cf
@@ -597,7 +597,7 @@ def test_mcnemar_matches_brute(spark):
 
 
 def test_log_odds_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import (
+    from nonconsumptive_spark.queries.promoted_r6 import (
         STAGED, _LO_A0, _LO_MIN, _LO_TOPK)
     import re
     import tempfile
@@ -649,7 +649,7 @@ def test_log_odds_matches_brute(spark):
 
 
 def test_mantel_haenszel_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import (
+    from nonconsumptive_spark.queries.promoted_r6 import (
         STAGED, _MH_LONG_DOC, _MH_SCALE)
     import tests.conftest as cf
 
@@ -687,7 +687,7 @@ def test_mantel_haenszel_matches_brute(spark):
 
 
 def test_juilland_extremes(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tempfile
 
     rows = []
@@ -715,7 +715,7 @@ def test_juilland_extremes(spark):
 
 
 def test_brier_decomposition_identity(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tests.conftest as cf
 
     fn, _ = STAGED["q_brier_decomposition"]
@@ -738,7 +738,7 @@ def test_brier_decomposition_identity(spark):
 
 
 def test_langid_prf_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     from nonconsumptive_spark.operators.textstats import lang_id
     from nonconsumptive_spark.queries import load as _load
     import tests.conftest as cf
@@ -768,7 +768,7 @@ def test_langid_prf_matches_brute(spark):
 
 
 def test_gain_chart_invariants(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tests.conftest as cf
 
     fn, _ = STAGED["q_gain_chart"]
@@ -820,7 +820,7 @@ def _brute_pava(ns, ps):
 
 
 def test_isotonic_minimax_equals_classic_pava(spark):
-    from nonconsumptive_spark.queries.staging import STAGED, _ISO_SCALE
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED, _ISO_SCALE
     import tests.conftest as cf
 
     fn, _ = STAGED["q_isotonic_bins"]
@@ -842,7 +842,7 @@ def test_isotonic_minimax_equals_classic_pava(spark):
 
 
 def test_von_neumann_extremes(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tempfile
 
     fn, _ = STAGED["q_von_neumann_ratio"]
@@ -874,7 +874,7 @@ def test_von_neumann_extremes(spark):
 
 
 def test_simpson_flip_detects_planted_paradox(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tempfile
 
     # classic construction: exposed ('aaa', sorts first) wins INSIDE each
@@ -918,7 +918,7 @@ def test_simpson_flip_detects_planted_paradox(spark):
 
 
 def test_odds_ratio_ci_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED, _OR_Z
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED, _OR_Z
     import tests.conftest as cf
 
     fn, _ = STAGED["q_odds_ratio_ci"]
@@ -955,7 +955,7 @@ def test_odds_ratio_ci_matches_brute(spark):
 
 
 def test_cuped_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED, _CUPED_CUT
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED, _CUPED_CUT
     import tests.conftest as cf
 
     fn, _ = STAGED["q_cuped_abtest"]
@@ -1000,7 +1000,7 @@ def test_cuped_matches_brute(spark):
 
 
 def test_time_to_convert_matches_brute(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tests.conftest as cf
 
     fn, _ = STAGED["q_time_to_convert"]
@@ -1039,7 +1039,7 @@ def test_time_to_convert_matches_brute(spark):
 
 
 def test_sprt_detects_rate_jump(spark):
-    from nonconsumptive_spark.queries.staging import (
+    from nonconsumptive_spark.queries.promoted_r6 import (
         STAGED, _SPRT_LO_Q, _SPRT_SCALE, _SPRT_UP_Q)
     import tempfile
 
@@ -1059,7 +1059,7 @@ def test_sprt_detects_rate_jump(spark):
             .parquet(f"{tmp}/events.parquet")
         return sorted(fn(spark, tmp).collect(), key=lambda r: r["day"])
 
-    from nonconsumptive_spark.queries.staging import _SPRT_BASE_DAYS
+    from nonconsumptive_spark.queries.promoted_r6 import _SPRT_BASE_DAYS
 
     # brute LLR replay on a mixed series (baseline = first 7 days)
     rng = random.Random(59)

@@ -39,7 +39,7 @@ def test_theil_sen_exact_on_linear_series(spark, tmp_path):
         "props": [r[5] for r in rows],
     })
     pq.write_table(tb, str(tmp_path / "events.parquet"))
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     out = STAGED["q_theil_sen_slope"][0](spark, str(tmp_path)).collect()[0]
     assert out["n_days"] == 12
@@ -96,7 +96,7 @@ def test_average_precision_perfect_ranking(spark):
 
 
 def test_bh_fdr_stepup_prefix(spark):
-    from nonconsumptive_spark.queries.staging import STAGED, _BH_R
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED, _BH_R
 
     rows = STAGED["q_bh_fdr"][0](spark, SF).collect()
     assert rows, "expected one row per event type"
@@ -116,7 +116,7 @@ def test_bh_fdr_stepup_prefix(spark):
 
 
 def test_err_bounds_on_testdata(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rows = STAGED["q_err_eval"][0](spark, SF).collect()
     assert rows
@@ -162,7 +162,7 @@ def test_bradley_terry_dominance_and_normalization(spark):
 
 
 def test_shapley_efficiency_axiom(spark):
-    from nonconsumptive_spark.queries.staging import (
+    from nonconsumptive_spark.queries.promoted_r6 import (
         STAGED, _SHAP_CHANNELS, _SHAP_CONV)
     from nonconsumptive_spark.queries import load
     from pyspark.sql import functions as F
@@ -190,7 +190,7 @@ def test_shapley_efficiency_axiom(spark):
 
 
 def test_nelson_aalen_dominates_km(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
     from nonconsumptive_spark.queries import all_queries
 
     na = {r["dur"]: r for r in
@@ -215,7 +215,7 @@ def test_nelson_aalen_dominates_km(spark):
 def test_did_cells_and_estimate(spark):
     import duckdb
 
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     got = STAGED["q_did_readout"][0](spark, SF).collect()[0]
     con = duckdb.connect()
@@ -246,7 +246,7 @@ def test_did_cells_and_estimate(spark):
 
 
 def test_link_prediction_invariants(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rows = STAGED["q_link_prediction"][0](spark, SF).collect()
     assert rows
@@ -267,7 +267,7 @@ def test_gries_dp_bounds_and_uniform_case(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rows = STAGED["q_gries_dp"][0](spark, SF).collect()
     assert len(rows) == 20
@@ -298,7 +298,7 @@ def test_readability_hand_computed(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     text = "The cat sat. The dog ran fast!"
     # letters+digits = 22, words = 7, sentences = 2

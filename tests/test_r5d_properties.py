@@ -33,7 +33,7 @@ def _write_events(tmp_path, rows):
 
 
 def test_eb_shrinkage_pulls_toward_mean(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rows = STAGED["q_eb_shrinkage"][0](spark, SF).collect()
     assert rows
@@ -52,7 +52,7 @@ def test_eb_shrinkage_pulls_toward_mean(spark):
 def test_covariate_balance_partitions_users(spark):
     import duckdb
 
-    from nonconsumptive_spark.queries.staging import STAGED, _CB_COVS
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED, _CB_COVS
 
     rows = STAGED["q_covariate_balance"][0](spark, SF).collect()
     assert sorted(r["covariate"] for r in rows) == sorted(_CB_COVS)
@@ -74,7 +74,7 @@ def test_covariate_balance_partitions_users(spark):
 
 
 def test_qini_monotone_and_total(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rows = sorted(STAGED["q_qini_curve"][0](spark, SF).collect(),
                   key=lambda r: r["decile"])
@@ -97,7 +97,7 @@ def test_harmonic_centrality_star_graph(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     text = "hub aa hub bb hub cc hub dd"
     tb = pa.table({"doc_id": [0], "text": [text], "lang": ["en"],
@@ -121,7 +121,7 @@ def test_harmonic_centrality_star_graph(spark, tmp_path):
 
 
 def test_markov_absorption_deterministic_chain(spark, tmp_path):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rows, eid = [], 0
     for u in range(20):
@@ -149,7 +149,7 @@ def test_nearest_centroid_separated_labels(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     vecs, labels = [], []
     for i in range(40):
@@ -172,7 +172,7 @@ def test_nearest_centroid_separated_labels(spark, tmp_path):
 
 
 def test_nearest_centroid_real_table_rates(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     got = STAGED["q_nearest_centroid_eval"][0](spark, SF).collect()
     assert sum(r["n"] for r in got) == 500
@@ -191,7 +191,7 @@ def test_cvalue_trigram_scale_and_full_nesting(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from nonconsumptive_spark.queries.staging import (
+    from nonconsumptive_spark.queries.promoted_r6 import (
         STAGED, _CV_LOG2_3, _CV_MIN_F)
 
     # "aa bb cc" x 5, separated by unique LETTER-ONLY fillers (digits are
@@ -219,7 +219,7 @@ def test_cvalue_trigram_scale_and_full_nesting(spark, tmp_path):
 
 
 def test_conformal_coverage_guarantee(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     got = STAGED["q_conformal_interval"][0](spark, SF).collect()[0]
     assert got["q_hat"] > 0
@@ -235,7 +235,7 @@ def test_conformal_coverage_guarantee(spark):
 
 
 def test_capture_recapture_hand_computed(spark, tmp_path):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rows, eid = [], 0
     day_a, day_b = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 21)
@@ -261,7 +261,7 @@ def test_capture_recapture_hand_computed(spark, tmp_path):
 
 
 def test_abc_parts_partition(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rows = {r["abc"]: r for r in
             STAGED["q_abc_parts"][0](spark, SF).collect()}
@@ -278,7 +278,7 @@ def test_abc_parts_partition(spark):
 
 
 def test_basket_rules_identities(spark):
-    from nonconsumptive_spark.queries.staging import STAGED, _MB_MIN_SUPP
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED, _MB_MIN_SUPP
     import duckdb
 
     n_orders = duckdb.connect().execute(
@@ -305,7 +305,7 @@ def test_price_elasticity_power_law(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     rows = []
     # prices chosen so qty = 1600/p^2 is integral (qty is rounded to an
@@ -340,7 +340,7 @@ def test_price_elasticity_power_law(spark, tmp_path):
 
 
 def test_logrank_identical_cohorts_null(spark, tmp_path):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     # users u and u+1 (one odd, one even) get IDENTICAL lifetimes
     rows, eid = [], 0
@@ -362,7 +362,7 @@ def test_logrank_identical_cohorts_null(spark, tmp_path):
 
 
 def test_logrank_real_table_sane(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     got = STAGED["q_logrank_test"][0](spark, SF).collect()[0]
     assert got["n_treat"] + got["n_control"] > 0
@@ -390,7 +390,7 @@ def _friedman_events(tmp_path, day_counts):
 
 
 def test_friedman_all_tied_is_zero(spark, tmp_path):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     days = [{"click": 3, "view": 3, "error": 3} for _ in range(6)]
     _friedman_events(tmp_path, days)
@@ -400,7 +400,7 @@ def test_friedman_all_tied_is_zero(spark, tmp_path):
 
 
 def test_friedman_perfect_ordering_closed_form(spark, tmp_path):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r6 import STAGED
 
     n, k = 7, 4
     types = ["a", "b", "c", "d"]

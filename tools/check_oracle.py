@@ -34,6 +34,51 @@ def duck_connection(sf_dir: str):
     return con
 
 
+def _canon_duck(t: str) -> str:
+    """DuckDB type string -> engine-neutral dtype class.  The driver hashes
+    raw Arrow values, so decimal128 vs int64 (the q_kcenter_select r5 bug:
+    DuckDB types min() over BIGINT products as HUGEINT) or int32 vs int64
+    MUST fail here even though the Python values compare equal."""
+    s = t.strip().upper()
+    if s.endswith("[]"):
+        return f"list<{_canon_duck(s[:-2])}>"
+    if s.startswith("DECIMAL") or s == "HUGEINT":
+        return "dec"
+    if s.startswith("STRUCT"):
+        return "struct"
+    if s.startswith("MAP"):
+        return "map"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    return {
+        "BIGINT": "i64", "INTEGER": "i32", "INT": "i32", "SMALLINT": "i16",
+        "TINYINT": "i8", "UBIGINT": "u64", "UINTEGER": "u32",
+        "DOUBLE": "f64", "FLOAT": "f32", "REAL": "f32",
+        "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "bin",
+    }.get(s, s.lower())
+
+
+def _canon_spark(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_canon_spark(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    if isinstance(dt, T.DecimalType):
+        return "dec"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    return {
+        T.LongType: "i64", T.IntegerType: "i32", T.ShortType: "i16",
+        T.ByteType: "i8", T.DoubleType: "f64", T.FloatType: "f32",
+        T.StringType: "str", T.BooleanType: "bool", T.DateType: "date",
+        T.BinaryType: "bin",
+    }.get(type(dt), dt.simpleString())
+
+
 def normalize(rows, colnames):
     """Rows -> sorted list of tuples ordered by sorted column name."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
@@ -69,12 +114,19 @@ def compare_query(spark, con, name, q, sf_dir, verbose=True):
     t0 = time.time()
     rel = con.sql(q.oracle)
     o_cols = rel.columns
+    o_types = {c: _canon_duck(str(t)) for c, t in zip(o_cols, rel.types)}
     o_rows = rel.fetchall()
     t_duck = time.time() - t0
 
     problems = []
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns spark={sorted(s_cols)} duck={sorted(o_cols)}")
+    else:
+        s_types = {f.name: _canon_spark(f.dataType) for f in sdf.schema.fields}
+        for c in sorted(s_cols):
+            if s_types[c] != o_types[c]:
+                problems.append(
+                    f"dtype[{c}] spark={s_types[c]} duck={o_types[c]}")
     if len(s_rows) != len(o_rows):
         problems.append(f"rowcount spark={len(s_rows)} duck={len(o_rows)}")
     if not problems:
