@@ -293,6 +293,10 @@ EXTRA = {
     "q_price_elasticity": _registry("q_price_elasticity"),
     "q_logrank_test": _registry("q_logrank_test"),
     "q_friedman_daily": _registry("q_friedman_daily"),
+    # r6 staging (queries/staging.py)
+    "q_cox_ph": _staged("q_cox_ph"),
+    "q_pinball_quantile": _staged("q_pinball_quantile"),
+    "q_mixture_materialize": _staged("q_mixture_materialize"),
 }
 
 

@@ -159,6 +159,10 @@ QUERIES = [
     # r5 continuation batch K: statistical-test family completions
     "q_logrank_test",
     "q_friedman_daily",
+    # r6 staging: survival regression, quantile loss, mixture last mile
+    "q_cox_ph",
+    "q_pinball_quantile",
+    "q_mixture_materialize",
 ]
 
 

@@ -168,6 +168,8 @@ BNLJ_WHITELIST = {
     "q_basket_rules",         # 1-row n_orders attach onto the pair frame
     "q_logrank_test",         # KM-style 1-row totals + cohort-spine attaches
     "q_friedman_daily",       # #days x #types grid build + two 1-row attaches
+    "q_cox_ph",               # 1-row (theta, us, js) attach onto spine counts
+    "q_mixture_materialize",  # 1-row (budget, zq) normalizer attach
 }
 
 
