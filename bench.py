@@ -297,6 +297,9 @@ EXTRA = {
     "q_cox_ph": _staged("q_cox_ph"),
     "q_pinball_quantile": _staged("q_pinball_quantile"),
     "q_mixture_materialize": _staged("q_mixture_materialize"),
+    "q_jonckheere_trend": _staged("q_jonckheere_trend"),
+    "q_ansari_bradley": _staged("q_ansari_bradley"),
+    "q_lm_interp_tune": _staged("q_lm_interp_tune"),
 }
 
 

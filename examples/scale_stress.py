@@ -163,6 +163,9 @@ QUERIES = [
     "q_cox_ph",
     "q_pinball_quantile",
     "q_mixture_materialize",
+    "q_jonckheere_trend",
+    "q_ansari_bradley",
+    "q_lm_interp_tune",
 ]
 
 

@@ -366,3 +366,376 @@ def q_mixture_materialize(spark, sf_dir):
             .alias("sel_id_sum"),
         )
     )
+
+
+# -- Jonckheere-Terpstra ordered trend test -----------------------------------
+@_stage(
+    "q_jonckheere_trend",
+    f"""
+    WITH vals AS (
+      SELECT source AS g,
+             CAST(len(coalesce({_DUCK_TOKS}, [])) AS BIGINT) AS v
+      FROM documents),
+    hist AS MATERIALIZED (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY g, v),
+    grid AS (
+      SELECT gg.g, vv.v, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+      FROM (SELECT DISTINCT v FROM hist) vv
+      CROSS JOIN (SELECT DISTINCT g FROM hist) gg
+      LEFT JOIN hist h ON h.g = gg.g AND h.v = vv.v),
+    cum AS (
+      SELECT g, v, cnt,
+             CAST(coalesce(sum(cnt) OVER (
+               PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumlt
+      FROM grid),
+    lo AS (
+      SELECT g, v, cnt,
+             CAST(coalesce(sum(cumlt) OVER (
+               PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS lo_lt,
+             CAST(coalesce(sum(cnt) OVER (
+               PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS lo_eq
+      FROM cum),
+    u AS (SELECT CAST(sum(cnt * (2 * lo_lt + lo_eq)) AS BIGINT) AS u2
+          FROM lo),
+    gs AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY g),
+    m AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(count(*) AS BIGINT) AS ng,
+                 CAST(sum(n * n) AS BIGINT) AS sn2,
+                 CAST(sum(n * n * (2 * n + 3)) AS BIGINT) AS sn23
+          FROM gs)
+    SELECT m.nt AS n_total, m.ng AS n_groups, u.u2 AS u2,
+           CASE WHEN CAST(m.nt AS DOUBLE) * m.nt * (2 * m.nt + 3) - m.sn23
+                     > 0 THEN
+             round((u.u2 - (CAST(m.nt AS DOUBLE) * m.nt - m.sn2) / 2.0)
+                   / (2.0 * sqrt((CAST(m.nt AS DOUBLE) * m.nt
+                                  * (2 * m.nt + 3) - m.sn23) / 72.0)), 6)
+               + 0.0
+           END AS z
+    FROM u CROSS JOIN m
+    """,
+)
+def q_jonckheere_trend(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative trend test of document
+    length across sources in lexicographic source order — the
+    ordered-groups companion Kruskal-Wallis lacks (KW tests ANY
+    difference; JT is powered against a monotone trend).  The doubled
+    statistic u2 = sum over group pairs i<j of 2*#(x<y) + #(x=y) comes
+    from TWO cumulative windows over the (group x distinct-value) grid —
+    per-group cumulative counts below each value, then a per-value
+    cumulative over group order — never from pair enumeration.  Null
+    moments are exact integers except the N^3-scale variance term,
+    computed in one mirrored double chain (BIGINT would overflow ~30x
+    sf0.1; the group-sum term sn23 stays exact).  Plan: one doc scan,
+    one (g, v) agg, grid-sized windows."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("source").alias("g"),
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("v"),
+    )
+    hist = materialize_once(
+        vals.groupBy("g", "v").agg(F.count("*").cast("long").alias("cnt")),
+        "jt_hist")
+    grid = (
+        hist.select("v").distinct()
+        .crossJoin(hist.select("g").distinct())
+        .join(hist, ["g", "v"], "left")
+        .select("g", "v",
+                F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    w_v = (Window.partitionBy("g").orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    cum = grid.select(
+        "g", "v", "cnt",
+        F.coalesce(F.sum("cnt").over(w_v), F.lit(0)).cast("long")
+        .alias("cumlt"))
+    w_g = (Window.partitionBy("v").orderBy("g")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    lo = cum.select(
+        "g", "v", "cnt",
+        F.coalesce(F.sum("cumlt").over(w_g), F.lit(0)).cast("long")
+        .alias("lo_lt"),
+        F.coalesce(F.sum("cnt").over(w_g), F.lit(0)).cast("long")
+        .alias("lo_eq"))
+    u = lo.agg(F.sum(F.col("cnt") * (2 * F.col("lo_lt") + F.col("lo_eq")))
+               .cast("long").alias("u2"))
+    gs = hist.groupBy("g").agg(F.sum("cnt").cast("long").alias("n"))
+    m = gs.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("ng"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+        F.sum(F.col("n") * F.col("n") * (2 * F.col("n") + 3)).cast("long")
+        .alias("sn23"))
+    nt_d = F.col("nt").cast("double")
+    var72 = nt_d * F.col("nt") * (2 * F.col("nt") + 3) - F.col("sn23")
+    return u.crossJoin(F.broadcast(m)).select(
+        F.col("nt").alias("n_total"),
+        F.col("ng").alias("n_groups"),
+        "u2",
+        F.when(var72 > 0, F.round(
+            (F.col("u2") - (nt_d * F.col("nt") - F.col("sn2")) / F.lit(2.0))
+            / (F.lit(2.0) * F.sqrt(var72 / F.lit(72.0))), 6) + F.lit(0.0))
+        .alias("z"),
+    )
+
+
+# -- Ansari-Bradley scale test ------------------------------------------------
+@_stage(
+    "q_ansari_bradley",
+    f"""
+    WITH vals AS (
+      SELECT doc_id % 2 AS grp,
+             CAST(len(coalesce({_DUCK_TOKS}, [])) AS BIGINT) AS v
+      FROM documents),
+    hist AS MATERIALIZED (
+      SELECT v, CAST(count(*) AS BIGINT) AS call,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM vals GROUP BY v),
+    cum AS (
+      SELECT v, call, c1,
+             CAST(coalesce(sum(call) OVER (
+               ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumlt
+      FROM hist),
+    tot AS (SELECT CAST(sum(call) AS BIGINT) AS n,
+                   CAST(sum(c1) AS BIGINT) AS n1
+            FROM hist),
+    sc AS (
+      SELECT c.call, c.c1,
+             least(2 * c.cumlt + c.call + 1,
+                   2 * (t.n + 1) - (2 * c.cumlt + c.call + 1)) AS s2
+      FROM cum c CROSS JOIN tot t),
+    agg AS (
+      SELECT CAST(sum(c1 * s2) AS BIGINT) AS a2,
+             CAST(sum(call * s2) AS BIGINT) AS s1,
+             CAST(sum(call * s2 * s2) AS BIGINT) AS sq
+      FROM sc)
+    SELECT t.n AS n_total, t.n1 AS n_treat, a.a2, a.s1, a.sq,
+           CASE WHEN t.n1 > 0 AND t.n > t.n1 AND t.n > 1
+                     AND t.n * CAST(a.sq AS DOUBLE)
+                         - CAST(a.s1 AS DOUBLE) * a.s1 > 0 THEN
+             round((a.a2 - t.n1 * (CAST(a.s1 AS DOUBLE) / t.n))
+                   / sqrt((t.n1 * CAST(t.n - t.n1 AS DOUBLE))
+                          * (t.n * CAST(a.sq AS DOUBLE)
+                             - CAST(a.s1 AS DOUBLE) * a.s1)
+                          / (CAST(t.n AS DOUBLE) * t.n * (t.n - 1))), 6)
+               + 0.0
+           END AS z
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def q_ansari_bradley(spark, sf_dir):
+    """Ansari-Bradley two-sample SCALE test on document length between
+    the even/odd doc cohorts — the dispersion companion to the
+    Mann-Whitney location test (equal medians, different spread is
+    exactly what MW cannot see).  Doubled midrank scores
+    s2 = min(m2, 2(N+1) - m2) with m2 = 2*cumlt + ties + 1 stay exact
+    integers (the q_friedman_daily doubled-midrank discipline); the
+    treat-group score sum, the null moments from the observed score
+    distribution (finite-population sampling), and one float z chain at
+    emit.  sq = sum of squared scores overflows BIGINT ~30x sf0.1 (N^3
+    scale) — documented headroom, the variance chain itself runs in
+    mirrored doubles.  Plan: one doc scan, one value-histogram agg,
+    one value-spine window (global but #distinct-lengths-sized), 1-row
+    attaches."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        (F.col("doc_id") % 2).alias("grp"),
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("v"),
+    )
+    hist = materialize_once(
+        vals.groupBy("v").agg(
+            F.count("*").cast("long").alias("call"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long")
+            .alias("c1")),
+        "ab_hist")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "v", "call", "c1",
+        F.coalesce(F.sum("call").over(w), F.lit(0)).cast("long")
+        .alias("cumlt"))
+    tot = hist.agg(F.sum("call").cast("long").alias("n"),
+                   F.sum("c1").cast("long").alias("n1"))
+    m2 = 2 * F.col("cumlt") + F.col("call") + 1
+    sc = cum.crossJoin(F.broadcast(tot)).select(
+        "call", "c1",
+        F.least(m2, 2 * (F.col("n") + 1) - m2).alias("s2"))
+    agg = sc.agg(
+        F.sum(F.col("c1") * F.col("s2")).cast("long").alias("a2"),
+        F.sum(F.col("call") * F.col("s2")).cast("long").alias("s1"),
+        F.sum(F.col("call") * F.col("s2") * F.col("s2")).cast("long")
+        .alias("sq"))
+    n, n1 = F.col("n"), F.col("n1")
+    var_num = n * F.col("sq").cast("double") - F.col("s1").cast("double") * F.col("s1")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        n.alias("n_total"), n1.alias("n_treat"), "a2", "s1", "sq",
+        F.when((n1 > 0) & (n > n1) & (n > 1) & (var_num > 0), F.round(
+            (F.col("a2") - n1 * (F.col("s1").cast("double") / n))
+            / F.sqrt((n1 * (n - n1).cast("double")) * var_num
+                     / (n.cast("double") * n * (n - 1))), 6) + F.lit(0.0))
+        .alias("z"),
+    )
+
+
+# -- Jelinek-Mercer lambda tuner (deleted-interpolation grid) ----------------
+_LT_Q = 10**6  # ln quantization: 1e9 would overflow the BIGINT logprob
+#                sum at ~100x sf0.1 held-out token counts
+
+
+@_stage(
+    "q_lm_interp_tune",
+    f"""
+    WITH tr_tokpos AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+             unnest(toks) AS token
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+            WHERE doc_id % 2 = 0)),
+    tr_b AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM (
+        SELECT token AS w1,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tr_tokpos) z
+      WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    tr_ctx AS MATERIALIZED (
+      SELECT w1, CAST(sum(cb) AS BIGINT) AS cc FROM tr_b GROUP BY w1),
+    tr_u AS MATERIALIZED (
+      SELECT token AS w, CAST(count(*) AS BIGINT) AS cu
+      FROM tr_tokpos GROUP BY token),
+    consts AS (
+      SELECT (SELECT CAST(sum(cu) AS BIGINT) FROM tr_u) AS t,
+             (SELECT CAST(count(*) AS BIGINT) FROM tr_u) AS vv),
+    he_b AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS ch FROM (
+        SELECT token AS w1,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                     unnest(toks) AS token
+              FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+                    WHERE doc_id % 2 = 1))) z
+      WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    joined AS MATERIALIZED (
+      SELECT h.ch,
+             CAST(coalesce(b.cb, 0) AS BIGINT) AS cb,
+             CAST(coalesce(x.cc, 0) AS BIGINT) AS cc,
+             CAST(coalesce(u.cu, 0) AS BIGINT) AS cu
+      FROM he_b h
+      LEFT JOIN tr_b b ON b.w1 = h.w1 AND b.w2 = h.w2
+      LEFT JOIN tr_ctx x ON x.w1 = h.w1
+      LEFT JOIN tr_u u ON u.w = h.w2),
+    ks AS (SELECT unnest(range(1, 10)) AS k),
+    per AS (
+      SELECT k.k,
+             CAST(sum(j.ch * CAST(floor({_LT_Q}.0 * ln(
+                 (k.k / 10.0) * (CASE WHEN j.cc > 0
+                                      THEN CAST(j.cb AS DOUBLE) / j.cc
+                                      ELSE 0.0 END)
+                 + (1.0 - k.k / 10.0)
+                   * (CAST(j.cu + 1 AS DOUBLE) / (c.t + c.vv))))
+               AS BIGINT)) AS BIGINT) AS logprob_q,
+             CAST(sum(j.ch) AS BIGINT) AS held_bigrams
+      FROM joined j CROSS JOIN ks k CROSS JOIN consts c
+      GROUP BY k.k)
+    SELECT CAST(k AS BIGINT) AS k, round(k / 10.0, 1) + 0.0 AS lam,
+           held_bigrams, logprob_q,
+           logprob_q = max(logprob_q) OVER () AS is_best
+    FROM per
+    """,
+)
+def q_lm_interp_tune(spark, sf_dir):
+    """Deleted-interpolation lambda tuning for the Jelinek-Mercer bigram
+    LM: train on even docs, score held-out odd-doc bigrams under
+    p = lam*p_bigram + (1-lam)*p_unigram for lam in 0.1..0.9, and flag
+    the argmax — the hyperparameter-selection query the fixed-lambda
+    q_lm_jm_topk ranker reads its smoothing weight from.  The unigram
+    leg is Laplace-smoothed ((cu+1)/(T+V)) so every interpolated
+    probability is strictly positive; per-bigram ln terms floor-quantize
+    to 1e6 BIGINTs (1e9 would overflow the held-out sum ~100x sf0.1)
+    so the per-lambda totals are order-free and the argmax replays
+    exactly.  Plan: two corpus passes (train/held bigram aggs),
+    bigram-type-keyed equi-joins, a 9-row lambda spine cross join, one
+    k-group agg, one 9-row window."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.functions.text import tokenize
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    docs = load(spark, sf_dir, "documents")
+
+    def bigrams(half, cname):
+        toks = docs.filter(F.col("doc_id") % 2 == half).select(
+            tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("toks"))
+        pairs = toks.select(
+            F.explode(F.arrays_zip(
+                F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))")
+                .alias("wa"),
+                F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))")
+                .alias("wb"),
+            )).alias("p"))
+        return (pairs.select(F.col("p.wa").alias("w1"),
+                             F.col("p.wb").alias("w2"))
+                .groupBy("w1", "w2")
+                .agg(F.count("*").cast("long").alias(cname)))
+
+    tr_b = materialize_once(bigrams(0, "cb"), "lt_trb")
+    tr_ctx = tr_b.groupBy("w1").agg(F.sum("cb").cast("long").alias("cc"))
+    tr_u = materialize_once(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+                .alias("w"))
+        .groupBy("w").agg(F.count("*").cast("long").alias("cu")),
+        "lt_tru")
+    consts = tr_u.agg(F.sum("cu").cast("long").alias("t"),
+                      F.count("*").cast("long").alias("vv"))
+    he_b = bigrams(1, "ch")
+    joined = (
+        he_b.join(tr_b, ["w1", "w2"], "left")
+        .join(tr_ctx, "w1", "left")
+        .join(tr_u.withColumnRenamed("w", "w2"), "w2", "left")
+        .select(
+            "ch",
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+            F.coalesce("cc", F.lit(0)).cast("long").alias("cc"),
+            F.coalesce("cu", F.lit(0)).cast("long").alias("cu"))
+    )
+    joined = materialize_once(joined, "lt_joined")
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    lam = F.col("k") / F.lit(10.0)
+    pb = F.when(F.col("cc") > 0,
+                F.col("cb").cast("double") / F.col("cc")).otherwise(F.lit(0.0))
+    pu = ((F.col("cu") + 1).cast("double") / (F.col("t") + F.col("vv")))
+    per = (
+        joined.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(consts))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("ch")
+                  * F.floor(F.lit(float(_LT_Q))
+                            * F.log(lam * pb + (F.lit(1.0) - lam) * pu))
+                  .cast("long")).cast("long").alias("logprob_q"),
+            F.sum("ch").cast("long").alias("held_bigrams"))
+    )
+    return per.select(
+        F.col("k").cast("long").alias("k"),
+        (F.round(F.col("k") / F.lit(10.0), 1) + F.lit(0.0)).alias("lam"),
+        "held_bigrams", "logprob_q",
+        (F.col("logprob_q")
+         == F.max("logprob_q").over(Window.partitionBy())).alias("is_best"),
+    )

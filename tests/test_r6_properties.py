@@ -101,3 +101,53 @@ def test_mixture_materialize_accounting_closes(spark):
     if small["n_tokens"] < large["n_tokens"]:
         assert (small["target"] / small["n_tokens"]
                 >= large["target"] / large["n_tokens"])
+
+
+def _docs_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "synth")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_jonckheere_exact_on_perfect_trend(spark, tmp_path):
+    """Three ordered groups with strictly increasing lengths and no ties:
+    every cross-group pair is concordant, so u2 = 2 * (#pairs) = 24 and
+    z > 0."""
+    rows = [(1, "w", "a"), (2, "w w", "a"),
+            (3, "w w w", "b"), (4, "w w w w", "b"),
+            (5, "w w w w w", "c"), (6, "w w w w w w", "c")]
+    out = STAGED["q_jonckheere_trend"][0](
+        spark, _docs_dir(spark, tmp_path, rows)).collect()[0]
+    assert out["n_total"] == 6 and out["n_groups"] == 3
+    assert out["u2"] == 24
+    assert out["z"] > 0
+
+
+def test_ansari_bradley_exact_scores(spark, tmp_path):
+    """Even docs at extreme lengths {1,9}, odd docs all centered at 5:
+    doubled scores are 3/9/3, treat sum A2 = 36, z = 12/sqrt(144/7)."""
+    rows = [(2, "w", "s"), (4, "w", "s"),
+            (6, " ".join(["w"] * 9), "s"), (8, " ".join(["w"] * 9), "s"),
+            (1, "w w w w w", "s"), (3, "w w w w w", "s"),
+            (5, "w w w w w", "s"), (7, "w w w w w", "s")]
+    out = STAGED["q_ansari_bradley"][0](
+        spark, _docs_dir(spark, tmp_path, rows)).collect()[0]
+    assert out["n_total"] == 8 and out["n_treat"] == 4
+    assert out["a2"] == 36 and out["s1"] == 48 and out["sq"] == 360
+    assert out["z"] == pytest.approx(12 / (144 / 7) ** 0.5, abs=1e-5)
+
+
+def test_lm_interp_prefers_bigram_on_structured_text(spark, tmp_path):
+    """Perfectly predictable bigrams (b always follows a) make the
+    held-out likelihood monotone in lambda -> argmax at k = 9."""
+    txt = "a b " * 20
+    rows = [(i, txt, "s") for i in range(1, 9)]
+    out = STAGED["q_lm_interp_tune"][0](
+        spark, _docs_dir(spark, tmp_path, rows)).collect()
+    assert len(out) == 9
+    assert sum(1 for r in out if r["is_best"]) == 1
+    best = max(out, key=lambda r: r["logprob_q"])
+    assert best["k"] == 9 and best["is_best"]
+    assert len({r["held_bigrams"] for r in out}) == 1

@@ -170,6 +170,9 @@ BNLJ_WHITELIST = {
     "q_friedman_daily",       # #days x #types grid build + two 1-row attaches
     "q_cox_ph",               # 1-row (theta, us, js) attach onto spine counts
     "q_mixture_materialize",  # 1-row (budget, zq) normalizer attach
+    "q_jonckheere_trend",     # group x value grid build + two 1-row attaches
+    "q_ansari_bradley",       # 1-row N-total attach onto the score spine
+    "q_lm_interp_tune",       # 9-row lambda spine + 1-row (T, V) attach
 }
 
 
