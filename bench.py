@@ -300,6 +300,7 @@ EXTRA = {
     "q_jonckheere_trend": _staged("q_jonckheere_trend"),
     "q_ansari_bradley": _staged("q_ansari_bradley"),
     "q_lm_interp_tune": _staged("q_lm_interp_tune"),
+    "q_page_trend": _staged("q_page_trend"),
 }
 
 

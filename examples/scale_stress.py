@@ -166,6 +166,7 @@ QUERIES = [
     "q_jonckheere_trend",
     "q_ansari_bradley",
     "q_lm_interp_tune",
+    "q_page_trend",
 ]
 
 

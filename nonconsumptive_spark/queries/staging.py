@@ -739,3 +739,116 @@ def q_lm_interp_tune(spark, sf_dir):
         (F.col("logprob_q")
          == F.max("logprob_q").over(Window.partitionBy())).alias("is_best"),
     )
+
+
+# -- Page's L ordered trend test over blocked ranks ---------------------------
+@_stage(
+    "q_page_trend",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS MATERIALIZED (
+      SELECT event_type,
+             CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS j
+      FROM (SELECT DISTINCT event_type FROM events)),
+    cnt AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT d.day, t.event_type, t.j, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+      FROM days d CROSS JOIN types t
+      LEFT JOIN cnt c ON c.day = d.day AND c.event_type = t.event_type),
+    rn AS MATERIALIZED (
+      SELECT day, event_type, j, c,
+             CAST(row_number() OVER (
+               PARTITION BY day ORDER BY c, event_type) AS BIGINT) AS r
+      FROM grid),
+    mid AS (
+      SELECT day, c, CAST(min(r) + max(r) AS BIGINT) AS mr2
+      FROM rn GROUP BY day, c),
+    ranked AS MATERIALIZED (
+      SELECT r.day, r.j, m.mr2
+      FROM rn r JOIN mid m ON m.day = r.day AND m.c = r.c),
+    lsum AS (SELECT CAST(sum(j * mr2) AS BIGINT) AS l2 FROM ranked),
+    blocks AS (
+      SELECT day, CAST(sum(mr2 * mr2) AS BIGINT) AS sr2
+      FROM ranked GROUP BY day),
+    s AS (SELECT CAST(sum(sr2) AS BIGINT) AS ss FROM blocks),
+    dims AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM types) AS k)
+    SELECT d.n AS n_days, d.k AS k_types, l.l2,
+           CASE WHEN d.k > 1
+                     AND (d.k * (d.k + 1) * (2 * d.k + 1) / 6.0
+                          - d.k * ((d.k + 1) * (d.k + 1)) / 4.0)
+                         * (s.ss - d.n * d.k * ((d.k + 1) * (d.k + 1)))
+                         / (d.k - 1) > 0 THEN
+             round((l.l2 - CAST(d.n AS DOUBLE) * (d.k * (d.k + 1) / 2.0)
+                           * (d.k * (d.k + 1)) / d.k)
+                   / sqrt((d.k * (d.k + 1) * (2 * d.k + 1) / 6.0
+                           - d.k * ((d.k + 1) * (d.k + 1)) / 4.0)
+                          * (s.ss - d.n * d.k * ((d.k + 1) * (d.k + 1)))
+                          / (d.k - 1)), 6) + 0.0
+           END AS z
+    FROM lsum l CROSS JOIN s CROSS JOIN dims d
+    """,
+)
+def q_page_trend(spark, sf_dir):
+    """Page's L ordered-alternative trend test on the daily type mix —
+    the blocked companion to q_jonckheere_trend exactly as
+    q_friedman_daily is to q_kruskal_wallis: does event volume INCREASE
+    along the lexicographic type order, consistently across days?
+    Same spine as Friedman (within-day doubled midranks over the
+    days x types grid, exact integers); L2 = sum over blocks of
+    j * mr2, with within-block permutation moments conditional on the
+    observed tie pattern (per-block sum of squared doubled ranks stays
+    an exact BIGINT; the j-spread and the final z are one mirrored
+    double chain).  Plan: one (day, type) agg, day-partitioned windows
+    over the grid, three 1-row attaches."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    ev = load(spark, sf_dir, "events")
+    cnt = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("c"))
+    cnt = materialize_once(cnt, "pg_cnt")
+    days = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct().select(
+        "event_type",
+        F.row_number().over(Window.orderBy("event_type")).cast("long")
+        .alias("j"))
+    grid = (days.crossJoin(F.broadcast(types))
+            .join(cnt, ["day", "event_type"], "left")
+            .select("day", "event_type", "j",
+                    F.coalesce("c", F.lit(0)).cast("long").alias("c")))
+    w = Window.partitionBy("day").orderBy("c", "event_type")
+    rn = grid.select("day", "event_type", "j", "c",
+                     F.row_number().over(w).cast("long").alias("r"))
+    rn = materialize_once(rn, "pg_rn")
+    mid = rn.groupBy("day", "c").agg(
+        (F.min("r") + F.max("r")).cast("long").alias("mr2"))
+    ranked = materialize_once(
+        rn.join(mid, ["day", "c"]).select("day", "j", "mr2"), "pg_ranked")
+    lsum = ranked.agg(F.sum(F.col("j") * F.col("mr2")).cast("long")
+                      .alias("l2"))
+    s = (ranked.groupBy("day")
+         .agg(F.sum(F.col("mr2") * F.col("mr2")).cast("long").alias("sr2"))
+         .agg(F.sum("sr2").cast("long").alias("ss")))
+    dims = (days.agg(F.count("*").cast("long").alias("n"))
+            .crossJoin(types.agg(F.count("*").cast("long").alias("k"))))
+    n, k = F.col("n"), F.col("k")
+    cj = (k * (k + 1) * (2 * k + 1) / F.lit(6.0)
+          - k * ((k + 1) * (k + 1)) / F.lit(4.0))
+    var2 = cj * (F.col("ss") - n * k * ((k + 1) * (k + 1))) / (k - 1)
+    e2 = (n.cast("double") * (k * (k + 1) / F.lit(2.0))
+          * (k * (k + 1)) / k)
+    return (
+        lsum.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(dims))
+        .select(
+            n.alias("n_days"), k.alias("k_types"), "l2",
+            F.when((k > 1) & (var2 > 0),
+                   F.round((F.col("l2") - e2) / F.sqrt(var2), 6)
+                   + F.lit(0.0)).alias("z"),
+        )
+    )

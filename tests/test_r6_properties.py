@@ -151,3 +151,25 @@ def test_lm_interp_prefers_bigram_on_structured_text(spark, tmp_path):
     best = max(out, key=lambda r: r["logprob_q"])
     assert best["k"] == 9 and best["is_best"]
     assert len({r["held_bigrams"] for r in out}) == 1
+
+
+def test_page_trend_perfect_ordering(spark):
+    """Counts strictly increasing along the lexicographic type order on
+    every day: L2 per block = 2 * sum(j^2) = 28 for k = 3, z > 0."""
+    from datetime import datetime
+
+    rows = []
+    for d in range(1, 6):
+        t0 = datetime(2024, 1, d)
+        for j, (etype, cnt) in enumerate([("a", 1), ("b", 2), ("c", 3)]):
+            for i in range(cnt):
+                rows.append((d * 100 + j * 10 + i, t0, 7, etype))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    import tempfile
+    d = tempfile.mkdtemp(prefix="page_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = STAGED["q_page_trend"][0](spark, d).collect()[0]
+    assert out["n_days"] == 5 and out["k_types"] == 3
+    assert out["l2"] == 5 * 28
+    assert out["z"] > 0

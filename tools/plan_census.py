@@ -173,6 +173,7 @@ BNLJ_WHITELIST = {
     "q_jonckheere_trend",     # group x value grid build + two 1-row attaches
     "q_ansari_bradley",       # 1-row N-total attach onto the score spine
     "q_lm_interp_tune",       # 9-row lambda spine + 1-row (T, V) attach
+    "q_page_trend",           # Friedman grid build + three 1-row attaches
 }
 
 
