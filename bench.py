@@ -301,6 +301,7 @@ EXTRA = {
     "q_ansari_bradley": _staged("q_ansari_bradley"),
     "q_lm_interp_tune": _staged("q_lm_interp_tune"),
     "q_page_trend": _staged("q_page_trend"),
+    "q_dedup_threshold_curve": _staged("q_dedup_threshold_curve"),
 }
 
 

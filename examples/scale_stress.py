@@ -167,6 +167,7 @@ QUERIES = [
     "q_ansari_bradley",
     "q_lm_interp_tune",
     "q_page_trend",
+    "q_dedup_threshold_curve",
 ]
 
 

@@ -852,3 +852,68 @@ def q_page_trend(spark, sf_dir):
                    + F.lit(0.0)).alias("z"),
         )
     )
+
+
+# -- near-dup threshold tuning curve ------------------------------------------
+def _threshold_curve_oracle() -> str:
+    from nonconsumptive_spark.queries.dedup import _DUCK_BANDS
+
+    return f"""
+    {_DUCK_BANDS},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cands c
+      JOIN shingles x ON x.doc_id = c.doc_a
+      JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    jac AS (
+      SELECT round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS j
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) >= 0.1),
+    b AS (
+      SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM jac GROUP BY 1)
+    SELECT bucket, n_pairs,
+           CAST(sum(n_pairs) OVER (
+             ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS pairs_ge
+    FROM b
+    """
+
+
+@_stage("q_dedup_threshold_curve", _threshold_curve_oracle())
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Near-dup pairs retained per Jaccard-threshold decile — the
+    dedup-tuning companion to q_quality_retention: before committing to
+    a cut, read how many verified LSH pairs each threshold keeps
+    (pairs_ge is the cumulative count at-or-above the bucket).  Runs the
+    full q_minhash_dedup_pairs pipeline ONCE at threshold 0.1 (>= 0.1
+    guarantees an intersecting pair, so both engines see the identical
+    pair set) and buckets the verified Jaccards; floor(j*10) operates on
+    the SAME rounded double in both engines, so bucket edges replay
+    exactly.  Plan: identical envelope to the headline minhash query
+    plus one 9-row agg + window."""
+    from pyspark.sql import Window
+
+    from nonconsumptive_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(load(spark, sf_dir, "documents"),
+                                threshold=0.1)
+    b = (pairs.select(
+            F.least(F.floor(F.col("jaccard") * 10).cast("long"), F.lit(9))
+            .cast("long").alias("bucket"))
+         .groupBy("bucket").agg(F.count("*").cast("long").alias("n_pairs")))
+    w = (Window.orderBy(F.desc("bucket"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return b.select("bucket", "n_pairs",
+                    F.sum("n_pairs").over(w).cast("long").alias("pairs_ge"))

@@ -173,3 +173,22 @@ def test_page_trend_perfect_ordering(spark):
     assert out["n_days"] == 5 and out["k_types"] == 3
     assert out["l2"] == 5 * 28
     assert out["z"] > 0
+
+
+def test_threshold_curve_consistent_with_minhash_pairs(spark):
+    """pairs_ge at bucket 5 must equal the headline q_minhash_dedup_pairs
+    row count (threshold 0.5 on the same rounded jaccard), and the
+    cumulative column must reconcile with the per-bucket counts."""
+    from nonconsumptive_spark.queries import all_queries
+
+    curve = {r["bucket"]: r for r in
+             STAGED["q_dedup_threshold_curve"][0](spark, SF).collect()}
+    assert curve
+    total = 0
+    for b in sorted(curve, reverse=True):
+        total += curve[b]["n_pairs"]
+        assert curve[b]["pairs_ge"] == total
+    n_at_5 = sum(r["n_pairs"] for b, r in curve.items() if b >= 5)
+    headline = all_queries()["q_minhash_dedup_pairs"].spark_fn(
+        spark, SF).count()
+    assert n_at_5 == headline
