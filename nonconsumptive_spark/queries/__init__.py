@@ -97,6 +97,14 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # section below), then the longest-unverified re-check tail.  All
 # already green under the driver-grade dtype-strict compare at two SFs
 # (test_oracle_parity + tools/check_staged).
+#
+# ROUND-7 STAGING COHORT (queries/staging.py, verified at both SFs,
+# censused, benched as extras, 10x-stressed, property-tested):
+# cox_ph (Newton-in-theta survival regression, operators/survival.py),
+# pinball_quantile (+ streaming/pinball quantile-drift monitor,
+# pytest-only), mixture_materialize, jonckheere_trend, ansari_bradley,
+# lm_interp_tune, page_trend, dedup_threshold_curve.  Promotion =
+# @register + PRIORITY append, exactly like the r5/r6 cohorts.
 PRIORITY: tuple[str, ...] = (
     # -- oracle dtype fix this round (1): r5's only red row.  Rows were
     # bit-identical at 3 SFs (judge-verified); the oracle's mind column
