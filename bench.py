@@ -305,6 +305,58 @@ EXTRA = {
 }
 
 
+def _python_proc_census() -> int:
+    """Count of OTHER live python processes.  Per-pid OSError guard
+    (ADVICE r6): a process that exits between the /proc listing and the
+    comm read is skipped, not fatal to the whole census (the old
+    single-try/except around sum() discarded the measurement to -1 on
+    one vanished pid)."""
+    def _is_python(p: Path) -> bool:
+        try:
+            return "python" in (p / "comm").read_text(errors="ignore")
+        except OSError:
+            return False
+
+    try:
+        return sum(
+            1 for p in Path("/proc").iterdir()
+            if p.name.isdigit() and p.name != str(os.getpid())
+            and _is_python(p)
+        )
+    except OSError:
+        return -1
+
+
+def _loadavg() -> list:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return [-1.0, -1.0, -1.0]
+
+
+def _await_quiet_box() -> tuple:
+    """Load-aware retry (VERDICT r6 item 3): the r6 driver headline read
+    19.93 s at ambient loadavg 19.2 — 2.0x the r3 record — while the
+    same code measured 10.8-11.5 s on a quiet box.  Before the timed
+    run, if the 1-min loadavg exceeds SPARK_GRAFT_LOAD_GATE (default
+    2.0), sleep and re-check a bounded number of times
+    (SPARK_GRAFT_LOAD_TRIES x 30 s, default 12 -> <=6 min), recording
+    every attempt's reading so the JSON shows whether the gate was met
+    or waited out.  Gate <= 0 disables the wait (always proceed)."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    tries = max(1, int(os.environ.get("SPARK_GRAFT_LOAD_TRIES", "12")))
+    attempts = []
+    load = _loadavg()
+    for i in range(tries):
+        load = _loadavg()
+        attempts.append(load[0])
+        if gate <= 0 or load[0] < 0 or load[0] < gate:
+            break
+        if i < tries - 1:
+            time.sleep(30.0)
+    return load, attempts, gate
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -312,19 +364,11 @@ def main():
     # +38% vs r3 uniformly across untouched queries — classic ambient
     # load.  Capture 1/5/15-min loadavg and a python process census
     # BEFORE Spark starts (ambient, not self-inflicted), so
-    # "environmental" is a measurement, not an assertion.
-    try:
-        ambient_load = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
-        ambient_load = [-1.0, -1.0, -1.0]
-    try:
-        ambient_procs = sum(
-            1 for p in Path("/proc").iterdir() if p.name.isdigit()
-            and p.name != str(os.getpid())
-            and "python" in (p / "comm").read_text(errors="ignore")
-        )
-    except OSError:
-        ambient_procs = -1
+    # "environmental" is a measurement, not an assertion; r6 adds a
+    # bounded load-gate wait so the recorded headline is taken on the
+    # quietest minute available.
+    ambient_load, load_attempts, load_gate = _await_quiet_box()
+    ambient_procs = _python_proc_census()
     spark = get_spark("nc-spark-bench")
     registry = all_queries()
 
@@ -350,6 +394,11 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+    # Loadavg right after the timed passes: paired with the pre-run
+    # reading this bounds contamination DURING the measurement (a quiet
+    # start + loaded finish would show up here).  Includes this bench's
+    # own Spark threads, so compare deltas, not absolutes.
+    load_after_timed = _loadavg()
 
     # Extras are non-judged trend rows, single-pass timed (first-touch
     # cost included — comparable only to other extras rows).  With 125+
@@ -398,6 +447,9 @@ def main():
         "methodology": "warm-jvm, warmup + min-of-2; extras on prior line",
         "registry_size": len(all_queries()),
         "ambient_loadavg": ambient_load,
+        "ambient_load_attempts": load_attempts,
+        "ambient_load_gate": load_gate,
+        "loadavg_after_timed": load_after_timed,
         "ambient_python_procs": ambient_procs,
         "sf": sf,
     }))

@@ -146,7 +146,11 @@ def cox_ph_binary(events: DataFrame, rounds: int = COX_ROUNDS) -> DataFrame:
     for _ in range(rounds):
         us, js = _round_sums(spine, theta)
         if js > 0:
-            theta = max(theta + us / js, COX_THETA_FLOOR)
+            # float(us) first: round the exact-int numerator to double
+            # BEFORE dividing, mirroring the oracle's
+            # CAST(us AS DOUBLE)/js operand order — Python's exact-int
+            # true division differs by 1 ulp once |us| > 2^53.
+            theta = max(theta + float(us) / float(js), COX_THETA_FLOOR)
     gt = (spine.sparkSession.createDataFrame([(theta, us, js)],
                                              "theta double, us long, js long"))
     counts = spine.agg(

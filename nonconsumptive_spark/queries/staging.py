@@ -204,8 +204,10 @@ def q_pinball_quantile(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count("*").over(wn).alias("n"),
     )
-    k = ((F.lit(_PB_TAU_NUM) * F.col("n") + F.lit(_PB_TAU_DEN - 1))
-         / F.lit(_PB_TAU_DEN)).cast("long")
+    # integer `div`, not double-/-then-cast: exact at any n (double
+    # division silently mis-ranks once 3n+3 exceeds 2^53).
+    k = F.expr(f"({_PB_TAU_NUM} * n + {_PB_TAU_DEN - 1}) "
+               f"div {_PB_TAU_DEN}")
     qh = (ranked.filter(F.col("rn") == k)
           .groupBy("flag")
           .agg(F.max("n").cast("long").alias("n"),
@@ -597,7 +599,16 @@ def q_ansari_bradley(spark, sf_dir):
 
 
 # -- Jelinek-Mercer lambda tuner (deleted-interpolation grid) ----------------
-_LT_Q = 10**6  # ln quantization: 1e9 would overflow the BIGINT logprob
+# ln quantization: 1e9 would overflow the BIGINT logprob.  NOTE this
+# query floor-quantizes ENGINE ln() per held-out bigram inside the
+# BIGINT sum, so it leans on JVM StrictMath.log == DuckDB libm log at
+# every evaluated point — the same libm-equality assumption the
+# weibull/logrank emit-time rounding documents, here load-bearing at a
+# floor boundary.  Verified bit-identical at sf0.001/sf0.01; a 1-ulp
+# divergence would flip one logprob_q unit and, only if two lambdas tie
+# within 1 unit, is_best.  Accepted because the lambda grid is coarse
+# (0.1 steps) and argmax gaps at both SFs are >> 1 quantum.
+_LT_Q = 10**6
 #                sum at ~100x sf0.1 held-out token counts
 
 

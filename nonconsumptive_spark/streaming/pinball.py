@@ -65,8 +65,9 @@ def calibrate(events: DataFrame):
         "event_type", "xq",
         F.row_number().over(w).alias("rn"),
         F.count("*").over(wn).alias("n"))
-    k = ((F.lit(PB_TAU_NUM) * F.col("n") + F.lit(PB_TAU_DEN - 1))
-         / F.lit(PB_TAU_DEN)).cast("long")
+    # integer `div`, not double-/-then-cast: exact at any n (double
+    # division silently mis-ranks once the numerator exceeds 2^53).
+    k = F.expr(f"({PB_TAU_NUM} * n + {PB_TAU_DEN - 1}) div {PB_TAU_DEN}")
     qh = (ranked.filter(F.col("rn") == k)
           .groupBy("event_type")
           .agg(F.max("xq").cast("long").alias("q")))
