@@ -293,15 +293,15 @@ EXTRA = {
     "q_price_elasticity": _registry("q_price_elasticity"),
     "q_logrank_test": _registry("q_logrank_test"),
     "q_friedman_daily": _registry("q_friedman_daily"),
-    # r6 staging (queries/staging.py)
-    "q_cox_ph": _staged("q_cox_ph"),
-    "q_pinball_quantile": _staged("q_pinball_quantile"),
-    "q_mixture_materialize": _staged("q_mixture_materialize"),
-    "q_jonckheere_trend": _staged("q_jonckheere_trend"),
-    "q_ansari_bradley": _staged("q_ansari_bradley"),
-    "q_lm_interp_tune": _staged("q_lm_interp_tune"),
-    "q_page_trend": _staged("q_page_trend"),
-    "q_dedup_threshold_curve": _staged("q_dedup_threshold_curve"),
+    # r7-promoted cohort (queries/promoted_r7.py)
+    "q_cox_ph": _registry("q_cox_ph"),
+    "q_pinball_quantile": _registry("q_pinball_quantile"),
+    "q_mixture_materialize": _registry("q_mixture_materialize"),
+    "q_jonckheere_trend": _registry("q_jonckheere_trend"),
+    "q_ansari_bradley": _registry("q_ansari_bradley"),
+    "q_lm_interp_tune": _registry("q_lm_interp_tune"),
+    "q_page_trend": _registry("q_page_trend"),
+    "q_dedup_threshold_curve": _registry("q_dedup_threshold_curve"),
 }
 
 

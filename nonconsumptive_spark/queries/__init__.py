@@ -86,87 +86,23 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # fills the remaining slots.  Goal: no green row older than two rounds
 # for any code-touched file.
 #
-# ROUND-6 WINDOW (the first 50 below): q_kcenter_select (r5's only red
-# row — oracle HUGEINT→BIGINT cast landed, rows were already
-# bit-identical at 3 SFs), then 49 of the 82 registered-but-never-
-# driver-checked promoted-cohort entries in file order.  Cumulative
-# driver-checked after r6: 269 distinct + kcenter green = 270/303.
-#
-# R7 QUEUE (positions 51+): the remaining 33 never-checked promoted
-# entries, then the r6-promoted staging cohort (55, queries/promoted_r6
-# section below), then the longest-unverified re-check tail.  All
-# already green under the driver-grade dtype-strict compare at two SFs
-# (test_oracle_parity + tools/check_staged).
-#
-# ROUND-7 STAGING COHORT (queries/staging.py, verified at both SFs,
-# censused, benched as extras, 10x-stressed, property-tested):
-# cox_ph (Newton-in-theta survival regression, operators/survival.py),
-# pinball_quantile (+ streaming/pinball quantile-drift monitor,
-# pytest-only), mixture_materialize, jonckheere_trend, ansari_bradley,
-# lm_interp_tune, page_trend, dedup_threshold_curve.  Promotion =
-# @register + PRIORITY append, exactly like the r5/r6 cohorts.
+# ROUND-7 WINDOW (the first 50 below): the never-driver-checked
+# burn-down (VERDICT r6 item 1).  After r6 the cumulative external
+# coverage was 269/358 with 89 registered entries never checked; the
+# first 50 of them (queue order) fill this window.  R8 QUEUE
+# (positions 51-97): the remaining 39 never-checked entries plus the
+# r7-promoted staging cohort (8, queries/promoted_r7.py: cox_ph,
+# pinball_quantile, mixture_materialize, jonckheere_trend,
+# ansari_bradley, lm_interp_tune, page_trend, dedup_threshold_curve) —
+# after r8 every one of the 366 registered queries has at least one
+# external CORRECTNESS row.  The tail re-checks longest-unverified
+# first (last-green round ascending, r1 rows first).
 PRIORITY: tuple[str, ...] = (
-    # -- oracle dtype fix this round (1): r5's only red row.  Rows were
-    # bit-identical at 3 SFs (judge-verified); the oracle's mind column
-    # was DuckDB HUGEINT vs Spark int64.  Now CAST ... AS BIGINT per the
-    # registry convention, and tools/check_oracle.py is dtype-strict so
-    # this class reproduces as a local failure.
-    "q_kcenter_select",
-    # -- never-driver-checked burn-down (49): first half of the promoted
-    # cohort queue, file order.  Every one green under the driver-grade
-    # dtype-strict compare at two SFs.
-    "q_postings_size_stats",
-    "q_percentile_filter",
-    "q_normalize_unicode",
-    "q_code_score",
-    "q_cusum_by_type",
-    "q_kaplan_meier_cohorts",
-    "q_lexical_cohesion",
-    "q_bitext_margin",
-    "q_fs_link_scores",
-    "q_conditional_entropy",
-    "q_quality_retention",
-    "q_shuffle_quality",
-    "q_mixture_budget",
-    "q_cluster_capped_sample",
-    "q_event_sequences",
-    "q_benford_deviation",
-    "q_auc_eval",
-    "q_adamic_adar",
-    "q_kcore",
-    "q_ewma_anomalies",
-    "q_bleu_pairs",
-    "q_leakage_safe_split",
-    "q_good_turing",
-    "q_token_burstiness",
-    "q_l_diversity",
-    "q_ppr_tokens",
-    "q_clustering_coefficient",
-    "q_lm_hit_at_k",
-    "q_source_kl",
-    "q_mann_kendall",
-    "q_neyman_allocation",
-    "q_kendall_tau_b",
-    "q_cohens_kappa",
-    "q_yules_k",
-    "q_chao1_richness",
-    "q_flesch_reading",
-    "q_kruskal_wallis",
-    "q_levene_bf",
-    "q_t_closeness",
-    "q_jackknife_ratio",
-    "q_rouge2_pairs",
-    "q_modularity",
-    "q_wilson_ci",
-    "q_theil_index",
-    "q_truncation_loss",
-    "q_span_corruption",
-    "q_binseg_daily",
-    "q_runs_test",
-    "q_dedup_rate_by_source",
-    # ------- end of the 50-slot r6 window -------
-    # -- r7 queue: remaining never-driver-checked promoted cohort (33),
-    # then the r6-promoted staging cohort appended below.
+    # ------- ROUND-7 WINDOW (first 50): never-driver-checked burn-down
+    # (VERDICT r6 item 1).  89 registered entries had no CORRECTNESS row
+    # after r6 (cumulative 269/358); the first 50 of them fill this
+    # window in their established queue order.  Every one is green under
+    # the driver-grade dtype-strict compare at sf0.001 AND sf0.01.
     "q_cooks_distance",
     "q_sax_daily",
     "q_seasonality_strength",
@@ -201,9 +137,6 @@ PRIORITY: tuple[str, ...] = (
     "q_cluster_representatives",
     "q_kmeans_elbow",
     "q_xcorr_types",
-    # -- r6-promoted staging cohort (55, queries/promoted_r6.py, file
-    # order) — never driver-checked; fills the r7/r8 windows after the
-    # 33 above.
     "q_g2_collocations",
     "q_cohens_d_sources",
     "q_permutation_test",
@@ -220,6 +153,9 @@ PRIORITY: tuple[str, ...] = (
     "q_audio_window_energy",
     "q_log_odds_dirichlet",
     "q_mantel_haenszel",
+    # ------- end of the 50-slot r7 window -------
+    # r8 queue: the remaining 39 never-checked entries, then the
+    # r7-promoted staging cohort (8, queries/promoted_r7.py).
     "q_juilland_dispersion",
     "q_brier_decomposition",
     "q_langid_prf",
@@ -259,10 +195,20 @@ PRIORITY: tuple[str, ...] = (
     "q_price_elasticity",
     "q_logrank_test",
     "q_friedman_daily",
-    # -- longest-unverified re-check tail
-    "q_heaps_fit",
-    "q_zipf_slope",
-    "q_simhash",
+    # -- r7-promoted cohort (8): registered this round, never
+    #    driver-checked; judged green by the r6 judge via
+    #    tools/check_staged at sf0.001.
+    "q_cox_ph",
+    "q_pinball_quantile",
+    "q_mixture_materialize",
+    "q_jonckheere_trend",
+    "q_ansari_bradley",
+    "q_lm_interp_tune",
+    "q_page_trend",
+    "q_dedup_threshold_curve",
+    # -- longest-unverified re-check tail: every remaining entry,
+    #    ordered by last-green round ascending (r1 rows first), so
+    #    no green row ages indefinitely once the burn-down clears.
     "q_simhash_near_pairs",
     "q_salted_join_revenue",
     "q_id_resolution",
@@ -271,7 +217,168 @@ PRIORITY: tuple[str, ...] = (
     "q_events_sliding",
     "q_events_user_running",
     "q_distinct_cardinality",
-    # -- r5 window, all green in CORRECTNESS_r05 (most recently verified)
+    "q_events_tumbling",
+    "q_events_session",
+    "q_pivot_event_values",
+    "q_multimodal_features",
+    "q_star_join_revenue",
+    "q_point_lookup",
+    "q_filter_projection",
+    "q_topk_customers",
+    "q_window_rank",
+    "q_quantiles",
+    "q_topk_categories",
+    "q_regex_vote",
+    "q_anti_join",
+    "q_semi_join",
+    "q_union_shards",
+    "q_except_intersect",
+    "q_rollup_revenue",
+    "q_orders_by_month",
+    "q_dup_id_guard",
+    "q_multikey_sort",
+    "q_shipping_priority",
+    "q_grouping_sets",
+    "q_window_frames",
+    "q_correlated_subquery",
+    "q_unpivot_measures",
+    "q_regex_extract_cast",
+    "q_cast_ladder_roundtrip",
+    "q_posexplode_provenance",
+    "q_struct_roundtrip",
+    "q_markov_transitions",
+    "q_kmeans_assign",
+    "q_semdedup_prune",
+    "q_dedup_clusters",
+    "q_asof_join",
+    "q_user_value_trend",
+    "q_funnel_stages",
+    "q_token_count_ws",
+    "q_repetition_scores",
+    "q_decontamination",
+    "q_hash_sample",
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_langid_vs_labels",
+    "q_pack_sequences",
+    "q_arrow_batch_stats",
+    "q_unigram_logprob",
+    "q_corpus_diff",
+    "q_knn_cosine_bruteforce",
+    "q_embedding_norms",
+    "q_norms_by_label",
+    "q_cosine_near_pairs",
+    "q_quantize_int8",
+    "q_knn_quantized",
+    "q_dict_encode",
+    "q_approx_distinct",
+    "q_srp_stats",
+    "q_srp_hamming",
+    "q_quadgram_counts",
+    "q_tfidf_top_terms",
+    "q_nfc_normalize",
+    "q_tokenize_fallback",
+    "q_renest_roundtrip",
+    "q_bpe_merges",
+    "q_token_pagerank",
+    "q_heaps_fit",
+    "q_zipf_slope",
+    "q_simhash",
+    "q_mmr_select",
+    "q_dedup_exact",
+    "q_minhash_signatures",
+    "q_lsh_candidates",
+    "q_minhash_dedup_pairs",
+    "q_canonical_docs",
+    "q_ngram_jaccard_pairs",
+    "q_remove_repeated_spans",
+    "q_remove_duplicated_chunks",
+    "q_dedup_stats",
+    "q_retention_cohorts",
+    "q_sessionize_lag",
+    "q_frame_sample",
+    "q_image_resize",
+    "q_dataset_split",
+    "q_temperature_mix",
+    "q_packing_stats",
+    "q_redact_pii",
+    "q_bigram_logprob",
+    "q_cap_per_source",
+    "q_quality_filter",
+    "q_winnow_fingerprints",
+    "q_winnow_overlap_pairs",
+    "q_training_order",
+    "q_corpus_profile",
+    "q_strip_markup",
+    "q_sentence_stats",
+    "q_curation_pipeline",
+    "q_uniform_sample_k",
+    "q_bm25_topk",
+    "q_cube_revenue",
+    "q_doc_token_counts",
+    "q_document_lengths",
+    "q_global_wordcount",
+    "q_vocabulary",
+    "q_encoded_unigrams",
+    "q_bigram_counts",
+    "q_trigram_counts",
+    "q_chunked_wordcounts",
+    "q_bigram_pmi",
+    "q_count_sum_preservation",
+    "q_bpe_encode",
+    "q_countmin_estimate",
+    "q_token_triangles",
+    "q_dedup_incremental",
+    "q_containment_pairs",
+    "q_ngram_novelty",
+    "q_snm_pairs",
+    "q_ppjoin_pairs",
+    "q_lsh_dedup_recall",
+    "q_bloom_novelty",
+    "q_cdc_duplicate_chunks",
+    "q_edit_distance_pairs",
+    "q_range_join_events",
+    "q_zscore_outliers",
+    "q_winsorize",
+    "q_value_histogram",
+    "q_cumulative_users",
+    "q_event_type_lift",
+    "q_event_transitions",
+    "q_seasonal_residuals",
+    "q_dsir_weights",
+    "q_perplexity_buckets",
+    "q_stratified_sample",
+    "q_char_diversity",
+    "q_stupid_backoff",
+    "q_backoff_cross_corpus",
+    "q_js_divergence",
+    "q_cooccurrence_window",
+    "q_distinctive_terms",
+    "q_negative_sampling",
+    "q_bootstrap_mean_ci",
+    "q_tfidf_cosine_pairs",
+    "q_vocab_growth_curve",
+    "q_length_quantiles_by_lang",
+    "q_kwic",
+    "q_nb_lang_confusion",
+    "q_rake_keywords",
+    "q_psi_drift",
+    "q_logreg_train",
+    "q_gini_tokens",
+    "q_skyline_docs",
+    "q_burrows_delta",
+    "q_weighted_sample",
+    "q_skyline_kd",
+    "q_knn_pq_adc",
+    "q_label_centroid_distances",
+    "q_phrase_search",
+    "q_phrase_search_indexed",
+    "q_min_span_proximity",
+    "q_zorder_curve",
+    "q_hll_distinct",
+    "q_bfs_distances",
+    "q_degree_assortativity",
     "q_logdice_collocations",
     "q_hapax_stats",
     "q_token_entropy",
@@ -321,6 +428,56 @@ PRIORITY: tuple[str, ...] = (
     "q_markov_stationary",
     "q_blocklist_match",
     "q_min_span_indexed",
+    "q_kcenter_select",
+    "q_postings_size_stats",
+    "q_percentile_filter",
+    "q_normalize_unicode",
+    "q_code_score",
+    "q_cusum_by_type",
+    "q_kaplan_meier_cohorts",
+    "q_lexical_cohesion",
+    "q_bitext_margin",
+    "q_fs_link_scores",
+    "q_conditional_entropy",
+    "q_quality_retention",
+    "q_shuffle_quality",
+    "q_mixture_budget",
+    "q_cluster_capped_sample",
+    "q_event_sequences",
+    "q_benford_deviation",
+    "q_auc_eval",
+    "q_adamic_adar",
+    "q_kcore",
+    "q_ewma_anomalies",
+    "q_bleu_pairs",
+    "q_leakage_safe_split",
+    "q_good_turing",
+    "q_token_burstiness",
+    "q_l_diversity",
+    "q_ppr_tokens",
+    "q_clustering_coefficient",
+    "q_lm_hit_at_k",
+    "q_source_kl",
+    "q_mann_kendall",
+    "q_neyman_allocation",
+    "q_kendall_tau_b",
+    "q_cohens_kappa",
+    "q_yules_k",
+    "q_chao1_richness",
+    "q_flesch_reading",
+    "q_kruskal_wallis",
+    "q_levene_bf",
+    "q_t_closeness",
+    "q_jackknife_ratio",
+    "q_rouge2_pairs",
+    "q_modularity",
+    "q_wilson_ci",
+    "q_theil_index",
+    "q_truncation_loss",
+    "q_span_corruption",
+    "q_binseg_daily",
+    "q_runs_test",
+    "q_dedup_rate_by_source",
 )
 
 
@@ -334,6 +491,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         promoted,
         promoted_r6,
+        promoted_r7,
         relational,
         retrieval,
         scalar,

@@ -1,4 +1,4 @@
-"""Property tests for the round-6 staging cohort (queries/staging.py):
+"""Property tests for the round-6 staging cohort (queries/promoted_r7.py):
 Cox PH recovers a closed-form hazard ratio on a constructed two-cohort
 conversion table, the pinball readout's quantile actually minimizes the
 loss, and the mixture materialization's integer accounting closes."""
@@ -10,7 +10,7 @@ from datetime import datetime, timedelta
 import duckdb
 import pytest
 
-from nonconsumptive_spark.queries.staging import STAGED
+from nonconsumptive_spark.queries.promoted_r7 import STAGED
 
 SF = "/root/testdata/sf0.001"
 
