@@ -37,17 +37,23 @@ VOCAB_CAP = 1_000_000  # reference corpus.py:193,241
 
 
 def doc_token_counts(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", fused: bool = True) -> DataFrame:
+                     text_col: str = "text", fused: bool = True,
+                     tokens_col: str | None = None) -> DataFrame:
     """A1: (doc, token, count) — one row per distinct token per document.
 
     Fused (default): sort the token array and run-length encode in one
     fold — no shuffle (see ngram_counts; same kernel at n=1).  The
-    explode+groupBy fallback shuffles one row per distinct (doc, token)."""
+    explode+groupBy fallback shuffles one row per distinct (doc, token).
+
+    ``tokens_col``: read pre-tokenized arrays (the session token cache,
+    plans/token_cache.py) instead of running tokenize(text_col) — same
+    expression either way, so results are identical."""
+    src = F.col(tokens_col) if tokens_col else tokenize(text_col)
     if not fused:
-        toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("token"))
+        toks = docs.select(id_col, F.explode(src).alias("token"))
         return toks.groupBy(id_col, "token").agg(F.count("*").alias("count"))
     counted = docs.select(
-        id_col, F.explode(let(F.array_sort(tokenize(text_col)), _rle_counts)).alias("e")
+        id_col, F.explode(let(F.array_sort(src), _rle_counts)).alias("e")
     )
     return counted.select(
         id_col, F.col("e.g").alias("token"), F.col("e.c").alias("count")
@@ -174,20 +180,22 @@ def document_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def global_wordcount(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def global_wordcount(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                     tokens_col: str | None = None) -> DataFrame:
     """A3 (exact form): corpus-wide (token, count)."""
-    toks = docs.select(F.explode(tokenize(text_col)).alias("token"))
+    src = F.col(tokens_col) if tokens_col else tokenize(text_col)
+    toks = docs.select(F.explode(src).alias("token"))
     return toks.groupBy("token").agg(F.count("*").alias("count"))
 
 
 def vocabulary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-               cap: int = VOCAB_CAP) -> DataFrame:
+               cap: int = VOCAB_CAP, tokens_col: str | None = None) -> DataFrame:
     """A4: top-``cap`` tokens by count desc, dense wordid 0..N-1.
 
     Ties broken by token ascending (the reference's sort is unstable on
     ties, corpus.py:236; we add the tie-break for determinism — SURVEY §7
     hard-point 2)."""
-    counts = global_wordcount(docs, id_col, text_col)
+    counts = global_wordcount(docs, id_col, text_col, tokens_col=tokens_col)
     return rank_vocab(counts, cap)
 
 
@@ -262,7 +270,8 @@ def rank_vocab(global_counts: DataFrame, cap: int = VOCAB_CAP,
 
 
 def encode_unigrams(docs: DataFrame, vocab: DataFrame | None = None,
-                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    tokens_col: str | None = None) -> DataFrame:
     """J1: per-doc counts with tokens replaced by dense wordids via a
     broadcast join; out-of-vocabulary tokens are dropped (the reference's
     index_in misses encode as null and are filtered on write).
@@ -274,7 +283,7 @@ def encode_unigrams(docs: DataFrame, vocab: DataFrame | None = None,
     of two.  This is exactly the reference's two-phase structure
     (total_wordcounts barrier then per-stack encode, corpus.py:250-253)
     with the barrier realized as a broadcast."""
-    counts = doc_token_counts(docs, id_col, text_col)
+    counts = doc_token_counts(docs, id_col, text_col, tokens_col=tokens_col)
     if vocab is None:
         counts = materialize_once(counts, "unigram_counts")
         vocab = rank_vocab(
@@ -352,7 +361,8 @@ def _rle_counts(arr):
 
 
 def ngram_counts(docs: DataFrame, n: int, id_col: str = "doc_id",
-                 text_col: str = "text", fused: bool = True) -> DataFrame:
+                 text_col: str = "text", fused: bool = True,
+                 tokens_col: str | None = None) -> DataFrame:
     """A2: per-doc adjacent n-gram counts, columns (doc, w0..w{n-1}, count).
 
     ``fused=True`` (default) counts WITHOUT any shuffle: grams are built
@@ -370,15 +380,16 @@ def ngram_counts(docs: DataFrame, n: int, id_col: str = "doc_id",
     baseline, and the shape to prefer if grams-per-doc ever exceed memory
     for a single row's arrays)."""
     wcols = [f"w{j}" for j in range(n)]
+    src = F.col(tokens_col) if tokens_col else tokenize(text_col)
     if not fused:
-        grams = docs.select(id_col, F.explode(ngram_structs(tokenize(text_col), n)).alias("g"))
+        grams = docs.select(id_col, F.explode(ngram_structs(src, n)).alias("g"))
         return (
             grams.select(id_col, *[F.col(f"g.w{j}").alias(f"w{j}") for j in range(n)])
             .groupBy(id_col, *wcols)
             .agg(F.count("*").alias("count"))
         )
     joined = F.transform(
-        ngram_structs(tokenize(text_col), n),
+        ngram_structs(src, n),
         lambda g: F.concat_ws(_GRAM_SEP, *[g[f"w{j}"] for j in range(n)]),
     )
     counted = docs.select(
@@ -392,7 +403,8 @@ def ngram_counts(docs: DataFrame, n: int, id_col: str = "doc_id",
 
 
 def chunked_wordcounts(docs: DataFrame, chunk_size: int = 10_000,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       tokens_col: str | None = None) -> DataFrame:
     """A10: split each document's token stream into ceil(len/chunk_size)
     balanced chunks and count per (doc, chunk, token).
 
@@ -428,7 +440,8 @@ def chunked_wordcounts(docs: DataFrame, chunk_size: int = 10_000,
         )
 
     tagged_sorted = let(
-        tokenize(text_col), lambda toks: F.array_sort(tagged(toks))
+        F.col(tokens_col) if tokens_col else tokenize(text_col),
+        lambda toks: F.array_sort(tagged(toks)),
     )
     counted = docs.select(
         id_col,

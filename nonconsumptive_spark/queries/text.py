@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nonconsumptive_spark.operators import wordcount as wc
+from nonconsumptive_spark.plans.token_cache import tokenized_documents
 from nonconsumptive_spark.queries import load, register
 
 # DuckDB-side tokenization fragments shared by the oracles.
@@ -87,7 +88,9 @@ def q_global_wordcount(spark, sf_dir):
     doc="A4: top-1M vocabulary with dense wordid, count-desc + token tie-break.",
 )
 def q_vocabulary(spark, sf_dir):
-    return wc.vocabulary(load(spark, sf_dir, "documents"))
+    # session token cache: tokenize the corpus once per session, not once
+    # per query (plans/token_cache.py; result-identical to the inline form)
+    return wc.vocabulary(tokenized_documents(spark, sf_dir), tokens_col="toks")
 
 
 # --------------------------------------------------------------------------
@@ -110,7 +113,8 @@ def q_vocabulary(spark, sf_dir):
         "shuffle of the counts side).",
 )
 def q_encoded_unigrams(spark, sf_dir):
-    return wc.encode_unigrams(load(spark, sf_dir, "documents"))
+    return wc.encode_unigrams(tokenized_documents(spark, sf_dir),
+                              tokens_col="toks")
 
 
 # --------------------------------------------------------------------------
@@ -130,7 +134,8 @@ def q_encoded_unigrams(spark, sf_dir):
         "P3 null-tail drop); oracle uses the equivalent lead() form.",
 )
 def q_bigram_counts(spark, sf_dir):
-    return wc.ngram_counts(load(spark, sf_dir, "documents"), 2)
+    return wc.ngram_counts(tokenized_documents(spark, sf_dir), 2,
+                           tokens_col="toks")
 
 
 # --------------------------------------------------------------------------
@@ -228,7 +233,8 @@ def q_encoded_quadgrams(spark, sf_dir):
         "chunk assignment on both engines.",
 )
 def q_chunked_wordcounts(spark, sf_dir):
-    return wc.chunked_wordcounts(load(spark, sf_dir, "documents"), chunk_size=50)
+    return wc.chunked_wordcounts(tokenized_documents(spark, sf_dir),
+                                 chunk_size=50, tokens_col="toks")
 
 
 # --------------------------------------------------------------------------

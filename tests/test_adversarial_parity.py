@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.sweep  # whole-registry sweep: skip via -m "not sweep"
+
 from datetime import datetime
 
 from nonconsumptive_spark.queries import all_queries, Query

@@ -9,6 +9,10 @@ divergence the suite missed."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.sweep  # whole-registry sweep: skip via -m "not sweep"
+
 from nonconsumptive_spark.queries import Query, all_queries
 from nonconsumptive_spark.queries.staging import STAGED
 from tests.conftest import SF_SMALL

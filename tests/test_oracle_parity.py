@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.sweep  # whole-registry sweep: skip via -m "not sweep"
+
 from nonconsumptive_spark.queries import all_queries
 from tests.conftest import SF_SMALL
 from tools.check_oracle import compare_query

@@ -4,6 +4,10 @@ plan is documented as the right one (1-row attaches, tiny-side forms)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.sweep  # whole-registry sweep: skip via -m "not sweep"
+
 from tests.conftest import SF_SMALL
 from tools.plan_census import BNLJ_WHITELIST, census
 

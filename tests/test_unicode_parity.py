@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.sweep  # whole-registry sweep: skip via -m "not sweep"
+
 from nonconsumptive_spark.queries import Query, all_queries
 from nonconsumptive_spark.queries.staging import STAGED
 from tools.check_oracle import compare_query, duck_connection

@@ -243,3 +243,46 @@ def test_sliding_chunks_cover_all_tokens_with_overlap(spark, tmp_path):
     # short doc -> exactly one whole-doc chunk; empty doc -> none
     assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_len"] == 2
     assert 2 not in by_doc
+
+
+# ------------------------------------------------------ token cache -------
+def test_token_cache_transparent(spark, tmp_path):
+    """The session token cache (plans/token_cache.py) is result-identical
+    to the inline tokenize form — including NULL/empty text — and actually
+    caches (same DataFrame object on a second call, new object after a
+    corpus rewrite changes the mtime key)."""
+    import time as _time
+
+    from nonconsumptive_spark.operators import wordcount as wc
+    from nonconsumptive_spark.plans.token_cache import (
+        clear_token_cache, tokenized_documents)
+    from nonconsumptive_spark.queries import load
+
+    d = str(tmp_path)
+    rows = [(0, "the cat sat on the mat"), (1, None), (2, ""),
+            (3, "cat cat CAT tie-break"), (4, "  padded   spaces  ")]
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite").parquet(d + "/documents.parquet")
+    clear_token_cache()
+    toks = tokenized_documents(spark, d)
+    assert tokenized_documents(spark, d) is toks  # cache hit
+
+    docs = load(spark, d, "documents")
+    for cached, plain in [
+        (wc.vocabulary(toks, tokens_col="toks"), wc.vocabulary(docs)),
+        (wc.encode_unigrams(toks, tokens_col="toks"), wc.encode_unigrams(docs)),
+        (wc.ngram_counts(toks, 2, tokens_col="toks"), wc.ngram_counts(docs, 2)),
+        (wc.chunked_wordcounts(toks, chunk_size=3, tokens_col="toks"),
+         wc.chunked_wordcounts(docs, chunk_size=3)),
+    ]:
+        assert sorted(map(tuple, cached.collect())) == \
+            sorted(map(tuple, plain.collect()))
+
+    # a rewrite invalidates via the (mtime, size) key
+    _time.sleep(0.05)
+    spark.createDataFrame([(0, "new corpus")], ["doc_id", "text"]).coalesce(
+        1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    toks2 = tokenized_documents(spark, d)
+    assert toks2 is not toks
+    assert [r["toks"] for r in toks2.collect()] == [["new", "corpus"]]
+    clear_token_cache()
