@@ -59,18 +59,24 @@ def calibrate(events: DataFrame):
     calibration-window pinball loss at that quantile.  The collect is
     #types rows — the bounded-collect convention."""
     base = events.select("event_type", _xq().alias("xq"))
-    w = Window.partitionBy("event_type").orderBy("xq")
+    # order statistic off the per-type VALUE HISTOGRAM (q = min value
+    # with cumulative count >= ceil(tau*n)): the window runs over
+    # (type, distinct cent value) rows, never calibration rows — the
+    # same bounded-window form as the promoted q_pinball_quantile.
+    hist = base.groupBy("event_type", "xq").agg(F.count("*").alias("c"))
+    wv = (Window.partitionBy("event_type").orderBy("xq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wn = Window.partitionBy("event_type")
-    ranked = base.select(
+    spine = hist.select(
         "event_type", "xq",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"))
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(wn).alias("n"))
     # integer `div`, not double-/-then-cast: exact at any n (double
     # division silently mis-ranks once the numerator exceeds 2^53).
     k = F.expr(f"({PB_TAU_NUM} * n + {PB_TAU_DEN - 1}) div {PB_TAU_DEN}")
-    qh = (ranked.filter(F.col("rn") == k)
+    qh = (spine.filter(F.col("cum") >= k)
           .groupBy("event_type")
-          .agg(F.max("xq").cast("long").alias("q")))
+          .agg(F.min("xq").cast("long").alias("q")))
     loss = (base.join(F.broadcast(qh), "event_type")
             .groupBy("event_type")
             .agg(F.sum(_loss4()).cast("long").alias("base_loss4"),
