@@ -302,6 +302,11 @@ EXTRA = {
     "q_lm_interp_tune": _registry("q_lm_interp_tune"),
     "q_page_trend": _registry("q_page_trend"),
     "q_dedup_threshold_curve": _registry("q_dedup_threshold_curve"),
+    # r7 staging (queries/staging.py)
+    "q_bucketed_join_revenue": _staged("q_bucketed_join_revenue"),
+    "q_ljung_box": _staged("q_ljung_box"),
+    "q_mood_median": _staged("q_mood_median"),
+    "q_cochran_q": _staged("q_cochran_q"),
 }
 
 

@@ -162,6 +162,10 @@ QUERIES = [
     # r6 staging: survival regression, quantile loss, mixture last mile
     "q_cox_ph",
     "q_pinball_quantile",
+    "q_ljung_box",
+    "q_mood_median",
+    "q_cochran_q",
+    "q_bucketed_join_revenue",
     "q_mixture_materialize",
     "q_jonckheere_trend",
     "q_ansari_bradley",

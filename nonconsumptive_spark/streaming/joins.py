@@ -59,3 +59,61 @@ def click_purchase_attribution(events: DataFrame, within: str = "1 hour",
         "purchase_ts",
         "amount",
     )
+
+
+def click_purchase_attribution_outer(events: DataFrame, within: str = "1 hour",
+                                     watermark: str = "2 hours") -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, matched to same-user
+    purchases in (click_ts, click_ts + within] — and clicks with NO such
+    purchase still emit, with NULL purchase columns.
+
+    The hardening over the inner form: an outer stream-stream join can
+    only emit the unmatched side once the watermark has passed the
+    match horizon (click_ts + within + watermark) — before that, a
+    matching purchase could still arrive, so Spark holds the click in
+    state.  Consequences tests pin down (tests/test_streaming.py):
+
+      * a click with no purchase emits exactly one NULL row, but only
+        after later event-time has advanced the watermark past its
+        horizon — an unmatched click near the end of the stream is
+        WITHHELD at shutdown, not emitted with NULLs (state outlives
+        the run and would resume from the checkpoint);
+      * on a batch frame the watermark is a no-op and this function is
+        its own oracle: plain left-outer join, every unmatched click
+        NULL-emitted immediately.
+
+    State bound is the inner join's plus the held unmatched clicks:
+    O(events within watermark + within), keyed and partitioned by
+    user_id — no global structure."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "amount",
+    )

@@ -595,3 +595,73 @@ def test_bloom_gate_stream_equals_batch(spark, tmp_path):
     want = {r.doc_id: (r.n_shingles, r.n_bloom_hits)
             for r in bloom_shingle_novelty(docs).collect()}
     assert got == want and len(got) == batch_docs.count()
+
+
+def test_stream_stream_outer_join_null_emits_after_watermark(spark, tmp_path):
+    """LEFT OUTER watermark join hardening (streaming/joins.py): a click
+    with no purchase NULL-emits only after event-time advances the
+    watermark past its match horizon; matches emit as in the inner join;
+    and on a batch frame the same function is its own oracle."""
+    from datetime import datetime
+
+    from nonconsumptive_spark.streaming.events import EVENTS_SCHEMA
+    from nonconsumptive_spark.streaming.joins import (
+        click_purchase_attribution_outer)
+
+    def ev(eid, ts, uid, etype, value=1.0):
+        return (eid, datetime.fromisoformat(ts), uid, etype, value, "{}")
+
+    d = tmp_path / "outer_events"
+    d.mkdir()
+    # files arrive (and are triggered) in event-time order; watermark=1h,
+    # within=30m => click horizon = click_ts + 1h30m
+    batches = [
+        # c1: never matched; c2: matched by p2 ten minutes later
+        [ev(1, "2024-01-01 09:00:00", 1, "click"),
+         ev(2, "2024-01-01 09:00:00", 2, "click"),
+         ev(3, "2024-01-01 09:10:00", 2, "purchase", 5.0)],
+        # c3's purchase lands OUTSIDE within (40m); this batch's max
+        # event-time (12:40) moves the watermark past c1/c2's horizon
+        [ev(4, "2024-01-01 12:00:00", 3, "click"),
+         ev(5, "2024-01-01 12:40:00", 3, "purchase", 7.0)],
+        # horizon-pushers: the GLOBAL watermark is the min over BOTH
+        # sides' watermarks (a purchase-only pusher leaves the click-side
+        # watermark — and therefore state eviction — stuck), so each
+        # pusher is a matching click+purchase pair: advances both sides
+        # and leaves no unmatched state of its own.  And a batch's
+        # watermark only takes effect in the NEXT micro-batch, so c3's
+        # NULL emit needs the second pusher — exactly the semantics this
+        # test exists to pin down.
+        [ev(6, "2024-01-01 18:00:00", 6, "click"),
+         ev(7, "2024-01-01 18:05:00", 6, "purchase", 9.0)],
+        [ev(8, "2024-01-01 23:00:00", 7, "click"),
+         ev(9, "2024-01-01 23:02:00", 7, "purchase", 2.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(str(d / f"b{i}.parquet"))
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d) + "/*/")
+    )
+    got = st.run_available_now(
+        click_purchase_attribution_outer(src, within="30 minutes",
+                                         watermark="1 hour"),
+        "t_ssjoin_outer", mode="append",
+    )
+    rows = {r["click_id"]: r for r in got.collect()}
+    # every click's horizon is behind the final watermark (17:00), so the
+    # stream result equals the batch left-outer oracle exactly
+    batch = click_purchase_attribution_outer(
+        spark.read.parquet(str(d) + "/*/"),
+        within="30 minutes", watermark="1 hour")
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in batch.collect()}
+    assert set(rows) == {1, 2, 4, 6, 8}
+    assert rows[1]["purchase_id"] is None and rows[1]["amount"] is None
+    assert rows[4]["purchase_id"] is None  # matched-too-late == unmatched
+    assert rows[2]["purchase_id"] == 3 and rows[2]["amount"] == 5.0
+    assert rows[6]["purchase_id"] == 7 and rows[8]["purchase_id"] == 9
