@@ -209,6 +209,14 @@ PRIORITY: tuple[str, ...] = (
     # -- longest-unverified re-check tail: every remaining entry,
     #    ordered by last-green round ascending (r1 rows first), so
     #    no green row ages indefinitely once the burn-down clears.
+    # -- code-touched first (rotation policy rule 1): these four changed
+    #    plans this round (session token cache wiring); re-verified
+    #    locally dtype-strict at two SFs, queued for external re-check
+    #    ahead of the age-ordered tail.
+    "q_vocabulary",
+    "q_encoded_unigrams",
+    "q_bigram_counts",
+    "q_chunked_wordcounts",
     "q_simhash_near_pairs",
     "q_salted_join_revenue",
     "q_id_resolution",
@@ -319,11 +327,7 @@ PRIORITY: tuple[str, ...] = (
     "q_doc_token_counts",
     "q_document_lengths",
     "q_global_wordcount",
-    "q_vocabulary",
-    "q_encoded_unigrams",
-    "q_bigram_counts",
     "q_trigram_counts",
-    "q_chunked_wordcounts",
     "q_bigram_pmi",
     "q_count_sum_preservation",
     "q_bpe_encode",

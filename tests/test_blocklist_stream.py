@@ -4,6 +4,8 @@ indexed batch form."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 

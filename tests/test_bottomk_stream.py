@@ -4,6 +4,10 @@ foreachBatch wiring."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
+
 from pyspark.sql import functions as F
 
 from nonconsumptive_spark.operators.textstats import uniform_sample_k

@@ -10,6 +10,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
+
 from nonconsumptive_spark.streaming import conformal as cf
 from nonconsumptive_spark.streaming import corpus as cp
 

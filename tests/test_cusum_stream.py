@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
 from pyspark.sql import functions as F
 
 from nonconsumptive_spark.streaming import corpus as cp

@@ -3,6 +3,10 @@ replay, and crash-window recovery through the versioned-commit scheme."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
+
 from pyspark.sql import functions as F
 
 from nonconsumptive_spark.functions.text import tokenize

@@ -9,6 +9,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
+
 from nonconsumptive_spark.operators.grouped import holt_linear_daily
 from nonconsumptive_spark.streaming import corpus as cp
 from nonconsumptive_spark.streaming.holt import (

@@ -3,6 +3,10 @@ guard (duplication hazard), and end-to-end wiring."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
+
 from nonconsumptive_spark.operators.retrieval import phrase_search
 from nonconsumptive_spark.streaming.indexstream import (
     live_phrase_search,

@@ -3,6 +3,10 @@ guard, crash-window recovery."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
+
 from pyspark.sql import functions as F
 
 from nonconsumptive_spark.streaming import corpus as c

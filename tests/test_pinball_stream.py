@@ -10,6 +10,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
+
 from nonconsumptive_spark.streaming import pinball as pb
 
 SCHEMA = "event_id long, ts timestamp, event_type string, value double"

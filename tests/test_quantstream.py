@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
+
 from nonconsumptive_spark.queries import load
 from nonconsumptive_spark.streaming.quantstream import (
     bin_counts,

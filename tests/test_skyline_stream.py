@@ -77,6 +77,8 @@ import contextlib
 
 import pytest
 
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
+
 
 class _Boom(RuntimeError):
     pass

@@ -6,6 +6,8 @@ from __future__ import annotations
 import contextlib
 
 import pytest
+
+pytestmark = pytest.mark.sweep  # streaming pipeline + crash sweep: minutes per file
 from pyspark.sql import functions as F
 
 from nonconsumptive_spark import streaming as st
