@@ -58,6 +58,9 @@ BNLJ_WHITELIST = {
     "q_bootstrap_mean_ci",       # 1-row full-mean attach
     "q_heaps_fit",               # capped regression frame
     "q_zipf_slope",
+    "q_ljung_box",               # #days-spine lag joins + 1-row den/tot attach
+    "q_mood_median",             # 1-row median + 1-row totals attach
+    "q_cochran_q",               # 1-row k/marginal-sum attaches
     "q_vocab_growth_curve",      # 10-row spine vs 10-row buckets
     "q_srp_stats",               # 1-row invariant attaches
     "q_srp_hamming",
