@@ -29,30 +29,44 @@ def user_value_trend(events: DataFrame, min_points: int = 3,
     ``value`` over event time per user — median of all pairwise slopes
     (value units per hour), for users with ≥ ``min_points`` events and at
     least one pair of distinct timestamps.  Robust to outlier events
-    where a least-squares fit is not."""
+    where a least-squares fit is not.
+
+    Grouped by a 128-way SALT BUCKET of the user key, not the user key
+    itself: the per-user numpy kernel is unchanged (users never split
+    across buckets), but ~10k single-user pandas groups paid ~2.5s of
+    constant Arrow/pandas per-group overhead at sf0.1 — bucketing
+    amortizes it (measured 2.8s -> ~1s warm)."""
+    from pyspark.sql import functions as F
+
     schema = f"{key_col} long, n_points long, slope_per_hour double"
 
     def trend(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < min_points:
-            return pd.DataFrame(columns=[key_col, "n_points", "slope_per_hour"])
-        t = pdf[ts_col].astype("int64").to_numpy() // 1000  # micros
-        v = pdf[value_col].astype("float64").to_numpy()
-        dt = t[None, :] - t[:, None]  # pairwise, micros
-        dv = v[None, :] - v[:, None]
-        mask = dt > 0  # strictly later; excludes equal timestamps
-        if not mask.any():
-            return pd.DataFrame(columns=[key_col, "n_points", "slope_per_hour"])
-        slopes = dv[mask] / dt[mask] * 3_600_000_000.0  # per hour
+        users, ns, slopes_out = [], [], []
+        for uid, g in pdf.groupby(key_col, sort=False):
+            n = len(g)
+            if n < min_points:
+                continue
+            t = g[ts_col].astype("int64").to_numpy() // 1000  # micros
+            v = g[value_col].astype("float64").to_numpy()
+            dt = t[None, :] - t[:, None]  # pairwise, micros
+            dv = v[None, :] - v[:, None]
+            mask = dt > 0  # strictly later; excludes equal timestamps
+            if not mask.any():
+                continue
+            slopes = dv[mask] / dt[mask] * 3_600_000_000.0  # per hour
+            users.append(uid)
+            ns.append(n)
+            slopes_out.append(round(float(np.median(slopes)), 4))
         return pd.DataFrame({
-            key_col: [pdf[key_col].iloc[0]],
-            "n_points": [n],
-            "slope_per_hour": [round(float(np.median(slopes)), 4)],
+            key_col: pd.array(users, dtype="int64"),
+            "n_points": pd.array(ns, dtype="int64"),
+            "slope_per_hour": pd.array(slopes_out, dtype="float64"),
         })
 
     return (
         events.select(key_col, ts_col, value_col)
-        .groupBy(key_col)
+        .withColumn("_bkt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(128)))
+        .groupBy("_bkt")
         .applyInPandas(trend, schema=schema)
     )
 
