@@ -427,6 +427,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
     )
+    # fixpoint witness: min-label propagation only ever DECREASES labels,
+    # so sum(label) is strictly monotone until convergence — an unchanged
+    # sum proves an unchanged assignment.  One 1-row agg per round
+    # replaces the old full join + filter change-detector (the agg also
+    # triggers the round's checkpoint, so rounds stay one action each).
+    prev_sum = None
     for _ in range(max_iter):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
@@ -437,15 +443,11 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
             .agg(F.min("label").alias("label"))
         )
         new = materialize_once(new, "cc_labels")
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     out = docs.select(id_col).join(
         labels.withColumnRenamed("id", id_col), id_col, "left"
     )
