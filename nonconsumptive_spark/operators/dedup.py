@@ -411,8 +411,9 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
     (diameter ≤ 3 — every member shares an LSH band with most others), so
     this converges in 2-4 rounds.  For adversarially long chain graphs use
     the large-star/small-star variant (same join primitives, O(log n)
-    rounds); the fixpoint check here is a bounded ``limit(1).count()`` per
-    round, never a full collect.  Singletons label themselves via the
+    rounds); the fixpoint check here is the monotone label-sum witness
+    (one 1-row agg per round), never a full collect or compare-join.
+    Singletons label themselves via the
     final left join — they never enter the propagation loop at all, so the
     iterated frames are bounded by 2·|pairs|, not corpus size."""
     if pairs is None:
