@@ -302,6 +302,10 @@ EXTRA = {
     "q_lm_interp_tune": _registry("q_lm_interp_tune"),
     "q_page_trend": _registry("q_page_trend"),
     "q_dedup_threshold_curve": _registry("q_dedup_threshold_curve"),
+    # suffix-array family: the O(n log n) heavyweight — tracked so its
+    # round-count/scale path can't rot (r7: 35.8s -> 23.5s warm at sf0.1
+    # via materialized keys + broadcast join-backs + broadcast LCP walk)
+    "q_repeated_regions": _registry("q_repeated_regions"),
     # r7 staging (queries/staging.py)
     "q_bucketed_join_revenue": _staged("q_bucketed_join_revenue"),
     "q_ljung_box": _staged("q_ljung_box"),

@@ -48,14 +48,43 @@ from nonconsumptive_spark.plans.checkpoint import materialize_once
 from nonconsumptive_spark.sources.readers import assign_dense_ids
 
 
-def _dense_rank(df: DataFrame, key_cols: list[str], out: str):
-    """Dense rank of ``df`` rows by ``key_cols`` without a global
-    single-partition window: distinct keys get 0..D-1 ids via the
-    range-partitioned ``assign_dense_ids``, then join back.  Returns
-    (ranked df, number of distinct keys)."""
-    keys = df.select(*key_cols).distinct()
+# Below this many distinct keys, rank them with one small window and
+# BROADCAST the key table back (the rank_vocab two-strategy pattern:
+# same result, the physical plan picked by size).  A 1M-key table is a
+# few MB broadcast; above it, the range-partitioned offsets path keeps
+# the no-single-partition-window discipline for corpus scale.
+DENSE_RANK_WINDOW_CAP = 1_000_000
+
+
+def _dense_rank(df: DataFrame, key_cols: list[str], out: str,
+                window_cap: int = DENSE_RANK_WINDOW_CAP):
+    """Dense rank of ``df`` rows by ``key_cols``: distinct keys get
+    0..D-1 ids, joined back.  Two physical strategies, same result
+    (the prefix-doubling rounds call this ~log(maxdoclen) times, so the
+    per-round constant matters at test scale):
+
+      * D <= ``window_cap``: row_number over the DISTINCT-KEY frame
+        (bounded by D, never corpus size) + a broadcast join back —
+        zero extra shuffle of the big side, one action.
+      * D > window_cap: range-partitioned ``assign_dense_ids`` +
+        shuffle join — the 100 TB path (a 100M-key table neither fits
+        one window partition nor a broadcast).
+
+    Returns (ranked df, number of distinct keys)."""
+    from pyspark.sql import Window
+
+    # materialize the distinct-key frame FIRST: the count, the ranking
+    # and the join-back all read it — unmaterialized, each action would
+    # recompute the upstream round join
+    keys = materialize_once(df.select(*key_cols).distinct(), "sa_keys")
+    n_distinct = keys.count()
+    if n_distinct <= window_cap:
+        w = Window.orderBy(*key_cols)
+        keyed = keys.select(
+            *key_cols,
+            (F.row_number().over(w) - 1).cast("long").alias(out))
+        return df.join(F.broadcast(keyed), key_cols), n_distinct
     keyed = assign_dense_ids(keys, key_cols, id_name=out)
-    n_distinct = keyed.count()  # keyed is materialized inside assign_dense_ids
     return df.join(keyed, key_cols), n_distinct
 
 
@@ -67,9 +96,13 @@ def suffix_rank_tables(docs: DataFrame, id_col: str = "doc_id",
     ``tables`` is the list of (prefix_len, (id, pos, rank)) doubling
     tables for LCP walks, ``total`` the corpus token count.  pos is
     1-based."""
-    toks = tokens_with_pos(docs, id_col, text_col)
-    t, n_distinct = _dense_rank(toks.select(id_col, "pos", "token"),
-                                ["token"], "rank")
+    # materialized: round 1's three actions (distinct count, rank join,
+    # checkpoint) would otherwise each re-tokenize the corpus
+    toks = materialize_once(
+        tokens_with_pos(docs, id_col, text_col).select(
+            id_col, "pos", "token"),
+        "sa_toks")
+    t, n_distinct = _dense_rank(toks, ["token"], "rank")
     t = materialize_once(t.select(id_col, "pos", "rank"), "sa_r1")
     total = t.count()
     maxlen = (t.groupBy(id_col).count()
@@ -105,21 +138,27 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
     return assign_dense_ids(final, ["rank", id_col, "pos"], id_name="sa")
 
 
-def _lcp_walk(pairs: DataFrame, tables, id_col: str) -> DataFrame:
+def _lcp_walk(pairs: DataFrame, tables, id_col: str,
+              total: int | None = None) -> DataFrame:
     """Append ``lcp`` to a frame of suffix pairs (ida, pa, idb, pb) via
     the doubling tables, highest level first: if the two suffixes'
     rank_k at their current walk offsets agree, the true LCP has at
     least k more tokens — advance both pointers by k.  Each level is
-    one (broadcast-free) equi-join per side against that level's rank
-    table; the pair frame never grows."""
+    one equi-join per side against that level's rank table; the pair
+    frame never grows.  When the corpus token count is known and small
+    (<= DENSE_RANK_WINDOW_CAP rows per table, a few MB) the level
+    tables BROADCAST — 2 shuffles per level become map-side lookups;
+    at corpus scale they shuffle-join as before."""
+    bcast = total is not None and total <= DENSE_RANK_WINDOW_CAP
+    wrap = F.broadcast if bcast else (lambda d: d)
     out = pairs.withColumn("lcp", F.lit(0).cast("long"))
     for k, tab in sorted(tables, key=lambda x: -x[0]):
-        ra = tab.select(F.col(id_col).alias("ida"),
-                        F.col("pos").alias("_pa"),
-                        F.col("rank").alias("_ra"))
-        rb = tab.select(F.col(id_col).alias("idb"),
-                        F.col("pos").alias("_pb"),
-                        F.col("rank").alias("_rb"))
+        ra = wrap(tab.select(F.col(id_col).alias("ida"),
+                             F.col("pos").alias("_pa"),
+                             F.col("rank").alias("_ra")))
+        rb = wrap(tab.select(F.col(id_col).alias("idb"),
+                             F.col("pos").alias("_pb"),
+                             F.col("rank").alias("_rb")))
         out = (
             out.withColumn("_pa", F.col("pa") + F.col("lcp"))
             .withColumn("_pb", F.col("pb") + F.col("lcp"))
@@ -146,7 +185,7 @@ def longest_repeated_prefix(docs: DataFrame, id_col: str = "doc_id",
     longest match is always with an SA-adjacent suffix, so lrp =
     max(LCP with SA predecessor, LCP with SA successor) — n-1 pairs,
     never all pairs."""
-    final, tables, _ = suffix_rank_tables(docs, id_col, text_col)
+    final, tables, total = suffix_rank_tables(docs, id_col, text_col)
     sa = assign_dense_ids(final, ["rank", id_col, "pos"], id_name="sa")
     sa = materialize_once(sa, "sa_order")
     cur = sa.select(F.col(id_col).alias("ida"), F.col("pos").alias("pa"),
@@ -169,7 +208,8 @@ def longest_repeated_prefix(docs: DataFrame, id_col: str = "doc_id",
         .withColumn("lcp", (F.col("_dl") - F.col("pa") + 1).cast("long"))
         .select("ida", "pa", "idb", "pb", "lcp")
     )
-    ne_l = _lcp_walk(ne.select("ida", "pa", "idb", "pb"), tables, id_col)
+    ne_l = _lcp_walk(ne.select("ida", "pa", "idb", "pb"), tables, id_col,
+                     total=total)
     both = eq_l.unionByName(ne_l)
     per_side = both.select(F.col("ida").alias(id_col),
                            F.col("pa").alias("pos"), "lcp") \
