@@ -88,27 +88,62 @@ def _dense_rank(df: DataFrame, key_cols: list[str], out: str,
     return df.join(keyed, key_cols), n_distinct
 
 
+# Seed prefix length: round 1 ranks h-token grams built IN-ROW from the
+# token arrays (the k-mer initial ranking of MPI-scale SA construction,
+# Flick & Aluru 2015) instead of single tokens, so doubling starts at
+# k = h and needs log2(maxdoclen / h) rounds instead of log2(maxdoclen)
+# — each round is a barriered shuffle pipeline, so fewer rounds wins at
+# EVERY scale.  The trade is the seed shuffle carrying h-token string
+# keys (~h x avg-token bytes per position); h = 8 keeps that within the
+# same order as the round-1 shuffle itself.  LCP remainders below h are
+# resolved by one in-row token-slice comparison (see _lcp_refine), not
+# by per-level tables.
+SEED_H = 8
+_GRAM_SEP = "\x01"  # sorts below every letter => joined-string order
+#                       == token-sequence order (tokens are \p{L}+ only)
+
+
+def _token_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from nonconsumptive_spark.functions.text import tokenize
+
+    return docs.select(id_col, tokenize(text_col).alias("toks"))
+
+
 def suffix_rank_tables(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text"):
+                       text_col: str = "text", seed_h: int = SEED_H):
     """Run prefix doubling to convergence.  Returns
     ``(final, tables, total)``: ``final`` is (id, pos, rank) with ranks
     comparing FULL suffixes (dense; identical suffixes share a rank),
     ``tables`` is the list of (prefix_len, (id, pos, rank)) doubling
-    tables for LCP walks, ``total`` the corpus token count.  pos is
-    1-based."""
+    tables for LCP walks (lowest level = ``seed_h``), ``total`` the
+    corpus token count.  pos is 1-based."""
+    from nonconsumptive_spark.functions.text import let
+
+    # the seed gram at pos covers tokens pos..pos+h-1 (shorter at doc
+    # end: a prefix, which the low separator makes sort BEFORE its
+    # extensions — the same convention as the -1 rank sentinel below).
     # materialized: round 1's three actions (distinct count, rank join,
-    # checkpoint) would otherwise each re-tokenize the corpus
-    toks = materialize_once(
-        tokens_with_pos(docs, id_col, text_col).select(
-            id_col, "pos", "token"),
-        "sa_toks")
-    t, n_distinct = _dense_rank(toks, ["token"], "rank")
-    t = materialize_once(t.select(id_col, "pos", "rank"), "sa_r1")
+    # checkpoint) would otherwise each re-tokenize the corpus.
+    arr = _token_arrays(docs, id_col, text_col)
+    grams = arr.select(
+        id_col,
+        F.posexplode(let(
+            F.col("toks"),
+            lambda toks: F.transform(
+                toks,
+                lambda t, i: F.concat_ws(
+                    _GRAM_SEP, F.slice(toks, i + 1, seed_h)),
+            ),
+        )).alias("__p0", "gram"),
+    ).select(id_col, (F.col("__p0") + 1).cast("int").alias("pos"), "gram")
+    toks = materialize_once(grams, "sa_toks")
+    t, n_distinct = _dense_rank(toks, ["gram"], "rank")
+    t = materialize_once(t.select(id_col, "pos", "rank"), f"sa_r{seed_h}")
     total = t.count()
     maxlen = (t.groupBy(id_col).count()
               .agg(F.max("count")).collect()[0][0] or 0)
-    tables = [(1, t)]
-    k = 1
+    tables = [(seed_h, t)]
+    k = seed_h
     while k < maxlen and n_distinct < total:
         nxt = t.select(F.col(id_col), (F.col("pos") - k).alias("pos"),
                        F.col("rank").alias("_r2"))
@@ -177,6 +212,46 @@ def _lcp_walk(pairs: DataFrame, tables, id_col: str,
     return out
 
 
+def _lcp_refine(walked: DataFrame, docs: DataFrame, id_col: str,
+                seed_h: int) -> DataFrame:
+    """Resolve the sub-``seed_h`` LCP remainder in-row: after the table
+    walk the two suffixes are known to agree on ``lcp`` tokens and to
+    DISAGREE within the next ``seed_h`` (their rank_h at offset lcp
+    differed), so one elementwise comparison of the next seed_h - 1
+    tokens from each document's token array finishes the job — two
+    doc-keyed equi-joins and a bounded fold, no per-level tables below
+    the seed."""
+    if seed_h <= 1:
+        return walked
+    arr = materialize_once(
+        _token_arrays(docs, id_col, "text"), "sa_refine_arr")
+    ta = arr.select(F.col(id_col).alias("ida"), F.col("toks").alias("_ta"))
+    tb = arr.select(F.col(id_col).alias("idb"), F.col("toks").alias("_tb"))
+    win = seed_h - 1
+    # leading-equal count of the two slices; zip_with pads the shorter
+    # side with NULL and NULL == x is NULL -> fold stops there
+    eqs = F.zip_with(
+        F.expr(f"slice(_ta, CAST(pa + lcp AS INT), {win})"),
+        F.expr(f"slice(_tb, CAST(pb + lcp AS INT), {win})"),
+        lambda x, y: F.coalesce(x == y, F.lit(False)),
+    )
+    rem = F.aggregate(
+        eqs,
+        F.struct(F.lit(0).cast("long").alias("n"),
+                 F.lit(False).alias("done")),
+        lambda acc, e: F.struct(
+            F.when(~acc["done"] & e, acc["n"] + 1).otherwise(acc["n"])
+            .alias("n"),
+            (acc["done"] | ~e).alias("done"),
+        ),
+    )["n"]
+    return (
+        walked.join(ta, "ida").join(tb, "idb")
+        .withColumn("lcp", F.col("lcp") + rem)
+        .drop("_ta", "_tb")
+    )
+
+
 def longest_repeated_prefix(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
     """(id, pos, lrp): for every corpus position, the length of the
@@ -208,8 +283,11 @@ def longest_repeated_prefix(docs: DataFrame, id_col: str = "doc_id",
         .withColumn("lcp", (F.col("_dl") - F.col("pa") + 1).cast("long"))
         .select("ida", "pa", "idb", "pb", "lcp")
     )
-    ne_l = _lcp_walk(ne.select("ida", "pa", "idb", "pb"), tables, id_col,
-                     total=total)
+    seed_h = min(k for k, _t in tables)
+    ne_l = _lcp_refine(
+        _lcp_walk(ne.select("ida", "pa", "idb", "pb"), tables, id_col,
+                  total=total),
+        docs, id_col, seed_h)
     both = eq_l.unionByName(ne_l)
     per_side = both.select(F.col("ida").alias(id_col),
                            F.col("pa").alias("pos"), "lcp") \
