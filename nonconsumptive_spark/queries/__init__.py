@@ -209,10 +209,19 @@ PRIORITY: tuple[str, ...] = (
     # -- longest-unverified re-check tail: every remaining entry,
     #    ordered by last-green round ascending (r1 rows first), so
     #    no green row ages indefinitely once the burn-down clears.
-    # -- code-touched first (rotation policy rule 1): these four changed
-    #    plans this round (session token cache wiring); re-verified
-    #    locally dtype-strict at two SFs, queued for external re-check
-    #    ahead of the age-ordered tail.
+    # -- code-touched first (rotation policy rule 1): these changed
+    #    plans this round (CC label-sum fixpoint, salt-bucket EWMA and
+    #    Theil-Sen kernels, h-gram-seeded suffix array, session token
+    #    cache wiring); every one re-verified locally dtype-strict at
+    #    two SFs, queued for external re-check ahead of the age tail.
+    "q_dedup_clusters",
+    "q_canonical_docs",
+    "q_dedup_rate_by_source",
+    "q_dedup_incremental",
+    "q_ewma_anomalies",
+    "q_user_value_trend",
+    "q_repeated_regions",
+    "q_remove_repeated_spans",
     "q_vocabulary",
     "q_encoded_unigrams",
     "q_bigram_counts",
@@ -257,9 +266,7 @@ PRIORITY: tuple[str, ...] = (
     "q_markov_transitions",
     "q_kmeans_assign",
     "q_semdedup_prune",
-    "q_dedup_clusters",
     "q_asof_join",
-    "q_user_value_trend",
     "q_funnel_stages",
     "q_token_count_ws",
     "q_repetition_scores",
@@ -298,9 +305,7 @@ PRIORITY: tuple[str, ...] = (
     "q_minhash_signatures",
     "q_lsh_candidates",
     "q_minhash_dedup_pairs",
-    "q_canonical_docs",
     "q_ngram_jaccard_pairs",
-    "q_remove_repeated_spans",
     "q_remove_duplicated_chunks",
     "q_dedup_stats",
     "q_retention_cohorts",
@@ -333,7 +338,6 @@ PRIORITY: tuple[str, ...] = (
     "q_bpe_encode",
     "q_countmin_estimate",
     "q_token_triangles",
-    "q_dedup_incremental",
     "q_containment_pairs",
     "q_ngram_novelty",
     "q_snm_pairs",
@@ -417,7 +421,6 @@ PRIORITY: tuple[str, ...] = (
     "q_knn_cosine_lsh",
     "q_knn_cosine_ivf",
     "q_encoded_quadgrams",
-    "q_repeated_regions",
     "q_query_likelihood",
     "q_cusum_daily",
     "q_kaplan_meier",
@@ -452,7 +455,6 @@ PRIORITY: tuple[str, ...] = (
     "q_auc_eval",
     "q_adamic_adar",
     "q_kcore",
-    "q_ewma_anomalies",
     "q_bleu_pairs",
     "q_leakage_safe_split",
     "q_good_turing",
@@ -481,7 +483,6 @@ PRIORITY: tuple[str, ...] = (
     "q_span_corruption",
     "q_binseg_daily",
     "q_runs_test",
-    "q_dedup_rate_by_source",
 )
 
 
