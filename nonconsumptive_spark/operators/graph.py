@@ -329,6 +329,12 @@ def kcore(edges: DataFrame, k: int = 3, n_rounds: int = 12) -> DataFrame:
         .distinct(),
         "kcore_edges",
     )
+    # early exit on the edge-count fixpoint: peeling only REMOVES edges,
+    # so an unchanged count proves an unchanged subgraph, and peeling is
+    # confluent/idempotent — the oracle's full unrolled ``n_rounds`` CTE
+    # chain no-ops past convergence, so both engines emit the same core
+    # while the engine skips the dead rounds.
+    prev = und.count()
     for r in range(n_rounds):
         deg = und.groupBy("src").agg(F.count("*").alias("deg"))
         alive = deg.filter(F.col("deg") >= k).select("src")
@@ -337,6 +343,10 @@ def kcore(edges: DataFrame, k: int = 3, n_rounds: int = 12) -> DataFrame:
             .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi"),
             f"kcore_e{r}",
         )
+        cur = und.count()
+        if cur == prev:
+            break
+        prev = cur
     return (
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("long").alias("core_deg"))
