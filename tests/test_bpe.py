@@ -3,6 +3,8 @@ inference segmentation."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -58,6 +60,7 @@ def test_apply_bpe_segments_with_learned_merges(spark):
 
 
 # ---------------------------------------------------------------------------
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_pagerank_two_node_cycle_with_dangler(spark):
     from nonconsumptive_spark.operators.graph import pagerank
 

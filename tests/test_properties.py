@@ -17,6 +17,8 @@ fast.  The invariants are the engine's load-bearing algebra:
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -377,6 +379,7 @@ def test_winsorize_is_order_statistic_clip(spark, values, tmp_path_factory):
 
 @given(texts=st.lists(doc_text, min_size=2, max_size=10))
 @SET
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_ppjoin_equals_naive_on_random_text(spark, texts):
     """PPJoin's prefix+positional filtering loses no pairs on arbitrary
     unicode corpora (exactness property, threshold swept)."""

@@ -4,6 +4,8 @@ inputs (the repo's hypothesis discipline — SURVEY §5)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import math
 from collections import Counter
@@ -86,6 +88,7 @@ def test_kaplan_meier_matches_product_estimator(spark, duck):
                 min_size=1, max_size=4),
        st.integers(min_value=2, max_value=5))
 @settings(max_examples=12, deadline=None)
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_spacesaving_guarantees_random(spark, tmp_path_factory, epochs, cap):
     from nonconsumptive_spark.streaming.heavyhitters import (
         heavy_hitters,
@@ -118,6 +121,7 @@ def test_spacesaving_guarantees_random(spark, tmp_path_factory, epochs, cap):
     st.tuples(st.integers(0, 8), st.integers(0, 8)),
     min_size=1, max_size=24))
 @settings(max_examples=15, deadline=None)
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_label_propagation_matches_python(spark, edges):
     from nonconsumptive_spark.operators.graph import label_propagation
 
@@ -221,6 +225,7 @@ def test_stationary_is_distribution(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_degenerate_inputs_are_well_defined(spark):
     from nonconsumptive_spark.operators.graph import (
         hits_scores,

@@ -5,6 +5,8 @@ random inputs (the repo's hypothesis discipline — SURVEY §5)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import hashlib
 import math
@@ -841,6 +843,7 @@ def test_isotonic_minimax_equals_classic_pava(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_von_neumann_extremes(spark):
     from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tempfile
@@ -873,6 +876,7 @@ def test_von_neumann_extremes(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_simpson_flip_detects_planted_paradox(spark):
     from nonconsumptive_spark.queries.promoted_r6 import STAGED
     import tempfile
@@ -1038,6 +1042,7 @@ def test_time_to_convert_matches_brute(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_sprt_detects_rate_jump(spark):
     from nonconsumptive_spark.queries.promoted_r6 import (
         STAGED, _SPRT_LO_Q, _SPRT_SCALE, _SPRT_UP_Q)

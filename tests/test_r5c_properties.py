@@ -7,6 +7,8 @@ SURVEY §5)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 SF = "/root/testdata/sf0.001"
@@ -132,6 +134,7 @@ def test_err_bounds_on_testdata(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_bradley_terry_dominance_and_normalization(spark):
     from nonconsumptive_spark.operators.evaluation import bradley_terry
 

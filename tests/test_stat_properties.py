@@ -4,6 +4,8 @@ through the registered queries (writing documents.parquet per example)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -37,6 +39,7 @@ def _write(spark, tmpdir, rows):
 
 @SET
 @given(_corpus)
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_ks_bounds_and_symmetry_invariants(spark, tmp_path_factory, rows):
     d = str(tmp_path_factory.mktemp("ks"))
     _write(spark, d, rows)
@@ -54,6 +57,7 @@ def test_ks_bounds_and_symmetry_invariants(spark, tmp_path_factory, rows):
 
 @SET
 @given(_corpus)
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_mwu_bounds_and_no_tie_formula(spark, tmp_path_factory, rows):
     d = str(tmp_path_factory.mktemp("mwu"))
     _write(spark, d, rows)
@@ -71,6 +75,7 @@ def test_mwu_bounds_and_no_tie_formula(spark, tmp_path_factory, rows):
 
 @SET
 @given(_corpus)
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_welch_antisymmetry_and_df_bounds(spark, tmp_path_factory, rows):
     d = str(tmp_path_factory.mktemp("welch"))
     _write(spark, d, rows)
@@ -95,6 +100,7 @@ def test_welch_antisymmetry_and_df_bounds(spark, tmp_path_factory, rows):
 @given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
                           st.sampled_from(["x", "y"])),
                 min_size=4, max_size=40))
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_mi_nonnegative_chi2_nonnegative(spark, tmp_path_factory, cells):
     d = str(tmp_path_factory.mktemp("mi"))
     data = [(i, "tok", l, s, 10) for i, (l, s) in enumerate(cells)]

@@ -134,6 +134,7 @@ _doc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12)
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(_doc, min_size=1, max_size=6))
+@pytest.mark.sweep  # deep property sweep (>=10s); runs at round close
 def test_lrp_property(spark, corpora):
     docs = [(i, " ".join(t)) for i, t in enumerate(corpora)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
