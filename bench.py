@@ -306,11 +306,13 @@ EXTRA = {
     # round-count/scale path can't rot (r7: 35.8s -> 23.5s warm at sf0.1
     # via materialized keys + broadcast join-backs + broadcast LCP walk)
     "q_repeated_regions": _registry("q_repeated_regions"),
-    # r7 staging (queries/staging.py)
-    "q_bucketed_join_revenue": _staged("q_bucketed_join_revenue"),
-    "q_ljung_box": _staged("q_ljung_box"),
-    "q_mood_median": _staged("q_mood_median"),
-    "q_cochran_q": _staged("q_cochran_q"),
+    # r8-promoted cohort (queries/promoted_r8.py — was r7 staging)
+    "q_bucketed_join_revenue": _registry("q_bucketed_join_revenue"),
+    "q_ljung_box": _registry("q_ljung_box"),
+    "q_mood_median": _registry("q_mood_median"),
+    "q_cochran_q": _registry("q_cochran_q"),
+    # r8 staging (queries/staging.py)
+    "q_click_attribution_outer": _staged("q_click_attribution_outer"),
 }
 
 

@@ -86,76 +86,27 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # fills the remaining slots.  Goal: no green row older than two rounds
 # for any code-touched file.
 #
-# ROUND-7 WINDOW (the first 50 below): the never-driver-checked
-# burn-down (VERDICT r6 item 1).  After r6 the cumulative external
-# coverage was 269/358 with 89 registered entries never checked; the
-# first 50 of them (queue order) fill this window.  R8 QUEUE
-# (positions 51-97): the remaining 39 never-checked entries plus the
-# r7-promoted staging cohort (8, queries/promoted_r7.py: cox_ph,
-# pinball_quantile, mixture_materialize, jonckheere_trend,
-# ansari_bradley, lm_interp_tune, page_trend, dedup_threshold_curve) —
-# after r8 every one of the 366 registered queries has at least one
-# external CORRECTNESS row.  The tail re-checks longest-unverified
-# first (last-green round ascending, r1 rows first).
+# ROUND-8 WINDOW (the first 50 below): the FINAL never-driver-checked
+# burn-down (VERDICT r7 item 1).  After r7 the cumulative external
+# coverage was 319/366; the remaining 47 never-checked entries lead
+# (the r7 judge pre-verified all 47 green, dtype-strict, at sf0.01),
+# followed by 3 of the 4 r8-promoted entries (queries/promoted_r8.py:
+# bucketed_join_revenue, ljung_box, mood_median).  Position 51
+# (q_cochran_q, the 4th promoted entry) heads the r9 window; after r9's
+# first row lands, every one of the 370 registered queries has at
+# least one external CORRECTNESS row and the tail becomes a pure
+# longest-unverified re-check rotation (last-green round ascending;
+# the 50 rows r7 just checked sit at the very end).
 PRIORITY: tuple[str, ...] = (
-    # ------- ROUND-7 WINDOW (first 50): never-driver-checked burn-down
-    # (VERDICT r6 item 1).  89 registered entries had no CORRECTNESS row
-    # after r6 (cumulative 269/358); the first 50 of them fill this
-    # window in their established queue order.  Every one is green under
-    # the driver-grade dtype-strict compare at sf0.001 AND sf0.01.
-    "q_cooks_distance",
-    "q_sax_daily",
-    "q_seasonality_strength",
-    "q_mattr",
-    "q_interarrival_stats",
-    "q_embedding_isotropy",
-    "q_cohort_value",
-    "q_rfm_segments",
-    "q_split_balance",
-    "q_anova_oneway",
-    "q_cramers_v",
-    "q_vocab_coverage",
-    "q_event_type_overlap",
-    "q_higher_moments",
-    "q_daily_mix_entropy",
-    "q_lorenz_curve",
-    "q_event_entropy_rate",
-    "q_hhi_concentration",
-    "q_jaccard_histogram",
-    "q_growth_accounting",
-    "q_stickiness",
-    "q_return_time_hist",
-    "q_char_entropy",
-    "q_word_length_profile",
-    "q_oov_by_source",
-    "q_hill_tail",
-    "q_daily_bands",
-    "q_nn_label_agreement",
-    "q_common_prefix",
-    "q_term_position_bias",
-    "q_type_user_hhi",
-    "q_cluster_representatives",
-    "q_kmeans_elbow",
-    "q_xcorr_types",
-    "q_g2_collocations",
-    "q_cohens_d_sources",
-    "q_permutation_test",
-    "q_holt_linear_daily",
-    "q_seq_pattern_pairs",
-    "q_rm3_expansion",
-    "q_gunning_fog",
-    "q_grubbs_outlier",
-    "q_keyness_terms",
-    "q_skew_report",
-    "q_zeta_markers",
-    "q_fk_integrity",
-    "q_mcnemar_langid",
-    "q_audio_window_energy",
-    "q_log_odds_dirichlet",
-    "q_mantel_haenszel",
-    # ------- end of the 50-slot r7 window -------
-    # r8 queue: the remaining 39 never-checked entries, then the
-    # r7-promoted staging cohort (8, queries/promoted_r7.py).
+    # ------- ROUND-8 WINDOW (first 50): the final never-driver-checked
+    # burn-down (VERDICT r7 item 1).  After r7 the cumulative external
+    # coverage was 319/366 with exactly these 47 registered entries
+    # never checked (registry minus the union of CORRECTNESS_r01-r07
+    # keys); the r7 judge pre-verified ALL 47 green dtype-strict at
+    # sf0.01.  Slots 48-50 are the first three of the r8-promoted
+    # cohort (queries/promoted_r8.py).  After this window every
+    # registered query except q_cochran_q (position 51, heads the r9
+    # window) has an external CORRECTNESS row.
     "q_juilland_dispersion",
     "q_brier_decomposition",
     "q_langid_prf",
@@ -195,9 +146,6 @@ PRIORITY: tuple[str, ...] = (
     "q_price_elasticity",
     "q_logrank_test",
     "q_friedman_daily",
-    # -- r7-promoted cohort (8): registered this round, never
-    #    driver-checked; judged green by the r6 judge via
-    #    tools/check_staged at sf0.001.
     "q_cox_ph",
     "q_pinball_quantile",
     "q_mixture_materialize",
@@ -206,14 +154,18 @@ PRIORITY: tuple[str, ...] = (
     "q_lm_interp_tune",
     "q_page_trend",
     "q_dedup_threshold_curve",
-    # -- longest-unverified re-check tail: every remaining entry,
-    #    ordered by last-green round ascending (r1 rows first), so
-    #    no green row ages indefinitely once the burn-down clears.
-    # -- code-touched first (rotation policy rule 1): these changed
-    #    plans this round (CC label-sum fixpoint, salt-bucket EWMA and
-    #    Theil-Sen kernels, h-gram-seeded suffix array, session token
-    #    cache wiring); every one re-verified locally dtype-strict at
-    #    two SFs, queued for external re-check ahead of the age tail.
+    # -- r8-promoted cohort, part 1 (3 of 4): staged+verified in r7
+    #    (then queries/staging.py), green at sf0.001 AND sf0.01 under
+    #    the driver-grade compare; bucketed join's zero-exchange plan
+    #    asserted by tests/test_bucketing.py.
+    "q_bucketed_join_revenue",
+    "q_ljung_box",
+    "q_mood_median",
+    # ------- end of the 50-slot r8 window -------
+    # r9 queue head: the 4th r8-promoted entry, then the
+    # longest-unverified re-check tail (unchanged relative order:
+    # code-touched-in-r7 rows first, then last-green round ascending).
+    "q_cochran_q",
     "q_dedup_clusters",
     "q_canonical_docs",
     "q_dedup_rate_by_source",
@@ -483,6 +435,59 @@ PRIORITY: tuple[str, ...] = (
     "q_span_corruption",
     "q_binseg_daily",
     "q_runs_test",
+    # -- the 50 rows the driver checked in r7 (CORRECTNESS_r07: 50/50
+    #    green) — freshest external evidence, so they rotate to the very
+    #    end of the queue (rotation policy rule 4).
+    "q_cooks_distance",
+    "q_sax_daily",
+    "q_seasonality_strength",
+    "q_mattr",
+    "q_interarrival_stats",
+    "q_embedding_isotropy",
+    "q_cohort_value",
+    "q_rfm_segments",
+    "q_split_balance",
+    "q_anova_oneway",
+    "q_cramers_v",
+    "q_vocab_coverage",
+    "q_event_type_overlap",
+    "q_higher_moments",
+    "q_daily_mix_entropy",
+    "q_lorenz_curve",
+    "q_event_entropy_rate",
+    "q_hhi_concentration",
+    "q_jaccard_histogram",
+    "q_growth_accounting",
+    "q_stickiness",
+    "q_return_time_hist",
+    "q_char_entropy",
+    "q_word_length_profile",
+    "q_oov_by_source",
+    "q_hill_tail",
+    "q_daily_bands",
+    "q_nn_label_agreement",
+    "q_common_prefix",
+    "q_term_position_bias",
+    "q_type_user_hhi",
+    "q_cluster_representatives",
+    "q_kmeans_elbow",
+    "q_xcorr_types",
+    "q_g2_collocations",
+    "q_cohens_d_sources",
+    "q_permutation_test",
+    "q_holt_linear_daily",
+    "q_seq_pattern_pairs",
+    "q_rm3_expansion",
+    "q_gunning_fog",
+    "q_grubbs_outlier",
+    "q_keyness_terms",
+    "q_skew_report",
+    "q_zeta_markers",
+    "q_fk_integrity",
+    "q_mcnemar_langid",
+    "q_audio_window_energy",
+    "q_log_odds_dirichlet",
+    "q_mantel_haenszel",
 )
 
 
@@ -497,6 +502,7 @@ def all_queries() -> dict[str, Query]:
         promoted,
         promoted_r6,
         promoted_r7,
+        promoted_r8,
         relational,
         retrieval,
         scalar,

@@ -111,7 +111,7 @@ def test_bucketed_fact_tables_join_eliminates_shuffle_and_sort(spark):
 
 
 def test_staged_bucketed_join_revenue_plan(spark):
-    from nonconsumptive_spark.queries.staging import STAGED
+    from nonconsumptive_spark.queries.promoted_r8 import STAGED
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

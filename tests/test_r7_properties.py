@@ -1,4 +1,4 @@
-"""Property tests for the round-7 staging cohort (queries/staging.py):
+"""Property tests for the round-7 staging cohort (queries/promoted_r8.py):
 Ljung-Box vanishes on a constant series and grows on a constructed
 alternating one, Mood's median test hits its closed-form extremes on
 identical / disjoint samples, Cochran's Q matches a hand-computed value
@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-from nonconsumptive_spark.queries.staging import STAGED
+from nonconsumptive_spark.queries.promoted_r8 import STAGED
 
 SF = "/root/testdata/sf0.001"
 
