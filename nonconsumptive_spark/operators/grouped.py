@@ -114,12 +114,18 @@ def ewma_anomalies(events: DataFrame, alpha: float = EWMA_ALPHA,
     schema = (f"{id_col} long, {key_col} long, {value_col} double, "
               "raw_ewma double, prev double")
     one_minus = 1.0 - alpha
+    # pandas' ewm(adjust=False) normalizes each step by fl((1-a)+a); the
+    # bit-identity argument vs the explicit loop below holds only when
+    # that divisor is exactly 1.0 (true for a=0.25 and any a whose
+    # complement is exact in binary).  Other alphas drift 1 ulp per step,
+    # so they must take the loop even on NaN-free buckets.
+    fast_path_exact = (one_minus + alpha) == 1.0
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([key_col, ts_col, id_col], kind="mergesort")
         v = pdf[value_col].astype("float64").to_numpy()
         keys = pdf[key_col].to_numpy()
-        if not np.isnan(v).any():
+        if fast_path_exact and not np.isnan(v).any():
             # vectorized fast path: groupby-ewm(adjust=False) runs the
             # SAME recurrence (two correctly-rounded multiplies + one add
             # per step; IEEE mul/add are commutative, so operand-order

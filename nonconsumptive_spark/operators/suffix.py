@@ -213,7 +213,7 @@ def _lcp_walk(pairs: DataFrame, tables, id_col: str,
 
 
 def _lcp_refine(walked: DataFrame, docs: DataFrame, id_col: str,
-                seed_h: int) -> DataFrame:
+                seed_h: int, text_col: str = "text") -> DataFrame:
     """Resolve the sub-``seed_h`` LCP remainder in-row: after the table
     walk the two suffixes are known to agree on ``lcp`` tokens and to
     DISAGREE within the next ``seed_h`` (their rank_h at offset lcp
@@ -224,7 +224,7 @@ def _lcp_refine(walked: DataFrame, docs: DataFrame, id_col: str,
     if seed_h <= 1:
         return walked
     arr = materialize_once(
-        _token_arrays(docs, id_col, "text"), "sa_refine_arr")
+        _token_arrays(docs, id_col, text_col), "sa_refine_arr")
     ta = arr.select(F.col(id_col).alias("ida"), F.col("toks").alias("_ta"))
     tb = arr.select(F.col(id_col).alias("idb"), F.col("toks").alias("_tb"))
     win = seed_h - 1
@@ -287,7 +287,7 @@ def longest_repeated_prefix(docs: DataFrame, id_col: str = "doc_id",
     ne_l = _lcp_refine(
         _lcp_walk(ne.select("ida", "pa", "idb", "pb"), tables, id_col,
                   total=total),
-        docs, id_col, seed_h)
+        docs, id_col, seed_h, text_col=text_col)
     both = eq_l.unionByName(ne_l)
     per_side = both.select(F.col("ida").alias(id_col),
                            F.col("pa").alias("pos"), "lcp") \

@@ -38,14 +38,31 @@ _MAX_ENTRIES = 4
 _CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
 
-def _corpus_key(spark: SparkSession, sf_dir: str) -> tuple:
+def _corpus_key(spark: SparkSession, sf_dir: str):
+    """(appId, path, mtime_ns, size) for a stat-able corpus; ``None``
+    when the path can't be stat-ed (hdfs/s3/unmounted).  A None key
+    DISABLES caching for that corpus rather than keying on a constant
+    stamp — a remote rewrite of the same path within one session must
+    never be served stale tokenized arrays."""
     path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
     try:
         st = os.stat(path)
-        stamp = (st.st_mtime_ns, st.st_size)
-    except OSError:  # non-local path (hdfs/s3): fall back to path-only key
-        stamp = (0, 0)
-    return (spark.sparkContext.applicationId, path, *stamp)
+    except OSError:
+        return None
+    return (spark.sparkContext.applicationId, path,
+            st.st_mtime_ns, st.st_size)
+
+
+def _evict(df: DataFrame) -> None:
+    """Release an evicted entry's executor storage.  materialize_once
+    returns a localCheckpoint-backed frame on local mode (unpersist
+    frees the blocks) and a parquet-backed scan under the durable
+    policy (unpersist is a harmless no-op); either way eviction must
+    not raise."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,20 +73,23 @@ def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nonconsumptive_spark.queries import load
 
     key = _corpus_key(spark, sf_dir)
-    hit = _CACHE.get(key)
-    if hit is not None:
-        _CACHE.move_to_end(key)
-        return hit
+    if key is not None:
+        hit = _CACHE.get(key)
+        if hit is not None:
+            _CACHE.move_to_end(key)
+            return hit
     docs = load(spark, sf_dir, "documents")
     toks = materialize_once(
         docs.select("doc_id", tokenize("text").alias("toks")),
         "tokenized_documents",
     )
-    _CACHE[key] = toks
-    while len(_CACHE) > _MAX_ENTRIES:
-        _CACHE.popitem(last=False)
+    if key is not None:
+        _CACHE[key] = toks
+        while len(_CACHE) > _MAX_ENTRIES:
+            _evict(_CACHE.popitem(last=False)[1])
     return toks
 
 
 def clear_token_cache() -> None:
-    _CACHE.clear()
+    while _CACHE:
+        _evict(_CACHE.popitem(last=False)[1])

@@ -29,7 +29,20 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_BUCKETS = 8
-DEFAULT_ROOT = "/tmp/nc_bucketed"
+# Resolved per-session under spark.sql.warehouse.dir (see _default_root):
+# a fixed world-writable /tmp path would let another local user pre-create
+# or tamper with the layout, and two unrelated deployments would race on
+# one directory.  The warehouse dir is already the session's durable,
+# per-deployment storage root — exactly the sharing scope the
+# content-addressed reuse wants.
+DEFAULT_ROOT = None
+
+
+def _default_root(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    return os.path.join(wh, "nc_bucketed")
 
 
 def _corpus_tag(sf_dir: str, buckets: int) -> str:
@@ -47,7 +60,7 @@ def _corpus_tag(sf_dir: str, buckets: int) -> str:
 
 def bucketed_fact_tables(spark: SparkSession, sf_dir: str,
                          buckets: int = DEFAULT_BUCKETS,
-                         root: str = DEFAULT_ROOT) -> tuple[str, str]:
+                         root: str | None = DEFAULT_ROOT) -> tuple[str, str]:
     """Ensure bucketed copies of (orders, lineitem) exist, bucketed and
     sorted by the join key (orderkey); returns their catalog table names.
 
@@ -57,6 +70,8 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str,
     forces one side to re-shuffle, which defeats the point."""
     from nonconsumptive_spark.queries import load
 
+    if root is None:
+        root = _default_root(spark)
     tag = _corpus_tag(sf_dir, buckets)
     o_name, l_name = f"nc_orders_b{tag}", f"nc_lineitem_b{tag}"
     for name, table, key in ((o_name, "orders", "o_orderkey"),

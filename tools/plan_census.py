@@ -216,11 +216,17 @@ def census(spark, sf_dir: str, only=None):
 def main():
     from nonconsumptive_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    write_path = None
+    for a in sys.argv[1:]:
+        if a == "--write":
+            write_path = "PLAN_CENSUS.md"
+        elif a.startswith("--write="):
+            write_path = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark("plan-census", cpus=4, shuffle_partitions=4)
     rows = census(spark, sf_dir)
-    print("| query | joins | exchanges | flags |")
-    print("|---|---|---|---|")
+    lines = ["| query | joins | exchanges | flags |", "|---|---|---|---|"]
     bad = 0
     for name, joins, ex, flag in rows:
         mark = ""
@@ -228,7 +234,26 @@ def main():
                 flag == "BNLJ" and name not in BNLJ_WHITELIST):
             mark = " **UNEXPECTED**"
             bad += 1
-        print(f"| {name} | {joins} | {ex} | {flag}{mark} |")
+        lines.append(f"| {name} | {joins} | {ex} | {flag}{mark} |")
+    print("\n".join(lines))
+    if write_path is not None:
+        # Truncation guard (the r7 end-of-round snapshot committed a
+        # 0-byte PLAN_CENSUS.md): refuse to replace the committed census
+        # with one smaller than the registry — a partial or empty run
+        # must never clobber the audit artifact.  Write to a temp file
+        # and rename so a crash mid-write can't leave a torn file.
+        from nonconsumptive_spark.queries import REGISTRY
+
+        n_rows = len(rows)
+        if n_rows < len(REGISTRY):
+            print(f"REFUSING --write: census has {n_rows} rows < "
+                  f"registry {len(REGISTRY)}", file=sys.stderr)
+            sys.exit(2)
+        import os
+        tmp = write_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, write_path)
     sys.exit(1 if bad else 0)
 
 
