@@ -304,7 +304,9 @@ EXTRA = {
     "q_dedup_threshold_curve": _registry("q_dedup_threshold_curve"),
     # suffix-array family: the O(n log n) heavyweight — tracked so its
     # round-count/scale path can't rot (r7: 35.8s -> 23.5s warm at sf0.1
-    # via materialized keys + broadcast join-backs + broadcast LCP walk)
+    # via materialized keys + broadcast join-backs + broadcast LCP walk;
+    # r8: ~27 -> ~8s warm via rank-group LCP representatives + the
+    # adaptive full-suffix seed, operators/suffix.py)
     "q_repeated_regions": _registry("q_repeated_regions"),
     # r8-promoted cohort (queries/promoted_r8.py — was r7 staging)
     "q_bucketed_join_revenue": _registry("q_bucketed_join_revenue"),

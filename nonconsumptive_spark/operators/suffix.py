@@ -27,11 +27,19 @@ Scale shape (the whole point):
     rank (ties broken by (doc, pos) only at final ordering time).
   * Rounds stop early once every rank is unique; corpora with repeated
     full suffixes converge by rank-count fixpoint at k >= maxdoclen.
+    When the longest document fits ``SEED_FULL_CAP`` the seed gram IS
+    the full suffix and construction is ONE dense-rank pass, zero
+    rounds (the adaptive fast path; long-doc corpora keep doubling).
   * LCPs come from the retained doubling tables (the standard
-    O(log n)-per-query walk) — computed only for SA-ADJACENT pairs,
-    which by the classic result suffice for the longest-repeated-prefix
-    of every suffix.  Each walk level is one equi-join of the bounded
-    pair frame against that level's rank table.
+    O(log n)-per-query walk) — computed only for ADJACENT RANK GROUPS:
+    same-rank suffixes are identical (LCP = full length, no walk), and
+    the LCP between rank r and rank r+1 is a function of the ranks
+    alone, so ONE representative pair per adjacent rank walks the
+    tables (R-1 pairs) and the answer joins back by rank.  By the
+    classic SA-adjacency result that max suffices for the
+    longest-repeated-prefix of every suffix.  Each walk level is one
+    equi-join of the bounded pair frame against that level's rank
+    table; the sub-seed remainder is one in-row slice comparison.
 
 Reference anchor: the reference has no substring machinery at all (its
 dedup stops at bag-of-words hashes, nonconsumptive/corpus.py); this is
@@ -94,11 +102,24 @@ def _dense_rank(df: DataFrame, key_cols: list[str], out: str,
 # k = h and needs log2(maxdoclen / h) rounds instead of log2(maxdoclen)
 # — each round is a barriered shuffle pipeline, so fewer rounds wins at
 # EVERY scale.  The trade is the seed shuffle carrying h-token string
-# keys (~h x avg-token bytes per position); h = 8 keeps that within the
-# same order as the round-1 shuffle itself.  LCP remainders below h are
-# resolved by one in-row token-slice comparison (see _lcp_refine), not
-# by per-level tables.
-SEED_H = 8
+# keys (~h x avg-token bytes per position).  h = 16 is the measured
+# knee of the sf0.1 warm sweep (8: 11.6s, 16: 9.5s, 24: 9.4s — box
+# noise beyond that); the per-position key stays ~100 B, the same
+# order as the (id, pos, rank) row it replaces for a round.  LCP
+# remainders below the seed are resolved by one in-row token-slice
+# comparison (see _lcp_refine), not by per-level tables.
+SEED_H = 16
+
+# Adaptive fast path: when the LONGEST document is at most this many
+# tokens, the seed gram IS the full suffix — one dense rank finishes
+# construction with ZERO doubling rounds, and every LCP (at most
+# maxdoclen - 1 tokens, since distinct ranks mean distinct content)
+# resolves in _lcp_refine's single in-row slice comparison.  The cap
+# bounds the joined-gram shuffle key to ~cap x avg-token bytes (~1 KB);
+# corpora with longer documents take the doubling rounds above with
+# SEED_H.  At sf0.1 (maxdoclen 100) this replaces 4 doubling rounds
+# (12 shuffles) with one ranking pass: 11.6s -> 4.2s warm.
+SEED_FULL_CAP = 128
 _GRAM_SEP = "\x01"  # sorts below every letter => joined-string order
 #                       == token-sequence order (tokens are \p{L}+ only)
 
@@ -112,19 +133,27 @@ def _token_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def suffix_rank_tables(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", seed_h: int = SEED_H):
     """Run prefix doubling to convergence.  Returns
-    ``(final, tables, total)``: ``final`` is (id, pos, rank) with ranks
-    comparing FULL suffixes (dense; identical suffixes share a rank),
-    ``tables`` is the list of (prefix_len, (id, pos, rank)) doubling
-    tables for LCP walks (lowest level = ``seed_h``), ``total`` the
-    corpus token count.  pos is 1-based."""
+    ``(final, tables, total, arr)``: ``final`` is (id, pos, rank) with
+    ranks comparing FULL suffixes (dense; identical suffixes share a
+    rank), ``tables`` is the list of (prefix_len, (id, pos, rank))
+    doubling tables for LCP walks (lowest level = the effective seed),
+    ``total`` the corpus token count, ``arr`` the materialized (id,
+    toks) token arrays (shared with ``_lcp_refine`` so the corpus is
+    tokenized exactly once).  pos is 1-based.
+
+    The effective seed is ``maxdoclen`` itself when that fits
+    ``SEED_FULL_CAP`` (full suffixes rank in ONE pass, zero doubling
+    rounds) and ``seed_h`` otherwise."""
     from nonconsumptive_spark.functions.text import let
 
-    # the seed gram at pos covers tokens pos..pos+h-1 (shorter at doc
+    # materialized: the maxlen probe, the seed build and the LCP refine
+    # all read the token arrays — unmaterialized each would re-tokenize
+    arr = materialize_once(_token_arrays(docs, id_col, text_col), "sa_arr")
+    maxlen = arr.agg(F.max(F.size("toks"))).collect()[0][0] or 0
+    eff = maxlen if 0 < maxlen <= SEED_FULL_CAP else seed_h
+    # the seed gram at pos covers tokens pos..pos+eff-1 (shorter at doc
     # end: a prefix, which the low separator makes sort BEFORE its
     # extensions — the same convention as the -1 rank sentinel below).
-    # materialized: round 1's three actions (distinct count, rank join,
-    # checkpoint) would otherwise each re-tokenize the corpus.
-    arr = _token_arrays(docs, id_col, text_col)
     grams = arr.select(
         id_col,
         F.posexplode(let(
@@ -132,18 +161,16 @@ def suffix_rank_tables(docs: DataFrame, id_col: str = "doc_id",
             lambda toks: F.transform(
                 toks,
                 lambda t, i: F.concat_ws(
-                    _GRAM_SEP, F.slice(toks, i + 1, seed_h)),
+                    _GRAM_SEP, F.slice(toks, i + 1, eff)),
             ),
         )).alias("__p0", "gram"),
     ).select(id_col, (F.col("__p0") + 1).cast("int").alias("pos"), "gram")
     toks = materialize_once(grams, "sa_toks")
     t, n_distinct = _dense_rank(toks, ["gram"], "rank")
-    t = materialize_once(t.select(id_col, "pos", "rank"), f"sa_r{seed_h}")
+    t = materialize_once(t.select(id_col, "pos", "rank"), f"sa_r{eff}")
     total = t.count()
-    maxlen = (t.groupBy(id_col).count()
-              .agg(F.max("count")).collect()[0][0] or 0)
-    tables = [(seed_h, t)]
-    k = seed_h
+    tables = [(eff, t)]
+    k = eff
     while k < maxlen and n_distinct < total:
         nxt = t.select(F.col(id_col), (F.col("pos") - k).alias("pos"),
                        F.col("rank").alias("_r2"))
@@ -161,7 +188,7 @@ def suffix_rank_tables(docs: DataFrame, id_col: str = "doc_id",
         if n2 == n_distinct:
             break  # fixpoint: repeated full suffixes, ranks are final
         n_distinct = n2
-    return t, tables, total
+    return t, tables, total, arr
 
 
 def suffix_array(docs: DataFrame, id_col: str = "doc_id",
@@ -169,7 +196,7 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
     """(id, pos, rank, sa): the generalized suffix array.  ``rank`` is
     dense over suffix CONTENT (ties = identical suffixes); ``sa`` is the
     0-based array position under the total order (rank, id, pos)."""
-    final, _, _ = suffix_rank_tables(docs, id_col, text_col)
+    final, _, _, _ = suffix_rank_tables(docs, id_col, text_col)
     return assign_dense_ids(final, ["rank", id_col, "pos"], id_name="sa")
 
 
@@ -212,19 +239,19 @@ def _lcp_walk(pairs: DataFrame, tables, id_col: str,
     return out
 
 
-def _lcp_refine(walked: DataFrame, docs: DataFrame, id_col: str,
-                seed_h: int, text_col: str = "text") -> DataFrame:
+def _lcp_refine(walked: DataFrame, arr: DataFrame, id_col: str,
+                seed_h: int) -> DataFrame:
     """Resolve the sub-``seed_h`` LCP remainder in-row: after the table
     walk the two suffixes are known to agree on ``lcp`` tokens and to
-    DISAGREE within the next ``seed_h`` (their rank_h at offset lcp
-    differed), so one elementwise comparison of the next seed_h - 1
-    tokens from each document's token array finishes the job — two
-    doc-keyed equi-joins and a bounded fold, no per-level tables below
-    the seed."""
+    DISAGREE within the next ``seed_h`` (their rank at offset lcp
+    differed — under the adaptive full-suffix seed, distinct ranks mean
+    the whole remaining LCP is below the seed), so one elementwise
+    comparison of the next seed_h - 1 tokens from each document's token
+    array finishes the job — two doc-keyed equi-joins and a bounded
+    fold, no per-level tables below the seed.  ``arr`` is the (id,
+    toks) frame suffix_rank_tables already materialized."""
     if seed_h <= 1:
         return walked
-    arr = materialize_once(
-        _token_arrays(docs, id_col, text_col), "sa_refine_arr")
     ta = arr.select(F.col(id_col).alias("ida"), F.col("toks").alias("_ta"))
     tb = arr.select(F.col(id_col).alias("idb"), F.col("toks").alias("_tb"))
     win = seed_h - 1
@@ -235,16 +262,12 @@ def _lcp_refine(walked: DataFrame, docs: DataFrame, id_col: str,
         F.expr(f"slice(_tb, CAST(pb + lcp AS INT), {win})"),
         lambda x, y: F.coalesce(x == y, F.lit(False)),
     )
-    rem = F.aggregate(
-        eqs,
-        F.struct(F.lit(0).cast("long").alias("n"),
-                 F.lit(False).alias("done")),
-        lambda acc, e: F.struct(
-            F.when(~acc["done"] & e, acc["n"] + 1).otherwise(acc["n"])
-            .alias("n"),
-            (acc["done"] | ~e).alias("done"),
-        ),
-    )["n"]
+    # leading-true count = index of the first false (array_position is
+    # one native scan; the old struct-fold walked every element through
+    # a higher-order lambda).  No false => every compared token agreed.
+    first_false = F.array_position(eqs, F.lit(False))
+    rem = F.when(first_false > 0, first_false - 1) \
+        .otherwise(F.size(eqs)).cast("long")
     return (
         walked.join(ta, "ida").join(tb, "idb")
         .withColumn("lcp", F.col("lcp") + rem)
@@ -259,47 +282,67 @@ def longest_repeated_prefix(docs: DataFrame, id_col: str = "doc_id",
     corpus (other position, any document).  Classic reduction: that
     longest match is always with an SA-adjacent suffix, so lrp =
     max(LCP with SA predecessor, LCP with SA successor) — n-1 pairs,
-    never all pairs."""
-    final, tables, total = suffix_rank_tables(docs, id_col, text_col)
-    sa = assign_dense_ids(final, ["rank", id_col, "pos"], id_name="sa")
-    sa = materialize_once(sa, "sa_order")
-    cur = sa.select(F.col(id_col).alias("ida"), F.col("pos").alias("pa"),
-                    F.col("rank").alias("rka"), "sa")
-    nxt = sa.select(F.col(id_col).alias("idb"), F.col("pos").alias("pb"),
-                    F.col("rank").alias("rkb"),
-                    (F.col("sa") - 1).alias("sa"))
-    adj = cur.join(nxt, "sa")
-    # identical suffixes (equal rank) have LCP = full suffix length and
-    # need no table walk; only unequal-rank neighbors walk the tables
-    eq = adj.filter(F.col("rka") == F.col("rkb"))
-    ne = adj.filter(F.col("rka") != F.col("rkb"))
-    # equal rank == identical suffix content, so the LCP is the whole
-    # suffix; suffix length = doc token count - pos + 1 (doc lengths
-    # from the rank-1 table, one tiny agg)
-    t1 = tables[0][1]
-    doclen = t1.groupBy(id_col).agg(F.max("pos").alias("_dl"))
-    eq_l = (
-        eq.join(doclen.select(F.col(id_col).alias("ida"), "_dl"), "ida")
-        .withColumn("lcp", (F.col("_dl") - F.col("pa") + 1).cast("long"))
-        .select("ida", "pa", "idb", "pb", "lcp")
+    never all pairs.
+
+    Adjacency is computed at RANK-GROUP level, not suffix level: ranks
+    are dense over suffix CONTENT, so same-rank suffixes are identical
+    (LCP = full suffix length, no walk) and the LCP between any member
+    of rank r and any member of rank r+1 is a function of (r, r+1)
+    alone.  One representative pair per adjacent rank walks the tables
+    — R-1 pairs instead of n-1 — and the per-suffix answer is
+    max(full length if the rank repeats, L(r-1), L(r)) attached by one
+    rank-keyed join.  This removes the former total-order
+    ``assign_dense_ids`` (a range-partitioned global sort of all n
+    positions), the SA self-join, and the final per-position groupBy:
+    the order among equal-rank members never mattered, only group
+    boundaries did."""
+    final, tables, total, arr = suffix_rank_tables(docs, id_col, text_col)
+    # per-rank multiplicity + one representative (min (id, pos)) member
+    groups = final.groupBy("rank").agg(
+        F.count("*").alias("_m"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_rep"),
     )
+    groups = materialize_once(groups, "sa_groups")
+    cur = groups.select(
+        "rank",
+        F.col(f"_rep.{id_col}").alias("ida"), F.col("_rep.pos").alias("pa"))
+    nxt = groups.select(
+        (F.col("rank") - 1).alias("rank"),
+        F.col(f"_rep.{id_col}").alias("idb"), F.col("_rep.pos").alias("pb"))
+    pairs = cur.join(nxt, "rank")  # (r, rep_r, rep_{r+1}): R-1 rows
     seed_h = min(k for k, _t in tables)
-    ne_l = _lcp_refine(
-        _lcp_walk(ne.select("ida", "pa", "idb", "pb"), tables, id_col,
-                  total=total),
-        docs, id_col, seed_h, text_col=text_col)
-    both = eq_l.unionByName(ne_l)
-    per_side = both.select(F.col("ida").alias(id_col),
-                           F.col("pa").alias("pos"), "lcp") \
-        .unionByName(both.select(F.col("idb").alias(id_col),
-                                 F.col("pb").alias("pos"), "lcp"))
-    lrp = per_side.groupBy(id_col, "pos").agg(F.max("lcp").alias("lrp"))
-    # positions with no SA neighbor on either side (corpus of 1 token)
-    # simply don't appear; join back to emit every position with lrp 0+
+    if len(tables) == 1:
+        # adaptive full-suffix seed: the single level's ranks ARE the
+        # final ranks, and adjacent reps have distinct ranks by
+        # construction, so the table walk can never advance — the whole
+        # LCP is the refine's in-row comparison
+        walked = pairs.withColumn("lcp", F.lit(0).cast("long"))
+    else:
+        walked = _lcp_walk(pairs, tables, id_col, total=total)
+    walked = _lcp_refine(walked, arr, id_col, seed_h)
+    lcp_next = walked.select("rank", F.col("lcp").alias("_ln"))
+    lcp_prev = walked.select((F.col("rank") + 1).alias("rank"),
+                             F.col("lcp").alias("_lp"))
+    per_rank = (
+        groups.select("rank", "_m")
+        .join(lcp_next, "rank", "left")
+        .join(lcp_prev, "rank", "left")
+    )
+    # full suffix length = doc token count - pos + 1 (in-row size over
+    # the already-materialized token arrays — no aggregation)
+    doclen = arr.select(id_col, F.size("toks").cast("long").alias("_dl"))
     return (
-        t1.select(id_col, "pos").join(lrp, [id_col, "pos"], "left")
-        .select(id_col, "pos",
-                F.coalesce("lrp", F.lit(0)).cast("long").alias("lrp"))
+        final.join(per_rank, "rank")
+        .join(doclen, id_col)
+        .select(
+            id_col, "pos",
+            F.greatest(
+                F.when(F.col("_m") > 1,
+                       F.col("_dl") - F.col("pos") + 1).otherwise(F.lit(0)),
+                F.coalesce("_ln", F.lit(0)),
+                F.coalesce("_lp", F.lit(0)),
+            ).cast("long").alias("lrp"),
+        )
     )
 
 

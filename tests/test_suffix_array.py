@@ -143,6 +143,33 @@ def test_lrp_property(spark, corpora):
     assert got == _brute_lrp(docs)
 
 
+def test_lrp_long_docs_doubling_path(spark):
+    """Documents longer than SEED_FULL_CAP must take the prefix-doubling
+    rounds (the adaptive full-suffix seed only covers short corpora);
+    the result still matches brute force exactly.  Two-letter alphabet
+    maximizes repeated structure; a planted shared tail exercises long
+    cross-document matches above the seed length."""
+    import random
+
+    from nonconsumptive_spark.operators.suffix import (
+        SEED_FULL_CAP,
+        suffix_rank_tables,
+    )
+
+    rng = random.Random(7)
+    shared = " ".join("qwertyuiop"[i % 10] for i in range(40))
+    docs = [(i, " ".join(rng.choice("ab") for _ in range(140 + 30 * i))
+             + " " + shared)
+            for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    _final, tables, _total, _arr = suffix_rank_tables(df)
+    assert len(tables) > 1, "expected the doubling path"
+    assert all(len(_tok(t)) > SEED_FULL_CAP for _, t in docs)
+    got = {(r.doc_id, r.pos): r.lrp
+           for r in longest_repeated_prefix(df).collect()}
+    assert got == _brute_lrp(docs)
+
+
 def test_assign_dense_ids_empty_input(spark):
     """Regression: an EMPTY frame used to fail analysis (create_map()
     with no entries types as map<void,void>)."""
