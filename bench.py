@@ -370,6 +370,34 @@ def _await_quiet_box() -> tuple:
     return load, attempts, gate
 
 
+# The historically heaviest extras (max recorded sf0.1 row >= ~5 s
+# across BENCH_r01-r07) get a second timed pass with per-row MIN when
+# they come up in the rotation: single-pass first-touch swings on these
+# rows (e.g. gries_dp 8.7 vs 1.4 s, hhi 6.4 vs 0.5 s on untouched code)
+# are larger than any real trend.  Bounded cost: ~1 min per bench run.
+WARM_EXTRAS = {
+    "q_repeated_regions",
+    "q_jaro_winkler_links",
+    "q_fs_link_scores",
+    "q_kmeans_elbow",
+    "q_gries_dp",
+    "q_markov_stationary",
+    "q_hll_by_group",
+    "q_encoded_quadgrams",
+    "q_gain_chart",
+    "q_hits_scores",
+    "q_leakage_safe_split",
+    "q_kcore",
+    "q_dedup_threshold_curve",
+    "q_rbo_rankers",
+    "q_hhi_concentration",
+    "q_modularity",
+    "q_ndcg_eval",
+    "q_silhouette",
+    "q_mrr_map_eval",
+}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -434,10 +462,20 @@ def main():
         rotating = sorted(n for n in EXTRA if n not in always_on)
         extra_names = always_on + rotating[rnd % 3::3]
     extra: dict[str, float] = {}
+    warm_rows: list[str] = []
     for name in extra_names:
         t0 = time.time()
         EXTRA[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         extra[name] = round(time.time() - t0, 3)
+        if name in WARM_EXTRAS:
+            # second pass, record the min: these are the only extras big
+            # enough for the first-touch swing to drown the trend signal
+            # (observed 2-5x between rounds on untouched code)
+            t0 = time.time()
+            EXTRA[name](spark, sf_dir) \
+                .write.format("noop").mode("overwrite").save()
+            extra[name] = min(extra[name], round(time.time() - t0, 3))
+            warm_rows.append(name)
 
     total = round(sum(timings.values()), 3)
     # Extras go on their OWN line first: the driver's tail capture of the
@@ -447,6 +485,9 @@ def main():
         "metric": "extra_queries_single_pass",
         "extra_queries": extra,
         "extras_rotation": f"{len(extra)}/{len(EXTRA)} this round",
+        # rows in warm_min2 used the min-of-two-passes protocol; all
+        # other extras remain single-pass (first-touch cost included)
+        "warm_min2": warm_rows,
         "sf": sf,
     }))
     print(json.dumps({

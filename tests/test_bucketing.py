@@ -122,3 +122,50 @@ def test_staged_bucketed_join_revenue_plan(spark):
         assert "SortMergeJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_star_join_leg_ab(spark):
+    """A/B of q_star_join_revenue's fact-to-fact leg on the bucketed
+    layout: same star (dims broadcast), but lineitem joins orders via
+    the content-addressed bucketed tables.  The flat plan shuffles both
+    fact sides for the l_orderkey SortMergeJoin; the bucketed plan's
+    ONLY hash exchange is the final (region, nation) aggregation — and
+    the two variants return identical rows.  This is the pay-the-
+    shuffle-once economics of sources/bucketing.py applied to the
+    headline star join (verdict r7 item 8)."""
+    from nonconsumptive_spark.queries import load
+    from nonconsumptive_spark.sources.bucketing import bucketed_fact_tables
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def star(li, o):
+            c = F.broadcast(load(spark, SF_SMALL, "customer"))
+            n = F.broadcast(load(spark, SF_SMALL, "nation"))
+            r = F.broadcast(load(spark, SF_SMALL, "region"))
+            return (
+                li.join(o, li["l_orderkey"] == o["o_orderkey"])
+                .join(c, o["o_custkey"] == c["c_custkey"])
+                .join(n, c["c_nationkey"] == n["n_nationkey"])
+                .join(r, n["n_regionkey"] == r["r_regionkey"])
+                .groupBy(F.col("r_name").alias("region"),
+                         F.col("n_name").alias("nation"))
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue"),
+                     F.count("*").alias("n_items"))
+            )
+
+        flat = star(load(spark, SF_SMALL, "lineitem"),
+                    load(spark, SF_SMALL, "orders"))
+        o_name, l_name = bucketed_fact_tables(spark, SF_SMALL)
+        bucketed = star(spark.table(l_name), spark.table(o_name))
+
+        flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+        b_plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert flat_plan.count("Exchange hashpartitioning") == 3, flat_plan
+        assert b_plan.count("Exchange hashpartitioning") == 1, b_plan
+        rows_flat = {tuple(r) for r in flat.collect()}
+        rows_b = {tuple(r) for r in bucketed.collect()}
+        assert rows_flat == rows_b and len(rows_flat) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -66,3 +66,44 @@ def test_salted_agg_equals_plain(spark):
         for r in salted_agg(df, keys=["k"], sum_cols=["v"], n_salt=4).collect()
     }
     assert salted == plain
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join demonstration (the runtime half of the skew story:
+    salting above is the planner-side fix, this pins the engine-side
+    one).  A deliberately hot key — ~90% of a 200k-row side — exceeds
+    the lowered skew thresholds, so the final adaptive plan must mark
+    the sort-merge join with skew=true, i.e. AQE actually split the
+    oversized partition into parallel subtasks instead of running the
+    hot key on one core.  At 100 TB this is what keeps an organic hot
+    key (a viral document, a bot user) from serializing a join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        other = spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        joined = big.join(other, "k")
+        # run THIS DataFrame (not a derived count() plan): AQE only
+        # finalizes — and skew-splits — its own AdaptiveSparkPlan at
+        # execution time
+        n = len(joined.collect())
+        assert n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
