@@ -72,10 +72,31 @@ def fs_link_scores(cust: DataFrame, m_prob: float = FS_M,
             (F.col("dig_a") == F.col("dig_b")).alias("g3"),
         )
     )
-    stats = pairs.agg(
-        F.count("*").alias("n"),
-        *[F.sum(F.col(f"g{j}").cast("long")).alias(f"ca{j}") for j in (1, 2, 3)],
+    # Pair-agreement totals WITHOUT a pass over the pair frame: within a
+    # block, pairs agreeing on field j = sum over values of C(cnt, 2),
+    # and the pair population is C(block size, 2) — identical exact
+    # integers to counting the blocked pairs directly (fields are
+    # non-NULL; a NULL group would wrongly count NULL==NULL as
+    # agreement, hence the isNotNull guard), computed at CUSTOMER scale
+    # instead of pair scale.  The blocked self-join below then runs
+    # exactly once, for the output rows.
+    base = cust.select(
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("f1"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("f2"),
+        F.col("c_name").substr(F.length("c_name"), F.lit(1)).alias("f3"),
     )
+    c2 = "coalesce(sum(count * (count - 1) div 2), 0)"
+    stats = (
+        base.groupBy("blk").count()
+        .agg(F.expr(c2).cast("long").alias("n"))
+    )
+    for j in (1, 2, 3):
+        stats = stats.crossJoin(F.broadcast(
+            base.filter(F.col(f"f{j}").isNotNull())
+            .groupBy("blk", f"f{j}").count()
+            .agg(F.expr(c2).cast("long").alias(f"ca{j}"))
+        ))
     scored = pairs.crossJoin(F.broadcast(stats))  # 1-row aggregate attach
 
     def wq(j: int):
@@ -203,9 +224,16 @@ def jaro_winkler_pairs(docs: DataFrame, threshold: float = 0.8,
         F.substring(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                     1, key_chars).alias("k"),
     )
-    ranked = assign_dense_ids(
-        keyed, ["lang", "k", "doc"], id_name="rnk"
-    ).withColumn("bkt", (F.col("rnk") / window).cast("long"))
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    # materialized: the two bucket joins read this frame four times —
+    # unmaterialized, each side would re-run the dense-rank sort
+    ranked = materialize_once(
+        assign_dense_ids(
+            keyed, ["lang", "k", "doc"], id_name="rnk"
+        ).withColumn("bkt", (F.col("rnk") / window).cast("long")),
+        "jw_ranked",
+    )
     a = ranked.select(F.col("doc").alias("doc_a"),
                       F.col("lang").alias("lang_a"),
                       F.col("rnk").alias("ra"), F.col("bkt").alias("ba"),
