@@ -313,8 +313,11 @@ EXTRA = {
     "q_ljung_box": _registry("q_ljung_box"),
     "q_mood_median": _registry("q_mood_median"),
     "q_cochran_q": _registry("q_cochran_q"),
-    # r8 staging (queries/staging.py)
+    # r8/r9 staging (queries/staging.py)
     "q_click_attribution_outer": _staged("q_click_attribution_outer"),
+    "q_wilcoxon_signed_rank": _staged("q_wilcoxon_signed_rank"),
+    "q_dunn_posthoc": _staged("q_dunn_posthoc"),
+    "q_cliffs_delta": _staged("q_cliffs_delta"),
 }
 
 

@@ -172,6 +172,12 @@ QUERIES = [
     "q_lm_interp_tune",
     "q_page_trend",
     "q_dedup_threshold_curve",
+    # r9 staging: the paired/post-hoc/effect-size rank additions + the
+    # outer-attribution registry face
+    "q_wilcoxon_signed_rank",
+    "q_dunn_posthoc",
+    "q_cliffs_delta",
+    "q_click_attribution_outer",
 ]
 
 

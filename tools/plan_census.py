@@ -153,6 +153,11 @@ BNLJ_WHITELIST = {
     "q_odds_ratio_ci",        # 1-row first-source-label attach onto the scan
     "q_time_to_convert",      # 1-row total + quantile attaches on the histogram
     "q_sprt_daily",           # 1-row rate-totals attach onto the day spine
+    # r9 staged (censused pre-promotion):
+    "q_wilcoxon_signed_rank",  # 1-row span attach onto the events scan
+    "q_dunn_posthoc",         # k x k broadcast self-join of the k-row
+                              # group frame (source-cardinality bounded)
+                              # + 1-row total/tie attaches
     # r5-continuation staged (censused pre-promotion):
     "q_theil_sen_slope",      # #days^2 pair spine + 1-row min-day/count attaches
     "q_avg_precision",        # 11-row level spine + 1-row n_pos/ap attaches
