@@ -42,6 +42,10 @@ MANIFEST = "_nc_manifest.json"
 
 _MAT_POLICY: dict = {"mode": "local", "root": None}
 _MAT_SEQ = 0
+# Callers may materialize from worker threads (e.g. the concurrent
+# elbow runs in q_kmeans_elbow); the sequence must stay collision-free
+# or two frames would overwrite one parquet path.
+_MAT_SEQ_LOCK = __import__("threading").Lock()
 
 
 def set_materialization(mode: str, root: str | Path | None = None) -> None:
@@ -58,8 +62,10 @@ def materialize_once(df: DataFrame, name: str = "mat") -> DataFrame:
     global _MAT_SEQ
     if _MAT_POLICY["mode"] == "local":
         return df.localCheckpoint(eager=False)
-    _MAT_SEQ += 1
-    path = str(Path(_MAT_POLICY["root"]) / f"{name}-{_MAT_SEQ:04d}")
+    with _MAT_SEQ_LOCK:
+        _MAT_SEQ += 1
+        seq = _MAT_SEQ
+    path = str(Path(_MAT_POLICY["root"]) / f"{name}-{seq:04d}")
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
     return df.sparkSession.read.parquet(path)
 
