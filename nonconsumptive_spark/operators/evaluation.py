@@ -166,44 +166,53 @@ def bleu_pairs(docs: DataFrame, id_col: str = "doc_id",
     min(count_in_candidate, count_in_reference), summed exactly.
 
     Scale shape: pair generation is an equi-join on the (lang, id mod
-    ``block_mod``) block key — never all-pairs; n-gram overlap joins key
-    on (doc, gram) against pre-aggregated per-doc count tables, so the
-    wide text column never joins anything."""
+    ``block_mod``) block key — never all-pairs; clipped-overlap joins key
+    the two per-doc count tables directly on (lang, blk, gram), so only
+    grams SHARED within a block ever join (grams the reference lacks
+    contribute min(ca, 0) = 0 and are never materialized), and the wide
+    text column never joins anything."""
     from nonconsumptive_spark.functions.text import tokenize
     from nonconsumptive_spark.plans.checkpoint import materialize_once
 
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(lang_col).alias("lang"),
-        tokenize(F.col(text_col)).alias("t"),
+    # The token arrays feed THREE consumers (unigram counts, bigram
+    # counts, lengths/pairs); materializing them once replaces three
+    # tokenize passes over the corpus with one (guide §1.2 step 1: don't
+    # compute things twice).  r8 A/B warm at sf0.1: 3.0 -> 1.7 s.
+    toks = materialize_once(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.col(lang_col).alias("lang"),
+            (F.col(id_col) % block_mod).alias("blk"),
+            tokenize(F.col(text_col)).alias("t"),
+        ),
+        "bleu_toks",
     )
-    # uni / big / pairs are each consumed 2-3 times downstream (candidate
-    # and reference sides of both clip joins); materializing them cuts the
-    # plan from re-tokenizing the corpus per consumer (census: 24 -> ~1/3
-    # the exchanges) and is the standard shared-frame discipline
-    # (dedup.minhash_dedup_pairs does the same with its signature table).
+    # Count tables carry the doc-functional (lang, blk) block key in
+    # their groupBy (free: same shuffle rows, two narrow extra columns)
+    # so the clip joins below can key on the block directly.
     uni = materialize_once(
-        toks.select("doc", F.explode("t").alias("g"))
-        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c")),
+        toks.select("doc", "lang", "blk", F.explode("t").alias("g"))
+        .groupBy("doc", "lang", "blk", "g")
+        .agg(F.count("*").cast("long").alias("c")),
         "bleu_uni",
     )
     big = materialize_once(
         toks.select(
-            "doc",
+            "doc", "lang", "blk",
             F.explode(F.zip_with(
                 F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
                 F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
                 lambda a, b: F.concat_ws(" ", a, b),
             )).alias("g"),
         )
-        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c")),
+        .groupBy("doc", "lang", "blk", "g")
+        .agg(F.count("*").cast("long").alias("c")),
         "bleu_big",
     )
     lens = toks.select(
-        "doc", "lang",
+        "doc", "lang", "blk",
         F.size("t").cast("long").alias("l1"),
         F.greatest(F.size("t") - 1, F.lit(0)).cast("long").alias("l2"),
-        (F.col("doc") % block_mod).alias("blk"),
     )
     a = lens.select(F.col("doc").alias("doc_a"), "lang", "blk",
                     F.col("l1").alias("l1_a"))
@@ -217,14 +226,22 @@ def bleu_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
     def _clip(cnt: DataFrame, name: str) -> DataFrame:
-        xa = cnt.select(F.col("doc").alias("doc_a"), "g",
+        # Σ_{g∈candidate} min(ca, cb) has nonzero terms only for grams
+        # PRESENT ON BOTH SIDES, so the clip is one equi-join of the
+        # count table against itself on (lang, blk, g) + the pair agg —
+        # the old pairs⋈counts⋈counts form fanned every pair out to ALL
+        # candidate grams first (pairs x |grams(A)| intermediate rows vs
+        # shared grams only) and Catalyst built broadcasts of the
+        # corpus-sized count table for both joins (guide §3.1:
+        # broadcast the small side, never the corpus).  Zero-overlap
+        # pairs re-enter via the left join + coalesce(0) below.
+        xa = cnt.select(F.col("doc").alias("doc_a"), "lang", "blk", "g",
                         F.col("c").alias("ca"))
-        xb = cnt.select(F.col("doc").alias("doc_b"), "g",
+        xb = cnt.select(F.col("doc").alias("doc_b"), "lang", "blk", "g",
                         F.col("c").alias("cb"))
         return (
-            pairs.select("doc_a", "doc_b")
-            .join(xa, "doc_a")
-            .join(xb, ["doc_b", "g"])
+            xa.join(xb, ["lang", "blk", "g"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.sum(F.least("ca", "cb")).cast("long").alias(name))
         )
@@ -318,32 +335,41 @@ def rouge2_pairs(docs: DataFrame, id_col: str = "doc_id",
     score replays bit-for-bit cross-engine before the 6-decimal round.
 
     Scale shape: identical to bleu_pairs — (lang, id mod ``block_mod``)
-    block equi-join for pairs, one pre-aggregated (doc, gram) count
-    table joined per side; the text column never reaches a join."""
+    block equi-join for pairs; the clipped overlap is ONE self-join of
+    the per-doc bigram count table on (lang, blk, gram) (only grams
+    shared within a block join; see bleu_pairs._clip for why this
+    replaces the pair×gram fan-out); the text column never reaches a
+    join."""
     from nonconsumptive_spark.functions.text import tokenize
     from nonconsumptive_spark.plans.checkpoint import materialize_once
 
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(lang_col).alias("lang"),
-        tokenize(F.col(text_col)).alias("t"),
+    # One tokenize pass feeds both the bigram counts and the length
+    # frame (r8: same discipline as bleu_pairs).
+    toks = materialize_once(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.col(lang_col).alias("lang"),
+            (F.col(id_col) % block_mod).alias("blk"),
+            tokenize(F.col(text_col)).alias("t"),
+        ),
+        "rouge_toks",
     )
     big = materialize_once(
         toks.select(
-            "doc",
+            "doc", "lang", "blk",
             F.explode(F.zip_with(
                 F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
                 F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
                 lambda a, b: F.concat_ws(" ", a, b),
             )).alias("g"),
         )
-        .groupBy("doc", "g").agg(F.count("*").cast("long").alias("c")),
+        .groupBy("doc", "lang", "blk", "g")
+        .agg(F.count("*").cast("long").alias("c")),
         "rouge_big",
     )
     lens = toks.select(
-        "doc", "lang",
+        "doc", "lang", "blk",
         F.greatest(F.size("t") - 1, F.lit(0)).cast("long").alias("l2"),
-        (F.col("doc") % block_mod).alias("blk"),
     )
     a = lens.select(F.col("doc").alias("doc_a"), "lang", "blk",
                     F.col("l2").alias("l2_a"))
@@ -355,12 +381,13 @@ def rouge2_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select("doc_a", "doc_b", "l2_a", "l2_b"),
         "rouge_pairs",
     )
-    xa = big.select(F.col("doc").alias("doc_a"), "g", F.col("c").alias("ca"))
-    xb = big.select(F.col("doc").alias("doc_b"), "g", F.col("c").alias("cb"))
+    xa = big.select(F.col("doc").alias("doc_a"), "lang", "blk", "g",
+                    F.col("c").alias("ca"))
+    xb = big.select(F.col("doc").alias("doc_b"), "lang", "blk", "g",
+                    F.col("c").alias("cb"))
     clip = (
-        pairs.select("doc_a", "doc_b")
-        .join(xa, "doc_a")
-        .join(xb, ["doc_b", "g"])
+        xa.join(xb, ["lang", "blk", "g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.least("ca", "cb")).cast("long").alias("clip2"))
     )

@@ -298,6 +298,44 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, dim: int = 64,
     )
 
 
+def ivf_probe_scored(emb: DataFrame, queries: DataFrame,
+                     n_centroids: int = 16, max_probe: int = 8,
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """(query_id, neighbor_id, probe_rank, cosine_sim): every IVF candidate
+    at probe depth ``max_probe``, tagged with the 0-based rank of the
+    candidate's cell in the query's probe order.
+
+    Probe sets are NESTED in the probe depth (the depth-p probe cells are
+    the first p of the depth-max order), so ``knn_ivf(n_probe=p)`` equals
+    the rows here with ``probe_rank < p`` re-ranked by the same top-k
+    window.  A probe-sweep (q_ann_recall_curve) therefore assigns cells
+    and scores candidates ONCE and slices per depth, instead of paying
+    ivf_assign + the (1+2+...+max) candidate scoring once per depth
+    (guide §1.2: don't recompute shared work; r8 A/B below)."""
+    c = ivf_assign(emb, n_centroids, dim, id_col, vec_col, seed).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        "cell",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(
+            F.slice(_centroid_ranks(vec_col, n_centroids, dim, seed),
+                    1, max_probe)
+        ).alias("probe_rank", "cell"),
+    )
+    return (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "probe_rank",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4)
+            .alias("cosine_sim"),
+        )
+    )
+
+
 def ivf_write(emb: DataFrame, index_dir: str, n_centroids: int = 16,
               dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
               seed: int = 42, compression: str = "zstd") -> None:

@@ -1613,7 +1613,16 @@ def q_ann_recall_curve(spark, sf_dir):
     floor (the oracle asserts the flag + DuckDB-recomputed exact-side
     counts, the q_knn_cosine_ivf discipline).  Probe cells are nested
     across levels, so candidate sets are supersets and recall is
-    structurally non-decreasing up to rounded-cosine tie displacement."""
+    structurally non-decreasing up to rounded-cosine tie displacement.
+
+    r8 perf: probe sets are nested, so cell assignment + candidate
+    scoring run ONCE at the deepest probe (sim.ivf_probe_scored keeps
+    each candidate's probe_rank) and every level is a filter + top-k
+    window over that materialized frame — the old per-level knn_ivf
+    calls re-assigned the corpus and re-scored the nested candidates
+    4x (A/B warm sf0.1: 3.2 -> 1.3 s; results hash-identical)."""
+    from pyspark.sql import Window
+
     from nonconsumptive_spark.operators import similarity as sim
     from nonconsumptive_spark.plans.checkpoint import materialize_once
     from nonconsumptive_spark.queries.similarity import _K, _N_QUERIES
@@ -1626,9 +1635,27 @@ def q_ann_recall_curve(spark, sf_dir):
         F.countDistinct("query_id").cast("long").alias("n_queries"),
         F.count("*").cast("long").alias("n_exact"),
     )
+    small = sim._small_corpus(emb)
+    if not small:
+        scored = materialize_once(
+            sim.ivf_probe_scored(emb, queries, n_centroids=16,
+                                 max_probe=max(_CURVE_BOUNDS)),
+            "curve_scored",
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
     out = None
     for p, bound in sorted(_CURVE_BOUNDS.items()):
-        approx = sim.knn_ivf(emb, queries, k=_K, n_centroids=16, n_probe=p)
+        if small:
+            # knn_ivf's sub-MIN_ANN_CORPUS fallback is the exact scan:
+            # every level's result IS the baseline frame.
+            approx = exact
+        else:
+            approx = (
+                scored.filter(F.col("probe_rank") < p)
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= _K)
+            )
         hits = exact.join(
             approx.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"])
