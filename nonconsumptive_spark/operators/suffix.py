@@ -65,22 +65,36 @@ DENSE_RANK_WINDOW_CAP = 1_000_000
 
 
 def _dense_rank(df: DataFrame, key_cols: list[str], out: str,
-                window_cap: int = DENSE_RANK_WINDOW_CAP):
+                window_cap: int = DENSE_RANK_WINDOW_CAP,
+                n_rows: int | None = None):
     """Dense rank of ``df`` rows by ``key_cols``: distinct keys get
-    0..D-1 ids, joined back.  Two physical strategies, same result
-    (the prefix-doubling rounds call this ~log(maxdoclen) times, so the
+    0..D-1 ids.  Three physical strategies, same result (the
+    prefix-doubling rounds call this ~log(maxdoclen) times, so the
     per-round constant matters at test scale):
 
-      * D <= ``window_cap``: row_number over the DISTINCT-KEY frame
-        (bounded by D, never corpus size) + a broadcast join back —
-        zero extra shuffle of the big side, one action.
+      * ``n_rows`` known and <= ``window_cap``: ONE ``dense_rank``
+        window over the whole frame — zero joins, zero extra frames
+        (r8 A/B at sf0.1, 270k positions: 2.2-3.0s -> 0.8-1.0s; the
+        old small path still paid a distinct, a single-partition key
+        window, and a broadcast join-back whose build side carries the
+        full gram strings).
+      * rows unbounded but D <= ``window_cap``: row_number over the
+        DISTINCT-KEY frame (bounded by D, never corpus size) + a
+        broadcast join back — zero extra shuffle of the big side.
       * D > window_cap: range-partitioned ``assign_dense_ids`` +
         shuffle join — the 100 TB path (a 100M-key table neither fits
         one window partition nor a broadcast).
 
-    Returns (ranked df, number of distinct keys)."""
+    Returns (ranked df, number of distinct keys).  On the direct-window
+    path the count is None — read it off the ranked frame as
+    ``max(out) + 1`` (one agg over a frame the caller materializes
+    anyway) only when actually needed."""
     from pyspark.sql import Window
 
+    if n_rows is not None and n_rows <= window_cap:
+        w = Window.orderBy(*key_cols)
+        return df.withColumn(
+            out, (F.dense_rank().over(w) - 1).cast("long")), None
     # materialize the distinct-key frame FIRST: the count, the ranking
     # and the join-back all read it — unmaterialized, each action would
     # recompute the upstream round join
@@ -166,12 +180,31 @@ def suffix_rank_tables(docs: DataFrame, id_col: str = "doc_id",
         )).alias("__p0", "gram"),
     ).select(id_col, (F.col("__p0") + 1).cast("int").alias("pos"), "gram")
     toks = materialize_once(grams, "sa_toks")
-    t, n_distinct = _dense_rank(toks, ["gram"], "rank")
+    # the row count both sizes the direct-window rank strategy (one
+    # count over the materialized frame) and IS the corpus token total
+    # the callers need — the ranked-frame count it replaces cost the
+    # same action
+    total = toks.count()
+    t, n_distinct = _dense_rank(toks, ["gram"], "rank", n_rows=total)
     t = materialize_once(t.select(id_col, "pos", "rank"), f"sa_r{eff}")
-    total = t.count()
+
+    def _resolve(nd, frame):
+        # direct-window _dense_rank returns no key count; dense ranks
+        # are 0..D-1, so D = max(rank)+1 — one agg over the
+        # already-materialized round frame, and only when the doubling
+        # loop actually needs it (the adaptive full-suffix seed never
+        # does: eff == maxlen ends the loop before the first test)
+        if nd is not None:
+            return nd
+        mx = frame.agg(F.max("rank")).collect()[0][0]
+        return (mx + 1) if mx is not None else 0
+
     tables = [(eff, t)]
     k = eff
-    while k < maxlen and n_distinct < total:
+    while k < maxlen:
+        n_distinct = _resolve(n_distinct, t)
+        if n_distinct >= total:
+            break
         nxt = t.select(F.col(id_col), (F.col("pos") - k).alias("pos"),
                        F.col("rank").alias("_r2"))
         pairs = (
@@ -179,12 +212,13 @@ def suffix_rank_tables(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, "pos", "rank",
                     F.coalesce("_r2", F.lit(-1)).alias("_r2"))
         )
-        t2, n2 = _dense_rank(pairs, ["rank", "_r2"], "_nr")
+        t2, n2 = _dense_rank(pairs, ["rank", "_r2"], "_nr", n_rows=total)
         t = materialize_once(
             t2.select(id_col, "pos", F.col("_nr").alias("rank")),
             f"sa_r{2 * k}")
         k *= 2
         tables.append((k, t))
+        n2 = _resolve(n2, t)
         if n2 == n_distinct:
             break  # fixpoint: repeated full suffixes, ranks are final
         n_distinct = n2
