@@ -191,8 +191,6 @@ def label_propagation(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     (PARTITIONED by node — never global); the label frame re-materializes
     every round (the shared lineage-cut discipline).  Labels are node
     ids, so state is one string per node regardless of round."""
-    from pyspark.sql.window import Window
-
     und = materialize_once(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"),
@@ -208,7 +206,6 @@ def label_propagation(edges: DataFrame, n_iter: int = 4) -> DataFrame:
         "lpa_nodes",
     )
     labels = nodes.select("node", F.col("node").alias("label"))
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for i in range(n_iter):
         votes = (
             und.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -216,10 +213,17 @@ def label_propagation(edges: DataFrame, n_iter: int = 4) -> DataFrame:
             .groupBy("node", "label")
             .agg(F.count("*").alias("cnt"))
         )
+        # mode with min-label tie-break as ONE order-free aggregate:
+        # min(struct(-cnt, label)) compares fieldwise (= cnt desc, then
+        # label asc), exactly the old row_number window's ranking — but
+        # with map-side partial aggregation and no per-node sort
+        # (r8, guide §2.3 "aggregate before you shuffle")
         winner = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("_nc"),
+                                F.col("label").alias("label")))
+                 .alias("_w"))
+            .select("node", F.col("_w.label").alias("new_label"))
         )
         labels = materialize_once(
             labels.join(winner, "node", "left").select(

@@ -61,11 +61,18 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Stopword-vote language ID: score = share of tokens in each language's
     stopword list; predict the argmax with deterministic (alphabetical)
     tie-break; 'und' (undetermined) when no stopwords hit at all.
-    NULL text counts as empty (-> 'und', 0 hits)."""
+    NULL text counts as empty (-> 'und', 0 hits).
+
+    ``extra_cols``: input columns carried through the (zero-shuffle)
+    projection — agreement-style consumers pass the label column here
+    instead of equi-joining this frame back to the corpus on doc id,
+    which costs two exchanges and a second scan for data that was on
+    the very rows this scan read (r8, guide §2.4)."""
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     scores = []
     for lang in sorted(LANG_STOPWORDS):
@@ -85,6 +92,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )[0]
     return df.select(
         id_col,
+        *extra_cols,
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         best["hits"].cast("long").alias("stopword_hits"),
     )

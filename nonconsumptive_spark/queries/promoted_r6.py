@@ -922,10 +922,10 @@ def q_mcnemar_langid(spark, sf_dir):
     maj = (docs.groupBy("lang").agg(F.count("*").alias("n"))
            .orderBy(F.desc("n"), F.asc("lang")).limit(1)
            .select(F.col("lang").alias("maj_lang")))
-    pred = ts.lang_id(docs).select("doc_id", "pred_lang")
+    # label carried through the lang-id projection — no doc-keyed join
+    # back to the corpus for a column this scan already read (r8)
     joined = (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        ts.lang_id(docs, extra_cols=("lang",))
         .crossJoin(F.broadcast(maj))
     )
     b = F.sum(F.when((F.col("pred_lang") == F.col("lang"))
@@ -1475,8 +1475,9 @@ def q_langid_prf(spark, sf_dir):
     from nonconsumptive_spark.operators import textstats as ts
 
     docs = load(spark, sf_dir, "documents")
-    pred = (docs.select("doc_id", "lang")
-            .join(ts.lang_id(docs).select("doc_id", "pred_lang"), "doc_id"))
+    # label carried through the lang-id projection — no doc-keyed join
+    # back to the corpus for a column this scan already read (r8)
+    pred = ts.lang_id(docs, extra_cols=("lang",))
     classes = pred.select(F.col("lang").alias("cls")).distinct()
     per = (
         pred.crossJoin(F.broadcast(classes))

@@ -291,10 +291,10 @@ def q_langid_vs_labels(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = load(spark, sf_dir, "documents")
-    pred = ts.lang_id(docs).select("doc_id", "pred_lang")
+    # label carried through the lang-id projection — no doc-keyed join
+    # back to the corpus for a column this scan already read (r8)
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        ts.lang_id(docs, extra_cols=("lang",))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
