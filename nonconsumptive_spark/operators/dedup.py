@@ -79,13 +79,22 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized-text fingerprint: every doc mapped to the
-    minimum doc_id of its duplicate group (keep_id == doc_id => keeper)."""
-    fp = materialize_once(fingerprint(docs, id_col, text_col), "exact_fp")
-    groups = fp.groupBy("fingerprint").agg(F.min(id_col).alias("keep_id"))
+    minimum doc_id of its duplicate group (keep_id == doc_id => keeper).
+
+    One fingerprint-PARTITIONED window (min id per group) instead of the
+    former groupBy + join-back: same keyed shuffle the agg paid, but the
+    join's second exchange, the materialized fingerprint frame and the
+    two-sided read disappear (r8, guide §2.4; warm sf0.1 ~0.55 ->
+    ~0.45 s).  The window key is the dedup group key, so partitions are
+    bounded by group size exactly like the agg was."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
     return (
-        fp.join(groups, "fingerprint")
-        .select(id_col, "fingerprint", "keep_id",
-                (F.col(id_col) == F.col("keep_id")).alias("is_keeper"))
+        fingerprint(docs, id_col, text_col)
+        .select(id_col, "fingerprint",
+                F.min(id_col).over(w).alias("keep_id"))
+        .withColumn("is_keeper", F.col(id_col) == F.col("keep_id"))
     )
 
 
