@@ -86,12 +86,16 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     join's second exchange, the materialized fingerprint frame and the
     two-sided read disappear (r8, guide §2.4; warm sf0.1 ~0.55 ->
     ~0.45 s).  The window key is the dedup group key, so partitions are
-    bounded by group size exactly like the agg was."""
+    bounded by group size exactly like the agg was.  NULL fingerprints
+    (NULL text) are dropped explicitly — the former inner join dropped
+    them via non-matching NULL keys, and the output contract (adversarial
+    parity fixture) pins that behavior."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("fingerprint")
     return (
         fingerprint(docs, id_col, text_col)
+        .filter(F.col("fingerprint").isNotNull())
         .select(id_col, "fingerprint",
                 F.min(id_col).over(w).alias("keep_id"))
         .withColumn("is_keeper", F.col(id_col) == F.col("keep_id"))
