@@ -120,6 +120,19 @@ def _update(assigned: DataFrame, cents: list[list[int]], dims: int) -> list[list
     return out
 
 
+def quantized_vectors(
+    emb: DataFrame, grid: int = GRID,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, xq): the grid-quantized vector frame, materialized once.
+    Callers that run several Lloyd loops over the same corpus (the elbow
+    sweep) build this once and pass it via ``q_df`` so each run reads the
+    materialized partitions instead of re-quantizing the corpus."""
+    return materialize_once(
+        emb.select(id_col, quantize_grid(vec_col, grid).alias("xq")), "km_q"
+    )
+
+
 def _kmeans_core(
     emb: DataFrame,
     k: int,
@@ -127,16 +140,23 @@ def _kmeans_core(
     grid: int,
     id_col: str,
     vec_col: str,
+    q_df: DataFrame | None = None,
 ):
     """Shared k-means driver: returns (final assignment incl. xq, centroids)."""
-    q = materialize_once(
-        emb.select(id_col, quantize_grid(vec_col, grid).alias("xq")), "km_q"
-    )
+    q = q_df if q_df is not None else quantized_vectors(emb, grid, id_col, vec_col)
     first = q.orderBy(id_col).limit(k).collect()  # bounded: k seed rows
     cents = [list(r["xq"]) for r in sorted(first, key=lambda r: r[id_col])]
     dims = len(cents[0])
     for _ in range(n_iter):
-        cents = _update(_assign(q, cents, id_col), cents, dims)
+        new = _update(_assign(q, cents, id_col), cents, dims)
+        if new == cents:
+            # Exact integer fixpoint: _update is a deterministic function of
+            # (q, cents), so every remaining round would return these same
+            # centroids — skipping them is result-identical (the oracle's
+            # n_iter-round replay lands on the same fixpoint).  Saves one
+            # assign+agg job per skipped round.
+            break
+        cents = new
     return _assign(q, cents, id_col), cents
 
 
@@ -147,12 +167,14 @@ def kmeans(
     grid: int = GRID,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cluster, dist_sq) after ``n_iter`` integer-grid Lloyd rounds.
 
     ``cluster`` is the 0-based centroid index (BIGINT), ``dist_sq`` the
-    exact integer squared distance in grid units."""
-    assigned, _ = _kmeans_core(emb, k, n_iter, grid, id_col, vec_col)
+    exact integer squared distance in grid units.  ``q_df`` optionally
+    supplies a pre-materialized quantized frame (see quantized_vectors)."""
+    assigned, _ = _kmeans_core(emb, k, n_iter, grid, id_col, vec_col, q_df=q_df)
     return assigned.select(id_col, "cluster", "dist_sq")
 
 

@@ -225,13 +225,27 @@ def label_propagation(edges: DataFrame, n_iter: int = 4) -> DataFrame:
                  .alias("_w"))
             .select("node", F.col("_w.label").alias("new_label"))
         )
-        labels = materialize_once(
+        stamped = materialize_once(
             labels.join(winner, "node", "left").select(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
+                (F.col("new_label").isNotNull()
+                 & (F.col("new_label") != F.col("label")))
+                .cast("int").alias("_chg"),
             ),
             f"lpa_iter_{i}",
         )
+        labels = stamped.drop("_chg")
+        if i + 1 < n_iter:
+            # Exact fixpoint witness (r8): synchronous LPA is a
+            # deterministic function of the previous labels, so a round
+            # that changes ZERO labels proves every remaining round is a
+            # no-op — skipping them is result-identical to the oracle's
+            # fixed-K replay.  The witness is a 1-row sum over the frame
+            # this round materializes anyway (sf0.1 converges at round 3
+            # of 4; at scale LPA typically converges well before fixed K).
+            if not (stamped.agg(F.sum("_chg")).first()[0] or 0):
+                break
     return labels
 
 

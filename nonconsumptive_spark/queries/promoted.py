@@ -6858,8 +6858,12 @@ def q_kmeans_elbow(spark, sf_dir):
     # the sum of runs to roughly the slowest one (12.4 -> ~6s warm at
     # sf0.1).  Results are bit-identical to the sequential loop —
     # threading changes scheduling, never the per-run arithmetic.
+    # All three runs read ONE materialized quantized frame (r8: each
+    # run used to quantize + checkpoint the corpus separately).
+    q_df = cl.quantized_vectors(emb)
+
     def run(k):
-        km = cl.kmeans(emb, k=k, n_iter=_ELBOW_ITERS)
+        km = cl.kmeans(emb, k=k, n_iter=_ELBOW_ITERS, q_df=q_df)
         return km.agg(
             F.lit(k).cast("long").alias("k"),
             F.count("*").cast("long").alias("n_vecs"),
