@@ -855,8 +855,11 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     exploded = materialize_once(exploded, "pp_exploded")
     sizes = sh.select(F.col(id_col), F.size("shingles").cast("long").alias("n"))
 
-    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
-    prefix = _pp_rank_prefix(exploded, dfreq, sizes, id_col, tp, tq)
+    # df comes from a count-window over the exploded frame itself (one
+    # keyed exchange) rather than a groupBy + join-back (two exchanges of
+    # the same string-keyed table) — r8, guide §2.3; the incremental path
+    # still passes its corpus dfreq as the order authority (join form).
+    prefix = _pp_rank_prefix(exploded, None, sizes, id_col, tp, tq)
 
     pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle",
                        F.col("n").alias("na"), F.col("pos").alias("pa"))
@@ -912,21 +915,27 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
-def _pp_rank_prefix(exploded: DataFrame, dfreq: DataFrame, sizes: DataFrame,
-                    id_col: str, tp: int, tq: int) -> DataFrame:
+def _pp_rank_prefix(exploded: DataFrame, dfreq: DataFrame | None,
+                    sizes: DataFrame, id_col: str, tp: int, tq: int) -> DataFrame:
     """(id, shingle, n, pos) prefix rows under the (df asc, shingle asc)
     global order — shared by the one-shot ppjoin and the persisted-index
     incremental path.  ``dfreq`` is the ORDER AUTHORITY: the incremental
     path passes the corpus's df table so batch and corpus prefixes agree
     on one total order (batch-only shingles left-join to df NULL and
     coalesce to 0 — unseen means rarest, which keeps the order total and
-    consistent)."""
+    consistent).  ``dfreq=None`` means self-frequency: df is a
+    count-window over ``exploded`` itself — one keyed exchange instead
+    of the groupBy + join-back pair, identical rows (r8)."""
     from pyspark.sql.window import Window
 
+    if dfreq is None:
+        with_df = exploded.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle")))
+    else:
+        with_df = exploded.join(dfreq, "shingle", "left").na.fill({"df": 0})
     w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
     ranked = (
-        exploded.join(dfreq, "shingle", "left")
-        .na.fill({"df": 0})
+        with_df
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .join(sizes, id_col)
     )
