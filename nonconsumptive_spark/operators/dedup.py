@@ -1128,16 +1128,31 @@ def bloom_shingle_novelty(docs: DataFrame, id_col: str = "doc_id",
     batch = sh.filter(F.col(id_col) % 2 == 1)
 
     probes = F.array(*[_bloom_pos(F.col("shingle"), i, m) for i in range(k)])
-    bits = (
+    bits = materialize_once(
         corpus_set.select(F.explode(probes).alias("pos"))
         .distinct()
-        .withColumn("hit", F.lit(1))
+        .withColumn("hit", F.lit(1)),
+        "bloom_bits",
     )
-    probed = batch.select(id_col, "shingle", F.explode(probes).alias("pos"))
+    # Probe the k positions with k broadcast left joins AND'ed in-row
+    # (r8, guide §2.1): the old explode -> broadcast join ->
+    # groupBy(id, shingle) AND-reduction shuffled the k-fanned batch
+    # stream on the (id, 32-char shingle) key just to re-collapse it.
+    # bits is materialized (<= m rows) so the k tiny broadcasts read the
+    # checkpoint rather than re-running the corpus-side distinct.
+    flagged = batch.select(
+        id_col, "shingle",
+        *[_bloom_pos(F.col("shingle"), i, m).alias(f"p{i}") for i in range(k)])
+    for i in range(k):
+        b = bits.select(F.col("pos").alias(f"p{i}"),
+                        F.col("hit").alias(f"h{i}"))
+        flagged = flagged.join(F.broadcast(b), f"p{i}", "left")
+    all_hit = None
+    for i in range(k):
+        h = F.col(f"h{i}").isNotNull()
+        all_hit = h if all_hit is None else (all_hit & h)
     shingle_flags = (
-        probed.join(F.broadcast(bits), "pos", "left")
-        .groupBy(id_col, "shingle")
-        .agg((F.coalesce(F.sum("hit"), F.lit(0)) == k).alias("bloom_hit"))
+        flagged.select(id_col, "shingle", all_hit.alias("bloom_hit"))
         .join(corpus_set.withColumn("in_corpus", F.lit(1)), "shingle", "left")
         .select(
             id_col, "bloom_hit",

@@ -1921,14 +1921,21 @@ def nb_lang_confusion(df: DataFrame, id_col: str = "doc_id",
     engine order and the argmax compares exact integers.
 
     Plan shape (100 TB): the corpus tokenizes ONCE into a per-doc tf table
-    (the only corpus-sized shuffle, keyed (id, token)); the model is a
-    (label, token) re-agg of it; scoring re-joins tf against the model on
-    the (label, token) short key after a #labels-row broadcast fan-out, so
-    the scored stream is |tf| x #labels rows that immediately collapse in
-    a map-side-combinable (id, label) agg.  The argmax window runs over
-    #labels rows per doc; the confusion agg is #labels^2-sized."""
+    (the only corpus-sized shuffle, keyed (id, token)).  Scoring uses the
+    missing-token decomposition
+
+        s(d,l) = len(d) * lq0(l) + sum_{t in d, c(t,l)>0} tf * (lq - lq0)
+
+    where lq0(l) is the quantized unseen-token log-prob (c=0 in the same
+    IEEE chain) and lq(c) the seen one — exact BIGINT algebra, identical
+    to summing tf*lq over ALL of the doc's tokens per label.  So tf joins
+    the model INNER on the token key (only (token, label) pairs the model
+    actually holds produce rows — no #labels fan-out of the tf stream),
+    and per-doc/per-label totals assemble from the tiny broadcast
+    (label, prior, lq0) table.  The argmax is a min(struct) hash agg
+    (map-side combinable, no per-doc sort); the confusion agg is
+    #labels^2-sized."""
     from nonconsumptive_spark.plans.checkpoint import materialize_once
-    from pyspark.sql import Window
 
     tf = materialize_once(
         df.select(id_col, label_col, F.explode(tokenize(text_col)).alias("token"))
@@ -1955,37 +1962,65 @@ def nb_lang_confusion(df: DataFrame, id_col: str = "doc_id",
         )
     )
 
-    lq = F.floor(
-        F.log(
-            (F.coalesce("c", F.lit(0)) + F.lit(1)).cast("double")
-            / (F.col("n_l") + F.col("v") + 1)
-        ) * F.lit(float(NB_LP_SCALE)) + F.lit(0.5)
-    ).cast("long")
-    sums = (
-        tf.crossJoin(F.broadcast(pri.select("model_lang")))
-        .join(model, ["model_lang", "token"], "left")
-        .join(F.broadcast(tot), ["model_lang"])
+    def _lq(c):
+        # same IEEE chain as the pre-decomposition form: (c+1) cast to
+        # double, divided by the long (n_l + v + 1), ln, scale, floor.
+        return F.floor(
+            F.log(
+                (c + F.lit(1)).cast("double")
+                / (F.col("n_l") + F.col("v") + 1)
+            ) * F.lit(float(NB_LP_SCALE)) + F.lit(0.5)
+        ).cast("long")
+
+    # per-label scalar table: prior, and the unseen-token log-prob lq0
+    # (exactly lq at c=0, so a model miss in the old left join == lq0).
+    # Anchored on pri (EVERY label in df): a label whose docs are all
+    # token-free has no tot row — its lq0 stays NULL and the len*lq0
+    # term coalesces to 0 below, which is exactly what the
+    # pre-decomposition form computed for it (score = prior alone).
+    consts = (
+        pri.join(tot, "model_lang", "left")
         .crossJoin(F.broadcast(voc))
-        .select(id_col, "model_lang", (F.col("tf") * lq).alias("term"))
-        .groupBy(id_col, "model_lang")
-        .agg(F.sum("term").cast("long").alias("s"))
+        .select("model_lang", "prior_q", "n_l", "v",
+                _lq(F.lit(0)).alias("lq0"))
     )
+    # model rows carry (lq - lq0): the correction a SEEN token adds on
+    # top of the unseen baseline.  Vocabulary-sized, never doc-sized.
+    mdl = (
+        model.join(F.broadcast(consts), "model_lang")
+        .select("model_lang", "token",
+                (_lq(F.col("c")) - F.col("lq0")).alias("dlq"))
+    )
+    delta = (
+        tf.join(mdl, "token")
+        .select(id_col, "model_lang", (F.col("tf") * F.col("dlq")).alias("term"))
+        .groupBy(id_col, "model_lang")
+        .agg(F.sum("term").cast("long").alias("ds"))
+    )
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("len"))
 
     scored = (
         df.select(id_col, F.col(label_col).alias("actual"))
-        .crossJoin(F.broadcast(pri))
-        .join(sums, [id_col, "model_lang"], "left")
+        .join(doclen, id_col, "left")  # empty/NULL text -> no tf rows
+        .crossJoin(F.broadcast(consts.select("model_lang", "prior_q", "lq0")))
+        .join(delta, [id_col, "model_lang"], "left")
         .select(
             id_col, "actual", "model_lang",
-            (F.col("prior_q") + F.coalesce("s", F.lit(0))).alias("total"),
+            (F.col("prior_q")
+             + F.coalesce(F.coalesce("len", F.lit(0)) * F.col("lq0"),
+                          F.lit(0))
+             + F.coalesce("ds", F.lit(0))).alias("total"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("total").desc(), F.col("model_lang").asc()
+    # argmax_l total, ties -> label asc, as an order-free aggregate:
+    # fieldwise struct min on (-total, label) == (total desc, label asc)
+    pred = (
+        scored.groupBy(id_col, "actual")
+        .agg(F.min(F.struct((-F.col("total")).alias("nt"),
+                            F.col("model_lang").alias("l"))).alias("w"))
     )
-    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        pred.groupBy("actual", F.col("model_lang").alias("predicted"))
+        pred.groupBy("actual", F.col("w.l").alias("predicted"))
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
 
