@@ -70,15 +70,20 @@ def _shingle_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             shingle_array(tokenize(F.lower(F.col(text_col))), SHINGLE_W)
         ).alias("gram"),
     )
-    grams = materialize_once(grams, "hybrid_grams")  # feeds df AND join
+    grams = materialize_once(grams, "hybrid_grams")
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    keep = (
-        grams.groupBy("gram").agg(F.count("*").alias("df"))
+    # Stop-cut df as a count-window on the grams frame itself (r8, guide
+    # §2.3/§2.4 — the ppjoin self-frequency trick): one keyed exchange
+    # instead of a groupBy + join-back that read the checkpoint twice.
+    # count(*) over (partition by gram) IS the document frequency here
+    # because the exploded shingles are per-doc DISTINCT.
+    return (
+        grams.withColumn(
+            "df", F.count("*").over(Window.partitionBy("gram")))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") * STOP_FRAC_DEN <= F.col("n_docs"))
-        .select("gram")
+        .select("doc_id", "gram")
     )
-    return grams.join(keep, "gram").select("doc_id", "gram")
 
 
 def lexical_topn(docs: DataFrame, n_queries: int, top_n: int = LEX_TOP,
