@@ -4049,11 +4049,25 @@ def q_keyphrase_cvalue(spark, sf_dir):
     tri = materialize_once(tri, "cv_tri")
     t = tri.select(F.col("w0").alias("t0"), F.col("w1").alias("t1"),
                    F.col("w2").alias("t2"), F.col("f").alias("tf"))
+    # Containment as a UNION of two EQUI-joins (r8, guide §3): the
+    # original single join on (A | B) with A = (t0=w0 & t1=w1),
+    # B = (t1=w0 & t2=w1) has no equi keys, so Spark planned a
+    # BroadcastNestedLoopJoin — |bi| x |tri| comparisons, the one
+    # quadratic join in the census.  Splitting on the position keeps
+    # both joins hashable; a pair matching BOTH arms (an all-equal
+    # trigram like "x x x" nesting the bigram "x x") must count ONCE,
+    # exactly as the OR did, so the B-arm excludes A-matches in-row.
+    j1 = bi.join(t, (F.col("t0") == F.col("w0"))
+                 & (F.col("t1") == F.col("w1"))).select("w0", "w1", "tf")
+    j2 = (
+        bi.join(t, (F.col("t1") == F.col("w0"))
+                & (F.col("t2") == F.col("w1")))
+        .filter(~((F.col("t0") == F.col("w0"))
+                  & (F.col("t1") == F.col("w1"))))
+        .select("w0", "w1", "tf")
+    )
     nests = (
-        bi.join(t, ((F.col("t0") == F.col("w0"))
-                    & (F.col("t1") == F.col("w1")))
-                | ((F.col("t1") == F.col("w0"))
-                   & (F.col("t2") == F.col("w1"))))
+        j1.unionByName(j2)
         .groupBy("w0", "w1")
         .agg(F.sum("tf").cast("long").alias("s_nest"),
              F.count("*").cast("long").alias("n_nest"))

@@ -167,8 +167,6 @@ BNLJ_WHITELIST = {
     "q_lm_jm_topk",           # 1-row corpus-size + query-constant attaches
     "q_nelson_aalen",         # 1-row obs-end + user-total attaches (KM pattern)
     "q_shapley_attribution",  # 2^n coalition spine joins, all mask-bounded
-    "q_keyphrase_cvalue",     # bigram-in-trigram containment join (both
-                              # sides frequency-pruned n-gram frames)
     "q_conformal_interval",   # 1-row q_hat + k-index attaches onto the scan
     "q_weibull_fit",          # KM's 1-row attaches + 1-row OLS-moment attach
     "q_capture_recapture",    # 1-row observation-span attach onto the scan
