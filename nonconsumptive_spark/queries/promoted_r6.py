@@ -3357,9 +3357,12 @@ def q_gries_dp(spark, sf_dir):
     )
     counts = materialize_once(counts, "dp_counts")  # f, parts AND grid
     f = counts.groupBy("token").agg(F.sum("v").cast("long").alias("f"))
-    top = (f.withColumn("rn", F.row_number().over(
-        Window.orderBy(F.desc("f"), F.asc("token"))))
-        .filter(F.col("rn") <= _DP_TOP).select("token", "f"))
+    # head cut as orderBy + limit (r8): the rank was dropped right after
+    # the filter, so TakeOrderedAndProject replaces a single-partition
+    # row_number window over the full vocabulary (ties are impossible —
+    # token is unique — so the cut is the same deterministic set)
+    top = (f.orderBy(F.desc("f"), F.asc("token")).limit(_DP_TOP)
+           .select("token", "f"))
     parts = counts.groupBy("source").agg(
         F.sum("v").cast("long").alias("p_toks"))
     tot = parts.agg(F.sum("p_toks").cast("long").alias("t_toks"),
@@ -4092,10 +4095,14 @@ def q_keyphrase_cvalue(spark, sf_dir):
         .cast("long").alias("cq"),
     )
     cand = cand_bi.unionByName(cand_tri)
-    w = Window.orderBy(F.desc("cq"), F.asc("term"))
+    # top cut as orderBy + limit (r8): the rank never reached the output,
+    # so TakeOrderedAndProject replaces a single-partition row_number
+    # window over the whole candidate gram frame (terms are unique —
+    # bigram and trigram strings differ in word count — so the
+    # (cq desc, term asc) order is total and the cut identical)
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _CV_TOP)
+        cand.orderBy(F.desc("cq"), F.asc("term"))
+        .limit(_CV_TOP)
         .select("term", "n_words", F.col("f").alias("freq"),
                 (F.round(F.col("cq") / F.lit(float(_CV_Q)), 6)
                  + F.lit(0.0)).alias("cvalue"))
