@@ -859,7 +859,12 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     # keyed exchange) rather than a groupBy + join-back (two exchanges of
     # the same string-keyed table) — r8, guide §2.3; the incremental path
     # still passes its corpus dfreq as the order authority (join form).
-    prefix = _pp_rank_prefix(exploded, None, sizes, id_col, tp, tq)
+    # The prefix frame feeds BOTH sides of the candidate self-join below;
+    # without a checkpoint Spark re-executes the count-window + rank-window
+    # pipeline once per side (4 Window nodes in the plan).
+    prefix = materialize_once(
+        _pp_rank_prefix(exploded, None, sizes, id_col, tp, tq), "pp_prefix"
+    )
 
     pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle",
                        F.col("n").alias("na"), F.col("pos").alias("pa"))

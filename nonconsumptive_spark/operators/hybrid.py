@@ -190,12 +190,17 @@ def rbo_rankers(docs: DataFrame, emb: DataFrame, n_queries: int,
     lex = lexical_topn(docs, n_queries, depth).select(
         "query_id", "cand_id", F.col("lex_rank").alias("maxr_l")
     )
-    sem = knn_bruteforce(
-        emb, emb.filter(F.col("vec_id") < n_queries), k=depth
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("cand_id"),
-        F.col("rank").alias("maxr_s"),
+    # sem feeds BOTH the shared-prefix join and the depth spine below;
+    # without a checkpoint the brute-force corpus scoring runs twice.
+    sem = materialize_once(
+        knn_bruteforce(
+            emb, emb.filter(F.col("vec_id") < n_queries), k=depth
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("rank").alias("maxr_s"),
+        ),
+        "rbo_sem",
     )
     shared = lex.join(sem, ["query_id", "cand_id"]).select(
         "query_id",

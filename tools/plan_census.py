@@ -25,7 +25,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 BNLJ_WHITELIST = {
     "q_knn_cosine_bruteforce",   # <=10-row query side, by design
     "q_rrf_fusion",              # same: knn_bruteforce broadcast query side
-    "q_rbo_rankers",             # same knn query side + 5-row spine joins
     "q_decayed_engagement",      # 1-row max-age attach
     "q_lang_source_mi",          # 1-row total attach onto #cells frame
     "q_lang_source_chi2",        # tiny-grid cross joins + 1-row dims attach
