@@ -47,6 +47,7 @@ from nonconsumptive_spark.functions.text import tokenize
 from nonconsumptive_spark.operators.dedup import shingle_array
 from nonconsumptive_spark.operators.similarity import cosine, knn_bruteforce
 from nonconsumptive_spark.plans.checkpoint import materialize_once
+from nonconsumptive_spark.plans.ranker_cache import shared_frame
 
 RRF_K = 60
 RRF_SCALE = 10**12   # integer contribution = RRF_SCALE div (RRF_K + rank)
@@ -91,26 +92,51 @@ def lexical_topn(docs: DataFrame, n_queries: int, top_n: int = LEX_TOP,
     """(query_id, cand_id, overlap, lex_rank): per query document (the
     first ``n_queries`` ids), candidates ranked by the number of shared
     distinct word-bigram shingles below the stop cut, ties broken on
-    cand_id."""
-    postings = materialize_once(
-        _shingle_postings(docs, id_col, text_col), "hybrid_postings"
+    cand_id.
+
+    The 7 hybrid-eval registry queries all rank with the same parameters,
+    so the ≤ n_queries×top_n result frame is built at most once per
+    (session, corpus, params) via the ranker cache (r9; token-cache
+    precedent — see plans/ranker_cache.py for the key and the policy)."""
+    def build() -> DataFrame:
+        postings = materialize_once(
+            _shingle_postings(docs, id_col, text_col), "hybrid_postings"
+        )
+        q = postings.filter(F.col("doc_id") < n_queries).select(
+            F.col("doc_id").alias("query_id"), "gram"
+        )
+        matches = (
+            postings.join(F.broadcast(q), "gram")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+            .agg(F.count("*").cast("long").alias("overlap"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("overlap"), F.asc("cand_id")
+        )
+        return (
+            matches.withColumn("lex_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("lex_rank") <= top_n)
+        )
+
+    return shared_frame(
+        "hybrid_lex", (n_queries, top_n, id_col, text_col), (docs,), build
     )
-    q = postings.filter(F.col("doc_id") < n_queries).select(
-        F.col("doc_id").alias("query_id"), "gram"
-    )
-    matches = (
-        postings.join(F.broadcast(q), "gram")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
-        .agg(F.count("*").cast("long").alias("overlap"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("overlap"), F.asc("cand_id")
-    )
-    return (
-        matches.withColumn("lex_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("lex_rank") <= top_n)
-    )
+
+
+def semantic_topk(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """(query_id, neighbor_id, cosine_sim, rank): exact cosine kNN of the
+    first ``n_queries`` vectors against the corpus — the semantic ranker
+    every hybrid-eval consumer judges against, built at most once per
+    (session, corpus, params) via the ranker cache (the brute-force
+    corpus scoring is the expensive part; the output is ≤ n_queries×k
+    rows)."""
+    def build() -> DataFrame:
+        return knn_bruteforce(
+            emb, emb.filter(F.col("vec_id") < n_queries), k=k
+        )
+
+    return shared_frame("hybrid_sem", (n_queries, k), (emb,), build)
 
 
 def rrf_fuse(docs: DataFrame, emb: DataFrame, n_queries: int,
@@ -124,9 +150,7 @@ def rrf_fuse(docs: DataFrame, emb: DataFrame, n_queries: int,
     is the exact BIGINT Σ RRF_SCALE div (K + rank); the final per-query
     cut orders by (score desc, cand_id)."""
     lex = lexical_topn(docs, n_queries, lex_top)
-    sem = knn_bruteforce(
-        emb, emb.filter(F.col("vec_id") < n_queries), k=sem_top
-    ).select(
+    sem = semantic_topk(emb, n_queries, sem_top).select(
         "query_id",
         F.col("neighbor_id").alias("cand_id"),
         F.col("rank").alias("sem_rank"),
@@ -191,16 +215,12 @@ def rbo_rankers(docs: DataFrame, emb: DataFrame, n_queries: int,
         "query_id", "cand_id", F.col("lex_rank").alias("maxr_l")
     )
     # sem feeds BOTH the shared-prefix join and the depth spine below;
-    # without a checkpoint the brute-force corpus scoring runs twice.
-    sem = materialize_once(
-        knn_bruteforce(
-            emb, emb.filter(F.col("vec_id") < n_queries), k=depth
-        ).select(
-            "query_id",
-            F.col("neighbor_id").alias("cand_id"),
-            F.col("rank").alias("maxr_s"),
-        ),
-        "rbo_sem",
+    # the ranker-cache frame is already materialized, so the narrow
+    # projection re-refs a checkpoint (no double corpus scoring).
+    sem = semantic_topk(emb, n_queries, depth).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("maxr_s"),
     )
     shared = lex.join(sem, ["query_id", "cand_id"]).select(
         "query_id",
@@ -300,19 +320,18 @@ def ndcg_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
     disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
 
     lex = lexical_topn(docs, n_queries, LEX_TOP)
-    sem = knn_bruteforce(
-        emb, emb.filter(F.col("vec_id") < n_queries), k=SEM_TOP
-    ).select(
+    sem = semantic_topk(emb, n_queries, SEM_TOP).select(
         "query_id",
         F.col("neighbor_id").alias("cand_id"),
         F.col("rank").alias("sem_rank"),
     )
+    # rel feeds dcg, idcg AND n_rel — a narrow projection off the
+    # already-materialized shared sem frame, so the re-refs are free
     rel = sem.select(
         "query_id", "cand_id",
         F.when(F.col("sem_rank") <= NDCG_HI_CUT, F.lit(3))
         .otherwise(F.lit(1)).cast("long").alias("gain"),
     )
-    rel = materialize_once(rel, "ndcg_rel")  # feeds dcg, idcg AND n_rel
 
     dcg = (
         lex.filter(F.col("lex_rank") <= k)
@@ -375,10 +394,9 @@ def mrr_map_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
     Scale: identical shape to ndcg_eval — everything after the rankers
     is <= n_queries x k rows, broadcast-sized."""
     lex = lexical_topn(docs, n_queries, LEX_TOP)
-    rel = knn_bruteforce(
-        emb, emb.filter(F.col("vec_id") < n_queries), k=SEM_TOP
-    ).select("query_id", F.col("neighbor_id").alias("cand_id"))
-    rel = materialize_once(rel.withColumn("hit", F.lit(1)), "mrr_rel")
+    rel = semantic_topk(emb, n_queries, SEM_TOP).select(
+        "query_id", F.col("neighbor_id").alias("cand_id")
+    ).withColumn("hit", F.lit(1))
 
     w = Window.partitionBy("query_id").orderBy("lex_rank") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -443,11 +461,9 @@ def rbp_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
     wts = rbp_weights(k)
     warr = F.array(*[F.lit(w).cast("long") for w in wts])
     lex = lexical_topn(docs, n_queries, LEX_TOP)
-    rel = knn_bruteforce(
-        emb, emb.filter(F.col("vec_id") < n_queries), k=SEM_TOP
-    ).select("query_id", F.col("neighbor_id").alias("cand_id"),
-             F.lit(1).alias("hit"))
-    rel = materialize_once(rel, "rbp_rel")
+    rel = semantic_topk(emb, n_queries, SEM_TOP).select(
+        "query_id", F.col("neighbor_id").alias("cand_id"),
+        F.lit(1).alias("hit"))
     per_q = (
         lex.filter(F.col("lex_rank") <= k)
         .join(F.broadcast(rel.select("query_id", "cand_id", "hit")),
@@ -506,16 +522,15 @@ def err_eval(docs: DataFrame, emb: DataFrame, n_queries: int,
     window partitions by query over <= k rows."""
     den_arr = F.array(*[F.lit(d).cast("long") for d in err_denoms(k)])
     lex = lexical_topn(docs, n_queries, LEX_TOP)
-    sem = knn_bruteforce(
-        emb, emb.filter(F.col("vec_id") < n_queries), k=SEM_TOP
-    ).select("query_id", F.col("neighbor_id").alias("cand_id"),
-             F.col("rank").alias("sem_rank"))
+    sem = semantic_topk(emb, n_queries, SEM_TOP).select(
+        "query_id", F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("sem_rank"))
+    # rel feeds terms AND n_rel — narrow off the shared sem checkpoint
     rel = sem.select(
         "query_id", "cand_id",
         F.when(F.col("sem_rank") <= NDCG_HI_CUT, F.lit(3))
         .otherwise(F.lit(1)).cast("long").alias("num"),
     )
-    rel = materialize_once(rel, "err_rel")  # feeds terms AND n_rel
     w_prev = (Window.partitionBy("query_id").orderBy("lex_rank")
               .rowsBetween(Window.unboundedPreceding, -1))
     base = (

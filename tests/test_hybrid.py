@@ -113,3 +113,81 @@ def test_hard_negatives_lexical_hit_semantic_miss(spark):
     assert [r["cand_id"] for r in out] == [1]
     assert out[0]["cosine_sim"] == 0.0
     assert out[0]["lex_rank"] in (1, 2)  # twins tie on overlap, id breaks
+
+
+# ------------------------------------------------- shared ranker cache ----
+def test_ranker_cache_result_identity(spark):
+    """Cached and uncached ranker frames are row-identical, the second
+    call is a cache HIT (same object), and rewriting the corpus file
+    invalidates the key (the round-9 shared-ranker disclosure test)."""
+    import os
+    import shutil
+
+    from nonconsumptive_spark.operators.hybrid import semantic_topk
+    from nonconsumptive_spark.plans.ranker_cache import (
+        _CACHE, clear_ranker_cache)
+    from nonconsumptive_spark.queries import load
+    from tests.conftest import SF_SMALL
+
+    tmp = "/tmp/nc_ranker_cache_fixture"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    shutil.copy(os.path.join(SF_SMALL, "documents.parquet"),
+                os.path.join(tmp, "documents.parquet"))
+    shutil.copy(os.path.join(SF_SMALL, "embeddings.parquet"),
+                os.path.join(tmp, "embeddings.parquet"))
+    docs, emb = load(spark, tmp, "documents"), load(spark, tmp, "embeddings")
+
+    clear_ranker_cache()
+    lex1 = lexical_topn(docs, n_queries=3, top_n=5)
+    sem1 = semantic_topk(emb, n_queries=3, k=5)
+    lex_rows = sorted(map(tuple, lex1.collect()))
+    sem_rows = sorted(map(tuple, sem1.collect()))
+    n_entries = len(_CACHE)
+    assert n_entries == 2
+
+    # second call: HIT — same cached object, identical rows
+    assert lexical_topn(docs, n_queries=3, top_n=5) is lex1
+    assert semantic_topk(emb, n_queries=3, k=5) is sem1
+
+    # uncached rebuild (cleared cache) produces identical rows
+    clear_ranker_cache()
+    assert sorted(map(tuple,
+                      lexical_topn(docs, n_queries=3, top_n=5).collect())) \
+        == lex_rows
+    assert sorted(map(tuple,
+                      semantic_topk(emb, n_queries=3, k=5).collect())) \
+        == sem_rows
+
+    # different params -> different entry, not a stale hit
+    lex_k3 = lexical_topn(docs, n_queries=3, top_n=3)
+    assert {r["lex_rank"] for r in lex_k3.collect()} <= {1, 2, 3}
+
+    # rewriting the corpus file changes the stat key -> MISS (fresh build)
+    before = lexical_topn(docs, n_queries=3, top_n=5)
+    src = os.path.join(tmp, "documents.parquet")
+    os.utime(src, ns=(os.stat(src).st_atime_ns,
+                      os.stat(src).st_mtime_ns + 1))
+    docs2 = load(spark, tmp, "documents")
+    after = lexical_topn(docs2, n_queries=3, top_n=5)
+    assert after is not before
+    clear_ranker_cache()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ranker_cache_disabled_for_inmemory_frames(spark):
+    """createDataFrame inputs have no stat-able files: caching must be
+    DISABLED (fresh build every call), never keyed on a constant."""
+    from nonconsumptive_spark.operators.hybrid import semantic_topk
+    from nonconsumptive_spark.plans.ranker_cache import (
+        _CACHE, clear_ranker_cache)
+
+    clear_ranker_cache()
+    emb = _emb(spark, [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.1, 0.9]),
+    ])
+    a = semantic_topk(emb, n_queries=1, k=2)
+    b = semantic_topk(emb, n_queries=1, k=2)
+    assert a is not b
+    assert len(_CACHE) == 0
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -49,12 +49,16 @@ def main(argv: list[str]) -> None:
         spark.sparkContext.setJobDescription(f"warm_probe:{name}")
         if plans_dir is not None:
             plans_dir.mkdir(parents=True, exist_ok=True)
+            # public API capture (df.explain prints to stdout); the
+            # JVM-private PythonSQLUtils path broke across Spark minors
+            import contextlib
+            import io
+
             df = q.spark_fn(spark, sf_dir)
-            (plans_dir / f"{name}_{tag}.txt").write_text(
-                df._sc._jvm.PythonSQLUtils.explainString(
-                    df._jdf.queryExecution(), "formatted"
-                )
-            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            (plans_dir / f"{name}_{tag}.txt").write_text(buf.getvalue())
         # untimed warm-up + min-of-2 timed
         q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
