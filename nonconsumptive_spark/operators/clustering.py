@@ -127,10 +127,21 @@ def quantized_vectors(
     """(id, xq): the grid-quantized vector frame, materialized once.
     Callers that run several Lloyd loops over the same corpus (the elbow
     sweep) build this once and pass it via ``q_df`` so each run reads the
-    materialized partitions instead of re-quantizing the corpus."""
-    return materialize_once(
-        emb.select(id_col, quantize_grid(vec_col, grid).alias("xq")), "km_q"
-    )
+    materialized partitions instead of re-quantizing the corpus.
+
+    Session-shared (r9): every clustering-family consumer (kmeans /
+    semdedup / silhouette / representatives / elbow / mmr / kcenter)
+    quantizes with the same expression, so the frame is built at most
+    once per (session, corpus, grid) — the ranker-cache policy; an
+    un-fingerprintable source still materializes per call (the pre-r9
+    contract)."""
+    from nonconsumptive_spark.plans.ranker_cache import shared_frame
+
+    def build() -> DataFrame:
+        return emb.select(id_col, quantize_grid(vec_col, grid).alias("xq"))
+
+    return shared_frame("km_q", (grid, id_col, vec_col), (emb,), build,
+                        materialize_fallback=True)
 
 
 def _kmeans_core(
@@ -143,20 +154,38 @@ def _kmeans_core(
     q_df: DataFrame | None = None,
 ):
     """Shared k-means driver: returns (final assignment incl. xq, centroids)."""
+    from nonconsumptive_spark.plans.ranker_cache import shared_value
+
     q = q_df if q_df is not None else quantized_vectors(emb, grid, id_col, vec_col)
-    first = q.orderBy(id_col).limit(k).collect()  # bounded: k seed rows
-    cents = [list(r["xq"]) for r in sorted(first, key=lambda r: r[id_col])]
-    dims = len(cents[0])
-    for _ in range(n_iter):
-        new = _update(_assign(q, cents, id_col), cents, dims)
-        if new == cents:
-            # Exact integer fixpoint: _update is a deterministic function of
-            # (q, cents), so every remaining round would return these same
-            # centroids — skipping them is result-identical (the oracle's
-            # n_iter-round replay lands on the same fixpoint).  Saves one
-            # assign+agg job per skipped round.
-            break
-        cents = new
+
+    def run_lloyd() -> list[list[int]]:
+        first = q.orderBy(id_col).limit(k).collect()  # bounded: k seed rows
+        cents = [list(r["xq"]) for r in sorted(first, key=lambda r: r[id_col])]
+        dims = len(cents[0])
+        for _ in range(n_iter):
+            new = _update(_assign(q, cents, id_col), cents, dims)
+            if new == cents:
+                # Exact integer fixpoint: _update is a deterministic function
+                # of (q, cents), so every remaining round would return these
+                # same centroids — skipping them is result-identical (the
+                # oracle's n_iter-round replay lands on the same fixpoint).
+                # Saves one assign+agg job per skipped round.
+                break
+            cents = new
+        return cents
+
+    if q_df is None:
+        # The converged centroids are a deterministic pure function of
+        # (corpus, k, n_iter, grid): seeds are the k lowest ids, every
+        # update is exact integer arithmetic.  Four registry queries run
+        # this same loop (assign / semdedup / silhouette / representatives)
+        # — share it per session (r9, ranker-cache policy).  An explicit
+        # q_df bypasses the cache: the caller owns consistency then.
+        cents = shared_value(
+            "km_cents", (k, n_iter, grid, id_col, vec_col), (emb,), run_lloyd
+        )
+    else:
+        cents = run_lloyd()
     return _assign(q, cents, id_col), cents
 
 
@@ -216,9 +245,7 @@ def mmr_select(
       (sample candidates per round) drops in by replacing the scan with
       a ``hash_sample``."""
     spark = emb.sparkSession
-    q = materialize_once(
-        emb.select(id_col, quantize_grid(vec_col, grid).alias("xq")), "mmr_q"
-    )
+    q = quantized_vectors(emb, grid, id_col, vec_col)  # session-shared (r9)
     dims = len(q.select("xq").head()["xq"])
     g = global_centroid(q, dims)
     gj = F.from_json(F.lit(json.dumps(g)), "array<long>")
@@ -406,9 +433,7 @@ def kcenter_select(
     collect.  All distances are exact integers, so the greedy argmax
     (mind DESC, id ASC) replays bit-for-bit in the unrolled-CTE oracle."""
     spark = emb.sparkSession
-    q = materialize_once(
-        emb.select(id_col, quantize_grid(vec_col, grid).alias("xq")), "kc_q"
-    )
+    q = quantized_vectors(emb, grid, id_col, vec_col)  # session-shared (r9)
 
     picked: list[tuple] = []
     sel_vecs: list[list[int]] = []

@@ -33,6 +33,7 @@ inside the run; nothing here survives the session.
 from __future__ import annotations
 
 import os
+import threading
 from collections import OrderedDict
 from typing import Callable, Sequence
 
@@ -40,23 +41,40 @@ from pyspark.sql import DataFrame
 
 _MAX_ENTRIES = 8
 _CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_VALUES: "OrderedDict[tuple, object]" = OrderedDict()
+# dict access is locked (q_kmeans_elbow materializes from worker threads);
+# builders run OUTSIDE the lock — a racing duplicate build is harmless
+# (result-identical by construction, last write wins)
+_LOCK = threading.Lock()
 
 
 def _stat_key(sources: Sequence[DataFrame]):
-    """(appId, ((path, mtime_ns, size), ...)) over every input file of
-    every source frame; None when any source has no stat-able local
-    file inputs (non-file frame, remote filesystem) — None disables
-    caching for that call."""
+    """(appId, ((canonical plan, (path, mtime_ns, size)...), ...)) over
+    every source frame; None when any source has no stat-able local file
+    inputs (non-file frame, remote filesystem) or its plan cannot be
+    canonicalized — None disables caching for that call.
+
+    BOTH components are required: the file stats catch an in-place
+    corpus rewrite within one session, and the canonicalized analyzed
+    plan distinguishes two frames over the same files (a projection or
+    filter of the corpus must never hit the full-corpus entry — e.g.
+    pq_train runs k-means on per-subspace column slices whose input
+    files are identical).  Canonicalization normalizes expression ids,
+    so two independent loads of the same table still share one entry.
+    Any failure of the (JVM-internal) canonicalization accessor
+    degrades to cache-disabled, never to a wrong hit."""
     app = None
     stats: list[tuple] = []
     for df in sources:
         app = df.sparkSession.sparkContext.applicationId
         try:
+            plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
             files = df.inputFiles()
         except Exception:
             return None
         if not files:
             return None
+        stats.append(("plan", plan))
         for uri in sorted(files):
             path = uri
             if path.startswith("file://"):
@@ -83,27 +101,59 @@ def _evict(df: DataFrame) -> None:
 
 
 def shared_frame(tag: str, params: tuple, sources: Sequence[DataFrame],
-                 build: Callable[[], DataFrame]) -> DataFrame:
+                 build: Callable[[], DataFrame],
+                 materialize_fallback: bool = False) -> DataFrame:
     """``materialize_once(build(), tag)`` computed at most once per
     (session, corpus stat, tag, params); falls back to an un-cached
-    build when the sources cannot be fingerprinted."""
+    build when the sources cannot be fingerprinted.
+    ``materialize_fallback`` keeps the fallback materialized too, for
+    callers whose pre-cache contract always checkpointed (the quantized
+    vector frame feeding multi-round Lloyd loops)."""
     from nonconsumptive_spark.plans.checkpoint import materialize_once
 
     base = _stat_key(sources)
     if base is None:
-        return build()
+        out = build()
+        return materialize_once(out, tag) if materialize_fallback else out
     key = (base, tag, params)
-    hit = _CACHE.get(key)
-    if hit is not None:
-        _CACHE.move_to_end(key)
-        return hit
+    with _LOCK:
+        hit = _CACHE.get(key)
+        if hit is not None:
+            _CACHE.move_to_end(key)
+            return hit
     built = materialize_once(build(), tag)
-    _CACHE[key] = built
-    while len(_CACHE) > _MAX_ENTRIES:
-        _evict(_CACHE.popitem(last=False)[1])
+    with _LOCK:
+        _CACHE[key] = built
+        while len(_CACHE) > _MAX_ENTRIES:
+            _evict(_CACHE.popitem(last=False)[1])
     return built
 
 
+def shared_value(tag: str, params: tuple, sources: Sequence[DataFrame],
+                 compute: Callable[[], object]) -> object:
+    """Like shared_frame for small derived PYTHON values (e.g. converged
+    k-means centroids): computed at most once per (session, corpus stat,
+    tag, params), recomputed freely when fingerprinting is unavailable.
+    Only deterministic pure functions of the fingerprinted sources may
+    be cached here — that is what makes a hit result-identical."""
+    base = _stat_key(sources)
+    if base is None:
+        return compute()
+    key = (base, tag, params)
+    with _LOCK:
+        if key in _VALUES:
+            _VALUES.move_to_end(key)
+            return _VALUES[key]
+    val = compute()
+    with _LOCK:
+        _VALUES[key] = val
+        while len(_VALUES) > _MAX_ENTRIES:
+            _VALUES.popitem(last=False)
+    return val
+
+
 def clear_ranker_cache() -> None:
-    while _CACHE:
-        _evict(_CACHE.popitem(last=False)[1])
+    with _LOCK:
+        while _CACHE:
+            _evict(_CACHE.popitem(last=False)[1])
+        _VALUES.clear()

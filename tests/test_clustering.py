@@ -158,3 +158,27 @@ def test_pq_adc_prefers_true_neighbors(spark):
             for r in out.collect() if r["rank"] == 1}
     assert top1[0] in {1, 2, 3}
     assert top1[4] in {5, 6, 7}
+
+
+def test_shared_lloyd_result_identity(spark):
+    """The session-shared quantized frame + centroid cache (r9) is
+    result-identical to a fresh build: same assignment rows cached vs
+    cleared, and the cached centroids are reused across consumers of
+    the same (corpus, k, n_iter, grid)."""
+    from nonconsumptive_spark.plans.ranker_cache import (
+        _VALUES, clear_ranker_cache)
+    from nonconsumptive_spark.queries import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    clear_ranker_cache()
+    fresh = sorted(map(tuple,
+                       cl.kmeans(emb, k=4, n_iter=3).collect()))
+    assert len(_VALUES) == 1  # centroids cached under the stat key
+    cached = sorted(map(tuple,
+                        cl.kmeans(emb, k=4, n_iter=3).collect()))
+    assert cached == fresh
+    assert len(_VALUES) == 1  # second run was a hit, not a new entry
+    # a different k is a different key — no stale reuse
+    cl.kmeans(emb, k=3, n_iter=3).collect()
+    assert len(_VALUES) == 2
+    clear_ranker_cache()
