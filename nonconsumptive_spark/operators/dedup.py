@@ -430,7 +430,27 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
     final left join — they never enter the propagation loop at all, so the
     iterated frames are bounded by 2·|pairs|, not corpus size."""
     if pairs is None:
-        pairs = minhash_dedup_pairs(docs, threshold, id_col, text_col)
+        # 4 registry queries (clusters, dedup_stats, leakage_safe_split,
+        # dedup_rate_by_source) run this identical LSH + min-label-CC
+        # pipeline on the same corpus — build it once per session (r9,
+        # ranker-cache policy; the result is a deterministic pure
+        # function of (corpus, threshold): md5-banded signatures,
+        # monotone label propagation to a fixpoint).  Caller-supplied
+        # ``pairs`` bypasses the cache — the caller owns that graph.
+        from nonconsumptive_spark.plans.ranker_cache import shared_frame
+
+        return shared_frame(
+            "dedup_clusters", (threshold, id_col, text_col, max_iter),
+            (docs,),
+            lambda: _dedup_clusters_build(
+                docs, minhash_dedup_pairs(docs, threshold, id_col, text_col),
+                id_col, max_iter),
+        )
+    return _dedup_clusters_build(docs, pairs, id_col, max_iter)
+
+
+def _dedup_clusters_build(docs: DataFrame, pairs: DataFrame,
+                          id_col: str, max_iter: int) -> DataFrame:
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

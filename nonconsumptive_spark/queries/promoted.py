@@ -2591,10 +2591,16 @@ def q_mann_kendall(spark, sf_dir):
     -> 6.7M pairs per type)."""
     from pyspark.sql import Window
 
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count("*").cast("long").alias("c"))
+    # daily feeds FOUR subtrees (both pair sides, base, ties) and prs
+    # feeds two (s_stat, median) — un-materialized, the events-corpus
+    # agg ran 4x and the pair join twice (r9; guide §1.2)
+    daily = materialize_once(
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("c")),
+        "mk_daily")
     a = daily.select("event_type", F.col("d").alias("da"),
                      F.col("c").alias("ca"))
     b = daily.select("event_type", F.col("d").alias("db"),
@@ -2613,6 +2619,7 @@ def q_mann_kendall(spark, sf_dir):
             .cast("long").alias("slope_q"),
         )
     )
+    prs = materialize_once(prs, "mk_prs")
     base = daily.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"))
     raw18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
@@ -3182,20 +3189,24 @@ def q_kruskal_wallis(spark, sf_dir):
     and two tiny aggregates."""
     from pyspark.sql import Window
 
-    counts = (
+    from nonconsumptive_spark.plans.checkpoint import materialize_once
+
+    # counts feeds spine AND grp, spine feeds grp AND ties —
+    # un-materialized, the documents scan + (source, v) agg ran 4x (r9)
+    counts = materialize_once(
         load(spark, sf_dir, "documents")
         .groupBy("source", F.col("n_chars").alias("v"))
-        .agg(F.count("*").cast("long").alias("c"))
-    )
+        .agg(F.count("*").cast("long").alias("c")),
+        "kw_counts")
     # unpartitioned window over DISTINCT length values only (bounded by
     # the value domain, ~500 at test SF; lengths are capped in practice)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    spine = (
+    spine = materialize_once(
         counts.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
         .select("v", "t",
                 F.coalesce(F.sum("t").over(w), F.lit(0))
-                .cast("long").alias("cum"))
-    )
+                .cast("long").alias("cum")),
+        "kw_spine")
     grp = (
         counts.join(F.broadcast(spine), "v")
         .groupBy("source")

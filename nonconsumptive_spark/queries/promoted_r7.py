@@ -697,14 +697,19 @@ def q_lm_interp_tune(spark, sf_dir):
     k-group agg, one 9-row window."""
     from pyspark.sql import Window
 
-    from nonconsumptive_spark.functions.text import tokenize
     from nonconsumptive_spark.plans.checkpoint import materialize_once
+    from nonconsumptive_spark.plans.token_cache import tokenized_documents
 
-    docs = load(spark, sf_dir, "documents")
+    # the session token cache replaces THREE tokenize corpus scans
+    # (train bigrams, train unigrams, held bigrams) with checkpoint
+    # reads (r9).  NULL-text equivalence: the cache stores
+    # tokenize(text) (NULL stays NULL) where this query tokenized
+    # coalesce(text, '') (NULL became []); both explode to zero
+    # bigram/unigram rows, so every aggregate below is unchanged.
+    toksdf = tokenized_documents(spark, sf_dir)
 
     def bigrams(half, cname):
-        toks = docs.filter(F.col("doc_id") % 2 == half).select(
-            tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("toks"))
+        toks = toksdf.filter(F.col("doc_id") % 2 == half).select("toks")
         pairs = toks.select(
             F.explode(F.arrays_zip(
                 F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))")
@@ -720,9 +725,8 @@ def q_lm_interp_tune(spark, sf_dir):
     tr_b = materialize_once(bigrams(0, "cb"), "lt_trb")
     tr_ctx = tr_b.groupBy("w1").agg(F.sum("cb").cast("long").alias("cc"))
     tr_u = materialize_once(
-        docs.filter(F.col("doc_id") % 2 == 0)
-        .select(F.explode(tokenize(F.coalesce(F.col("text"), F.lit(""))))
-                .alias("w"))
+        toksdf.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("toks").alias("w"))
         .groupBy("w").agg(F.count("*").cast("long").alias("cu")),
         "lt_tru")
     consts = tr_u.agg(F.sum("cu").cast("long").alias("t"),
