@@ -30,13 +30,25 @@ from nonconsumptive_spark.plans.checkpoint import materialize_once
 
 
 def bigram_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distinct directed token-adjacency edges (src, dst) over the corpus."""
-    grams = ngram_structs(tokenize(text_col), 2)
-    return (
-        docs.select(F.explode(grams).alias("g"))
-        .select(F.col("g.w0").alias("src"), F.col("g.w1").alias("dst"))
-        .distinct()
-    )
+    """Distinct directed token-adjacency edges (src, dst) over the corpus.
+
+    13 graph registry queries (pagerank/HITS/BFS/k-core/k-truss/CC/
+    harmonic/adamic-adar/link-prediction/...) derive from this same
+    edge list; it is a deterministic pure function of the corpus, so it
+    is built at most once per (session, corpus) via the ranker cache
+    (r9) — each consumer then reads the checkpoint instead of paying
+    tokenize + explode + distinct again."""
+    from nonconsumptive_spark.plans.ranker_cache import shared_frame
+
+    def build() -> DataFrame:
+        grams = ngram_structs(tokenize(text_col), 2)
+        return (
+            docs.select(F.explode(grams).alias("g"))
+            .select(F.col("g.w0").alias("src"), F.col("g.w1").alias("dst"))
+            .distinct()
+        )
+
+    return shared_frame("bigram_edges", (text_col,), (docs,), build)
 
 
 def pagerank(edges: DataFrame, n_iter: int = 10,
