@@ -57,9 +57,27 @@ def set_materialization(mode: str, root: str | Path | None = None) -> None:
     _MAT_POLICY["root"] = str(root) if root else None
 
 
+# Observer hook for plan auditing: the plan census registers a callback
+# here so it can census the PRE-checkpoint plan of every materialized
+# sub-frame — a checkpoint truncates lineage, so the parent query's plan
+# alone hides whatever pipeline (joins, windows, exchanges) was planned
+# behind it (round-8 verdict item: a regression inside a materialized
+# sub-frame must not be invisible to the census gate).
+_MAT_OBSERVER = None
+
+
+def set_materialization_observer(fn) -> None:
+    """fn(name, df) is called with every frame passed to
+    materialize_once BEFORE its lineage is cut; pass None to remove."""
+    global _MAT_OBSERVER
+    _MAT_OBSERVER = fn
+
+
 def materialize_once(df: DataFrame, name: str = "mat") -> DataFrame:
     """Apply the session materialization policy to a reuse-point frame."""
     global _MAT_SEQ
+    if _MAT_OBSERVER is not None:
+        _MAT_OBSERVER(name, df)
     if _MAT_POLICY["mode"] == "local":
         return df.localCheckpoint(eager=False)
     with _MAT_SEQ_LOCK:

@@ -179,10 +179,31 @@ BNLJ_WHITELIST = {
     "q_ansari_bradley",       # 1-row N-total attach onto the score spine
     "q_lm_interp_tune",       # 9-row lambda spine + 1-row (T, V) attach
     "q_page_trend",           # Friedman grid build + three 1-row attaches
+    # r9: the census now descends into materialize_once checkpoints
+    # (round-8 verdict item 5), surfacing BNLJs that were always in the
+    # executed sub-jobs but hidden from the query-level plan.  Each was
+    # re-verified as a bounded build side:
+    "q_bradley_terry",        # 1-row n_tot attach onto the games frame
+    "q_burrows_delta",        # top-m marker-spine grid build (bounded k)
+    "q_hits_scores",          # per-round 1-row max-normalizer attach
+    "q_kaplan_meier_cohorts",  # 1-row observation-end attach (KM pattern)
+    "q_log_odds_dirichlet",   # 1-row corpus-totals attach onto the vocab
+    "q_zeta_markers",         # 1-row (n_a, n_b) attach onto the df frame
+    # hybrid-eval family: the shared hybrid_postings (1-row n_docs
+    # attach) and hybrid_sem (knn's <=n_queries broadcast query side)
+    # builders are censused under whichever consumer builds them first
+    # in sorted order — whitelist every consumer so a registry
+    # promotion that changes the order cannot flap the gate
+    # (q_rrf_fusion / q_mrr_map_eval / q_rbp_eval already above):
+    "q_err_eval",
+    "q_ndcg_eval",
+    "q_rbo_rankers",
+    "q_hard_negatives",
 }
 
 
 def census(spark, sf_dir: str, only=None):
+    from nonconsumptive_spark.plans import checkpoint as ckpt
     from nonconsumptive_spark.queries import all_queries
     from nonconsumptive_spark.queries.staging import STAGED
 
@@ -196,15 +217,30 @@ def census(spark, sf_dir: str, only=None):
     for name, spark_fn in sorted(entries.items()):
         if only and name not in only:
             continue
+        # The census DESCENDS INTO CHECKPOINTS (r9, round-8 verdict
+        # item 5): materialize_once cuts lineage, so the query-level
+        # plan hides whatever pipeline was planned behind each
+        # checkpoint; the observer hands us every sub-frame BEFORE its
+        # lineage is cut and the metrics below aggregate over the top
+        # plan plus all sub-plans.  Session-shared frames are censused
+        # under whichever query builds them first (sorted order, so
+        # deterministic) — a cache hit has no pipeline to census.
+        subframes: list = []
+        ckpt.set_materialization_observer(
+            lambda n, df: subframes.append(df))
         try:
-            plan = (spark_fn(spark, sf_dir)
-                    ._jdf.queryExecution().executedPlan().toString())
+            frames = [spark_fn(spark, sf_dir)] + subframes
+            plans = [f._jdf.queryExecution().executedPlan().toString()
+                     for f in frames]
         except Exception as e:  # pragma: no cover
             rows.append((name, str(e)[:80], 0, "ERROR"))
             continue
+        finally:
+            ckpt.set_materialization_observer(None)
         abbrev = {"BroadcastNestedLoopJoin": "BNLJ", "CartesianProduct":
                   "CART", "SortMergeJoin": "SMJ", "BroadcastHashJoin":
                   "BHJ", "ShuffledHashJoin": "SHJ"}
+        plan = "\n".join(plans)
         joins = sorted(set(re.findall(
             r"(BroadcastNestedLoopJoin|CartesianProduct|SortMergeJoin"
             r"|BroadcastHashJoin|ShuffledHashJoin)", plan)))
