@@ -73,18 +73,26 @@ def _shingle_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     grams = materialize_once(grams, "hybrid_grams")
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    # Stop-cut df as a count-window on the grams frame itself (r8, guide
-    # §2.3/§2.4 — the ppjoin self-frequency trick): one keyed exchange
-    # instead of a groupBy + join-back that read the checkpoint twice.
-    # count(*) over (partition by gram) IS the document frequency here
+    # Stop-cut as a broadcast ANTI-join of the (small) stop-gram set
+    # (r9; ADVICE r8): the r8 count-window form shuffled the ENTIRE
+    # grams frame hash-partitioned by gram and buffered each gram's rows
+    # in one window partition — and the hottest grams are exactly the
+    # stop shingles being filtered, a guaranteed single-task hotspot at
+    # corpus scale.  df here feeds ONLY this filter (never a per-row
+    # value), so: one map-side-combinable groupBy over the checkpoint
+    # (shuffles vocab-bounded partial counts, hash-agg absorbs hot grams
+    # in the map phase — guide §2.3/§2.5), keep the few grams ABOVE the
+    # cut, broadcast them, anti-join.  The corpus-sized grams frame now
+    # never shuffles at all.  count(*) per gram IS document frequency
     # because the exploded shingles are per-doc DISTINCT.
-    return (
-        grams.withColumn(
-            "df", F.count("*").over(Window.partitionBy("gram")))
+    stop = (
+        grams.groupBy("gram").agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") * STOP_FRAC_DEN <= F.col("n_docs"))
-        .select("doc_id", "gram")
+        .filter(F.col("df") * STOP_FRAC_DEN > F.col("n_docs"))
+        .select("gram")
     )
+    return grams.join(F.broadcast(stop), "gram", "left_anti") \
+        .select("doc_id", "gram")
 
 
 def lexical_topn(docs: DataFrame, n_queries: int, top_n: int = LEX_TOP,

@@ -415,24 +415,15 @@ def knn_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
     Corpora under MIN_ANN_CORPUS rows fall back to the exact scan."""
     if _small_corpus(emb):
         return knn_bruteforce(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
-    c = ivf_assign(emb, n_centroids, dim, id_col, vec_col, seed).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(
-            F.slice(_centroid_ranks(vec_col, n_centroids, dim, seed), 1, n_probe)
-        ).alias("cell"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine_sim"),
-        )
-    )
+    # thin wrapper over ivf_probe_scored (max_probe = n_probe): ONE
+    # candidate generator for the single-depth and the sweep paths, so a
+    # rounding or tie-break change cannot drift between the two (ADVICE
+    # r8).  posexplode vs explode of the same slice yields the same rows;
+    # the probe_rank tag is dropped here.
+    scored = ivf_probe_scored(
+        emb, queries, n_centroids=n_centroids, max_probe=n_probe, dim=dim,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    ).select("query_id", "neighbor_id", "cosine_sim")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

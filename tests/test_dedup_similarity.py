@@ -153,6 +153,31 @@ def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path):
     ), plan[:2000]
 
 
+def test_knn_ivf_equals_sliced_probe_sweep(spark):
+    """Nesting parity (ADVICE r8): knn_ivf(n_probe=p) must equal the
+    depth-max probe sweep sliced at probe_rank < p and re-ranked by the
+    same top-k window — the contract q_ann_recall_curve's single-scoring
+    rewrite rests on.  knn_ivf is now a wrapper over ivf_probe_scored, so
+    this pins the slice semantics (not just shared code)."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    sweep = sim.ivf_probe_scored(emb, queries, n_centroids=16, max_probe=8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    for p in (2, 4, 8):
+        direct = {tuple(r) for r in sim.knn_ivf(
+            emb, queries, k=5, n_centroids=16, n_probe=p).collect()}
+        sliced = {tuple(r) for r in (
+            sweep.filter(F.col("probe_rank") < p)
+            .select("query_id", "neighbor_id", "cosine_sim")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+        ).collect()}
+        assert direct == sliced and len(direct) > 0, f"n_probe={p}"
+
+
 def test_cosine_self_similarity(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(5)
     df = emb.select(
