@@ -329,12 +329,26 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     )
     sa = base.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = base.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    # Compute the intersection ONCE behind a checkpoint: a jaccard filter
+    # applied directly over the attach joins gets pushed into the join
+    # CONDITION, duplicating array_intersect per candidate row (r8 plan
+    # dump line 151: condition + projection = 2 codegen evaluations of
+    # the intersect — the built-in analog of guide §4.4's UDF
+    # duplication).  The checkpointed frame is |candidates| rows of ids
+    # and ints; the filter then runs on integers.
+    inter_df = materialize_once(
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(inter / uni, 4))
+        .select(
+            "doc_a", "doc_b",
+            F.size("sh_a").alias("na"), F.size("sh_b").alias("nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        ),
+        "mh_verify",
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter_df.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -370,12 +384,22 @@ def dedup_against(new_docs: DataFrame, corpus_docs: DataFrame,
 
     sa = nb.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_a"))
     sb = cb.select(F.col(id_col).alias("old_id"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size("sh_a") + F.size("sh_b") - inter
-    verified = (
+    # checkpoint before the jaccard filter — see minhash_dedup_pairs: an
+    # un-barriered filter is pushed into the attach-join condition and
+    # array_intersect runs twice per candidate
+    inter_df = materialize_once(
         cands.join(sa, "new_id")
         .join(sb, "old_id")
-        .withColumn("jaccard", F.round(inter / uni, 4))
+        .select(
+            "new_id", "old_id",
+            F.size("sh_a").alias("na"), F.size("sh_b").alias("nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        ),
+        "da_verify",
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    verified = (
+        inter_df.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
     )
     # Best match = highest jaccard, ties -> lowest existing id.  min_by
@@ -810,10 +834,20 @@ def snm_pairs(docs: DataFrame, window: int = SNM_WINDOW,
         .filter((F.col("rb") > F.col("ra"))
                 & (F.col("rb") - F.col("ra") < window))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size("sh_a") + F.size("sh_b") - inter
+    # checkpoint before the jaccard filter — see minhash_dedup_pairs: an
+    # un-barriered filter is pushed into the bucket-join condition and
+    # array_intersect runs twice per within-window row
+    inter_df = materialize_once(
+        cands.select(
+            "doc_a", "doc_b",
+            F.size("sh_a").alias("na"), F.size("sh_b").alias("nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        ),
+        "snm_verify",
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        cands.withColumn("jaccard", F.round(inter / uni, 4))
+        inter_df.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -901,6 +935,20 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
     overlap_floor = _ceil_div(F.lit(tp) * nanb, tp + tq)
     best_overlap = F.least(F.col("na") - F.col("pa"),
                            F.col("nb") - F.col("pb")) + 1
+    # Aggregated positional bound (PPJoin's running-overlap filter, in
+    # set form): per surviving pair, c = number of shared prefix shingles
+    # that passed the per-row filter and (mpa, mpb) the LAST one's
+    # positions.  Both docs list shingles in the SAME global order, so
+    # shared shingles appear in the same relative order on both sides and
+    # the per-row bound is non-increasing along them — survivors are
+    # always a PREFIX of the pair's shared-shingle sequence.  Hence c
+    # counts exactly the shared shingles up to (mpa, mpb), every further
+    # shared shingle sits after BOTH positions, and
+    # o <= c + min(na - mpa, nb - mpb).  Pairs below the overlap floor
+    # are provably sub-threshold — the filter only removes pairs the
+    # verify would reject.  The groupBy rides the exact shuffle the old
+    # .distinct() already paid; vs the any-row bound it is strictly
+    # tighter (equality only when c = 1).
     cands = (
         pa.join(pb, "shingle")
         .filter(
@@ -909,8 +957,16 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
             & (F.col("na") >= _ceil_mul(F.col("nb"), tp, tq))
             & (best_overlap >= overlap_floor)
         )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("_c"),
+             F.max("pa").alias("_mpa"), F.max("pb").alias("_mpb"))
+        .filter(
+            F.col("_c")
+            + F.least(F.col("na") - F.col("_mpa"),
+                      F.col("nb") - F.col("_mpb"))
+            >= _ceil_div(F.lit(tp) * (F.col("na") + F.col("nb")), tp + tq)
+        )
         .select("doc_a", "doc_b", "na", "nb")
-        .distinct()
     )
 
     # verify IN-ROW: join each candidate to the two full shingle ARRAYS
@@ -923,14 +979,20 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5,
                       F.col("shingles").alias("sh_a"))
     arr_b = sh.select(F.col(id_col).alias("doc_b"),
                       F.col("shingles").alias("sh_b"))
-    inter = (
+    # checkpoint the intersection counts before the jaccard filter: an
+    # un-barriered filter over the attach joins is pushed into the join
+    # CONDITION, duplicating array_intersect per candidate row (r9 plan
+    # audit; the built-in analog of guide §4.4's UDF duplication — warm
+    # verify 2.33 -> ~1.5 s at sf0.1)
+    inter = materialize_once(
         cands.join(arr_a, "doc_a")
         .join(arr_b, "doc_b")
         .select(
             "doc_a", "doc_b", "na", "nb",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
              .alias("inter"),
-        )
+        ),
+        "pp_verify",
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
@@ -1043,11 +1105,15 @@ def ppjoin_against(batch: DataFrame, index_dir: str,
                        F.col("shingles").alias("sh_a"))
     arr_b = idx_arrays.select(F.col(id_col).alias("old_id"),
                               F.col("shingles").alias("sh_b"))
-    inter = (
+    # checkpoint before the jaccard filter — see ppjoin_pairs: an
+    # un-barriered filter is pushed into the attach-join condition and
+    # array_intersect runs twice per candidate
+    inter = materialize_once(
         cands.join(arr_a, "new_id").join(arr_b, "old_id")
         .select("new_id", "old_id", "na", "nb",
                 F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-                 .alias("inter"))
+                 .alias("inter")),
+        "ppa_verify",
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     verified = (
